@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Local smoke runner: exercises SparkEntry.entry the way the driver does
+  * (rows > 0) and prints the plan + a sample. */
+object Smoke {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val df = SparkEntry.entry(spark)
+    df.explain("formatted")
+    val n = df.count()
+    df.show(5, truncate = false)
+    println(s"[smoke] entry rows = $n")
+    assert(n > 0, "entry must return rows")
+    spark.stop()
+  }
+}

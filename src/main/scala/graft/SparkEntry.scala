@@ -1,13 +1,595 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.geo.GeoFunctions._
+import graft.llm.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Aggregations, Deltas, SpatialJoin}
+import graft.pipeline.{Constants, ImpactPipeline, SyntheticScenario}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Driver contract: the operator inventory of SURVEY.md §2 expressed as
+ * oracle-checked queries over the driver's TPC-H-ish test tables
+ * (/root/testdata), plus the LLM-data-pipeline operators and the geo
+ * pipeline operators.
+ *
+ * Determinism rules (the driver hash-compares against DuckDB):
+ *  - every oracle query ends in a total ORDER BY;
+ *  - double outputs are either exactly-representable (integer-valued sums,
+ *    scaled-integer CCI) or rounded AFTER all inputs were already rounded,
+ *    so summation-order ULP noise cannot flip a rounding;
+ *  - geo queries derive synthetic tiles/envelopes from the relational tables
+ *    with arithmetic both engines evaluate bit-identically, so even the
+ *    spatial joins are hash-checked (axis-aligned geometry ≡ interval
+ *    arithmetic).
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.parquet stores TIMESTAMP(NANOS); Spark reads nanos only as
+      // long (legacy conf), so convert to microsecond timestamps on ingest
+      // (truncation — matches DuckDB's nanos→micros read of the same file).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+
+  // ---------------------------------------------------------------------
+  // synthetic geo layers derived from relational tables (bit-identical in
+  // DuckDB — see the g* oracle SQL)
+  // ---------------------------------------------------------------------
+
+  /** 40×40 grid of 0.03125° tiles keyed by c_custkey; population = floor(acctbal). */
+  private def geoTiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "customer").select(
+      col("c_custkey").cast("string").as("tile_id"),
+      (expr("c_custkey % 40") * lit(0.03125)).as("minlon"),
+      (expr("(c_custkey div 40) % 40") * lit(0.03125)).as("minlat"),
+      (expr("c_custkey % 40") * lit(0.03125) + lit(0.03125)).as("maxlon"),
+      (expr("(c_custkey div 40) % 40") * lit(0.03125) + lit(0.03125)).as("maxlat"),
+      floor(col("c_acctbal")).cast("double").as("population"))
+      .withColumn("geometry", st_box(col("minlon"), col("minlat"), col("maxlon"), col("maxlat")))
+
+  private val geoTilesSql =
+    """SELECT CAST(c_custkey AS VARCHAR) AS tile_id,
+      |  (c_custkey % 40) * 0.03125 AS minlon,
+      |  ((c_custkey // 40) % 40) * 0.03125 AS minlat,
+      |  (c_custkey % 40) * 0.03125 + 0.03125 AS maxlon,
+      |  ((c_custkey // 40) % 40) * 0.03125 + 0.03125 AS maxlat,
+      |  FLOOR(c_acctbal) AS population
+      |FROM customer""".stripMargin
+
+  /** Envelope boxes keyed by s_suppkey; 4 wind thresholds. */
+  private def geoEnvelopes(spark: SparkSession, dir: String): DataFrame = {
+    val minlon = lit(0.0625) + expr("s_suppkey % 17") * lit(0.046875)
+    val minlat = lit(0.03125) + expr("s_suppkey % 13") * lit(0.0625)
+    t(spark, dir, "supplier").select(
+      col("s_suppkey").cast("int").as("ensemble_member"),
+      expr("CASE CAST(s_suppkey % 4 AS INT) WHEN 0 THEN 34 WHEN 1 THEN 50 WHEN 2 THEN 64 ELSE 83 END")
+        .cast("int").as("wind_threshold"),
+      minlon.as("minlon"), minlat.as("minlat"),
+      (minlon + lit(0.0625) + expr("s_suppkey % 5") * lit(0.03125)).as("maxlon"),
+      (minlat + lit(0.046875) + expr("s_suppkey % 7") * lit(0.03125)).as("maxlat"))
+      .withColumn("geometry", st_box(col("minlon"), col("minlat"), col("maxlon"), col("maxlat")))
+  }
+
+  private val geoEnvelopesSql =
+    """SELECT CASE s_suppkey % 4 WHEN 0 THEN 34 WHEN 1 THEN 50 WHEN 2 THEN 64 ELSE 83 END AS wind_threshold,
+      |  0.0625 + (s_suppkey % 17) * 0.046875 AS minlon,
+      |  0.03125 + (s_suppkey % 13) * 0.0625 AS minlat,
+      |  0.0625 + (s_suppkey % 17) * 0.046875 + 0.0625 + (s_suppkey % 5) * 0.03125 AS maxlon,
+      |  0.03125 + (s_suppkey % 13) * 0.0625 + 0.046875 + (s_suppkey % 7) * 0.03125 AS maxlat
+      |FROM supplier""".stripMargin
+
+  // =====================================================================
+  // Flagship: full storm impact slice on the synthetic country
+  // =====================================================================
+
+  def entry(spark: SparkSession): DataFrame = {
+    val tiles = SyntheticScenario.tiles(spark, nx = 24, ny = 24)
+    val envs = SyntheticScenario.envelopes(spark, members = 51)
+    ImpactPipeline.tileView(tiles, envs)
+  }
+
+  // =====================================================================
+  // queries + oracleSql
+  // =====================================================================
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- scans / filters / projections (S1-S7, F1-F9) ------------------
+    "q01_pricing_summary" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q02_filter_project" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .filter(col("l_quantity") >= 48 && col("l_discount") > lit(0.07))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          round(col("l_extendedprice"), 2).as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "q03_isin_filter" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q04_date_filter" -> ((s, d) => {
+      t(s, d, "orders")
+        .filter(col("o_orderdate") >= lit("1995-01-01") && col("o_orderdate") < lit("1997-01-01"))
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate"))).as("ym"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("ym"))
+    }),
+    // --- joins (J9/J11/J12/J13, semi/anti) -----------------------------
+    "q05_dim_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(broadcast(t(s, d, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, d, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_acctbal"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+    "q06_left_join_fill" -> ((s, d) => {
+      val custCounts = t(s, d, "customer").groupBy(col("c_nationkey")).agg(count(lit(1)).as("cnt"))
+      t(s, d, "nation")
+        .join(custCounts, col("n_nationkey") === col("c_nationkey"), "left")
+        .select(col("n_name"), coalesce(col("cnt"), lit(0L)).as("n_customers"))
+        .orderBy(col("n_name"))
+    }),
+    "q07_anti_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_no_order"))
+        .orderBy(col("c_nationkey"))
+    }),
+    "q08_semi_join" -> ((s, d) => {
+      t(s, d, "customer")
+        .join(t(s, d, "orders").filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment")).agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    }),
+    "q27_join_agg_topk" -> ((s, d) => {
+      t(s, d, "lineitem")
+        .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+        .select(col("o_orderkey"), col("revenue"))
+    }),
+    // --- aggregations (A1-A8) ------------------------------------------
+    "q14_count_distinct" -> ((s, d) => {
+      t(s, d, "orders").groupBy(col("o_orderstatus"))
+        .agg(countDistinct(col("o_custkey")).as("n_custs"), count(lit(1)).as("n_orders"))
+        .orderBy(col("o_orderstatus"))
+    }),
+    "q15_max_scan" -> ((s, d) => {
+      t(s, d, "orders").agg(
+        max(to_date(col("o_orderdate"))).as("max_orderdate"),
+        min(to_date(col("o_orderdate"))).as("min_orderdate"),
+        count(lit(1)).as("n"))
+    }),
+    "q16_distinct" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_orderpriority")).distinct()
+        .orderBy(col("o_orderpriority"))
+    }),
+    "q17_optional_sum" -> ((s, d) => {
+      // NaN-preserving sum semantics (A3): groups where every value is null
+      // must yield null, not 0 (impact_analysis.py:152-159)
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(when(col("l_quantity") < 2, col("l_extendedprice"))), 2).as("opt_sum"),
+          count(when(col("l_quantity") < 2, lit(1))).as("n_present"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q19_bucket_agg" -> ((s, d) => {
+      // vulnerability-bucket analogue (A8): band by acctbal, bucket sums
+      val band = when(col("c_acctbal") < 0, "severe")
+        .when(col("c_acctbal") < 5000, "mid").otherwise("high")
+      t(s, d, "customer")
+        .groupBy(col("c_mktsegment"), band.as("band"))
+        .agg(count(lit(1)).as("n"), round(sum(col("c_acctbal")), 2).as("total"))
+        .orderBy(col("c_mktsegment"), col("band"))
+    }),
+    // --- windows / sorts / top-k (W1-W5) -------------------------------
+    "q09_topk" -> ((s, d) => {
+      t(s, d, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(5)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    }),
+    "q10_first_per_key" -> ((s, d) => {
+      Deltas.firstPerKey(
+          t(s, d, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_shipdate").asc, col("l_linenumber").asc))
+        .select(col("l_orderkey"), col("l_linenumber"), to_date(col("l_shipdate")).as("first_ship"))
+        .orderBy(col("l_orderkey"))
+    }),
+    "q11_argmax" -> ((s, d) => {
+      Deltas.firstPerKey(
+          t(s, d, "lineitem"), Seq("l_partkey"),
+          Seq(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc))
+        .select(col("l_partkey"), col("l_orderkey"), round(col("l_extendedprice"), 2).as("max_price"))
+        .orderBy(col("l_partkey"))
+    }),
+    "q12_lag_delta" -> ((s, d) => {
+      // as-of predecessor (J15 analogue): per-user event deltas
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("prev_value", lag(col("value"), 1).over(w))
+        .select(col("user_id"), col("event_id"),
+          round(col("value") - coalesce(col("prev_value"), lit(0.0)), 2).as("delta"))
+        .orderBy(col("user_id"), col("event_id"))
+    }),
+    "q13_lead_band" -> ((s, d) => {
+      // W5 CCI-band analogue on events: value - next value per user, weighted
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, d, "events")
+        .withColumn("band", round(col("value") - lead(col("value"), 1, 0.0).over(w), 2))
+        .groupBy(col("user_id"))
+        .agg(round(sum(col("band")), 2).as("band_sum"), count(lit(1)).as("n"))
+        .orderBy(col("user_id"))
+    }),
+    "q20_pct_change" -> ((s, d) => {
+      // monthly totals + month-over-month percent change (reports.py:384-390
+      // direction semantics: null when no previous)
+      val monthly = t(s, d, "events")
+        .groupBy(col("event_type"), (year(col("ts")) * 100 + month(col("ts"))).as("ym"))
+        .agg(round(sum(col("value")), 2).as("total"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("ym"))
+      monthly.withColumn("prev_total", lag(col("total"), 1).over(w))
+        .withColumn("pct_change",
+          round(Deltas.percentChange(col("total"), col("prev_total")), 4))
+        .select(col("event_type"), col("ym"), col("total"), col("pct_change"))
+        .orderBy(col("event_type"), col("ym"))
+    }),
+    // --- set ops / distinct / dedup (D1-D4, J14) -----------------------
+    "q24_union_distinct" -> ((s, d) => {
+      t(s, d, "orders").select(col("o_custkey").as("k"))
+        .union(t(s, d, "customer").select(col("c_custkey").as("k")))
+        .distinct().agg(count(lit(1)).as("n_keys"))
+    }),
+    "q23_signature_dedup" -> ((s, d) => {
+      // row-signature dedup (J14, geosight/admin_related_table.py:62-68)
+      t(s, d, "events")
+        .withColumn("sig", md5(concat_ws("|", col("user_id"), col("event_type"), col("value"))))
+        .agg(countDistinct(col("sig")).as("n_distinct_sigs"), count(lit(1)).as("n_rows"))
+    }),
+    // --- scalar functions (§2.7) ---------------------------------------
+    "q22_regexp_extract" -> ((s, d) => {
+      t(s, d, "part")
+        .withColumn("last_word", regexp_extract(col("p_type"), "([A-Z]+)$", 1))
+        .groupBy(col("last_word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("last_word"))
+    }),
+    "q25_map_reclass" -> ((s, d) => {
+      // SMOD L2→L1 style map lookup via CASE chain
+      val l1 = when(col("p_size") <= 13, 1).when(col("p_size") <= 23, 2).otherwise(3)
+      t(s, d, "part").groupBy(l1.as("size_class")).agg(count(lit(1)).as("n"))
+        .orderBy(col("size_class"))
+    }),
+    "q26_date_arith" -> ((s, d) => {
+      // compact-format conversion + −6 h shift (snowflake_utils.py:59-72)
+      t(s, d, "events")
+        .withColumn("shifted", col("ts") - expr("INTERVAL 6 HOURS"))
+        .groupBy(date_format(col("shifted"), "yyyyMMddHH").substr(1, 8).as("compact_day"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("compact_day"))
+    }),
+    "q28_json_extract" -> ((s, d) => {
+      t(s, d, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type")).agg(sum(col("k")).as("sum_k"), count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+    // --- geo pipeline operators (J1/J3/A1/A10/A2/W5) — hash-checked ----
+    "g01_tile_probability" -> ((s, d) => {
+      SpatialJoin.probabilityByThreshold(
+          geoTiles(s, d), "geometry", geoEnvelopes(s, d), "geometry")
+        .select(col("tile_id"), col("wind_threshold"),
+          col("n_members").cast("long").as("n_members"),
+          round(col("probability"), 6).as("probability"))
+        .orderBy(col("tile_id"), col("wind_threshold"))
+    }),
+    "g02_cci" -> ((s, d) => {
+      // CCI band algebra (W5) on the synthetic grid; ×1e6-scaled to an
+      // exactly-representable integer (sum order cannot perturb the hash)
+      val tv = SpatialJoin.probabilityByThreshold(
+        geoTiles(s, d), "geometry", geoEnvelopes(s, d), "geometry", keepZeroRows = true)
+      val w = Window.partitionBy(col("tile_id")).orderBy(col("wind_threshold"))
+      val ind = when(col("probability") > 0, lit(1.0)).otherwise(lit(0.0))
+      val band = ind - lead(ind, 1, 0.0).over(w)
+      tv.withColumn("contrib",
+          col("population") * band * col("wind_threshold") * col("wind_threshold"))
+        .groupBy(col("tile_id"))
+        .agg(sum(col("contrib")).cast("long").as("cci_pop_x1e6"))
+        .filter(col("cci_pop_x1e6") =!= 0)
+        .orderBy(col("tile_id"))
+    }),
+    "g03_points_in_zone" -> ((s, d) => {
+      // J3: points-in-zone count+sum via the axis-aligned equi-join key
+      // (point's cell = tile id — no geo predicate needed for grid zones)
+      val pts = t(s, d, "part").select(
+        (expr("p_partkey % 40") * lit(0.03125) + lit(0.0128)).as("px"),
+        (expr("(p_partkey div 40) % 40") * lit(0.03125) + lit(0.0131)).as("py"),
+        col("p_retailprice"))
+        .withColumn("cellx", floor(col("px") / lit(0.03125)).cast("long"))
+        .withColumn("celly", floor(col("py") / lit(0.03125)).cast("long"))
+      val tiles = geoTiles(s, d)
+        .withColumn("cellx", expr("CAST(tile_id AS BIGINT) % 40"))
+        .withColumn("celly", expr("CAST(tile_id AS BIGINT) div 40 % 40"))
+      tiles.join(pts, Seq("cellx", "celly"))
+        .groupBy(col("tile_id"))
+        .agg(count(lit(1)).as("n_points"), round(sum(col("p_retailprice")), 2).as("sum_value"))
+        .orderBy(col("tile_id"))
+    }),
+    "g04_admin_rollup" -> ((s, d) => {
+      // A10 E_values + A2 admin rollup, ×51-scaled to exact integers
+      val probs = SpatialJoin.probabilityByThreshold(
+        geoTiles(s, d), "geometry", geoEnvelopes(s, d), "geometry")
+      probs
+        .withColumn("admin_id",
+          concat_ws("_", expr("CAST(tile_id AS BIGINT) % 40 div 8"),
+            expr("CAST(tile_id AS BIGINT) div 40 % 40 div 8")))
+        .groupBy(col("admin_id"), col("wind_threshold"))
+        .agg(
+          sum(col("population") * col("n_members")).cast("long").as("sum_e_pop_x51"),
+          count(lit(1)).as("n_tiles"))
+        .orderBy(col("admin_id"), col("wind_threshold"))
+    }),
+    // --- LLM data ops: dedup / text / similarity -----------------------
+    "d01_exact_dedup" -> ((s, d) => {
+      Dedup.exact(t(s, d, "documents"), "doc_id", Seq(md5(col("text")).as("h")))
+        .select(col("keep_id"), col("group_size"))
+        .orderBy(col("keep_id"))
+    }),
+    "d02_text_quality" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_chars_computed"), col("n_tokens"),
+          round(col("punct_ratio"), 6).as("punct_ratio"),
+          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+        .orderBy(col("doc_id"))
+    }),
+    "d03_token_stats" -> ((s, d) => {
+      TextAnalysis.qualityMetrics(t(s, d, "documents"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars_computed")).as("total_chars"),
+          count(lit(1)).as("n_docs"))
+        .orderBy(col("lang"))
+    }),
+    // rows-only (no SQL oracle): verified by ScalaTest specs instead
+    "d04_minhash_lsh" -> ((s, d) => {
+      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", minEstJaccard = 0.3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d05_simhash" -> ((s, d) => {
+      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", maxHamming = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "d06_langid" -> ((s, d) => {
+      TextAnalysis.withLangId(t(s, d, "documents"))
+        .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
+        .orderBy(col("lang"), col("lang_pred"))
+    }),
+    "d07_fingerprint" -> ((s, d) => {
+      TextAnalysis.withFingerprint(t(s, d, "documents"))
+        .select(col("doc_id"), col("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+    "v01_ann_bruteforce" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "v02_ann_lsh" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.lshBucketedTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
+    "g05_impact_pipeline" -> ((s, d) => {
+      val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)
+      val envs = SyntheticScenario.envelopes(s, members = 51)
+      ImpactPipeline.tileView(tiles, envs)
+        .select(col("zone_id"), col("wind_threshold"), col("n_members"),
+          round(col("probability"), 6).as("probability"),
+          round(col("E_population"), 4).as("E_population"))
+        .orderBy(col("zone_id"), col("wind_threshold"))
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
+        | ROUND(SUM(l_extendedprice),2) AS sum_base_price,
+        | ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, ROUND(l_extendedprice,2) AS price
+        |FROM lineitem WHERE l_quantity >= 48 AND l_discount > 0.07
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_isin_filter" ->
+      """SELECT o_orderpriority, COUNT(*) AS n FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT','2-HIGH')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q04_date_filter" ->
+      """SELECT YEAR(o_orderdate)*100 + MONTH(o_orderdate) AS ym, COUNT(*) AS n,
+        | ROUND(SUM(o_totalprice),2) AS total
+        |FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q05_dim_join" ->
+      """SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal),2) AS total_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_left_join_fill" ->
+      """SELECT n_name, COALESCE(cnt, 0) AS n_customers
+        |FROM nation LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt FROM customer GROUP BY c_nationkey) c
+        |ON n_nationkey = c_nationkey ORDER BY n_name""".stripMargin,
+    "q07_anti_join" ->
+      """SELECT c_nationkey, COUNT(*) AS n_no_order FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "q08_semi_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q27_join_agg_topk" ->
+      """SELECT o_orderkey, revenue FROM (
+        | SELECT o_orderkey, o_orderdate, ROUND(SUM(l_extendedprice*(1-l_discount)),2) AS revenue
+        | FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | GROUP BY o_orderkey, o_orderdate) t
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q14_count_distinct" ->
+      """SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_custs, COUNT(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q15_max_scan" ->
+      """SELECT CAST(MAX(o_orderdate) AS DATE) AS max_orderdate,
+        | CAST(MIN(o_orderdate) AS DATE) AS min_orderdate, COUNT(*) AS n FROM orders""".stripMargin,
+    "q16_distinct" ->
+      "SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority",
+    "q17_optional_sum" ->
+      """SELECT l_returnflag, l_linestatus,
+        | ROUND(SUM(CASE WHEN l_quantity < 2 THEN l_extendedprice END),2) AS opt_sum,
+        | COUNT(CASE WHEN l_quantity < 2 THEN 1 END) AS n_present
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q19_bucket_agg" ->
+      """SELECT c_mktsegment,
+        | CASE WHEN c_acctbal < 0 THEN 'severe' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
+        | COUNT(*) AS n, ROUND(SUM(c_acctbal),2) AS total
+        |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q09_topk" ->
+      """SELECT o_orderkey, ROUND(o_totalprice,2) AS price FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 5""".stripMargin,
+    "q10_first_per_key" ->
+      """SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS first_ship FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY l_orderkey ORDER BY l_shipdate, l_linenumber) AS rn
+        | FROM lineitem) t WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+    "q11_argmax" ->
+      """SELECT l_partkey, l_orderkey, ROUND(l_extendedprice,2) AS max_price FROM (
+        | SELECT *, ROW_NUMBER() OVER (PARTITION BY l_partkey
+        |   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rn
+        | FROM lineitem) t WHERE rn = 1 ORDER BY l_partkey""".stripMargin,
+    "q12_lag_delta" ->
+      """SELECT user_id, event_id,
+        | ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0),2) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+    "q13_lead_band" ->
+      """SELECT user_id, ROUND(SUM(band),2) AS band_sum, COUNT(*) AS n FROM (
+        | SELECT user_id,
+        |  ROUND(value - COALESCE(LEAD(value) OVER (PARTITION BY user_id ORDER BY ts, event_id), 0.0),2) AS band
+        | FROM events) t GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q20_pct_change" ->
+      """SELECT event_type, ym, total,
+        | ROUND(CASE WHEN prev_total IS NULL OR prev_total = 0 THEN NULL
+        |  ELSE (total - prev_total) / prev_total * 100.0 END, 4) AS pct_change
+        |FROM (
+        | SELECT event_type, ym, total, LAG(total) OVER (PARTITION BY event_type ORDER BY ym) AS prev_total
+        | FROM (SELECT event_type, YEAR(ts)*100 + MONTH(ts) AS ym, ROUND(SUM(value),2) AS total
+        |   FROM events GROUP BY 1, 2) m) t
+        |ORDER BY event_type, ym""".stripMargin,
+    "q24_union_distinct" ->
+      """SELECT COUNT(*) AS n_keys FROM (
+        | SELECT o_custkey AS k FROM orders UNION SELECT c_custkey AS k FROM customer) t""".stripMargin,
+    "q23_signature_dedup" ->
+      """SELECT COUNT(DISTINCT md5(CONCAT_WS('|', user_id, event_type, value))) AS n_distinct_sigs,
+        | COUNT(*) AS n_rows FROM events""".stripMargin,
+    "q22_regexp_extract" ->
+      """SELECT COALESCE(regexp_extract(p_type, '([A-Z]+)$', 1), '') AS last_word, COUNT(*) AS n
+        |FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q25_map_reclass" ->
+      """SELECT CASE WHEN p_size <= 13 THEN 1 WHEN p_size <= 23 THEN 2 ELSE 3 END AS size_class,
+        | COUNT(*) AS n FROM part GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_date_arith" ->
+      """SELECT SUBSTR(STRFTIME(ts - INTERVAL 6 HOURS, '%Y%m%d%H'), 1, 8) AS compact_day, COUNT(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q28_json_extract" ->
+      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "g01_tile_probability" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql)
+         |SELECT t.tile_id, e.wind_threshold, COUNT(*) AS n_members,
+         | ROUND(COUNT(*) / 51.0, 6) AS probability
+         |FROM tiles t JOIN envs e
+         | ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         | AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         |GROUP BY t.tile_id, e.wind_threshold
+         |ORDER BY t.tile_id, e.wind_threshold""".stripMargin,
+    "g02_cci" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql),
+         |counts AS (
+         | SELECT t.tile_id, t.population, e.wind_threshold, COUNT(*) AS n
+         | FROM tiles t JOIN envs e
+         |  ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         |  AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         | GROUP BY 1, 2, 3),
+         |grid AS (
+         | SELECT t.tile_id, t.population, w.wind_threshold
+         | FROM tiles t CROSS JOIN (SELECT DISTINCT wind_threshold FROM envs) w),
+         |probs AS (
+         | SELECT g.tile_id, g.population, g.wind_threshold,
+         |  COALESCE(c.n, 0) / 51.0 AS p
+         | FROM grid g LEFT JOIN counts c
+         |  ON g.tile_id = c.tile_id AND g.wind_threshold = c.wind_threshold),
+         |banded AS (
+         | SELECT tile_id, population, wind_threshold,
+         |  (CASE WHEN p > 0 THEN 1.0 ELSE 0.0 END)
+         |   - COALESCE(LEAD(CASE WHEN p > 0 THEN 1.0 ELSE 0.0 END)
+         |       OVER (PARTITION BY tile_id ORDER BY wind_threshold), 0.0) AS band
+         | FROM probs)
+         |SELECT tile_id,
+         | CAST(SUM(population * band * wind_threshold * wind_threshold) AS BIGINT) AS cci_pop_x1e6
+         |FROM banded GROUP BY tile_id
+         |HAVING CAST(SUM(population * band * wind_threshold * wind_threshold) AS BIGINT) <> 0
+         |ORDER BY tile_id""".stripMargin,
+    "g03_points_in_zone" ->
+      s"""WITH tiles AS ($geoTilesSql),
+         |pts AS (
+         | SELECT (p_partkey % 40) * 0.03125 + 0.0128 AS px,
+         |  ((p_partkey // 40) % 40) * 0.03125 + 0.0131 AS py, p_retailprice
+         | FROM part)
+         |SELECT t.tile_id, COUNT(*) AS n_points, ROUND(SUM(p.p_retailprice),2) AS sum_value
+         |FROM tiles t JOIN pts p
+         | ON CAST(FLOOR(p.px / 0.03125) AS BIGINT) = CAST(t.tile_id AS BIGINT) % 40
+         | AND CAST(FLOOR(p.py / 0.03125) AS BIGINT) = (CAST(t.tile_id AS BIGINT) // 40) % 40
+         |GROUP BY t.tile_id ORDER BY t.tile_id""".stripMargin,
+    "g04_admin_rollup" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql),
+         |counts AS (
+         | SELECT t.tile_id, t.population, e.wind_threshold, COUNT(*) AS n
+         | FROM tiles t JOIN envs e
+         |  ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         |  AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         | GROUP BY 1, 2, 3)
+         |SELECT CONCAT(CAST((CAST(tile_id AS BIGINT) % 40) // 8 AS VARCHAR), '_',
+         |  CAST(((CAST(tile_id AS BIGINT) // 40) % 40) // 8 AS VARCHAR)) AS admin_id,
+         | wind_threshold,
+         | CAST(SUM(population * n) AS BIGINT) AS sum_e_pop_x51, COUNT(*) AS n_tiles
+         |FROM counts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d01_exact_dedup" ->
+      """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
+        |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d03_token_stats" ->
+      """SELECT lang, SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS total_tokens,
+        | SUM(length(text)) AS total_chars, COUNT(*) AS n_docs
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+  )
 }

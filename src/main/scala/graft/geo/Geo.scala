@@ -1,0 +1,188 @@
+package graft.geo
+
+import org.locationtech.jts.geom._
+import org.locationtech.jts.geom.util.GeometryTransformer
+import org.locationtech.jts.geom.CoordinateSequence
+import org.locationtech.jts.io.{WKBReader, WKBWriter, WKTReader, WKTWriter}
+import org.locationtech.jts.operation.union.UnaryUnionOp
+import org.locationtech.jts.geom.util.GeometryFixer
+
+/**
+ * Geometry kernel over JTS (jts-core, public Apache-2 library shipped in
+ * /opt/spark/jars). Pure Scala/JVM helpers; Spark-facing Column wrappers
+ * live in [[GeoFunctions]].
+ *
+ * The reference pipeline (see /root/reference) keeps geometries as Shapely
+ * objects in EPSG:4326 and reprojects to the equal-area ESRI:54009
+ * (World Mollweide) for centroid/area computations
+ * (impact_analysis.py:1023,1040-1042). We store WKB bytes in DataFrames and
+ * implement the Mollweide forward projection directly (public formula).
+ */
+object Geo {
+
+  val factory = new GeometryFactory(new PrecisionModel, 4326)
+
+  // --- codecs ------------------------------------------------------------
+
+  def fromWkt(wkt: String): Geometry =
+    new WKTReader(factory).read(wkt)
+
+  def toWkt(g: Geometry): String = new WKTWriter().write(g)
+
+  def fromWkb(b: Array[Byte]): Geometry = new WKBReader(factory).read(b)
+
+  def toWkb(g: Geometry): Array[Byte] = new WKBWriter().write(g)
+
+  def tryFromWkt(wkt: String): Option[Geometry] =
+    try Option(wkt).map(fromWkt) catch { case _: Exception => None }
+
+  // --- constructors ------------------------------------------------------
+
+  def point(lon: Double, lat: Double): Point =
+    factory.createPoint(new Coordinate(lon, lat))
+
+  /** Axis-aligned box polygon (lon/lat). */
+  def box(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double): Polygon = {
+    val cs = Array(
+      new Coordinate(minLon, minLat), new Coordinate(maxLon, minLat),
+      new Coordinate(maxLon, maxLat), new Coordinate(minLon, maxLat),
+      new Coordinate(minLon, minLat))
+    factory.createPolygon(cs)
+  }
+
+  def line(points: Seq[(Double, Double)]): LineString =
+    factory.createLineString(points.map { case (x, y) => new Coordinate(x, y) }.toArray)
+
+  // --- Mollweide (ESRI:54009) equal-area projection ----------------------
+  // Forward projection on the sphere (public formula; R = 6371007.181 m,
+  // the authalic radius used by ESRI:54009 on WGS84).
+
+  private val R = 6371007.180918475
+  private val SqRt2 = math.sqrt(2.0)
+
+  /** Forward Mollweide: (lonDeg, latDeg) -> (x meters, y meters). */
+  def mollweideForward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+    val lon = math.toRadians(lonDeg)
+    val lat = math.toRadians(latDeg)
+    // Solve 2*theta + sin(2*theta) = Pi * sin(lat) by Newton iteration.
+    var theta = lat
+    var i = 0
+    while (i < 25) {
+      val f = 2 * theta + math.sin(2 * theta) - math.Pi * math.sin(lat)
+      val fp = 2 + 2 * math.cos(2 * theta)
+      if (math.abs(fp) < 1e-12) { theta = if (lat > 0) math.Pi / 2 else -math.Pi / 2; i = 25 }
+      else {
+        val next = theta - f / fp
+        if (math.abs(next - theta) < 1e-12) { theta = next; i = 25 }
+        else { theta = next; i += 1 }
+      }
+    }
+    val x = R * (2 * SqRt2 / math.Pi) * lon * math.cos(theta)
+    val y = R * SqRt2 * math.sin(theta)
+    (x, y)
+  }
+
+  private class MollweideTransformer extends GeometryTransformer {
+    override def transformCoordinates(cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+      val out = new Array[Coordinate](cs.size)
+      var i = 0
+      while (i < cs.size) {
+        val (x, y) = mollweideForward(cs.getX(i), cs.getY(i))
+        out(i) = new Coordinate(x, y)
+        i += 1
+      }
+      Geo.factory.getCoordinateSequenceFactory.create(out)
+    }
+  }
+
+  /** Reproject a lon/lat geometry into Mollweide meters. */
+  def toMollweide(g: Geometry): Geometry = new MollweideTransformer().transform(g)
+
+  /** Area in m^2 computed in the equal-area Mollweide projection
+    * (reference: gdf.to_crs('ESRI:54009').area, impact_analysis.py:1040-1042). */
+  def areaM2(g: Geometry): Double = toMollweide(g).getArea
+
+  /** Centroid computed in the equal-area projection, returned in lon/lat.
+    * Mollweide has no closed-form inverse worth maintaining here; instead we
+    * compute the area-weighted centroid of the lon/lat rings using the
+    * equal-area projected weights only for *selection* purposes. For the
+    * reference's use (assigning a tile to the admin polygon containing its
+    * centroid, impact_analysis.py:1020-1032) the plain planar centroid of a
+    * zoom-14 tile (~2.4 km) differs from the equal-area centroid by far less
+    * than a tile width, so planar centroid in lon/lat is semantically
+    * equivalent for containment tests. */
+  def centroid(g: Geometry): Point = g.getCentroid
+
+  // --- buffer in meters --------------------------------------------------
+
+  private val MetersPerDegLat = 111319.4907932736 // R_wgs84 * Pi / 180 (spherical)
+
+  /**
+   * Buffer a lon/lat geometry by `meters` using a local cylindrical scaling
+   * about the geometry's centroid latitude: lon is scaled by cos(lat0).
+   * Matches the reference semantics of "buffer N meters in a projected CRS"
+   * (150 m facility buffer impact_analysis.py:175,1666; 1.5e6 m country
+   * buffer main_pipeline.py:185) to well under the tolerance that matters
+   * (the 150 m buffer vs 2.4 km tiles; the 1500 km screen is a coarse filter).
+   */
+  def bufferMeters(g: Geometry, meters: Double): Geometry = {
+    val c = g.getCentroid.getCoordinate
+    val lat0 = math.toRadians(c.y)
+    val cosLat = math.max(math.cos(lat0), 1e-6)
+    val fwd = new GeometryTransformer {
+      override def transformCoordinates(cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+        val out = new Array[Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          out(i) = new Coordinate(cs.getX(i) * MetersPerDegLat * cosLat, cs.getY(i) * MetersPerDegLat)
+          i += 1
+        }
+        Geo.factory.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    val inv = new GeometryTransformer {
+      override def transformCoordinates(cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+        val out = new Array[Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          out(i) = new Coordinate(cs.getX(i) / (MetersPerDegLat * cosLat), cs.getY(i) / MetersPerDegLat)
+          i += 1
+        }
+        Geo.factory.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    inv.transform(fwd.transform(g).buffer(meters))
+  }
+
+  /** Approximate great-circle distance in meters between geometry *nearest
+    * points* using the local-scaling trick; exact haversine for points. */
+  def distanceMeters(a: Geometry, b: Geometry): Double = {
+    if (a.isInstanceOf[Point] && b.isInstanceOf[Point]) {
+      val pa = a.asInstanceOf[Point]; val pb = b.asInstanceOf[Point]
+      haversineMeters(pa.getX, pa.getY, pb.getX, pb.getY)
+    } else {
+      val co = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
+      haversineMeters(co(0).x, co(0).y, co(1).x, co(1).y)
+    }
+  }
+
+  def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+    val dLat = math.toRadians(lat2 - lat1)
+    val dLon = math.toRadians(lon2 - lon1)
+    val a = math.pow(math.sin(dLat / 2), 2) +
+      math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * math.pow(math.sin(dLon / 2), 2)
+    2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(a)))
+  }
+
+  // --- repair / union ----------------------------------------------------
+
+  /** `make_valid` analogue (main_pipeline.py:192-207 uses make_valid else buffer(0)). */
+  def makeValid(g: Geometry): Geometry =
+    if (g.isValid) g else GeometryFixer.fix(g)
+
+  /** Cascaded union (reference union_all / ST_UNION_AGG,
+    * impact_analysis.py:1158, snowflake_utils.py:603). */
+  def unionAll(gs: Iterable[Geometry]): Geometry =
+    if (gs.isEmpty) factory.createGeometryCollection()
+    else UnaryUnionOp.union(scala.jdk.CollectionConverters.IterableHasAsJava(gs).asJavaCollection)
+}

@@ -1,0 +1,171 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines:
+ *
+ *  - [[exact]]            hash-groupBy exact dedup
+ *  - [[minhashLsh]]       MinHash + LSH banding near-dup candidate pairs
+ *  - [[simhash]]          64-bit SimHash + banded Hamming neighbor search
+ *  - [[ngramJaccard]]     exact n-gram Jaccard verification on candidates
+ *
+ * Scale design: every stage is either a narrow map or a shuffle keyed on a
+ * hash/bucket value whose cardinality grows with the data (no broadcast of
+ * the corpus, no driver collect). The LSH band join is the classic
+ * shingle→minhash→band→bucket-join pipeline: only documents sharing a band
+ * bucket are paired, so the candidate set is output-bound, not O(n²). Skewed
+ * buckets (boilerplate text) are bounded by `maxBucketSize`.
+ */
+object Dedup {
+
+  /** Exact dedup on a key expression (default: xxhash64 of the raw text —
+    * collision-safe enough at 2^64 for candidate grouping; `keep` is the
+    * minimum id). Returns one row per duplicate *group* with its size. */
+  def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
+    df.groupBy(keyCols: _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))
+      .filter(col("group_size") > 1)
+
+  /** Documents minus exact duplicates (keeps the min-id representative). */
+  def exactDeduped(df: DataFrame, idCol: String, key: Column): DataFrame = {
+    val w = Window.partitionBy(key).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** Character shingles (n-grams) of the normalized text, as a distinct array
+    * (codegen'd built-ins; substr is 1-based). */
+  def shingles(text: Column, n: Int): Column = {
+    val norm = regexp_replace(lower(text), "\\s+", " ")
+    val cnt = length(norm) - (n - 1)
+    when(cnt > 0,
+      array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
+      .otherwise(array(norm))
+  }
+
+  /** MinHash signature over a shingle array: all `numHashes` minima computed
+    * in ONE pass over the shingles (a 64-expression `array_min(transform(...))`
+    * formulation would re-scan the array per hash and blow up codegen). */
+  def minhashSignatureUdf(numHashes: Int) = udf { (sh: Seq[String]) =>
+    if (sh == null) null
+    else {
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      sh.foreach { s =>
+        val base = graft.util.Hashing.fnv64(s)
+        var k = 0
+        while (k < numHashes) {
+          val h = graft.util.Hashing.mix64(base ^ graft.util.Hashing.mix64(k.toLong))
+          if (h < mins(k)) mins(k) = h
+          k += 1
+        }
+      }
+      mins
+    }
+  }
+
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
+    minhashSignatureUdf(numHashes)(shingles(text, n))
+
+  /**
+   * MinHash-LSH near-duplicate candidate pairs.
+   *
+   * @param bands  number of LSH bands; rows per band = numHashes / bands.
+   *               Threshold ≈ (1/bands)^(1/rowsPerBand).
+   * @return (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+   *         fraction of matching minhash components, ≥ `minEstJaccard`.
+   */
+  def minhashLsh(df: DataFrame, idCol: String, textCol: String = "text",
+                 shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
+                 minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+
+    // band key = hash of the band's slice of the signature
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+
+    // bound boilerplate skew: drop pathological buckets
+    val bucketSizes = banded.groupBy("band", "bucket").count()
+      .filter(col("count") <= maxBucketSize && col("count") > 1)
+    val inBuckets = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket"))
+
+    val a = inBuckets.select(col("band"), col("bucket"),
+      col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = inBuckets.select(col("band"), col("bucket"),
+      col("id").as("id_b"), col("sig").as("sig_b"))
+    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
+      // a pair sharing k bands appears k times; keep one
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("band"))))
+      .filter(col("__rn") === 1)
+
+    pairs.withColumn("est_jaccard",
+        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
+          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit sign-sum of per-token
+    * 64-bit hashes, folded in one pass (UDF — a 64-aggregate built-in
+    * formulation would re-scan the token array per bit). */
+  private val simhashUdf = udf { (text: String) =>
+    if (text == null) null
+    else {
+      val counts = new Array[Int](64)
+      text.toLowerCase.trim.split("\\s+").foreach { w =>
+        val h = graft.util.Hashing.mix64(graft.util.Hashing.fnv64(w))
+        var i = 0
+        while (i < 64) {
+          if (((h >>> i) & 1L) != 0L) counts(i) += 1 else counts(i) -= 1
+          i += 1
+        }
+      }
+      var sig = 0L
+      var i = 0
+      while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
+      java.lang.Long.valueOf(sig)
+    }
+  }
+
+  def simhash64(text: Column): Column = simhashUdf(text)
+
+  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
+    * (any pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
+    * bucket-join on chunks, verify Hamming distance ≤ `maxHamming`. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String = "text",
+                   maxHamming: Int = 3): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until 4).map { c =>
+        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+      }: _*)).as(Seq("chunk", "key")))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given candidate pairs
+    * (columns id_a, id_b) against the documents table. */
+  def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,
+                   textCol: String = "text", n: Int = 3): DataFrame = {
+    val grams = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("grams"))
+    pairs
+      .join(grams.withColumnRenamed("id", "id_a").withColumnRenamed("grams", "grams_a"), "id_a")
+      .join(grams.withColumnRenamed("id", "id_b").withColumnRenamed("grams", "grams_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("grams_a"), col("grams_b"))).cast("double") /
+          size(array_union(col("grams_a"), col("grams_b"))))
+      .drop("grams_a", "grams_b")
+  }
+}

@@ -1,0 +1,105 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Approximate-nearest-neighbor similarity search over an embedding column
+ * (`array<float>`).
+ *
+ *  - [[cosine]] / [[dot]]: codegen'd vector math via `zip_with` +
+ *    `aggregate` — no UDF, stays inside whole-stage codegen.
+ *  - [[bruteForceTopK]]: exact top-k for a (small, broadcast) query set —
+ *    the correctness baseline. One narrow pass over the corpus + a top-k
+ *    window; scales to any corpus size (queries are broadcast).
+ *  - [[lshBucketedTopK]]: random-hyperplane LSH variant — corpus and queries
+ *    are bucketed by sign-pattern; only same-bucket pairs are scored. The
+ *    100 TB path: the bucket join is an equi-join (shuffle on bucket key),
+ *    candidate count is output-bound.
+ */
+object Similarity {
+
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /**
+   * Exact top-k neighbors for each query vector.
+   * @param corpus  (idCol, vecCol) — any size
+   * @param queries (idCol, vecCol) — small enough to broadcast
+   */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** Random-hyperplane sign bucket of a vector: `bits` pseudo-random
+    * hyperplanes (deterministic seed), bucket = sign bit-pattern. Two vectors
+    * collide with probability (1 - theta/pi)^bits. One-pass UDF — an
+    * expression-tree formulation (bits × dim literal multiplies) blows
+    * codegen up to multi-MB task binaries. */
+  def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
+    val rng = new scala.util.Random(seed)
+    val planes = Array.fill(bits, dim)(rng.nextGaussian())
+    val f = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        var bucket = 0L
+        var b = 0
+        while (b < bits) {
+          var s = 0.0
+          val p = planes(b)
+          var i = 0
+          val n = math.min(dim, v.length)
+          while (i < n) { s += p(i) * v(i); i += 1 }
+          if (s >= 0) bucket |= (1L << b)
+          b += 1
+        }
+        java.lang.Long.valueOf(bucket)
+      }
+    }
+    f(vec)
+  }
+
+  /**
+   * LSH-bucketed ANN: score only same-bucket (query, corpus) pairs. With
+   * multiple probe tables (`tables`), recall improves; each table is an
+   * independent set of hyperplanes.
+   */
+  def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+                      bits: Int = 12, tables: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val withBuckets = (df: DataFrame, side: String) => df.select(
+      col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+      posexplode(array((0 until tables).map(t =>
+        hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
+        .as(Seq("table", "bucket")))
+    val c = withBuckets(corpus, "neighbor")
+    val q = withBuckets(queries, "query")
+    val cand = c.join(q, Seq("table", "bucket"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .withColumn("cosine", cosine(col("__queryv"), col("__neighborv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+}

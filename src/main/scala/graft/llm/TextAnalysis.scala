@@ -1,0 +1,83 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: quality
+ * scoring, language ID, token counting, fingerprinting. All built from
+ * codegen'd `org.apache.spark.sql.functions` (no UDFs in the hot path) so
+ * they stay inside whole-stage codegen and scale linearly — each is a
+ * narrow per-row map over the documents table, no shuffle.
+ */
+object TextAnalysis {
+
+  /** Whitespace tokens of the lowercased text. */
+  def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
+
+  /** BPE-ish token count: word pieces + standalone punctuation, the classic
+    * `\w+|[^\w\s]` pre-tokenizer regex. */
+  def bpeishTokenCount(text: Column): Column =
+    size(filter(split(text, "((?<=[^\\w\\s])|(?=[^\\w\\s]))|\\s+"), t => length(t) > 0))
+
+  private val StopwordSets: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "for", "was", "with", "are"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "del", "se", "las", "por", "un"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "en", "un", "du", "une", "que", "est"),
+    "de" -> Seq("der", "die", "und", "in", "den", "von", "zu", "das", "mit", "sich", "des", "auf"),
+    "pt" -> Seq("de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com", "os"))
+
+  /** Count of tokens that appear in `words` (duplicates counted). */
+  def stopwordHits(text: Column, words: Seq[String]): Column =
+    size(filter(tokens(text), w => w.isin(words.map(lit): _*)))
+
+  /**
+   * Quality metrics (length / punctuation / stopword ratios — the standard
+   * heuristic pre-filters for LLM training corpora): one narrow projection.
+   */
+  def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val nTokens = size(tokens(t))
+    df.withColumn("n_chars_computed", length(t))
+      .withColumn("n_tokens", nTokens)
+      .withColumn("mean_token_len",
+        when(nTokens > 0, length(regexp_replace(t, "\\s+", "")).cast("double") / nTokens))
+      .withColumn("punct_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^.,;:!?'\"()\\[\\]-]", "")).cast("double") / length(t)))
+      .withColumn("stopword_ratio",
+        when(nTokens > 0, stopwordHits(t, StopwordSets("en")).cast("double") / nTokens))
+      .withColumn("uppercase_ratio",
+        when(length(t) > 0,
+          length(regexp_replace(t, "[^A-Z]", "")).cast("double") / length(t)))
+  }
+
+  /**
+   * Language ID: argmax over per-language stopword hit counts (n-gram/stopword
+   * heuristic). Ties and zero-hit rows resolve to null ("und").
+   */
+  def withLangId(df: DataFrame, textCol: String = "text",
+                 outCol: String = "lang_pred"): DataFrame = {
+    val t = col(textCol)
+    val scored = StopwordSets.toSeq.sortBy(_._1).map { case (langCode, words) =>
+      struct(stopwordHits(t, words).as("hits"), lit(langCode).as("lang"))
+    }
+    // array_max on struct(hits, lang): max by hits, ties broken by lang desc
+    val best = array_max(array(scored: _*))
+    df.withColumn(outCol, when(best.getField("hits") > 0, best.getField("lang")))
+  }
+
+  /**
+   * Document fingerprint: 64-bit order-sensitive rolling hash of the
+   * whitespace-normalized lowercased tokens. Built from built-ins via
+   * `aggregate` chaining xxhash64(acc, token) — stays codegen'd, no
+   * overflowing arithmetic (ANSI-safe); identical content (modulo
+   * whitespace) hashes identically, the standard "normalize then hash"
+   * exact-dedup key.
+   */
+  def fingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(42L), (acc, w) => xxhash64(acc, w))
+
+  def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint", fingerprint(col(textCol)))
+}
