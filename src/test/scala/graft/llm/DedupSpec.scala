@@ -1,0 +1,63 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (2L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank yesterday"), // near dup
+    (4L, "completely different content about spark catalyst optimizer internals and shuffles"),
+    (5L, "another unrelated text mentioning minhash signatures and jaccard similarity estimates")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup finds the duplicate group with min-id representative") {
+    val groups = Dedup.exact(docs, "doc_id", Seq(md5(col("text")).as("h")))
+      .select("keep_id", "group_size").as[(Long, Long)].collect()
+    assert(groups.toSeq == Seq((1L, 2L)))
+    val kept = Dedup.exactDeduped(docs, "doc_id", md5(col("text")))
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("minhash signature: identical texts identical; near-dups mostly agree") {
+    val sigs = docs.select(col("doc_id"),
+        Dedup.minhashSignature(col("text"), 5, 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    val agree13 = sigs(1L).zip(sigs(3L)).count { case (a, b) => a == b } / 64.0
+    val agree14 = sigs(1L).zip(sigs(4L)).count { case (a, b) => a == b } / 64.0
+    assert(agree13 > 0.5, s"near-dup agreement $agree13")
+    assert(agree14 < 0.3, s"unrelated agreement $agree14")
+  }
+
+  test("minhash LSH surfaces both exact and near duplicate pairs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", minEstJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)), s"pairs=$pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("simhash: identical = same signature, near-dup within small hamming") {
+    val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) <= 16, s"hamming ${ham(sigs(1L), sigs(3L))}")
+    assert(ham(sigs(1L), sigs(4L)) > 16)
+  }
+
+  test("ngram jaccard on candidate pairs") {
+    val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(pairs, docs, "doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 4L)) < 0.2)
+  }
+}

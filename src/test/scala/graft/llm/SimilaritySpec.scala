@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def vec(xs: Double*): Seq[Float] = xs.map(_.toFloat)
+
+  test("cosine column matches scalar computation") {
+    val df = Seq((1L, vec(1, 0, 0)), (2L, vec(0.6, 0.8, 0))).toDF("vec_id", "embedding")
+    val c = df.filter($"vec_id" === 1).crossJoin(
+        df.filter($"vec_id" === 2).select($"embedding".as("other")))
+      .select(Similarity.cosine($"embedding", $"other").as("c")).as[Double].head()
+    assert(math.abs(c - 0.6) < 1e-6)
+  }
+
+  test("brute force top-k returns nearest by cosine") {
+    val rng = new scala.util.Random(1)
+    val base = (1 to 50).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    // vector 51 = copy of vector 1 (cosine 1), so NN of 51 must be 1
+    val df = (base :+ (51L, base.head._2)).toDF("vec_id", "embedding")
+    val nn = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 51), k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(nn == 1L)
+  }
+
+  test("LSH-bucketed ANN achieves high recall@5 vs brute force on clustered data") {
+    val rng = new scala.util.Random(2)
+    // clustered vectors so LSH buckets are meaningful
+    val centers = Array.fill(5)(Array.fill(64)(rng.nextGaussian() * 3))
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshBucketedTopK(corpus, queries, k = 5, dim = 64,
+        bits = 8, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("quality metrics on a known sentence") {
+    val df = Seq((1L, "The quick, brown fox! It was fast.")).toDF("doc_id", "text")
+    val r = TextAnalysis.qualityMetrics(df).head()
+    assert(r.getAs[Int]("n_chars_computed") == 34)
+    assert(r.getAs[Int]("n_tokens") == 7)
+    // punctuation: , ! . -> 3 of 34
+    assert(math.abs(r.getAs[Double]("punct_ratio") - 3.0 / 34) < 1e-9)
+    // stopwords (en list): the, it, was -> 3 of 7
+    assert(math.abs(r.getAs[Double]("stopword_ratio") - 3.0 / 7) < 1e-9)
+  }
+
+  test("bpe-ish token count splits punctuation") {
+    val df = Seq((1L, "don't stop, now!")).toDF("doc_id", "text")
+    val n = df.select(TextAnalysis.bpeishTokenCount($"text").as("n")).as[Int].head()
+    // don ' t stop , now ! -> 7
+    assert(n == 7, s"got $n")
+  }
+
+  test("language id picks the stopword-dominant language") {
+    val df = Seq(
+      (1L, "the cat and the dog are in the house"),
+      (2L, "el perro y la casa de los gatos en la calle"),
+      (3L, "zzz qqq xxx")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).select("doc_id", "lang_pred")
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(out(1L).contains("en"))
+    assert(out(2L).contains("es"))
+    assert(out(3L).isEmpty)
+  }
+
+  test("fingerprint is whitespace-normalized and order-sensitive") {
+    val df = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),
+      (3L, "gamma beta alpha")).toDF("doc_id", "text")
+    val fp = TextAnalysis.withFingerprint(df).select("doc_id", "fingerprint")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L)) // whitespace-invariant
+    assert(fp(1L) != fp(3L)) // order-sensitive
+  }
+}
