@@ -1,0 +1,79 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * Storage abstraction mirroring the reference's DataStore surface
+ * (data_store_utils.py:34-84: exists/read/write/list/remove) and the view
+ * directory layout of FILE_STRUCTURE.md:263-302. Local-FS implementation;
+ * the path conventions are the contract — an object-store implementation
+ * slots in behind the same interface.
+ *
+ * Single-file CSV semantics (reference S9: one CSV per storm/threshold) are
+ * implemented as coalesce(1) + part-file rename; the parquet writers keep
+ * Spark's native multi-part layout (scales with the data, unlike the
+ * reference's single-process writes).
+ */
+class DataStore(root: String) {
+
+  def path(parts: String*): String = (Seq(root) ++ parts).mkString("/")
+
+  def exists(rel: String): Boolean = Files.exists(Paths.get(path(rel)))
+
+  def list(relDir: String): Seq[String] = {
+    val dir = Paths.get(path(relDir))
+    if (!Files.isDirectory(dir)) Nil
+    else Files.list(dir).iterator().asScala.map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def remove(rel: String): Unit = {
+    val p = Paths.get(path(rel))
+    if (Files.isDirectory(p))
+      Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    else Files.deleteIfExists(p)
+  }
+
+  /** Stale-output cleanup (S15, impact_analysis.py:2790-2805): delete every
+    * entry whose name starts with `prefix` across the given view dirs before
+    * a rewrite — the overwrite-by-prefix idempotency rule. */
+  def removeByPrefix(viewDirs: Seq[String], prefix: String): Int =
+    viewDirs.map { d =>
+      val stale = list(d).filter(_.startsWith(prefix))
+      stale.foreach(f => remove(s"$d/$f"))
+      stale.size
+    }.sum
+
+  def writeText(rel: String, content: String): Unit = {
+    val p = Paths.get(path(rel))
+    Files.createDirectories(p.getParent)
+    Files.writeString(p, content)
+  }
+
+  def readText(rel: String): String = Files.readString(Paths.get(path(rel)))
+
+  def writeParquet(df: DataFrame, rel: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path(rel))
+
+  def readParquet(spark: SparkSession, rel: String): DataFrame =
+    spark.read.parquet(path(rel))
+
+  /** Single-file CSV with header (reference writes one CSV per view). */
+  def writeSingleCsv(df: DataFrame, rel: String): Unit = {
+    val target = Paths.get(path(rel))
+    Files.createDirectories(target.getParent)
+    val tmp = target.resolveSibling(target.getFileName.toString + ".__tmp__")
+    df.coalesce(1).write.mode(SaveMode.Overwrite)
+      .option("header", "true").csv(tmp.toString)
+    val part = Files.list(tmp).iterator().asScala
+      .find(_.getFileName.toString.startsWith("part-"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+    Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+  }
+
+  def readCsv(spark: SparkSession, rel: String): DataFrame =
+    spark.read.option("header", "true").option("inferSchema", "true").csv(path(rel))
+}

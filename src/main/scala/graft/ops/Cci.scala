@@ -63,7 +63,7 @@ object Cci {
         (if (tiles.columns.contains(c)) col(c) else lit(null).cast("double")).as(c))
     val base = tiles.select(baseCols: _*)
 
-    val joined = tileView.join(base, Seq(zoneIdCol), "left")
+    val joined = tileView.drop("id").join(base, Seq(zoneIdCol), "left")
 
     // per-row band contributions for all 10 indexes
     val contribs = Demographics.flatMap { case (name, cols) =>

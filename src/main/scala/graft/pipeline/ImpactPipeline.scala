@@ -64,9 +64,13 @@ object ImpactPipeline {
       "E_infant_population", "E_adolescent_population", "E_built_surface_m2",
       "E_num_schools", "E_num_hcs", "E_num_shelters", "E_num_wash")
     val avgCols = Seq("E_smod_class", "E_smod_class_l1", "E_rwi", "probability")
-    val withId = tileViewDf.join(
-      broadcast(tileAdminIds.select(col("tile_id").as("zone_id"), col("id"))),
-      Seq("zone_id"), "left")
+    // the tile view retains the base layer's admin `id` when present
+    // (reference create_admin_view_from_envelopes_new: reuses df_view['id'])
+    val withId =
+      if (tileViewDf.columns.contains("id")) tileViewDf
+      else tileViewDf.join(
+        broadcast(tileAdminIds.select(col("tile_id").as("zone_id"), col("id"))),
+        Seq("zone_id"), "left")
     val aggs = sumCols.filter(withId.columns.contains).map(c => sum(col(c)).as(c)) ++
       avgCols.filter(withId.columns.contains).map(c => avg(col(c)).as(c))
     withId.groupBy(col("wind_threshold"), col("id"))
