@@ -401,6 +401,58 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "g06_landfall" -> ((s, d) => {
+      // J16/W7 landfall: per-member track points, first in-country lead time
+      val box = graft.geo.Geo.toWkb(graft.geo.Geo.box(0.5, 0.3, 0.9, 0.7))
+      val pts = t(s, d, "orders").select(
+        expr("o_custkey % 23").as("member"),
+        col("o_orderkey"),
+        (expr("o_orderkey % 100") * lit(0.015625)).as("lon"),
+        (expr("o_orderkey % 83") * lit(0.015625)).as("lat"))
+        .withColumn("lead_time",
+          (row_number().over(Window.partitionBy("member").orderBy("o_orderkey")) - 1) * 6)
+        .withColumn("geometry", st_point(col("lon"), col("lat")))
+      pts.withColumn("in_country", st_intersects(col("geometry"), lit(box)))
+        .groupBy("member")
+        .agg(min(when(col("in_country"), col("lead_time"))).as("landfall_lead"),
+          count(lit(1)).as("n_points"))
+        .orderBy("member")
+    }),
+    "s01_stream_window" -> ((s, d) => {
+      // §2.8: watermarked tumbling-window streaming agg, driven to completion
+      // with Trigger.AvailableNow — must converge to the batch answer (the
+      // DuckDB oracle computes the batch equivalent)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        s, d, schema, glob = Some("events.parquet"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = graft.streaming.Streaming.windowedEventCounts(stream)
+      graft.streaming.Streaming.runAvailableNow(agg, s"s01_win_${System.nanoTime()}")
+        .select(to_date(col("window_start")).as("day"), col("event_type"), col("n"),
+          round(col("total"), 2).as("total"))
+        .orderBy("day", "event_type")
+    }),
+    "m02_frame_sample" -> ((s, d) => {
+      // multimodal: video rows exploded into sampled frame timestamps
+      val media = graft.llm.Multimodal.syntheticMedia(t(s, d, "part"), "p_partkey")
+      graft.llm.Multimodal.sampleFrames(media, everyMs = 500L)
+        .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
+        .orderBy("media_id")
+    }),
+    "m01_media_features" -> ((s, d) => {
+      // multimodal plumbing: binary payload + metadata -> per-partition
+      // feature extraction (decode step stubbed; batch shape real)
+      val media = graft.llm.Multimodal.syntheticMedia(t(s, d, "part").limit(200), "p_partkey")
+      graft.llm.Multimodal.extractFeatures(media, dim = 16)
+        .select(col("media_id"), col("meta.media_type").as("media_type"),
+          size(col("features")).as("dim"))
+        .orderBy("media_id")
+    }),
     // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
     "g05_impact_pipeline" -> ((s, d) => {
       val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)
@@ -584,6 +636,23 @@ object SparkEntry {
          | wind_threshold,
          | CAST(SUM(population * n) AS BIGINT) AS sum_e_pop_x51, COUNT(*) AS n_tiles
          |FROM counts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g06_landfall" ->
+      """SELECT member, MIN(CASE WHEN in_country THEN lead_time END) AS landfall_lead,
+        | COUNT(*) AS n_points FROM (
+        | SELECT o_custkey % 23 AS member,
+        |  ((ROW_NUMBER() OVER (PARTITION BY o_custkey % 23 ORDER BY o_orderkey)) - 1) * 6 AS lead_time,
+        |  (o_orderkey % 100) * 0.015625 >= 0.5 AND (o_orderkey % 100) * 0.015625 <= 0.9
+        |   AND (o_orderkey % 83) * 0.015625 >= 0.3 AND (o_orderkey % 83) * 0.015625 <= 0.7 AS in_country
+        | FROM orders) t
+        |GROUP BY member ORDER BY member""".stripMargin,
+    "s01_stream_window" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        | COUNT(*) AS n, ROUND(SUM(value),2) AS total
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "m02_frame_sample" ->
+      """SELECT p_partkey AS media_id,
+        | ((p_partkey % 10000 + 1000) - 1) // 500 + 1 AS n_frames
+        |FROM part WHERE p_partkey % 3 = 2 ORDER BY media_id""".stripMargin,
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
