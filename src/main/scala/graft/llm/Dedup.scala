@@ -45,28 +45,40 @@ object Dedup {
       .otherwise(array(norm))
   }
 
-  /** MinHash signature over a shingle array: all `numHashes` minima computed
-    * in ONE pass over the shingles (a 64-expression `array_min(transform(...))`
-    * formulation would re-scan the array per hash and blow up codegen). */
-  def minhashSignatureUdf(numHashes: Int) = udf { (sh: Seq[String]) =>
-    if (sh == null) null
-    else {
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      sh.foreach { s =>
-        val base = graft.util.Hashing.fnv64(s)
-        var k = 0
-        while (k < numHashes) {
-          val h = graft.util.Hashing.mix64(base ^ graft.util.Hashing.mix64(k.toLong))
-          if (h < mins(k)) mins(k) = h
-          k += 1
+  /** MinHash signature computed in ONE pass directly from the text: inline
+    * rolling character shingling (no intermediate Spark string arrays — at
+    * corpus scale the materialized shingle arrays dominated runtime) and all
+    * `numHashes` minima updated per shingle. Distinctness of shingles is
+    * irrelevant to a min — duplicates can't change it — so no dedup set is
+    * kept either. */
+  def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
+    val seedMix = Array.tabulate(numHashes)(k => graft.util.Hashing.mix64(k.toLong))
+    val f = udf { (t: String) =>
+      if (t == null) null
+      else {
+        val norm = t.toLowerCase.replaceAll("\\s+", " ")
+        val mins = Array.fill(numHashes)(Long.MaxValue)
+        val upper = math.max(norm.length - n, 0)
+        var i = 0
+        while (i <= upper) {
+          // FNV-1a over the shingle's chars without substring allocation
+          var h = graft.util.Hashing.FnvOffset
+          val end = math.min(i + n, norm.length)
+          var j = i
+          while (j < end) { h ^= norm.charAt(j); h *= graft.util.Hashing.FnvPrime; j += 1 }
+          var k = 0
+          while (k < numHashes) {
+            val hk = graft.util.Hashing.mix64(h ^ seedMix(k))
+            if (hk < mins(k)) mins(k) = hk
+            k += 1
+          }
+          i += 1
         }
+        mins
       }
-      mins
     }
+    f(text)
   }
-
-  def minhashSignature(text: Column, n: Int, numHashes: Int): Column =
-    minhashSignatureUdf(numHashes)(shingles(text, n))
 
   /**
    * MinHash-LSH near-duplicate candidate pairs.
@@ -91,10 +103,12 @@ object Dedup {
           col("sig").getItem(b * rowsPerBand + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
 
-    // bound boilerplate skew: drop pathological buckets
+    // bound boilerplate skew: drop pathological buckets. Cache the bucketed
+    // signatures — they feed both sides of the pair self-join (without the
+    // cache the signature UDF would run three times over the corpus).
     val bucketSizes = banded.groupBy("band", "bucket").count()
       .filter(col("count") <= maxBucketSize && col("count") > 1)
-    val inBuckets = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket"))
+    val inBuckets = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket")).cache()
 
     val a = inBuckets.select(col("band"), col("bucket"),
       col("id").as("id_a"), col("sig").as("sig_a"))
