@@ -453,6 +453,18 @@ object SparkEntry {
           size(col("features")).as("dim"))
         .orderBy("media_id")
     }),
+    "g07_country_screen" -> ((s, d) => {
+      // J7/J10: ST_Union_Agg over all envelopes + ST_DWithin country screen
+      // (the cheap pre-filter job that prunes downstream work). Rows-only:
+      // geodesic distance has no bit-stable SQL analogue; spec-tested.
+      val countries = t(s, d, "nation").select(
+        col("n_name"),
+        st_box(expr("n_nationkey % 5") * lit(2.0) + lit(3.0), lit(0.0),
+          expr("n_nationkey % 5") * lit(2.0) + lit(4.0), lit(1.0)).as("geometry"))
+      graft.ops.GeoAggregates.countriesInRange(
+          countries, "geometry", geoEnvelopes(s, d), "geometry", meters = 5.0e5)
+        .select("n_name").orderBy("n_name")
+    }),
     // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
     "g05_impact_pipeline" -> ((s, d) => {
       val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)

@@ -86,5 +86,6 @@ object GeoFunctions {
   def st_quadkey(lon: Column, lat: Column, zoom: Column): Column = quadkeyOf(lon, lat, zoom)
   def st_box(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
     stBox(minLon, minLat, maxLon, maxLat)
+  def st_make_line(a: Column, b: Column): Column = stMakeLine(a, b)
   def st_quadkey_polygon(qk: Column): Column = stQuadkeyPolygon(qk)
 }

@@ -73,9 +73,9 @@ object Multimodal {
       if (w == null || h == null) null
       else {
         val m = math.max(w.toInt, h.toInt)
-        if (m <= maxDim) Row(w.toInt, h.toInt)
-        else Row(math.round(w.toInt * maxDim.toDouble / m).toInt,
-                 math.round(h.toInt * maxDim.toDouble / m).toInt)
+        if (m <= maxDim) (w.toInt, h.toInt)
+        else (math.round(w.toInt * maxDim.toDouble / m).toInt,
+              math.round(h.toInt * maxDim.toDouble / m).toInt)
       }
     }.apply(col("meta.width"), col("meta.height"))
     media.withColumn("__dims", scale)
