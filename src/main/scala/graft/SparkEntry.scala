@@ -401,6 +401,13 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v03_ann_ivf" -> ((s, d) => {
+      val emb = t(s, d, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), k = 5, dim = 64,
+          nCells = 16, nprobe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "g06_landfall" -> ((s, d) => {
       // J16/W7 landfall: per-member track points, first in-country lead time
       val box = graft.geo.Geo.toWkb(graft.geo.Geo.box(0.5, 0.3, 0.9, 0.7))

@@ -78,6 +78,96 @@ object Similarity {
   }
 
   /**
+   * IVF (inverted-file) ANN index: k-means centroids learned driver-side on
+   * a bounded sample (deterministic seeded Lloyd's — the index build is
+   * cheap and broadcastable), corpus partitioned by nearest centroid, and
+   * queries probe only the `nprobe` nearest cells. The classic
+   * coarse-quantizer scale path: the probe join is an equi-join on cell id,
+   * candidates per query ≈ nprobe/k of the corpus.
+   */
+  def ivfIndex(corpus: DataFrame, dim: Int, k: Int, sampleSize: Int = 2000,
+               iterations: Int = 8, seed: Long = 42L,
+               idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample = corpus.select(vecCol).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val rng = new scala.util.Random(seed)
+    var centroids = Array.fill(k)(sample(rng.nextInt(sample.length)).clone())
+    (0 until iterations).foreach { _ =>
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var i = 0
+        while (i < math.min(dim, v.length)) { sums(c)(i) += v(i); i += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) sample(rng.nextInt(sample.length)).clone()
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  private def nearestCentroid(v: Array[Double], centroids: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      var d = 0.0; var i = 0
+      val cen = centroids(c)
+      val n = math.min(cen.length, v.length)
+      while (i < n) { val x = v(i) - cen(i); d += x * x; i += 1 }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Top-`nprobe` nearest centroids of a vector. */
+  private def probeCells(v: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
+    centroids.indices.map { c =>
+      var d = 0.0; var i = 0
+      val cen = centroids(c)
+      val n = math.min(cen.length, v.length)
+      while (i < n) { val x = v(i) - cen(i); d += x * x; i += 1 }
+      (c, d)
+    }.sortBy(_._2).take(nprobe).map(_._1).toArray
+
+  /**
+   * IVF-bucketed top-k: corpus rows live in their nearest-centroid cell;
+   * each query probes its `nprobe` nearest cells; cosine scored only on
+   * candidates. Equi-join on cell id — shuffle keyed by cell, output-bound.
+   */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
+              nCells: Int = 16, nprobe: Int = 4,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val centroids = ivfIndex(corpus, dim, nCells, idCol = idCol, vecCol = vecCol)
+    val spark = corpus.sparkSession
+    val bc = spark.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else Integer.valueOf(nearestCentroid(v.toArray.map(_.toDouble), bc.value))
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else probeCells(v.toArray.map(_.toDouble), bc.value, nprobe)
+    }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+      .withColumn("cell", assignUdf(col("__cv")))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .withColumn("cell", explode(probeUdf(col("__qv"))))
+    val cand = c.join(q, Seq("cell"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /**
    * LSH-bucketed ANN: score only same-bucket (query, corpus) pairs. With
    * multiple probe tables (`tables`), recall improves; each table is an
    * independent set of hyperplanes.

@@ -27,6 +27,23 @@ class SimilaritySpec extends SparkSpec {
     assert(nn == 1L)
   }
 
+  test("IVF-bucketed ANN achieves high recall@5 vs brute force on clustered data") {
+    val rng = new scala.util.Random(5)
+    val centers = Array.fill(5)(Array.fill(32)(rng.nextGaussian() * 3))
+    val corpus = (0 until 200).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.3).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.ivfTopK(corpus, queries, k = 5, dim = 32,
+        nCells = 10, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
   test("LSH-bucketed ANN achieves high recall@5 vs brute force on clustered data") {
     val rng = new scala.util.Random(2)
     // clustered vectors so LSH buckets are meaningful
