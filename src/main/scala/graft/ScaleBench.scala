@@ -1,0 +1,52 @@
+package graft
+
+import graft.ops.SpatialJoin
+import graft.pipeline.{Constants, SyntheticScenario, TileUniverse}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale benchmark for the hot path: N tiles × 51-member × 5-threshold
+ * envelope set → per-(tile, threshold) probability + E_ values. Run with
+ * SPARK_GRAFT_TILES=2000000 to size the tile universe.
+ *
+ * This is the workload whose shape must survive 100 TB: tile generation and
+ * the probability join are both narrow (no shuffle), so throughput scales
+ * with cores; the printed tiles/sec is per-32-thread-node.
+ */
+object ScaleBench {
+  def main(args: Array[String]): Unit = {
+    val nTiles = sys.env.getOrElse("SPARK_GRAFT_TILES", "1000000").toLong
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // size a bbox to ~nTiles zoom-14 tiles (square-ish)
+    val side = math.sqrt(nTiles.toDouble).ceil.toInt
+    val degPerTile = 360.0 / (1 << 14)
+    val (minLon, minLat) = (-72.0, 10.0)
+    val tiles = TileUniverse.generate(spark, 14,
+      minLon, minLat, minLon + side * degPerTile, minLat + side * degPerTile * 0.8)
+      .repartition(cpus.toInt * 4)
+
+    val envs = SyntheticScenario.envelopes(spark, members = 51,
+      thresholds = Constants.WindThresholds.take(5),
+      anchorLon = minLon + side * degPerTile / 2,
+      anchorLat = minLat + side * degPerTile * 0.4)
+
+    val nGen = tiles.count()
+    val t0 = System.nanoTime()
+    val tv = SpatialJoin.probabilityByThreshold(tiles, "geometry", envs, "geometry",
+      keepZeroRows = false)
+    val out = tv.agg(count(lit(1)), sum("n_members")).head()
+    val secs = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"scale_probability_join","tiles":$nGen,"envelopes":${51 * 5},"hit_rows":${out.getLong(0)},"member_hits":${out.getLong(1)},"sec":$secs%.2f,"tiles_per_sec":${(nGen / secs).toLong}}""")
+    spark.stop()
+  }
+}
