@@ -76,4 +76,36 @@ class DataStore(root: String) {
 
   def readCsv(spark: SparkSession, rel: String): DataFrame =
     spark.read.option("header", "true").option("inferSchema", "true").csv(path(rel))
+
+  /**
+   * Per-threshold file fan-out in ONE pass (SURVEY.md §7.4): write
+   * `partitionBy(partitionCol)` once, then rename each partition's part
+   * file to the reference's flat layout `{prefix}{value}{suffix}`. Replaces
+   * N filtered re-reads of the source frame with a single job.
+   */
+  def writePartitionedCsv(df: DataFrame, relDir: String, partitionCol: String,
+                          fileName: String => String): Seq[String] = {
+    val dir = Paths.get(path(relDir))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".__fanout_${System.nanoTime()}__")
+    df.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .option("header", "true").csv(tmp.toString)
+    val written = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
+      .map { pDir =>
+        val value = pDir.getFileName.toString.stripPrefix(s"$partitionCol=")
+        val part = Files.list(pDir).iterator().asScala
+          .find(_.getFileName.toString.startsWith("part-"))
+          .getOrElse(throw new IllegalStateException(s"no part file under $pDir"))
+        val target = dir.resolve(fileName(value))
+        Files.move(part, target, StandardCopyOption.REPLACE_EXISTING)
+        fileName(value)
+      }.toSeq
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    written.sorted
+  }
+
+  private def col(name: String) = org.apache.spark.sql.functions.col(name)
 }

@@ -104,13 +104,12 @@ object Jobs {
     val admins = store.readParquet(spark, s"admin_views/${country}_admin1.parquet")
       .select(col("tile_id").as("id"), col("name"), col("geometry"))
 
-    // tile view + per-threshold CSVs (S9 layout: one per threshold)
+    // tile view + per-threshold CSVs (S9 layout: one per threshold) — one
+    // partitionBy pass fans out all thresholds (SURVEY.md §7.4)
     val tv = ImpactPipeline.tileView(tiles, envelopes).cache()
     val thresholds = tv.select("wind_threshold").distinct().collect().map(_.getInt(0)).sorted
-    thresholds.foreach { th =>
-      store.writeSingleCsv(tv.filter(col("wind_threshold") === th).drop("wind_threshold"),
-        s"mercator_impact_views/$prefix${th}_$zoom.csv")
-    }
+    store.writePartitionedCsv(tv, "mercator_impact_views", "wind_threshold",
+      th => s"$prefix${th}_$zoom.csv")
 
     // facility views ×4 (only kinds with a cached layer)
     val facilityViews: Map[String, Option[DataFrame]] =
@@ -130,11 +129,8 @@ object Jobs {
 
     // admin view + CCIs
     val av = ImpactPipeline.adminView(tv, tiles.select("tile_id", "id"), admins).cache()
-    thresholds.foreach { th =>
-      store.writeSingleCsv(av.filter(col("wind_threshold") === th)
-          .drop("wind_threshold", "geometry"),
-        s"admin_impact_views/$prefix${th}_admin1.csv")
-    }
+    store.writePartitionedCsv(av.drop("geometry"), "admin_impact_views", "wind_threshold",
+      th => s"$prefix${th}_admin1.csv")
     val (cciTiles, cciAdmin) = ImpactPipeline.cciViews(tv, tiles)
     store.writeSingleCsv(cciTiles, s"mercator_impact_views/$prefix${zoom}_cci.csv")
     store.writeSingleCsv(cciAdmin, s"admin_impact_views/${prefix}admin1_cci.csv")

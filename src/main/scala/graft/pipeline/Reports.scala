@@ -434,6 +434,46 @@ object Reports {
     d.toMap
   }
 
+  /** Full report key template (reference REPORT_TEMPLATE, reports.py:106-142):
+    * base keys + per-wind expected/change keys + top-5 facility keys. Used
+    * for structural validation like the reference's missing/extra-key check
+    * (reports.py:775-782). */
+  lazy val templateKeys: Set[String] = {
+    val base = Set(
+      "storm", "forecast_date", "expected_landfall", "storm_category", "country",
+      "expected_children", "expected_school_age", "expected_infants", "expected_adolescent",
+      "expected_schools", "expected_hcs", "expected_shelters", "expected_wash",
+      "children_change_direction", "children_change", "children_change_perc",
+      "rows_admins_pop_total", "rows_admins_school", "rows_admins_infant", "rows_admins_adolescent",
+      "rows_schools_winds", "rows_hcs_winds", "rows_shelters_winds", "rows_wash_winds",
+      "expected_pop", "expected_cci_pop", "expected_cci_school", "expected_cci_infant",
+      "expected_cci_adolescent",
+      "next_forecast_date", "report_date") ++
+      Seq("pop", "school", "infant", "adolescent").flatMap(k =>
+        Seq(s"expected_${k}_poverty", s"expected_${k}_severe",
+          s"expected_${k}_urban", s"expected_${k}_rural"))
+    val perWind = StormCategories.keySet.flatMap(w => Set(
+      s"expected_children_$w", s"change_children_$w",
+      s"expected_school_$w", s"change_school_$w",
+      s"expected_infant_$w", s"change_infant_$w",
+      s"expected_adolescent_$w", s"expected_pop_$w",
+      s"expected_schools_$w", s"change_schools_$w",
+      s"expected_hcs_$w", s"change_hcs_$w",
+      s"expected_shelters_$w", s"change_shelters_$w",
+      s"expected_wash_$w", s"change_wash_$w"))
+    val topK = (1 to Constants.TopK).flatMap(i => Set(
+      s"school_name_$i", s"school_edulevel_$i", s"school_prob_$i",
+      s"hc_name_$i", s"hc_type_$i", s"hc_prob_$i",
+      s"shelter_name_$i", s"shelter_type_$i", s"shelter_prob_$i",
+      s"wash_name_$i", s"wash_type_$i", s"wash_prob_$i")).toSet
+    base ++ perWind ++ topK
+  }
+
+  /** (missingKeys, extraKeys) vs the template — missing per-wind keys for
+    * thresholds not reached are expected (the reference logs them at debug). */
+  def validate(report: Map[String, Any]): (Set[String], Set[String]) =
+    (templateKeys -- report.keySet, report.keySet -- templateKeys)
+
   // --- JSON serialization (Jackson ships with Spark) ---------------------
 
   def toJson(report: Map[String, Any]): String = {

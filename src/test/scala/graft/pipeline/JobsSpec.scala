@@ -99,6 +99,25 @@ class JobsSpec extends SparkSpec {
     assert(math.abs(adminView.agg(sum("population")).as[Double].head() - 2 * origSum) < 1e-6)
   }
 
+  test("report structure validates against the reference template") {
+    initOnce()
+    val r = Jobs.update(spark, store, country, zoom, "TESTSTORM", "20260801000000",
+      envs, Some(tracks), Some(boundary), rewrite = true)
+    val (missing, extra) = Reports.validate(r.report)
+    // no invented keys
+    assert(extra.isEmpty, s"extra keys: $extra")
+    // only keys for unreached thresholds (96/113/137 — synthetic storm tops
+    // out below) may be missing, same as the reference's debug-logged case
+    val allowedMissingWinds = Set("96", "113", "137")
+    val unexpected = missing.filterNot(k => allowedMissingWinds.exists(w => k.endsWith(s"_$w")))
+      // top-k slots beyond the number of facilities present may be absent
+      .filterNot(k => k.matches(".*_(name|edulevel|type|prob)_[1-5]$"))
+      // shelters/wash layers are not initialized in this test: the reference
+      // likewise omits change_* keys when expected_* is None (reports.py:688)
+      .filterNot(k => k.startsWith("change_shelters_") || k.startsWith("change_wash_"))
+    assert(unexpected.isEmpty, s"unexpectedly missing: $unexpected")
+  }
+
   test("report JSON round-trips through the serializer") {
     val report = Map[String, Any]("a" -> 1L, "b" -> "x", "c" -> null,
       "rows" -> Seq(Map[String, Any]("name" -> "R1", "34" -> 5L, "64" -> null)))
