@@ -132,11 +132,13 @@ object GeoExpressions {
  * ST function family into every session built with it.
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GeoExpressions.registry.foreach { case (name, builder) =>
       e.injectFunction((
         org.apache.spark.sql.catalyst.FunctionIdentifier(name),
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.geo.GeoExpressions", name),
         builder))
     }
+    e.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
+  }
 }

@@ -1,0 +1,61 @@
+package graft.plans
+
+import graft.SparkSpec
+import graft.geo.{Geo, GeoExpressions, GeoFunctions}
+import org.apache.spark.sql.functions._
+
+class SpatialJoinStrategySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  GeoExpressions.register(spark)
+  spark.experimental.extraStrategies = Seq(SpatialJoinStrategy)
+
+  private def boxes(n: Int, seed: Int, pfx: String) = {
+    val rng = new scala.util.Random(seed)
+    (1 to n).map { i =>
+      val x = rng.nextDouble() * 3; val y = rng.nextDouble() * 3
+      (s"$pfx$i", Geo.toWkb(Geo.box(x, y, x + 0.4, y + 0.4)))
+    }
+  }
+
+  test("join with st_intersects plans as BroadcastSpatialJoinExec and matches ground truth") {
+    val left = boxes(80, 1, "L").toDF("lid", "lgeom")
+    val right = boxes(25, 2, "R").toDF("rid", "rgeom")
+    val joined = left.join(right, call_function("st_intersects", $"lgeom", $"rgeom"))
+
+    val planStr = joined.queryExecution.executedPlan.toString()
+    assert(planStr.contains("BroadcastSpatialJoin"), s"plan was:\n$planStr")
+
+    val got = joined.select("lid", "rid").as[(String, String)].collect().toSet
+    val expected = (for {
+      (lid, lg) <- boxes(80, 1, "L"); (rid, rg) <- boxes(25, 2, "R")
+      if Geo.fromWkb(lg).intersects(Geo.fromWkb(rg))
+    } yield (lid, rid)).toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
+  test("reversed operand order (right geom first) still plans and matches") {
+    val left = boxes(30, 3, "L").toDF("lid", "lgeom")
+    val right = boxes(10, 4, "R").toDF("rid", "rgeom")
+    val joined = left.join(right, call_function("st_intersects", $"rgeom", $"lgeom"))
+    assert(joined.queryExecution.executedPlan.toString().contains("BroadcastSpatialJoin"))
+    val viaUdf = left.join(right, GeoFunctions.st_intersects($"rgeom", $"lgeom"))
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(joined.select("lid", "rid").as[(String, String)].collect().toSet == viaUdf)
+  }
+
+  test("downstream aggregation over the spatial join is correct (row reuse safety)") {
+    val left = boxes(60, 5, "L").toDF("lid", "lgeom")
+    val right = boxes(20, 6, "R").toDF("rid", "rgeom")
+    val counts = left.join(right, call_function("st_intersects", $"lgeom", $"rgeom"))
+      .groupBy("lid").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = boxes(60, 5, "L").map { case (lid, lg) =>
+      lid -> boxes(20, 6, "R").count { case (_, rg) =>
+        Geo.fromWkb(lg).intersects(Geo.fromWkb(rg))
+      }.toLong
+    }.filter(_._2 > 0).toMap
+    assert(counts == expected)
+  }
+}
