@@ -460,6 +460,21 @@ object SparkEntry {
           size(col("features")).as("dim"))
         .orderBy("media_id")
     }),
+    "g08_strategy_join" -> ((s, d) => {
+      // the custom planner path: plain join(st_intersects) planned as
+      // BroadcastSpatialJoinExec (graft.plans.SpatialJoinStrategy); result
+      // hash-checked against the same interval-arithmetic oracle as g01
+      graft.geo.GeoExpressions.register(s)
+      if (!s.experimental.extraStrategies.contains(graft.plans.SpatialJoinStrategy))
+        s.experimental.extraStrategies =
+          s.experimental.extraStrategies :+ graft.plans.SpatialJoinStrategy
+      val tiles = geoTiles(s, d).select(col("tile_id"), col("geometry").as("tgeom"))
+      val envs = geoEnvelopes(s, d).select(col("wind_threshold"), col("geometry").as("egeom"))
+      tiles.join(envs, call_function("st_intersects", col("tgeom"), col("egeom")))
+        .groupBy(col("tile_id"), col("wind_threshold"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy(col("tile_id"), col("wind_threshold"))
+    }),
     "g07_country_screen" -> ((s, d) => {
       // J7/J10: ST_Union_Agg over all envelopes + ST_DWithin country screen
       // (the cheap pre-filter job that prunes downstream work). Rows-only:
@@ -655,6 +670,14 @@ object SparkEntry {
          | wind_threshold,
          | CAST(SUM(population * n) AS BIGINT) AS sum_e_pop_x51, COUNT(*) AS n_tiles
          |FROM counts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "g08_strategy_join" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql)
+         |SELECT t.tile_id, e.wind_threshold, COUNT(*) AS n_members
+         |FROM tiles t JOIN envs e
+         | ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         | AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         |GROUP BY t.tile_id, e.wind_threshold
+         |ORDER BY t.tile_id, e.wind_threshold""".stripMargin,
     "g06_landfall" ->
       """SELECT member, MIN(CASE WHEN in_country THEN lead_time END) AS landfall_lead,
         | COUNT(*) AS n_points FROM (
