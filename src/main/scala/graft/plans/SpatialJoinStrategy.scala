@@ -28,17 +28,52 @@ import org.locationtech.jts.index.strtree.STRtree
 object SpatialJoinStrategy extends SparkStrategy {
 
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case Join(left, right, Inner, Some(GeoExpressions.StIntersects(a, b)), _) =>
-      // bind each predicate operand to the side whose attributes it uses
-      val (leftGeom, rightGeom) =
+    case Join(left, right, Inner, Some(cond), _) =>
+      // supported predicates; each maps to "does broadcast-side geometry RG
+      // relate to streamed-side geometry LG". For st_within(a, b): a within
+      // b ≡ b contains a, so the containment test flips with operand order.
+      val matched: Option[(Expression, Expression, SpatialPredicate)] = cond match {
+        case GeoExpressions.StIntersects(a, b) => Some((a, b, IntersectsPred))
+        case GeoExpressions.StContains(a, b) => Some((a, b, ContainsPred))
+        case GeoExpressions.StWithin(a, b) => Some((a, b, WithinPred))
+        case _ => None
+      }
+      matched.toSeq.flatMap { case (a, b, pred) =>
         if (a.references.subsetOf(left.outputSet) && b.references.subsetOf(right.outputSet))
-          (a, b)
+          BroadcastSpatialJoinExec(planLater(left), planLater(right), a, b, pred) :: Nil
         else if (b.references.subsetOf(left.outputSet) && a.references.subsetOf(right.outputSet))
-          (b, a)
-        else return Nil
-      BroadcastSpatialJoinExec(planLater(left), planLater(right), leftGeom, rightGeom) :: Nil
+          BroadcastSpatialJoinExec(planLater(left), planLater(right), b, a, pred.flipped) :: Nil
+        else Nil
+      }
     case _ => Nil
   }
+}
+
+/** How the broadcast side's prepared geometry relates to a streamed probe.
+  * `eval(prepared_broadcast_geom, streamed_geom)`. */
+sealed trait SpatialPredicate extends Serializable {
+  def eval(b: org.locationtech.jts.geom.prep.PreparedGeometry,
+           s: org.locationtech.jts.geom.Geometry): Boolean
+  def flipped: SpatialPredicate
+}
+case object IntersectsPred extends SpatialPredicate {
+  def eval(b: org.locationtech.jts.geom.prep.PreparedGeometry,
+           s: org.locationtech.jts.geom.Geometry): Boolean = b.intersects(s)
+  def flipped: SpatialPredicate = this
+}
+/** original condition was st_contains(streamed, broadcast)… after operand
+  * swap this evaluates broadcast-within-streamed = streamed contains broadcast. */
+case object ContainsPred extends SpatialPredicate {
+  // condition st_contains(L, R): streamed L contains broadcast R
+  def eval(b: org.locationtech.jts.geom.prep.PreparedGeometry,
+           s: org.locationtech.jts.geom.Geometry): Boolean = b.within(s)
+  def flipped: SpatialPredicate = WithinPred
+}
+case object WithinPred extends SpatialPredicate {
+  // condition st_within(L, R): streamed L within broadcast R
+  def eval(b: org.locationtech.jts.geom.prep.PreparedGeometry,
+           s: org.locationtech.jts.geom.Geometry): Boolean = b.contains(s)
+  def flipped: SpatialPredicate = ContainsPred
 }
 
 /**
@@ -49,7 +84,8 @@ object SpatialJoinStrategy extends SparkStrategy {
  * envelope-pruned before the exact JTS test.
  */
 case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
-                                    leftGeom: Expression, rightGeom: Expression)
+                                    leftGeom: Expression, rightGeom: Expression,
+                                    predicate: SpatialPredicate = IntersectsPred)
     extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ right.output
@@ -98,7 +134,7 @@ case class BroadcastSpatialJoinExec(left: SparkPlan, right: SparkPlan,
           import scala.jdk.CollectionConverters._
           tree.query(g.getEnvelopeInternal).asScala.iterator
             .map(_.asInstanceOf[Integer].intValue)
-            .filter(i => rows(i)._2.intersects(g))
+            .filter(i => predicate.eval(rows(i)._2, g))
             .map(i => proj(joined(lrow, rows(i)._1)))
         }
       }

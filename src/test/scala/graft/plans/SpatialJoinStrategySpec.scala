@@ -45,6 +45,29 @@ class SpatialJoinStrategySpec extends SparkSpec {
     assert(joined.select("lid", "rid").as[(String, String)].collect().toSet == viaUdf)
   }
 
+  test("st_within/st_contains join conditions plan and match ground truth, both operand orders") {
+    val rng = new scala.util.Random(9)
+    val pts = (1 to 50).map { i =>
+      (s"P$i", Geo.toWkb(Geo.point(rng.nextDouble() * 3, rng.nextDouble() * 3)))
+    }
+    val zones = boxes(12, 10, "Z")
+    val ptsDf = pts.toDF("pid", "pgeom")
+    val zonesDf = zones.toDF("zid", "zgeom")
+    val expected = (for {
+      (pid, pg) <- pts; (zid, zg) <- zones
+      if Geo.fromWkb(pg).within(Geo.fromWkb(zg))
+    } yield (pid, zid)).toSet
+
+    val within = ptsDf.join(zonesDf, call_function("st_within", $"pgeom", $"zgeom"))
+    assert(within.queryExecution.executedPlan.toString().contains("BroadcastSpatialJoin"))
+    assert(within.select("pid", "zid").as[(String, String)].collect().toSet == expected)
+
+    // contains with zone on the left of the predicate (operand swap path)
+    val contains = ptsDf.join(zonesDf, call_function("st_contains", $"zgeom", $"pgeom"))
+    assert(contains.queryExecution.executedPlan.toString().contains("BroadcastSpatialJoin"))
+    assert(contains.select("pid", "zid").as[(String, String)].collect().toSet == expected)
+  }
+
   test("downstream aggregation over the spatial join is correct (row reuse safety)") {
     val left = boxes(60, 5, "L").toDF("lid", "lgeom")
     val right = boxes(20, 6, "R").toDF("rid", "rgeom")
