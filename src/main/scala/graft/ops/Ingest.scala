@@ -47,6 +47,12 @@ object Ingest {
       .agg(agg.as(valueCol))
   }
 
+  /** Unnamed-CSV-index-column scrub (F9,
+    * geosight/admin_related_table.py:145-147): drop `Unnamed:*` columns that
+    * pandas-written CSVs carry. */
+  def dropUnnamedColumns(df: DataFrame): DataFrame =
+    df.drop(df.columns.filter(_.startsWith("Unnamed:")).toIndexedSeq: _*)
+
   /** SMOD L2 (10..30) → L1 (1/2/3) reclassification as a literal-map lookup
     * (impact_analysis.py:296-305): codegen'd `element_at`, null for unknown
     * classes (matches pandas .map → NaN). */

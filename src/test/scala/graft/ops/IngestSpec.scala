@@ -38,6 +38,11 @@ class IngestSpec extends SparkSpec {
     assert(means(qk) == 20.0)
   }
 
+  test("dropUnnamedColumns scrubs pandas index columns (F9)") {
+    val df = Seq((1, "x", "junk")).toDF("id", "name", "Unnamed: 0")
+    assert(Ingest.dropUnnamedColumns(df).columns.toSeq == Seq("id", "name"))
+  }
+
   test("smodL1 reclass: known classes map, unknown -> null") {
     val df = Seq(11.0, 22.0, 30.0, 99.0).toDF("smod_class")
       .withColumn("l1", Ingest.smodL1(col("smod_class")))
