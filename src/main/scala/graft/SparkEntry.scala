@@ -608,7 +608,8 @@ object SparkEntry {
       """SELECT SUBSTR(STRFTIME(ts - INTERVAL 6 HOURS, '%Y%m%d%H'), 1, 8) AS compact_day, COUNT(*) AS n
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q28_json_extract" ->
-      """SELECT event_type, SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, COUNT(*) AS n
+      """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "g01_tile_probability" ->
       s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql)
@@ -699,8 +700,9 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "d03_token_stats" ->
-      """SELECT lang, SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS total_tokens,
-        | SUM(length(text)) AS total_chars, COUNT(*) AS n_docs
+      """SELECT lang,
+        | CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
+        | CAST(SUM(length(text)) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

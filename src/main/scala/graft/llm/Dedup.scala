@@ -151,15 +151,29 @@ object Dedup {
 
   def simhash64(text: Column): Column = simhashUdf(text)
 
-  /** SimHash near-dup pairs: band the 64-bit signature into 4×16-bit chunks
-    * (any pair within Hamming distance 3 shares ≥1 exact chunk — pigeonhole),
-    * bucket-join on chunks, verify Hamming distance ≤ `maxHamming`. */
+  /** SimHash near-dup pairs: band the 64-bit signature into `maxHamming + 1`
+    * chunks (pigeonhole: a pair within Hamming distance `maxHamming` differs
+    * in at most `maxHamming` chunks, so it shares ≥1 exact chunk),
+    * bucket-join on chunks, verify Hamming distance ≤ `maxHamming`.
+    *
+    * Guaranteed-recall contract: chunk count is DERIVED from `maxHamming`,
+    * so every qualifying pair is found. The trade-off is real: larger
+    * `maxHamming` ⇒ narrower chunks ⇒ smaller bucket-key space ⇒ bigger
+    * candidate buckets. Past ~15 the chunks drop under 4 bits and the join
+    * degenerates toward all-pairs, hence the require. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String = "text",
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: chunks of 64/(maxHamming+1) bits lose bucketing power past 15")
+    val nChunks = maxHamming + 1
+    // distribute 64 bits as evenly as possible across the chunks
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
     val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until 4).map { c =>
-        shiftright(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+      posexplode(array((0 until nChunks).map { c =>
+        // arithmetic shiftright may sign-extend; the width mask strips it
+        shiftright(col("sig"), offsets(c)).bitwiseAND(lit((1L << widths(c)) - 1))
       }: _*)).as(Seq("chunk", "key")))
     val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))

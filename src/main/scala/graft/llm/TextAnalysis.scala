@@ -55,16 +55,27 @@ object TextAnalysis {
   /**
    * Language ID: argmax over per-language stopword hit counts (n-gram/stopword
    * heuristic). Ties and zero-hit rows resolve to null ("und").
+   *
+   * The text is lowered/trimmed/split exactly ONCE into a materialized token
+   * array; the per-language hit counts are cheap `filter(isin)` scans over
+   * that array. (Scoring each language from the raw text re-ran the regex
+   * tokenizer per language — 5× the regex work on every document.)
    */
   def withLangId(df: DataFrame, textCol: String = "text",
                  outCol: String = "lang_pred"): DataFrame = {
-    val t = col(textCol)
+    val toks = "__langid_toks"
     val scored = StopwordSets.toSeq.sortBy(_._1).map { case (langCode, words) =>
-      struct(stopwordHits(t, words).as("hits"), lit(langCode).as("lang"))
+      struct(size(filter(col(toks), w => w.isin(words.map(lit): _*))).as("hits"),
+        lit(langCode).as("lang"))
     }
-    // array_max on struct(hits, lang): max by hits, ties broken by lang desc
-    val best = array_max(array(scored: _*))
-    df.withColumn(outCol, when(best.getField("hits") > 0, best.getField("lang")))
+    val arr = array(scored: _*)
+    // max by hits (struct ordering compares hits first); null on 0 hits or tie
+    val best = array_max(arr)
+    val maxHits = best.getField("hits")
+    val nAtMax = size(filter(arr, s => s.getField("hits") === maxHits))
+    df.withColumn(toks, tokens(col(textCol)))
+      .withColumn(outCol, when(maxHits > 0 && nAtMax === 1, best.getField("lang")))
+      .drop(toks)
   }
 
   /**

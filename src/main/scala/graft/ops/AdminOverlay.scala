@@ -35,8 +35,10 @@ object AdminOverlay {
              adminGeomCol: String = "geometry",
              adminIdCol: String = "id"): DataFrame = {
     val spark = tiles.sparkSession
-    val adminRows: Array[(String, Array[Byte])] = admins
-      .select(col(adminIdCol).cast(StringType), col(adminGeomCol)).collect()
+    val adminRows: Array[(String, Array[Byte])] = graft.util.Collects.boundedCollect(
+        admins.select(col(adminIdCol).cast(StringType), col(adminGeomCol)),
+        what = "AdminOverlay.assign admin side",
+        alternative = "AdminOverlay.assignCentroidWithinLarge")
       .map(r => (r.getString(0), r.getAs[Array[Byte]](1)))
     val bc = spark.sparkContext.broadcast(adminRows)
 

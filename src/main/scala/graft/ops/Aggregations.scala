@@ -43,14 +43,22 @@ object Aggregations {
   /** Admin rollup (A2/A3, impact_analysis.py:1443-1446,2011-2017): group by
     * admin id; SUM the count-like columns, MEAN the class/index columns.
     * Aggregates only the columns present in `df` whose base name appears in
-    * sumCols/meanCols (handles both raw and E_-prefixed layers). */
+    * sumCols/meanCols (handles both raw and E_-prefixed layers).
+    *
+    * Null semantics match the reference exactly: only the facility-count
+    * columns ([[Constants.OptionalSumCols]]) use `_optional_sum` (all-null
+    * group → null); every other sum uses pandas' default (all-NaN → 0.0),
+    * impact_analysis.py:1443-1446. */
   def adminRollup(df: DataFrame, idCol: String,
                   sumCols: Seq[String] = Constants.SumCols,
                   meanCols: Seq[String] = Constants.MeanCols,
                   extraAggs: Seq[Column] = Nil): DataFrame = {
     def present(base: Seq[String]): Seq[String] =
       (base ++ base.map("E_" + _)).filter(df.columns.contains)
-    val aggs = present(sumCols).map(c => sum(col(c)).as(c)) ++
+    def sumAgg(c: String): Column =
+      if (Constants.OptionalSumCols.contains(c.stripPrefix("E_"))) sum(col(c))
+      else coalesce(sum(col(c)), lit(0.0))
+    val aggs = present(sumCols).map(c => sumAgg(c).as(c)) ++
       present(meanCols).map(c => avg(col(c)).as(c)) ++
       (if (df.columns.contains("probability")) Seq(avg(col("probability")).as("probability")) else Nil) ++
       extraAggs

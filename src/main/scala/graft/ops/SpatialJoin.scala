@@ -91,7 +91,10 @@ object SpatialJoin {
                              denominator: Int = graft.pipeline.Constants.FullEnsembleSize,
                              keepZeroRows: Boolean = false): DataFrame = {
     val spark = zones.sparkSession
-    val envRows = envelopes.select(col(windThresholdCol), col(envGeomCol)).collect()
+    val envRows = graft.util.Collects.boundedCollect(
+      envelopes.select(col(windThresholdCol), col(envGeomCol)),
+      what = "probabilityByThreshold envelope side",
+      alternative = "SpatialJoin.quadkeyRefineJoin + groupBy")
     val thresholds = envRows.map(_.getInt(0))
     val geoms = envRows.map(_.getAs[Array[Byte]](1))
     val distinctTh = thresholds.distinct.sorted

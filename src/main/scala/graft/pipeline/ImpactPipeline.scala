@@ -91,7 +91,10 @@ object ImpactPipeline {
                 shelters: Option[DataFrame], wash: Option[DataFrame],
                 tiles: DataFrame): DataFrame = {
     val spark = envelopes.sparkSession
-    val envRows = envelopes.select(col("wind_threshold"), col("ensemble_member"), col("geometry")).collect()
+    val envRows = graft.util.Collects.boundedCollect(
+      envelopes.select(col("wind_threshold"), col("ensemble_member"), col("geometry")),
+      what = "trackView envelope side",
+      alternative = "SpatialJoin.quadkeyRefineJoin + groupBy")
     val envKeys = envRows.map(r => (r.getInt(0), r.getInt(1)))
     val envWkb = envRows.map(_.getAs[Array[Byte]](2))
     import spark.implicits._

@@ -90,10 +90,13 @@ object Reports {
   }
 
   /** Max threshold with nonzero probability; ordered early-break on the
-    * monotone envelope property (reports.py:319-339, W6). */
+    * monotone envelope property (reports.py:319-339, W6). A threshold whose
+    * probabilities are all null sums to null — treated like NaN in the
+    * reference (NaN > 0 is False), i.e. it breaks the scan, never NPEs. */
   def maxWindThreshold(adminView: DataFrame): Int = {
     val sums = adminView.groupBy("wind_threshold").agg(sum("probability").as("p"))
-      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .collect().map(r => r.getInt(0) ->
+        Option(r.get(1)).map(_.asInstanceOf[Number].doubleValue()).getOrElse(0.0)).toMap
     var maxWind = 0
     var broken = false
     Winds.foreach { w =>
@@ -104,13 +107,24 @@ object Reports {
     maxWind
   }
 
+  /** `_optional_ceil` (reports.py:29-34): None when the sum is null (all-NaN
+    * / missing column) — ONLY the facility-count keys use this. */
   private def ceilOrNull(v: Any): Any = v match {
     case null => null
     case d: java.lang.Double => math.ceil(d).toLong
     case n: Number => math.ceil(n.doubleValue()).toLong
   }
-  private def intOrNull(v: Any): Any = v match {
-    case null => null
+  /** Plain `math.ceil(series.sum())` (reports.py:645-649,670-673): pandas'
+    * default sum maps an all-NaN column to 0.0, so no-data demographics are
+    * a CONFIRMED 0 in the reference — explicit here, not an unboxing
+    * accident. */
+  private def ceilOrZero(v: Any): Long = v match {
+    case null => 0L
+    case n: Number => math.ceil(n.doubleValue()).toLong
+  }
+  /** `int(series.sum())` (reports.py:655-658): same pandas default, 0 on all-NaN. */
+  private def intOrZero(v: Any): Long = v match {
+    case null => 0L
     case n: Number => n.doubleValue().toLong
   }
 
@@ -166,15 +180,15 @@ object Reports {
       .collect().map(r => r.getInt(0) -> r).toMap
 
     val exp = totalsByWind(expectedWind)
-    val expSchool = ceilOrNull(exp.get(exp.fieldIndex("school"))).asInstanceOf[Long]
-    val expInfant = ceilOrNull(exp.get(exp.fieldIndex("infant"))).asInstanceOf[Long]
-    val expAdolescent = ceilOrNull(exp.get(exp.fieldIndex("adolescent"))).asInstanceOf[Long]
+    val expSchool = ceilOrZero(exp.get(exp.fieldIndex("school")))
+    val expInfant = ceilOrZero(exp.get(exp.fieldIndex("infant")))
+    val expAdolescent = ceilOrZero(exp.get(exp.fieldIndex("adolescent")))
     d += "expected_school_age" -> expSchool
     d += "expected_infants" -> expInfant
     d += "expected_adolescent" -> expAdolescent
     val expChildren = expSchool + expInfant + expAdolescent
     d += "expected_children" -> expChildren
-    d += "expected_pop" -> ceilOrNull(exp.get(exp.fieldIndex("pop")))
+    d += "expected_pop" -> ceilOrZero(exp.get(exp.fieldIndex("pop")))
     d += "expected_schools" -> ceilOrNull(exp.get(exp.fieldIndex("schools")))
     d += "expected_hcs" -> ceilOrNull(exp.get(exp.fieldIndex("hcs")))
     d += "expected_shelters" -> ceilOrNull(exp.get(exp.fieldIndex("shelters")))
@@ -182,10 +196,10 @@ object Reports {
 
     val cciSums = cciTiles.agg(
       sum("E_CCI_pop"), sum("E_CCI_school_age"), sum("E_CCI_infants"), sum("E_CCI_adolescents")).head()
-    d += "expected_cci_pop" -> intOrNull(cciSums.get(0))
-    d += "expected_cci_school" -> intOrNull(cciSums.get(1))
-    d += "expected_cci_infant" -> intOrNull(cciSums.get(2))
-    d += "expected_cci_adolescent" -> intOrNull(cciSums.get(3))
+    d += "expected_cci_pop" -> intOrZero(cciSums.get(0))
+    d += "expected_cci_school" -> intOrZero(cciSums.get(1))
+    d += "expected_cci_infant" -> intOrZero(cciSums.get(2))
+    d += "expected_cci_adolescent" -> intOrZero(cciSums.get(3))
 
     // children change vs previous forecast (reports.py:360-391)
     val prevChildren = previous.get("expected_children").collect { case n: Number => n.longValue() }
@@ -204,10 +218,10 @@ object Reports {
     // per-wind expected/change keys
     presentWinds.foreach { wind =>
       val t = totalsByWind(wind)
-      val sch = ceilOrNull(t.get(t.fieldIndex("school"))).asInstanceOf[Long]
-      val inf = ceilOrNull(t.get(t.fieldIndex("infant"))).asInstanceOf[Long]
-      val ado = ceilOrNull(t.get(t.fieldIndex("adolescent"))).asInstanceOf[Long]
-      d += s"expected_pop_$wind" -> ceilOrNull(t.get(t.fieldIndex("pop")))
+      val sch = ceilOrZero(t.get(t.fieldIndex("school")))
+      val inf = ceilOrZero(t.get(t.fieldIndex("infant")))
+      val ado = ceilOrZero(t.get(t.fieldIndex("adolescent")))
+      d += s"expected_pop_$wind" -> ceilOrZero(t.get(t.fieldIndex("pop")))
       d += s"expected_school_$wind" -> sch
       d += s"expected_infant_$wind" -> inf
       d += s"expected_adolescent_$wind" -> ado

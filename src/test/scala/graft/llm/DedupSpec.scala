@@ -52,6 +52,31 @@ class DedupSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(4L)) > 16)
   }
 
+  test("simhashPairs recall contract: finds exactly the brute-force pair set at maxHamming=8") {
+    // 40 docs built from a shared vocabulary so signatures cluster at a
+    // range of Hamming distances — exercises pairs well past distance 3
+    val vocab = Vector("spark", "catalyst", "shuffle", "broadcast", "partition",
+      "codegen", "parquet", "tungsten", "dataset", "encoder", "plan", "stage")
+    val rng = new scala.util.Random(7)
+    val corpus = (1L to 40L).map { i =>
+      (i, (0 until 12).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    val maxHamming = 8
+    val got = Dedup.simhashPairs(df, "doc_id", maxHamming = maxHamming)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val sigs = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      if java.lang.Long.bitCount(sigs(a) ^ sigs(b)) <= maxHamming
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "test corpus produced no close pairs — not exercising recall")
+    assert(expected.exists { case (a, b) => java.lang.Long.bitCount(sigs(a) ^ sigs(b)) > 3 },
+      "no pair past distance 3 — the old 4-chunk banding would have passed trivially")
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("ngram jaccard on candidate pairs") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(pairs, docs, "doc_id")

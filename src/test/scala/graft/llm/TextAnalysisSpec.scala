@@ -37,6 +37,13 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(3L).isEmpty)
   }
 
+  test("language id resolves hit-count ties to null (und)") {
+    // "en un" scores 2 for both es (en, un) and fr (en, un) — ambiguous
+    val df = Seq((1L, "en un")).toDF("doc_id", "text")
+    val out = TextAnalysis.withLangId(df).select("lang_pred").head()
+    assert(out.isNullAt(0), s"tie must yield null, got ${out.get(0)}")
+  }
+
   test("fingerprint is whitespace-normalized and order-sensitive") {
     val df = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),

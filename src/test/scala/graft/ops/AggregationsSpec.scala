@@ -39,6 +39,23 @@ class AggregationsSpec extends SparkSpec {
     assert(out("B").getAs[Double]("population") == 5.0)
   }
 
+  test("adminRollup null semantics: non-optional all-null -> 0.0, optional all-null -> null") {
+    // reference impact_analysis.py:1443-1446: pandas default sum (all-NaN -> 0)
+    // for population etc.; _optional_sum (all-NaN -> null) only for the
+    // facility-count columns
+    val df = Seq(
+      ("A", None: Option[Double], None: Option[Double]),
+      ("A", None, None),
+      ("B", Some(3.0), Some(1.0))
+    ).toDF("id", "population", "num_schools")
+    val out = Aggregations.adminRollup(df, "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("A").getAs[Double]("population") == 0.0)          // pandas default sum
+    assert(out("A").isNullAt(out("A").fieldIndex("num_schools"))) // optional sum
+    assert(out("B").getAs[Double]("population") == 3.0)
+    assert(out("B").getAs[Double]("num_schools") == 1.0)
+  }
+
   test("vulnerabilityBuckets: urban/poverty banding on de-expected values") {
     // reference reports.py:393-462: actual = E/p; urban iff E_smod/p >= 20;
     // severe iff E_rwi/p < -1; poverty iff < -0.5
