@@ -1,7 +1,7 @@
 package graft.pipeline
 
 import graft.io.DataStore
-import graft.ops.{AdminOverlay, Aggregations}
+import graft.ops.{AdminOverlay, Aggregations, Cci}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -55,7 +55,8 @@ object Jobs {
    */
   def initialize(spark: SparkSession, store: DataStore, country: String, zoom: Int,
                  tiles: DataFrame, admins: DataFrame,
-                 facilities: Map[String, DataFrame]): Unit = {
+                 facilities: Map[String, DataFrame],
+                 extraAdminLevels: Map[Int, DataFrame] = Map.empty): Unit = {
     val withIds = AdminOverlay.assign(
       Aggregations.nanToNull(tiles, Constants.TileDataCols), admins)
     store.writeParquet(withIds, s"mercator_views/${country}_$zoom.parquet")
@@ -71,7 +72,38 @@ object Jobs {
     facilities.foreach { case (kind, df) =>
       store.writeParquet(df, s"${kind}_views/${country}_$kind.parquet")
     }
+    extraAdminLevels.foreach { case (level, boundaries) =>
+      initializeAdminLevel(spark, store, country, zoom, level, boundaries)
+    }
   }
+
+  /**
+   * Build + persist the base admin{level} layer from the existing mercator
+   * view (create_admin_country_layer; also the patch-mode on-request
+   * creation, impact_analysis.py:1456-1466): overlay the tiles onto the
+   * level's boundaries, roll up, attach names + geometry. Levels other than
+   * 1 store their own tile→region assignment implicitly via the boundary
+   * geometries; `update` re-derives it per level.
+   */
+  def initializeAdminLevel(spark: SparkSession, store: DataStore, country: String,
+                           zoom: Int, level: Int, adminBoundaries: DataFrame): Unit = {
+    require(level >= 1 && level <= 5, s"admin level $level outside 1..5")
+    val base = store.readParquet(spark, s"mercator_views/${country}_$zoom.parquet")
+    val withIds =
+      if (level == 1) base // the mercator parquet already carries admin1 ids
+      else AdminOverlay.assign(base.drop("id"), adminBoundaries)
+    val rolled = Aggregations.adminRollup(withIds.drop("tile_id", "geometry"), "id")
+      .withColumnRenamed("id", "tile_id")
+      .join(broadcast(adminBoundaries.select(col("id").as("tile_id"), col("name"), col("geometry"))),
+        Seq("tile_id"), "left")
+    store.writeParquet(rolled, s"admin_views/${country}_admin$level.parquet")
+  }
+
+  /** Admin levels with an initialized base parquet — these determine which
+    * per-level storm views `update` produces
+    * (get_initialized_admin_levels, impact_analysis.py:1123-1142). */
+  def initializedAdminLevels(store: DataStore, country: String): Seq[Int] =
+    (1 to 5).filter(l => store.exists(s"admin_views/${country}_admin$l.parquet"))
 
   case class UpdateResult(processed: Boolean, reason: String,
                           report: Map[String, Any] = Map.empty)
@@ -127,13 +159,36 @@ object Jobs {
           } else None)
         }.toMap
 
-    // admin view + CCIs
-    val av = ImpactPipeline.adminView(tv, tiles.select("tile_id", "id"), admins).cache()
-    store.writePartitionedCsv(av.drop("geometry"), "admin_impact_views", "wind_threshold",
-      th => s"$prefix${th}_admin1.csv")
+    // admin views + CCIs — one pass per initialized admin level
+    // (impact_analysis.py:2868-2907): level 1 reuses the admin ids already
+    // on the tiles; deeper levels re-overlay against the level's stored
+    // boundaries — no external lookup, mirroring the reference's reuse of
+    // the admin parquet's geometries.
     val (cciTiles, cciAdmin) = ImpactPipeline.cciViews(tv, tiles)
     store.writeSingleCsv(cciTiles, s"mercator_impact_views/$prefix${zoom}_cci.csv")
-    store.writeSingleCsv(cciAdmin, s"admin_impact_views/${prefix}admin1_cci.csv")
+
+    val levels = initializedAdminLevels(store, country) match {
+      case Seq() => Seq(1)
+      case ls => ls
+    }
+    var av: DataFrame = null // level-1 view doubles as the report input
+    levels.foreach { level =>
+      val adminsN = if (level == 1) admins
+        else store.readParquet(spark, s"admin_views/${country}_admin$level.parquet")
+          .select(col("tile_id").as("id"), col("name"), col("geometry"))
+      val tileIds = if (level == 1) tiles.select("tile_id", "id")
+        else AdminOverlay.assign(tiles.select("tile_id", "geometry"), adminsN)
+          .select("tile_id", "id")
+      val avN = ImpactPipeline.adminView(
+        if (level == 1) tv else tv.drop("id"), tileIds, adminsN)
+      store.writePartitionedCsv(avN.drop("geometry"), "admin_impact_views", "wind_threshold",
+        th => s"$prefix${th}_admin$level.csv")
+      val cciAdminN = if (level == 1) cciAdmin
+        else Cci.adminRollup(cciTiles.drop("id").join(
+          broadcast(tileIds.withColumnRenamed("tile_id", "zone_id")), Seq("zone_id"), "left"))
+      store.writeSingleCsv(cciAdminN, s"admin_impact_views/${prefix}admin${level}_cci.csv")
+      if (level == 1) av = avN.cache()
+    }
 
     // track view
     (facilityViews("school"), facilityViews("hc")) match {
@@ -197,11 +252,14 @@ object Jobs {
       java.nio.file.Paths.get(store.path(s"mercator_views/${country}_$zoom.parquet")))
 
     // re-aggregate every initialized admin view (impact_analysis.py:1421-1454)
-    val adminRel = s"admin_views/${country}_admin1.parquet"
-    if (store.exists(adminRel)) {
+    initializedAdminLevels(store, country).foreach { level =>
+      val adminRel = s"admin_views/${country}_admin$level.parquet"
       val adminsGeom = store.readParquet(spark, adminRel).select("tile_id", "name", "geometry")
       val refreshed = store.readParquet(spark, s"mercator_views/${country}_$zoom.parquet")
-      val rolled = Aggregations.adminRollup(refreshed.drop("tile_id", "geometry"), "id")
+      val withIds = if (level == 1) refreshed
+        else AdminOverlay.assign(refreshed.drop("id"),
+          adminsGeom.select(col("tile_id").as("id"), col("geometry")))
+      val rolled = Aggregations.adminRollup(withIds.drop("tile_id", "geometry"), "id")
         .withColumnRenamed("id", "tile_id")
         .join(broadcast(adminsGeom), Seq("tile_id"), "left")
       val tmpA = adminRel + ".__tmp__"

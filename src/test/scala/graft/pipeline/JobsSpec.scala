@@ -87,6 +87,54 @@ class JobsSpec extends SparkSpec {
     assert(r.report("children_change") == "+0" || r.report("children_change") == "0")
   }
 
+  test("multi-admin-level update writes per-level views with conserved sums") {
+    initOnce()
+    // initialize a finer admin2 layer on demand (patch-mode creation,
+    // impact_analysis.py:1456-1466) from coarse zoom-12 quadkey blocks
+    val admins2 = SyntheticScenario.admins(spark, tiles, adminZoom = 12)
+    Jobs.initializeAdminLevel(spark, store, country, zoom, 2, admins2)
+    assert(Jobs.initializedAdminLevels(store, country) == Seq(1, 2))
+
+    // base admin2 layer conserves tile sums
+    val base2 = store.readParquet(spark, s"admin_views/${country}_admin2.parquet")
+    assert(base2.count() == admins2.count())
+    val tileSum = tiles.agg(sum("population")).as[Double].head()
+    assert(math.abs(base2.agg(sum("population")).as[Double].head() - tileSum) < 1e-6)
+
+    val r = Jobs.update(spark, store, country, zoom, "TESTSTORM", "20260801000000",
+      envs, Some(tracks), Some(boundary), rewrite = true)
+    assert(r.processed, r.reason)
+    val adminFiles = store.list("admin_impact_views")
+    assert(adminFiles.exists(_.endsWith("_admin2.csv")), s"admin2 views missing: $adminFiles")
+    assert(adminFiles.exists(_.endsWith("_admin2_cci.csv")), s"admin2 cci missing: $adminFiles")
+
+    // per-threshold E_population conservation: admin2 view sums = admin1 view sums
+    def levelSums(level: Int): Map[String, Double] =
+      adminFiles.filter(f => f.contains("TESTSTORM") && f.endsWith(s"_admin$level.csv")).map { f =>
+        val df = spark.read.option("header", "true").option("inferSchema", "true")
+          .csv(store.path(s"admin_impact_views/$f"))
+        f.split("_").reverse(1) -> df.agg(sum("E_population")).as[Double].head()
+      }.toMap
+    val s1 = levelSums(1); val s2 = levelSums(2)
+    assert(s1.keySet == s2.keySet, s"thresholds differ: ${s1.keySet} vs ${s2.keySet}")
+    s1.foreach { case (th, v1) =>
+      assert(math.abs(v1 - s2(th)) < 1e-6, s"threshold $th: admin1=$v1 admin2=${s2(th)}")
+    }
+
+    // CCI conservation across levels
+    val cci1 = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(store.path(s"admin_impact_views/${country}_TESTSTORM_20260801000000_admin1_cci.csv"))
+    val cci2 = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(store.path(s"admin_impact_views/${country}_TESTSTORM_20260801000000_admin2_cci.csv"))
+    assert(cci2.count() > cci1.count()) // finer level -> more regions
+    val c1 = cci1.agg(sum("E_CCI_pop")).as[Double].head()
+    val c2 = cci2.agg(sum("E_CCI_pop")).as[Double].head()
+    assert(math.abs(c1 - c2) < 1e-6, s"cci admin1=$c1 admin2=$c2")
+
+    // cleanup so the remaining single-level tests keep their expectations
+    store.remove(s"admin_views/${country}_admin2.parquet")
+  }
+
   test("patch overwrites a column and re-aggregates admin views") {
     initOnce()
     val newVals = tiles.select(col("tile_id"), (col("population") * 2).as("population"))
