@@ -356,10 +356,11 @@ object SparkEntry {
         .orderBy(col("keep_id"))
     }),
     "d02_text_quality" -> ((s, d) => {
+      // ratios left unrounded on purpose: int/int double division is
+      // bit-identical across engines, so the oracle hash-matches exactly
       TextAnalysis.qualityMetrics(t(s, d, "documents"))
         .select(col("doc_id"), col("n_chars_computed"), col("n_tokens"),
-          round(col("punct_ratio"), 6).as("punct_ratio"),
-          round(col("stopword_ratio"), 6).as("stopword_ratio"))
+          col("punct_ratio"), col("stopword_ratio"))
         .orderBy(col("doc_id"))
     }),
     "d03_token_stats" -> ((s, d) => {
@@ -699,6 +700,19 @@ object SparkEntry {
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "d02_text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS INTEGER) AS n_chars_computed,
+        | CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens,
+        | CASE WHEN length(text) > 0 THEN
+        |   CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text)
+        | END AS punct_ratio,
+        | CASE WHEN len(regexp_split_to_array(trim(lower(text)), '\s+')) > 0 THEN
+        |   CAST(len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |     t -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are'], t))) AS DOUBLE)
+        |   / len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        | END AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "d03_token_stats" ->
       """SELECT lang,
         | CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
