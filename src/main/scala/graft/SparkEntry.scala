@@ -2,7 +2,7 @@ package graft
 
 import graft.geo.GeoFunctions._
 import graft.llm.{Dedup, Similarity, TextAnalysis}
-import graft.ops.{Aggregations, Deltas, SpatialJoin}
+import graft.ops.{Aggregations, Deltas, SpatialJoin, Tracks}
 import graft.pipeline.{Constants, ImpactPipeline, SyntheticScenario}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -40,6 +40,21 @@ object SparkEntry {
   // synthetic geo layers derived from relational tables (bit-identical in
   // DuckDB — see the g* oracle SQL)
   // ---------------------------------------------------------------------
+
+  /** Deterministic extended-track points (S3): per-order quadrant radii in km
+    * from small prime mods — zero mods exercise incomplete/degenerate cases. */
+  private def windRadiiPoints(orders: DataFrame): DataFrame = {
+    val mods = Map(34 -> Seq(97, 89, 83, 79), 50 -> Seq(47, 43, 41, 37), 64 -> Seq(23, 19, 17, 13))
+    val radii = for {
+      (kt, ms) <- mods.toSeq.sortBy(_._1)
+      (q, m) <- Tracks.Quadrants.zip(ms)
+    } yield expr(s"CAST(o_orderkey % $m AS DOUBLE)").as(Tracks.radiusCol(kt, q))
+    orders.select(
+      col("o_orderkey") +:
+      (expr("o_orderkey % 100") * lit(0.015625)).as("longitude") +:
+      (expr("o_orderkey % 83") * lit(0.015625)).as("latitude") +:
+      radii: _*)
+  }
 
   /** 40×40 grid of 0.03125° tiles keyed by c_custkey; population = floor(acctbal). */
   private def geoTiles(spark: SparkSession, dir: String): DataFrame =
@@ -426,6 +441,29 @@ object SparkEntry {
           count(lit(1)).as("n_points"))
         .orderBy("member")
     }),
+    "g09_wind_radii" -> ((s, d) => {
+      // S3 extended track scan: per-point quadrant radii -> completeness
+      // flags + max radial extent (pure codegen'd arithmetic, SQL oracle)
+      Tracks.radiiSummary(windRadiiPoints(t(s, d, "orders")))
+        .select(col("o_orderkey"), col("complete_34kt"), col("complete_50kt"),
+          col("complete_64kt"), col("max_radius_km"))
+        .orderBy(col("o_orderkey"))
+    }),
+    "g10_wind_field" -> ((s, d) => {
+      // S3 wind-field construction from quadrant radii (rows-only: JTS
+      // geometry has no SQL oracle; geometry verified in TracksSpec)
+      val wf = Tracks.withWindFields(
+        windRadiiPoints(t(s, d, "orders").filter(expr("o_orderkey % 7 = 0"))))
+      wf.select(col("o_orderkey"),
+          col("wind_field_polygon_34kt").isNotNull.as("has_34kt"),
+          col("wind_field_polygon_50kt").isNotNull.as("has_50kt"),
+          when(col("wind_field_polygon_34kt").isNotNull,
+            st_intersects(st_point(col("longitude"), col("latitude")),
+              col("wind_field_polygon_34kt"))).as("contains_center"),
+          when(col("wind_field_polygon_34kt").isNotNull,
+            (st_area_m2(col("wind_field_polygon_34kt")) > 0)).as("positive_area"))
+        .orderBy(col("o_orderkey"))
+    }),
     "s01_stream_window" -> ((s, d) => {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
@@ -700,6 +738,15 @@ object SparkEntry {
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "g09_wind_radii" ->
+      """SELECT o_orderkey,
+        | (o_orderkey % 97 > 0 AND o_orderkey % 89 > 0 AND o_orderkey % 83 > 0 AND o_orderkey % 79 > 0) AS complete_34kt,
+        | (o_orderkey % 47 > 0 AND o_orderkey % 43 > 0 AND o_orderkey % 41 > 0 AND o_orderkey % 37 > 0) AS complete_50kt,
+        | (o_orderkey % 23 > 0 AND o_orderkey % 19 > 0 AND o_orderkey % 17 > 0 AND o_orderkey % 13 > 0) AS complete_64kt,
+        | CAST(greatest(o_orderkey % 97, o_orderkey % 89, o_orderkey % 83, o_orderkey % 79,
+        |   o_orderkey % 47, o_orderkey % 43, o_orderkey % 41, o_orderkey % 37,
+        |   o_orderkey % 23, o_orderkey % 19, o_orderkey % 17, o_orderkey % 13) AS DOUBLE) AS max_radius_km
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "d02_text_quality" ->
       """SELECT doc_id,
         | CAST(length(text) AS INTEGER) AS n_chars_computed,
