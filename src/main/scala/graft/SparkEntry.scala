@@ -760,6 +760,29 @@ object SparkEntry {
         |   / len(regexp_split_to_array(trim(lower(text)), '\s+'))
         | END AS stopword_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "d06_langid" ->
+      """WITH toks AS (
+        |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM documents
+        |), hits AS (
+        |  SELECT lang,
+        |    len(list_filter(tk, t -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], t))) AS h_de,
+        |    len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are'], t))) AS h_en,
+        |    len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','los','del','se','las','por','un'], t))) AS h_es,
+        |    len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], t))) AS h_fr,
+        |    len(list_filter(tk, t -> list_contains(['de','a','o','que','e','do','da','em','um','para','com','os'], t))) AS h_pt
+        |  FROM toks
+        |), mx AS (
+        |  SELECT lang, h_de, h_en, h_es, h_fr, h_pt,
+        |    greatest(h_de, h_en, h_es, h_fr, h_pt) AS m FROM hits
+        |), pred AS (
+        |  SELECT lang,
+        |    CASE WHEN m = 0 OR ((h_de = m)::INT + (h_en = m)::INT + (h_es = m)::INT
+        |                        + (h_fr = m)::INT + (h_pt = m)::INT) > 1 THEN NULL
+        |         WHEN h_pt = m THEN 'pt' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+        |         WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred
+        |  FROM mx
+        |)
+        |SELECT lang, lang_pred, COUNT(*) AS n FROM pred GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d03_token_stats" ->
       """SELECT lang,
         | CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,

@@ -114,11 +114,13 @@ object Dedup {
       col("id").as("id_a"), col("sig").as("sig_a"))
     val b = inBuckets.select(col("band"), col("bucket"),
       col("id").as("id_b"), col("sig").as("sig_b"))
+    // a pair sharing k bands appears k times; keep one. Hash aggregation
+    // with map-side combine — cheaper than a row_number window, which would
+    // sort-shuffle every duplicate. The signatures are identical across a
+    // pair's duplicates, so first() is deterministic in value.
     val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      // a pair sharing k bands appears k times; keep one
-      .withColumn("__rn", row_number().over(
-        Window.partitionBy(col("id_a"), col("id_b")).orderBy(col("band"))))
-      .filter(col("__rn") === 1)
+      .groupBy("id_a", "id_b")
+      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
 
     pairs.withColumn("est_jaccard",
         aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),

@@ -57,25 +57,28 @@ object TextAnalysis {
    * heuristic). Ties and zero-hit rows resolve to null ("und").
    *
    * The text is lowered/trimmed/split exactly ONCE into a materialized token
-   * array; the per-language hit counts are cheap `filter(isin)` scans over
-   * that array. (Scoring each language from the raw text re-ran the regex
-   * tokenizer per language — 5× the regex work on every document.)
+   * array, and the 5-element hit-count array is materialized ONCE per row —
+   * the argmax/tie logic then runs over that tiny array instead of
+   * re-evaluating the scoring tree (CollapseProject keeps the expensive
+   * multi-use aliases as separate projections, so neither intermediate is
+   * inlined into its consumers).
    */
   def withLangId(df: DataFrame, textCol: String = "text",
                  outCol: String = "lang_pred"): DataFrame = {
     val toks = "__langid_toks"
+    val scores = "__langid_scores"
     val scored = StopwordSets.toSeq.sortBy(_._1).map { case (langCode, words) =>
       struct(size(filter(col(toks), w => w.isin(words.map(lit): _*))).as("hits"),
         lit(langCode).as("lang"))
     }
-    val arr = array(scored: _*)
     // max by hits (struct ordering compares hits first); null on 0 hits or tie
-    val best = array_max(arr)
+    val best = array_max(col(scores))
     val maxHits = best.getField("hits")
-    val nAtMax = size(filter(arr, s => s.getField("hits") === maxHits))
+    val nAtMax = size(filter(col(scores), s => s.getField("hits") === maxHits))
     df.withColumn(toks, tokens(col(textCol)))
+      .withColumn(scores, array(scored: _*))
       .withColumn(outCol, when(maxHits > 0 && nAtMax === 1, best.getField("lang")))
-      .drop(toks)
+      .drop(toks, scores)
   }
 
   /**
