@@ -483,6 +483,23 @@ object SparkEntry {
           round(col("total"), 2).as("total"))
         .orderBy("day", "event_type")
     }),
+    "s02_stream_dedup" -> ((s, d) => {
+      // §2.8 exactly-once dedup as a stream: first-seen (user_id, event_type)
+      // pairs against checkpointed state — must converge to batch DISTINCT
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        s, d, schema, glob = Some("events.parquet"))
+      val deduped = graft.streaming.Streaming.dedupedStream(
+        stream, Seq("user_id", "event_type"))
+      graft.streaming.Streaming.runAvailableNow(
+          deduped, s"s02_dedup_${System.nanoTime()}", outputMode = "append")
+        .orderBy("user_id", "event_type")
+    }),
     "m02_frame_sample" -> ((s, d) => {
       // multimodal: video rows exploded into sampled frame timestamps
       val media = graft.llm.Multimodal.syntheticMedia(t(s, d, "part"), "p_partkey")
@@ -738,6 +755,8 @@ object SparkEntry {
     "d01_exact_dedup" ->
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
+    "s02_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "g09_wind_radii" ->
       """SELECT o_orderkey,
         | (o_orderkey % 97 > 0 AND o_orderkey % 89 > 0 AND o_orderkey % 83 > 0 AND o_orderkey % 79 > 0) AS complete_34kt,

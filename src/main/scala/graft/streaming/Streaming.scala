@@ -48,16 +48,60 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
-    * sink; returns the materialized result. Complete output mode. */
-  def runAvailableNow(streamed: DataFrame, queryName: String): DataFrame = {
+    * sink; returns the materialized result. Complete output mode by default
+    * (aggregations); use "append" for dedup/stateful-append pipelines. */
+  def runAvailableNow(streamed: DataFrame, queryName: String,
+                      outputMode: String = "complete"): DataFrame = {
     val spark = streamed.sparkSession
     val q = streamed.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /**
+   * Streaming exact dedup (§2.8 "exactly-once / dedup": the run-log
+   * anti-join and row-signature dedup as a stream): first occurrence of each
+   * key combination is emitted, later duplicates are dropped against the
+   * checkpointed state store. With `watermarkCol`, keys older than the
+   * watermark horizon are evicted — bounded state at 100 TB rates
+   * (`dropDuplicatesWithinWatermark` would relax to per-horizon uniqueness).
+   */
+  def dedupedStream(events: DataFrame, keyCols: Seq[String],
+                    watermarkCol: Option[(String, String)] = None): DataFrame = {
+    val marked = watermarkCol.map { case (c, d) => events.withWatermark(c, d) }
+      .getOrElse(events)
+    marked.select(keyCols.map(col): _*).dropDuplicates(keyCols)
+  }
+
+  /** One (storm, forecast) observation on the stream. */
+  case class StormForecast(storm: String, forecastTime: Long)
+
+  /**
+   * Monotone new-forecast filter — the streaming analogue of the
+   * already-processed anti-join (J13, main_pipeline.py:650-666) as CUSTOM
+   * KEYED STATE: per storm, the state store holds the highest forecast time
+   * seen; each microbatch emits only forecasts strictly newer than the
+   * state, in order, then advances it. Exactly the semantics a 6-hourly
+   * forecast feed needs — re-drops and replays of old forecasts are
+   * suppressed without any external bookkeeping table.
+   */
+  def newForecastsOnly(events: org.apache.spark.sql.Dataset[StormForecast])
+      : org.apache.spark.sql.Dataset[StormForecast] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.storm)
+      .flatMapGroupsWithState[Long, StormForecast](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (storm: String, batch: Iterator[StormForecast], state: GroupState[Long]) =>
+          val seen = state.getOption.getOrElse(Long.MinValue)
+          val fresh = batch.map(_.forecastTime).filter(_ > seen).toArray.sorted.distinct
+          if (fresh.nonEmpty) state.update(fresh.last)
+          fresh.iterator.map(t => StormForecast(storm, t))
+      }
   }
 }

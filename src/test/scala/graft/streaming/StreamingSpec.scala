@@ -30,4 +30,60 @@ class StreamingSpec extends SparkSpec {
       (java.sql.Timestamp.valueOf("2026-08-01 00:00:00"), "click", 2L, 3.0),
       (java.sql.Timestamp.valueOf("2026-08-02 00:00:00"), "view", 1L, 5.0)))
   }
+
+  test("streaming dedup emits first occurrences only (append mode)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-dedup").toString
+    Seq((1L, "A", "click"), (2L, "A", "click"), (3L, "A", "view"), (4L, "B", "click"))
+      .toDF("event_id", "storm", "event_type").write.parquet(s"$dir/drop1")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("storm", StringType),
+      StructField("event_type", StringType)))
+    val stream = Streaming.availableNowFileStream(spark, s"$dir/drop1", schema)
+    val out = Streaming.runAvailableNow(
+      Streaming.dedupedStream(stream, Seq("storm", "event_type")),
+      s"t_${System.nanoTime()}", outputMode = "append")
+      .as[(String, String)].collect().toSet
+    assert(out == Set(("A", "click"), ("A", "view"), ("B", "click")))
+  }
+
+  test("newForecastsOnly: custom keyed state suppresses replays across microbatches") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
+    val checkpoint = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("storm", StringType), StructField("forecastTime", LongType)))
+
+    def runBatch(): Set[(String, Long)] = {
+      val stream = Streaming.availableNowFileStream(spark, dir, schema)
+        .as[Streaming.StormForecast]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, Long)]()
+      val q = Streaming.newForecastsOnly(stream).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Streaming.StormForecast], _: Long) =>
+          batch.collect().foreach(f => sink.add((f.storm, f.forecastTime)))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.toArray.map(_.asInstanceOf[(String, Long)]).toSet
+    }
+
+    // the file source does not recurse: drops land as single parquet files
+    // at the stream directory's top level
+    def drop(rows: Seq[(String, Long)], n: Int): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-staging").toString
+      rows.toDF("storm", "forecastTime").coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, s"drop$n.parquet"))
+    }
+
+    // batch 1: two storms, ALPHA's t=6 duplicated -> emitted once
+    drop(Seq(("ALPHA", 0L), ("ALPHA", 6L), ("ALPHA", 6L), ("BRAVO", 0L)), 1)
+    assert(runBatch() == Set(("ALPHA", 0L), ("ALPHA", 6L), ("BRAVO", 0L)))
+
+    // batch 2: replays of old forecasts suppressed by state; only newer pass
+    drop(Seq(("ALPHA", 0L), ("ALPHA", 6L), ("ALPHA", 12L), ("BRAVO", 0L), ("CHARLIE", 0L)), 2)
+    assert(runBatch() == Set(("ALPHA", 12L), ("CHARLIE", 0L)))
+  }
 }
