@@ -510,7 +510,8 @@ object SparkEntry {
     "m01_media_features" -> ((s, d) => {
       // multimodal plumbing: binary payload + metadata -> per-partition
       // feature extraction (decode step stubbed; batch shape real)
-      val media = graft.llm.Multimodal.syntheticMedia(t(s, d, "part").limit(200), "p_partkey")
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
       graft.llm.Multimodal.extractFeatures(media, dim = 16)
         .select(col("media_id"), col("meta.media_type").as("media_type"),
           size(col("features")).as("dim"))
@@ -757,6 +758,32 @@ object SparkEntry {
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "s02_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
+    "m01_media_features" ->
+      """SELECT p_partkey AS media_id,
+        | CASE WHEN p_partkey % 3 = 0 THEN 'image'
+        |      WHEN p_partkey % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
+        | 16 AS dim
+        |FROM part WHERE p_partkey <= 200 ORDER BY media_id""".stripMargin,
+    // cosine ordering is bit-identical across engines: both compute the dot
+    // and norms as SEQUENTIAL double folds over the float vectors (Spark
+    // `aggregate` with 0.0 init vs DuckDB list_reduce; 0.0+v1 == v1 exactly),
+    // so equal ranks need no float output — only ids survive to the hash
+    "v01_ann_bruteforce" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "g09_wind_radii" ->
       """SELECT o_orderkey,
         | (o_orderkey % 97 > 0 AND o_orderkey % 89 > 0 AND o_orderkey % 83 > 0 AND o_orderkey % 79 > 0) AS complete_34kt,
