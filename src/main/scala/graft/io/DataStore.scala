@@ -107,5 +107,35 @@ class DataStore(root: String) {
     written.sorted
   }
 
+  /**
+   * Per-value parquet fan-out in ONE pass (same shape as
+   * [[writePartitionedCsv]]): `partitionBy` once into a temp dir, then move
+   * each `col=value` partition directory to the reference's flat
+   * `{name(value)}` layout. Each target stays a normal `read.parquet`
+   * directory. Replaces N filtered re-reads with a single job.
+   */
+  def writePartitionedParquet(df: DataFrame, relDir: String, partitionCol: String,
+                              dirName: String => String): Seq[String] = {
+    val dir = Paths.get(path(relDir))
+    Files.createDirectories(dir)
+    val tmp = dir.resolve(s".__fanout_${System.nanoTime()}__")
+    df.repartition(col(partitionCol))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(tmp.toString)
+    val written = Files.list(tmp).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith(s"$partitionCol="))
+      .map { pDir =>
+        val value = pDir.getFileName.toString.stripPrefix(s"$partitionCol=")
+        val target = dir.resolve(dirName(value))
+        if (Files.exists(target))
+          Files.walk(target).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+        Files.move(pDir, target, StandardCopyOption.REPLACE_EXISTING)
+        dirName(value)
+      }.toSeq
+    Files.walk(tmp).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    written.sorted
+  }
+
   private def col(name: String) = org.apache.spark.sql.functions.col(name)
 }

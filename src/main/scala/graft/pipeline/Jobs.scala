@@ -139,7 +139,6 @@ object Jobs {
     // tile view + per-threshold CSVs (S9 layout: one per threshold) — one
     // partitionBy pass fans out all thresholds (SURVEY.md §7.4)
     val tv = ImpactPipeline.tileView(tiles, envelopes).cache()
-    val thresholds = tv.select("wind_threshold").distinct().collect().map(_.getInt(0)).sorted
     store.writePartitionedCsv(tv, "mercator_impact_views", "wind_threshold",
       th => s"$prefix${th}_$zoom.csv")
 
@@ -150,11 +149,9 @@ object Jobs {
           val rel = s"${kind}_views/${country}_$kind.parquet"
           kind -> (if (store.exists(rel)) {
             val fv = ImpactPipeline.facilityView(store.readParquet(spark, rel), envelopes, idCol)
-            thresholds.foreach { th =>
-              fv.filter(col("wind_threshold") === th).drop("wind_threshold", "geometry")
-                .write.mode("overwrite")
-                .parquet(store.path(s"${kind}_views/$prefix$th.parquet"))
-            }
+            // one partitionBy pass fans out every threshold (S9 layout)
+            store.writePartitionedParquet(fv.drop("geometry"), s"${kind}_views",
+              "wind_threshold", th => s"$prefix$th.parquet")
             Some(fv)
           } else None)
         }.toMap
