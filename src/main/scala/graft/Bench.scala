@@ -10,6 +10,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoFunctions.ensureRegistered(spark)
     // warmup: pay one-time session/codegen costs outside the measurements
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

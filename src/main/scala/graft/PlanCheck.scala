@@ -14,6 +14,7 @@ object PlanCheck {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    graft.geo.GeoFunctions.ensureRegistered(spark)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
     val names = if (args.nonEmpty) args.toSeq else Seq("q01_pricing_summary", "q02_filter_project")
     names.foreach { n =>

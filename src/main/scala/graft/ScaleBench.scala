@@ -26,6 +26,7 @@ object ScaleBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoFunctions.ensureRegistered(spark)
 
     // size a bbox to ~nTiles zoom-14 tiles (square-ish)
     val side = math.sqrt(nTiles.toDouble).ceil.toInt

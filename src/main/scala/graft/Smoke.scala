@@ -17,6 +17,7 @@ object Smoke {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoFunctions.ensureRegistered(spark)
 
     // 1. flagship entry
     val df = SparkEntry.entry(spark)

@@ -26,7 +26,9 @@ import org.apache.spark.sql.functions._
  */
 object SparkEntry {
 
-  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // the ST_* wrappers resolve against the session registry (idempotent)
+    graft.geo.GeoFunctions.ensureRegistered(spark)
     if (name == "events") {
       // events.parquet stores TIMESTAMP(NANOS); Spark reads nanos only as
       // long (legacy conf), so convert to microsecond timestamps on ingest
@@ -35,6 +37,7 @@ object SparkEntry {
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   // ---------------------------------------------------------------------
   // synthetic geo layers derived from relational tables (bit-identical in
@@ -103,6 +106,7 @@ object SparkEntry {
   // =====================================================================
 
   def entry(spark: SparkSession): DataFrame = {
+    graft.geo.GeoFunctions.ensureRegistered(spark)
     val tiles = SyntheticScenario.tiles(spark, nx = 24, ny = 24)
     val envs = SyntheticScenario.envelopes(spark, members = 51)
     ImpactPipeline.tileView(tiles, envs)

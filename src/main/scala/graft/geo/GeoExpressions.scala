@@ -1,6 +1,6 @@
 package graft.geo
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, QuaternaryExpression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,6 +106,91 @@ object GeoExpressions {
     override def prettyName: String = "st_distance_m"
   }
 
+  case class StDWithinMeters(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(a: Any, b: Any, m: Any): Any =
+      Geo.distanceMeters(geom(a), geom(b)) <= m.asInstanceOf[Double]
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): StDWithinMeters = copy(f, s, t)
+    override def prettyName: String = "st_dwithin_m"
+  }
+
+  case class StMakeValid(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(b: Any): Any = Geo.toWkb(Geo.makeValid(geom(b)))
+    override protected def withNewChildInternal(c: Expression): StMakeValid = copy(c)
+    override def prettyName: String = "st_make_valid"
+  }
+
+  case class StIntersection(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any = Geo.toWkb(geom(a).intersection(geom(b)))
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StIntersection =
+      copy(l, r)
+    override def prettyName: String = "st_intersection"
+  }
+
+  case class StX(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(b: Any): Any = geom(b).getCoordinate.x
+    override protected def withNewChildInternal(c: Expression): StX = copy(c)
+    override def prettyName: String = "st_x"
+  }
+
+  case class StY(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(b: Any): Any = geom(b).getCoordinate.y
+    override protected def withNewChildInternal(c: Expression): StY = copy(c)
+    override def prettyName: String = "st_y"
+  }
+
+  /** Line between the first coordinates of two (point) geometries. */
+  case class StMakeLine(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val (ga, gb) = (geom(a), geom(b))
+      Geo.toWkb(Geo.line(Seq((ga.getCoordinate.x, ga.getCoordinate.y),
+                             (gb.getCoordinate.x, gb.getCoordinate.y))))
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): StMakeLine =
+      copy(l, r)
+    override def prettyName: String = "st_make_line"
+  }
+
+  case class StBox(first: Expression, second: Expression, third: Expression, fourth: Expression)
+      extends QuaternaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(minLon: Any, minLat: Any, maxLon: Any, maxLat: Any): Any =
+      Geo.toWkb(Geo.box(minLon.asInstanceOf[Double], minLat.asInstanceOf[Double],
+        maxLon.asInstanceOf[Double], maxLat.asInstanceOf[Double]))
+    override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression,
+                                                   q: Expression): StBox = copy(f, s, t, q)
+    override def prettyName: String = "st_box"
+  }
+
+  case class StQuadkeyPolygon(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(qk: Any): Any =
+      Geo.toWkb(Quadkey.quadkeyPolygon(qk.asInstanceOf[UTF8String].toString))
+    override protected def withNewChildInternal(c: Expression): StQuadkeyPolygon = copy(c)
+    override def prettyName: String = "st_quadkey_polygon"
+  }
+
+  /** Quadkey cell id of a (lon, lat) at a zoom — pure arithmetic. */
+  case class StQuadkey(first: Expression, second: Expression, third: Expression)
+      extends TernaryExpression with CodegenFallback {
+    override def dataType: DataType = StringType
+    override def nullSafeEval(lon: Any, lat: Any, zoom: Any): Any =
+      UTF8String.fromString(Quadkey.quadkeyForLonLat(
+        lon.asInstanceOf[Double], lat.asInstanceOf[Double], zoom.asInstanceOf[Int]))
+    override protected def withNewChildrenInternal(f: Expression, s: Expression,
+                                                   t: Expression): StQuadkey = copy(f, s, t)
+    override def prettyName: String = "st_quadkey"
+  }
+
   /** Function registry entries: name -> builder. */
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "st_geomfromwkt" -> (es => StGeomFromWkt(es.head)),
@@ -117,7 +202,16 @@ object GeoExpressions {
     "st_area_m2" -> (es => StAreaM2(es.head)),
     "st_centroid" -> (es => StCentroid(es.head)),
     "st_buffer_m" -> (es => StBufferMeters(es(0), es(1))),
-    "st_distance_m" -> (es => StDistanceMeters(es(0), es(1))))
+    "st_distance_m" -> (es => StDistanceMeters(es(0), es(1))),
+    "st_dwithin_m" -> (es => StDWithinMeters(es(0), es(1), es(2))),
+    "st_make_valid" -> (es => StMakeValid(es.head)),
+    "st_intersection" -> (es => StIntersection(es(0), es(1))),
+    "st_x" -> (es => StX(es.head)),
+    "st_y" -> (es => StY(es.head)),
+    "st_make_line" -> (es => StMakeLine(es(0), es(1))),
+    "st_box" -> (es => StBox(es(0), es(1), es(2), es(3))),
+    "st_quadkey_polygon" -> (es => StQuadkeyPolygon(es.head)),
+    "st_quadkey" -> (es => StQuadkey(es(0), es(1), es(2))))
 
   /** Register the ST family on an existing session (idempotent). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -14,6 +14,7 @@ object TestSpark {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    graft.geo.GeoFunctions.ensureRegistered(s)
     s
   }
 }
