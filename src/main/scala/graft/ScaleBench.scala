@@ -48,6 +48,24 @@ object ScaleBench {
     val out = tv.agg(count(lit(1)), sum("n_members")).head()
     val secs = (System.nanoTime() - t0) / 1e9
     println(f"""{"metric":"scale_probability_join","tiles":$nGen,"envelopes":${51 * 5},"hit_rows":${out.getLong(0)},"member_hits":${out.getLong(1)},"sec":$secs%.2f,"tiles_per_sec":${(nGen / secs).toLong}}""")
+
+    // wind-field construction (S3): narrow per-row quadrant-arc polygons —
+    // the other per-row geometry hot path; scales with cores like the join
+    val nPoints = math.min(nTiles, 2000000L)
+    val pts = spark.range(nPoints).select(
+      col("id"),
+      (lit(-72.0) + (col("id") % 1000) * lit(0.001)).as("longitude"),
+      (lit(18.0) + (col("id") % 800) * lit(0.001)).as("latitude"),
+      (col("id") % 97).cast("double").as("radius_34_knot_winds_ne_km"),
+      (col("id") % 89).cast("double").as("radius_34_knot_winds_se_km"),
+      (col("id") % 83).cast("double").as("radius_34_knot_winds_sw_km"),
+      (col("id") % 79).cast("double").as("radius_34_knot_winds_nw_km"))
+      .repartition(cpus.toInt * 4)
+    val t1 = System.nanoTime()
+    val wf = graft.ops.Tracks.withWindFields(pts)
+    val nPolys = wf.filter(col("wind_field_polygon_34kt").isNotNull).count()
+    val secs1 = (System.nanoTime() - t1) / 1e9
+    println(f"""{"metric":"scale_wind_field","points":$nPoints,"polygons":$nPolys,"sec":$secs1%.2f,"points_per_sec":${(nPoints / secs1).toLong}}""")
     spark.stop()
   }
 }
