@@ -92,6 +92,12 @@ object Jobs {
     val withIds =
       if (level == 1) base // the mercator parquet already carries admin1 ids
       else AdminOverlay.assign(base.drop("id"), adminBoundaries)
+    if (level != 1) {
+      // persist the storm-independent tile→region mapping so each storm
+      // update reads it instead of re-running the overlay over every tile
+      store.writeParquet(withIds.select("tile_id", "id"),
+        s"admin_views/${country}_admin${level}_tile_map.parquet")
+    }
     val rolled = Aggregations.adminRollup(withIds.drop("tile_id", "geometry"), "id")
       .withColumnRenamed("id", "tile_id")
       .join(broadcast(adminBoundaries.select(col("id").as("tile_id"), col("name"), col("geometry"))),
@@ -173,7 +179,9 @@ object Jobs {
       val adminsN = if (level == 1) admins
         else store.readParquet(spark, s"admin_views/${country}_admin$level.parquet")
           .select(col("tile_id").as("id"), col("name"), col("geometry"))
+      val mapRel = s"admin_views/${country}_admin${level}_tile_map.parquet"
       val tileIds = if (level == 1) tiles.select("tile_id", "id")
+        else if (store.exists(mapRel)) store.readParquet(spark, mapRel) // precomputed at init
         else AdminOverlay.assign(tiles.select("tile_id", "geometry"), adminsN)
           .select("tile_id", "id")
       val avN = ImpactPipeline.adminView(

@@ -131,8 +131,12 @@ class JobsSpec extends SparkSpec {
     val c2 = cci2.agg(sum("E_CCI_pop")).as[Double].head()
     assert(math.abs(c1 - c2) < 1e-6, s"cci admin1=$c1 admin2=$c2")
 
+    // the storm-independent tile map was persisted at init and used by update
+    assert(store.exists(s"admin_views/${country}_admin2_tile_map.parquet"))
+
     // cleanup so the remaining single-level tests keep their expectations
     store.remove(s"admin_views/${country}_admin2.parquet")
+    store.remove(s"admin_views/${country}_admin2_tile_map.parquet")
   }
 
   test("patch overwrites a column and re-aggregates admin views") {
