@@ -404,6 +404,15 @@ object SparkEntry {
         .groupBy(col("lang"), col("lang_pred")).agg(count(lit(1)).as("n"))
         .orderBy(col("lang"), col("lang_pred"))
     }),
+    "d08_embedding_neardup" -> ((s, d) => {
+      // embedding-cosine near-dup, exact baseline (ids only: the 0.375
+      // threshold is dyadic and the cosines are sequential double folds, so
+      // the pair set is bit-identical to the DuckDB oracle). The LSH-bucketed
+      // scale path is Dedup.cosineNearDupPairs (DedupSpec).
+      Dedup.cosineNearDupExact(t(s, d, "embeddings"), "vec_id", "embedding", 0.375)
+        .select(col("id_a"), col("id_b"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d07_fingerprint" -> ((s, d) => {
       TextAnalysis.withFingerprint(t(s, d, "documents"))
         .select(col("doc_id"), col("fingerprint"))
@@ -762,6 +771,16 @@ object SparkEntry {
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "s02_stream_dedup" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
+    "d08_embedding_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id AND
+        |  list_reduce(list_apply(list_zip(a.embedding, b.embedding),
+        |    p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (x, y) -> x + y)
+        |  / (sqrt(list_reduce(list_apply(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+        |     * sqrt(list_reduce(list_apply(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
+        |  >= 0.375
+        |ORDER BY id_a, id_b""".stripMargin,
     "m01_media_features" ->
       """SELECT p_partkey AS media_id,
         | CASE WHEN p_partkey % 3 = 0 THEN 'image'

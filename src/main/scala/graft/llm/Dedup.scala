@@ -7,10 +7,12 @@ import org.apache.spark.sql.functions._
 /**
  * Deduplication operators for training-data pipelines:
  *
- *  - [[exact]]            hash-groupBy exact dedup
- *  - [[minhashLsh]]       MinHash + LSH banding near-dup candidate pairs
- *  - [[simhash]]          64-bit SimHash + banded Hamming neighbor search
- *  - [[ngramJaccard]]     exact n-gram Jaccard verification on candidates
+ *  - [[exact]]              hash-groupBy exact dedup
+ *  - [[minhashLsh]]         MinHash + LSH banding near-dup candidate pairs
+ *  - [[simhash]]            64-bit SimHash + banded Hamming neighbor search
+ *  - [[ngramJaccard]]       exact n-gram Jaccard verification on candidates
+ *  - [[cosineNearDupPairs]] embedding-cosine near-dup (sign-LSH buckets +
+ *                           exact verify); [[cosineNearDupExact]] baseline
  *
  * Scale design: every stage is either a narrow map or a shuffle keyed on a
  * hash/bucket value whose cardinality grows with the data (no broadcast of
@@ -183,6 +185,44 @@ object Dedup {
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /**
+   * Embedding-cosine near-duplicate pairs, scale path: random-hyperplane
+   * sign buckets (multiple tables) propose candidates, exact cosine verifies
+   * `>= minCosine`. Shuffle is keyed on (table, bucket) — output-bound, not
+   * O(n²). Recall is probabilistic (sign-LSH): with `tables` hash tables a
+   * pair at cosine c survives with 1-(1-(1-acos(c)/π)^bits)^tables — near 1
+   * for true near-dups (c ≥ 0.9) at the defaults; use
+   * [[cosineNearDupExact]] when exact recall matters more than scale.
+   */
+  def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double, dim: Int,
+                         bits: Int = 8, tables: Int = 8): DataFrame = {
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      posexplode(array((0 until tables).map(t =>
+        Similarity.hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
+        .as(Seq("table", "bucket"))).cache()
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs variant (the correctness baseline / oracle path):
+    * O(n²/2) — bound the input (subset, partition) before calling at scale. */
+  def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame = {
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b", "cosine")
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs

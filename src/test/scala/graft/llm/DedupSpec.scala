@@ -77,6 +77,31 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("embedding-cosine near-dup: LSH path finds the exact pair set on clustered vectors") {
+    // 3 clusters of near-identical vectors (small jitter) + isolated noise:
+    // true near-dups sit at cosine ~0.99, cross-cluster far below
+    val rng = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(3)(Array.fill(dim)(rng.nextGaussian()))
+    val rows = (0 until 30).map { i =>
+      val v =
+        if (i < 24) centers(i % 3).map(x => (x + rng.nextGaussian() * 0.01).toFloat)
+        else Array.fill(dim)(rng.nextGaussian().toFloat)
+      (i.toLong, v.toSeq)
+    }
+    val df = rows.toDF("vec_id", "embedding")
+
+    val exact = Dedup.cosineNearDupExact(df, "vec_id", "embedding", 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.size >= 24 * 7 / 2, s"clusters should be dense, got ${exact.size}")
+
+    val lsh = Dedup.cosineNearDupPairs(df, "vec_id", "embedding", 0.9, dim)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // LSH can only MISS candidates, never invent them (exact verify step)
+    assert((lsh -- exact).isEmpty, s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+  }
+
   test("ngram jaccard on candidate pairs") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(pairs, docs, "doc_id")
