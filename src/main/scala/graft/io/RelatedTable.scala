@@ -78,26 +78,44 @@ object RelatedTable {
 
   /**
    * Flatten the discovered files into one related-table DataFrame: base
-   * properties from each filename + the allowed metric columns present in
+   * properties from each FILENAME + the allowed metric columns present in
    * that file; files with differing metric sets union by name (missing →
    * null, like the reference's per-file dict rows).
+   *
+   * Scale shape: files are grouped by their header line (one cheap driver
+   * read of the first line each), and each header group becomes ONE
+   * multi-path csv scan whose per-row base properties are parsed from
+   * `input_file_name()` inside the plan (the F-series regex ops). Plan depth
+   * is the number of DISTINCT SCHEMAS, not the number of files — a
+   * thousand-storm backfill stays a handful of scan nodes.
    */
   def rows(spark: SparkSession, store: DataStore, files: Seq[AdminImpactFile],
            geomColumn: String = "tile_id"): DataFrame = {
     require(files.nonEmpty, "no admin impact files to flatten")
-    val slices = files.map { f =>
+    val byHeader: Seq[Seq[AdminImpactFile]] = files.groupBy { f =>
+      val src = scala.io.Source.fromFile(store.path("admin_impact_views", f.file))
+      try src.getLines().nextOption().getOrElse("") finally src.close()
+    }.toSeq.sortBy(_._1).map(_._2)
+
+    // filename regex evaluated per row against input_file_name()
+    val fileRe = """([A-Z0-9]{3})_(.+)_(\d{14})_(\d+)_admin([1-5])\.csv"""
+    val fname = regexp_extract(input_file_name(), "([^/]+)$", 1)
+
+    val slices = byHeader.map { group =>
+      val paths = group.map(f => store.path("admin_impact_views", f.file))
       val raw = graft.ops.Ingest.dropUnnamedColumns(
-        store.readCsv(spark, s"admin_impact_views/${f.file}"))
+        spark.read.option("header", "true").option("inferSchema", "true").csv(paths: _*))
       val geomCol = Seq(geomColumn, "tile_id", "zone_id").find(raw.columns.contains)
         .getOrElse(throw new IllegalArgumentException(
-          s"${f.file}: no geometry id column ($geomColumn/tile_id/zone_id)"))
+          s"${group.head.file}: no geometry id column ($geomColumn/tile_id/zone_id)"))
       val metrics = raw.columns.filter(AllowedMetricColumns.contains).toSeq
       val baseCols = Seq(
-        lit(f.country).as("country_code"),
-        lit(f.storm).as("storm"),
-        lit(f.level).as("admin_level"),
-        lit(formatForecastTime(f.forecast)).as("forecast_time"),
-        lit(f.wind).as("wind_threshold"),
+        regexp_extract(fname, fileRe, 1).as("country_code"),
+        regexp_extract(fname, fileRe, 2).as("storm"),
+        regexp_extract(fname, fileRe, 5).cast("int").as("admin_level"),
+        date_format(to_timestamp(regexp_extract(fname, fileRe, 3), "yyyyMMddHHmmss"),
+          "yyyy-MM-dd'T'HH:mm:ss").as("forecast_time"),
+        regexp_extract(fname, fileRe, 4).cast("int").as("wind_threshold"),
         col(geomCol).cast("string").as("geom_id"))
       raw.select(baseCols ++ metrics.map(col): _*)
     }
