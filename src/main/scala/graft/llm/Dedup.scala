@@ -199,16 +199,23 @@ object Dedup {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double, dim: Int,
                          bits: Int = 8, tables: Int = 8): DataFrame = {
+    // norms computed once per ROW (n folds), the per-pair work is one dot;
+    // cosine = dot/(na*nb) is the exact expression the oracle computes
     val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      Similarity.normFast(col(vecCol)).as("__n"),
       posexplode(array((0 until tables).map(t =>
         Similarity.hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
         .as(Seq("table", "bucket"))).cache()
-    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"), col("__v").as("__va"))
-    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"), col("__v").as("__vb"))
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"),
+      col("__v").as("__va"), col("__n").as("__na"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"),
+      col("__v").as("__vb"), col("__n").as("__nb"))
     a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b")
-      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"))
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .withColumn("cosine",
+        Similarity.dotFast(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
@@ -217,10 +224,13 @@ object Dedup {
     * O(n²/2) — bound the input (subset, partition) before calling at scale. */
   def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"))
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"))
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
+      Similarity.normFast(col(vecCol)).as("__na"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
+      Similarity.normFast(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("__va"), col("__vb")))
+      .withColumn("cosine",
+        Similarity.dotFast(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

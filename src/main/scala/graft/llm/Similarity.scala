@@ -31,6 +31,26 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /**
+   * JIT-compiled twins of [[dot]]/[[norm]] with IDENTICAL arithmetic (the
+   * same float→double sequential fold, so results are bit-identical to the
+   * built-in `aggregate` formulation and to a DuckDB `list_reduce` oracle).
+   * The higher-order-function expressions evaluate their lambda interpreted
+   * per element — fine for thousands of pairs, ruinous for millions; these
+   * run as one tight loop per row.
+   */
+  val dotFast = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var acc = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  val normFast = udf { (a: Seq[Float]) =>
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+    math.sqrt(acc)
+  }
+
+  /**
    * Exact top-k neighbors for each query vector.
    * @param corpus  (idCol, vecCol) — any size
    * @param queries (idCol, vecCol) — small enough to broadcast
