@@ -11,8 +11,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.geo.GeoFunctions.ensureRegistered(spark)
-    // warmup: pay one-time session/codegen costs outside the measurements
+    // warmup: pay one-time session/codegen/JIT costs outside the
+    // measurements — run every query once, untimed, at the smallest SF so
+    // each query shape's generated code is compiled before its measured run
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
