@@ -194,6 +194,10 @@ object Jobs {
       store.writeSingleCsv(cciAdminN, s"admin_impact_views/${prefix}admin${level}_cci.csv")
       if (level == 1) av = avN.cache()
     }
+    // the JSON report always reads the admin1 view, even when level 1 is not
+    // among the initialized levels (impact_analysis.py:2909-2914)
+    if (av == null)
+      av = ImpactPipeline.adminView(tv, tiles.select("tile_id", "id"), admins).cache()
 
     // track view
     (facilityViews("school"), facilityViews("hc")) match {
