@@ -47,9 +47,12 @@ object ImpactStream {
             trigger: Trigger = Trigger.AvailableNow(),
             onResult: BatchResult => Unit = _ => ()): StreamingQuery = {
     val stream = spark.readStream.schema(DropSchema).parquet(dropDir)
+    // one checkpoint per watched directory (String.hashCode is stable
+    // across JVMs) — two drop feeds into the same store never collide
+    val ckpt = s"impact_stream_ckpt_${java.lang.Integer.toHexString(dropDir.hashCode)}"
     stream.writeStream
       .outputMode("append")
-      .option("checkpointLocation", store.path("control", "impact_stream_ckpt"))
+      .option("checkpointLocation", store.path("control", ckpt))
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val keys = batch.select("track_id", "forecast_time").distinct()
           .orderBy("track_id", "forecast_time").collect()
