@@ -16,13 +16,23 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.geo.GeoFunctions.ensureRegistered(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+    // Run queries concurrently: each coalesce(1) write is a single-task
+    // stage, so a sequential loop leaves cores idle most of the wall time.
+    // SparkSession is thread-safe for concurrent job submission.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(2, cpus.toInt))
+    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+      pool.submit(new Runnable {
+        def run(): Unit =
+          try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+          catch { case e: Throwable =>
+            System.err.println(s"[verify] $name failed: ${e.getMessage}")
+          }
+      })
     }
+    futures.foreach(_.get())
+    pool.shutdown()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
