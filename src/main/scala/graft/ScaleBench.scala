@@ -66,6 +66,38 @@ object ScaleBench {
     val nPolys = wf.filter(col("wind_field_polygon_34kt").isNotNull).count()
     val secs1 = (System.nanoTime() - t1) / 1e9
     println(f"""{"metric":"scale_wind_field","points":$nPoints,"polygons":$nPolys,"sec":$secs1%.2f,"points_per_sec":${(nPoints / secs1).toLong}}""")
+
+    // related-table flatten (S17): many small per-(storm,threshold,level)
+    // CSVs → one long frame. The scale property under test: plan depth is
+    // the number of DISTINCT HEADERS (3 here), not the number of files, so
+    // a thousand-storm backfill stays a handful of multi-path scans.
+    val nFiles = sys.env.getOrElse("SPARK_GRAFT_RT_FILES", "300").toInt
+    val rowsPerFile = 500
+    val rtRoot = java.nio.file.Files.createTempDirectory("graft_rt_scale").toString
+    val store = new graft.io.DataStore(rtRoot)
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$rtRoot/admin_impact_views"))
+    // three header groups: full metrics, no-facilities, population-only
+    val headers = Seq(
+      "tile_id,E_population,E_built_surface_m2,E_num_schools,probability",
+      "tile_id,E_population,E_built_surface_m2,probability",
+      "tile_id,E_population,probability")
+    (0 until nFiles).foreach { i =>
+      val name = f"PHL_STORM${i % 40}%02d_202601${(i % 28) + 1}%02d000000_${Seq(34, 50, 64)(i % 3)}_admin${(i % 3) + 1}.csv"
+      val h = headers(i % headers.size)
+      val nCols = h.count(_ == ',')
+      val body = (0 until rowsPerFile).map { r =>
+        (Seq(s"t$r") ++ (1 to nCols).map(c => ((r * c) % 1000).toString)).mkString(",")
+      }.mkString("\n")
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$rtRoot/admin_impact_views/$name"), h + "\n" + body)
+    }
+    val t2 = System.nanoTime()
+    val discovered = graft.io.RelatedTable.discover(store)
+    val flat = graft.io.RelatedTable.rows(spark, store, discovered)
+    val nRows = flat.agg(count(lit(1))).head().getLong(0)
+    val secs2 = (System.nanoTime() - t2) / 1e9
+    println(f"""{"metric":"scale_related_table_flatten","files":${discovered.size},"rows":$nRows,"header_groups":${headers.size},"sec":$secs2%.2f,"rows_per_sec":${(nRows / secs2).toLong}}""")
+    store.remove("")
     spark.stop()
   }
 }
