@@ -1,0 +1,65 @@
+package graft.plans
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.ExplainMode
+
+/**
+ * Plan-shape regression guards: the scale properties PERF.md documents
+ * (pushdown, column pruning, broadcast dimension joins, shuffle counts)
+ * asserted against the real sf0.001 parquet, so a refactor that silently
+ * degrades a plan fails the suite instead of only the next bench review.
+ * Planning only — nothing here executes a job.
+ */
+class PlanSpec extends SparkSpec {
+  private val sf = "/root/testdata/sf0.001"
+
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  /** Formatted explain prints each node twice (tree line + detail header);
+    * count only the `(n) Exchange` detail headers. */
+  private def exchangeCount(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).size
+
+  test("q02: filters are pushed to the parquet scan and columns pruned") {
+    val p = formatted("q02_filter_project")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_quantity,48"), p)
+    assert(p.contains("GreaterThan(l_discount,0.07"), p)
+    // the 16-column lineitem scan must read only the 5 needed columns
+    assert(!p.contains("l_comment"), "scan reads unprojected column:\n" + p)
+    assert(!p.contains("l_shipmode"), "scan reads unprojected column:\n" + p)
+  }
+
+  test("q05: dimension joins broadcast; no sort-merge join") {
+    val p = formatted("q05_dim_join")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q01: aggregation is partial (map-side combine) before the shuffle") {
+    val p = formatted("q01_pricing_summary")
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("partial_"), "no partial aggregation before exchange:\n" + p)
+  }
+
+  test("g01: tile probability plan has at most the output-sort shuffle") {
+    val p = formatted("g01_tile_probability")
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 1, s"expected <=1 Exchange, found $exchanges:\n$p")
+  }
+
+  test("q09: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = formatted("q09_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("d06: langid scoring stays narrow until the final grouped count") {
+    val p = formatted("d06_langid")
+    // one shuffle for the groupBy, one for the output sort — the per-row
+    // tokenize/score pipeline itself must not shuffle
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 2, s"expected <=2 Exchange, found $exchanges:\n$p")
+  }
+}
