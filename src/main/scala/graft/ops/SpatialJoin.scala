@@ -134,10 +134,19 @@ object SpatialJoin {
    * exact JTS intersects predicate; duplicates (a pair sharing several
    * cells) are removed by keeping only the pair's lexicographically-least
    * common cell (the standard "reference point" dedup — no distinct shuffle).
+   *
+   * `salts > 1` splits each cell key across that many reducers for skewed
+   * data (one mega-city cell holding a large share of the left side): the
+   * left side gets a deterministic per-row salt digit, the right side is
+   * replicated across all digits, so every candidate pair still meets
+   * exactly once per common cell and the output is identical to `salts = 1`.
+   * Costs a `salts`× replication of the right side's shuffled bytes — use
+   * with the denser side as `left`.
    */
   def quadkeyRefineJoin(left: DataFrame, leftGeom: String,
                         right: DataFrame, rightGeom: String,
-                        zoom: Int): DataFrame = {
+                        zoom: Int, salts: Int = 1): DataFrame = {
+    require(salts >= 1, s"salts must be >= 1, got $salts")
     val coverUdf = udf { (g: Array[Byte]) =>
       if (g == null) null
       else {
@@ -145,9 +154,14 @@ object SpatialJoin {
         Quadkey.cover(env.getMinX, env.getMinY, env.getMaxX, env.getMaxY, zoom)
       }
     }
-    val l = left.withColumn("__cell", explode(coverUdf(col(leftGeom))))
-    val r = right.withColumn("__cell", explode(coverUdf(col(rightGeom))))
-    val joined = l.join(r, Seq("__cell"))
+    val l0 = left.withColumn("__cell", explode(coverUdf(col(leftGeom))))
+    val r0 = right.withColumn("__cell", explode(coverUdf(col(rightGeom))))
+    val (l, r, joinKeys) =
+      if (salts == 1) (l0, r0, Seq("__cell"))
+      else (l0.withColumn("__salt", pmod(xxhash64(col(leftGeom)), lit(salts.toLong)).cast("int")),
+            r0.withColumn("__salt", explode(array((0 until salts).map(lit): _*))),
+            Seq("__cell", "__salt"))
+    val joined = l.join(r, joinKeys)
     val intersectsUdf = udf { (a: Array[Byte], b: Array[Byte]) =>
       Geo.fromWkb(a).intersects(Geo.fromWkb(b))
     }
@@ -161,6 +175,6 @@ object SpatialJoin {
     joined
       .filter(col("__cell") === minCommonCell(col(leftGeom), col(rightGeom)))
       .filter(intersectsUdf(col(leftGeom), col(rightGeom)))
-      .drop("__cell")
+      .drop("__cell", "__salt")
   }
 }

@@ -73,6 +73,13 @@ class SpatialJoinSpec extends SparkSpec {
     } yield (lid, rid)).toSet
 
     assert(refined == expected, s"missing=${expected -- refined} extra=${refined -- expected}")
+
+    // salted variant (skew fan-out) must produce the identical pair set:
+    // each pair still meets exactly once per common cell
+    val salted = SpatialJoin.quadkeyRefineJoin(left, "geometry", right, "rgeometry",
+        zoom = 8, salts = 4)
+      .select("lid", "rid").as[(String, String)].collect().toSet
+    assert(salted == expected, s"missing=${expected -- salted} extra=${salted -- expected}")
   }
 
   test("broadcastMatch contains predicate") {
