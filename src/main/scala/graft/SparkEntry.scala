@@ -561,6 +561,23 @@ object SparkEntry {
           countries, "geometry", geoEnvelopes(s, d), "geometry", meters = 5.0e5)
         .select("n_name").orderBy("n_name")
     }),
+    "d09_bpeish_tokens" -> ((s, d) => {
+      // BPE-ish pre-tokenizer count (word pieces + standalone punctuation)
+      t(s, d, "documents").select(col("doc_id"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
+        .orderBy(col("doc_id"))
+    }),
+    "q29_salted_agg" -> ((s, d) => {
+      // two-phase salted aggregation (skew lever) — integer sums, so the
+      // salt-split summation order is exact and the result hash-matches the
+      // plain GROUP BY oracle
+      graft.ops.Skew.saltedAgg(
+          t(s, d, "orders").withColumn("mod_key", col("o_orderkey") % 100),
+          Seq("o_orderpriority"), salts = 8, Seq(
+            ("sum_mod", sum(col("mod_key")), (c: Column) => sum(c)),
+            ("n", count(lit(1)), (c: Column) => sum(c))))
+        .orderBy(col("o_orderpriority"))
+    }),
     // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
     "g05_impact_pipeline" -> ((s, d) => {
       val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)
@@ -860,6 +877,15 @@ object SparkEntry {
       """SELECT lang,
         | CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT) AS total_tokens,
         | CAST(SUM(length(text)) AS BIGINT) AS total_chars, COUNT(*) AS n_docs
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // \w and \s are ASCII classes in both Java regex (default) and RE2, so
+    // the segment count equals the match count of `\w+|[^\w\s]`
+    "d09_bpeish_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '\w+|[^\w\s]')) AS INTEGER) AS n_bpeish
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q29_salted_agg" ->
+      """SELECT o_orderpriority, CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_mod, COUNT(*) AS n
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
   )
 }
