@@ -567,6 +567,16 @@ object SparkEntry {
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "d10_corpus_clean" -> ((s, d) => {
+      // end-to-end corpus cleaning, SQL-expressible path (nearDup=false —
+      // the MinHash stage uses custom hashing and is spec-checked instead):
+      // quality filter -> exact dedup (min id per text group) -> langid filter
+      graft.llm.CorpusPipeline.clean(t(s, d, "documents"),
+          cfg = graft.llm.CorpusCleanConfig(minChars = 50, minTokens = 10,
+            maxPunctRatio = 0.25, keepLangs = Set("en", "es"), nearDup = false))
+        .select(col("doc_id"), col("n_tokens"), col("lang_pred"))
+        .orderBy(col("doc_id"))
+    }),
     "q29_salted_agg" -> ((s, d) => {
       // two-phase salted aggregation (skew lever) — integer sums, so the
       // salt-split summation order is exact and the result hash-matches the
@@ -886,6 +896,40 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q29_salted_agg" ->
       """SELECT o_orderpriority, CAST(SUM(o_orderkey % 100) AS BIGINT) AS sum_mod, COUNT(*) AS n
-        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "d10_corpus_clean" ->
+      """WITH q AS (
+        |  SELECT doc_id, text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |  WHERE length(text) >= 50
+        |    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 10
+        |    AND CASE WHEN length(text) > 0 THEN
+        |      CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text)
+        |    END <= 0.25
+        |), kept AS (
+        |  SELECT doc_id, text, n_tokens FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY text ORDER BY doc_id) AS rn FROM q) t
+        |  WHERE rn = 1
+        |), toks AS (
+        |  SELECT doc_id, n_tokens, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM kept
+        |), hits AS (
+        |  SELECT doc_id, n_tokens,
+        |    len(list_filter(tk, t -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], t))) AS h_de,
+        |    len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are'], t))) AS h_en,
+        |    len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','los','del','se','las','por','un'], t))) AS h_es,
+        |    len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], t))) AS h_fr,
+        |    len(list_filter(tk, t -> list_contains(['de','a','o','que','e','do','da','em','um','para','com','os'], t))) AS h_pt
+        |  FROM toks
+        |), pred AS (
+        |  SELECT doc_id, n_tokens,
+        |    CASE WHEN m = 0 OR ((h_de = m)::INT + (h_en = m)::INT + (h_es = m)::INT
+        |                        + (h_fr = m)::INT + (h_pt = m)::INT) > 1 THEN NULL
+        |         WHEN h_pt = m THEN 'pt' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+        |         WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred
+        |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_pt) AS m FROM hits) x
+        |)
+        |SELECT doc_id, n_tokens, lang_pred FROM pred WHERE lang_pred IN ('en','es')
+        |ORDER BY doc_id""".stripMargin
   )
 }
