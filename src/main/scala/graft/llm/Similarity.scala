@@ -154,27 +154,64 @@ object Similarity {
       (c, d)
     }.sortBy(_._2).take(nprobe).map(_._1).toArray
 
+  /** Persist an IVF centroid set as a small parquet (one row per cell).
+    * The index is built once and reused across query batches — at corpus
+    * scale the expensive part is assigning cells to the corpus, and that
+    * too is done once via [[assignCells]] + a `partitionBy("cell")` write. */
+  def saveIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   centroids: Array[Array[Double]], path: String): Unit = {
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvfModel(spark: org.apache.spark.sql.SparkSession,
+                   path: String): Array[Array[Double]] =
+    spark.read.parquet(path).orderBy("cell")
+      .collect().map(_.getSeq[Double](1).toArray)
+
+  /** Corpus with its nearest-centroid cell attached — write this
+    * `partitionBy("cell")` so probe queries prune to `nprobe` of `nCells`
+    * partitions at the parquet scan. */
+  def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
+                  vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else Integer.valueOf(nearestCentroid(v.toArray.map(_.toDouble), bc.value))
+    }
+    corpus.withColumn("cell", assignUdf(col(vecCol)))
+  }
+
   /**
    * IVF-bucketed top-k: corpus rows live in their nearest-centroid cell;
    * each query probes its `nprobe` nearest cells; cosine scored only on
    * candidates. Equi-join on cell id — shuffle keyed by cell, output-bound.
+   * Builds the index inline; for a persisted index use [[ivfIndex]] +
+   * [[saveIvfModel]]/[[loadIvfModel]] + [[assignCells]] and call
+   * [[ivfTopKAssigned]] with the prepartitioned corpus.
    */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
               nCells: Int = 16, nprobe: Int = 4,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val centroids = ivfIndex(corpus, dim, nCells, idCol = idCol, vecCol = vecCol)
-    val spark = corpus.sparkSession
-    val bc = spark.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null
-      else Integer.valueOf(nearestCentroid(v.toArray.map(_.toDouble), bc.value))
-    }
+    val assigned = assignCells(
+      corpus.select(col(idCol), col(vecCol)), centroids, vecCol)
+    ivfTopKAssigned(assigned, queries, centroids, k, nprobe, idCol, vecCol)
+  }
+
+  /** Probe a cell-assigned corpus (column `cell`, e.g. read back from a
+    * `partitionBy("cell")` parquet) with a prebuilt centroid set. */
+  def ivfTopKAssigned(assigned: DataFrame, queries: DataFrame,
+                      centroids: Array[Array[Double]], k: Int, nprobe: Int = 4,
+                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bc = assigned.sparkSession.sparkContext.broadcast(centroids)
     val probeUdf = udf { (v: Seq[Float]) =>
       if (v == null) null
       else probeCells(v.toArray.map(_.toDouble), bc.value, nprobe)
     }
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-      .withColumn("cell", assignUdf(col("__cv")))
+    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cand = c.join(q, Seq("cell"))

@@ -61,4 +61,40 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall >= 0.8, s"recall $recall")
   }
+
+  test("persisted IVF index: model round-trips and a cell-partitioned corpus probe " +
+    "matches the inline build with partition pruning at the scan") {
+    val rng = new scala.util.Random(9)
+    val corpus = (0 until 150).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat))).toDF("vec_id", "embedding")
+    val queries = corpus.filter($"vec_id" < 5)
+    val tmp = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+
+    val centroids = Similarity.ivfIndex(corpus, dim = 16, k = 8)
+    Similarity.saveIvfModel(spark, centroids, s"$tmp/model")
+    val loaded = Similarity.loadIvfModel(spark, s"$tmp/model")
+    assert(loaded.length == centroids.length)
+    assert(loaded.zip(centroids).forall { case (a, b) => a.sameElements(b) })
+
+    // build once, write partitioned by cell, probe the persisted layout
+    Similarity.assignCells(corpus, loaded)
+      .write.partitionBy("cell").parquet(s"$tmp/corpus")
+    val persisted = spark.read.parquet(s"$tmp/corpus")
+    val viaPersisted = Similarity.ivfTopKAssigned(persisted, queries, loaded, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val inline = Similarity.ivfTopK(corpus, queries, k = 3, dim = 16,
+        nCells = 8, nprobe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(viaPersisted == inline)
+
+    // the scale property: a probe that names its cells prunes the scan to
+    // those partitions instead of reading the whole corpus
+    val pruned = persisted.filter($"cell".isin(0, 1))
+    val plan = pruned.queryExecution.executedPlan.toString()
+    assert(plan.contains("PartitionFilters"), plan)
+    val readFiles = pruned.select(input_file_name()).distinct().as[String].collect()
+    assert(readFiles.nonEmpty &&
+      readFiles.forall(f => f.contains("cell=0") || f.contains("cell=1")),
+      s"scan read outside the probed cells: ${readFiles.mkString(", ")}")
+  }
 }
