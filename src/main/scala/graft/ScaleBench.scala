@@ -98,6 +98,21 @@ object ScaleBench {
     val secs2 = (System.nanoTime() - t2) / 1e9
     println(f"""{"metric":"scale_related_table_flatten","files":${discovered.size},"rows":$nRows,"header_groups":${headers.size},"sec":$secs2%.2f,"rows_per_sec":${(nRows / secs2).toLong}}""")
     store.remove("")
+
+    // minhash signature (dedup hot path): one narrow UDF pass computing all
+    // 64 hash minima per ~200-char document — the per-row cost that
+    // dominates corpus dedup; scales with cores, no shuffle
+    val nDocs = math.min(nTiles, 500000L)
+    val docs = spark.range(nDocs).select(col("id"),
+      concat_ws(" ", (0 until 30).map(j =>
+        concat(lit(s"w$j"), ((col("id") * (j + 7)) % 1000).cast("string"))): _*).as("text"))
+      .repartition(cpus.toInt * 4)
+    val t3 = System.nanoTime()
+    val nSigs = docs
+      .select(graft.llm.Dedup.minhashSignature(col("text"), 5, 64).as("sig"))
+      .filter(size(col("sig")) === 64).count()
+    val secs3 = (System.nanoTime() - t3) / 1e9
+    println(f"""{"metric":"scale_minhash_signature","docs":$nSigs,"hashes":64,"sec":$secs3%.2f,"docs_per_sec":${(nSigs / secs3).toLong}}""")
     spark.stop()
   }
 }
