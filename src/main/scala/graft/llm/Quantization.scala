@@ -1,0 +1,179 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Product quantization (PQ) for embedding similarity at corpus scale: each
+ * vector is split into `m` subvectors, each subvector replaced by the id of
+ * its nearest codeword from a per-subspace codebook (k ≤ 256 → one byte per
+ * subvector). A `dim`-float embedding compresses to `m` bytes (e.g. 128
+ * floats = 512 bytes → 8 bytes at m=8), so a 100 TB float corpus becomes a
+ * ~1.5 TB code table that stays scan-resident.
+ *
+ * Search uses asymmetric distance computation (ADC): per query, an m × k
+ * table of exact subvector distances is precomputed once; each corpus row
+ * is scored with m table lookups — no float vector is touched at scan time.
+ *
+ * Scale shape: training is a bounded driver-side sample (like [[Similarity.ivfIndex]]);
+ * encoding is one narrow UDF pass; ADC scoring is a narrow pass over the
+ * code column with broadcast lookup tables + a top-k window. Compose with
+ * IVF cells ([[Similarity.assignCells]]) for the classic IVF-PQ layout:
+ * partition pruning picks the cells, ADC ranks inside them.
+ */
+object Quantization {
+
+  /** `codebooks(j)(c)` = codeword `c` of subspace `j`, length `dim / m`. */
+  case class PqModel(dim: Int, m: Int, k: Int,
+                     codebooks: Array[Array[Array[Double]]]) {
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    require(k <= 256, "k must fit a byte code")
+    val subDim: Int = dim / m
+  }
+
+  /** Train per-subspace codebooks with seeded Lloyd's k-means on a bounded
+    * sample (deterministic; the sample bound makes the driver step cheap). */
+  def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
+            sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L,
+            vecCol: String = "embedding"): PqModel = {
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
+    val sample = corpus.select(vecCol).limit(sampleSize).collect()
+      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    require(sample.nonEmpty, "empty corpus")
+    val subDim = dim / m
+    val rng = new scala.util.Random(seed)
+    val codebooks = Array.tabulate(m) { j =>
+      val subs = sample.map(v => java.util.Arrays.copyOfRange(v, j * subDim, (j + 1) * subDim))
+      var cents = Array.fill(k)(subs(rng.nextInt(subs.length)).clone())
+      (0 until iterations).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Double](subDim))
+        val counts = new Array[Int](k)
+        subs.foreach { s =>
+          val c = nearest(s, cents)
+          counts(c) += 1
+          var i = 0
+          while (i < subDim) { sums(c)(i) += s(i); i += 1 }
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) subs(rng.nextInt(subs.length)).clone()
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents
+    }
+    PqModel(dim, m, k, codebooks)
+  }
+
+  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      var d = 0.0; var i = 0
+      val cen = cents(c)
+      while (i < cen.length) {
+        val x = (if (i < v.length) v(i) else 0.0) - cen(i); d += x * x; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** One narrow pass: embedding → `m`-byte PQ code. */
+  def encode(df: DataFrame, model: PqModel, vecCol: String = "embedding",
+             codeCol: String = "pq_code"): DataFrame = {
+    val bc = df.sparkSession.sparkContext.broadcast(model)
+    val enc = udf { (v: Seq[Float]) =>
+      if (v == null) null
+      else {
+        val mod = bc.value
+        val d = v.toArray.map(_.toDouble)
+        Array.tabulate(mod.m) { j =>
+          val sub = java.util.Arrays.copyOfRange(
+            d, j * mod.subDim, math.min((j + 1) * mod.subDim, d.length))
+          nearest(sub, mod.codebooks(j)).toByte
+        }
+      }
+    }
+    df.withColumn(codeCol, enc(col(vecCol)))
+  }
+
+  /** Persist/load a model as a tiny parquet (one row per (subspace, code)). */
+  def saveModel(spark: SparkSession, model: PqModel, path: String): Unit = {
+    import spark.implicits._
+    val rows = for {
+      j <- model.codebooks.indices; c <- model.codebooks(j).indices
+    } yield (model.dim, model.m, model.k, j, c, model.codebooks(j)(c).toSeq)
+    rows.toDF("dim", "m", "k", "subspace", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def loadModel(spark: SparkSession, path: String): PqModel = {
+    val rows = spark.read.parquet(path).orderBy("subspace", "code").collect()
+    val head = rows.head
+    val (dim, m, k) = (head.getInt(0), head.getInt(1), head.getInt(2))
+    val books = Array.ofDim[Array[Double]](m, k)
+    rows.foreach { r => books(r.getInt(3))(r.getInt(4)) = r.getSeq[Double](5).toArray }
+    PqModel(dim, m, k, books.map(_.toArray))
+  }
+
+  /**
+   * ADC top-k by approximate squared L2 distance: queries (small, broadcast)
+   * get per-subspace lookup tables computed once per executor thread; each
+   * corpus row costs `m` lookups per query. Ascending distance, ties by id.
+   */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              codeCol: String = "pq_code"): DataFrame = {
+    val spark = encoded.sparkSession
+    val qRows = graft.util.Collects.boundedCollect(
+      queries.select(col(idCol), col(vecCol)),
+      what = "adcTopK query side",
+      alternative = "batch queries, or join encoded codes directly")
+    val qIds = qRows.map(_.getLong(0))
+    val qVecs = qRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val bcModel = spark.sparkContext.broadcast(model)
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val bcIds = spark.sparkContext.broadcast(qIds)
+    // tables(q)(j)(c) = || query_q subvector_j - codeword_c ||^2
+    val tables = new graft.util.ThreadLocalCache[Array[Array[Array[Double]]]](() => {
+      val mod = bcModel.value
+      bcQ.value.map { qv =>
+        Array.tabulate(mod.m) { j =>
+          val sub = java.util.Arrays.copyOfRange(
+            qv, j * mod.subDim, math.min((j + 1) * mod.subDim, qv.length))
+          mod.codebooks(j).map { cen =>
+            var d = 0.0; var i = 0
+            while (i < cen.length) {
+              val x = (if (i < sub.length) sub(i) else 0.0) - cen(i); d += x * x; i += 1
+            }
+            d
+          }
+        }
+      }
+    })
+    val score = udf { (code: Array[Byte]) =>
+      if (code == null) null
+      else {
+        val t = tables.get
+        val ids = bcIds.value
+        Array.tabulate(ids.length) { q =>
+          var d = 0.0; var j = 0
+          val tq = t(q)
+          while (j < code.length) { d += tq(j)(code(j) & 0xff); j += 1 }
+          (ids(q), d)
+        }
+      }
+    }
+    val scored = encoded.select(col(idCol).as("neighbor_id"), col(codeCol))
+      .withColumn("__qd", explode(score(col(codeCol))))
+      .select(col("neighbor_id"), col("__qd._1").as("query_id"), col("__qd._2").as("adc_dist"))
+      .filter(col("neighbor_id") =!= col("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+}
