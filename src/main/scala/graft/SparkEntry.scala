@@ -567,6 +567,17 @@ object SparkEntry {
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "v04_ann_pq" -> ((s, d) => {
+      // product-quantization ADC top-k (custom k-means codebooks — no SQL
+      // oracle; recall is spec-checked against exact L2 in QuantizationSpec)
+      val emb = t(s, d, "embeddings")
+      val model = graft.llm.Quantization.train(emb, dim = 64, m = 16, k = 32)
+      graft.llm.Quantization.adcTopK(
+          graft.llm.Quantization.encode(emb, model),
+          emb.filter(col("vec_id") < 10), model, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "d10_corpus_clean" -> ((s, d) => {
       // end-to-end corpus cleaning, SQL-expressible path (nearDup=false —
       // the MinHash stage uses custom hashing and is spec-checked instead):
