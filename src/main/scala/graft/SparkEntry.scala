@@ -567,6 +567,26 @@ object SparkEntry {
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "s03_stream_corpus_clean" -> ((s, d) => {
+      // streaming corpus cleaning: stateless quality/langid stages + text-hash
+      // dropDuplicates against checkpointed state; converges to the batch
+      // clean (d10) modulo WHICH duplicate survives — so the output is keyed
+      // by md5(text), identical whichever twin the state store kept
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        s, d, schema, glob = Some("documents.parquet"))
+      val cleaned = graft.llm.CorpusPipeline.cleanStream(stream,
+          cfg = graft.llm.CorpusCleanConfig(minChars = 50, minTokens = 10,
+            maxPunctRatio = 0.25, keepLangs = Set("en", "es"), nearDup = false))
+        .select(md5(col("text")).as("text_md5"), col("n_tokens"), col("lang_pred"))
+      graft.streaming.Streaming.runAvailableNow(
+          cleaned, s"s03_clean_${System.nanoTime()}", outputMode = "append")
+        .orderBy("text_md5")
+    }),
     "v04_ann_pq" -> ((s, d) => {
       // product-quantization ADC top-k (custom k-means codebooks — no SQL
       // oracle; recall is spec-checked against exact L2 in QuantizationSpec)
@@ -941,6 +961,36 @@ object SparkEntry {
         |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_pt) AS m FROM hits) x
         |)
         |SELECT doc_id, n_tokens, lang_pred FROM pred WHERE lang_pred IN ('en','es')
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "s03_stream_corpus_clean" ->
+      """WITH q AS (
+        |  SELECT DISTINCT text,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |  WHERE length(text) >= 50
+        |    AND len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 10
+        |    AND CASE WHEN length(text) > 0 THEN
+        |      CAST(length(regexp_replace(text, '[^.,;:!?''"()\[\]-]', '', 'g')) AS DOUBLE) / length(text)
+        |    END <= 0.25
+        |), toks AS (
+        |  SELECT text, n_tokens, regexp_split_to_array(trim(lower(text)), '\s+') AS tk FROM q
+        |), hits AS (
+        |  SELECT text, n_tokens,
+        |    len(list_filter(tk, t -> list_contains(['der','die','und','in','den','von','zu','das','mit','sich','des','auf'], t))) AS h_de,
+        |    len(list_filter(tk, t -> list_contains(['the','and','of','to','in','is','that','it','for','was','with','are'], t))) AS h_en,
+        |    len(list_filter(tk, t -> list_contains(['el','la','de','que','y','en','los','del','se','las','por','un'], t))) AS h_es,
+        |    len(list_filter(tk, t -> list_contains(['le','la','de','et','les','des','en','un','du','une','que','est'], t))) AS h_fr,
+        |    len(list_filter(tk, t -> list_contains(['de','a','o','que','e','do','da','em','um','para','com','os'], t))) AS h_pt
+        |  FROM toks
+        |), pred AS (
+        |  SELECT text, n_tokens,
+        |    CASE WHEN m = 0 OR ((h_de = m)::INT + (h_en = m)::INT + (h_es = m)::INT
+        |                        + (h_fr = m)::INT + (h_pt = m)::INT) > 1 THEN NULL
+        |         WHEN h_pt = m THEN 'pt' WHEN h_fr = m THEN 'fr' WHEN h_es = m THEN 'es'
+        |         WHEN h_en = m THEN 'en' ELSE 'de' END AS lang_pred
+        |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_pt) AS m FROM hits) x
+        |)
+        |SELECT md5(text) AS text_md5, n_tokens, lang_pred FROM pred
+        |WHERE lang_pred IN ('en','es') ORDER BY text_md5""".stripMargin
   )
 }

@@ -72,4 +72,28 @@ object CorpusPipeline {
     if (cfg.keepLangs.isEmpty) withLang
     else withLang.filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
   }
+
+  /**
+   * Streaming corpus cleaning — the ingestion-time variant: quality and
+   * language stages are stateless projections (streaming-safe as-is); exact
+   * dedup becomes `dropDuplicates` on the text hash against the checkpointed
+   * state store (the first-arrived duplicate wins — arrival order replaces
+   * the batch min-id rule). Near-dup removal needs a corpus self-join, so it
+   * stays a batch compaction pass ([[clean]] with `nearDup = true`) — the
+   * standard stream-ingest + periodic-compact split.
+   */
+  def cleanStream(docs: DataFrame, textCol: String = "text",
+                  cfg: CorpusCleanConfig = CorpusCleanConfig(nearDup = false)): DataFrame = {
+    require(!cfg.nearDup,
+      "near-dup removal requires a corpus self-join; run clean() as a batch compaction instead")
+    val measured = TextAnalysis.qualityMetrics(docs, textCol)
+      .filter(col("n_chars_computed") >= cfg.minChars &&
+        col("n_tokens") >= cfg.minTokens &&
+        col("punct_ratio") <= cfg.maxPunctRatio)
+    val deduped = measured.withColumn("__fp", F.xxhash64(col(textCol)))
+      .dropDuplicates("__fp").drop("__fp")
+    val withLang = TextAnalysis.withLangId(deduped, textCol)
+    if (cfg.keepLangs.isEmpty) withLang
+    else withLang.filter(col("lang_pred").isin(cfg.keepLangs.toSeq: _*))
+  }
 }

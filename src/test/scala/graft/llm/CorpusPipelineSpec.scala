@@ -45,4 +45,28 @@ class CorpusPipelineSpec extends SparkSpec {
         keepLangs = Set.empty, nearDup = false))
     assert(cleaned.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 7L))
   }
+
+  test("cleanStream converges to the batch clean result (survivor texts)") {
+    val rows = Seq(
+      1L -> enBase,
+      2L -> enBase,          // stream dedup drops one of the identical pair
+      4L -> esBase,
+      5L -> "too short")
+    val dir = java.nio.file.Files.createTempDirectory("corpus_stream").toString
+    rows.toDF("doc_id", "text").write.parquet(s"$dir/drop")
+    val cfg = CorpusCleanConfig(minChars = 50, minTokens = 10, maxPunctRatio = 0.25,
+      keepLangs = Set("en", "es"), nearDup = false)
+
+    val stream = graft.streaming.Streaming.availableNowFileStream(
+      spark, s"$dir/drop", rows.toDF("doc_id", "text").schema)
+    val streamed = graft.streaming.Streaming.runAvailableNow(
+      CorpusPipeline.cleanStream(stream, cfg = cfg),
+      s"corpus_clean_${System.nanoTime()}", outputMode = "append")
+      .select("text").as[String].collect().toSet
+
+    val batch = CorpusPipeline.clean(rows.toDF("doc_id", "text"), cfg = cfg)
+      .select("text").as[String].collect().toSet
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    assert(streamed == Set(enBase, esBase))
+  }
 }
