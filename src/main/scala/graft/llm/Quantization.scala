@@ -118,26 +118,23 @@ object Quantization {
     PqModel(dim, m, k, books.map(_.toArray))
   }
 
-  /**
-   * ADC top-k by approximate squared L2 distance: queries (small, broadcast)
-   * get per-subspace lookup tables computed once per executor thread; each
-   * corpus row costs `m` lookups per query. Ascending distance, ties by id.
-   */
-  def adcTopK(encoded: DataFrame, queries: DataFrame, model: PqModel, k: Int,
-              idCol: String = "vec_id", vecCol: String = "embedding",
-              codeCol: String = "pq_code"): DataFrame = {
-    val spark = encoded.sparkSession
+  private def collectQueries(queries: DataFrame, idCol: String, vecCol: String,
+                             what: String): (Array[Long], Array[Array[Double]]) = {
     val qRows = graft.util.Collects.boundedCollect(
       queries.select(col(idCol), col(vecCol)),
-      what = "adcTopK query side",
+      what = what,
       alternative = "batch queries, or join encoded codes directly")
-    val qIds = qRows.map(_.getLong(0))
-    val qVecs = qRows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    (qRows.map(_.getLong(0)), qRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)))
+  }
+
+  /** Per-thread ADC lookup tables: tables(q)(j)(c) =
+    * `|| query_q subvector_j - codeword_c ||^2`. */
+  private def queryTables(spark: SparkSession, model: PqModel,
+                          qVecs: Array[Array[Double]])
+      : graft.util.ThreadLocalCache[Array[Array[Array[Double]]]] = {
     val bcModel = spark.sparkContext.broadcast(model)
     val bcQ = spark.sparkContext.broadcast(qVecs)
-    val bcIds = spark.sparkContext.broadcast(qIds)
-    // tables(q)(j)(c) = || query_q subvector_j - codeword_c ||^2
-    val tables = new graft.util.ThreadLocalCache[Array[Array[Array[Double]]]](() => {
+    new graft.util.ThreadLocalCache(() => {
       val mod = bcModel.value
       bcQ.value.map { qv =>
         Array.tabulate(mod.m) { j =>
@@ -153,6 +150,29 @@ object Quantization {
         }
       }
     })
+  }
+
+  private def topKByDist(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_dist").asc, col("neighbor_id"))
+    scored.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc_dist", "rank")
+  }
+
+  /**
+   * ADC top-k by approximate squared L2 distance: queries (small, broadcast)
+   * get per-subspace lookup tables computed once per executor thread; each
+   * corpus row costs `m` lookups per query. Ascending distance, ties by id.
+   */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, model: PqModel, k: Int,
+              idCol: String = "vec_id", vecCol: String = "embedding",
+              codeCol: String = "pq_code"): DataFrame = {
+    val spark = encoded.sparkSession
+    val (qIds, qVecs) = collectQueries(queries, idCol, vecCol, "adcTopK query side")
+    val bcIds = spark.sparkContext.broadcast(qIds)
+    val tables = queryTables(spark, model, qVecs)
     val score = udf { (code: Array[Byte]) =>
       if (code == null) null
       else {
@@ -166,14 +186,50 @@ object Quantization {
         }
       }
     }
-    val scored = encoded.select(col(idCol).as("neighbor_id"), col(codeCol))
+    topKByDist(encoded.select(col(idCol).as("neighbor_id"), col(codeCol))
       .withColumn("__qd", explode(score(col(codeCol))))
-      .select(col("neighbor_id"), col("__qd._1").as("query_id"), col("__qd._2").as("adc_dist"))
-      .filter(col("neighbor_id") =!= col("query_id"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc_dist").asc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "adc_dist", "rank")
+      .select(col("neighbor_id"), col("__qd._1").as("query_id"), col("__qd._2").as("adc_dist")),
+      k)
+  }
+
+  /**
+   * IVF-PQ: the classic two-level layout — IVF cells
+   * ([[Similarity.assignCells]], ideally a `partitionBy("cell")` parquet so
+   * the `isin` filter prunes partitions) narrow the corpus to the queries'
+   * `nprobe` nearest cells; PQ codes ADC-score only those rows. Each
+   * corpus row is scored only for the queries probing its cell.
+   */
+  def ivfPqTopK(encoded: DataFrame, queries: DataFrame,
+                ivfCentroids: Array[Array[Double]], model: PqModel, k: Int,
+                nprobe: Int = 4, idCol: String = "vec_id",
+                vecCol: String = "embedding", codeCol: String = "pq_code"): DataFrame = {
+    val spark = encoded.sparkSession
+    val (qIds, qVecs) = collectQueries(queries, idCol, vecCol, "ivfPqTopK query side")
+    // probe lists are computed driver-side (queries are already collected)
+    val cellToQ: Map[Int, Array[Int]] = qVecs.zipWithIndex
+      .flatMap { case (v, qi) => Similarity.probeCells(v, ivfCentroids, nprobe).map(_ -> qi) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2) }
+    val probed = cellToQ.keys.toSeq.sorted
+    val bcIds = spark.sparkContext.broadcast(qIds)
+    val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
+    val tables = queryTables(spark, model, qVecs)
+    val score = udf { (cell: Int, code: Array[Byte]) =>
+      if (code == null) null
+      else {
+        val t = tables.get
+        val ids = bcIds.value
+        bcCellToQ.value.getOrElse(cell, Array.empty[Int]).map { q =>
+          var d = 0.0; var j = 0
+          val tq = t(q)
+          while (j < code.length) { d += tq(j)(code(j) & 0xff); j += 1 }
+          (ids(q), d)
+        }
+      }
+    }
+    topKByDist(encoded.filter(col("cell").isin(probed: _*))
+      .select(col(idCol).as("neighbor_id"), col("cell"), col(codeCol))
+      .withColumn("__qd", explode(score(col("cell"), col(codeCol))))
+      .select(col("neighbor_id"), col("__qd._1").as("query_id"), col("__qd._2").as("adc_dist")),
+      k)
   }
 }

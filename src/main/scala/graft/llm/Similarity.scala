@@ -145,7 +145,7 @@ object Similarity {
   }
 
   /** Top-`nprobe` nearest centroids of a vector. */
-  private def probeCells(v: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
+  private[llm] def probeCells(v: Array[Double], centroids: Array[Array[Double]], nprobe: Int): Array[Int] =
     centroids.indices.map { c =>
       var d = 0.0; var i = 0
       val cen = centroids(c)

@@ -42,5 +42,16 @@ class QuantizationSpec extends SparkSpec {
 
     val recall = (exact intersect adc).size.toDouble / exact.size
     assert(recall >= 0.6, s"ADC recall@5 $recall")
+
+    // IVF-PQ composition: probed cells prune the corpus, codes score it —
+    // recall must hold through both approximations
+    val centroids = Similarity.ivfIndex(corpus, dim = 32, k = 8)
+    val encodedCells = Quantization.encode(
+      Similarity.assignCells(corpus, centroids), loaded)
+    val ivfpq = Quantization.ivfPqTopK(encodedCells, queries, centroids, loaded,
+        k = 5, nprobe = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall2 = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(recall2 >= 0.6, s"IVF-PQ recall@5 $recall2")
   }
 }
