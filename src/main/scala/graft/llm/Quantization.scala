@@ -5,7 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
- * Product quantization (PQ) for embedding similarity at corpus scale: each
+ * Product quantization (PQ; Jégou, Douze & Schmid, "Product Quantization
+ * for Nearest Neighbor Search", TPAMI 2011) for embedding similarity at
+ * corpus scale: each
  * vector is split into `m` subvectors, each subvector replaced by the id of
  * its nearest codeword from a per-subspace codebook (k ≤ 256 → one byte per
  * subvector). A `dim`-float embedding compresses to `m` bytes (e.g. 128
