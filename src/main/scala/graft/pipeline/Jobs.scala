@@ -121,11 +121,24 @@ object Jobs {
    * (impact_analysis.py:2757-2933): all views + CCI + report, with
    * prefix cleanup, processed-state dedup and run logging.
    */
+  /** @param viewFormat "csv" (default — the reference's single-file-per-view
+    *                    contract) or "parquet" (partitioned, multi-writer:
+    *                    the at-scale layout; same directory/name scheme with
+    *                    a .parquet extension) */
   def update(spark: SparkSession, store: DataStore, country: String, zoom: Int,
              storm: String, date: String,
              envelopes: DataFrame, tracks: Option[DataFrame],
              countryBoundaryWkb: Option[Array[Byte]] = None,
-             rewrite: Boolean = false): UpdateResult = {
+             rewrite: Boolean = false, viewFormat: String = "csv"): UpdateResult = {
+    require(viewFormat == "csv" || viewFormat == "parquet",
+      s"viewFormat must be csv or parquet, got $viewFormat")
+    val vext = viewFormat
+    def fanoutViews(df: DataFrame, dir: String, name: String => String): Unit =
+      if (viewFormat == "csv") { store.writePartitionedCsv(df, dir, "wind_threshold", name); () }
+      else { store.writePartitionedParquet(df, dir, "wind_threshold", name); () }
+    def singleView(df: DataFrame, rel: String): Unit =
+      if (viewFormat == "csv") store.writeSingleCsv(df, rel)
+      else store.writeParquet(df, rel)
     val t0 = System.nanoTime()
     val key = processedKey(storm, Seq(country), date)
     val processed = loadProcessed(store)
@@ -145,8 +158,7 @@ object Jobs {
     // tile view + per-threshold CSVs (S9 layout: one per threshold) — one
     // partitionBy pass fans out all thresholds (SURVEY.md §7.4)
     val tv = ImpactPipeline.tileView(tiles, envelopes).cache()
-    store.writePartitionedCsv(tv, "mercator_impact_views", "wind_threshold",
-      th => s"$prefix${th}_$zoom.csv")
+    fanoutViews(tv, "mercator_impact_views", th => s"$prefix${th}_$zoom.$vext")
 
     // facility views ×4 (only kinds with a cached layer)
     val facilityViews: Map[String, Option[DataFrame]] =
@@ -168,7 +180,7 @@ object Jobs {
     // boundaries — no external lookup, mirroring the reference's reuse of
     // the admin parquet's geometries.
     val (cciTiles, cciAdmin) = ImpactPipeline.cciViews(tv, tiles)
-    store.writeSingleCsv(cciTiles, s"mercator_impact_views/$prefix${zoom}_cci.csv")
+    singleView(cciTiles, s"mercator_impact_views/$prefix${zoom}_cci.$vext")
 
     val levels = initializedAdminLevels(store, country) match {
       case Seq() => Seq(1)
@@ -186,12 +198,12 @@ object Jobs {
           .select("tile_id", "id")
       val avN = ImpactPipeline.adminView(
         if (level == 1) tv else tv.drop("id"), tileIds, adminsN)
-      store.writePartitionedCsv(avN.drop("geometry"), "admin_impact_views", "wind_threshold",
-        th => s"$prefix${th}_admin$level.csv")
+      fanoutViews(avN.drop("geometry"), "admin_impact_views",
+        th => s"$prefix${th}_admin$level.$vext")
       val cciAdminN = if (level == 1) cciAdmin
         else Cci.adminRollup(cciTiles.drop("id").join(
           broadcast(tileIds.withColumnRenamed("tile_id", "zone_id")), Seq("zone_id"), "left"))
-      store.writeSingleCsv(cciAdminN, s"admin_impact_views/${prefix}admin${level}_cci.csv")
+      singleView(cciAdminN, s"admin_impact_views/${prefix}admin${level}_cci.$vext")
       if (level == 1) av = avN.cache()
     }
     // the JSON report always reads the admin1 view, even when level 1 is not

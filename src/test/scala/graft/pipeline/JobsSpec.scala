@@ -72,6 +72,21 @@ class JobsSpec extends SparkSpec {
     assert(r3.processed)
   }
 
+  test("update with viewFormat=parquet writes partitioned-parquet views matching the CSV layout") {
+    initOnce()
+    val r = Jobs.update(spark, store, country, zoom, "PQSTORM", "20260801000000",
+      envs, Some(tracks), Some(boundary), viewFormat = "parquet")
+    assert(r.processed, r.reason)
+    val mviews = store.list("mercator_impact_views").filter(_.startsWith("SYN_PQSTORM_"))
+    assert(mviews.nonEmpty && mviews.forall(_.endsWith(".parquet")), mviews.mkString(","))
+    assert(mviews.exists(_.endsWith("_cci.parquet")))
+    val aviews = store.list("admin_impact_views").filter(_.startsWith("SYN_PQSTORM_"))
+    assert(aviews.nonEmpty && aviews.forall(_.endsWith(".parquet")), aviews.mkString(","))
+    // a per-threshold parquet view reads back with rows
+    val one = aviews.find(f => f.contains("_admin1") && !f.contains("_cci")).get
+    assert(store.readParquet(spark, s"admin_impact_views/$one").count() > 0)
+  }
+
   test("next-forecast update computes change fields from the T-6h report (J15)") {
     initOnce()
     Jobs.update(spark, store, country, zoom, "TESTSTORM", "20260801000000",
