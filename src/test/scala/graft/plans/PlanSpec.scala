@@ -55,6 +55,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("g02: CCI computes all bands in one window + one groupBy (2 shuffles)") {
+    val p = formatted("g02_cci")
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 2, s"expected <=2 Exchange, found $exchanges:\n$p")
+  }
+
   test("d06: langid scoring stays narrow until the final grouped count") {
     val p = formatted("d06_langid")
     // one shuffle for the groupBy, one for the output sort — the per-row
