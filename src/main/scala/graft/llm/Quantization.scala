@@ -129,8 +129,22 @@ object Quantization {
     (qRows.map(_.getLong(0)), qRows.map(_.getSeq[Float](1).toArray.map(_.toDouble)))
   }
 
-  /** Per-thread ADC lookup tables: tables(q)(j)(c) =
-    * `|| query_q subvector_j - codeword_c ||^2`. */
+  /** ADC lookup table for one vector: table(j)(c) =
+    * `|| v subvector_j - codeword_c ||^2`. */
+  private def adcTable(mod: PqModel, qv: Array[Double]): Array[Array[Double]] =
+    Array.tabulate(mod.m) { j =>
+      val sub = java.util.Arrays.copyOfRange(
+        qv, j * mod.subDim, math.min((j + 1) * mod.subDim, qv.length))
+      mod.codebooks(j).map { cen =>
+        var d = 0.0; var i = 0
+        while (i < cen.length) {
+          val x = (if (i < sub.length) sub(i) else 0.0) - cen(i); d += x * x; i += 1
+        }
+        d
+      }
+    }
+
+  /** Per-thread ADC lookup tables, one per query vector. */
   private def queryTables(spark: SparkSession, model: PqModel,
                           qVecs: Array[Array[Double]])
       : graft.util.ThreadLocalCache[Array[Array[Array[Double]]]] = {
@@ -138,19 +152,7 @@ object Quantization {
     val bcQ = spark.sparkContext.broadcast(qVecs)
     new graft.util.ThreadLocalCache(() => {
       val mod = bcModel.value
-      bcQ.value.map { qv =>
-        Array.tabulate(mod.m) { j =>
-          val sub = java.util.Arrays.copyOfRange(
-            qv, j * mod.subDim, math.min((j + 1) * mod.subDim, qv.length))
-          mod.codebooks(j).map { cen =>
-            var d = 0.0; var i = 0
-            while (i < cen.length) {
-              val x = (if (i < sub.length) sub(i) else 0.0) - cen(i); d += x * x; i += 1
-            }
-            d
-          }
-        }
-      }
+      bcQ.value.map(adcTable(mod, _))
     })
   }
 
@@ -194,16 +196,39 @@ object Quantization {
       k)
   }
 
+  /** `v − centroid(cell)` as a float array column. Train/encode PQ on this
+    * column for residual IVF-PQ: inside one cell the residuals are small and
+    * centered, so the same codebook budget quantizes them much more finely
+    * than the absolute vectors (the classical IVF-ADC formulation). */
+  def residuals(assigned: DataFrame, ivfCentroids: Array[Array[Double]],
+                vecCol: String = "embedding", outCol: String = "residual"): DataFrame = {
+    val bc = assigned.sparkSession.sparkContext.broadcast(ivfCentroids)
+    val f = udf { (v: Seq[Float], cell: Int) =>
+      if (v == null) null
+      else {
+        val cen = bc.value(cell)
+        Array.tabulate(v.length)(i =>
+          (v(i) - (if (i < cen.length) cen(i) else 0.0)).toFloat)
+      }
+    }
+    assigned.withColumn(outCol, f(col(vecCol), col("cell")))
+  }
+
   /**
    * IVF-PQ: the classic two-level layout — IVF cells
    * ([[Similarity.assignCells]], ideally a `partitionBy("cell")` parquet so
    * the `isin` filter prunes partitions) narrow the corpus to the queries'
    * `nprobe` nearest cells; PQ codes ADC-score only those rows. Each
    * corpus row is scored only for the queries probing its cell.
+   *
+   * With `residual = true`, the codes must come from [[encode]] over the
+   * [[residuals]] column, and each query builds one lookup table per probed
+   * cell from its own residual against that cell — finer quantization for
+   * the same code budget.
    */
   def ivfPqTopK(encoded: DataFrame, queries: DataFrame,
                 ivfCentroids: Array[Array[Double]], model: PqModel, k: Int,
-                nprobe: Int = 4, idCol: String = "vec_id",
+                nprobe: Int = 4, residual: Boolean = false, idCol: String = "vec_id",
                 vecCol: String = "embedding", codeCol: String = "pq_code"): DataFrame = {
     val spark = encoded.sparkSession
     val (qIds, qVecs) = collectQueries(queries, idCol, vecCol, "ivfPqTopK query side")
@@ -214,7 +239,25 @@ object Quantization {
     val probed = cellToQ.keys.toSeq.sorted
     val bcIds = spark.sparkContext.broadcast(qIds)
     val bcCellToQ = spark.sparkContext.broadcast(cellToQ)
-    val tables = queryTables(spark, model, qVecs)
+    val bcModel = spark.sparkContext.broadcast(model)
+    val bcQ = spark.sparkContext.broadcast(qVecs)
+    val bcCents = spark.sparkContext.broadcast(ivfCentroids)
+    // absolute mode: one table per query; residual mode: one per (query,
+    // probed cell), built from the query's residual against that cell
+    val tables = new graft.util.ThreadLocalCache[Map[(Int, Int), Array[Array[Double]]]](() => {
+      val mod = bcModel.value
+      bcCellToQ.value.toSeq.flatMap { case (cell, qs) =>
+        qs.map { q =>
+          val qv = if (!residual) bcQ.value(q)
+          else {
+            val cen = bcCents.value(cell)
+            val v = bcQ.value(q)
+            Array.tabulate(v.length)(i => v(i) - (if (i < cen.length) cen(i) else 0.0))
+          }
+          (q, cell) -> adcTable(mod, qv)
+        }
+      }.toMap
+    })
     val score = udf { (cell: Int, code: Array[Byte]) =>
       if (code == null) null
       else {
@@ -222,7 +265,7 @@ object Quantization {
         val ids = bcIds.value
         bcCellToQ.value.getOrElse(cell, Array.empty[Int]).map { q =>
           var d = 0.0; var j = 0
-          val tq = t(q)
+          val tq = t((q, cell))
           while (j < code.length) { d += tq(j)(code(j) & 0xff); j += 1 }
           (ids(q), d)
         }

@@ -53,5 +53,17 @@ class QuantizationSpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall2 = (exact intersect ivfpq).size.toDouble / exact.size
     assert(recall2 >= 0.6, s"IVF-PQ recall@5 $recall2")
+
+    // residual IVF-PQ: same code budget quantizing v − centroid(cell)
+    val withRes = Quantization.residuals(
+      Similarity.assignCells(corpus, centroids), centroids)
+    val resModel = Quantization.train(withRes, dim = 32, m = 16, k = 32,
+      vecCol = "residual")
+    val resEncoded = Quantization.encode(withRes, resModel, vecCol = "residual")
+    val ivfpqRes = Quantization.ivfPqTopK(resEncoded, queries, centroids, resModel,
+        k = 5, nprobe = 3, residual = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall3 = (exact intersect ivfpqRes).size.toDouble / exact.size
+    assert(recall3 >= 0.6, s"residual IVF-PQ recall@5 $recall3 (absolute: $recall2)")
   }
 }
