@@ -1,8 +1,8 @@
 package graft
 
 import graft.geo.GeoFunctions._
-import graft.llm.{Dedup, Similarity, TextAnalysis}
-import graft.ops.{Aggregations, Deltas, SpatialJoin, Tracks}
+import graft.llm.{Dedup, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Aggregations, Deltas, RangeJoin, Sessionize, SpatialJoin, Tracks}
 import graft.pipeline.{Constants, ImpactPipeline, SyntheticScenario}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -619,6 +619,107 @@ object SparkEntry {
             ("n", count(lit(1)), (c: Column) => sum(c))))
         .orderBy(col("o_orderpriority"))
     }),
+    "q30_sessionize" -> ((s, d) => {
+      // gaps-and-islands sessionization (batch): one shuffle on user_id,
+      // integer-microsecond gap compare; > 2 h of silence starts a session
+      Sessionize.sessions(t(s, d, "events"), Seq("user_id"), "ts",
+          gapMicros = 7200000000L, valueCol = Some("value"),
+          tieBreak = Seq(col("event_id")))
+        .select(col("user_id"), col("session_start"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "s04_stream_session" -> ((s, d) => {
+      // STREAMING sessionization: native session_window with watermarked
+      // state, driven to completion — must converge to the batch
+      // gaps-and-islands answer (merge while gap < 2 h)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        s, d, schema, glob = Some("events.parquet"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val sess = graft.streaming.Streaming.sessionWindowedCounts(
+        stream, Seq("user_id"), gap = "2 hours")
+      graft.streaming.Streaming.runAvailableNow(sess, s"s04_sess_${System.nanoTime()}")
+        .select(col("user_id"), col("session_start"), col("n"),
+          round(col("total"), 2).as("total"))
+        .orderBy(col("user_id"), col("session_start"))
+    }),
+    "q31_asof_join" -> ((s, d) => {
+      // generic as-of join (pandas merge_asof backward): attach the latest
+      // purchase at or before each click, per user — union + one window
+      // pass, no per-key cross product (Deltas.asofJoin)
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+      Deltas.asofJoin(clicks, purchases, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("p_event_id", "ts"), tieBreak = Some("p_event_id"))
+        .filter(col("asof_p_event_id").isNotNull)
+        .withColumn("__wait_us", unix_micros(col("ts")) - unix_micros(col("asof_ts")))
+        .select(col("event_id"), col("user_id"), col("asof_p_event_id"),
+          expr("__wait_us div 60000000").as("wait_min"))
+        .orderBy(col("event_id"))
+    }),
+    "q32_range_join" -> ((s, d) => {
+      // binned range join: events within (t0, t0+2h] of each purchase, same
+      // user — equi-join on (user_id, time bin) + exact containment filter,
+      // never a per-user cross product (RangeJoin.binnedIntervalJoin)
+      val ev = t(s, d, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"),
+          (unix_micros(col("ts")) + 1).as("lo_us"),
+          (unix_micros(col("ts")) + 7200000000L).as("hi_us"))
+      val points = ev.select(col("user_id"), unix_micros(col("ts")).as("t_us"), col("value"))
+      RangeJoin.binnedIntervalJoin(purchases, "lo_us", "hi_us",
+          points, "t_us", Seq("user_id"), binWidth = 7200000000L)
+        .groupBy(col("p_event_id"))
+        .agg(count(lit(1)).as("n_nearby"), round(sum(col("value")), 2).as("total_value"))
+        .orderBy(col("p_event_id"))
+    }),
+    "d11_hash_sample" -> ((s, d) => {
+      // deterministic stratified sampling: Knuth multiplicative hash on the
+      // id, 30% of English docs, 10% of the rest — pure integer arithmetic,
+      // so the kept set is engine- and run-independent
+      Sampling.hashSample(t(s, d, "documents"), col("doc_id"),
+          when(col("lang") === "en", 300).otherwise(100))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+    "d12_seq_pack" -> ((s, d) => {
+      // token-budget sequence packing: contiguous greedy bins of 512 tokens
+      // per language (running integer sum, keyed window — packs in parallel
+      // across strata)
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      Sampling.seqPack(docs, Seq("lang"), "doc_id", "n_tokens", capacity = 512L)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
+    "d13_repetition" -> ((s, d) => {
+      // Gopher-style repetition quality signals: duplicate-word /
+      // duplicate-2-gram ratios (narrow array math) + top-token frequency
+      // (explode + keyed agg); all ratios single int/int divisions
+      TextAnalysis.repetitionMetrics(t(s, d, "documents"))
+        .select(col("doc_id"), col("dup_word_ratio"), col("dup_2gram_ratio"),
+          col("top_token_frac"))
+        .orderBy(col("doc_id"))
+    }),
+    "d14_mix_weights" -> ((s, d) => {
+      // temperature-based mixture weights (alpha = 0.5): sqrt(n)/sum sqrt(n)
+      // with a SEQUENTIAL key-ordered fold for the denominator — bit-exact
+      // across engines
+      Sampling.mixtureWeights(t(s, d, "documents"), "lang", alpha = 0.5)
+        .select(col("lang"), col("n_rows"), col("weight"))
+        .orderBy(col("lang"))
+    }),
     // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
     "g05_impact_pipeline" -> ((s, d) => {
       val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)
@@ -991,6 +1092,108 @@ object SparkEntry {
         |  FROM (SELECT *, greatest(h_de, h_en, h_es, h_fr, h_pt) AS m FROM hits) x
         |)
         |SELECT md5(text) AS text_md5, n_tokens, lang_pred FROM pred
-        |WHERE lang_pred IN ('en','es') ORDER BY text_md5""".stripMargin
+        |WHERE lang_pred IN ('en','es') ORDER BY text_md5""".stripMargin,
+    "q30_sessionize" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 7200000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), t AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        | ROUND(SUM(value),2) AS total_value
+        |FROM t GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+    "s04_stream_session" ->
+      """WITH s AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 7200000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), t AS (
+        |  SELECT user_id, ts, value,
+        |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM s)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n,
+        | ROUND(SUM(value),2) AS total
+        |FROM t GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_start""".stripMargin,
+    "q31_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT event_id, user_id, asof_p_event_id, wait_min FROM (
+        |  SELECT c.event_id, c.user_id, p.p_event_id AS asof_p_event_id,
+        |    (epoch_us(c.ts) - epoch_us(p.ts)) // 60000000 AS wait_min,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts DESC, p.p_event_id DESC) AS rn
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.ts <= c.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
+    "q32_range_join" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_event_id, user_id, epoch_us(ts) AS t0
+        |  FROM events WHERE event_type = 'purchase'
+        |), e AS (
+        |  SELECT user_id, epoch_us(ts) AS t_us, value FROM events
+        |)
+        |SELECT p_event_id, COUNT(*) AS n_nearby, ROUND(SUM(value),2) AS total_value
+        |FROM p JOIN e ON e.user_id = p.user_id
+        |  AND e.t_us > p.t0 AND e.t_us <= p.t0 + 7200000000
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "d11_hash_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE (doc_id * 2654435761) % 1000 <
+        |  CASE WHEN lang = 'en' THEN 300 ELSE 100 END
+        |ORDER BY doc_id""".stripMargin,
+    "d12_seq_pack" ->
+      """WITH d AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin_id
+        |  FROM d)
+        |SELECT lang, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
+        | CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d13_repetition" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), narrow AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(t) > 0 THEN
+        |      1.0 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t) END AS dup_word_ratio,
+        |    CASE WHEN len(t) > 1 THEN
+        |      1.0 - CAST(len(list_distinct(list_transform(range(1, len(t)),
+        |        i -> t[i] || ' ' || t[i+1]))) AS DOUBLE) / (len(t) - 1) END AS dup_2gram_ratio
+        |  FROM tk
+        |), cnts AS (
+        |  SELECT doc_id, tok, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM tk) u GROUP BY 1, 2
+        |), top AS (
+        |  SELECT doc_id, CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS top_token_frac
+        |  FROM cnts GROUP BY doc_id
+        |)
+        |SELECT n.doc_id, n.dup_word_ratio, n.dup_2gram_ratio, top.top_token_frac
+        |FROM narrow n LEFT JOIN top ON n.doc_id = top.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
+    "d14_mix_weights" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+        |), d AS (
+        |  SELECT list_reduce(list(sqrt(CAST(n_rows AS DOUBLE)) ORDER BY lang),
+        |    (a, b) -> a + b) AS denom FROM c
+        |)
+        |SELECT lang, n_rows, sqrt(CAST(n_rows AS DOUBLE)) / denom AS weight
+        |FROM c, d ORDER BY lang""".stripMargin
   )
 }

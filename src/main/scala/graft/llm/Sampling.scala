@@ -1,0 +1,89 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus sampling and batching operators for training-data pipelines:
+ *
+ *  - [[hashSample]]        deterministic (repeatable) stratified sampling
+ *  - [[seqPack]]           token-budget sequence packing (contiguous greedy)
+ *  - [[mixtureWeights]]    temperature-based mixture weights per stratum
+ *
+ * All three are the standard knobs between "cleaned corpus" and "training
+ * batches": subsample per domain/language, re-balance with a temperature,
+ * pack documents into fixed token budgets.
+ */
+object Sampling {
+
+  /**
+   * Deterministic hash sampling: keep a row iff
+   * `(id * 2654435761) mod 1000 < permille`. Knuth's multiplicative hash —
+   * pure integer arithmetic, so the SAME rows are kept on every engine and
+   * every run (unlike `df.sample`, whose RNG is partition-dependent), which
+   * makes downsampling reproducible and joinable: two tables sampled on the
+   * same key keep aligned rows. `permille` may be a per-row expression —
+   * stratified rates (e.g. by language) are just a CASE.
+   *
+   * Narrow filter, no shuffle, pushes past projections; at 100 TB the sample
+   * rate is applied at scan speed.
+   */
+  def hashSample(df: DataFrame, id: Column, permille: Column): DataFrame =
+    df.filter(pmod(id * lit(2654435761L), lit(1000L)) < permille)
+
+  /**
+   * Token-budget sequence packing: orders rows by `orderCol` within each
+   * `partitionCols` group and assigns `bin_id = floor(running_tokens_before /
+   * capacity)` — the contiguous greedy packing used to batch documents into
+   * fixed-size training sequences (each bin's token total overshoots
+   * `capacity` by at most one document; true bin packing is NP-hard and
+   * needless here).
+   *
+   * Scale design: packing only needs LOCAL contiguity, so the running sum is
+   * windowed per partition key (language, shard, …) — independent keys pack
+   * in parallel and no global total order exists. For a single giant stratum,
+   * pre-split it into salted shards first; bins are equally valid within any
+   * shard. Integer arithmetic end to end.
+   */
+  def seqPack(df: DataFrame, partitionCols: Seq[String], orderCol: String,
+              tokensCol: String, capacity: Long): DataFrame = {
+    require(capacity > 0, "capacity must be positive")
+    val w = Window.partitionBy(partitionCols.map(col): _*).orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.withColumn("__before", coalesce(sum(col(tokensCol)).over(w), lit(0L)))
+      .withColumn("bin_id", expr(s"__before div $capacity"))
+      .drop("__before")
+  }
+
+  /**
+   * Temperature-based mixture weights per stratum (the multilingual-corpus
+   * re-balancing rule: sample stratum `l` proportionally to `n_l^alpha`,
+   * alpha < 1 upweights the tail): returns one row per key with `n_rows` and
+   * `weight = n^alpha / sum_l n^alpha`.
+   *
+   * Determinism: the denominator is a SEQUENTIAL fold over the per-key terms
+   * in key order (`array_sort` + `aggregate` on the collected struct list),
+   * not a parallel `sum` — float addition isn't associative, and a fixed
+   * fold order makes the weights bit-reproducible across runs and engines.
+   * For `alpha = 0.5` the term is IEEE-exact `sqrt`; other alphas go through
+   * `pow`, which is correctly-rounded on the JVM but not guaranteed
+   * bit-identical to other engines' libm.
+   *
+   * The per-key count aggregation is the only full-data pass; the fold runs
+   * over one tiny array (|keys| elements) broadcast back to the counts.
+   */
+  def mixtureWeights(df: DataFrame, keyCol: String, alpha: Double = 0.5): DataFrame = {
+    val term: Column => Column =
+      if (alpha == 0.5) sqrt(_) else pow(_, lit(alpha))
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
+      .withColumn("__term", term(col("n_rows").cast("double")))
+    val denom = counts.agg(
+      aggregate(
+        array_sort(collect_list(struct(col(keyCol).as("k"), col("__term").as("s")))),
+        lit(0.0), (acc, x) => acc + x.getField("s")).as("__denom"))
+    counts.crossJoin(broadcast(denom))
+      .withColumn("weight", col("__term") / col("__denom"))
+      .drop("__term", "__denom")
+  }
+}

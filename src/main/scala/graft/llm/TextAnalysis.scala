@@ -94,4 +94,39 @@ object TextAnalysis {
 
   def withFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
     df.withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /**
+   * Repetition metrics (the Gopher/RefinedWeb "repetitious content" quality
+   * signals, word-level): per document,
+   *
+   *  - `dup_word_ratio`   fraction of tokens that are repeats of an earlier
+   *                       token (1 - distinct/total),
+   *  - `dup_2gram_ratio`  same over adjacent token 2-grams,
+   *  - `top_token_frac`   frequency of the most common token / total tokens.
+   *
+   * The first two are narrow array expressions (no shuffle). The mode needs
+   * per-(doc, token) counts, which no array built-in provides without an
+   * O(n²) scan — so it's the classic explode → two keyed aggregations, both
+   * partitioned by `idCol`: tokens of one document meet in one place and
+   * nothing else shuffles. All ratios are int/int divisions — bit-exact.
+   */
+  def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
+                        textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val tk = col("__toks")
+    val grams2 = zip_with(slice(tk, lit(1), size(tk) - 1), slice(tk, lit(2), size(tk) - 1),
+      (a, b) => concat_ws(" ", a, b))
+    val narrow = df.select(col(idCol), toks.as("__toks"))
+      .withColumn("dup_word_ratio",
+        when(size(col("__toks")) > 0,
+          lit(1.0) - size(array_distinct(col("__toks"))).cast("double") / size(col("__toks"))))
+      .withColumn("dup_2gram_ratio",
+        when(size(col("__toks")) > 1,
+          lit(1.0) - size(array_distinct(grams2)).cast("double") / (size(col("__toks")) - 1)))
+    val topFrac = df.select(col(idCol), explode(toks).as("__tok"))
+      .groupBy(col(idCol), col("__tok")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(idCol))
+      .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_token_frac"))
+    narrow.join(topFrac, Seq(idCol), "left").drop("__toks")
+  }
 }

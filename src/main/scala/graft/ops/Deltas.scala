@@ -51,4 +51,60 @@ object Deltas {
   /** Argmax per group (W3, idxmax): row with max `valueCol` per key. */
   def argmaxPerKey(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
     firstPerKey(df, keyCols, Seq(col(valueCol).desc))
+
+  /**
+   * Generic as-of join (pandas `merge_asof` backward semantics): for every
+   * left row attach the payload of the LATEST right row with the same `by`
+   * keys and `rightTime <= leftTime` (inclusive). Generalizes
+   * [[withPrevious]] from a fixed-step self-join to two arbitrary frames.
+   *
+   * Scale design: NOT an inequality join (which Catalyst executes as an
+   * equi-join on `by` with a per-key cross product — quadratic on hot keys)
+   * and NOT a per-left-row subquery. Both sides are unioned and processed by
+   * ONE window pass partitioned on `by`: right rows sort before left rows at
+   * equal time, a running `last(_, ignoreNulls = true)` carries the most
+   * recent right payload forward, and left rows read it. One shuffle, work
+   * linear in |left| + |right|, same plan shape at any scale.
+   *
+   * The payload travels as a single struct, so all attached columns come
+   * from the SAME right row even when some of its fields are null. When
+   * several right rows share (by, rightTime), the one with the greatest
+   * `tieBreak` wins (pass a unique column for determinism).
+   *
+   * Contract: `by` columns must have the same names on both sides; payload
+   * columns are returned as `asof_<name>`; left rows with no predecessor get
+   * null payloads (left-outer semantics).
+   */
+  def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
+               leftTime: String, rightTime: String, payload: Seq[String],
+               tieBreak: Option[String] = None): DataFrame = {
+    val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
+    val payloadStruct = struct(payload.map(col): _*)
+    val nullPayload = {
+      val fields = payload.map(p => org.apache.spark.sql.types.StructField(p, rightTypes(p)))
+      lit(null).cast(org.apache.spark.sql.types.StructType(fields))
+    }
+    val tieType = tieBreak.map(rightTypes)
+    val leftCols = left.columns
+    val leftPart = left.select(
+      leftCols.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__src"), nullPayload.as("__payload"),
+        tieType.map(t => lit(null).cast(t)).getOrElse(lit(0)).as("__tie")): _*)
+    val rightPart = right.select(
+      leftCols.map(c => if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__src"), payloadStruct.as("__payload"),
+        tieBreak.map(col).getOrElse(lit(0)).as("__tie")): _*)
+    // right rows (src 0) sort before left rows (src 1) at equal time, so the
+    // inclusive <= holds; among tied right rows the greatest __tie sorts last
+    // and wins the running last()
+    val w = Window.partitionBy(by.map(col): _*)
+      .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = leftPart.union(rightPart)
+      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    val out = payload.foldLeft(carried.filter(col("__src") === 1)) { (d, p) =>
+      d.withColumn(s"asof_$p", col("__asof").getField(p))
+    }
+    out.drop("__t", "__src", "__payload", "__tie", "__asof")
+  }
 }

@@ -47,6 +47,25 @@ object Streaming {
       .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /**
+   * Watermarked SESSION-window aggregation: per-key dynamic-gap sessions
+   * (`session_window` — the native stateful sessionization operator; windows
+   * merge while events arrive within `gap` of the session end). Watermark
+   * bounds state exactly as for tumbling windows: sessions whose end falls
+   * behind the watermark horizon are finalized and evicted, so state holds
+   * only the open sessions. The batch equivalent (and the oracle) is
+   * [[graft.ops.Sessionize]]'s gaps-and-islands window.
+   */
+  def sessionWindowedCounts(events: DataFrame, keyCols: Seq[String],
+                            gap: String = "2 hours",
+                            watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap).as("w") +: keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("total"))
+      .select(keyCols.map(col) ++ Seq(col("w.start").as("session_start"),
+        col("n"), col("total")): _*)
+
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink; returns the materialized result. Complete output mode by default
     * (aggregations); use "append" for dedup/stateful-append pipelines. */

@@ -1,0 +1,61 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "en", 10), (1L, "en", 600), (2L, "en", 20), (3L, "es", 30),
+    (4L, "es", 40), (5L, "fr", 50), (6L, "fr", 60), (7L, "fr", 70),
+    (8L, "en", 80), (9L, "en", 90)).toDF("id", "lang", "toks")
+
+  test("hashSample: deterministic, rate-monotone, matches the arithmetic rule") {
+    val kept = Sampling.hashSample(docs, col("id"), lit(500))
+      .select("id").as[Long].collect().toSet
+    val expected = (0L to 9L).filter(i => ((i * 2654435761L) % 1000) < 500).toSet
+    assert(kept == expected)
+    // repeatable
+    val again = Sampling.hashSample(docs, col("id"), lit(500))
+      .select("id").as[Long].collect().toSet
+    assert(again == kept)
+    // a higher rate keeps a superset
+    val more = Sampling.hashSample(docs, col("id"), lit(900))
+      .select("id").as[Long].collect().toSet
+    assert(kept.subsetOf(more))
+  }
+
+  test("seqPack: bins are contiguous in order, overshoot bounded by one doc") {
+    val packed = Sampling.seqPack(docs, Seq("lang"), "id", "toks", capacity = 100L)
+      .select("lang", "id", "toks", "bin_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3)))
+    // bin ids are non-decreasing along id order within a lang
+    for (g <- packed.groupBy(_._1).values) {
+      val byId = g.sortBy(_._2)
+      assert(byId.map(_._4).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+      // a row starts a new bin iff the running total before it crossed capacity
+      var before = 0L
+      for ((_, _, tk, bin) <- byId) {
+        assert(bin == before / 100L)
+        before += tk
+      }
+    }
+    // the 600-token doc lands alone-ish but never disappears
+    assert(packed.length == 10)
+  }
+
+  test("mixtureWeights: weights sum to 1, tail upweighted at alpha<1") {
+    val w = Sampling.mixtureWeights(docs, "lang", alpha = 0.5)
+      .select("lang", "n_rows", "weight")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(math.abs(w.map(_._3).sum - 1.0) < 1e-12)
+    val m = w.map(x => x._1 -> x).toMap
+    assert(m("en")._2 == 5L && m("es")._2 == 2L && m("fr")._2 == 3L)
+    // alpha=0.5 compresses: en share of weights < en share of rows
+    assert(m("en")._3 < 0.5 && m("es")._3 > 0.2)
+    // exact sqrt rule
+    val denom = math.sqrt(5) + math.sqrt(2) + math.sqrt(3)
+    assert(m("en")._3 == math.sqrt(5) / denom)
+  }
+}

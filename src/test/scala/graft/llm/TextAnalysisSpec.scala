@@ -53,4 +53,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) == fp(2L)) // whitespace-invariant
     assert(fp(1L) != fp(3L)) // order-sensitive
   }
+
+  test("repetition metrics match hand-computed ratios") {
+    val df = Seq(
+      (1L, "a b a b a"),          // toks 5, distinct 2; 2grams: ab ba ab ba -> 2/4 distinct
+      (2L, "x y z"),              // no repetition
+      (3L, "w w w w")).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionMetrics(df)
+      .select("doc_id", "dup_word_ratio", "dup_2gram_ratio", "top_token_frac")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((1.0 - 2.0 / 5, 1.0 - 2.0 / 4, 3.0 / 5)))
+    assert(out(2L) == ((0.0, 0.0, 1.0 / 3)))
+    assert(out(3L) == ((1.0 - 1.0 / 4, 1.0 - 1.0 / 3, 1.0)))
+  }
 }
