@@ -52,26 +52,51 @@ object Dedup {
     * corpus scale the materialized shingle arrays dominated runtime) and all
     * `numHashes` minima updated per shingle. Distinctness of shingles is
     * irrelevant to a min — duplicates can't change it — so no dedup set is
-    * kept either. */
+    * kept either.
+    *
+    * The `numHashes` per-shingle hash values are derived by
+    * Kirsch–Mitzenmacher double hashing — `h_k = h1 + k * h2` from two
+    * independent avalanche mixes of the shingle hash — so the inner loop is
+    * one add per hash function instead of a full 64-bit finalizer
+    * (asymptotically the same pairwise-independence guarantee the banding
+    * analysis needs; standard practice for multi-hash sketches). */
   def minhashSignature(text: Column, n: Int, numHashes: Int): Column = {
-    val seedMix = Array.tabulate(numHashes)(k => graft.util.Hashing.mix64(k.toLong))
     val f = udf { (t: String) =>
       if (t == null) null
       else {
-        val norm = t.toLowerCase.replaceAll("\\s+", " ")
+        // lowercase + collapse whitespace runs in ONE regex-free pass (the
+        // regex replaceAll was the dominant cost of the signature, not the
+        // hashing); leading/trailing whitespace drops out entirely
+        val len = t.length
+        val norm = new Array[Char](len)
+        var m = 0
+        var pendingSpace = false
+        var ci = 0
+        while (ci < len) {
+          val c = t.charAt(ci)
+          if (Character.isWhitespace(c)) pendingSpace = m > 0
+          else {
+            if (pendingSpace) { norm(m) = ' '; m += 1; pendingSpace = false }
+            norm(m) = Character.toLowerCase(c); m += 1
+          }
+          ci += 1
+        }
         val mins = Array.fill(numHashes)(Long.MaxValue)
-        val upper = math.max(norm.length - n, 0)
+        val upper = math.max(m - n, 0)
         var i = 0
         while (i <= upper) {
           // FNV-1a over the shingle's chars without substring allocation
           var h = graft.util.Hashing.FnvOffset
-          val end = math.min(i + n, norm.length)
+          val end = math.min(i + n, m)
           var j = i
-          while (j < end) { h ^= norm.charAt(j); h *= graft.util.Hashing.FnvPrime; j += 1 }
+          while (j < end) { h ^= norm(j); h *= graft.util.Hashing.FnvPrime; j += 1 }
+          val h1 = graft.util.Hashing.mix64(h)
+          val h2 = graft.util.Hashing.mix64(h ^ 0x9e3779b97f4a7c15L) | 1L
+          var hk = h1
           var k = 0
           while (k < numHashes) {
-            val hk = graft.util.Hashing.mix64(h ^ seedMix(k))
             if (hk < mins(k)) mins(k) = hk
+            hk += h2 // overflow wraps (plain JVM arithmetic, not ANSI SQL)
             k += 1
           }
           i += 1

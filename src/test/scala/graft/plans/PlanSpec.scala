@@ -68,4 +68,44 @@ class PlanSpec extends SparkSpec {
     val exchanges = exchangeCount(p)
     assert(exchanges <= 2, s"expected <=2 Exchange, found $exchanges:\n$p")
   }
+
+  test("q30: sessionize reuses one user_id exchange across window + groupBy") {
+    val p = formatted("q30_sessionize")
+    // hashpartitioning(user_id) satisfies the (user_id, session_seq) groupBy
+    // distribution, so the only exchanges are the key shuffle + output sort
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 2, s"expected <=2 Exchange, found $exchanges:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q31: as-of join is union + one window pass, never a per-key cross product") {
+    val p = formatted("q31_asof_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("SortMergeJoin"), "asof must not plan a join at all:\n" + p)
+    assert(p.contains("Window"), p)
+  }
+
+  test("q32: binned range join plans as an equi-join, not a nested loop") {
+    val p = formatted("q32_range_join")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Join") || p.contains("join"), p)
+  }
+
+  test("d11: hash sampling is a pushed-down narrow filter (zero exchanges)") {
+    val p = formatted("d11_hash_sample")
+    // output sort is the only allowed exchange
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 1, s"expected <=1 Exchange, found $exchanges:\n$p")
+  }
+
+  test("d13: repetition metrics shuffle only on doc_id (explode-side aggs)") {
+    val p = formatted("d13_repetition")
+    assert(!p.contains("CartesianProduct"), p)
+    // explode -> (doc, token) agg -> doc agg -> join back -> sort: the
+    // narrow array-ratio side must not add more exchanges
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 5, s"expected <=5 Exchange, found $exchanges:\n$p")
+  }
 }
