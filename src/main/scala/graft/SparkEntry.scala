@@ -598,6 +598,19 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v05_ann_opq" -> ((s, d) => {
+      // OPQ: learned orthogonal rotation + PQ in the rotated space (no SQL
+      // oracle — k-means/SVD internals; error/recall gains spec-checked in
+      // OpqSpec)
+      val emb = t(s, d, "embeddings")
+      val model = graft.llm.Opq.train(emb, dim = 64, m = 16, k = 32)
+      val rotated = graft.llm.Opq.rotate(emb, model.rotation, outCol = "rotated")
+      graft.llm.Opq.adcTopK(
+          graft.llm.Quantization.encode(rotated, model.pq, vecCol = "rotated"),
+          emb.filter(col("vec_id") < 10), model, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "d10_corpus_clean" -> ((s, d) => {
       // end-to-end corpus cleaning, SQL-expressible path (nearDup=false —
       // the MinHash stage uses custom hashing and is spec-checked instead):

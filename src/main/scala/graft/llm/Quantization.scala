@@ -39,9 +39,16 @@ object Quantization {
   def train(corpus: DataFrame, dim: Int, m: Int = 8, k: Int = 16,
             sampleSize: Int = 2000, iterations: Int = 8, seed: Long = 42L,
             vecCol: String = "embedding"): PqModel = {
-    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     val sample = corpus.select(vecCol).limit(sampleSize).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+    trainOnSample(sample, dim, m, k, iterations, seed)
+  }
+
+  /** The k-means core over an in-memory sample (shared by [[train]] and the
+    * OPQ alternation, which re-trains on rotated samples). */
+  private[llm] def trainOnSample(sample: Array[Array[Double]], dim: Int, m: Int,
+                                 k: Int, iterations: Int, seed: Long): PqModel = {
+    require(dim % m == 0, s"dim $dim must divide into $m subvectors")
     require(sample.nonEmpty, "empty corpus")
     val subDim = dim / m
     val rng = new scala.util.Random(seed)
@@ -52,7 +59,7 @@ object Quantization {
         val sums = Array.fill(k)(new Array[Double](subDim))
         val counts = new Array[Int](k)
         subs.foreach { s =>
-          val c = nearest(s, cents)
+          val c = nearestCodeword(s, cents)
           counts(c) += 1
           var i = 0
           while (i < subDim) { sums(c)(i) += s(i); i += 1 }
@@ -67,7 +74,7 @@ object Quantization {
     PqModel(dim, m, k, codebooks)
   }
 
-  private def nearest(v: Array[Double], cents: Array[Array[Double]]): Int = {
+  private[llm] def nearestCodeword(v: Array[Double], cents: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue
     var c = 0
     while (c < cents.length) {
@@ -94,7 +101,7 @@ object Quantization {
         Array.tabulate(mod.m) { j =>
           val sub = java.util.Arrays.copyOfRange(
             d, j * mod.subDim, math.min((j + 1) * mod.subDim, d.length))
-          nearest(sub, mod.codebooks(j)).toByte
+          nearestCodeword(sub, mod.codebooks(j)).toByte
         }
       }
     }
