@@ -696,6 +696,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_nearby"), round(sum(col("value")), 2).as("total_value"))
         .orderBy(col("p_event_id"))
     }),
+    "q33_percentiles" -> ((s, d) => {
+      // exact percentile aggregation (the reference's describe()/quantile
+      // reporting): interpolated quartiles over integral doubles — dyadic
+      // fractions, so the interpolation is bit-identical across engines
+      t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.5)").as("median"),
+          expr("percentile(l_quantity, 0.75)").as("q75"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag"))
+    }),
+    "q34_pivot" -> ((s, d) => {
+      // pivot (long->wide reshape, the reference's report tables): per-user
+      // event counts by type; absent combinations filled with 0
+      t(s, d, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("user_id"))
+    }),
+    "q35_rollup" -> ((s, d) => {
+      // ROLLUP hierarchy aggregation (the admin-level 0..5 rollup pattern as
+      // a single multi-level pass); null-filled supertotal rows sort first
+      // in both engines (Spark default NULLS FIRST, oracle forces it)
+      t(s, d, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority").asc_nulls_first, col("o_orderstatus").asc_nulls_first)
+    }),
+    "q36_rolling_window" -> ((s, d) => {
+      // rolling 24 h time-RANGE window per user (trailing event count +
+      // value total) — integer-microsecond range frame, peers included
+      val w = Window.partitionBy(col("user_id")).orderBy(col("__t_us"))
+        .rangeBetween(-86400000000L, 0L)
+      t(s, d, "events")
+        .withColumn("__t_us", unix_micros(col("ts")))
+        .withColumn("n_24h", count(lit(1)).over(w))
+        .withColumn("total_24h", round(sum(col("value")).over(w), 2))
+        .select(col("event_id"), col("user_id"), col("n_24h"), col("total_24h"))
+        .orderBy(col("event_id"))
+    }),
     "d11_hash_sample" -> ((s, d) => {
       // deterministic stratified sampling: Knuth multiplicative hash on the
       // id, 30% of English docs, 10% of the rest — pure integer arithmetic,
@@ -1160,6 +1204,34 @@ object SparkEntry {
         |FROM p JOIN e ON e.user_id = p.user_id
         |  AND e.t_us > p.t0 AND e.t_us <= p.t0 + 7200000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q33_percentiles" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.5) AS median,
+        | quantile_cont(l_quantity, 0.75) AS q75,
+        | COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_pivot" ->
+      """SELECT user_id,
+        | COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        | COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        | COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        | COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        | COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q35_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n,
+        | ROUND(SUM(o_totalprice),2) AS total
+        |FROM orders GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+        |ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST""".stripMargin,
+    "q36_rolling_window" ->
+      """SELECT event_id, user_id,
+        | COUNT(*) OVER w AS n_24h,
+        | ROUND(SUM(value) OVER w, 2) AS total_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
     "d11_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 <

@@ -107,6 +107,30 @@ object Dedup {
     f(text)
   }
 
+  /** One row per (document, band): `(id, sig, band, bucket)` where `bucket`
+    * hashes the band's signature slice. This IS the persistable LSH index —
+    * write it partitioned however the corpus is sharded and join new data
+    * against it ([[minhashLshAgainstIndex]]) without ever re-scanning the
+    * corpus text. */
+  def bandedSignatures(df: DataFrame, idCol: String, textCol: String = "text",
+                       shingleSize: Int = 5, numHashes: Int = 64,
+                       bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+  }
+
+  /** Fraction of matching minhash components — the Jaccard estimator. */
+  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
+    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
+
   /**
    * MinHash-LSH near-duplicate candidate pairs.
    *
@@ -118,17 +142,7 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String = "text",
                  shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    require(numHashes % bands == 0, "numHashes must divide into bands")
-    val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
-
-    // band key = hash of the band's slice of the signature
-    val banded = sigs.select(col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
-          col("sig").getItem(b * rowsPerBand + r)): _*))
-      }: _*)).as(Seq("band", "bucket")))
+    val banded = bandedSignatures(df, idCol, textCol, shingleSize, numHashes, bands)
 
     // bound boilerplate skew: drop pathological buckets. Cache the bucketed
     // signatures — they feed both sides of the pair self-join (without the
@@ -149,11 +163,43 @@ object Dedup {
       .groupBy("id_a", "id_b")
       .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
 
-    pairs.withColumn("est_jaccard",
-        aggregate(zip_with(col("sig_a"), col("sig_b"), (x, y) => when(x === y, 1).otherwise(0)),
-          lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes))
+    pairs.withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
+  }
+
+  /**
+   * Incremental near-dup detection: candidate pairs of NEW documents against
+   * an EXISTING [[bandedSignatures]] index — the ingest-time path for a
+   * corpus too large to self-join on every batch. Only the new batch is
+   * shingled/hashed; the corpus contributes its persisted `(band, bucket,
+   * sig)` rows, so the join cost is |new batch| × bands plus the matching
+   * index buckets (store the index bucketed/partitioned on `bucket` and the
+   * shuffle touches only matching buckets).
+   *
+   * @return (new_id, index_id, est_jaccard ≥ minEstJaccard); rows whose
+   *         `new_id` appears here are near-dups of the existing corpus.
+   */
+  def minhashLshAgainstIndex(newDocs: DataFrame, index: DataFrame, idCol: String,
+                             textCol: String = "text", shingleSize: Int = 5,
+                             numHashes: Int = 64, bands: Int = 16,
+                             minEstJaccard: Double = 0.5,
+                             maxBucketSize: Int = 1000): DataFrame = {
+    val fresh = bandedSignatures(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+      .select(col("band"), col("bucket"), col("id").as("new_id"), col("sig").as("sig_new"))
+    // the skew cap applies to the index side (boilerplate buckets there are
+    // the quadratic risk; the new batch is bounded by construction)
+    val idxSizes = index.groupBy("band", "bucket").count()
+      .filter(col("count") <= maxBucketSize).select("band", "bucket")
+    val idx = index.join(idxSizes, Seq("band", "bucket"))
+      .select(col("band"), col("bucket"), col("id").as("index_id"), col("sig").as("sig_idx"))
+    fresh.join(idx, Seq("band", "bucket"))
+      .filter(col("new_id") =!= col("index_id"))
+      .groupBy("new_id", "index_id")
+      .agg(first(col("sig_new")).as("sig_new"), first(col("sig_idx")).as("sig_idx"))
+      .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_idx"), numHashes))
+      .filter(col("est_jaccard") >= minEstJaccard)
+      .select("new_id", "index_id", "est_jaccard")
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit sign-sum of per-token

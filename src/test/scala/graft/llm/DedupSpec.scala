@@ -110,4 +110,26 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 4L)) < 0.2)
   }
+
+  test("incremental LSH: new batch against a persisted index = cross pairs of the full self-join") {
+    // index the "existing corpus" (odd ids), stream in the even ids
+    val existing = docs.filter(col("doc_id") % 2 === 1)
+    val fresh = docs.filter(col("doc_id") % 2 === 0)
+    val index = Dedup.bandedSignatures(existing, "doc_id")
+    val got = Dedup.minhashLshAgainstIndex(fresh, index, "doc_id", minEstJaccard = 0.4)
+      .select("new_id", "index_id").as[(Long, Long)].collect().toSet
+    // ground truth: cross-subset pairs of the full-corpus self-join
+    val full = Dedup.minhashLsh(docs, "doc_id", minEstJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val expected = full.flatMap { case (a, b) =>
+      val cross =
+        if (a % 2 == 0 && b % 2 == 1) Some((a, b))
+        else if (b % 2 == 0 && a % 2 == 1) Some((b, a))
+        else None
+      cross
+    }
+    assert(got == expected, s"got=$got expected=$expected")
+    // doc 2 (exact dup of indexed doc 1) must be flagged
+    assert(got.contains((2L, 1L)))
+  }
 }
