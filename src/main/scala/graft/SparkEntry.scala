@@ -598,6 +598,30 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "s05_stream_interval_join" -> ((s, d) => {
+      // STREAM-STREAM interval join: purchases stream x events stream, same
+      // user, event in (t0, t0+2h] — watermarked state on both sides, must
+      // converge to the batch inequality join (the q32 pair set)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import org.apache.spark.sql.types._
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      def stream() = graft.streaming.Streaming.availableNowFileStream(
+        s, d, schema, glob = Some("events.parquet"))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("pts"))
+      val others = stream()
+        .select(col("user_id"), col("event_id").as("e_event_id"), col("ts").as("ets"))
+      val joined = graft.streaming.Streaming.intervalJoin(
+        purchases, others, Seq("user_id"), "pts", "ets", windowUs = 7200000000L)
+      graft.streaming.Streaming.runAvailableNow(
+          joined.select(col("p_event_id"), col("e_event_id")),
+          s"s05_ij_${System.nanoTime()}", outputMode = "append")
+        .orderBy("p_event_id", "e_event_id")
+    }),
     "v05_ann_opq" -> ((s, d) => {
       // OPQ: learned orthogonal rotation + PQ in the rotated space (no SQL
       // oracle — k-means/SVD internals; error/recall gains spec-checked in
@@ -1204,6 +1228,14 @@ object SparkEntry {
         |FROM p JOIN e ON e.user_id = p.user_id
         |  AND e.t_us > p.t0 AND e.t_us <= p.t0 + 7200000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "s05_stream_interval_join" ->
+      """SELECT p.event_id AS p_event_id, e.event_id AS e_event_id
+        |FROM events p JOIN events e
+        | ON e.user_id = p.user_id
+        | AND epoch_us(e.ts) > epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY p_event_id, e_event_id""".stripMargin,
     "q33_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS q25,

@@ -97,6 +97,32 @@ object Streaming {
     marked.select(keyCols.map(col): _*).dropDuplicates(keyCols)
   }
 
+  /**
+   * Stream-stream interval join (§2.8's hardest shape): inner-join two
+   * event-time streams on equal `keyCols` with `right.ts` in
+   * `(left.ts, left.ts + windowUs]`. Both sides carry watermarks and the
+   * join condition bounds event time on BOTH sides, so the state store
+   * evicts rows as the watermark passes — state is O(in-flight window), not
+   * O(stream). The batch equivalent (and the oracle) is
+   * [[graft.ops.RangeJoin.binnedIntervalJoin]].
+   *
+   * Column contract: sides must not share names other than `keyCols`
+   * (pre-select, as with the batch range join); each side's event-time
+   * column is named by `leftTs`/`rightTs`.
+   */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                   leftTs: String, rightTs: String, windowUs: Long,
+                   watermark: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTs) > l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowUs MICROSECONDS")
+    val joined = l.join(r, keyEq && range, "inner")
+    keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
+  }
+
   /** One (storm, forecast) observation on the stream. */
   case class StormForecast(storm: String, forecastTime: Long)
 

@@ -86,4 +86,30 @@ class StreamingSpec extends SparkSpec {
     drop(Seq(("ALPHA", 0L), ("ALPHA", 6L), ("ALPHA", 12L), ("BRAVO", 0L), ("CHARLIE", 0L)), 2)
     assert(runBatch() == Set(("ALPHA", 12L), ("CHARLIE", 0L)))
   }
+
+  test("stream-stream interval join: (t0, t0+w] bounds, keyed, watermark-evictable") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ij").toString
+    def t(us: Long) = new java.sql.Timestamp(us / 1000)
+    // key 1: points at +0 (excluded: open lower bound), +1, +1000 (= w,
+    // included), +1001 (excluded); key 2: same offset but different key
+    val left = Seq((1L, 10L, t(1000000L))).toDF("k", "lid", "lts")
+    val right = Seq(
+      (1L, 20L, t(1000000L)), (1L, 21L, t(1001000L)),
+      (1L, 22L, t(2000000L)), (1L, 23L, t(2001000L)),
+      (2L, 24L, t(1500000L))).toDF("k", "rid", "rts")
+    left.write.parquet(s"$dir/left"); right.write.parquet(s"$dir/right")
+    val lSchema = StructType(Seq(StructField("k", LongType),
+      StructField("lid", LongType), StructField("lts", TimestampType)))
+    val rSchema = StructType(Seq(StructField("k", LongType),
+      StructField("rid", LongType), StructField("rts", TimestampType)))
+    val ls = Streaming.availableNowFileStream(spark, s"$dir/left", lSchema)
+    val rs = Streaming.availableNowFileStream(spark, s"$dir/right", rSchema)
+    val joined = Streaming.intervalJoin(ls, rs, Seq("k"), "lts", "rts",
+      windowUs = 1000000L, watermark = "0 seconds")
+    val out = Streaming.runAvailableNow(
+        joined.select(col("lid"), col("rid")),
+        s"ij_${System.nanoTime()}", outputMode = "append")
+      .as[(Long, Long)].collect().toSet
+    assert(out == Set((10L, 21L), (10L, 22L)), s"got $out")
+  }
 }
