@@ -113,6 +113,24 @@ object ScaleBench {
       .filter(size(col("sig")) === 64).count()
     val secs3 = (System.nanoTime() - t3) / 1e9
     println(f"""{"metric":"scale_minhash_signature","docs":$nSigs,"hashes":64,"sec":$secs3%.2f,"docs_per_sec":${(nSigs / secs3).toLong}}""")
+
+    // as-of join (union + one window pass): left = 8x the right side,
+    // 100k keys — the shape that replaces a per-key cross product; cost
+    // must stay linear in |left| + |right|
+    val nEvents = math.min(nTiles * 10, 10000000L)
+    val lefts = spark.range(nEvents).select(
+      (col("id") % 100000).as("k"), col("id").as("lid"),
+      ((col("id") * 37L) % 1000000000L).as("lt"))
+      .repartition(cpus.toInt * 4)
+    val rights = spark.range(nEvents / 8).select(
+      (col("id") % 100000).as("k"), col("id").as("rid"),
+      ((col("id") * 293L) % 1000000000L).as("rt"))
+    val t4 = System.nanoTime()
+    val nAsof = graft.ops.Deltas.asofJoin(lefts, rights, Seq("k"),
+        leftTime = "lt", rightTime = "rt", payload = Seq("rid"))
+      .agg(count(col("asof_rid"))).head().getLong(0)
+    val secs4 = (System.nanoTime() - t4) / 1e9
+    println(f"""{"metric":"scale_asof_join","left_rows":$nEvents,"right_rows":${nEvents / 8},"matched":$nAsof,"sec":$secs4%.2f,"rows_per_sec":${(nEvents / secs4).toLong}}""")
     spark.stop()
   }
 }

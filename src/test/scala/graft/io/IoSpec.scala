@@ -74,4 +74,30 @@ class IoSpec extends SparkSpec {
     assert(!IoSpec.delivered.contains("S1/g1") ||
       IoSpec.delivered.toArray.count(_ == "S1/g1") == 1) // the 34kt g1 was deduped
   }
+
+  test("jsonl corpus: schema-enforced read, corrupt lines quarantined, round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/part0.jsonl"),
+      """{"doc_id": 1, "text": "hello world", "lang": "en"}
+        |not json at all {{{
+        |{"doc_id": 2, "text": "hola mundo", "lang": "es"}
+        |{"doc_id": "NaN-ish", "text": 42}
+        |""".stripMargin)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType)))
+    val raw = graft.io.CorpusIo.readJsonl(spark, dir, schema).cache()
+    val clean = graft.io.CorpusIo.cleanRows(raw)
+    val corrupt = graft.io.CorpusIo.corruptRows(raw)
+    assert(clean.count() == 2)
+    assert(corrupt.count() == 2, "both the non-JSON line and the type-mismatched line quarantine")
+    assert(clean.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // round-trip: write clean rows back out, re-read, same content
+    graft.io.CorpusIo.writeJsonl(clean, s"$dir/out")
+    val back = graft.io.CorpusIo.cleanRows(
+      graft.io.CorpusIo.readJsonl(spark, s"$dir/out", schema))
+    assert(back.orderBy("doc_id").collect().toSeq ==
+      clean.orderBy("doc_id").collect().toSeq)
+  }
 }
