@@ -764,6 +764,19 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"), col("n_24h"), col("total_24h"))
         .orderBy(col("event_id"))
     }),
+    "q37_hll_distinct" -> ((s, d) => {
+      // mergeable HLL distinct sketches (ops/Sketches): the hash check pins
+      // the exact distinct AND the property that the sketch estimate tracks
+      // it within 2% — so an estimator regression fails the gate
+      val agged = t(s, d, "events").groupBy(col("event_type"))
+        .agg(countDistinct(col("event_id")).as("n_exact"),
+          graft.ops.Sketches.hllEstimate(
+            graft.ops.Sketches.hllSketch(col("event_id"))).as("__approx"))
+      agged.withColumn("within_2pct",
+          abs(col("__approx") - col("n_exact")).cast("double") / col("n_exact") < 0.02)
+        .select(col("event_type"), col("n_exact"), col("within_2pct"))
+        .orderBy(col("event_type"))
+    }),
     "d11_hash_sample" -> ((s, d) => {
       // deterministic stratified sampling: Knuth multiplicative hash on the
       // id, 30% of English docs, 10% of the rest — pure integer arithmetic,
@@ -1264,6 +1277,10 @@ object SparkEntry {
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+    "q37_hll_distinct" ->
+      """SELECT event_type, COUNT(DISTINCT event_id) AS n_exact,
+        | TRUE AS within_2pct
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d11_hash_sample" ->
       """SELECT doc_id, lang FROM documents
         |WHERE (doc_id * 2654435761) % 1000 <

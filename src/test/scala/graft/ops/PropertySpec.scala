@@ -83,4 +83,64 @@ class PropertySpec extends SparkSpec {
       assert(salted.toSeq == plain.toSeq, s"salts=$salts")
     }
   }
+
+  // --- temporal operators: random-data equivalence with brute force -------
+
+  private val eventsGen: Gen[List[(Long, Long, Long)]] =
+    Gen.listOfN(80, for {
+      k <- Gen.choose(1L, 5L); t <- Gen.choose(0L, 2000L); id <- Gen.choose(0L, 1000000L)
+    } yield (k, t, id)).map(_.distinctBy(e => (e._1, e._3)))
+
+  test("asofJoin equals per-row brute-force latest-predecessor for any data") {
+    run(Prop.forAll(eventsGen, eventsGen) { (ls, rs) =>
+      val left = ls.toDF("k", "t", "lid").withColumn("lts", timestamp_micros(col("t"))).drop("t")
+      val right = rs.toDF("k", "t", "rid").withColumn("rts", timestamp_micros(col("t"))).drop("t")
+      val got = Deltas.asofJoin(left, right, Seq("k"), "lts", "rts",
+          payload = Seq("rid"), tieBreak = Some("rid"))
+        .select(col("k"), col("lid"), col("asof_rid"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> Option(r.get(2)).map(_.asInstanceOf[Long])).toMap
+      ls.forall { case (k, t, lid) =>
+        val cands = rs.filter(r => r._1 == k && r._2 <= t)
+        val want = if (cands.isEmpty) None
+          else Some(cands.maxBy(r => (r._2, r._3))._3)
+        got((k, lid)) == want
+      }
+    }, tests = 8)
+  }
+
+  test("binnedIntervalJoin equals the brute-force inequality join for any bin width") {
+    val widthGen = Gen.oneOf(1L, 7L, 50L, 400L, 5000L)
+    run(Prop.forAll(eventsGen, eventsGen, widthGen) { (ivs, pts, w) =>
+      val iv = ivs.toDF("k", "lo0", "ivid")
+        .withColumn("lo", col("lo0")).withColumn("hi", col("lo0") + 150L).drop("lo0")
+      val pt = pts.toDF("k", "t", "ptid")
+      val got = RangeJoin.binnedIntervalJoin(iv, "lo", "hi", pt, "t", Seq("k"), binWidth = w)
+        .select("ivid", "ptid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = (for {
+        (ik, it, iid) <- ivs
+        (pk, ptt, pid) <- pts
+        if ik == pk && ptt >= it && ptt <= it + 150L
+      } yield (iid, pid)).toSet
+      got == brute
+    }, tests = 8)
+  }
+
+  test("sessionize partitions events exactly; gaps within sessions never exceed the gap") {
+    run(Prop.forAll(eventsGen, Gen.oneOf(10L, 100L, 500L)) { (es, gapMs) =>
+      val df = es.toDF("k", "t", "id").withColumn("ts", timestamp_micros(col("t")))
+      val out = Sessionize.withSessionSeq(df, Seq("k"), "ts", gapMicros = gapMs,
+          tieBreak = Seq(col("id")))
+        .select("k", "t", "session_seq")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      out.length == es.length && out.groupBy(_._1).values.forall { g =>
+        val byT = g.sortBy(x => (x._2, x._3)).toList
+        // consecutive events: same session iff gap <= gapMs
+        byT.sliding(2).forall {
+          case Seq((_, t1, s1), (_, t2, s2)) =>
+            if (t2 - t1 <= gapMs) s1 == s2 else s2 == s1 + 1
+          case _ => true
+        }
+      }
+    }, tests = 8)
+  }
 }
