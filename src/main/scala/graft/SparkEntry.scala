@@ -786,6 +786,23 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "d15_stratified_sample" -> ((s, d) => {
+      // exact-size per-stratum sample: 20 docs per language by md5 rank
+      // (deterministic reservoir stand-in; engine-portable hash order)
+      Sampling.stratifiedFixedSample(t(s, d, "documents"), Seq("lang"),
+          col("doc_id"), n = 20)
+        .select(col("lang"), col("doc_id"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+    "d16_quantile_filter" -> ((s, d) => {
+      // per-language bottom-quartile drop by token count (quality-percentile
+      // curation); 0.25 is dyadic so the interpolated threshold is bit-exact
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      Sampling.quantileFilter(docs, Seq("lang"), "n_tokens", q = 0.25)
+        .select(col("doc_id"), col("lang"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
     "d12_seq_pack" -> ((s, d) => {
       // token-budget sequence packing: contiguous greedy bins of 512 tokens
       // per language (running integer sum, keyed window — packs in parallel
@@ -1286,6 +1303,25 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 300 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    "d15_stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents) t
+        |WHERE rnk <= 20 ORDER BY lang, doc_id""".stripMargin,
+    "d16_quantile_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS INTEGER) AS n_tokens
+        |  FROM documents
+        |), th AS (
+        |  SELECT lang, quantile_cont(n_tokens, 0.25) AS thresh FROM d GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_tokens
+        |FROM d JOIN th ON d.lang = th.lang
+        |WHERE d.n_tokens >= th.thresh
+        |ORDER BY d.doc_id""".stripMargin,
     "d12_seq_pack" ->
       """WITH d AS (
         |  SELECT lang, doc_id,

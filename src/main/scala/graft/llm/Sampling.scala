@@ -57,6 +57,44 @@ object Sampling {
   }
 
   /**
+   * Fixed-SIZE stratified sample: exactly `n` rows per stratum (fewer if the
+   * stratum is smaller), chosen by ranking on a hash of the id — the
+   * deterministic, engine-portable stand-in for per-group reservoir
+   * sampling. Unlike the rate-based [[hashSample]], the output size per
+   * stratum is exact, which is what evaluation sets and per-language dev
+   * splits need.
+   *
+   * One shuffle on the stratum keys; the rank window is per-stratum, so
+   * strata sample in parallel. A hot stratum degrades to one sorted
+   * partition — acceptable because `n` rows survive anyway; pre-filter with
+   * [[hashSample]] first when a stratum is pathologically large.
+   */
+  def stratifiedFixedSample(df: DataFrame, keyCols: Seq[String], id: Column,
+                            n: Int): DataFrame = {
+    require(n > 0, "n must be positive")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(md5(id.cast("string")), id)
+    df.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= n).drop("__rank")
+  }
+
+  /**
+   * Per-stratum quantile filter (the "drop the bottom quartile by quality
+   * score within each language" curation step): keeps rows with
+   * `scoreCol >= quantile_q(scoreCol)` of their stratum. Exact interpolated
+   * percentile per group (one tiny agg) broadcast-joined back — two passes
+   * over the data, no sort of the full corpus. Use dyadic `q` values (0.25,
+   * 0.5, 0.75) when cross-engine bit-reproducibility matters.
+   */
+  def quantileFilter(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                     q: Double): DataFrame = {
+    require(q > 0 && q < 1, "q must be in (0, 1)")
+    val thresholds = df.groupBy(keyCols.map(col): _*)
+      .agg(expr(s"percentile($scoreCol, $q)").as("__thresh"))
+    df.join(broadcast(thresholds), keyCols)
+      .filter(col(scoreCol) >= col("__thresh")).drop("__thresh")
+  }
+
+  /**
    * Temperature-based mixture weights per stratum (the multilingual-corpus
    * re-balancing rule: sample stratum `l` proportionally to `n_l^alpha`,
    * alpha < 1 upweights the tail): returns one row per key with `n_rows` and

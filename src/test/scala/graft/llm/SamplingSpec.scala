@@ -58,4 +58,28 @@ class SamplingSpec extends SparkSpec {
     val denom = math.sqrt(5) + math.sqrt(2) + math.sqrt(3)
     assert(m("en")._3 == math.sqrt(5) / denom)
   }
+
+  test("stratifiedFixedSample: exact n per stratum, deterministic, subset of input") {
+    val big = (0L until 500L).map(i => (i, if (i % 3 == 0) "en" else "es", 1))
+      .toDF("id", "lang", "toks")
+    val out = Sampling.stratifiedFixedSample(big, Seq("lang"), col("id"), n = 25)
+      .select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.count(_._1 == "en") == 25 && out.count(_._1 == "es") == 25)
+    val again = Sampling.stratifiedFixedSample(big, Seq("lang"), col("id"), n = 25)
+      .select("lang", "id").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSet == again.toSet)
+    // a stratum smaller than n survives whole
+    val tiny = Sampling.stratifiedFixedSample(docs, Seq("lang"), col("id"), n = 100)
+    assert(tiny.count() == docs.count())
+  }
+
+  test("quantileFilter drops exactly the below-threshold rows per stratum") {
+    val df = Seq(
+      ("en", 1L, 10), ("en", 2L, 20), ("en", 3L, 30), ("en", 4L, 40), ("en", 5L, 50),
+      ("es", 6L, 1), ("es", 7L, 2), ("es", 8L, 100)).toDF("lang", "id", "score")
+    val kept = Sampling.quantileFilter(df, Seq("lang"), "score", q = 0.25)
+      .select("id").as[Long].collect().toSet
+    // en: q25 of (10,20,30,40,50) = 20 -> drop id 1; es: q25 of (1,2,100) = 1.5 -> drop id 6
+    assert(kept == Set(2L, 3L, 4L, 5L, 7L, 8L))
+  }
 }
