@@ -25,8 +25,12 @@ import org.apache.spark.sql.functions._
  */
 object GeoFunctions {
 
-  /** Register the ST_* family on `spark` (idempotent, cheap). */
-  def ensureRegistered(spark: SparkSession): Unit = GeoExpressions.register(spark)
+  /** Register the ST_* family and the native text expressions on `spark`
+    * (idempotent, cheap). */
+  def ensureRegistered(spark: SparkSession): Unit = {
+    GeoExpressions.register(spark)
+    graft.llm.TextExpressions.register(spark)
+  }
 
   /** Column sugar over the native expression family. */
   def st_geomFromWKT(c: Column): Column = call_function("st_geomfromwkt", c)

@@ -203,28 +203,11 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit sign-sum of per-token
-    * 64-bit hashes, folded in one pass (UDF — a 64-aggregate built-in
-    * formulation would re-scan the token array per bit). */
-  private val simhashUdf = udf { (text: String) =>
-    if (text == null) null
-    else {
-      val counts = new Array[Int](64)
-      text.toLowerCase.trim.split("\\s+").foreach { w =>
-        val h = graft.util.Hashing.mix64(graft.util.Hashing.fnv64(w))
-        var i = 0
-        while (i < 64) {
-          if (((h >>> i) & 1L) != 0L) counts(i) += 1 else counts(i) -= 1
-          i += 1
-        }
-      }
-      var sig = 0L
-      var i = 0
-      while (i < 64) { if (counts(i) > 0) sig |= (1L << i); i += 1 }
-      java.lang.Long.valueOf(sig)
-    }
-  }
-
-  def simhash64(text: Column): Column = simhashUdf(text)
+    * 64-bit hashes, folded in one pass by the NATIVE codegen'd expression
+    * ([[TextExpressions.Simhash64]] — stays inside whole-stage codegen, no
+    * UDF boundary; `call_function` resolves against the session registry,
+    * populated by GeoFunctions.ensureRegistered). */
+  def simhash64(text: Column): Column = call_function("simhash64", text)
 
   /** SimHash near-dup pairs: band the 64-bit signature into `maxHamming + 1`
     * chunks (pigeonhole: a pair within Hamming distance `maxHamming` differs

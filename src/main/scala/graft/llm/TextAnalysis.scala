@@ -15,6 +15,13 @@ object TextAnalysis {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Whitespace-token COUNT without materializing the token array: the
+    * native codegen'd [[TextExpressions.WsTokenCount]] byte scan. Matches
+    * `size(tokens(text))` exactly (incl. the empty-string -> 1 regex-split
+    * quirk) at a fraction of the cost — the hot denominator for corpus
+    * quality filtering. */
+  def wsTokenCount(text: Column): Column = call_function("ws_token_count", text)
+
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
   def bpeishTokenCount(text: Column): Column =
@@ -37,7 +44,7 @@ object TextAnalysis {
    */
   def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
     val t = col(textCol)
-    val nTokens = size(tokens(t))
+    val nTokens = wsTokenCount(t)
     df.withColumn("n_chars_computed", length(t))
       .withColumn("n_tokens", nTokens)
       .withColumn("mean_token_len",

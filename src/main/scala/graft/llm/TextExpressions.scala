@@ -1,0 +1,118 @@
+package graft.llm
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * JVM kernels for the native text expressions: static-shaped methods the
+ * generated Java calls directly (`TextKernels$.MODULE$...`), so the work
+ * stays INSIDE whole-stage codegen — no UDF serialization boundary, no
+ * InternalRow→Row conversion, no closure dispatch per row.
+ */
+object TextKernels {
+
+  /** Java-regex `\s` (ASCII) — deliberately narrower than
+    * Character.isWhitespace so byte-level counting matches `split("\\s+")`
+    * semantics exactly. */
+  @inline private def isWs(b: Byte): Boolean =
+    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+
+  /**
+   * Count of whitespace-separated tokens, scanned over the raw UTF-8 BYTES
+   * (ASCII whitespace never occurs inside a multi-byte UTF-8 sequence, so no
+   * decode is needed). Matches `size(split(trim(lower(text)), "\\s+"))`
+   * bit-for-bit: Spark's `trim` strips SPACES only, and `split` (limit −1)
+   * keeps leading/trailing empty fields, so the field count is exactly
+   * (number of maximal `\s+` runs in the space-trimmed string) + 1 — e.g.
+   * "" → 1, "\t\n" → 2, "a b" → 2.
+   */
+  def wsTokenCount(s: UTF8String): Int = {
+    var start = 0
+    var end = s.numBytes
+    while (start < end && s.getByte(start) == ' ') start += 1
+    while (end > start && s.getByte(end - 1) == ' ') end -= 1
+    var runs = 0
+    var inWs = false
+    var i = start
+    while (i < end) {
+      val ws = isWs(s.getByte(i))
+      if (ws && !inWs) { runs += 1; inWs = true }
+      else if (!ws) inWs = false
+      i += 1
+    }
+    runs + 1
+  }
+
+  /** 64-bit SimHash over lowercased whitespace tokens — per-bit sign-sum of
+    * per-token avalanche hashes (same math as the former UDF; the kernel is
+    * what the generated code calls). */
+  def simhash64(s: UTF8String): Long = {
+    val text = s.toString.toLowerCase
+    val counts = new Array[Int](64)
+    val len = text.length
+    var i = 0
+    while (i < len) {
+      // skip whitespace, then hash the token run directly (no split array)
+      while (i < len && Character.isWhitespace(text.charAt(i))) i += 1
+      if (i < len) {
+        var h = graft.util.Hashing.FnvOffset
+        while (i < len && !Character.isWhitespace(text.charAt(i))) {
+          h ^= text.charAt(i); h *= graft.util.Hashing.FnvPrime; i += 1
+        }
+        val mixed = graft.util.Hashing.mix64(h)
+        var b = 0
+        while (b < 64) {
+          if (((mixed >>> b) & 1L) != 0L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
+    sig
+  }
+}
+
+/**
+ * Native Catalyst text expressions WITH `doGenCode` (§2.9): unlike the geo
+ * family (CodegenFallback is right there — the work is inside JTS either
+ * way), these are leaf-level scans over the string payload where staying in
+ * generated code eliminates the per-row UDF boundary entirely. Registered as
+ * `ws_token_count` / `simhash64` next to the ST_ family.
+ */
+object TextExpressions {
+
+  private val kernel = "graft.llm.TextKernels$.MODULE$"
+
+  case class WsTokenCount(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(s: Any): Any =
+      TextKernels.wsTokenCount(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernel.wsTokenCount($c)")
+    override protected def withNewChildInternal(c: Expression): WsTokenCount = copy(c)
+    override def prettyName: String = "ws_token_count"
+  }
+
+  case class Simhash64(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(s: Any): Any =
+      TextKernels.simhash64(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernel.simhash64($c)")
+    override protected def withNewChildInternal(c: Expression): Simhash64 = copy(c)
+    override def prettyName: String = "simhash64"
+  }
+
+  val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "ws_token_count" -> (es => WsTokenCount(es.head)),
+    "simhash64" -> (es => Simhash64(es.head)))
+
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    registry.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+}

@@ -67,4 +67,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(2L) == ((0.0, 0.0, 1.0 / 3)))
     assert(out(3L) == ((1.0 - 1.0 / 4, 1.0 - 1.0 / 3, 1.0)))
   }
+
+  test("native ws_token_count matches the regex split count on edge cases") {
+    val cases = Seq("", " ", "\t\n", "a", " a ", "a b", "a  b\tc\nd",
+      "\u00e9l\u00e9phant caf\u00e9", "multi\u000bvertical", "x " * 50)
+    val df = cases.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.wsTokenCount(col("text")).as("native"),
+        size(split(trim(lower(col("text"))), "\\s+")).as("regex"))
+      .collect()
+    for (r <- out)
+      assert(r.getInt(1) == r.getInt(2), s"case ${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}")
+  }
+
+  test("native simhash64: identical for same tokens, distant for different text") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),
+      (3L, "totally unrelated words entirely elsewhere")).toDF("doc_id", "text")
+    val sig = df.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
+      .as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L), "whitespace-invariant")
+    val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
+    assert(hamming > 10, s"unrelated texts must be distant, hamming=$hamming")
+  }
 }
