@@ -786,6 +786,15 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"))
         .orderBy(col("doc_id"))
     }),
+    "d17_chunk_spans" -> ((s, d) => {
+      // sliding-window chunking (window 64, stride 48 -> 16-token overlap):
+      // span metadata per chunk, narrow integer generate, no text copies
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", TextAnalysis.wsTokenCount(col("text")))
+      Sampling.chunkSpans(docs, "n_tokens", window = 64, stride = 48)
+        .select(col("doc_id"), col("chunk_id"), col("token_start"), col("chunk_len"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
     "d15_stratified_sample" -> ((s, d) => {
       // exact-size per-stratum sample: 20 docs per language by md5 rank
       // (deterministic reservoir stand-in; engine-portable hash order)
@@ -1303,6 +1312,18 @@ object SparkEntry {
         |WHERE (doc_id * 2654435761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 300 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
+    "d17_chunk_spans" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, n,
+        |    unnest(range(0, 1 + (greatest(n - 64, 0) + 47) // 48)) AS chunk_id FROM d
+        |)
+        |SELECT doc_id, chunk_id, chunk_id * 48 AS token_start,
+        | least(64, n - chunk_id * 48) AS chunk_len
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "d15_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -57,6 +57,33 @@ object Sampling {
   }
 
   /**
+   * Sliding-window chunk spans: one row per (row, chunk) with `chunk_id`,
+   * `token_start`, `chunk_len` — the windowing step ahead of embedding or
+   * sequence training (window 512 / stride 384 → 128-token overlap). Spans
+   * are METADATA (token units); the downstream tokenizer/encoder slices with
+   * them, so this layer never copies text. Chunks start every `stride`
+   * tokens while tokens beyond the previous window remain; the final chunk
+   * is short rather than padded, and no chunk is emitted whose tokens were
+   * all covered by the previous window.
+   *
+   * Narrow generate (`posexplode` over an integer `sequence`) — output rows
+   * ≈ total_tokens / stride, no shuffle, pure integer arithmetic.
+   */
+  def chunkSpans(df: DataFrame, tokensCol: String, window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "need 0 < stride <= window (stride > window would skip tokens)")
+    df.withColumn("__n", col(tokensCol).cast("long"))
+      // chunks = 1 + ceil(max(n - window, 0) / stride), integral (`div`
+      // stays in longs; Column./ is fractional)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0L),
+          expr(s"(greatest(__n - $window, 0L) + ${stride - 1}) div $stride"))))
+      .withColumn("token_start", col("chunk_id") * stride)
+      .withColumn("chunk_len", least(lit(window.toLong), col("__n") - col("token_start")))
+      .drop("__n")
+  }
+
+  /**
    * Fixed-SIZE stratified sample: exactly `n` rows per stratum (fewer if the
    * stratum is smaller), chosen by ranking on a hash of the id — the
    * deterministic, engine-portable stand-in for per-group reservoir

@@ -82,4 +82,24 @@ class SamplingSpec extends SparkSpec {
     // en: q25 of (10,20,30,40,50) = 20 -> drop id 1; es: q25 of (1,2,100) = 1.5 -> drop id 6
     assert(kept == Set(2L, 3L, 4L, 5L, 7L, 8L))
   }
+
+  test("chunkSpans: full coverage with overlap, short tail, no empty chunks") {
+    val df = Seq((1L, 100), (2L, 64), (3L, 65), (4L, 1)).toDF("id", "n")
+    val out = Sampling.chunkSpans(df, "n", window = 64, stride = 48)
+      .select("id", "chunk_id", "token_start", "chunk_len")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // n=100: chunks at 0 (len 64) and 48 (len 52) cover [0,100); no chunk at 96
+    // (its 4 tokens were already inside chunk 1's window)
+    assert(out(1L).toSet == Set((1L, 0L, 0L, 64L), (1L, 1L, 48L, 52L)))
+    // n=64 fits one window exactly; n=65 needs a 17-token tail chunk
+    assert(out(2L).toSet == Set((2L, 0L, 0L, 64L)))
+    assert(out(3L).toSet == Set((3L, 0L, 0L, 64L), (3L, 1L, 48L, 17L)))
+    // n=1: one 1-token chunk
+    assert(out(4L).toSet == Set((4L, 0L, 0L, 1L)))
+    // invariants across all rows: len in (0, window], start covered by stride
+    for (g <- out.values; (_, cid, start, len) <- g) {
+      assert(len > 0 && len <= 64 && start == cid * 48)
+    }
+  }
 }
