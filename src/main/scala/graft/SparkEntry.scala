@@ -485,14 +485,15 @@ object SparkEntry {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
       // DuckDB oracle computes the batch equivalent)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
-        s, d, schema, glob = Some("events.parquet"))
+        ss, d, schema, glob = Some("events.parquet"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val agg = graft.streaming.Streaming.windowedEventCounts(stream)
       graft.streaming.Streaming.runAvailableNow(agg, s"s01_win_${System.nanoTime()}")
@@ -503,14 +504,15 @@ object SparkEntry {
     "s02_stream_dedup" -> ((s, d) => {
       // §2.8 exactly-once dedup as a stream: first-seen (user_id, event_type)
       // pairs against checkpointed state — must converge to batch DISTINCT
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
-        s, d, schema, glob = Some("events.parquet"))
+        ss, d, schema, glob = Some("events.parquet"))
       val deduped = graft.streaming.Streaming.dedupedStream(
         stream, Seq("user_id", "event_type"))
       graft.streaming.Streaming.runAvailableNow(
@@ -573,12 +575,14 @@ object SparkEntry {
       // clean (d10) modulo WHICH duplicate survives — so the output is keyed
       // by md5(text), identical whichever twin the state store kept
       import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      graft.geo.GeoFunctions.ensureRegistered(ss)
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
-        s, d, schema, glob = Some("documents.parquet"))
+        ss, d, schema, glob = Some("documents.parquet"))
       val cleaned = graft.llm.CorpusPipeline.cleanStream(stream,
           cfg = graft.llm.CorpusCleanConfig(minChars = 50, minTokens = 10,
             maxPunctRatio = 0.25, keepLangs = Set("en", "es"), nearDup = false))
@@ -602,14 +606,15 @@ object SparkEntry {
       // STREAM-STREAM interval join: purchases stream x events stream, same
       // user, event in (t0, t0+2h] — watermarked state on both sides, must
       // converge to the batch inequality join (the q32 pair set)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       def stream() = graft.streaming.Streaming.availableNowFileStream(
-        s, d, schema, glob = Some("events.parquet"))
+        ss, d, schema, glob = Some("events.parquet"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val purchases = stream().filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("pts"))
@@ -670,14 +675,15 @@ object SparkEntry {
       // STREAMING sessionization: native session_window with watermarked
       // state, driven to completion — must converge to the batch
       // gaps-and-islands answer (merge while gap < 2 h)
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       import org.apache.spark.sql.types._
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", LongType),
         StructField("user_id", LongType), StructField("event_type", StringType),
         StructField("value", DoubleType), StructField("props", StringType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
-        s, d, schema, glob = Some("events.parquet"))
+        ss, d, schema, glob = Some("events.parquet"))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sess = graft.streaming.Streaming.sessionWindowedCounts(
         stream, Seq("user_id"), gap = "2 hours")
@@ -794,6 +800,22 @@ object SparkEntry {
       Sampling.chunkSpans(docs, "n_tokens", window = 64, stride = 48)
         .select(col("doc_id"), col("chunk_id"), col("token_start"), col("chunk_len"))
         .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+    "d18_bigram_vocab" -> ((s, d) => {
+      // vocabulary induction: the BPE/merge-candidate core step — global
+      // adjacent-pair counts, top 50 by frequency (deterministic tie order).
+      // explode -> one keyed agg -> TakeOrdered; pair cardinality grows with
+      // the data so the shuffle key space does too
+      val toks = TextAnalysis.tokens(col("text"))
+      val grams = zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b))
+      t(s, d, "documents")
+        .filter(size(toks) > 1)
+        .select(explode(grams).as("bigram"))
+        .groupBy(col("bigram")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(50)
     }),
     "d15_stratified_sample" -> ((s, d) => {
       // exact-size per-stratum sample: 20 docs per language by md5 rank
@@ -1324,6 +1346,15 @@ object SparkEntry {
         |SELECT doc_id, chunk_id, chunk_id * 48 AS token_start,
         | least(64, n - chunk_id * 48) AS chunk_len
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "d18_bigram_vocab" ->
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+        |  FROM tk WHERE len(t) > 1
+        |)
+        |SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "d15_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

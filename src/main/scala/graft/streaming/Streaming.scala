@@ -24,6 +24,21 @@ import org.apache.spark.sql.types.StructType
  */
 object Streaming {
 
+  /**
+   * A sibling session with its own SQL conf (shared SparkContext, shared
+   * caches) sized for STATEFUL streaming: each state-store partition pays a
+   * fixed checkpoint/commit cost per microbatch, so a small-state stream at
+   * the batch-analytics shuffle-partition count (32+) spends most of its
+   * wall time on store bookkeeping. The state partition count is fixed at
+   * the first run of a checkpoint — pick it for the STATE size, not the
+   * core count, and scale it with expected keys in production.
+   */
+  def statefulSession(spark: SparkSession, shufflePartitions: Int = 8): SparkSession = {
+    val ss = spark.newSession()
+    ss.conf.set("spark.sql.shuffle.partitions", shufflePartitions.toString)
+    ss
+  }
+
   /** File-source stream over a directory of parquet drops. `glob` narrows
     * the files when pointing at a shared directory (the file source requires
     * a directory basePath). */
