@@ -35,7 +35,7 @@ object Opq {
     * trained in the rotated space. */
   case class OpqModel(rotation: Array[Array[Double]], pq: Quantization.PqModel)
 
-  private def rotateVec(x: Array[Double], r: Array[Array[Double]]): Array[Double] = {
+  private[llm] def rotateVec(x: Array[Double], r: Array[Array[Double]]): Array[Double] = {
     val dim = r.length
     val y = new Array[Double](dim)
     var i = 0

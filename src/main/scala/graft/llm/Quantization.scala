@@ -232,11 +232,20 @@ object Quantization {
    * [[residuals]] column, and each query builds one lookup table per probed
    * cell from its own residual against that cell — finer quantization for
    * the same code budget.
+   *
+   * With `rotation` set (OPQ-IVFADC, Ge et al. CVPR 2013 §5), the same
+   * orthogonal rotation must have been applied before encoding (to the
+   * residuals when `residual = true`, else to the raw vectors —
+   * [[Opq.rotate]]); query vectors are rotated identically before the
+   * lookup tables are built. Rotation after residual subtraction is the
+   * classical composition: cell geometry stays in the original space, only
+   * the quantizer sees the rotated frame.
    */
   def ivfPqTopK(encoded: DataFrame, queries: DataFrame,
                 ivfCentroids: Array[Array[Double]], model: PqModel, k: Int,
                 nprobe: Int = 4, residual: Boolean = false, idCol: String = "vec_id",
-                vecCol: String = "embedding", codeCol: String = "pq_code"): DataFrame = {
+                vecCol: String = "embedding", codeCol: String = "pq_code",
+                rotation: Option[Array[Array[Double]]] = None): DataFrame = {
     val spark = encoded.sparkSession
     val (qIds, qVecs) = collectQueries(queries, idCol, vecCol, "ivfPqTopK query side")
     // probe lists are computed driver-side (queries are already collected)
@@ -249,18 +258,20 @@ object Quantization {
     val bcModel = spark.sparkContext.broadcast(model)
     val bcQ = spark.sparkContext.broadcast(qVecs)
     val bcCents = spark.sparkContext.broadcast(ivfCentroids)
+    val bcRot = spark.sparkContext.broadcast(rotation)
     // absolute mode: one table per query; residual mode: one per (query,
     // probed cell), built from the query's residual against that cell
     val tables = new graft.util.ThreadLocalCache[Map[(Int, Int), Array[Array[Double]]]](() => {
       val mod = bcModel.value
       bcCellToQ.value.toSeq.flatMap { case (cell, qs) =>
         qs.map { q =>
-          val qv = if (!residual) bcQ.value(q)
+          val raw = if (!residual) bcQ.value(q)
           else {
             val cen = bcCents.value(cell)
             val v = bcQ.value(q)
             Array.tabulate(v.length)(i => v(i) - (if (i < cen.length) cen(i) else 0.0))
           }
+          val qv = bcRot.value.map(Opq.rotateVec(raw, _)).getOrElse(raw)
           (q, cell) -> adcTable(mod, qv)
         }
       }.toMap

@@ -73,4 +73,31 @@ class OpqSpec extends SparkSpec {
     assert(rOpq >= rPq - 0.05, s"OPQ recall $rOpq should not trail PQ recall $rPq")
     assert(rOpq >= 0.5, s"OPQ recall too low: $rOpq")
   }
+
+  test("OPQ-IVFADC: rotated residuals keep recall through cell pruning") {
+    val df = corpus.cache()
+    val queries = df.filter(col("vec_id") < 8)
+    val topk = 10
+    val vecs = df.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray.map(_.toDouble)).toMap
+    def l2(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val exact = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (l2(vecs(q), vecs(n)), n)).take(topk).map(q -> _)
+    }.toSet
+    val centroids = Similarity.ivfIndex(df, dim = dim, k = 8, sampleSize = 600)
+    val withRes = Quantization.residuals(
+      Similarity.assignCells(df, centroids), centroids)
+    // rotate the RESIDUALS (cell geometry stays in the original space)
+    val opq = Opq.train(withRes, dim, m = 4, k = 8, sampleSize = 600, vecCol = "residual")
+    val rotated = Opq.rotate(withRes, opq.rotation, vecCol = "residual", outCol = "rotres")
+    val encoded = Quantization.encode(rotated, opq.pq, vecCol = "rotres")
+    val got = Quantization.ivfPqTopK(encoded, queries, centroids, opq.pq,
+        k = topk, nprobe = 4, residual = true, rotation = Some(opq.rotation))
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (exact intersect got).size.toDouble / exact.size
+    assert(recall >= 0.5, s"OPQ-IVFADC recall@$topk $recall")
+  }
 }
