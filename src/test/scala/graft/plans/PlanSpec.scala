@@ -108,4 +108,14 @@ class PlanSpec extends SparkSpec {
     val exchanges = exchangeCount(p)
     assert(exchanges <= 5, s"expected <=5 Exchange, found $exchanges:\n$p")
   }
+
+  test("d04: bucketed LSH signatures are cached, so the pair self-join reuses them") {
+    // executedPlan (not explain string): the cache shows as InMemoryTableScan
+    // on BOTH sides of the self-join; losing the cache would re-run the
+    // signature UDF three times over the corpus
+    val plan = graft.SparkEntry.queries("d04_minhash_lsh")(spark, sf)
+      .queryExecution.executedPlan.toString
+    val scans = "InMemoryTableScan".r.findAllIn(plan).size
+    assert(scans >= 2, s"expected the cached banded signatures on both join sides:\n$plan")
+  }
 }
