@@ -817,6 +817,31 @@ object SparkEntry {
         .orderBy(col("n").desc, col("bigram"))
         .limit(50)
     }),
+    "d19_minhash_sql" -> ((s, d) => {
+      // ORACLE-CHECKED MinHash-LSH: the same shingle -> per-function minima
+      // -> band bucket join -> match-count pipeline as d04, built entirely
+      // from engine-portable primitives (md5 over word 2-grams; min = hex
+      // string order) so DuckDB reproduces the pair set bit-for-bit. The
+      // custom-hash path (Dedup.minhashLsh, d04) is the fast production
+      // variant; this one proves the ALGORITHM end to end.
+      val toks = TextAnalysis.tokens(col("text"))
+      val grams = array_distinct(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      val sigs = (0 until 8).map { k =>
+        array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
+      }
+      val banded = t(s, d, "documents")
+        .filter(size(toks) > 1)
+        .select(col("doc_id"), grams.as("__grams"))
+        .select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
+      val a = banded.select(col("k"), col("sig"), col("doc_id").as("id_a"))
+      val b = banded.select(col("k"), col("sig"), col("doc_id").as("id_b"))
+      a.join(b, Seq("k", "sig")).filter(col("id_a") < col("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_matching"))
+        .filter(col("n_matching") >= 4) // est Jaccard >= 0.5 of 8 functions
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d15_stratified_sample" -> ((s, d) => {
       // exact-size per-stratum sample: 20 docs per language by md5 rank
       // (deterministic reservoir stand-in; engine-portable hash order)
@@ -1355,6 +1380,22 @@ object SparkEntry {
         |)
         |SELECT bigram, COUNT(*) AS n FROM g GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
+    "d19_minhash_sql" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tk WHERE len(t) > 1
+        |), banded AS (
+        |  SELECT doc_id, k,
+        |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+        |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_matching
+        |FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        |ORDER BY id_a, id_b""".stripMargin,
     "d15_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
