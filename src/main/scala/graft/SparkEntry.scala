@@ -832,7 +832,8 @@ object SparkEntry {
         array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
       }
       val banded = t(s, d, "documents")
-        .filter(size(toks) > 1)
+        .filter(expr("doc_id % 2 = 0") && size(toks) > 1) // algorithm-proof
+        // variant on a keyed subset (d08-style); d04 is the full fast path
         .select(col("doc_id"), grams.as("__grams"))
         .select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
       val a = banded.select(col("k"), col("sig"), col("doc_id").as("id_a"))
@@ -1382,7 +1383,8 @@ object SparkEntry {
         |ORDER BY n DESC, bigram LIMIT 50""".stripMargin,
     "d19_minhash_sql" ->
       """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0
         |), g AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
