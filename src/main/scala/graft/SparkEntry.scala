@@ -112,6 +112,32 @@ object SparkEntry {
     ImpactPipeline.tileView(tiles, envs)
   }
 
+  // ---------------------------------------------------------------------
+  // streaming fixtures: ONE definition of the events stream (schema, nanos
+  // conversion, state-sized session) shared by every s* query
+  // ---------------------------------------------------------------------
+
+  private def eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** State-sized sibling session with the TIMESTAMP(NANOS) read conf. */
+  private def statefulEventsSession(s: SparkSession): SparkSession = {
+    val ss = graft.streaming.Streaming.statefulSession(s)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ss
+  }
+
+  /** events.parquet as a micro-timestamped file stream on `ss`. */
+  private def eventsStream(ss: SparkSession, d: String): DataFrame =
+    graft.streaming.Streaming.availableNowFileStream(
+      ss, d, eventsStreamSchema, glob = Some("events.parquet"))
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
   // =====================================================================
   // queries + oracleSql
   // =====================================================================
@@ -485,17 +511,8 @@ object SparkEntry {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
       // DuckDB oracle computes the batch equivalent)
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = graft.streaming.Streaming.availableNowFileStream(
-        ss, d, schema, glob = Some("events.parquet"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      val agg = graft.streaming.Streaming.windowedEventCounts(stream)
+      val agg = graft.streaming.Streaming.windowedEventCounts(
+        eventsStream(statefulEventsSession(s), d))
       graft.streaming.Streaming.runAvailableNow(agg, s"s01_win_${System.nanoTime()}")
         .select(to_date(col("window_start")).as("day"), col("event_type"), col("n"),
           round(col("total"), 2).as("total"))
@@ -504,15 +521,7 @@ object SparkEntry {
     "s02_stream_dedup" -> ((s, d) => {
       // §2.8 exactly-once dedup as a stream: first-seen (user_id, event_type)
       // pairs against checkpointed state — must converge to batch DISTINCT
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = graft.streaming.Streaming.availableNowFileStream(
-        ss, d, schema, glob = Some("events.parquet"))
+      val stream = eventsStream(statefulEventsSession(s), d)
       val deduped = graft.streaming.Streaming.dedupedStream(
         stream, Seq("user_id", "event_type"))
       graft.streaming.Streaming.runAvailableNow(
@@ -606,16 +615,8 @@ object SparkEntry {
       // STREAM-STREAM interval join: purchases stream x events stream, same
       // user, event in (t0, t0+2h] — watermarked state on both sides, must
       // converge to the batch inequality join (the q32 pair set)
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      def stream() = graft.streaming.Streaming.availableNowFileStream(
-        ss, d, schema, glob = Some("events.parquet"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val ss = statefulEventsSession(s)
+      def stream() = eventsStream(ss, d)
       val purchases = stream().filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("pts"))
       val others = stream()
@@ -675,18 +676,8 @@ object SparkEntry {
       // STREAMING sessionization: native session_window with watermarked
       // state, driven to completion — must converge to the batch
       // gaps-and-islands answer (merge while gap < 2 h)
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      import org.apache.spark.sql.types._
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = graft.streaming.Streaming.availableNowFileStream(
-        ss, d, schema, glob = Some("events.parquet"))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       val sess = graft.streaming.Streaming.sessionWindowedCounts(
-        stream, Seq("user_id"), gap = "2 hours")
+        eventsStream(statefulEventsSession(s), d), Seq("user_id"), gap = "2 hours")
       graft.streaming.Streaming.runAvailableNow(sess, s"s04_sess_${System.nanoTime()}")
         .select(col("user_id"), col("session_start"), col("n"),
           round(col("total"), 2).as("total"))
@@ -1357,7 +1348,7 @@ object SparkEntry {
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "d11_hash_sample" ->
       """SELECT doc_id, lang FROM documents
-        |WHERE (doc_id * 2654435761) % 1000 <
+        |WHERE ((doc_id & 2147483647) * 2654435761) % 1000 <
         |  CASE WHEN lang = 'en' THEN 300 ELSE 100 END
         |ORDER BY doc_id""".stripMargin,
     "d17_chunk_spans" ->

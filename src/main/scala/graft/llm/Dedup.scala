@@ -107,11 +107,17 @@ object Dedup {
     f(text)
   }
 
-  /** One row per (document, band): `(id, sig, band, bucket)` where `bucket`
-    * hashes the band's signature slice. This IS the persistable LSH index —
-    * write it partitioned however the corpus is sharded and join new data
-    * against it ([[minhashLshAgainstIndex]]) without ever re-scanning the
-    * corpus text. */
+  /** Bumped whenever [[minhashSignature]]'s definition changes (shingle
+    * normalization, hash family): signatures from different versions NEVER
+    * match, so a persisted index must be rebuilt — the version column makes
+    * the mismatch fail loud instead of silently returning zero pairs. */
+  final val SignatureVersion = 2
+
+  /** One row per (document, band): `(id, sig, band, bucket, sig_version)`
+    * where `bucket` hashes the band's signature slice. This IS the
+    * persistable LSH index — write it partitioned however the corpus is
+    * sharded and join new data against it ([[minhashLshAgainstIndex]])
+    * without ever re-scanning the corpus text. */
   def bandedSignatures(df: DataFrame, idCol: String, textCol: String = "text",
                        shingleSize: Int = 5, numHashes: Int = 64,
                        bands: Int = 16): DataFrame = {
@@ -124,6 +130,7 @@ object Dedup {
         xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
           col("sig").getItem(b * rowsPerBand + r)): _*))
       }: _*)).as(Seq("band", "bucket")))
+      .withColumn("sig_version", lit(SignatureVersion))
   }
 
   /** Fraction of matching minhash components — the Jaccard estimator. */
@@ -187,11 +194,21 @@ object Dedup {
                              maxBucketSize: Int = 1000): DataFrame = {
     val fresh = bandedSignatures(newDocs, idCol, textCol, shingleSize, numHashes, bands)
       .select(col("band"), col("bucket"), col("id").as("new_id"), col("sig").as("sig_new"))
+    // stale-index guard: signatures from a different definition version can
+    // never match — fail loud instead of silently returning zero pairs
+    if (index.columns.contains("sig_version"))
+      index.filter(col("sig_version") =!= SignatureVersion).limit(1).collect().headOption
+        .foreach { r => throw new IllegalArgumentException(
+          s"LSH index was built with sig_version ${r.getAs[Any]("sig_version")}, " +
+          s"current is $SignatureVersion — rebuild the index (bandedSignatures)") }
     // the skew cap applies to the index side (boilerplate buckets there are
-    // the quadratic risk; the new batch is bounded by construction)
-    val idxSizes = index.groupBy("band", "bucket").count()
-      .filter(col("count") <= maxBucketSize).select("band", "bucket")
-    val idx = index.join(idxSizes, Seq("band", "bucket"))
+    // the quadratic risk; the new batch is bounded by construction). A
+    // window count keeps this to ONE scan of the persisted index (a
+    // groupBy+join back would read it twice per ingest batch).
+    val wBucket = Window.partitionBy("band", "bucket")
+    val idx = index
+      .withColumn("__bsize", count(lit(1)).over(wBucket))
+      .filter(col("__bsize") <= maxBucketSize)
       .select(col("band"), col("bucket"), col("id").as("index_id"), col("sig").as("sig_idx"))
     fresh.join(idx, Seq("band", "bucket"))
       .filter(col("new_id") =!= col("index_id"))
@@ -207,7 +224,10 @@ object Dedup {
     * ([[TextExpressions.Simhash64]] — stays inside whole-stage codegen, no
     * UDF boundary; `call_function` resolves against the session registry,
     * populated by GeoFunctions.ensureRegistered). */
-  def simhash64(text: Column): Column = call_function("simhash64", text)
+  def simhash64(text: Column): Column = {
+    TextExpressions.ensureActive()
+    call_function("simhash64", text)
+  }
 
   /** SimHash near-dup pairs: band the 64-bit signature into `maxHamming + 1`
     * chunks (pigeonhole: a pair within Hamming distance `maxHamming` differs
@@ -223,6 +243,7 @@ object Dedup {
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming=$maxHamming: chunks of 64/(maxHamming+1) bits lose bucketing power past 15")
+    TextExpressions.ensureOn(df)
     val nChunks = maxHamming + 1
     // distribute 64 bits as evenly as possible across the chunks
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))

@@ -19,18 +19,27 @@ object Sampling {
 
   /**
    * Deterministic hash sampling: keep a row iff
-   * `(id * 2654435761) mod 1000 < permille`. Knuth's multiplicative hash —
-   * pure integer arithmetic, so the SAME rows are kept on every engine and
-   * every run (unlike `df.sample`, whose RNG is partition-dependent), which
-   * makes downsampling reproducible and joinable: two tables sampled on the
-   * same key keep aligned rows. `permille` may be a per-row expression —
-   * stratified rates (e.g. by language) are just a CASE.
+   * `((id & 0x7fffffff) * 2654435761) mod 1000 < permille`. Knuth's
+   * multiplicative hash — pure integer arithmetic, so the SAME rows are kept
+   * on every engine and every run (unlike `df.sample`, whose RNG is
+   * partition-dependent), which makes downsampling reproducible and
+   * joinable: two tables sampled on the same key keep aligned rows.
+   * `permille` may be a per-row expression — stratified rates (e.g. by
+   * language) are just a CASE.
+   *
+   * The 31-bit mask keeps the product inside a 64-bit long for ANY id
+   * (negative or 64-bit — e.g. xxhash64-derived keys): without it the
+   * multiplication overflows (an error under ANSI/DuckDB, a silent wrap
+   * elsewhere) and `%` vs `pmod` diverge on negatives, breaking the
+   * cross-engine contract exactly where it matters. Ids equal mod 2^31
+   * sample together — irrelevant for rate sampling.
    *
    * Narrow filter, no shuffle, pushes past projections; at 100 TB the sample
    * rate is applied at scan speed.
    */
   def hashSample(df: DataFrame, id: Column, permille: Column): DataFrame =
-    df.filter(pmod(id * lit(2654435761L), lit(1000L)) < permille)
+    df.filter(
+      pmod(id.bitwiseAND(lit(0x7fffffffL)) * lit(2654435761L), lit(1000L)) < permille)
 
   /**
    * Token-budget sequence packing: orders rows by `orderCol` within each
@@ -107,16 +116,24 @@ object Sampling {
   /**
    * Per-stratum quantile filter (the "drop the bottom quartile by quality
    * score within each language" curation step): keeps rows with
-   * `scoreCol >= quantile_q(scoreCol)` of their stratum. Exact interpolated
-   * percentile per group (one tiny agg) broadcast-joined back — two passes
-   * over the data, no sort of the full corpus. Use dyadic `q` values (0.25,
-   * 0.5, 0.75) when cross-engine bit-reproducibility matters.
+   * `scoreCol >= quantile_q(scoreCol)` of their stratum; the per-stratum
+   * thresholds are broadcast-joined back — two passes over the data, no
+   * sort of the full corpus.
+   *
+   * `exact = true` uses Spark's exact interpolated `percentile`, whose
+   * aggregation buffer is O(distinct score values) per stratum — right for
+   * DISCRETE scores (token counts, integer ratings) and for cross-engine
+   * bit-reproducibility (with dyadic `q`: 0.25/0.5/0.75). For continuous
+   * scores at corpus scale pass `exact = false`: `approx_percentile` keeps
+   * a bounded sketch per stratum instead.
    */
   def quantileFilter(df: DataFrame, keyCols: Seq[String], scoreCol: String,
-                     q: Double): DataFrame = {
+                     q: Double, exact: Boolean = true): DataFrame = {
     require(q > 0 && q < 1, "q must be in (0, 1)")
+    val agg = if (exact) s"percentile($scoreCol, $q)"
+              else s"approx_percentile($scoreCol, $q, 10000)"
     val thresholds = df.groupBy(keyCols.map(col): _*)
-      .agg(expr(s"percentile($scoreCol, $q)").as("__thresh"))
+      .agg(expr(agg).as("__thresh"))
     df.join(broadcast(thresholds), keyCols)
       .filter(col(scoreCol) >= col("__thresh")).drop("__thresh")
   }
@@ -135,14 +152,17 @@ object Sampling {
    * `pow`, which is correctly-rounded on the JVM but not guaranteed
    * bit-identical to other engines' libm.
    *
-   * The per-key count aggregation is the only full-data pass; the fold runs
-   * over one tiny array (|keys| elements) broadcast back to the counts.
+   * The per-key count aggregation is the only full-data pass (the post-agg
+   * frame is cached, so deriving the denominator does not re-scan the
+   * input); the fold runs over one tiny array (|keys| elements) broadcast
+   * back to the counts.
    */
   def mixtureWeights(df: DataFrame, keyCol: String, alpha: Double = 0.5): DataFrame = {
     val term: Column => Column =
       if (alpha == 0.5) sqrt(_) else pow(_, lit(alpha))
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("n_rows"))
       .withColumn("__term", term(col("n_rows").cast("double")))
+      .cache()
     val denom = counts.agg(
       aggregate(
         array_sort(collect_list(struct(col(keyCol).as("k"), col("__term").as("s")))),

@@ -20,7 +20,10 @@ object TextAnalysis {
     * `size(tokens(text))` exactly (incl. the empty-string -> 1 regex-split
     * quirk) at a fraction of the cost — the hot denominator for corpus
     * quality filtering. */
-  def wsTokenCount(text: Column): Column = call_function("ws_token_count", text)
+  def wsTokenCount(text: Column): Column = {
+    TextExpressions.ensureActive()
+    call_function("ws_token_count", text)
+  }
 
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
@@ -43,6 +46,7 @@ object TextAnalysis {
    * heuristic pre-filters for LLM training corpora): one narrow projection.
    */
   def qualityMetrics(df: DataFrame, textCol: String = "text"): DataFrame = {
+    TextExpressions.ensureOn(df)
     val t = col(textCol)
     val nTokens = wsTokenCount(t)
     df.withColumn("n_chars_computed", length(t))

@@ -46,8 +46,10 @@ object TextKernels {
   }
 
   /** 64-bit SimHash over lowercased whitespace tokens — per-bit sign-sum of
-    * per-token avalanche hashes (same math as the former UDF; the kernel is
-    * what the generated code calls). */
+    * per-token avalanche hashes. SIGNATURE DEFINITION (v2, differs from the
+    * pre-round-4 UDF — re-derive any persisted simhash values): tokens are
+    * separated by Character.isWhitespace (Unicode), lowercasing is per-char,
+    * and empty/whitespace-only text yields 0L (no tokens). */
   def simhash64(s: UTF8String): Long = {
     val text = s.toString.toLowerCase
     val counts = new Array[Int](64)
@@ -115,4 +117,15 @@ object TextExpressions {
     registry.foreach { case (name, builder) =>
       spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+
+  /** Best-effort self-registration so the Column helpers work without the
+    * caller invoking ensureRegistered: temp-function registrations do NOT
+    * propagate to `newSession()` clones, so every DataFrame-taking operator
+    * registers on ITS OWN session and the Column-only helpers register on
+    * the active one. */
+  private[llm] def ensureOn(df: org.apache.spark.sql.DataFrame): Unit =
+    register(df.sparkSession)
+
+  private[llm] def ensureActive(): Unit =
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(register)
 }

@@ -90,7 +90,12 @@ object Deltas {
       leftCols.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__src"), nullPayload.as("__payload"),
         tieType.map(t => lit(null).cast(t)).getOrElse(lit(0)).as("__tie")): _*)
-    val rightPart = right.select(
+    // join semantics for null keys (null != null): a null-key right row can
+    // never be anyone's predecessor, so drop it before the union — left rows
+    // with null keys then naturally carry null payloads (the window would
+    // otherwise group all null keys together and cross-match them)
+    val rightNonNullKeys = by.map(col(_).isNotNull).reduce(_ && _)
+    val rightPart = right.filter(rightNonNullKeys).select(
       leftCols.map(c => if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__src"), payloadStruct.as("__payload"),
         tieBreak.map(col).getOrElse(lit(0)).as("__tie")): _*)

@@ -93,4 +93,16 @@ class TemporalOpsSpec extends SparkSpec {
       .groupBy("iv_id", "pt_id").count().filter(col("count") > 1).count()
     assert(rows == 0L)
   }
+
+  test("asofJoin: null by-keys follow join semantics (no null-to-null matches)") {
+    val left = Seq((Option(1L), 10L, 100L), (Option.empty[Long], 11L, 100L))
+      .toDF("k", "lid", "t").withColumn("lts", timestamp_micros(col("t"))).drop("t")
+    val right = Seq((Option(1L), 20L, 50L), (Option.empty[Long], 21L, 50L))
+      .toDF("k", "rid", "t").withColumn("rts", timestamp_micros(col("t"))).drop("t")
+    val got = Deltas.asofJoin(left, right, Seq("k"), "lts", "rts", payload = Seq("rid"))
+      .select("lid", "asof_rid")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(got(10L).contains(20L), "non-null key matches normally")
+    assert(got(11L).isEmpty, "null-key left row must NOT match the null-key right row")
+  }
 }
