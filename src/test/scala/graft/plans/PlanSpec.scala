@@ -118,4 +118,16 @@ class PlanSpec extends SparkSpec {
     val scans = "InMemoryTableScan".r.findAllIn(plan).size
     assert(scans >= 2, s"expected the cached banded signatures on both join sides:\n$plan")
   }
+
+  test("d17: chunk-span generation stays narrow (explode, no data shuffle)") {
+    val p = formatted("d17_chunk_spans")
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 1, s"expected <=1 Exchange (output sort only), found $exchanges:\n$p")
+    assert(p.contains("Generate"), p)
+  }
+
+  test("q33: exact percentiles aggregate partially before the shuffle") {
+    val p = formatted("q33_percentiles")
+    assert(p.contains("partial_"), "no partial aggregation before exchange:\n" + p)
+  }
 }
