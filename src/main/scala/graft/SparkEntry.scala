@@ -101,6 +101,29 @@ object SparkEntry {
       |  0.03125 + (s_suppkey % 13) * 0.0625 + 0.046875 + (s_suppkey % 7) * 0.03125 AS maxlat
       |FROM supplier""".stripMargin
 
+  /** Engine-portable MinHash-LSH pairs (md5 over word 2-grams, min = hex
+    * string order) on the doc_id%2=0 subset — shared by d19 (pair output)
+    * and d20 (cluster formation over the same pairs). */
+  private def minhashSqlPairs(s: SparkSession, d: String): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val grams = array_distinct(zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b)))
+    val sigs = (0 until 8).map { k =>
+      array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
+    }
+    val banded = t(s, d, "documents")
+      .filter(expr("doc_id % 2 = 0") && size(toks) > 1) // algorithm-proof
+      // variant on a keyed subset (d08-style); d04 is the full fast path
+      .select(col("doc_id"), grams.as("__grams"))
+      .select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
+    val a = banded.select(col("k"), col("sig"), col("doc_id").as("id_a"))
+    val b = banded.select(col("k"), col("sig"), col("doc_id").as("id_b"))
+    a.join(b, Seq("k", "sig")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_matching"))
+      .filter(col("n_matching") >= 4) // est Jaccard >= 0.5 of 8 functions
+  }
+
   // =====================================================================
   // Flagship: full storm impact slice on the synthetic country
   // =====================================================================
@@ -815,24 +838,27 @@ object SparkEntry {
       // string order) so DuckDB reproduces the pair set bit-for-bit. The
       // custom-hash path (Dedup.minhashLsh, d04) is the fast production
       // variant; this one proves the ALGORITHM end to end.
-      val toks = TextAnalysis.tokens(col("text"))
-      val grams = array_distinct(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      val sigs = (0 until 8).map { k =>
-        array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
-      }
-      val banded = t(s, d, "documents")
-        .filter(expr("doc_id % 2 = 0") && size(toks) > 1) // algorithm-proof
-        // variant on a keyed subset (d08-style); d04 is the full fast path
-        .select(col("doc_id"), grams.as("__grams"))
-        .select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
-      val a = banded.select(col("k"), col("sig"), col("doc_id").as("id_a"))
-      val b = banded.select(col("k"), col("sig"), col("doc_id").as("id_b"))
-      a.join(b, Seq("k", "sig")).filter(col("id_a") < col("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_matching"))
-        .filter(col("n_matching") >= 4) // est Jaccard >= 0.5 of 8 functions
-        .orderBy(col("id_a"), col("id_b"))
+      minhashSqlPairs(s, d).orderBy(col("id_a"), col("id_b"))
+    }),
+    "d20_dedup_clusters" -> ((s, d) => {
+      // near-dup CLUSTER FORMATION: candidate pairs alone can't drop
+      // duplicates (A~B, B~C chains) — distributed connected components
+      // (large-star/small-star, ops/ConnectedComponents) labels each doc
+      // with its component's min id. Edges = the oracle-checked minhash
+      // pairs UNION a deterministic id chain (multiples of 7), which forces
+      // a long-path component — exactly the shape where naive label
+      // propagation stalls and the log-round algorithm matters. The DuckDB
+      // oracle recomputes the closure with a recursive CTE.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val chain = docs.filter(expr("doc_id % 7 = 0"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+        .join(docs.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val edges = minhashSqlPairs(s, d).select(col("id_a"), col("id_b"))
+        .unionByName(chain)
+      graft.ops.ConnectedComponents.labels(edges, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy(col("doc_id"))
     }),
     "d15_stratified_sample" -> ((s, d) => {
       // exact-size per-stratum sample: 20 docs per language by md5 rank
@@ -1389,6 +1415,40 @@ object SparkEntry {
         |FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // closure by recursive CTE: tiny here, but the point of the Spark side
+    // (large-star/small-star) is exactly that closure-by-joins does NOT
+    // scale — the oracle pins the semantics, the operator owns the scale
+    "d20_dedup_clusters" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tk WHERE len(t) > 1
+        |), banded AS (
+        |  SELECT doc_id, k,
+        |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+        |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+        |), mh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        |), chain AS (
+        |  SELECT d.doc_id AS id_a, d.doc_id + 7 AS id_b
+        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+        |  WHERE d.doc_id % 7 = 0
+        |), edges AS (
+        |  SELECT id_a, id_b FROM mh UNION ALL SELECT id_a, id_b FROM chain
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |)
+        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
     "d15_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,

@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Distributed connected components over an edge list — the cluster-formation
+ * step of near-duplicate deduplication: MinHash/SimHash emit candidate PAIRS
+ * (graft.llm.Dedup), but dropping duplicates needs per-document cluster
+ * labels ("keep one representative per component"), and components routinely
+ * span chains (A~B, B~C, A!~C), so a transitive closure is required.
+ *
+ * Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+ * Components in MapReduce and Beyond", SoCC 2014) — the shuffle-friendly
+ * formulation. Each round is two keyed aggregations over the edge set (no
+ * driver-side graph, no vertex broadcast), and the edge set only shrinks
+ * toward a star forest rooted at each component's minimum id. Convergence is
+ * O(log² n) rounds even on path graphs, where naive min-label propagation
+ * needs O(diameter) rounds — the case that actually shows up when
+ * boilerplate documents chain into long paths.
+ *
+ * Scale design: every step is a `Window.partitionBy(src)` min + projection +
+ * distinct — all shuffles keyed on vertex id, cardinality bounded by the
+ * (shrinking) edge count. Iteration lineage is truncated each round with
+ * `localCheckpoint` (plan depth would otherwise grow linearly and overwhelm
+ * the optimizer). Convergence is detected with two O(E) aggregates (star
+ * test), not an exceptAll diff.
+ */
+object ConnectedComponents {
+
+  /** One large-star round: every node u connects its LARGER neighbors to the
+    * minimum of its neighborhood (min(Γ(u) ∪ {u})). Keeps big→small edge
+    * orientation (src > dst). */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("src"), col("dst"))
+      .union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val w = Window.partitionBy("src")
+    sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
+      .filter(col("dst") > col("src"))
+      .select(col("dst").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** One small-star round: every node u rewires its SMALLER-or-equal
+    * neighborhood (and itself) onto that neighborhood's minimum. Input and
+    * output edges are big→small (src > dst). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val w = Window.partitionBy("src")
+    val withMin = e.withColumn("m", least(min(col("dst")).over(w), col("src")))
+    withMin.select(col("dst").as("v"), col("m"))
+      .union(withMin.select(col("src").as("v"), col("m")))
+      .filter(col("v") =!= col("m"))
+      .select(col("v").as("src"), col("m").as("dst"))
+      .distinct()
+  }
+
+  /** A big→small edge set is a converged star forest iff every src points to
+    * exactly one dst and no dst is itself a src (all roots are final). Two
+    * cheap aggregates — no edge-set diff. */
+  private def isStarForest(e: DataFrame): Boolean = {
+    val multiParent = e.groupBy("src").agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1).limit(1).count() > 0
+    if (multiParent) return false
+    e.select("dst").intersect(e.select(col("src").as("dst")))
+      .limit(1).count() == 0
+  }
+
+  /**
+   * Component labels for every vertex that appears in `edges`.
+   *
+   * @param edges  candidate pairs; self-loops and duplicates are tolerated
+   * @return (id, component) where component = minimum vertex id reachable
+   *         from `id` (the component's canonical representative)
+   */
+  def labels(edges: DataFrame, srcCol: String, dstCol: String,
+             maxIter: Int = 25): DataFrame = {
+    // normalize: big→small orientation, no self-loops, deduped
+    var e = edges.select(
+        greatest(col(srcCol), col(dstCol)).as("src"),
+        least(col(srcCol), col(dstCol)).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    var converged = isStarForest(e)
+    var i = 0
+    while (!converged && i < maxIter) {
+      e = smallStar(largeStar(e)).localCheckpoint()
+      converged = isStarForest(e)
+      i += 1
+    }
+    require(converged,
+      s"connected components did not converge in $maxIter rounds — " +
+        "raise maxIter (rounds needed grow ~log² of the largest component)")
+    // star forest: leaves point at roots; roots label themselves
+    e.select(col("src").as("id"), col("dst").as("component"))
+      .union(e.select(col("dst").as("id"), col("dst").as("component")))
+      .distinct()
+  }
+
+  /** Deduplication composition: keep ONE representative per near-dup cluster
+    * (the min-id member) plus every unpaired document — the step that turns
+    * `Dedup.minhashLsh` pair output into an actually-deduplicated corpus. */
+  def keepRepresentatives(docs: DataFrame, idCol: String,
+                          pairs: DataFrame, srcCol: String = "id_a",
+                          dstCol: String = "id_b"): DataFrame = {
+    val lbl = labels(pairs, srcCol, dstCol)
+    val drop = lbl.filter(col("id") =!= col("component")).select(col("id"))
+    docs.join(drop.withColumnRenamed("id", idCol), Seq(idCol), "left_anti")
+  }
+}
