@@ -1,5 +1,11 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Prints ONE compact JSON line (the driver's tail capture
+  * is byte-limited, so the stdout line must stay short: total + sf + the
+  * top-10 slowest queries, rounded). The full per-query map is written to
+  * BENCH_DETAIL.json in the working directory.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -9,7 +15,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     graft.geo.GeoFunctions.ensureRegistered(spark)
     // warmup: pay one-time session/codegen/JIT costs outside the
     // measurements — run every query once, untimed, at the smallest SF so
@@ -24,11 +30,20 @@ object Bench {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    }
+    def fmt(v: Double): String = f"$v%.3f"
+    def json(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    // full detail to a file (sorted by name for stable diffs)
+    val detail =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":${json(results.sortBy(_._1))}}"""
+    val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
+    java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
+    // compact stdout line: total + the 10 slowest (keeps the line well under
+    // the driver's tail-capture limit)
+    val top = results.sortBy(-_._2).take(10)
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":${json(top)}}""")
     spark.stop()
   }
 }

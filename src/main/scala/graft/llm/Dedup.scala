@@ -23,9 +23,11 @@ import org.apache.spark.sql.functions._
  */
 object Dedup {
 
-  /** Exact dedup on a key expression (default: xxhash64 of the raw text —
-    * collision-safe enough at 2^64 for candidate grouping; `keep` is the
-    * minimum id). Returns one row per duplicate *group* with its size. */
+  /** Exact dedup on caller-supplied key expressions (callers typically pass
+    * a text hash — md5 where an engine-portable oracle is wanted, xxhash64
+    * when staying inside Spark; both are collision-safe enough for candidate
+    * grouping; `keep` is the minimum id). Returns one row per duplicate
+    * *group* with its size. */
   def exact(df: DataFrame, idCol: String, keyCols: Seq[Column]): DataFrame =
     df.groupBy(keyCols: _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("group_size"))

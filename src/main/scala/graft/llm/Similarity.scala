@@ -228,9 +228,18 @@ object Similarity {
    * LSH-bucketed ANN: score only same-bucket (query, corpus) pairs. With
    * multiple probe tables (`tables`), recall improves; each table is an
    * independent set of hyperplanes.
+   *
+   * Parameter sizing matters: `bits` should track log2(corpus size) so
+   * buckets hold a handful of vectors each — too many bits over a small
+   * corpus candidate-starves every query. `multiprobe` additionally probes
+   * all Hamming-distance-1 buckets of each query's bucket (bits extra
+   * lookups per table), buying the recall of ~`bits`× more tables without
+   * replicating the corpus — the standard memory/recall trade
+   * (multi-probe LSH, Lv et al., VLDB'07). Probing expands only the QUERY
+   * side (small), never the corpus side.
    */
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
-                      bits: Int = 12, tables: Int = 4,
+                      bits: Int = 12, tables: Int = 4, multiprobe: Boolean = false,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val withBuckets = (df: DataFrame, side: String) => df.select(
       col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
@@ -238,7 +247,10 @@ object Similarity {
         hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
         .as(Seq("table", "bucket")))
     val c = withBuckets(corpus, "neighbor")
-    val q = withBuckets(queries, "query")
+    val q0 = withBuckets(queries, "query")
+    val q = if (!multiprobe) q0 else q0.withColumn("bucket",
+      explode(array(col("bucket") +:
+        (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)))
     val cand = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .dropDuplicates("query_id", "neighbor_id")

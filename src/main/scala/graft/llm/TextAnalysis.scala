@@ -107,6 +107,32 @@ object TextAnalysis {
     df.withColumn("fingerprint", fingerprint(col(textCol)))
 
   /**
+   * Engine-portable variant of [[fingerprint]]: the same order-sensitive
+   * "normalize → per-token hash → rolling fold" construction, built only
+   * from primitives every SQL engine shares — character code points and
+   * bounded modular arithmetic — so the whole pipeline is oracle-checkable
+   * in a second engine (the d19 trick, applied to fingerprinting).
+   *
+   *   token hash:  fold code points c:  a ← (a·31 + c) mod (2³¹−1), seed 42
+   *   doc hash:    fold token hashes h: a ← (a·37 + h) mod (2³¹−1), seed 7
+   *
+   * Every intermediate stays < 2³⁶ — no overflow under Spark ANSI mode and
+   * plain BIGINT arithmetic in DuckDB. [[fingerprint]] (xxhash64) remains
+   * the in-Spark fast path: one codegen'd hash per token beats a
+   * per-character fold; this variant exists to prove the algorithm.
+   */
+  def fingerprintPortable(text: Column): Column = {
+    val M = lit(2147483647L)
+    val charCodes = (w: Column) =>
+      when(length(w) > 0,
+        transform(sequence(lit(1), length(w)), i => ascii(w.substr(i, lit(1))).cast("long")))
+      .otherwise(array().cast("array<long>"))
+    val tokHash = (w: Column) =>
+      aggregate(charCodes(w), lit(42L), (a, c) => (a * lit(31L) + c) % M)
+    aggregate(tokens(text), lit(7L), (a, w) => (a * lit(37L) + tokHash(w)) % M)
+  }
+
+  /**
    * Repetition metrics (the Gopher/RefinedWeb "repetitious content" quality
    * signals, word-level): per document,
    *

@@ -24,8 +24,11 @@ import org.apache.spark.sql.functions._
  * distinct — all shuffles keyed on vertex id, cardinality bounded by the
  * (shrinking) edge count. Iteration lineage is truncated each round with
  * `localCheckpoint` (plan depth would otherwise grow linearly and overwhelm
- * the optimizer). Convergence is detected with two O(E) aggregates (star
- * test), not an exceptAll diff.
+ * the optimizer). Convergence is detected with ONE O(E) keyed aggregate (star
+ * test — multi-parent and root-violation folded into a single job), run on
+ * alternate rounds only: a converged star forest is a fixed point of
+ * large-star∘small-star, so a skipped check costs at most one idempotent
+ * extra round while halving driver-coordinated convergence polls.
  */
 object ConnectedComponents {
 
@@ -56,13 +59,16 @@ object ConnectedComponents {
   }
 
   /** A big→small edge set is a converged star forest iff every src points to
-    * exactly one dst and no dst is itself a src (all roots are final). Two
-    * cheap aggregates — no edge-set diff. */
+    * exactly one dst and no dst is itself a src (all roots are final). Both
+    * conditions fold into ONE per-vertex aggregate (map-side combinable, one
+    * shuffle, one action): a vertex violates iff it has >1 parent or appears
+    * on both sides. */
   private def isStarForest(e: DataFrame): Boolean = {
-    val multiParent = e.groupBy("src").agg(count(lit(1)).as("n"))
-      .filter(col("n") > 1).limit(1).count() > 0
-    if (multiParent) return false
-    e.select("dst").intersect(e.select(col("src").as("dst")))
+    val roles = e.select(col("src").as("v"), lit(1L).as("n_src"), lit(0L).as("n_dst"))
+      .union(e.select(col("dst").as("v"), lit(0L).as("n_src"), lit(1L).as("n_dst")))
+    roles.groupBy("v")
+      .agg(sum("n_src").as("ns"), sum("n_dst").as("nd"))
+      .filter(col("ns") > 1 || (col("ns") > 0 && col("nd") > 0))
       .limit(1).count() == 0
   }
 
@@ -86,8 +92,11 @@ object ConnectedComponents {
     var i = 0
     while (!converged && i < maxIter) {
       e = smallStar(largeStar(e)).localCheckpoint()
-      converged = isStarForest(e)
       i += 1
+      // poll convergence on alternate rounds (plus the last permitted one);
+      // an unchecked converged round re-derives the same star forest, so
+      // correctness is unaffected
+      if (i % 2 == 1 || i == maxIter) converged = isStarForest(e)
     }
     require(converged,
       s"connected components did not converge in $maxIter rounds — " +
