@@ -265,6 +265,57 @@ object Dedup {
   }
 
   /**
+   * Engine-portable SimHash twin (the d19 trick applied to SimHash): the
+   * same "per-token 64-bit hash → per-bit sign-sum → banded bucket join →
+   * Hamming verify" pipeline as [[simhashPairs]], but the per-token bits
+   * come from md5 hex digits and the signature is a 64-char '0'/'1' string —
+   * primitives a second engine shares, so the full pair set is
+   * oracle-checkable in DuckDB bit for bit. [[simhashPairs]] (the native
+   * doGenCode simhash64 kernel) stays the production path; this variant
+   * proves the ALGORITHM end to end.
+   *
+   * Bit j of token w (j ∈ 0..63): hex digit p = (j mod 16)+1 of md5(w),
+   * value v = instr('0123456789abcdef', digit) − 1, bit = (v >> (j >> 4)) & 1
+   * — a bijective (position, bit-plane) mapping that needs no integer
+   * division. Weight ±1 per token OCCURRENCE (multiset, like the native
+   * kernel); per-bit sum > 0 → '1' (ties → '0').
+   */
+  def simhashPairsPortable(df: DataFrame, idCol: String, textCol: String = "text",
+                           maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming=$maxHamming: chunks of 64/(maxHamming+1) bits lose bucketing power past 15")
+    val nChunks = maxHamming + 1
+    val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val alphabet = lit("0123456789abcdef")
+    // md5 once per token; bit extraction is then cheap string/int work per j
+    val tokMd5 = transform(TextAnalysis.tokens(col(textCol)), w => md5(w))
+    val bitOf = (h: Column, j: Column) =>
+      call_function("shiftright",
+        call_function("instr", alphabet, h.substr((j % 16) + 1, lit(1))) - 1,
+        shiftright(j, 4)).bitwiseAND(lit(1))
+    val sig = array_join(transform(sequence(lit(0), lit(63)), j => {
+      val signSum = aggregate(col("__md5s"), lit(0),
+        (a, h) => a + (bitOf(h, j) * lit(2) - lit(1)))
+      when(signSum > 0, lit("1")).otherwise(lit("0"))
+    }), "")
+    val sigs = df
+      .select(col(idCol).as("id"), tokMd5.as("__md5s"))
+      .select(col("id"), sig.as("sig"))
+    val chunked = sigs.select(col("id"), col("sig"),
+      posexplode(array((0 until nChunks).map(c =>
+        col("sig").substr(lit(offsets(c) + 1), lit(widths(c)))): _*)).as(Seq("chunk", "key")))
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
+      .withColumn("hamming", aggregate(sequence(lit(1), lit(64)), lit(0),
+        (acc, i) => acc + when(col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)),
+          lit(1)).otherwise(lit(0))))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming").distinct()
+  }
+
+  /**
    * Embedding-cosine near-duplicate pairs, scale path: random-hyperplane
    * sign buckets (multiple tables) propose candidates, exact cosine verifies
    * `>= minCosine`. Shuffle is keyed on (table, bucket) — output-bound, not

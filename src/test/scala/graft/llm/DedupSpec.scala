@@ -77,6 +77,42 @@ class DedupSpec extends SparkSpec {
     assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
   }
 
+  test("simhashPairsPortable matches a Scala reimplementation of the portable signature") {
+    // brute-force twin: recompute the md5-derived signature per doc in plain
+    // Scala, enumerate all pairs within maxHamming, compare with the
+    // banded-join pipeline (recall AND precision)
+    val vocab = Vector("spark", "catalyst", "shuffle", "broadcast", "partition",
+      "codegen", "parquet", "tungsten", "dataset", "encoder", "plan", "stage")
+    val rng = new scala.util.Random(13)
+    val corpus = (1L to 40L).map { i =>
+      (i, (0 until 12).map(_ => vocab(rng.nextInt(vocab.size))).mkString(" "))
+    }
+    val df = corpus.toDF("doc_id", "text")
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def sig(text: String): String = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1)
+      (0 until 64).map { j =>
+        val sum = toks.map { w =>
+          val v = "0123456789abcdef".indexOf(md5hex(w).charAt(j % 16))
+          (((v >> (j >> 4)) & 1) * 2) - 1
+        }.sum
+        if (sum > 0) '1' else '0'
+      }.mkString
+    }
+    val sigs = corpus.map { case (i, t) => i -> sig(t) }.toMap
+    val maxHamming = 3
+    val expected = (for {
+      a <- corpus.map(_._1); b <- corpus.map(_._1) if a < b
+      if sigs(a).zip(sigs(b)).count { case (x, y) => x != y } <= maxHamming
+    } yield (a, b)).toSet
+    assert(expected.nonEmpty, "test corpus produced no close pairs — not exercising recall")
+    val got = Dedup.simhashPairsPortable(df, "doc_id", maxHamming = maxHamming)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expected, s"missing=${expected -- got} extra=${got -- expected}")
+  }
+
   test("embedding-cosine near-dup: LSH path finds the exact pair set on clustered vectors") {
     // 3 clusters of near-identical vectors (small jitter) + isolated noise:
     // true near-dups sit at cosine ~0.99, cross-cluster far below

@@ -54,6 +54,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fp(1L) != fp(3L)) // order-sensitive
   }
 
+  test("fingerprintPortable matches a Scala reimplementation of the fold, incl. non-ASCII") {
+    val M = 2147483647L
+    def fold(text: String): Long = {
+      val toks = text.trim.toLowerCase.split("\\s+", -1)
+      toks.foldLeft(7L) { (a, w) =>
+        val h = w.codePoints().toArray.foldLeft(42L)((x, c) => (x * 31 + c) % M)
+        (a * 37 + h) % M
+      }
+    }
+    val rows = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),
+      (3L, "gamma beta alpha"), (4L, ""), (5L, "café über niño"))
+    val df = rows.toDF("doc_id", "text")
+    val fp = df.select(col("doc_id"),
+        TextAnalysis.fingerprintPortable(col("text")).as("f"))
+      .as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, t) =>
+      assert(fp(id) == fold(t), s"doc $id: got ${fp(id)}, expected ${fold(t)}")
+    }
+    assert(fp(1L) == fp(2L)) // whitespace-invariant
+    assert(fp(1L) != fp(3L)) // order-sensitive
+  }
+
   test("repetition metrics match hand-computed ratios") {
     val df = Seq(
       (1L, "a b a b a"),          // toks 5, distinct 2; 2grams: ab ba ab ba -> 2/4 distinct
