@@ -948,14 +948,20 @@ object SparkEntry {
         .select(col("lang"), col("n_rows"), col("weight"))
         .orderBy(col("lang"))
     }),
-    // geo ops without SQL-expressible oracles (JTS semantics; spec-tested)
+    // flagship tile-impact slice, HASH-CHECKED: relational tiles/envelopes
+    // (the dyadic interval grid of g01) pushed through the REAL pipeline
+    // path — broadcast prepared-geometry member counting, keepZeroRows,
+    // expected-value projection — while the DuckDB oracle recomputes the
+    // same answer with pure interval arithmetic. No rounding needed:
+    // probability = n/51.0 and E_population = population * probability are
+    // single IEEE ops, bit-identical across engines. (The quadkey/Mercator
+    // SyntheticScenario variant of this pipeline stays exercised by the
+    // flagship entry() and ImpactPipelineSpec.)
     "g05_impact_pipeline" -> ((s, d) => {
-      val tiles = SyntheticScenario.tiles(s, nx = 16, ny = 16)
-      val envs = SyntheticScenario.envelopes(s, members = 51)
-      ImpactPipeline.tileView(tiles, envs)
-        .select(col("zone_id"), col("wind_threshold"), col("n_members"),
-          round(col("probability"), 6).as("probability"),
-          round(col("E_population"), 4).as("E_population"))
+      ImpactPipeline.tileView(geoTiles(s, d), geoEnvelopes(s, d))
+        .select(col("zone_id"), col("wind_threshold"),
+          col("n_members").cast("long").as("n_members"),
+          col("probability"), col("E_population"))
         .orderBy(col("zone_id"), col("wind_threshold"))
     })
   )
@@ -1072,6 +1078,26 @@ object SparkEntry {
       """SELECT event_type, CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         | COUNT(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // tileView twin: member counts by interval overlap, re-joined onto the
+    // full tile x distinct-threshold grid (keepZeroRows), expected value =
+    // population * (n/51.0) with the same two IEEE ops as the Spark side
+    "g05_impact_pipeline" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql),
+         |th AS (SELECT DISTINCT wind_threshold FROM envs),
+         |counts AS (
+         | SELECT t.tile_id, e.wind_threshold, COUNT(*) AS n
+         | FROM tiles t JOIN envs e
+         |  ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         |  AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         | GROUP BY 1, 2)
+         |SELECT t.tile_id AS zone_id, th.wind_threshold,
+         | COALESCE(c.n, 0) AS n_members,
+         | CAST(COALESCE(c.n, 0) AS DOUBLE) / 51.0 AS probability,
+         | t.population * (CAST(COALESCE(c.n, 0) AS DOUBLE) / 51.0) AS E_population
+         |FROM tiles t CROSS JOIN th
+         |LEFT JOIN counts c
+         |  ON c.tile_id = t.tile_id AND c.wind_threshold = th.wind_threshold
+         |ORDER BY zone_id, th.wind_threshold""".stripMargin,
     "g01_tile_probability" ->
       s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql)
          |SELECT t.tile_id, e.wind_threshold, COUNT(*) AS n_members,
