@@ -21,29 +21,38 @@ object Bench {
     // measurements — run every query once, untimed, at the smallest SF so
     // each query shape's generated code is compiled before its measured run
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    // optional args = substring filters for quick single-query timing runs
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => args.isEmpty || args.exists(name.contains) }
     val warmDir = new java.io.File(sfDir).getParent + "/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
+      selected.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val failed = scala.collection.mutable.ListBuffer.empty[String]
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+               catch { case _: Throwable => failed += name; false }
+      // a crashed query must not silently shape the totals: -1.0 in the map
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    def fmt(v: Double): String = f"$v%.3f"
+    // explicit Locale.ROOT: the f-interpolator uses the JVM default locale,
+    // which under e.g. de_DE would emit "1,234" and break the JSON contract
+    def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def json(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    def jsonArr(ss: Seq[String]): String = ss.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     // full detail to a file (sorted by name for stable diffs)
     val detail =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","queries":${json(results.sortBy(_._1))}}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":${jsonArr(failed.toSeq)},"queries":${json(results.sortBy(_._1))}}"""
     val out = java.nio.file.Paths.get("BENCH_DETAIL.json")
     java.nio.file.Files.write(out, (detail + "\n").getBytes("UTF-8"))
     // compact stdout line: total + the 10 slowest (keeps the line well under
     // the driver's tail-capture limit)
     val top = results.sortBy(-_._2).take(10)
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"queries":${json(top)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","n":${results.size},"failed":${jsonArr(failed.toSeq)},"queries":${json(top)}}""")
     spark.stop()
   }
 }

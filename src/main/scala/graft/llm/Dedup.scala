@@ -287,30 +287,66 @@ object Dedup {
     val nChunks = maxHamming + 1
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val alphabet = lit("0123456789abcdef")
-    // md5 once per token; bit extraction is then cheap string/int work per j
-    val tokMd5 = transform(TextAnalysis.tokens(col(textCol)), w => md5(w))
-    val bitOf = (h: Column, j: Column) =>
-      call_function("shiftright",
-        call_function("instr", alphabet, h.substr((j % 16) + 1, lit(1))) - 1,
-        shiftright(j, 4)).bitwiseAND(lit(1))
-    val sig = array_join(transform(sequence(lit(0), lit(63)), j => {
-      val signSum = aggregate(col("__md5s"), lit(0),
-        (a, h) => a + (bitOf(h, j) * lit(2) - lit(1)))
-      when(signSum > 0, lit("1")).otherwise(lit("0"))
-    }), "")
-    val sigs = df
-      .select(col(idCol).as("id"), tokMd5.as("__md5s"))
-      .select(col("id"), sig.as("sig"))
-    val chunked = sigs.select(col("id"), col("sig"),
+    // Single-pass sign-sum: fold the token array ONCE with a 16-long packed
+    // accumulator instead of running 64 separate folds (one per bit). The
+    // 64-folds formulation let CollapseProject inline the md5 array into the
+    // outer transform's lambda, re-evaluating every token's md5 64× per row;
+    // here md5 runs once per token (outer transform element) and each token
+    // contributes ONE packed long per hex-digit position: digit value
+    // v = (ascii − 48) mod 39 ('0'..'9' → 0..9, 'a'..'f' → 10..15, same
+    // mapping as instr(alphabet)−1) indexes a 16-entry LUT that spreads v's
+    // four bit-planes into four 16-bit count fields. A doc would need >65535
+    // tokens to overflow a field — three orders of magnitude past any real
+    // document chunk. Bit j (plane k = j>>4, digit p = j%16) is then
+    // '1' iff 2·count > T (⟺ the ±1 sign-sum is positive), so the signature
+    // string — and the DuckDB oracle hash — is bit-identical to the
+    // documented per-bit formulation.
+    val packLut = lit(Array.tabulate(16) { v =>
+      ((v & 1).toLong) | ((v >> 1) & 1).toLong << 16 |
+        ((v >> 2) & 1).toLong << 32 | ((v >> 3) & 1).toLong << 48
+    })
+    val packed = transform(
+      transform(TextAnalysis.tokens(col(textCol)), w => md5(w)),
+      h => transform(sequence(lit(1), lit(16)),
+        p => element_at(packLut, (ascii(h.substr(p, lit(1))) - 48) % 39 + 1)))
+    // ONE aggregate expression end to end: the expensive `packed` input
+    // appears exactly once, in input position, so no projection collapse can
+    // ever re-evaluate it (the original 35 s bug was exactly that — the md5
+    // array inlined into a 64-iteration lambda). Slot 17 of the accumulator
+    // counts tokens so the finish lambda needs no second `packed` reference;
+    // inside `finish` everything is a lambda-variable read, which is cheap
+    // no matter how many times the 4×16 bit expansion mentions it.
+    val sig = aggregate(packed, array_repeat(lit(0L), 17),
+      (acc, vs) => zip_with(acc, concat(vs, array(lit(1L))), (a, b) => a + b),
+      acc => {
+        val t = element_at(acc, 17)
+        array_join(flatten(transform(sequence(lit(0), lit(3)), k =>
+          transform(slice(acc, 1, 16), c =>
+            when(call_function("shiftright", c, k * 16)
+              .bitwiseAND(lit(0xFFFFL)) * 2 > t, lit("1")).otherwise(lit("0"))))), "")
+      })
+    val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
+    // Pack the bit string into two 32-bit halves so the per-pair Hamming
+    // verify is bit_count(xor) — codegen'd integer work — instead of a
+    // 64-iteration interpreted substr fold. Halves (not one 64-bit conv)
+    // because a leading-1 signature exceeds Long.MaxValue and the ANSI cast
+    // of conv's unsigned decimal string would fail.
+    val half = (s: Column, from: Int) =>
+      conv(s.substr(lit(from), lit(32)), 2, 10).cast("long")
+    // cached: the self-join otherwise re-evaluates the whole signature
+    // subtree (md5 + sign-sum fold) once per side
+    val chunked = sigs.select(col("id"),
+      half(col("sig"), 1).as("hi"), half(col("sig"), 33).as("lo"),
       posexplode(array((0 until nChunks).map(c =>
         col("sig").substr(lit(offsets(c) + 1), lit(widths(c)))): _*)).as(Seq("chunk", "key")))
-    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"), col("sig").as("sig_b"))
+      .cache()
+    val a = chunked.select(col("chunk"), col("key"), col("id").as("id_a"),
+      col("hi").as("hi_a"), col("lo").as("lo_a"))
+    val b = chunked.select(col("chunk"), col("key"), col("id").as("id_b"),
+      col("hi").as("hi_b"), col("lo").as("lo_b"))
     a.join(b, Seq("chunk", "key")).filter(col("id_a") < col("id_b"))
-      .withColumn("hamming", aggregate(sequence(lit(1), lit(64)), lit(0),
-        (acc, i) => acc + when(col("sig_a").substr(i, lit(1)) =!= col("sig_b").substr(i, lit(1)),
-          lit(1)).otherwise(lit(0))))
+      .withColumn("hamming", (bit_count(col("hi_a").bitwiseXOR(col("hi_b"))) +
+        bit_count(col("lo_a").bitwiseXOR(col("lo_b")))).cast("int"))
       .filter(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming").distinct()
   }
