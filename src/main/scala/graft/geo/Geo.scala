@@ -155,15 +155,26 @@ object Geo {
   }
 
   /** Approximate great-circle distance in meters between geometry *nearest
-    * points* using the local-scaling trick; exact haversine for points. */
+    * points* using the local-scaling trick; exact haversine for points.
+    * Antimeridian-aware: when the two geometries sit on opposite sides of
+    * ±180° (combined lon span > 180), the planar nearest-points search would
+    * measure the long way around (+179° to −179° ≈ 358° apart instead of
+    * 2°), so the candidate is also evaluated with `b` shifted ±360° and the
+    * minimum wins. Haversine itself wraps Δlon correctly either way. */
   def distanceMeters(a: Geometry, b: Geometry): Double = {
-    if (a.isInstanceOf[Point] && b.isInstanceOf[Point]) {
-      val pa = a.asInstanceOf[Point]; val pb = b.asInstanceOf[Point]
-      haversineMeters(pa.getX, pa.getY, pb.getX, pb.getY)
-    } else {
-      val co = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(a, b)
-      haversineMeters(co(0).x, co(0).y, co(1).x, co(1).y)
-    }
+    def base(x: Geometry, y: Geometry): Double =
+      if (x.isInstanceOf[Point] && y.isInstanceOf[Point]) {
+        val pa = x.asInstanceOf[Point]; val pb = y.asInstanceOf[Point]
+        haversineMeters(pa.getX, pa.getY, pb.getX, pb.getY)
+      } else {
+        val co = org.locationtech.jts.operation.distance.DistanceOp.nearestPoints(x, y)
+        haversineMeters(co(0).x, co(0).y, co(1).x, co(1).y)
+      }
+    val ea = a.getEnvelopeInternal; val eb = b.getEnvelopeInternal
+    val span = math.max(ea.getMaxX, eb.getMaxX) - math.min(ea.getMinX, eb.getMinX)
+    if (span <= 180) base(a, b)
+    else math.min(base(a, b),
+      math.min(base(a, translateLon(b, 360)), base(a, translateLon(b, -360))))
   }
 
   def haversineMeters(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
@@ -173,6 +184,73 @@ object Geo {
       math.cos(math.toRadians(lat1)) * math.cos(math.toRadians(lat2)) * math.pow(math.sin(dLon / 2), 2)
     2 * 6371008.8 * math.asin(math.min(1.0, math.sqrt(a)))
   }
+
+  // --- antimeridian -------------------------------------------------------
+
+  /** Shift longitudes satisfying `pred` by `delta` degrees. */
+  private def shiftLons(g: Geometry, pred: Double => Boolean, delta: Double): Geometry = {
+    val t = new GeometryTransformer {
+      override def transformCoordinates(cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
+        val out = new Array[Coordinate](cs.size)
+        var i = 0
+        while (i < cs.size) {
+          val x = cs.getX(i)
+          out(i) = new Coordinate(if (pred(x)) x + delta else x, cs.getY(i))
+          i += 1
+        }
+        Geo.factory.getCoordinateSequenceFactory.create(out)
+      }
+    }
+    t.transform(g)
+  }
+
+  /** Rigid longitude translation by `delta` degrees. */
+  def translateLon(g: Geometry, delta: Double): Geometry = shiftLons(g, _ => true, delta)
+
+  /** True if the lon bounds span more than a hemisphere — in canonical
+    * lon/lat that means dateline-straddling lobes (a Fiji-style country has
+    * parts at +179° and −179°, giving a naive span of ~358°), since no
+    * actual country/storm footprint is wider than 180°. */
+  def spansAntimeridian(g: Geometry): Boolean = {
+    val env = g.getEnvelopeInternal
+    env.getMaxX - env.getMinX > 180
+  }
+
+  /** Make a dateline-straddling geometry contiguous by moving its western
+    * (negative-lon) lobes to the [180°, 360°) frame. No-op otherwise. */
+  def unwrapAntimeridian(g: Geometry): Geometry =
+    if (!spansAntimeridian(g)) g else makeValid(shiftLons(g, _ < 0, 360))
+
+  /**
+   * Fold a geometry whose coordinates overflow ±180° back into the
+   * canonical frame, splitting it at the antimeridian into a multi-part
+   * geometry (the reference detects this case via `bounds[2]-bounds[0] >
+   * 180` after buffering, main_pipeline.py:211-214; shapely's buffered
+   * output simply runs past ±180 like our cylindrical buffer does).
+   * Identity when already canonical.
+   */
+  def splitAntimeridian(g: Geometry): Geometry = {
+    val env = g.getEnvelopeInternal
+    if (env.getMinX >= -180 && env.getMaxX <= 180) return g
+    val parts = scala.collection.mutable.ArrayBuffer.empty[Geometry]
+    val core = g.intersection(box(-180, -90, 180, 90))
+    if (!core.isEmpty) parts += core
+    if (env.getMaxX > 180) {
+      val east = g.intersection(box(180, -90, env.getMaxX, 90))
+      if (!east.isEmpty) parts += translateLon(east, -360)
+    }
+    if (env.getMinX < -180) {
+      val west = g.intersection(box(env.getMinX, -90, -180, 90))
+      if (!west.isEmpty) parts += translateLon(west, 360)
+    }
+    makeValid(unionAll(parts))
+  }
+
+  /** [[bufferMeters]] with dateline handling: unwrap a straddling input to a
+    * contiguous frame, buffer there, fold the overflow back. Exactly
+    * [[bufferMeters]] for geometries that stay inside ±180°. */
+  def bufferMetersDateline(g: Geometry, meters: Double): Geometry =
+    splitAntimeridian(bufferMeters(unwrapAntimeridian(g), meters))
 
   // --- repair / union ----------------------------------------------------
 

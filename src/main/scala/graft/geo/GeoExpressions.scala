@@ -91,7 +91,8 @@ object GeoExpressions {
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BinaryType
     override def nullSafeEval(b: Any, m: Any): Any =
-      Geo.toWkb(Geo.bufferMeters(geom(b), m.asInstanceOf[Double]))
+      // dateline-aware: identity vs bufferMeters away from ±180°
+      Geo.toWkb(Geo.bufferMetersDateline(geom(b), m.asInstanceOf[Double]))
     override protected def withNewChildrenInternal(l: Expression, r: Expression): StBufferMeters =
       copy(l, r)
     override def prettyName: String = "st_buffer_m"

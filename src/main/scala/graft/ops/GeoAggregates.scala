@@ -61,10 +61,13 @@ object GeoAggregates {
   }
 
   /** Buffer-intersects fallback (J8): country buffered by `meters`
-    * (geometry-repaired), any-envelope-intersects boolean. */
+    * (geometry-repaired, dateline-split — a Pacific country's 1500 km
+    * buffer crossing ±180° folds back into canonical lon/lat so envelopes
+    * on either side of the seam can hit it), any-envelope-intersects
+    * boolean. */
   def countryIntersectsBuffered(countryWkb: Array[Byte], envelopes: DataFrame,
                                 envGeomCol: String, meters: Double): Boolean = {
-    val buffered = Geo.bufferMeters(Geo.makeValid(Geo.fromWkb(countryWkb)), meters)
+    val buffered = Geo.bufferMetersDateline(Geo.makeValid(Geo.fromWkb(countryWkb)), meters)
     val bWkb = Geo.toWkb(buffered)
     val spark = envelopes.sparkSession
     val bc = spark.sparkContext.broadcast(bWkb)

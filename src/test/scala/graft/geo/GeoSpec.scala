@@ -69,4 +69,72 @@ class GeoSpec extends SparkSpec {
     val u = Geo.unionAll(Seq(Geo.box(0, 0, 2, 2), Geo.box(1, 1, 3, 3)))
     assert(math.abs(u.getArea - 7.0) < 1e-9) // 4 + 4 - 1
   }
+
+  // --- antimeridian (reference main_pipeline.py:211-214) ------------------
+
+  test("spansAntimeridian + unwrap: Fiji-style two-lobe country") {
+    val fiji = Geo.unionAll(Seq(
+      Geo.box(178.0, -19.0, 180.0, -16.0),    // eastern lobe, +lons
+      Geo.box(-180.0, -19.0, -178.5, -16.0))) // western lobe, -lons
+    assert(Geo.spansAntimeridian(fiji))
+    val unwrapped = Geo.unwrapAntimeridian(fiji)
+    val env = unwrapped.getEnvelopeInternal
+    assert(env.getMinX == 178.0 && math.abs(env.getMaxX - 181.5) < 1e-9)
+    assert(!Geo.spansAntimeridian(unwrapped))
+    // area preserved by the rigid shift
+    assert(math.abs(unwrapped.getArea - fiji.getArea) < 1e-9)
+  }
+
+  test("splitAntimeridian folds overflow into a canonical multi-part geometry") {
+    val overflowing = Geo.box(176.0, -19.0, 184.0, -16.0) // runs past +180
+    val split = Geo.splitAntimeridian(overflowing)
+    val env = split.getEnvelopeInternal
+    assert(env.getMinX >= -180 && env.getMaxX <= 180)
+    assert(split.getNumGeometries == 2)
+    assert(math.abs(split.getArea - overflowing.getArea) < 1e-9)
+    // identity away from the seam
+    val plain = Geo.box(0, 0, 2, 2)
+    assert(Geo.splitAntimeridian(plain) eq plain)
+  }
+
+  test("bufferMetersDateline: Fiji-style buffered country intersects an envelope at -179") {
+    val fiji = Geo.unionAll(Seq(
+      Geo.box(178.0, -19.0, 180.0, -16.0),
+      Geo.box(-180.0, -19.0, -178.5, -16.0)))
+    val buffered = Geo.bufferMetersDateline(fiji, 150000.0) // 150 km
+    val env = buffered.getEnvelopeInternal
+    assert(env.getMinX >= -180 && env.getMaxX <= 180, s"not canonical: $env")
+    // an envelope fully on the western side of the seam must hit the buffer
+    val envelopeWest = Geo.box(-179.4, -18.0, -178.9, -17.0)
+    assert(buffered.intersects(envelopeWest))
+    // and one on the eastern side too
+    assert(buffered.intersects(Geo.box(178.5, -18.0, 179.5, -17.0)))
+    // a naive (non-dateline) buffer of the raw two-lobe shape would span
+    // nearly the whole globe instead of the ~5 degrees + buffer it should
+    assert(env.getMaxX - env.getMinX > 180) // canonical multi-part: lobes on both sides
+    assert(buffered.getNumGeometries >= 2)
+    // the old path measures the two-lobe centroid mid-Pacific and buffers a
+    // globe-spanning blob; the dateline path keeps total area ~ buffer-true
+    val oneSide = Geo.bufferMeters(Geo.box(178.0, -19.0, 180.0, -16.0), 150000.0)
+    assert(buffered.getArea < 4 * oneSide.getArea, "buffer blew up across the globe")
+  }
+
+  test("buffer overflowing past -180 folds onto the +180 side") {
+    val nearSeam = Geo.box(-179.8, -19.0, -179.0, -16.0)
+    val buffered = Geo.bufferMetersDateline(nearSeam, 150000.0)
+    val env = buffered.getEnvelopeInternal
+    assert(env.getMinX >= -180 && env.getMaxX <= 180)
+    assert(buffered.getNumGeometries == 2) // the overflow landed at +180-side
+    assert(buffered.intersects(Geo.box(179.0, -18.0, 179.9, -17.0)))
+  }
+
+  test("distanceMeters measures across the antimeridian, not the long way round") {
+    val a = Geo.box(179.0, -18.0, 179.9, -17.0)
+    val b = Geo.box(-179.9, -18.0, -179.0, -17.0)
+    val d = Geo.distanceMeters(a, b)
+    // 0.2 degrees of lon at ~17.5S: ~21 km, NOT ~38,000 km
+    assert(d < 25000, s"got $d")
+    // unchanged for ordinary geometries
+    assert(math.abs(Geo.distanceMeters(Geo.point(0, 0), Geo.point(1, 0)) - 111195) < 200)
+  }
 }

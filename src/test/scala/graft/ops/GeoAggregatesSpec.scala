@@ -43,6 +43,25 @@ class GeoAggregatesSpec extends SparkSpec {
       Geo.toWkb(Geo.box(40, 0, 41, 1)), envs, "geometry", 1.5e6))
   }
 
+  test("J7 + J8 screens find a dateline-straddling country from the far side") {
+    // envelope just west of the seam; Fiji-style country with lobes at +179/-179
+    val envs = Seq(Geo.toWkb(Geo.box(-179.4, -18.0, -178.9, -17.0))).toDF("geometry")
+    val fiji = Geo.toWkb(Geo.unionAll(Seq(
+      Geo.box(178.0, -19.0, 179.2, -16.0),
+      Geo.box(-180.0, -19.0, -178.5, -16.0))))
+    // J8: the 150 km buffer folds across ±180 and reaches the envelope
+    assert(GeoAggregates.countryIntersectsBuffered(fiji, envs, "geometry", 1.5e5))
+    // J7: distance measured across the seam, not the long way round
+    val countries = Seq(("FJI", fiji)).toDF("iso3", "geometry")
+    val out = GeoAggregates.countriesInRange(countries, "geometry", envs, "geometry",
+      meters = 1.5e5).select("iso3").as[String].collect().toSet
+    assert(out == Set("FJI"))
+    // and the east-lobe-only country 0.8 degrees from the seam still screens
+    // out at a 10 km radius (no false positive from the wrap logic)
+    assert(!GeoAggregates.countryIntersectsBuffered(
+      Geo.toWkb(Geo.box(178.0, -19.0, 179.2, -16.0)), envs, "geometry", 1.0e4))
+  }
+
   test("linesFromPoints emits n-1 segments per member with first-point attrs (W4)") {
     val pts = Seq(
       (1, 0, Geo.toWkb(Geo.point(0, 0))), (1, 1, Geo.toWkb(Geo.point(1, 0))),
