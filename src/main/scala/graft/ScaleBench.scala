@@ -131,6 +131,50 @@ object ScaleBench {
       .agg(count(col("asof_rid"))).head().getLong(0)
     val secs4 = (System.nanoTime() - t4) / 1e9
     println(f"""{"metric":"scale_asof_join","left_rows":$nEvents,"right_rows":${nEvents / 8},"matched":$nAsof,"sec":$secs4%.2f,"rows_per_sec":${(nEvents / secs4).toLong}}""")
+
+    // MinHash-LSH END TO END (signature + band explode + bucket join + pair
+    // agg) with a 20% planted duplicate rate — the d04 shape at 100x the
+    // bench corpus. The property under test: candidate pairs stay
+    // output-bound (planted dup groups), so cost is dominated by the narrow
+    // signature pass and stays linear in docs.
+    val nLshDocs = math.min(nTiles, 500000L)
+    val base = (col("id") % (nLshDocs * 4 / 5)).as("b")
+    // word values are injective in the base (no small modulus) and mixed by
+    // a large prime so the vocabulary is diverse: each dup group has the
+    // intended ~2 members and band collisions stay near the true-dup rate.
+    // (A low-entropy generator — few distinct words — inflates candidate
+    // pairs quadratically through noise buckets and benchmarks the verify
+    // step's worst case rather than a realistic corpus.)
+    val lshDocs = spark.range(nLshDocs).select(col("id"), base)
+      .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
+        concat(lit(s"w$j"), ((col("b") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
+      .repartition(cpus.toInt * 4)
+    val t5 = System.nanoTime()
+    val nPairs = graft.llm.Dedup.minhashLsh(lshDocs, "id", minEstJaccard = 0.5)
+      .agg(count(lit(1))).head().getLong(0)
+    val secs5 = (System.nanoTime() - t5) / 1e9
+    println(f"""{"metric":"scale_minhash_lsh_pairs","docs":$nLshDocs,"pairs":$nPairs,"sec":$secs5%.2f,"docs_per_sec":${(nLshDocs / secs5).toLong}}""")
+
+    // Connected components (d20's algorithm) on a graph engineered to be
+    // hard both ways: a sparse random-ish graph (giant component — many
+    // rounds of bulk work) PLUS a long path (the diameter case where naive
+    // label propagation needs O(path) rounds but large/small-star stays
+    // O(log²)). Cost per round is keyed shuffles over a SHRINKING edge set.
+    val nVerts = math.min(nTiles * 2, 2000000L)
+    val nRandEdges = nVerts / 2
+    val pathLen = 100000L
+    val rand = spark.range(nRandEdges).select(
+      ((col("id") * 2654435761L) % nVerts).as("src"),
+      ((col("id") * 1099511628211L) % nVerts).as("dst"))
+    val path = spark.range(pathLen).select(
+      (col("id") + nVerts).as("src"), (col("id") + nVerts + 1).as("dst"))
+    val edges = rand.unionByName(path).repartition(cpus.toInt * 4)
+    val t6 = System.nanoTime()
+    val lbl = graft.ops.ConnectedComponents.labels(edges, "src", "dst")
+    val cc = lbl.agg(count(lit(1)).as("n"), countDistinct(col("component")).as("c")).head()
+    val secs6 = (System.nanoTime() - t6) / 1e9
+    val nEdgesTotal = nRandEdges + pathLen
+    println(f"""{"metric":"scale_connected_components","edges":$nEdgesTotal,"vertices":${cc.getLong(0)},"components":${cc.getLong(1)},"sec":$secs6%.2f,"edges_per_sec":${(nEdgesTotal / secs6).toLong}}""")
     spark.stop()
   }
 }

@@ -135,10 +135,28 @@ object Dedup {
       .withColumn("sig_version", lit(SignatureVersion))
   }
 
-  /** Fraction of matching minhash components — the Jaccard estimator. */
-  private def estJaccard(sigA: Column, sigB: Column, numHashes: Int): Column =
-    aggregate(zip_with(sigA, sigB, (x, y) => when(x === y, 1).otherwise(0)),
-      lit(0), (acc, v) => acc + v).cast("double") / lit(numHashes)
+  /** Fraction of matching minhash components — the Jaccard estimator.
+    * A Scala UDF, deliberately: higher-order functions (zip_with +
+    * aggregate) evaluate interpreted with a per-call array conversion
+    * (~0.2 ms/row measured — Catalyst also pushes the `>= minEstJaccard`
+    * filter into the pair join's SMJ condition, so the estimator runs in
+    * the join's interpreted path), while this UDF is a primitive loop at
+    * ~1 µs/row. Array[Long] (not Seq[Long]) is load-bearing: the primitive
+    * signature converts via a bulk UnsafeArrayData.toLongArray copy, where
+    * Seq[Long] would box all 128 elements per call — at millions of
+    * candidate pairs that boxing was the dominant stage cost (measured
+    * 250-2600 executor-CPU-seconds on 13.6M candidates, GC-bound). */
+  private val estJaccard = udf { (a: Array[Long], b: Array[Long]) =>
+    // null-text docs have null signatures; propagate null like the HOF
+    // formulation did (the >= threshold filter then drops the pair)
+    if (a == null || b == null) null
+    else {
+      val n = a.length
+      var i = 0; var m = 0
+      while (i < n) { if (a(i) == b(i)) m += 1; i += 1 }
+      java.lang.Double.valueOf(m.toDouble / n)
+    }: java.lang.Double
+  }
 
   /**
    * MinHash-LSH near-duplicate candidate pairs.
@@ -151,28 +169,48 @@ object Dedup {
   def minhashLsh(df: DataFrame, idCol: String, textCol: String = "text",
                  shingleSize: Int = 5, numHashes: Int = 64, bands: Int = 16,
                  minEstJaccard: Double = 0.5, maxBucketSize: Int = 1000): DataFrame = {
-    val banded = bandedSignatures(df, idCol, textCol, shingleSize, numHashes, bands)
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rowsPerBand = numHashes / bands
+    // Signatures stay a NARROW recomputed pass, never cached: columnar-
+    // caching rows that carry an array<long>(64) column costs ~25x the UDF
+    // recompute (measured at 500k docs: ~67 s InMemoryRelation build vs
+    // ~2.6 s per signature evaluation — per-element array encoding dominates
+    // the cache build), so everything that shuffles or materializes below is
+    // sig-free (id, band, bucket) at ~24 bytes/row, and the fat signature
+    // rows are joined back only for the output-bound candidate pairs.
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
+    val banded = sigs.select(col("id"),
+      posexplode(array((0 until bands).map { b =>
+        xxhash64(concat_ws(",", (0 until rowsPerBand).map(r =>
+          col("sig").getItem(b * rowsPerBand + r)): _*))
+      }: _*)).as(Seq("band", "bucket")))
+    // bound boilerplate skew: drop singleton and pathological buckets in ONE
+    // window pass (a groupBy+join-back would evaluate the signature twice
+    // and sort-merge-join the results); localCheckpoint materializes the
+    // surviving narrow rows once for both sides of the self-join
+    val wBucket = Window.partitionBy("band", "bucket")
+    val inBuckets = banded
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") <= maxBucketSize && col("__n") > 1)
+      .drop("__n")
+      .localCheckpoint(false)
 
-    // bound boilerplate skew: drop pathological buckets. Cache the bucketed
-    // signatures — they feed both sides of the pair self-join (without the
-    // cache the signature UDF would run three times over the corpus).
-    val bucketSizes = banded.groupBy("band", "bucket").count()
-      .filter(col("count") <= maxBucketSize && col("count") > 1)
-    val inBuckets = banded.join(bucketSizes.select("band", "bucket"), Seq("band", "bucket")).cache()
-
-    val a = inBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = inBuckets.select(col("band"), col("bucket"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
+    val a = inBuckets.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     // a pair sharing k bands appears k times; keep one. Hash aggregation
     // with map-side combine — cheaper than a row_number window, which would
-    // sort-shuffle every duplicate. The signatures are identical across a
-    // pair's duplicates, so first() is deterministic in value.
-    val pairs = a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("sig_a")).as("sig_a"), first(col("sig_b")).as("sig_b"))
+    // sort-shuffle every duplicate.
+    val pairIds = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    // candidate pairs are output-bound and sig-free, so they broadcast-join
+    // back against the two signature sides (each side one narrow recompute)
+    val pairs = pairIds
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
 
-    pairs.withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b"), numHashes))
+    pairs.withColumn("est_jaccard", estJaccard(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("id_a", "id_b", "est_jaccard")
   }
@@ -216,7 +254,7 @@ object Dedup {
       .filter(col("new_id") =!= col("index_id"))
       .groupBy("new_id", "index_id")
       .agg(first(col("sig_new")).as("sig_new"), first(col("sig_idx")).as("sig_idx"))
-      .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_idx"), numHashes))
+      .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_idx")))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("new_id", "index_id", "est_jaccard")
   }

@@ -43,6 +43,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
   }
 
+  test("minhash LSH: null-text docs never pair (null signature propagates)") {
+    val withNulls = docs.unionByName(Seq(
+      (6L, null.asInstanceOf[String]), (7L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text"))
+    val pairs = Dedup.minhashLsh(withNulls, "doc_id", minEstJaccard = 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 >= 6L || p._2 >= 6L), s"pairs=$pairs")
+  }
+
   test("simhash: identical = same signature, near-dup within small hamming") {
     val sigs = docs.select(col("doc_id"), Dedup.simhash64(col("text")).as("s"))
       .as[(Long, Long)].collect().toMap
