@@ -124,9 +124,9 @@ object Opq {
   def rotate(df: DataFrame, rotation: Array[Array[Double]],
              vecCol: String = "embedding", outCol: String = "rotated"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(rotation)
-    val f = udf { (v: Seq[Float]) =>
+    val f = udf { (v: Array[Float]) =>
       if (v == null) null
-      else rotateVec(v.toArray.map(_.toDouble), bc.value).map(_.toFloat)
+      else rotateVec(v.map(_.toDouble), bc.value).map(_.toFloat)
     }
     df.withColumn(outCol, f(col(vecCol)))
   }

@@ -93,11 +93,11 @@ object Quantization {
   def encode(df: DataFrame, model: PqModel, vecCol: String = "embedding",
              codeCol: String = "pq_code"): DataFrame = {
     val bc = df.sparkSession.sparkContext.broadcast(model)
-    val enc = udf { (v: Seq[Float]) =>
+    val enc = udf { (v: Array[Float]) =>
       if (v == null) null
       else {
         val mod = bc.value
-        val d = v.toArray.map(_.toDouble)
+        val d = v.map(_.toDouble)
         Array.tabulate(mod.m) { j =>
           val sub = java.util.Arrays.copyOfRange(
             d, j * mod.subDim, math.min((j + 1) * mod.subDim, d.length))
@@ -210,7 +210,7 @@ object Quantization {
   def residuals(assigned: DataFrame, ivfCentroids: Array[Array[Double]],
                 vecCol: String = "embedding", outCol: String = "residual"): DataFrame = {
     val bc = assigned.sparkSession.sparkContext.broadcast(ivfCentroids)
-    val f = udf { (v: Seq[Float], cell: Int) =>
+    val f = udf { (v: Array[Float], cell: Int) =>
       if (v == null) null
       else {
         val cen = bc.value(cell)

@@ -38,16 +38,26 @@ object Similarity {
    * per element — fine for thousands of pairs, ruinous for millions; these
    * run as one tight loop per row.
    */
-  val dotFast = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var acc = 0.0; var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
-    acc
+  val dotFast = udf { (a: Array[Float], b: Array[Float]) =>
+    // Array[Float] (not Seq[Float]) is load-bearing: the primitive signature
+    // converts via one bulk toFloatArray copy, where the generic Seq
+    // interface boxes every element access in the loop — these run once per
+    // CANDIDATE PAIR, the highest-multiplicity site in the ANN/near-dup path
+    if (a == null || b == null) null
+    else {
+      var acc = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(acc)
+    }: java.lang.Double
   }
-  val normFast = udf { (a: Seq[Float]) =>
-    var acc = 0.0; var i = 0
-    while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
-    math.sqrt(acc)
+  val normFast = udf { (a: Array[Float]) =>
+    if (a == null) null
+    else {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * a(i).toDouble; i += 1 }
+      java.lang.Double.valueOf(math.sqrt(acc))
+    }: java.lang.Double
   }
 
   /**
@@ -77,7 +87,7 @@ object Similarity {
   def hyperplaneBucket(vec: Column, dim: Int, bits: Int, seed: Long = 42L): Column = {
     val rng = new scala.util.Random(seed)
     val planes = Array.fill(bits, dim)(rng.nextGaussian())
-    val f = udf { (v: Seq[Float]) =>
+    val f = udf { (v: Array[Float]) =>
       if (v == null) null
       else {
         var bucket = 0L
@@ -177,9 +187,9 @@ object Similarity {
   def assignCells(corpus: DataFrame, centroids: Array[Array[Double]],
                   vecCol: String = "embedding"): DataFrame = {
     val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
-    val assignUdf = udf { (v: Seq[Float]) =>
+    val assignUdf = udf { (v: Array[Float]) =>
       if (v == null) null
-      else Integer.valueOf(nearestCentroid(v.toArray.map(_.toDouble), bc.value))
+      else Integer.valueOf(nearestCentroid(v.map(_.toDouble), bc.value))
     }
     corpus.withColumn("cell", assignUdf(col(vecCol)))
   }
@@ -207,9 +217,9 @@ object Similarity {
                       centroids: Array[Array[Double]], k: Int, nprobe: Int = 4,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bc = assigned.sparkSession.sparkContext.broadcast(centroids)
-    val probeUdf = udf { (v: Seq[Float]) =>
+    val probeUdf = udf { (v: Array[Float]) =>
       if (v == null) null
-      else probeCells(v.toArray.map(_.toDouble), bc.value, nprobe)
+      else probeCells(v.map(_.toDouble), bc.value, nprobe)
     }
     val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
