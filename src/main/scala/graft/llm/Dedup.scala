@@ -401,21 +401,28 @@ object Dedup {
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double, dim: Int,
                          bits: Int = 8, tables: Int = 8): DataFrame = {
-    // norms computed once per ROW (n folds), the per-pair work is one dot;
-    // cosine = dot/(na*nb) is the exact expression the oracle computes
-    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
-      Similarity.normFast(col(vecCol)).as("__n"),
+    // Same narrow-shuffle discipline as [[minhashLsh]]: everything that
+    // shuffles or materializes is vector-free (table, bucket, id) — caching
+    // or shuffling the array<float> column pays per-element columnar encode
+    // and boxing costs that dwarf recomputing it. Norms are one fold per
+    // row; vectors join back only to the output-bound candidate pairs, and
+    // the per-pair work is one primitive dot. cosine = dot/(na*nb) is the
+    // exact expression the oracle computes.
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      Similarity.normFast(col(vecCol)).as("__n"))
+    val bucketed = df.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(t =>
         Similarity.hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
-        .as(Seq("table", "bucket"))).cache()
-    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"),
-      col("__v").as("__va"), col("__n").as("__na"))
-    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"),
-      col("__v").as("__vb"), col("__n").as("__nb"))
+        .as(Seq("table", "bucket")))
+      .localCheckpoint(false)
+    val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
+    val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
-      .groupBy("id_a", "id_b")
-      .agg(first(col("__va")).as("__va"), first(col("__vb")).as("__vb"),
-        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
       .withColumn("cosine",
         Similarity.dotFast(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
       .filter(col("cosine") >= minCosine)
