@@ -67,11 +67,20 @@ object Similarity {
    */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    // norms once per ROW (queries broadcast with theirs precomputed), one
+    // primitive dot per pair, and the top-k window shuffles only narrow
+    // (query_id, neighbor_id, cosine) rows — the n×q scored set never
+    // carries vectors through an exchange. Same fold order as the HOF
+    // formulation → bit-identical to the DuckDB oracle.
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), normFast(col(vecCol)).as("__qn")))
+    val scored = corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dotFast(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -221,12 +230,19 @@ object Similarity {
       if (v == null) null
       else probeCells(v.map(_.toDouble), bc.value, nprobe)
     }
-    val c = assigned.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"), col("cell"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    // norms once per row, primitive dot per candidate, and only narrow rows
+    // reach the top-k window shuffle (the probe join itself broadcasts the
+    // exploded query side, so corpus vectors stream without an exchange)
+    val c = assigned.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn"), col("cell"))
+    val q = queries.select(col(idCol).as("query_id"),
+        col(vecCol).as("__qv"), normFast(col(vecCol)).as("__qn"))
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cand = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine",
+        dotFast(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))
@@ -251,8 +267,11 @@ object Similarity {
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                       bits: Int = 12, tables: Int = 4, multiprobe: Boolean = false,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // norms once per row (computed before the bucket explode, so each input
+    // row folds once however many tables replicate it)
     val withBuckets = (df: DataFrame, side: String) => df.select(
       col(idCol).as(s"${side}_id"), col(vecCol).as(s"__${side}v"),
+      normFast(col(vecCol)).as(s"__${side}n"),
       posexplode(array((0 until tables).map(t =>
         hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
         .as(Seq("table", "bucket")))
@@ -261,10 +280,17 @@ object Similarity {
     val q = if (!multiprobe) q0 else q0.withColumn("bucket",
       explode(array(col("bucket") +:
         (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)))
+    // primitive dot per candidate (≤ tables-way duplicate pairs score
+    // redundantly at ~1 µs each — cheaper than a dedup-then-join-back);
+    // narrow BEFORE the pair dedup + top-k window, so the only exchanges
+    // carrying data after the bucket join see (query_id, neighbor_id,
+    // cosine) rows, never vectors
     val cand = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("cosine",
+        dotFast(col("__queryv"), col("__neighborv")) / (col("__queryn") * col("__neighborn")))
+      .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
-      .withColumn("cosine", cosine(col("__queryv"), col("__neighborv")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
     cand.withColumn("rank", row_number().over(w))

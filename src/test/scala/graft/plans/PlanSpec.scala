@@ -109,14 +109,20 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 5, s"expected <=5 Exchange, found $exchanges:\n$p")
   }
 
-  test("d04: bucketed LSH signatures are cached, so the pair self-join reuses them") {
-    // executedPlan (not explain string): the cache shows as InMemoryTableScan
-    // on BOTH sides of the self-join; losing the cache would re-run the
-    // signature UDF three times over the corpus
+  test("d04: LSH self-join sides are narrow checkpoint scans, never cached fat rows") {
+    // The bucketed frame is deliberately NOT .cache()d: columnar-caching
+    // rows with an array<bigint>(64) signature column pays per-element
+    // encoding (~25x the UDF recompute — see PERF.md round 6). Instead the
+    // sig-free (id, band, bucket) rows materialize once via localCheckpoint
+    // and BOTH sides of the pair self-join scan that RDD; signatures join
+    // back only to the output-bound candidate pairs.
     val plan = graft.SparkEntry.queries("d04_minhash_lsh")(spark, sf)
       .queryExecution.executedPlan.toString
-    val scans = "InMemoryTableScan".r.findAllIn(plan).size
-    assert(scans >= 2, s"expected the cached banded signatures on both join sides:\n$plan")
+    assert(!plan.contains("InMemoryTableScan"),
+      s"fat-row cache crept back into the LSH pair join:\n$plan")
+    val rddScans = "Scan ExistingRDD".r.findAllIn(plan).size
+    assert(rddScans >= 2,
+      s"expected the checkpointed narrow bucket rows on both self-join sides:\n$plan")
   }
 
   test("d17: chunk-span generation stays narrow (explode, no data shuffle)") {
