@@ -39,10 +39,13 @@ object ConnectedComponents {
     val sym = e.select(col("src"), col("dst"))
       .union(e.select(col("dst").as("src"), col("src").as("dst")))
     val w = Window.partitionBy("src")
+    // no intermediate distinct: duplicates don't affect the min-based
+    // rewiring, the round-ending smallStar distinct bounds growth, and the
+    // output stays ≤ |sym| rows — saving one exchange per round (a round is
+    // otherwise pure fixed cost once the edge set is small)
     sym.withColumn("m", least(min(col("dst")).over(w), col("src")))
       .filter(col("dst") > col("src"))
       .select(col("dst").as("src"), col("m").as("dst"))
-      .distinct()
   }
 
   /** One small-star round: every node u rewires its SMALLER-or-equal
