@@ -175,6 +175,32 @@ object ScaleBench {
     val secs6 = (System.nanoTime() - t6) / 1e9
     val nEdgesTotal = nRandEdges + pathLen
     println(f"""{"metric":"scale_connected_components","edges":$nEdgesTotal,"vertices":${cc.getLong(0)},"components":${cc.getLong(1)},"sec":$secs6%.2f,"edges_per_sec":${(nEdgesTotal / secs6).toLong}}""")
+
+    // ANN at corpus scale: 1M 64-dim vectors. The exact baseline scores
+    // |corpus| x |queries| primitive dots and shuffles only narrow rows to
+    // its top-k window; the sign-LSH path probes hash buckets, so its
+    // candidate count (and cost) is output-bound. Vectors localCheckpoint,
+    // not cache: columnar-caching array columns pays per-element encoding.
+    val nVecs = math.min(nTiles * 2, 1000000L)
+    val dimV = 64
+    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dimV - 1)),
+        j => sin((col("id") % 100000) * (j + 1) * 0.0001).cast("float")).as("embedding"))
+      .repartition(cpus.toInt * 4)
+      .localCheckpoint(false)
+    val qs10 = vecs.filter(col("vec_id") < 10)
+    val t7 = System.nanoTime()
+    val nExact = graft.llm.Similarity.bruteForceTopK(vecs, qs10, k = 10)
+      .agg(count(lit(1))).head().getLong(0)
+    val secs7 = (System.nanoTime() - t7) / 1e9
+    println(f"""{"metric":"scale_ann_bruteforce","corpus":$nVecs,"queries":10,"dim":$dimV,"rows":$nExact,"sec":$secs7%.2f,"scored_pairs_per_sec":${(nVecs * 10 / secs7).toLong}}""")
+    val qs100 = vecs.filter(col("vec_id") < 100)
+    val t8 = System.nanoTime()
+    val nLsh = graft.llm.Similarity.lshBucketedTopK(vecs, qs100, k = 10,
+        dim = dimV, bits = 16, tables = 4)
+      .agg(count(lit(1))).head().getLong(0)
+    val secs8 = (System.nanoTime() - t8) / 1e9
+    println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
     spark.stop()
   }
 }

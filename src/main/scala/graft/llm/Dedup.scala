@@ -423,8 +423,8 @@ object Dedup {
         col("__n").as("__na")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb"),
         col("__n").as("__nb")), Seq("id_b"))
-      .withColumn("cosine",
-        Similarity.dotFast(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine", Similarity.cosineFromParts(
+        Similarity.dotFast(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }
@@ -438,8 +438,8 @@ object Dedup {
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       Similarity.normFast(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine",
-        Similarity.dotFast(col("__va"), col("__vb")) / (col("__na") * col("__nb")))
+      .withColumn("cosine", Similarity.cosineFromParts(
+        Similarity.dotFast(col("__va"), col("__vb")), col("__na"), col("__nb")))
       .filter(col("cosine") >= minCosine)
       .select("id_a", "id_b", "cosine")
   }

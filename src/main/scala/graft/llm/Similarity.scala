@@ -28,7 +28,17 @@ object Similarity {
     sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
       lit(0.0), (acc, v) => acc + v))
 
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosine(a: Column, b: Column): Column =
+    cosineFromParts(dot(a, b), norm(a), norm(b))
+
+  /** `dot / (na*nb)` with a zero-norm guard: a degenerate (all-zero) vector
+    * gets a NULL cosine — filtered out of top-k rankings and below any
+    * near-dup threshold — instead of crashing the whole job under ANSI
+    * division. At corpus scale one bad row must not kill the query. */
+  def cosineFromParts(dotV: Column, na: Column, nb: Column): Column = {
+    val denom = na * nb
+    when(denom === 0.0, lit(null)).otherwise(dotV / denom)
+  }
 
   /**
    * JIT-compiled twins of [[dot]]/[[norm]] with IDENTICAL arithmetic (the
@@ -78,8 +88,9 @@ object Similarity {
         col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn"))
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotFast(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", cosineFromParts(
+        dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .filter(col("cosine").isNotNull)
       .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -240,8 +251,9 @@ object Similarity {
       .withColumn("cell", explode(probeUdf(col("__qv"))))
     val cand = c.join(q, Seq("cell"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotFast(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")))
+      .withColumn("cosine", cosineFromParts(
+        dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .filter(col("cosine").isNotNull)
       .select("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id"))
@@ -287,8 +299,10 @@ object Similarity {
     // cosine) rows, never vectors
     val cand = c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine",
-        dotFast(col("__queryv"), col("__neighborv")) / (col("__queryn") * col("__neighborn")))
+      .withColumn("cosine", cosineFromParts(
+        dotFast(col("__queryv"), col("__neighborv")),
+        col("__queryn"), col("__neighborn")))
+      .filter(col("cosine").isNotNull)
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy(col("query_id"))

@@ -27,6 +27,23 @@ class SimilaritySpec extends SparkSpec {
     assert(nn == 1L)
   }
 
+  test("zero vectors get null cosine (no ANSI divide-by-zero) and never rank") {
+    // one degenerate row must not kill a corpus-scale job: the zero vector's
+    // cosine is undefined (0/0) — it is excluded from rankings, both as a
+    // neighbor and as a query, and nothing throws under ANSI mode
+    val df = Seq(
+      (1L, vec(1, 0, 0)), (2L, vec(0.8, 0.6, 0)), (3L, vec(0, 1, 0)),
+      (9L, vec(0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.bruteForceTopK(df, df, k = 3).collect()
+    assert(!out.exists(r => r.getLong(1) == 9L), "zero vector ranked as a neighbor")
+    assert(!out.exists(r => r.getLong(0) == 9L), "zero-vector query produced rows")
+    assert(out.forall(!_.isNullAt(2)))
+    val pairs = Dedup.cosineNearDupExact(df, "vec_id", "embedding", 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)) && !pairs.exists(p => p._1 == 9L || p._2 == 9L))
+  }
+
   test("IVF-bucketed ANN achieves high recall@5 vs brute force on clustered data") {
     val rng = new scala.util.Random(5)
     val centers = Array.fill(5)(Array.fill(32)(rng.nextGaussian() * 3))
