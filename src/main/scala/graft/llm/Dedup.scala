@@ -200,7 +200,8 @@ object Dedup {
     val b = inBuckets.select(col("band"), col("bucket"), col("id").as("id_b"))
     // a pair sharing k bands appears k times; keep one. Hash aggregation
     // with map-side combine — cheaper than a row_number window, which would
-    // sort-shuffle every duplicate.
+    // a pair sharing k bands appears k times; the narrow distinct (hash
+    // aggregation, map-side combine) keeps one
     val pairIds = a.join(b, Seq("band", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
