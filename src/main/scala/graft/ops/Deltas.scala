@@ -87,7 +87,7 @@ object Deltas {
     val tieType = tieBreak.map(rightTypes)
     val leftCols = left.columns
     val leftPart = left.select(
-      leftCols.map(col) ++ Seq(
+      leftCols.toIndexedSeq.map(col) ++ Seq(
         col(leftTime).as("__t"), lit(1).as("__src"), nullPayload.as("__payload"),
         tieType.map(t => lit(null).cast(t)).getOrElse(lit(0)).as("__tie")): _*)
     // join semantics for null keys (null != null): a null-key right row can
@@ -96,7 +96,7 @@ object Deltas {
     // otherwise group all null keys together and cross-match them)
     val rightNonNullKeys = by.map(col(_).isNotNull).reduce(_ && _)
     val rightPart = right.filter(rightNonNullKeys).select(
-      leftCols.map(c => if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
+      leftCols.toIndexedSeq.map(c => if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__src"), payloadStruct.as("__payload"),
         tieBreak.map(col).getOrElse(lit(0)).as("__tie")): _*)
     // right rows (src 0) sort before left rows (src 1) at equal time, so the

@@ -109,7 +109,8 @@ object SpatialJoin {
         val probe = Geo.fromWkb(g)
         val prep = cache.get
         val ths = thBc.value
-        val counts = scala.collection.mutable.LinkedHashMap(dtBc.value.map(_ -> 0): _*)
+        val counts = scala.collection.mutable.LinkedHashMap(
+          dtBc.value.toIndexedSeq.map(_ -> 0): _*)
         var i = 0
         while (i < prep.length) {
           if (prep(i).intersects(probe)) counts(ths(i)) += 1

@@ -516,9 +516,9 @@ object Reports {
     def conv(n: com.fasterxml.jackson.databind.JsonNode): Any = {
       if (n == null || n.isNull) null
       else if (n.isObject) {
-        val it = n.fields()
+        val it = n.fieldNames()
         val b = scala.collection.mutable.LinkedHashMap[String, Any]()
-        while (it.hasNext) { val e = it.next(); b += e.getKey -> conv(e.getValue) }
+        while (it.hasNext) { val k = it.next(); b += k -> conv(n.get(k)) }
         b.toMap
       } else if (n.isArray) {
         (0 until n.size()).map(i => conv(n.get(i)))
