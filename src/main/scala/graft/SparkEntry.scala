@@ -695,6 +695,38 @@ object SparkEntry {
           s"s05_ij_${System.nanoTime()}", outputMode = "append")
         .orderBy("p_event_id", "e_event_id")
     }),
+    "s06_stream_neardup_ingest" -> ((s, d) => {
+      // STREAMING NEAR-DUP INGEST (Streaming.nearDupIngestStream): documents
+      // stream through a per-microbatch LSH check against the persisted
+      // index + in-batch transitive clustering, survivors append to corpus
+      // and index. Gate: the streamed result must equal the batch
+      // formulation (keepRepresentatives over minhashLsh pairs) — computed
+      // both ways IN Spark and pinned as a boolean (the q37/v03 property
+      // pattern; the pair algorithms themselves are d04/d19-gated). The
+      // custom-hash pair set has no SQL twin, hence the constant oracle.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("s06").toString
+      docs.write.parquet(s"$root/docs")
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        s, s"$root/docs", schema)
+      graft.streaming.Streaming.nearDupIngestStream(
+          stream, s"$root/index", s"$root/ckpt")(
+          keep => keep.write.mode("append").parquet(s"$root/corpus"))
+        .awaitTermination()
+      val streamed = s.read.parquet(s"$root/corpus").select(col("doc_id"))
+      val batch = graft.ops.ConnectedComponents.keepRepresentatives(
+          docs, "doc_id", graft.llm.Dedup.minhashLsh(docs, "doc_id"))
+        .select(col("doc_id"))
+      val equal = streamed.exceptAll(batch).isEmpty &&
+        batch.exceptAll(streamed).isEmpty
+      import s.implicits._
+      Seq(equal).toDF("stream_matches_batch")
+    }),
     "v05_ann_opq" -> ((s, d) => {
       // OPQ-ADC: same recall@R shortlist gate as v04 (true top-5 in the ADC
       // top-50, total >= 0.8, all queries found; measured 0.90-1.0 at every
@@ -1483,6 +1515,12 @@ object SparkEntry {
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_event_id, e_event_id""".stripMargin,
+    // s06 pins a streamed-equals-batch equivalence computed in Spark (the
+    // q37/v03 constant-oracle property pattern): the streamed ingest result
+    // must equal the batch keepRepresentatives formulation, whose pair
+    // algorithm is itself d04/d19-gated. Custom-hash pairs have no SQL twin.
+    "s06_stream_neardup_ingest" ->
+      "SELECT TRUE AS stream_matches_batch",
     "q33_percentiles" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.25) AS q25,

@@ -164,4 +164,72 @@ object Streaming {
           fresh.iterator.map(t => StormForecast(storm, t))
       }
   }
+
+  /**
+   * Streaming NEAR-duplicate ingest — the streaming completion of
+   * [[graft.llm.CorpusPipeline.cleanStream]], which deliberately refuses
+   * near-dup removal (it needs a corpus self-join). The persisted LSH index
+   * ([[graft.llm.Dedup.bandedSignatures]] layout at `indexDir`) makes it
+   * incremental: per microbatch,
+   *
+   *   1. batch docs near-duplicated by the EXISTING corpus are dropped
+   *      ([[graft.llm.Dedup.minhashLshAgainstIndex]] — only the batch is
+   *      shingled, the corpus contributes persisted index rows, the join
+   *      touches only matching buckets);
+   *   2. the remainder is self-deduplicated within the batch with full
+   *      transitive clustering ([[graft.llm.ConnectedComponents
+   *      .keepRepresentatives]] — min-id representative per near-dup
+   *      cluster);
+   *   3. survivors go to `sink`, and their signatures APPEND to the index
+   *      so every later batch (and later stream restart) sees them.
+   *
+   * foreachBatch, not a stream-static join: the dedup decision needs
+   * batch-side groupBys and the index append must follow the sink write —
+   * exactly the per-microbatch batch semantics foreachBatch provides. The
+   * index append is at-least-once under crash replay; duplicate index rows
+   * only duplicate candidate pairs, which the pair-level distinct already
+   * collapses, so dedup semantics are unaffected.
+   *
+   * Per-batch cost is |batch| signature folds plus output-bound bucket
+   * joins — never a corpus re-scan — so ingest throughput is flat in corpus
+   * size; the index grows as `bands` narrow rows per kept document and
+   * should be written partitioned/bucketed on `bucket` at scale.
+   */
+  def nearDupIngestStream(docs: DataFrame, indexDir: String, checkpointDir: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          minEstJaccard: Double = 0.5)(
+                          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch feeds three passes (index check, self-pairs, signature
+        // append); localCheckpoint bounds it to one source read
+        val b = batch.localCheckpoint()
+        val spark = b.sparkSession
+        val hasIndex = {
+          val d = new java.io.File(indexDir)
+          d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
+        }
+        val fresh =
+          if (!hasIndex) b
+          else {
+            val dupOfCorpus = Dedup.minhashLshAgainstIndex(
+                b, spark.read.parquet(indexDir), idCol, textCol,
+                minEstJaccard = minEstJaccard)
+              .select(col("new_id").as(idCol)).distinct()
+            b.join(dupOfCorpus, Seq(idCol), "left_anti")
+          }
+        val selfPairs = Dedup.minhashLsh(fresh, idCol, textCol,
+          minEstJaccard = minEstJaccard)
+        val keep = graft.ops.ConnectedComponents
+          .keepRepresentatives(fresh, idCol, selfPairs)
+          .localCheckpoint()
+        sink(keep)
+        Dedup.bandedSignatures(keep, idCol, textCol)
+          .write.mode("append").parquet(indexDir)
+      }
+      .start()
+  }
 }

@@ -112,4 +112,43 @@ class StreamingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(out == Set((10L, 21L), (10L, 22L)), s"got $out")
   }
+
+  test("streaming near-dup ingest: batch self-dedup, index dedup across drops, index growth") {
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val textA = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val textB = "completely different content about spark catalyst optimizer internals"
+    val textC = "another unrelated corpus document mentioning jaccard similarity estimates"
+
+    def runDrop(drop: String): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema,
+        glob = None)
+      val q = Streaming.nearDupIngestStream(stream, s"$root/index", s"$root/ckpt")(
+        keep => keep.write.mode("append").parquet(s"$root/corpus"))
+      q.awaitTermination()
+    }
+
+    // drop 1: docs 1,2 near-dups of each other (keep min id 1), 3 unique
+    Seq((1L, textA), (2L, textA + " extra"), (3L, textB)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop("d1")
+    val afterFirst = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(afterFirst.toSeq == Seq(1L, 3L), s"got ${afterFirst.toSeq}")
+
+    // drop 2: doc 4 near-dups the ALREADY-INGESTED doc 1 (via the index,
+    // not any in-batch pair), doc 5 is new
+    Seq((4L, textA), (5L, textC)).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop("d2")
+    val afterSecond = spark.read.parquet(s"$root/corpus")
+      .select("doc_id").as[Long].collect().sorted
+    assert(afterSecond.toSeq == Seq(1L, 3L, 5L), s"got ${afterSecond.toSeq}")
+
+    // the index holds signatures for exactly the kept docs
+    val indexed = spark.read.parquet(s"$root/index")
+      .select("id").distinct().as[Long].collect().sorted
+    assert(indexed.toSeq == Seq(1L, 3L, 5L), s"got ${indexed.toSeq}")
+  }
 }
