@@ -136,4 +136,18 @@ class PlanSpec extends SparkSpec {
     val p = formatted("q33_percentiles")
     assert(p.contains("partial_"), "no partial aggregation before exchange:\n" + p)
   }
+
+  test("v01: the ANN top-k window input is narrow — vectors never reach the sort shuffle") {
+    // the scored n×q set reaches the top-k window as (query_id, neighbor_id,
+    // cosine); at 1M docs × 100 queries the fat alternative shuffles ~50 GB
+    // of vectors for ~2.4 GB of narrow rows (PERF.md round 6)
+    val p = formatted("v01_ann_bruteforce")
+    val windowInputs = """\(\d+\) Window\s*\nInput \[\d+\]: \[([^\]]*)\]""".r
+      .findAllMatchIn(p).map(_.group(1)).toSeq
+    assert(windowInputs.nonEmpty, s"no Window node found:\n$p")
+    windowInputs.foreach { in =>
+      assert(!in.contains("__qv") && !in.contains("__cv"),
+        s"vectors reached the top-k window input: $in")
+    }
+  }
 }
