@@ -561,6 +561,38 @@ object SparkEntry {
             (st_area_m2(col("wind_field_polygon_34kt")) > 0)).as("positive_area"))
         .orderBy(col("o_orderkey"))
     }),
+    "g11_admin_overlay" -> ((s, d) => {
+      // J4-J6: the 3-step admin overlay oracle-checked via an arithmetic
+      // twin (the g07 trick). Admin boxes are disjoint [5n, 5n+3]x[0,10]
+      // with 2-degree gaps; tiles are built so every step's decision is
+      // analytic and boundary-free (all constants dyadic):
+      //   c%5 in {0,1,2}: centroid at c+0.5 sits strictly inside admin
+      //     floor(c/5)                                   -> J4 centroid-within
+      //   c%5 == 3: a wide tile [c-1, c+2.5] straddles the gap (centroid
+      //     c+0.75 inside no admin); overlap is 1.0 deg of lon with admin
+      //     floor(c/5) vs 0.5 with floor(c/5)+1 (same latitude band, so
+      //     the equal-area projection preserves the ratio)
+      //                                                  -> J5 max-overlap
+      //   c%5 == 4: tile [c+0.25, c+0.75] lies wholly in the gap; centroid
+      //     distance 0.5 deg to admin floor(c/5)+1 vs 1.5 to floor(c/5)
+      //                                                  -> J6 nearest
+      val admins = t(s, d, "nation").select(
+        col("n_nationkey").cast("string").as("id"),
+        st_box(col("n_nationkey").cast("double") * lit(5.0), lit(0.0),
+          col("n_nationkey").cast("double") * lit(5.0) + lit(3.0), lit(10.0))
+          .as("geometry"))
+      val c = (col("o_orderkey") % 100).cast("double")
+      val tiles = t(s, d, "orders").filter(expr("o_orderkey % 3 = 0"))
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 100 % 5 === 3,
+            st_box(c - lit(1.0), lit(4.75), c + lit(2.5), lit(5.25)))
+          .otherwise(
+            st_box(c + lit(0.25), lit(4.75), c + lit(0.75), lit(5.25)))
+          .as("geometry"))
+      graft.ops.AdminOverlay.assign(tiles, admins)
+        .select(col("o_orderkey"), col("id"))
+        .orderBy(col("o_orderkey"))
+    }),
     "s01_stream_window" -> ((s, d) => {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
@@ -1515,6 +1547,18 @@ object SparkEntry {
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
         |WHERE p.event_type = 'purchase'
         |ORDER BY p_event_id, e_event_id""".stripMargin,
+    // g11: every overlay step's decision is analytic on the constructed
+    // boxes (see the query comment), so DuckDB derives the admin id
+    // arithmetically while Spark resolves it geometrically (JTS STRtree,
+    // centroid-contains, equal-area overlap, nearest) — a wrong step order,
+    // boundary slip, or projection bug breaks the hash.
+    "g11_admin_overlay" ->
+      """SELECT o_orderkey,
+        |  CAST(CASE WHEN (o_orderkey % 100) % 5 = 4
+        |            THEN (o_orderkey % 100) // 5 + 1
+        |            ELSE (o_orderkey % 100) // 5 END AS VARCHAR) AS id
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey""".stripMargin,
     // s06 pins a streamed-equals-batch equivalence computed in Spark (the
     // q37/v03 constant-oracle property pattern): the streamed ingest result
     // must equal the batch keepRepresentatives formulation, whose pair
