@@ -593,6 +593,28 @@ object SparkEntry {
         .select(col("o_orderkey"), col("id"))
         .orderBy(col("o_orderkey"))
     }),
+    "g12_track_segments" -> ((s, d) => {
+      // W4: consecutive track points -> line segments via the REAL
+      // linesFromPoints operator (lead window + ST_MakeLine), oracle-checked
+      // end to end: the emitted endpoints come back out through
+      // ST_StartPoint/ST_EndPoint + ST_X/ST_Y — pure coordinate pass-through,
+      // no arithmetic — so DuckDB reproduces them exactly with its own lead()
+      // over the same dyadic point grid. A wrong pairing, ordering, or
+      // endpoint order breaks the hash.
+      val pts = t(s, d, "orders").select(
+        (col("o_orderkey") % 7).as("member"),
+        col("o_orderkey"),
+        st_point((col("o_orderkey") % 360).cast("double") * lit(0.5) - lit(90.0),
+          (col("o_orderkey") % 160).cast("double") * lit(0.25) - lit(20.0))
+          .as("geometry"))
+      graft.ops.GeoAggregates.linesFromPoints(pts, Seq("member"), "o_orderkey")
+        .select(col("member"), col("o_orderkey"),
+          st_x(st_start_point(col("geometry"))).as("x1"),
+          st_y(st_start_point(col("geometry"))).as("y1"),
+          st_x(st_end_point(col("geometry"))).as("x2"),
+          st_y(st_end_point(col("geometry"))).as("y2"))
+        .orderBy(col("member"), col("o_orderkey"))
+    }),
     "s01_stream_window" -> ((s, d) => {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
@@ -1559,6 +1581,22 @@ object SparkEntry {
         |            ELSE (o_orderkey % 100) // 5 END AS VARCHAR) AS id
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    "g12_track_segments" ->
+      """WITH p AS (
+        |  SELECT o_orderkey % 7 AS member, o_orderkey,
+        |    (o_orderkey % 360) * 0.5 - 90 AS x,
+        |    (o_orderkey % 160) * 0.25 - 20 AS y
+        |  FROM orders),
+        |seg AS (
+        |  SELECT member, o_orderkey, x, y,
+        |    lead(x) OVER (PARTITION BY member ORDER BY o_orderkey) AS nx,
+        |    lead(y) OVER (PARTITION BY member ORDER BY o_orderkey) AS ny
+        |  FROM p)
+        |SELECT member, o_orderkey,
+        |  CAST(x AS DOUBLE) AS x1, CAST(y AS DOUBLE) AS y1,
+        |  CAST(nx AS DOUBLE) AS x2, CAST(ny AS DOUBLE) AS y2
+        |FROM seg WHERE nx IS NOT NULL
+        |ORDER BY member, o_orderkey""".stripMargin,
     // s06 pins a streamed-equals-batch equivalence computed in Spark (the
     // q37/v03 constant-oracle property pattern): the streamed ingest result
     // must equal the batch keepRepresentatives formulation, whose pair

@@ -147,6 +147,32 @@ object GeoExpressions {
     override def prettyName: String = "st_y"
   }
 
+  /** First vertex of a geometry as a Point (standard ST_StartPoint,
+    * generalized to any geometry's first coordinate). Coordinates pass
+    * through UNTOUCHED — no arithmetic — so oracle comparisons against the
+    * values that built the geometry are bit-exact. */
+  case class StStartPoint(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(b: Any): Any = {
+      val c = geom(b).getCoordinate
+      Geo.toWkb(Geo.point(c.x, c.y))
+    }
+    override protected def withNewChildInternal(c: Expression): StStartPoint = copy(c)
+    override def prettyName: String = "st_start_point"
+  }
+
+  /** Last vertex of a geometry as a Point (standard ST_EndPoint). */
+  case class StEndPoint(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(b: Any): Any = {
+      val cs = geom(b).getCoordinates
+      val c = cs(cs.length - 1)
+      Geo.toWkb(Geo.point(c.x, c.y))
+    }
+    override protected def withNewChildInternal(c: Expression): StEndPoint = copy(c)
+    override def prettyName: String = "st_end_point"
+  }
+
   /** Line between the first coordinates of two (point) geometries. */
   case class StMakeLine(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
@@ -210,6 +236,8 @@ object GeoExpressions {
     "st_x" -> (es => StX(es.head)),
     "st_y" -> (es => StY(es.head)),
     "st_make_line" -> (es => StMakeLine(es(0), es(1))),
+    "st_start_point" -> (es => StStartPoint(es.head)),
+    "st_end_point" -> (es => StEndPoint(es.head)),
     "st_box" -> (es => StBox(es(0), es(1), es(2), es(3))),
     "st_quadkey_polygon" -> (es => StQuadkeyPolygon(es.head)),
     "st_quadkey" -> (es => StQuadkey(es(0), es(1), es(2))))

@@ -53,5 +53,7 @@ object GeoFunctions {
   def st_box(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column): Column =
     call_function("st_box", minLon, minLat, maxLon, maxLat)
   def st_make_line(a: Column, b: Column): Column = call_function("st_make_line", a, b)
+  def st_start_point(c: Column): Column = call_function("st_start_point", c)
+  def st_end_point(c: Column): Column = call_function("st_end_point", c)
   def st_quadkey_polygon(qk: Column): Column = call_function("st_quadkey_polygon", qk)
 }

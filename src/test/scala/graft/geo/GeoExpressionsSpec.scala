@@ -38,6 +38,20 @@ class GeoExpressionsSpec extends SparkSpec {
     assert(cmp.filter($"native" =!= $"viaUdf").count() == 0)
   }
 
+  test("st_start_point / st_end_point: exact coordinate pass-through on lines") {
+    val row = spark.sql(
+      """SELECT
+        |  st_aswkt(st_start_point(st_geomfromwkt('LINESTRING (-72.5 18.5, 3.25 -4.75)'))) AS s,
+        |  st_aswkt(st_end_point(st_geomfromwkt('LINESTRING (-72.5 18.5, 3.25 -4.75)'))) AS e,
+        |  st_x(st_end_point(st_make_line(
+        |    st_point(CAST(1.5 AS DOUBLE), CAST(2.5 AS DOUBLE)),
+        |    st_point(CAST(-3.25 AS DOUBLE), CAST(4.0 AS DOUBLE))))) AS ex
+        |""".stripMargin).head()
+    assert(row.getString(0) == "POINT (-72.5 18.5)")
+    assert(row.getString(1) == "POINT (3.25 -4.75)")
+    assert(row.getDouble(2) == -3.25)
+  }
+
   test("null propagation: null input -> null output") {
     val r = spark.sql("SELECT st_intersects(NULL, st_point(CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS x").head()
     assert(r.isNullAt(0))
@@ -48,6 +62,6 @@ class GeoExpressionsSpec extends SparkSpec {
     // installer's injections must all be well-formed
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed identifiers/builders
-    assert(GeoExpressions.registry.size == 19)
+    assert(GeoExpressions.registry.size == 21)
   }
 }
