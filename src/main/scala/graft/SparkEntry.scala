@@ -1,8 +1,8 @@
 package graft
 
 import graft.geo.GeoFunctions._
-import graft.llm.{Dedup, Sampling, Similarity, TextAnalysis}
-import graft.ops.{Aggregations, Deltas, RangeJoin, Sessionize, SpatialJoin, Tracks}
+import graft.llm.{Decontamination, Dedup, Pii, Sampling, Similarity, TextAnalysis}
+import graft.ops.{Aggregations, BloomJoin, Deltas, RangeJoin, Sessionize, Sketches, SpatialJoin, Tracks}
 import graft.pipeline.{Constants, ImpactPipeline, SyntheticScenario}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -1066,6 +1066,72 @@ object SparkEntry {
           col("n_members").cast("long").as("n_members"),
           col("probability"), col("E_population"))
         .orderBy(col("zone_id"), col("wind_threshold"))
+    }),
+    "d22_decontaminate" -> ((s, d) => {
+      // benchmark decontamination: every ~97th doc plays the eval set; the
+      // rest is the corpus, screened for shared word 3-grams. Broadcast
+      // benchmark set, narrow corpus explode, one doc-keyed count shuffle.
+      // hashGrams=false = the engine-portable oracle twin (the xxhash64
+      // production path is pinned ≡ to it in DecontaminationSpec)
+      val docs = t(s, d, "documents")
+      Decontamination.contaminationStats(
+          docs.filter(col("doc_id") % 97 =!= 0),
+          docs.filter(col("doc_id") % 97 === 0),
+          n = 3, hashGrams = false)
+        .orderBy(col("doc_id"))
+    }),
+    "d23_pii_redact" -> ((s, d) => {
+      // PII scrub: deterministic synthetic PII (emails/IPv4/phones keyed on
+      // doc_id mods so the per-row counts VARY) appended to the corpus
+      // text, then counted and masked — narrow codegen'd regex projection,
+      // redaction order fixed (email → IP → phone). The oracle recomputes
+      // the exact redacted strings (Java and RE2 share this regex subset)
+      val id = col("doc_id")
+      val withPii = t(s, d, "documents").withColumn("text", concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" mail user"), id, lit("@example.com"))).otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit(" from 10."), id % 200, lit(".0.7"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" call +1 555 014 "),
+            lpad((id % 100).cast("string"), 4, "0"))).otherwise(lit(""))))
+      Pii.redact(Pii.piiStats(withPii), outCol = "redacted")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          col("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+    "d24_dup_spans" -> ((s, d) => {
+      // position-level repeated-substring detection: word 8-grams occurring
+      // in >= 2 docs, merged to maximal spans per doc (gaps-and-islands
+      // window); "occurs elsewhere" is a min!=max aggregate, not a
+      // count-distinct. String grams = the oracle twin; DedupSpec pins the
+      // xxhash64 production variant ≡ on this corpus
+      Dedup.dupNgramSpans(t(s, d, "documents"), "doc_id", n = 8, hashGrams = false)
+        .orderBy(col("doc_id"))
+    }),
+    "q38_heavy_hitters" -> ((s, d) => {
+      // heavy hitters: exact top-20 tokens (map-side-combined count) PLUS a
+      // mergeable Count-Min sketch built in the same pass; cms_ok pins the
+      // sketch's guarantee (estimate >= exact, <= exact + eps*N) in the
+      // hash — the q37 property-gate pattern over the sketch the oracle
+      // cannot reproduce, while the counts themselves ARE oracle-checked
+      val toks = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+      Sketches.cmsHeavyHitters(toks, "item", k = 20, eps = 0.001)
+        .orderBy(col("n").desc, col("item"))
+    }),
+    "q39_bloom_semi" -> ((s, d) => {
+      // Bloom-prefiltered semi-join: the dimension's key set reduces to a
+      // broadcast Bloom filter that drops non-matching fact rows BEFORE the
+      // shuffle; the exact semi-join clears false positives, so the result
+      // is bit-identical to the plain semi-join the oracle runs
+      BloomJoin.bloomSemiJoin(
+          t(s, d, "lineitem"),
+          t(s, d, "orders").filter(col("o_totalprice") > 300000),
+          "l_orderkey", "o_orderkey", expectedItems = 10000, fpp = 0.03)
+        .select(col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
     })
   )
 
@@ -1828,6 +1894,110 @@ object SparkEntry {
         |    (a, b) -> a + b) AS denom FROM c
         |)
         |SELECT lang, n_rows, sqrt(CAST(n_rows AS DOUBLE)) / denom AS weight
-        |FROM c, d ORDER BY lang""".stripMargin
+        |FROM c, d ORDER BY lang""".stripMargin,
+    // decontamination twin: distinct word 3-grams; every ~97th doc is the
+    // eval set, the rest the corpus; per-doc totals via LEFT joins so
+    // zero-gram and zero-hit docs keep their rows
+    "d22_decontaminate" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS grams
+        |  FROM tk WHERE len(t) >= 3
+        |), bench AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id % 97 = 0
+        |), cg AS (
+        |  SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id % 97 <> 0
+        |), h AS (
+        |  SELECT cg.doc_id, COUNT(*) AS n_grams, COUNT(b.gram) AS n_contaminated
+        |  FROM cg LEFT JOIN bench b USING (gram) GROUP BY cg.doc_id
+        |)
+        |SELECT d.doc_id, COALESCE(h.n_grams, 0) AS n_grams,
+        |  COALESCE(h.n_contaminated, 0) AS n_contaminated,
+        |  COALESCE(h.n_contaminated, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+        |LEFT JOIN h USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+    // PII twin: identical synthetic PII construction, counts via
+    // regexp_extract_all, redaction via the same three patterns in the same
+    // order (DuckDB needs the 'g' flag for replace-all; Spark's
+    // regexp_replace is always global)
+    "d23_pii_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call +1 555 014 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(s, '\+\d{1,3}[ -]\d{2,4}[ -]\d{2,4}[ -]\d{2,4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[ -]\d{2,4}[ -]\d{2,4}[ -]\d{2,4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // duplicated-span twin: per-position word 8-grams, cross-doc duplicates
+    // via min!=max per gram, maximal spans via the same gaps-and-islands
+    // window, zero rows kept by the final LEFT join
+    "d24_dup_spans" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), pos AS (
+        |  SELECT doc_id, unnest(range(1, len(t) - 6)) AS pos, t
+        |  FROM tk WHERE len(t) >= 8
+        |), pg AS (
+        |  SELECT doc_id, pos, array_to_string(t[pos:pos+7], ' ') AS gram FROM pos
+        |), dup AS (
+        |  SELECT gram FROM pg GROUP BY gram HAVING MIN(doc_id) <> MAX(doc_id)
+        |), dp AS (
+        |  SELECT pg.doc_id, pg.pos, pg.pos + 7 AS e FROM pg JOIN dup USING (gram)
+        |), isl AS (
+        |  SELECT doc_id, pos, e,
+        |    CASE WHEN MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR pos > MAX(e) OVER (PARTITION BY doc_id ORDER BY pos
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS ns
+        |  FROM dp
+        |), isl2 AS (
+        |  SELECT doc_id, pos, e,
+        |    SUM(ns) OVER (PARTITION BY doc_id ORDER BY pos) AS island FROM isl
+        |), per AS (
+        |  SELECT doc_id, island, COUNT(*) AS npos, MIN(pos) AS s, MAX(e) AS ee
+        |  FROM isl2 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id, CAST(SUM(npos) AS BIGINT) AS n_dup_positions,
+        |    CAST(SUM(ee - s + 1) AS BIGINT) AS n_covered_tokens
+        |  FROM per GROUP BY doc_id
+        |)
+        |SELECT tk.doc_id, CAST(len(tk.t) AS INTEGER) AS n_tokens,
+        |  CAST(greatest(len(tk.t) - 7, 0) AS BIGINT) AS n_positions,
+        |  COALESCE(agg.n_dup_positions, 0) AS n_dup_positions,
+        |  COALESCE(agg.n_covered_tokens, 0) AS n_covered_tokens
+        |FROM tk LEFT JOIN agg USING (doc_id) ORDER BY tk.doc_id""".stripMargin,
+    // heavy hitters: the exact top-20 counts are fully oracle-checked; the
+    // cms_ok boolean pins the sketch's (overestimate-only, eps*N) guarantee
+    // in the hash — the q37 property-gate pattern for sketch outputs
+    "q38_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+        |  FROM documents
+        |)
+        |SELECT item, COUNT(*) AS n, TRUE AS cms_ok FROM tok
+        |GROUP BY item ORDER BY n DESC, item LIMIT 20""".stripMargin,
+    // the Bloom prefilter is exactness-preserving (no false negatives +
+    // exact post-join), so the oracle is the plain semi-join
+    "q39_bloom_semi" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (
+        |  SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
   )
 }

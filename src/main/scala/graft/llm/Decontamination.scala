@@ -1,0 +1,95 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Benchmark decontamination: flag/remove training documents that overlap an
+ * evaluation set by shared word n-grams — the standard "n-gram collision"
+ * decontamination step every serious training-data pipeline runs before
+ * training (GPT-3 used 13-grams; the n is a knob here).
+ *
+ * Scale design (the 100 TB side is the corpus, not the benchmark):
+ *  - The benchmark's distinct n-gram set is small (eval sets are thousands
+ *    of documents, not billions) → it is the BROADCAST side. The corpus is
+ *    never shuffled: explode to (doc_id, gram) is narrow, the semi-join
+ *    against the benchmark set broadcasts, and the per-doc match count is
+ *    a map-side-combinable groupBy on doc_id — one shuffle of only the
+ *    matching (doc_id, gram) pairs, which decontamination assumes are rare.
+ *  - `hashGrams = true` (the production default) replaces each n-gram
+ *    string with its xxhash64 BEFORE the join, so the broadcast table and
+ *    the shuffled pairs are 8-byte longs instead of strings. A hash
+ *    collision can only ADD a false positive (drop one clean doc) — the
+ *    safe direction for decontamination. `hashGrams = false` keeps raw
+ *    strings so a second engine reproduces the result bit-for-bit (the
+ *    oracle twin; DecontaminationSpec pins hashed ≡ unhashed on data with
+ *    no collisions).
+ */
+object Decontamination {
+
+  /** Distinct word n-grams of the lowercased whitespace-tokenized text.
+    * Documents shorter than n tokens yield an empty array (they cannot
+    * collide with any benchmark n-gram). */
+  def wordNgrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n-gram size must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+      .otherwise(array().cast("array<string>")))
+  }
+
+  /** The benchmark's distinct n-gram set: one column `gram` (string, or
+    * xxhash64 long when `hashGrams`). Cache/persist this when screening
+    * many corpus shards against the same eval set. */
+  def benchmarkNgrams(benchmark: DataFrame, textCol: String, n: Int,
+                      hashGrams: Boolean): DataFrame = {
+    val grams = benchmark.select(explode(wordNgrams(col(textCol), n)).as("gram"))
+    (if (hashGrams) grams.select(xxhash64(col("gram")).as("gram")) else grams).distinct()
+  }
+
+  /**
+   * Per-document contamination stats against an evaluation set:
+   * `n_grams` (distinct n-grams in the doc), `n_contaminated` (of those,
+   * how many appear in the benchmark), `contaminated` (any overlap).
+   * Every corpus row is returned — downstream picks a drop threshold.
+   */
+  def contaminationStats(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         n: Int = 13, hashGrams: Boolean = true): DataFrame = {
+    val bench = broadcast(benchmarkNgrams(benchmark, textCol, n, hashGrams))
+    val docGramsRaw = corpus.select(col(idCol), explode(wordNgrams(col(textCol), n)).as("gram"))
+    val docGrams =
+      if (hashGrams) docGramsRaw.select(col(idCol), xxhash64(col("gram")).as("gram"))
+      else docGramsRaw
+    // count BEFORE the semi-join (total grams) and AFTER (matching grams) in
+    // one pass: left-join against the broadcast set and sum the hit flag —
+    // map-side combinable, one shuffle keyed on the doc id
+    val hits = docGrams
+      .join(bench.withColumn("__hit", lit(1)), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        coalesce(sum(col("__hit")), lit(0L)).as("n_contaminated"))
+    corpus.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"))
+      .withColumn("contaminated", col("n_contaminated") > 0)
+  }
+
+  /** Drop corpus documents sharing more than `maxOverlap` distinct n-grams
+    * with the benchmark (0 = any collision drops the doc). */
+  def decontaminate(corpus: DataFrame, benchmark: DataFrame,
+                    idCol: String = "doc_id", textCol: String = "text",
+                    n: Int = 13, maxOverlap: Long = 0,
+                    hashGrams: Boolean = true): DataFrame = {
+    val dirty = contaminationStats(corpus, benchmark, idCol, textCol, n, hashGrams)
+      .filter(col("n_contaminated") > maxOverlap)
+      .select(col(idCol))
+    // broadcast anti-join: the dirty-id set is small by the same assumption
+    // that makes decontamination cheap (contamination is rare)
+    corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
+  }
+}

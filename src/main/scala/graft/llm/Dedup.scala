@@ -445,6 +445,75 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /**
+   * Position-level repeated-substring detection (the "deduplicating
+   * training data makes language models better" direction, word-gram
+   * approximation): for every document, find the token positions whose
+   * length-`n` word n-gram also occurs in ANOTHER document, merge the
+   * overlapping duplicated windows into maximal spans, and report
+   *
+   *  - `n_positions`       n-gram windows in the doc (tokens − n + 1),
+   *  - `n_dup_positions`   windows duplicated cross-document,
+   *  - `n_covered_tokens`  tokens under the UNION of duplicated windows
+   *                        (merged spans — the count a span-removal pass
+   *                        would actually cut),
+   *  - `n_tokens`          document length.
+   *
+   * Scale design: the position explode is narrow; "occurs in ≥ 2 docs" is
+   * `min(doc) ≠ max(doc)` per gram — a map-side-combinable single
+   * aggregate, NOT a count-distinct, so the one gram-keyed shuffle carries
+   * only (gram, min, max) partials even for stopword-heavy grams. The
+   * span merge is the classic gaps-and-islands window, partitioned by doc
+   * — documents parallelize independently. `hashGrams` (production
+   * default) shuffles 8-byte xxhash64 keys instead of strings; a
+   * collision can only grow a span (safe direction). The string variant
+   * is the oracle twin.
+   */
+  def dupNgramSpans(docs: DataFrame, idCol: String, textCol: String = "text",
+                    n: Int = 8, hashGrams: Boolean = true): DataFrame = {
+    require(n >= 1, s"span n-gram size must be >= 1, got $n")
+    val toks = TextAnalysis.tokens(col(textCol))
+    val gramAt = (i: Column) =>
+      concat_ws(" ", (0 until n).map(k => element_at(col("__toks"), i + k)): _*)
+    val positions = docs
+      .select(col(idCol).as("id"), toks.as("__toks"))
+      .select(col("id"), size(col("__toks")).as("n_tokens"),
+        posexplode(when(size(col("__toks")) >= n,
+            transform(sequence(lit(1), size(col("__toks")) - (n - 1)), gramAt))
+          .otherwise(array().cast("array<string>"))).as(Seq("__p", "gram")))
+      .select(col("id"), col("n_tokens"), (col("__p") + 1).as("pos"),
+        (if (hashGrams) xxhash64(col("gram")) else col("gram")).as("gram"))
+    // grams seen in >= 2 distinct docs, without a count-distinct shuffle
+    val dupGrams = positions.groupBy(col("gram"))
+      .agg(min(col("id")).as("__mn"), max(col("id")).as("__mx"))
+      .filter(col("__mn") =!= col("__mx"))
+      .select(col("gram"))
+    val dupPos = positions.join(dupGrams, Seq("gram"), "left_semi")
+      .withColumn("end", col("pos") + (n - 1))
+    // gaps-and-islands: a window starts a new span iff it begins past the
+    // furthest end seen so far; island id = running count of span starts
+    val w = Window.partitionBy("id").orderBy("pos")
+    val islanded = dupPos
+      .withColumn("__prev_max_end",
+        max(col("end")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("__new_span",
+        when(col("__prev_max_end").isNull || col("pos") > col("__prev_max_end"), 1)
+          .otherwise(0))
+      .withColumn("__island", sum(col("__new_span")).over(w))
+    val perDoc = islanded
+      .groupBy(col("id"), col("__island"))
+      .agg(count(lit(1)).as("__n_pos"), min(col("pos")).as("__s"), max(col("end")).as("__e"))
+      .groupBy(col("id"))
+      .agg(sum(col("__n_pos")).as("n_dup_positions"),
+        sum(col("__e") - col("__s") + 1).as("n_covered_tokens"))
+    docs.select(col(idCol).as("id"), size(toks).as("n_tokens"))
+      .withColumn("n_positions", greatest(col("n_tokens") - (n - 1), lit(0)).cast("long"))
+      .join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol), col("n_tokens"), col("n_positions"),
+        coalesce(col("n_dup_positions"), lit(0L)).as("n_dup_positions"),
+        coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id_a, id_b) against the documents table. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

@@ -15,6 +15,43 @@ class DedupSpec extends SparkSpec {
     (5L, "another unrelated text mentioning minhash signatures and jaccard similarity estimates")
   ).toDF("doc_id", "text")
 
+  test("dupNgramSpans merges overlapping duplicated windows into maximal spans") {
+    // docs 1 and 2 share a 9-token run (s1..s9) => two duplicated 8-gram
+    // windows each, overlapping => ONE merged span of 9 covered tokens
+    val spanDocs = Seq(
+      (1L, "x1 x2 s1 s2 s3 s4 s5 s6 s7 s8 s9 y1"),
+      (2L, "s1 s2 s3 s4 s5 s6 s7 s8 s9 z1 z2 z3"),
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12"),
+      (4L, "w1 w2 w3") // shorter than one window
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramSpans(spanDocs, "doc_id", n = 8, hashGrams = false)
+      .orderBy("doc_id")
+      .as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 12, 5L, 2L, 9L),
+      (2L, 12, 5L, 2L, 9L),
+      (3L, 12, 5L, 0L, 0L),
+      (4L, 3, 0L, 0L, 0L)))
+    val hashed = Dedup.dupNgramSpans(spanDocs, "doc_id", n = 8, hashGrams = true)
+      .orderBy("doc_id").as[(Long, Int, Long, Long, Long)].collect().toSeq
+    assert(hashed == got)
+  }
+
+  test("dupNgramSpans counts disjoint duplicated spans separately") {
+    // shared runs at both ends of doc 1, unique middle => two islands
+    val spanDocs = Seq(
+      (1L, "a1 a2 a3 a4 a5 m1 m2 m3 m4 b1 b2 b3 b4 b5"),
+      (2L, "a1 a2 a3 a4 a5 q1 q2 q3 q4 q5 q6 q7 q8 q9"),
+      (3L, "r1 r2 r3 r4 r5 r6 r7 r8 r9 b1 b2 b3 b4 b5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupNgramSpans(spanDocs, "doc_id", n = 5, hashGrams = false)
+      .filter($"doc_id" === 1)
+      .as[(Long, Int, Long, Long, Long)].head()
+    // doc 1: 14 tokens, 10 windows, dup windows at pos 1 (a-run) and pos 10
+    // (b-run) => 2 islands, 5 + 5 covered tokens
+    assert(got == ((1L, 14, 10L, 2L, 10L)))
+  }
+
   test("exact dedup finds the duplicate group with min-id representative") {
     val groups = Dedup.exact(docs, "doc_id", Seq(md5(col("text")).as("h")))
       .select("keep_id", "group_size").as[(Long, Long)].collect()

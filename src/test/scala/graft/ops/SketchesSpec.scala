@@ -36,4 +36,26 @@ class SketchesSpec extends SparkSpec {
       assert(math.abs(m - e).toDouble / e < 0.05, s"grp $g: exact $e merged $m")
     }
   }
+
+  test("CMS heavy hitters: exact top-k counts with the sketch guarantee holding") {
+    // zipf-ish: token t_i appears i times, i in 1..60 => top-20 is t60..t41
+    val toks = (1 to 60).flatMap(i => Seq.fill(i)(f"t$i%02d")).toDF("item")
+    val got = Sketches.cmsHeavyHitters(toks, "item", k = 20, eps = 0.01)
+      .orderBy(col("n").desc, col("item"))
+      .as[(String, Long, Boolean)].collect().toSeq
+    assert(got.map(_._1) == (60 to 41 by -1).map(i => f"t$i%02d"))
+    assert(got.map(_._2) == (60L to 41L by -1L))
+    assert(got.forall(_._3), s"sketch guarantee violated: $got")
+  }
+
+  test("CMS estimate never under-counts (one-sided error)") {
+    val toks = (1 to 500).map(i => s"w${i % 37}").toDF("item")
+    val Seq(org.apache.spark.sql.Row(bytes: Array[Byte])) =
+      toks.agg(Sketches.cmsSketch(col("item"), eps = 0.05)).collect().toSeq
+    val exact = toks.groupBy("item").count()
+      .as[(String, Long)].collect().toMap
+    val ests = Sketches.cmsEstimate(bytes, exact.keys.toSeq)
+    for (((item, est), _) <- exact.keys.toSeq.zip(ests).zipWithIndex)
+      assert(est >= exact(item), s"$item: est $est < exact ${exact(item)}")
+  }
 }
