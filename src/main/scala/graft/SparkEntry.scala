@@ -1121,6 +1121,64 @@ object SparkEntry {
       Sketches.cmsHeavyHitters(toks, "item", k = 20, eps = 0.001)
         .orderBy(col("n").desc, col("item"))
     }),
+    "s07_stream_pii" -> ((s, d) => {
+      // streaming PII scrub: the redaction pass is STATELESS (narrow
+      // per-row regex projection), so it attaches to a stream unchanged —
+      // no watermark, no state store — and the availableNow output is
+      // bit-identical to the batch d23, hash-checked against the SAME
+      // DuckDB oracle. The operational point: scrubbing is safe to run
+      // in-flight on ingest, not as a separate batch rewrite.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val id = col("doc_id")
+      val withPii = stream.withColumn("text", concat(
+        col("text"),
+        when(id % 3 === 0,
+          concat(lit(" mail user"), id, lit("@example.com"))).otherwise(lit("")),
+        when(id % 4 === 0,
+          concat(lit(" from 10."), id % 200, lit(".0.7"))).otherwise(lit("")),
+        when(id % 5 === 0,
+          concat(lit(" call +1 555 014 "),
+            lpad((id % 100).cast("string"), 4, "0"))).otherwise(lit(""))))
+      val scrubbed = Pii.redact(Pii.piiStats(withPii), outCol = "redacted")
+        .select(col("doc_id"), col("n_emails"), col("n_ipv4"), col("n_phones"),
+          col("redacted"))
+      graft.streaming.Streaming.runAvailableNow(
+          scrubbed, s"s07_pii_${System.nanoTime()}", outputMode = "append")
+        .orderBy("doc_id")
+    }),
+    "q40_approx_quantiles" -> ((s, d) => {
+      // quantile sketch (GK, Spark's approx_percentile — mergeable like
+      // q37's HLL and q38's CMS): per-group p25/p50/p75 estimates, audited
+      // by joining each estimate back and measuring its TRUE rank. rank_ok
+      // pins the sketch guarantee |rank - q*n| <= eps*n (eps = 1/accuracy)
+      // in the hash; the group sizes are oracle-checked exactly. Exact
+      // per-group percentiles stay q33's job — this is the 100 TB path
+      // where exact ranks would shuffle the whole column per query.
+      val acc = 1000
+      val li = t(s, d, "lineitem").select(col("l_returnflag"), col("l_extendedprice"))
+      val qs = Seq(0.25, 0.5, 0.75)
+      val est = li.groupBy(col("l_returnflag"))
+        .agg(approx_percentile(col("l_extendedprice"),
+          array(qs.map(lit): _*), lit(acc)).as("vs"))
+        .select(col("l_returnflag"),
+          posexplode(col("vs")).as(Seq("qi", "v")))
+      val audited = li.join(broadcast(est), Seq("l_returnflag"))
+        .groupBy(col("l_returnflag"), col("qi"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_extendedprice") <= col("v"), 1L).otherwise(0L)).as("rank"))
+        .withColumn("q", element_at(array(qs.map(lit): _*), col("qi") + 1))
+        .withColumn("rank_ok",
+          abs(col("rank") - col("q") * col("n")) <= col("n").cast("double") / acc + 1)
+      audited.select(col("l_returnflag"), col("q"), col("n"), col("rank_ok"))
+        .orderBy(col("l_returnflag"), col("q"))
+    }),
     "q39_bloom_semi" -> ((s, d) => {
       // Bloom-prefiltered semi-join: the dimension's key set reduces to a
       // broadcast Bloom filter that drops non-matching fact rows BEFORE the
@@ -1992,6 +2050,38 @@ object SparkEntry {
         |)
         |SELECT item, COUNT(*) AS n, TRUE AS cms_ok FROM tok
         |GROUP BY item ORDER BY n DESC, item LIMIT 20""".stripMargin,
+    // the streaming scrub is stateless, so its availableNow output is the
+    // batch result bit for bit — same oracle as d23
+    "s07_stream_pii" ->
+      """WITH p AS (
+        |  SELECT doc_id, text
+        |    || CASE WHEN doc_id % 3 = 0
+        |         THEN ' mail user' || CAST(doc_id AS VARCHAR) || '@example.com' ELSE '' END
+        |    || CASE WHEN doc_id % 4 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.0.7' ELSE '' END
+        |    || CASE WHEN doc_id % 5 = 0
+        |         THEN ' call +1 555 014 ' || lpad(CAST(doc_id % 100 AS VARCHAR), 4, '0') ELSE '' END
+        |    AS s
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(s, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(s, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ipv4,
+        |  CAST(len(regexp_extract_all(s, '\+\d{1,3}[ -]\d{2,4}[ -]\d{2,4}[ -]\d{2,4}')) AS INTEGER) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(s,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+\d{1,3}[ -]\d{2,4}[ -]\d{2,4}[ -]\d{2,4}', '<PHONE>', 'g') AS redacted
+        |FROM p ORDER BY doc_id""".stripMargin,
+    // group sizes are exact and oracle-checked; rank_ok pins the GK
+    // sketch's |rank - q*n| <= n/accuracy guarantee in the hash (the
+    // q37/q38 property-gate pattern, completing the sketch family:
+    // distinct (HLL), frequency (CMS), quantiles (GK))
+    "q40_approx_quantiles" ->
+      """SELECT l_returnflag, q, COUNT(*) AS n, TRUE AS rank_ok
+        |FROM lineitem CROSS JOIN (VALUES (CAST(0.25 AS DOUBLE)),
+        |  (CAST(0.5 AS DOUBLE)), (CAST(0.75 AS DOUBLE))) v(q)
+        |GROUP BY l_returnflag, q ORDER BY l_returnflag, q""".stripMargin,
     // the Bloom prefilter is exactness-preserving (no false negatives +
     // exact post-join), so the oracle is the plain semi-join
     "q39_bloom_semi" ->
