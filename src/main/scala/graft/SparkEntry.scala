@@ -1190,8 +1190,105 @@ object SparkEntry {
           "l_orderkey", "o_orderkey", expectedItems = 10000, fpp = 0.03)
         .select(col("l_orderkey"), col("l_linenumber"))
         .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+    "d25_tfidf_keywords" -> ((s, d) => {
+      // TF-IDF keyword extraction: top-3 terms per doc by tf·ln(N/df).
+      // The hash carries (tf, df) — the score's exact rational inputs —
+      // NOT the double score: Spark's `log` is StrictMath (fdlibm) and
+      // DuckDB's `ln` is platform libm, 1 ulp apart on ~8% of arguments.
+      // The top-3 SELECTION still exercises the float scoring end to end
+      // (both engines rank by their own tf·ln(N/df); a selection flip
+      // would need two different (tf,df) scores within 1 ulp).
+      TextAnalysis.tfidfTopK(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"))
+        .orderBy(col("doc_id"), col("term"))
+    }),
+    "d26_semantic_dedup" -> ((s, d) => {
+      // semantic dedup, exact path: all-pairs cosine >= 0.40 closes
+      // transitively (distributed CC) and each component keeps its min id.
+      // Fully oracle-checked: DuckDB recomputes the pairs (same fold order
+      // -> bit-identical cosines) and the closure with a recursive CTE.
+      // Output is integer/boolean only — no floats in the hash.
+      Dedup.semanticDedupExact(t(s, d, "embeddings"), "vec_id", "embedding",
+          minCosine = 0.40)
+        .orderBy(col("vec_id"))
+    }),
+    "d27_semdedup_cells" -> ((s, d) => {
+      // semantic dedup, scale path, gated v03-style: k-means cells bound
+      // the quadratic candidate work, the exact verify makes every celled
+      // pair a true pair, so dropped(celled) SUBSET-OF dropped(exact) by
+      // construction — subset_ok pins that invariant in the hash, and
+      // recall_ok pins measured drop-recall >= 0.8 (measured 0.95-0.97
+      // across sf0.001/0.01/0.1 at nProbe=3; a broken quantizer, probe, or
+      // verify collapses it). n_exact_dropped is NOT a pinned constant:
+      // the DuckDB oracle recomputes it via the d26 recursive-CTE closure.
+      val emb = t(s, d, "embeddings")
+      // three count actions below — materialize each dropped-id frame once
+      // (localCheckpoint) instead of re-running the pair pipelines per action
+      val exact = Dedup.semanticDedupExact(emb, "vec_id", "embedding", 0.40)
+        .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
+      val celled = Dedup.semanticDedup(emb, "vec_id", "embedding",
+          dim = 64, minCosine = 0.40, nCells = 8, nProbe = 3)
+        .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
+      val nExact = exact.count()
+      val nCelled = celled.count()
+      val nOutside = celled.join(exact, Seq("vec_id"), "left_anti").count()
+      val ss = s
+      import ss.implicits._
+      Seq((nExact, nOutside == 0,
+          nExact == 0 || nCelled.toDouble / nExact >= 0.8))
+        .toDF("n_exact_dropped", "subset_ok", "recall_ok")
+    }),
+    "d28_bpe_merges" -> ((s, d) => {
+      // distributed BPE merge learning, oracle-checked END TO END: six
+      // training rounds (pair-count aggregate over the cached word-freq
+      // table -> argmax rule -> greedy fold re-segmentation), replayed by
+      // the DuckDB oracle as six unrolled CTE rounds. Ties break on the
+      // pair string so the learned sequence is engine-independent.
+      graft.llm.Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 6)
+        .orderBy(col("merge_rank"))
     })
   )
+
+  /** The d28 oracle: `numMerges` BPE training rounds unrolled as CTEs —
+    * each round recomputes pair counts from the previous round's word
+    * table, picks the argmax rule (count DESC, pair ASC), and re-segments
+    * with the same greedy string fold the Spark side runs. */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH tk AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w FROM documents
+        |), wf AS (
+        |  SELECT w, COUNT(*) AS freq FROM tk WHERE length(w) > 0 GROUP BY w
+        |), w0 AS (
+        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        |    i -> substring(w, i, 1)), ' ') AS sym, freq FROM wf
+        |)""".stripMargin)
+    for (m <- 1 to numMerges) {
+      sb.append(s""", p$m AS (
+        |  SELECT unnest(list_transform(range(1, len(string_split(sym, ' '))),
+        |    i -> string_split(sym, ' ')[i] || ' ' || string_split(sym, ' ')[i+1])) AS pair,
+        |    freq
+        |  FROM w${m - 1}
+        |), b$m AS (
+        |  SELECT $m AS merge_rank, split_part(pair, ' ', 1) AS lft,
+        |    split_part(pair, ' ', 2) AS rgt, CAST(n AS BIGINT) AS pair_freq
+        |  FROM (SELECT pair, SUM(freq) AS n FROM p$m GROUP BY pair
+        |        ORDER BY n DESC, pair LIMIT 1)
+        |), w$m AS (
+        |  SELECT list_reduce(string_split(w.sym, ' '),
+        |    (acc, x) -> CASE WHEN (acc = b.lft OR ends_with(acc, ' ' || b.lft)) AND x = b.rgt
+        |                THEN acc || x ELSE acc || ' ' || x END) AS sym, w.freq
+        |  FROM w${m - 1} w CROSS JOIN b$m b
+        |)""".stripMargin)
+    }
+    sb.append("\n")
+    sb.append((1 to numMerges)
+      .map(m => s"SELECT merge_rank, lft, rgt, pair_freq FROM b$m")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
+    sb.toString
+  }
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2088,6 +2185,81 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber FROM lineitem
         |WHERE l_orderkey IN (
         |  SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    // the hash carries the score's exact integer inputs (tf, df), not the
+    // double: Spark's StrictMath log and DuckDB's libm ln differ by 1 ulp
+    // on ~8% of arguments (see the d25 comment in queries)
+    "d25_tfidf_keywords" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+        |), dfx AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    tf * ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS tfidf
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term, tf, df FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rk FROM scored
+        |) WHERE rk <= 3 ORDER BY doc_id, term""".stripMargin,
+    // same fold order as dotFast/normFast -> bit-identical cosines; the
+    // transitive closure is the d20 recursive-CTE trick; zero-norm vectors
+    // pair with nothing (NULL cosine in Spark, excluded here) but still
+    // appear as singleton keepers via the left join
+    "d26_semantic_dedup" ->
+      """WITH RECURSIVE nz AS (
+        |  SELECT vec_id, embedding, list_reduce(list_apply(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM nz a, nz b
+        |  WHERE a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0 AND
+        |    list_reduce(list_apply(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(a.n2) * sqrt(b.n2)) >= 0.40
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+        |)
+        |SELECT e.vec_id, COALESCE(c.component, e.vec_id) AS component,
+        |  (COALESCE(c.component, e.vec_id) = e.vec_id) AS keep
+        |FROM embeddings e LEFT JOIN comp c ON c.vec_id = e.vec_id
+        |ORDER BY e.vec_id""".stripMargin,
+    // the exact-side dropped count is recomputed INDEPENDENTLY here (the
+    // booleans are the property pins; see the d27 comment in queries)
+    "d27_semdedup_cells" ->
+      """WITH RECURSIVE nz AS (
+        |  SELECT vec_id, embedding, list_reduce(list_apply(embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y) AS n2
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM nz a, nz b
+        |  WHERE a.vec_id < b.vec_id AND a.n2 > 0 AND b.n2 > 0 AND
+        |    list_reduce(list_apply(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+        |      / (sqrt(a.n2) * sqrt(b.n2)) >= 0.40
+        |), sym AS (
+        |  SELECT ia AS u, ib AS v FROM p UNION SELECT ib, ia FROM p
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
+        |  TRUE AS subset_ok, TRUE AS recall_ok
+        |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
+    "d28_bpe_merges" -> bpeOracleSql(6)
   )
 }

@@ -430,12 +430,94 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /**
+   * Semantic deduplication (the SemDeDup direction, exact verification):
+   * rows whose embedding cosine ≥ `minCosine` are near-duplicates;
+   * duplicate chains close transitively via distributed connected
+   * components (A~B, B~C ⟹ one group even when cos(A,C) < τ) and each
+   * component keeps its minimum id as the representative. Every input id
+   * comes back as (id, component, keep) — singletons keep themselves.
+   *
+   * This exact variant verifies ALL pairs — O(n²/2), the correctness /
+   * oracle path; bound the input before calling at scale.
+   * [[semanticDedup]] is the scale path: identical verify + keep rule,
+   * candidate generation restricted to k-means cells.
+   */
+  def semanticDedupExact(df: DataFrame, idCol: String, vecCol: String,
+                         minCosine: Double): DataFrame =
+    semanticKeep(df, idCol,
+      cosineNearDupExact(df, idCol, vecCol, minCosine))
+
+  /**
+   * Scale path of [[semanticDedupExact]]: candidates are proposed only
+   * within the same k-means cell (the deterministic seeded coarse
+   * quantizer of [[Similarity.ivfIndex]]/[[Similarity.assignCells]] —
+   * bounded driver-side train, broadcast centroids), every candidate is
+   * verified with the EXACT cosine, then the same component/keep rule.
+   *
+   * Guarantees: the pair set is a subset of the exact pair set (the verify
+   * is exact), and min-id keep over a subgraph can only drop an id the
+   * full graph also drops — so dropped(celled) ⊆ dropped(exact):
+   * precision 1.0 by construction, recall bounded by cross-cell misses.
+   * `nProbe` is the recall lever: each vector lands in its `nProbe`
+   * nearest cells (soft assignment), so a pair is missed only when the
+   * two vectors share NONE of their nProbe cells. d27 pins the measured
+   * recall in its hash gate.
+   *
+   * Scale shape: the only shuffles are the cell equi-join on vector-free
+   * (cell, id) rows and the component iterations; vectors join back only
+   * to output-bound candidate pairs; per-cell pair work is O((nProbe ·
+   * cell)²), so nCells/nProbe bound the quadratic blowup exactly like IVF
+   * bounds probe cost.
+   */
+  def semanticDedup(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, minCosine: Double, nCells: Int = 16,
+                    nProbe: Int = 2): DataFrame = {
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe must be in [1, nCells], got $nProbe of $nCells")
+    val centroids = Similarity.ivfIndex(df, dim, nCells, idCol = idCol, vecCol = vecCol)
+    val bucketed = Similarity.assignCellsMulti(
+        df.select(col(idCol), col(vecCol)), centroids, nProbe, vecCol)
+      .select(col(idCol).as("id"), col("cell"))
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
+      Similarity.normFast(col(vecCol)).as("__n"))
+    val a = bucketed.select(col("cell"), col("id").as("id_a"))
+    val b = bucketed.select(col("cell"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .join(vecs.select(col("id").as("id_a"), col("__v").as("__va"),
+        col("__n").as("__na")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("__v").as("__vb"),
+        col("__n").as("__nb")), Seq("id_b"))
+      .withColumn("cosine", Similarity.cosineFromParts(
+        Similarity.dotFast(col("__va"), col("__vb")), col("__na"), col("__nb")))
+      .filter(col("cosine") >= minCosine)
+      .select("id_a", "id_b")
+    semanticKeep(df, idCol, pairs)
+  }
+
+  /** Close `pairs` transitively (distributed CC, min-id labels) and emit
+    * every id of `df` as (idCol, component, keep = is-representative). */
+  private def semanticKeep(df: DataFrame, idCol: String,
+                           pairs: DataFrame): DataFrame = {
+    val labels = graft.ops.ConnectedComponents.labels(pairs, "id_a", "id_b")
+    df.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("component"), col("id")).as("component"),
+        (coalesce(col("component"), col("id")) === col("id")).as("keep"))
+  }
+
   /** Exact all-pairs variant (the correctness baseline / oracle path):
     * O(n²/2) — bound the input (subset, partition) before calling at scale. */
   def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
+    // the nested-loop join STREAMS this side: a small input often arrives
+    // as one partition (one parquet footer), which would run the O(n²/2)
+    // scoring single-threaded — spread it across the cluster first
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
       Similarity.normFast(col(vecCol)).as("__na"))
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
       Similarity.normFast(col(vecCol)).as("__nb"))
     a.join(b, col("id_a") < col("id_b"))

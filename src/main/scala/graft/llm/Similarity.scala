@@ -214,6 +214,20 @@ object Similarity {
     corpus.withColumn("cell", assignUdf(col(vecCol)))
   }
 
+  /** Soft (multi-probe) cell assignment: each row explodes into its
+    * `nProbe` nearest cells. The recall side of the IVF trade — a
+    * within-cell candidate pass misses a pair only when the two vectors
+    * share none of their nProbe cells. Output rows = nProbe × input. */
+  def assignCellsMulti(corpus: DataFrame, centroids: Array[Array[Double]],
+                       nProbe: Int, vecCol: String = "embedding"): DataFrame = {
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val probeUdf = udf { (v: Array[Float]) =>
+      if (v == null) null
+      else probeCells(v.map(_.toDouble), bc.value, nProbe)
+    }
+    corpus.withColumn("cell", explode(probeUdf(col(vecCol))))
+  }
+
   /**
    * IVF-bucketed top-k: corpus rows live in their nearest-centroid cell;
    * each query probes its `nprobe` nearest cells; cosine scored only on

@@ -147,6 +147,40 @@ object TextAnalysis {
    * partitioned by `idCol`: tokens of one document meet in one place and
    * nothing else shuffles. All ratios are int/int divisions — bit-exact.
    */
+  /**
+   * TF-IDF keyword extraction: the top-`k` terms of each document by
+   * `tf · ln(N / df)` (unsmoothed idf — every term in the frame occurs in
+   * at least one document, so df ≥ 1 and the log is finite).
+   *
+   * Scale shape: term frequencies are one narrow explode plus a map-side-
+   * combinable (id, term) aggregate; document frequencies aggregate THAT
+   * frame (the result is vocabulary-sized, far smaller than the corpus) and
+   * join back broadcast; N arrives as a broadcast scalar cross join, so no
+   * driver round-trip; the top-k is a per-document window — no global sort.
+   * Ties in the score break on the term, so output order is deterministic.
+   */
+  def tfidfTopK(df: DataFrame, idCol: String = "doc_id",
+                textCol: String = "text", k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = df.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = df.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(broadcast(docFreq), Seq("term"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf") * log(col("__n_docs").cast("double") / col("df").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("tfidf").desc, col("term"))
+    scored.withColumn("__rk", row_number().over(w)).filter(col("__rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("tfidf"))
+      // tfidf is for the caller; hash gates should compare (tf, df) — the
+      // score's exact rational inputs — because Spark's `log` (StrictMath,
+      // fdlibm) and other engines' libm `ln` differ by 1 ulp on ~8% of
+      // arguments. Rank order is immune: two DIFFERENT (tf, df) combos
+      // landing within 1 ulp of each other doesn't happen on real data.
+  }
+
   def repetitionMetrics(df: DataFrame, idCol: String = "doc_id",
                         textCol: String = "text"): DataFrame = {
     val toks = tokens(col(textCol))

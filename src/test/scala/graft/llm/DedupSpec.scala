@@ -194,6 +194,44 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 4L)) < 0.2)
   }
 
+  test("semanticDedupExact: transitive chain collapses to min id; singletons keep") {
+    // 1~2 and 2~3 are near (cos ~1), 1~3 only via the chain; 4 orthogonal
+    val emb = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(0.98f, 0.199f)),  // cos(1,2) ≈ 0.98
+      (3L, Array(0.92f, 0.392f)),  // cos(2,3) ≈ 0.98, cos(1,3) ≈ 0.92
+      (4L, Array(0.0f, 1.0f)),
+      (5L, Array(0.0f, 0.0f))      // zero norm: must survive as singleton
+    ).toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedupExact(emb, "vec_id", "embedding", minCosine = 0.95)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(out(1L) == ((1L, true)))
+    assert(out(2L) == ((1L, false)))
+    assert(out(3L) == ((1L, false)), "chain 1~2~3 must collapse even though cos(1,3) < tau")
+    assert(out(4L) == ((4L, true)))
+    assert(out(5L) == ((5L, true)))
+  }
+
+  test("semanticDedup (celled): drops are a subset of the exact drops") {
+    // clustered vectors: the celled path must find within-cluster dups
+    val rnd = new scala.util.Random(7)
+    val centers = Array(Array(1.0, 0, 0, 0), Array(0, 1.0, 0, 0), Array(0, 0, 1.0, 0))
+    val emb = (0 until 90).map { i =>
+      val c = centers(i % 3)
+      val noise = if (i < 45) 0.01 else 0.8 // first half: tight near-dups
+      (i.toLong, c.map(x => (x + noise * rnd.nextGaussian()).toFloat))
+    }.toDF("vec_id", "embedding")
+    val exact = Dedup.semanticDedupExact(emb, "vec_id", "embedding", 0.98)
+      .filter(!col("keep")).as[(Long, Long, Boolean)].collect().map(_._1).toSet
+    val celled = Dedup.semanticDedup(emb, "vec_id", "embedding",
+        dim = 4, minCosine = 0.98, nCells = 3)
+      .filter(!col("keep")).as[(Long, Long, Boolean)].collect().map(_._1).toSet
+    assert(exact.nonEmpty, "fixture must contain near-dups")
+    assert(celled.subsetOf(exact), s"celled=${celled -- exact} outside exact")
+    assert(celled.size >= (exact.size * 0.5).toInt,
+      s"recall too low: ${celled.size}/${exact.size}")
+  }
+
   test("incremental LSH: new batch against a persisted index = cross pairs of the full self-join") {
     // index the "existing corpus" (odd ids), stream in the even ids
     val existing = docs.filter(col("doc_id") % 2 === 1)

@@ -103,6 +103,27 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getInt(1) == r.getInt(2), s"case ${r.getLong(0)}: ${r.getInt(1)} vs ${r.getInt(2)}")
   }
 
+  test("tfidf top-k: hand-computed scores, per-doc k, term tie-break") {
+    // N=4. "rare" occurs in 1 doc, "mid" in 2, "common" in all 4.
+    val df = Seq(
+      (1L, "common rare rare mid"),
+      (2L, "common mid"),
+      (3L, "common common"),
+      (4L, "common")).toDF("doc_id", "text")
+    val out = TextAnalysis.tfidfTopK(df, k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // doc 1: rare tf=2 df=1 -> 2*ln(4); mid tf=1 df=2 -> ln(2); common cut at k=2
+    assert(out((1L, "rare")) == ((2L, 1L, 2 * math.log(4.0))))
+    assert(out((1L, "mid")) == ((1L, 2L, math.log(2.0))))
+    assert(!out.contains((1L, "common")))
+    // doc 3: only "common" (tf=2, df=4, score 0) — fewer than k rows is fine
+    assert(out((3L, "common")) == ((2L, 4L, 0.0)))
+    assert(out.count(_._1._1 == 3L) == 1)
+    // doc 2: both terms kept; common (score 0) ranks below mid (ln 2)
+    assert(out((2L, "mid"))._3 > out((2L, "common"))._3)
+  }
+
   test("native simhash64: identical for same tokens, distant for different text") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha   beta\tgamma"),
       (3L, "totally unrelated words entirely elsewhere")).toDF("doc_id", "text")

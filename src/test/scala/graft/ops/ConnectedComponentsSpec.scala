@@ -21,9 +21,19 @@ class ConnectedComponentsSpec extends SparkSpec {
     parent.keys.toSeq.map(k => k -> find(k)).toMap
   }
 
-  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.labels(edges.toDF("a", "b"), "a", "b")
+  /** Run BOTH execution paths: localThreshold=0 forces the distributed
+    * large-star/small-star rounds, the default engages the driver
+    * union-find fast path. They must agree exactly. */
+  private def run(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val df = edges.toDF("a", "b")
+    val local = ConnectedComponents.labels(df, "a", "b")
       .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents.labels(df, "a", "b", localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"fast path diverged from distributed: " +
+      s"onlyLocal=${local.toSet -- dist.toSet} onlyDist=${dist.toSet -- local.toSet}")
+    local
+  }
 
   test("two triangles joined by a bridge, plus an isolated pair") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
@@ -58,6 +68,18 @@ class ConnectedComponentsSpec extends SparkSpec {
         .filter(e => e._1 != e._2)
       assert(run(edges) == ufLabels(edges))
     }
+  }
+
+  test("probe boundary: exactly-threshold graphs go local, +1 goes distributed") {
+    val edges = (0L until 10L).map(i => (i, i + 1)) // 10 deduped edges
+    val atThreshold = ConnectedComponents.labels(
+        edges.toDF("a", "b"), "a", "b", localThreshold = 10)
+      .as[(Long, Long)].collect().toMap
+    val justBelow = ConnectedComponents.labels(
+        edges.toDF("a", "b"), "a", "b", localThreshold = 9)
+      .as[(Long, Long)].collect().toMap
+    assert(atThreshold == justBelow)
+    assert(atThreshold.size == 11 && atThreshold.values.forall(_ == 0L))
   }
 
   test("keepRepresentatives drops every non-min cluster member") {
