@@ -201,6 +201,30 @@ object ScaleBench {
       .agg(count(lit(1))).head().getLong(0)
     val secs8 = (System.nanoTime() - t8) / 1e9
     println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
+
+    // Semantic dedup at corpus scale (the d26/d27 semantics on 1M vectors,
+    // 20% planted near-dups): sign-LSH candidates (no k-means training —
+    // the celled path needs ~√n cells, impractical to train driver-side at
+    // this size), exact cosine verify, adaptive CC, min-id keep. Cost is
+    // bucket-keyed and output-bound; the planted dups are near-identical
+    // (one dim perturbed), so drop-recall should be ~the planted count.
+    val nSem = math.min(nTiles, 1000000L)
+    val nSemBase = nSem * 4 / 5
+    val semVecs = spark.range(nSem).select(col("id"),
+        (col("id") % nSemBase).as("b"))
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dimV - 1)), j =>
+          (sin((col("b") % 100000) * (j + 1) * 0.0001) +
+            when(col("id") >= nSemBase && j === lit(0), lit(0.001))
+              .otherwise(lit(0.0))).cast("float")).as("embedding"))
+      .repartition(cpus.toInt * 4)
+      .localCheckpoint(false)
+    val t9 = System.nanoTime()
+    val semDropped = graft.llm.Dedup.semanticDedupLsh(semVecs, "vec_id",
+        "embedding", dim = dimV, minCosine = 0.999, bits = 16, tables = 8)
+      .filter(!col("keep")).agg(count(lit(1))).head().getLong(0)
+    val secs9 = (System.nanoTime() - t9) / 1e9
+    println(f"""{"metric":"scale_semantic_dedup","vectors":$nSem,"planted_dups":${nSem - nSemBase},"dropped":$semDropped,"sec":$secs9%.2f,"vectors_per_sec":${(nSem / secs9).toLong}}""")
     spark.stop()
   }
 }

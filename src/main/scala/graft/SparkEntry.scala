@@ -1247,8 +1247,38 @@ object SparkEntry {
       // pair string so the learned sequence is engine-independent.
       graft.llm.Bpe.learnMerges(t(s, d, "documents"), "text", numMerges = 6)
         .orderBy(col("merge_rank"))
+    }),
+    "d29_weighted_sample" -> ((s, d) => {
+      // reproducible weighted sampling WITHOUT replacement (A-ES
+      // exponential keys): 15 docs per language, inclusion probability
+      // proportional to n_chars. u is a deterministic multiplicative-hash
+      // uniform (exact dyadic arithmetic), so DuckDB draws the IDENTICAL
+      // sample; the hash carries integers only (the ln ranking key is
+      // engine-local — the d25 rule).
+      Sampling.weightedSample(t(s, d, "documents"), col("doc_id"),
+          Seq("lang"), col("n_chars"), k = 15)
+        .select(col("lang"), col("doc_id"), col("n_chars"))
+        .orderBy(col("lang"), col("doc_id"))
+    }),
+    "q41_zorder_stats" -> ((s, d) => {
+      // Z-order data layout, with its pruning evidence in the hash: Morton-
+      // interleave (l_suppkey, l_partkey), bucket the z order into 16
+      // "files" (ntile — the oracle-stable stand-in for the production
+      // repartitionByRange in ZOrder.zOrdered), and emit each bucket's
+      // per-dimension min/max — the file-stats table a 2-D predicate scan
+      // prunes with. Pure integer bit arithmetic, bit-identical in DuckDB.
+      graft.ops.ZOrder.zBucketStats(t(s, d, "lineitem"),
+          col("l_suppkey"), col("l_partkey"),
+          Seq(col("l_orderkey"), col("l_linenumber")), nBuckets = 16)
+        .orderBy(col("bucket"))
     })
   )
+
+  /** The q41 oracle's Morton interleave, unrolled as SQL bit arithmetic. */
+  private def zInterleaveSql(x: String, y: String, bits: Int): String =
+    (0 until bits).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})")
+      .mkString(" + ")
 
   /** The d28 oracle: `numMerges` BPE training rounds unrolled as CTEs —
     * each round recomputes pair counts from the previous round's word
@@ -2260,6 +2290,30 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
         |  TRUE AS subset_ok, TRUE AS recall_ok
         |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
-    "d28_bpe_merges" -> bpeOracleSql(6)
+    "d28_bpe_merges" -> bpeOracleSql(6),
+    // identical multiplicative-hash uniform and A-ES ranking; only the
+    // integer sample is hashed (ln key is engine-local, d25 rule)
+    "d29_weighted_sample" ->
+      """WITH keyed AS (
+        |  SELECT lang, doc_id, n_chars,
+        |    ln((((doc_id & 2147483647) * 2654435761) % 2147483648 + 0.5)
+        |       / 2147483648.0) / CAST(n_chars AS DOUBLE) AS k
+        |  FROM documents WHERE n_chars > 0
+        |)
+        |SELECT lang, doc_id, n_chars FROM (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
+        |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    "q41_zorder_stats" ->
+      s"""WITH z AS (
+         |  SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber,
+         |    ${zInterleaveSql("l_suppkey", "l_partkey", 16)} AS zval
+         |  FROM lineitem
+         |)
+         |SELECT bucket, MIN(l_suppkey) AS x_min, MAX(l_suppkey) AS x_max,
+         |  MIN(l_partkey) AS y_min, MAX(l_partkey) AS y_max, COUNT(*) AS n
+         |FROM (SELECT *, ntile(16) OVER (
+         |        ORDER BY zval, l_orderkey, l_linenumber) AS bucket FROM z)
+         |GROUP BY bucket ORDER BY bucket""".stripMargin
   )
 }

@@ -496,6 +496,21 @@ object Dedup {
     semanticKeep(df, idCol, pairs)
   }
 
+  /**
+   * Corpus-scale variant of [[semanticDedup]]: candidates from sign-LSH
+   * buckets ([[cosineNearDupPairs]] — shuffle keyed on (table, bucket),
+   * output-bound) instead of k-means cells. The celled path's per-cell
+   * quadratic work needs ~√n cells to stay bounded, and a driver-side
+   * Lloyd's with k ≈ √n stops being practical around 10⁶ rows — sign-LSH
+   * needs no training at all and its recall is tunable with (bits,
+   * tables). Verify is exact cosine, so precision stays 1.0.
+   */
+  def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
+                       dim: Int, minCosine: Double,
+                       bits: Int = 8, tables: Int = 8): DataFrame =
+    semanticKeep(df, idCol,
+      cosineNearDupPairs(df, idCol, vecCol, minCosine, dim, bits, tables))
+
   /** Close `pairs` transitively (distributed CC, min-id labels) and emit
     * every id of `df` as (idCol, component, keep = is-representative). */
   private def semanticKeep(df: DataFrame, idCol: String,

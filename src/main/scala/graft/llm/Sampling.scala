@@ -42,6 +42,33 @@ object Sampling {
       pmod(id.bitwiseAND(lit(0x7fffffffL)) * lit(2654435761L), lit(1000L)) < permille)
 
   /**
+   * Weighted sampling WITHOUT replacement (Efraimidis–Spirakis "A-ES"
+   * exponential keys): per stratum, keep the `k` rows with the largest
+   * u^(1/w) — equivalently the largest ln(u)/w — which draws each row with
+   * probability proportional to its weight, without replacement. The
+   * uniform u is DETERMINISTIC (Knuth multiplicative hash of the id; the
+   * +0.5 offset and the dyadic 2³¹ divisor make u ∈ (0,1) exactly
+   * representable), so the sample is reproducible across runs AND across
+   * engines — the d29 oracle recomputes the identical sample in DuckDB.
+   * Zero/negative weights are never sampled (E-S semantics). One window
+   * per stratum — strata parallelize, no global sort.
+   */
+  def weightedSample(df: DataFrame, id: Column, strataCols: Seq[String],
+                     weight: Column, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val h = pmod(id.bitwiseAND(lit(0x7fffffffL)) * lit(2654435761L), lit(2147483648L))
+    val u = (h.cast("double") + lit(0.5)) / lit(2147483648.0)
+    // ranking key only — never hash ln output (StrictMath vs libm, 1 ulp);
+    // two DIFFERENT rows' keys landing within 1 ulp does not happen
+    val key = log(u) / weight.cast("double")
+    val w = Window.partitionBy(strataCols.map(col): _*).orderBy(key.desc, id)
+    df.filter(weight > 0)
+      .withColumn("__aes_rk", row_number().over(w))
+      .filter(col("__aes_rk") <= k)
+      .drop("__aes_rk")
+  }
+
+  /**
    * Token-budget sequence packing: orders rows by `orderCol` within each
    * `partitionCols` group and assigns `bin_id = floor(running_tokens_before /
    * capacity)` — the contiguous greedy packing used to batch documents into

@@ -83,6 +83,27 @@ class SamplingSpec extends SparkSpec {
     assert(kept == Set(2L, 3L, 4L, 5L, 7L, 8L))
   }
 
+  test("weightedSample: deterministic, per-stratum k, weight-proportional, no zero-weight rows") {
+    val df = (1L to 200L).map { i =>
+      val lang = if (i <= 100) "en" else "es"
+      // weights: ids 1-10 get weight 1000, the rest weight 1 (and id 50 gets 0)
+      val w = if (i % 100 <= 10 && i % 100 >= 1) 1000 else if (i == 50) 0 else 1
+      (i, lang, w)
+    }.toDF("id", "lang", "w")
+    val take = (d: org.apache.spark.sql.DataFrame) =>
+      Sampling.weightedSample(d, col("id"), Seq("lang"), col("w"), k = 8)
+        .select("lang", "id").as[(String, Long)].collect().toSet
+    val s1 = take(df)
+    assert(s1 == take(df), "must be reproducible run to run")
+    assert(s1.count(_._1 == "en") == 8 && s1.count(_._1 == "es") == 8)
+    assert(!s1.exists(_._2 == 50L), "zero-weight rows are never sampled")
+    // heavy rows (weight 1000, 10 per stratum of ~100) should dominate the
+    // k=8 sample in each stratum
+    val heavyEn = s1.filter(_._1 == "en").count(p => p._2 % 100 >= 1 && p._2 % 100 <= 10)
+    val heavyEs = s1.filter(_._1 == "es").count(p => p._2 % 100 >= 1 && p._2 % 100 <= 10)
+    assert(heavyEn >= 6 && heavyEs >= 6, s"weight-proportionality: en=$heavyEn es=$heavyEs of 8")
+  }
+
   test("chunkSpans: full coverage with overlap, short tail, no empty chunks") {
     val df = Seq((1L, 100), (2L, 64), (3L, 65), (4L, 1)).toDF("id", "n")
     val out = Sampling.chunkSpans(df, "n", window = 64, stride = 48)
