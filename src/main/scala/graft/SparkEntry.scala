@@ -1260,6 +1260,16 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "d30_winnow_pairs" -> ((s, d) => {
+      // Winnowing (MOSS) substring-overlap candidate pairs: normalize →
+      // k=16-gram polynomial hashes → min of every w=4-gram window
+      // (rightmost-tie rule via the key encoding) → pairs sharing >= 3
+      // selected gram hashes. Native codegen'd kernel; engine-portable
+      // hash formula — DuckDB recomputes the identical fingerprint set.
+      Dedup.winnowPairs(t(s, d, "documents"), "doc_id",
+          k = 16, w = 4, minShared = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q41_zorder_stats" -> ((s, d) => {
       // Z-order data layout, with its pruning evidence in the hash: Morton-
       // interleave (l_suppkey, l_partkey), bucket the z order into 16
@@ -2304,6 +2314,37 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    // identical winnowing pipeline from shared primitives: same polynomial
+    // gram hash (seed 42, ·31 mod 2³¹−1), same h·2²¹+(2²⁰−pos) key encoding
+    // (min ⇒ rightmost-tie winnowing rule), same window-min selection
+    "d30_winnow_pairs" ->
+      """WITH cleaned AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_reduce(
+        |      list_prepend(CAST(42 AS BIGINT),
+        |        list_transform(range(0, 16), j -> CAST(ord(s[i+j]) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+        |  FROM cleaned, LATERAL (SELECT unnest(range(1, length(s) - 16 + 2)) AS i) t
+        |  WHERE length(s) >= 16
+        |), keyed AS (
+        |  SELECT doc_id, pos, h * 2097152 + (1048576 - pos) AS key,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM grams
+        |), wins AS (
+        |  SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, rn
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM wins WHERE rn >= 4
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin,
     "q41_zorder_stats" ->
       s"""WITH z AS (
          |  SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber,

@@ -497,6 +497,42 @@ object Dedup {
   }
 
   /**
+   * Winnowing fingerprint candidate pairs (Schleimer/Wilkerson/Aiken MOSS,
+   * SIGMOD'03) — the substring-overlap detector the MinHash/SimHash family
+   * can't provide: MinHash sees bag-of-shingles Jaccard, winnowing GUARANTEES
+   * a hit for any shared run of ≥ w+k−1 normalized characters (contiguous
+   * plagiarism / quotation / template reuse), at fingerprint density
+   * ≈ 2/(w+1) of positions instead of all of them.
+   *
+   * Pipeline: normalize (`lower`, strip non-`[a-z0-9]`) → native codegen'd
+   * [[TextKernels.winnowKeys]] kernel (one pass per doc) → explode selected
+   * keys → distinct (id, gram-hash) → bucket self-join on hash → count
+   * shared hashes per pair. Everything that shuffles is (id, long); the
+   * `maxBucketSize` cap bounds boilerplate-gram buckets exactly like the
+   * LSH paths. Engine-portable hash formula, so d30 oracle-checks the full
+   * pipeline in DuckDB bit for bit.
+   */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String = "text",
+                  k: Int = 16, w: Int = 4, minShared: Int = 3,
+                  maxBucketSize: Int = 1000): DataFrame = {
+    TextExpressions.ensureOn(df)
+    val fps = df.select(col(idCol).as("id"),
+        regexp_replace(lower(col(textCol)), "[^a-z0-9]", "").as("__s"))
+      .select(col("id"),
+        explode(call_function("winnow_keys", col("__s"), lit(k), lit(w))).as("__key"))
+      .select(col("id"), shiftright(col("__key"), 21).as("__h"))
+      .distinct()
+    val wBucket = Window.partitionBy("__h")
+    val capped = fps.withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val a = capped.select(col("__h"), col("id").as("id_a"))
+    val b = capped.select(col("__h"), col("id").as("id_b"))
+    a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /**
    * Corpus-scale variant of [[semanticDedup]]: candidates from sign-LSH
    * buckets ([[cosineNearDupPairs]] — shuffle keyed on (table, bucket),
    * output-bound) instead of k-means cells. The celled path's per-cell

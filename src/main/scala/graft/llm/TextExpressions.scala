@@ -2,7 +2,8 @@ package graft.llm
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, LongType}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -76,6 +77,54 @@ object TextKernels {
     while (b < 64) { if (counts(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+
+  /**
+   * Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+   * SIGMOD'03 — the MOSS algorithm): over an already-NORMALIZED string
+   * (caller strips to `[a-z0-9]` — the kernel assumes single-byte code
+   * points), hash every `k`-gram with the engine-portable polynomial fold
+   * `a ← (a·31 + codepoint) mod (2³¹−1)`, seed 42, then from every window
+   * of `w` consecutive gram hashes keep the minimum — ties broken toward
+   * the RIGHTMOST position, the classic winnowing rule, which here falls
+   * out of the key encoding `h·2²¹ + (2²⁰ − pos)` for free (larger pos →
+   * smaller key). Guarantee: any shared substring of length ≥ w+k−1 yields
+   * at least one shared fingerprint; density ≈ 2/(w+1).
+   *
+   * Returns the DISTINCT selected keys, ascending; decode with
+   * `h = key >> 21`, `pos = 2²⁰ − (key & (2²¹−1))` (1-based). Every
+   * intermediate stays < 2⁵² — no overflow under ANSI mode, and DuckDB
+   * recomputes the identical keys from `ord`/`list_reduce` primitives.
+   */
+  def winnowKeys(s: UTF8String, k: Int, w: Int): ArrayData = {
+    val str = s.toString
+    val n = str.length
+    val g = n - k + 1
+    if (g < w) return new GenericArrayData(Array.empty[Long])
+    val M = 2147483647L
+    val keys = new Array[Long](g)
+    var i = 0
+    while (i < g) {
+      var a = 42L
+      var j = 0
+      while (j < k) { a = (a * 31L + str.charAt(i + j)) % M; j += 1 }
+      keys(i) = a * 2097152L + (1048576L - (i + 1))
+      i += 1
+    }
+    val sel = new java.util.TreeSet[java.lang.Long]()
+    var e = w - 1
+    while (e < g) {
+      var m = keys(e - w + 1)
+      var j = e - w + 2
+      while (j <= e) { if (keys(j) < m) m = keys(j); j += 1 }
+      sel.add(m)
+      e += 1
+    }
+    val out = new Array[Long](sel.size)
+    var idx = 0
+    val it = sel.iterator()
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
 }
 
 /**
@@ -109,9 +158,34 @@ object TextExpressions {
     override def prettyName: String = "simhash64"
   }
 
+  /** Winnowing fingerprint keys (see [[TextKernels.winnowKeys]]); `k` and
+    * `w` must be foldable int literals — they are baked into the generated
+    * code. */
+  case class WinnowKeys(child: Expression, k: Int, w: Int) extends UnaryExpression {
+    require(k >= 1 && w >= 1, s"winnow_keys: k=$k w=$w must be >= 1")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override protected def nullSafeEval(s: Any): Any =
+      TextKernels.winnowKeys(s.asInstanceOf[UTF8String], k, w)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernel.winnowKeys($c, $k, $w)")
+    override protected def withNewChildInternal(c: Expression): WinnowKeys = copy(child = c)
+    override def prettyName: String = "winnow_keys"
+  }
+
+  private def foldableInt(e: Expression, name: String): Int = {
+    require(e.foldable, s"$name must be a literal")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case other => throw new IllegalArgumentException(s"$name: expected int, got $other")
+    }
+  }
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ws_token_count" -> (es => WsTokenCount(es.head)),
-    "simhash64" -> (es => Simhash64(es.head)))
+    "simhash64" -> (es => Simhash64(es.head)),
+    "winnow_keys" -> (es => WinnowKeys(es.head,
+      foldableInt(es(1), "winnow_keys k"), foldableInt(es(2), "winnow_keys w"))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     registry.foreach { case (name, builder) =>

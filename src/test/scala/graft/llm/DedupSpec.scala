@@ -253,4 +253,44 @@ class DedupSpec extends SparkSpec {
     // doc 2 (exact dup of indexed doc 1) must be flagged
     assert(got.contains((2L, 1L)))
   }
+
+  test("winnowKeys: selection matches a brute-force winnow; rightmost tie rule") {
+    val s = "abcabcabcabcxyzq"  // repeated structure forces equal gram hashes
+    val k = 4; val w = 3
+    val got = graft.llm.TextKernels
+      .winnowKeys(org.apache.spark.unsafe.types.UTF8String.fromString(s), k, w)
+      .toLongArray().toSeq
+    // brute force: same hash, same key encoding, min per window, distinct
+    val M = 2147483647L
+    val g = s.length - k + 1
+    val keys = (0 until g).map { i =>
+      val h = (0 until k).foldLeft(42L)((a, j) => (a * 31L + s.charAt(i + j)) % M)
+      h * 2097152L + (1048576L - (i + 1))
+    }
+    val expect = (w - 1 until g).map(e => (e - w + 1 to e).map(keys).min).distinct.sorted
+    assert(got == expect)
+    // equal gram hashes within a window: the encoding makes the larger pos win
+    val hEq = keys.map(_ >> 21)
+    assert(hEq(0) == hEq(3) && hEq(0) == hEq(6), "abca gram repeats every 3")
+  }
+
+  test("winnowPairs guarantees a hit for shared runs >= w+k-1 chars and skips unrelated docs") {
+    val a = "The Catalyst optimizer rewrites logical plans before physical planning begins."
+    // doc 2 embeds a long verbatim run of doc 1 inside unrelated text
+    val wdocs = Seq(
+      (1L, a),
+      (2L, "Unrelated preamble here. the catalyst OPTIMIZER rewrites logical plans wholly new tail."),
+      (3L, "Entirely different sentence about parquet row groups and column statistics pruning."),
+      (4L, "short")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(wdocs, "doc_id", k = 16, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), s"shared 40+ char run must be detected, got $pairs")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), s"doc 3 unrelated, got $pairs")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "doc shorter than k+w-1 yields no fingerprints")
+    // determinism
+    val again = Dedup.winnowPairs(wdocs, "doc_id", k = 16, w = 4, minShared = 1)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(again == pairs)
+  }
 }
