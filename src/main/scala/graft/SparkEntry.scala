@@ -1260,6 +1260,69 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "q43_cdc_merge" -> ((s, d) => {
+      // Lakehouse MERGE INTO (SCD1 latest-wins): snapshot = per-customer
+      // latest order state before the cutoff; changes = post-cutoff orders
+      // (seq = orderkey, status F = tombstone). One window over changes +
+      // key-only anti-join + union — the copy-on-write MERGE shape.
+      val orders = t(s, d, "orders")
+      def state(df: DataFrame): DataFrame = df.select(
+        col("o_custkey").as("custkey"), col("o_orderkey").as("last_orderkey"),
+        col("o_totalprice").as("last_price"), col("o_orderstatus").as("last_status"))
+      val wSnap = Window.partitionBy("custkey").orderBy(col("last_orderkey").desc)
+      val snapshot = state(orders.filter(col("o_orderdate") < lit("1997-01-01")))
+        .withColumn("__rn", row_number().over(wSnap))
+        .filter(col("__rn") === 1).drop("__rn")
+      val changes = state(orders.filter(col("o_orderdate") >= lit("1997-01-01")))
+        .withColumn("__seq", col("last_orderkey"))
+        .withColumn("__del", col("last_status") === "F")
+      graft.ops.Cdc.applyChangeset(snapshot, changes, Seq("custkey"), "__seq", "__del")
+        .orderBy(col("custkey"))
+    }),
+    "q44_cube" -> ((s, d) => {
+      // CUBE grouping-set rollup with GROUPING disambiguators (the §2.6
+      // family's missing multi-set member next to q35's ROLLUP)
+      t(s, d, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_rf"),
+          grouping(col("l_linestatus")).cast("int").as("g_ls"),
+          count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("g_rf"), col("g_ls"), col("l_returnflag"), col("l_linestatus"))
+    }),
+    "q45_ewma" -> ((s, d) => {
+      // exponential moving average over the last 20 events per user, as the
+      // EXACT recursion y ← (y + x)/2 folded left over the ordered frame:
+      // IEEE adds are exactly rounded and halving is exact, so the fold is
+      // bit-identical in any engine that folds the same order — DuckDB
+      // list_reduce recomputes it bit for bit (no sum-reorder ULP noise).
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-19, 0)
+      t(s, d, "events")
+        .withColumn("__lst", collect_list(col("value")).over(w))
+        .select(col("event_id"),
+          aggregate(slice(col("__lst"), lit(2), size(col("__lst"))),
+            element_at(col("__lst"), 1), (a, x) => (a + x) / lit(2)).as("ewma"))
+        .orderBy(col("event_id"))
+    }),
+    "q42_quality_audit" -> ((s, d) => {
+      // Deequ-style constraint suite over orders, ONE aggregation pass:
+      // row-level expectations fold into the same global agg (map-side
+      // partials), uniqueness adds a count_distinct. Report rows are the
+      // broadcastable gate a 100 TB pipeline checks before publishing.
+      import graft.ops.Audit.{RowCheck, UniqueCheck}
+      graft.ops.Audit.audit(t(s, d, "orders"),
+        rowChecks = Seq(
+          RowCheck("orderkey_not_null", col("o_orderkey").isNotNull),
+          RowCheck("totalprice_positive", col("o_totalprice") > 0),
+          RowCheck("status_in_domain", col("o_orderstatus").isin("O", "F", "P")),
+          RowCheck("date_in_range",
+            col("o_orderdate") >= lit("1992-01-01") &&
+              col("o_orderdate") < lit("1999-01-01")),
+          RowCheck("priority_pattern",
+            col("o_orderpriority").rlike("^[1-5]-"))),
+        uniqueChecks = Seq(UniqueCheck("orderkey_unique", "o_orderkey")))
+        .orderBy(col("check_name"))
+    }),
     "d30_winnow_pairs" -> ((s, d) => {
       // Winnowing (MOSS) substring-overlap candidate pairs: normalize →
       // k=16-gram polynomial hashes → min of every w=4-gram window
@@ -2314,6 +2377,65 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    "q43_cdc_merge" ->
+      """WITH snap AS (
+        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+        |      o_totalprice AS last_price, o_orderstatus AS last_status,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') WHERE rn = 1
+        |), latest AS (
+        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+        |      o_totalprice AS last_price, o_orderstatus AS last_status,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') WHERE rn = 1
+        |)
+        |SELECT s.custkey, s.last_orderkey, s.last_price, s.last_status FROM snap s
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.custkey = s.custkey)
+        |UNION ALL
+        |SELECT custkey, last_orderkey, last_price, last_status FROM latest
+        |WHERE last_status <> 'F'
+        |ORDER BY custkey""".stripMargin,
+    "q44_cube" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
+        |  l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n,
+        |  SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY g_rf, g_ls, l_returnflag, l_linestatus""".stripMargin,
+    "q45_ewma" ->
+      """WITH fr AS (
+        |  SELECT event_id,
+        |    array_agg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS lst
+        |  FROM events
+        |)
+        |SELECT event_id, list_reduce(lst, (a, x) -> (a + x) / 2) AS ewma
+        |FROM fr ORDER BY event_id""".stripMargin,
+    "q42_quality_audit" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+        |v AS (
+        |  SELECT 'date_in_range' AS check_name,
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_orderdate >= TIMESTAMP '1992-01-01'
+        |      AND o_orderdate < TIMESTAMP '1999-01-01', FALSE)) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL SELECT 'orderkey_not_null',
+        |    CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'orderkey_unique',
+        |    CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'priority_pattern',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'status_in_domain',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_orderstatus IN ('O','F','P'), FALSE)) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'totalprice_positive',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT) FROM orders
+        |)
+        |SELECT check_name, n.c AS n_rows, n_violations, n_violations = 0 AS passed
+        |FROM v, n ORDER BY check_name""".stripMargin,
     // identical winnowing pipeline from shared primitives: same polynomial
     // gram hash (seed 42, ·31 mod 2³¹−1), same h·2²¹+(2²⁰−pos) key encoding
     // (min ⇒ rightmost-tie winnowing rule), same window-min selection

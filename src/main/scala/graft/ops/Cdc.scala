@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * CDC changeset application — the lakehouse `MERGE INTO` (SCD type 1,
+ * latest-wins) kernel: given a `snapshot` table and a `changes` stream of
+ * upserts/deletes (each carrying a per-key monotone sequence column),
+ * produce the next snapshot where
+ *
+ *   - the HIGHEST-sequence change per key wins (all older changes ignored),
+ *   - a winning delete removes the key,
+ *   - a winning upsert replaces the snapshot row wholesale,
+ *   - untouched snapshot keys pass through.
+ *
+ * 100 TB design: one `row_number` window per key over changes (changes are
+ * normally ≪ snapshot), then a key-only LEFT ANTI join against the
+ * snapshot plus a union — the snapshot is read once, shuffled once on the
+ * key (or not at all if both sides are bucketed on it), and AQE's skew
+ * split covers hot keys. This is exactly the copy-on-write MERGE shape;
+ * `changes` carrying the full row (not a diff) is what keeps the op
+ * single-pass.
+ */
+object Cdc {
+
+  /**
+   * @param snapshot  current state, one row per key
+   * @param changes   snapshot schema + `seqCol` (per-key unique, monotone)
+   *                  + `deleteCol` (boolean; true = tombstone)
+   */
+  def applyChangeset(snapshot: DataFrame, changes: DataFrame, keyCols: Seq[String],
+                     seqCol: String, deleteCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    val expected = snapshot.columns.toSet ++ Set(seqCol, deleteCol)
+    require(changes.columns.toSet == expected,
+      s"changes must carry the snapshot schema + $seqCol + $deleteCol; " +
+        s"got ${changes.columns.mkString(",")}")
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(seqCol).desc)
+    val latest = changes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val untouched = snapshot.join(
+      latest.select(keyCols.map(col): _*), keyCols, "left_anti")
+    untouched.unionByName(
+      latest.filter(!coalesce(col(deleteCol), lit(false))).drop(seqCol, deleteCol))
+  }
+}
