@@ -1260,6 +1260,39 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "s08_stream_cdc_merge" -> ((s, d) => {
+      // q43's CDC MERGE with the changelog arriving as a STREAM: the
+      // latest-change-per-key half runs as a stateful streaming aggregation
+      // (max_by against the state store), then the snapshot merge is the
+      // same batch anti-join + union. Same oracle SQL as q43 — the streamed
+      // formulation must converge to the batch MERGE bit for bit.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val ordersSchema = StructType(Seq(
+        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+        StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+      val changes = graft.streaming.Streaming.availableNowFileStream(
+          ss, d, ordersSchema, glob = Some("orders.parquet"))
+        .filter(col("o_orderdate") >= lit("1997-01-01"))
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_price"), col("o_orderstatus").as("last_status"),
+          col("o_orderkey").as("__seq"), (col("o_orderstatus") === "F").as("__del"))
+      val latest = graft.streaming.Streaming.latestChangePerKey(
+        changes, Seq("custkey"), "__seq")
+      val finalLatest = graft.streaming.Streaming.runAvailableNow(
+        latest, s"s08_cdc_${System.nanoTime()}", outputMode = "complete")
+      val wSnap = Window.partitionBy("custkey").orderBy(col("last_orderkey").desc)
+      val snapshot = t(ss, d, "orders")
+        .filter(col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_custkey").as("custkey"), col("o_orderkey").as("last_orderkey"),
+          col("o_totalprice").as("last_price"), col("o_orderstatus").as("last_status"))
+        .withColumn("__rn", row_number().over(wSnap))
+        .filter(col("__rn") === 1).drop("__rn")
+      snapshot.join(finalLatest.select("custkey"), Seq("custkey"), "left_anti")
+        .unionByName(finalLatest.filter(!col("__del")).drop("__seq", "__del"))
+        .orderBy(col("custkey"))
+    }),
     "q43_cdc_merge" -> ((s, d) => {
       // Lakehouse MERGE INTO (SCD1 latest-wins): snapshot = per-customer
       // latest order state before the cutoff; changes = post-cutoff orders
@@ -1346,6 +1379,29 @@ object SparkEntry {
         .orderBy(col("bucket"))
     })
   )
+
+  /** Shared oracle for q43 (batch MERGE) and s08 (streamed changelog +
+    * batch merge step) — both formulations must converge to this state. */
+  private val cdcMergeOracleSql: String =
+    """WITH snap AS (
+        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+        |      o_totalprice AS last_price, o_orderstatus AS last_status,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') WHERE rn = 1
+        |), latest AS (
+        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
+        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
+        |      o_totalprice AS last_price, o_orderstatus AS last_status,
+        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
+        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') WHERE rn = 1
+        |)
+        |SELECT s.custkey, s.last_orderkey, s.last_price, s.last_status FROM snap s
+        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.custkey = s.custkey)
+        |UNION ALL
+        |SELECT custkey, last_orderkey, last_price, last_status FROM latest
+        |WHERE last_status <> 'F'
+        |ORDER BY custkey""".stripMargin
 
   /** The q41 oracle's Morton interleave, unrolled as SQL bit arithmetic. */
   private def zInterleaveSql(x: String, y: String, bits: Int): String =
@@ -2377,26 +2433,8 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
-    "q43_cdc_merge" ->
-      """WITH snap AS (
-        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
-        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
-        |      o_totalprice AS last_price, o_orderstatus AS last_status,
-        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
-        |    FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01') WHERE rn = 1
-        |), latest AS (
-        |  SELECT custkey, last_orderkey, last_price, last_status FROM (
-        |    SELECT o_custkey AS custkey, o_orderkey AS last_orderkey,
-        |      o_totalprice AS last_price, o_orderstatus AS last_status,
-        |      row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey DESC) AS rn
-        |    FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01') WHERE rn = 1
-        |)
-        |SELECT s.custkey, s.last_orderkey, s.last_price, s.last_status FROM snap s
-        |WHERE NOT EXISTS (SELECT 1 FROM latest l WHERE l.custkey = s.custkey)
-        |UNION ALL
-        |SELECT custkey, last_orderkey, last_price, last_status FROM latest
-        |WHERE last_status <> 'F'
-        |ORDER BY custkey""".stripMargin,
+    "s08_stream_cdc_merge" -> cdcMergeOracleSql,
+    "q43_cdc_merge" -> cdcMergeOracleSql,
     "q44_cube" ->
       """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,

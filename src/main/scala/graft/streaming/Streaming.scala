@@ -113,6 +113,25 @@ object Streaming {
   }
 
   /**
+   * Streaming half of the CDC MERGE ([[graft.ops.Cdc]] semantics as a
+   * stream): maintain the LATEST change per key as a stateful streaming
+   * aggregation — `max_by(struct(payload), seq)` against the state store —
+   * so after any microbatch the sink holds the winning change per key.
+   * The snapshot merge stays a batch step over the result (key-only
+   * anti-join + union, exactly `Cdc.applyChangeset`'s shape) — how a
+   * `foreachBatch` MERGE INTO consumes a changelog. State is O(distinct
+   * keys in flight), evicted by compaction, not by watermark — CDC keys
+   * are not event-time-bounded.
+   */
+  def latestChangePerKey(changes: DataFrame, keyCols: Seq[String],
+                         seqCol: String): DataFrame = {
+    val payload = changes.columns.filterNot(keyCols.contains).map(col)
+    changes.groupBy(keyCols.map(col): _*)
+      .agg(max_by(struct(payload.toSeq: _*), col(seqCol)).as("__latest"))
+      .select(keyCols.map(col) :+ col("__latest.*"): _*)
+  }
+
+  /**
    * Stream-stream interval join (§2.8's hardest shape): inner-join two
    * event-time streams on equal `keyCols` with `right.ts` in
    * `(left.ts, left.ts + windowUs]`. Both sides carry watermarks and the

@@ -46,6 +46,25 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set(("A", "click"), ("A", "view"), ("B", "click")))
   }
 
+  test("latestChangePerKey: stateful max_by keeps the winning change per key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-cdc").toString
+    Seq(
+      (1L, "a1", 10L, false), (1L, "a2", 20L, false), // seq 20 wins
+      (2L, "b1", 15L, true),  (2L, "b0", 5L, false),  // delete wins at seq 15
+      (3L, "c1", 1L, false)
+    ).toDF("k", "name", "seq", "del").write.parquet(s"$dir/drop1")
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("name", StringType),
+      StructField("seq", LongType), StructField("del", BooleanType)))
+    val stream = Streaming.availableNowFileStream(spark, s"$dir/drop1", schema)
+    val out = Streaming.runAvailableNow(
+      Streaming.latestChangePerKey(stream, Seq("k"), "seq"),
+      s"t_${System.nanoTime()}", outputMode = "complete")
+      .select("k", "name", "seq", "del")
+      .as[(Long, String, Long, Boolean)].collect().toSet
+    assert(out == Set((1L, "a2", 20L, false), (2L, "b1", 15L, true), (3L, "c1", 1L, false)))
+  }
+
   test("newForecastsOnly: custom keyed state suppresses replays across microbatches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
