@@ -161,6 +161,17 @@ object SparkEntry {
       ss, d, eventsStreamSchema, glob = Some("events.parquet"))
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
+  /** orders.parquet as a file stream on `ss` (s08 changelog, s09 audit). */
+  private def ordersStream(ss: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
+    graft.streaming.Streaming.availableNowFileStream(
+      ss, d, schema, glob = Some("orders.parquet"))
+  }
+
   // =====================================================================
   // queries + oracleSql
   // =====================================================================
@@ -1260,20 +1271,65 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "d31_inverted_index" -> ((s, d) => {
+      // distributed inverted-index build (the IR/retrieval core): token →
+      // document frequency + sorted posting list. Narrow per-doc distinct
+      // explode → ONE hash aggregate; at 100 TB postings for stopword-like
+      // tokens are the skew risk, hence the df band filter (and a bucketed
+      // writer would range-partition on token).
+      t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(col("ts")) - 1), i =>
+            concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))))
+          .as("gram"))
+        .groupBy("gram")
+        .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc_id"))).as("postings"))
+        .filter(col("df").between(3, 40))
+        .orderBy(col("gram"))
+    }),
+    "s09_stream_audit" -> ((s, d) => {
+      // q42's row-check audit over the orders stream: row checks fold into
+      // a streaming GLOBAL aggregate (map-side partials against the state
+      // store) — continuous data-quality monitoring. Uniqueness needs
+      // distinct state, so it stays a batch/HLL concern (q42).
+      import graft.ops.Audit.RowCheck
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val audited = graft.ops.Audit.audit(ordersStream(ss, d),
+        rowChecks = Seq(
+          RowCheck("orderkey_not_null", col("o_orderkey").isNotNull),
+          RowCheck("totalprice_positive", col("o_totalprice") > 0),
+          RowCheck("status_in_domain", col("o_orderstatus").isin("O", "F", "P")),
+          RowCheck("date_in_range",
+            col("o_orderdate") >= lit("1992-01-01") &&
+              col("o_orderdate") < lit("1999-01-01")),
+          RowCheck("priority_pattern", col("o_orderpriority").rlike("^[1-5]-"))))
+      graft.streaming.Streaming.runAvailableNow(
+          audited, s"s09_audit_${System.nanoTime()}", outputMode = "complete")
+        .orderBy(col("check_name"))
+    }),
+    "q46_triangle_count" -> ((s, d) => {
+      // degree-oriented distributed triangle count (Suri-Vassilvitskii) on a
+      // deterministic sparse affine-map graph over part keys — scale-free
+      // density (5 out-edges/vertex at every SF), so the wedge join stays
+      // bounded where a co-occurrence graph goes complete
+      val part = t(s, d, "part").select(col("p_partkey"))
+      val withN = part.crossJoin(broadcast(part.agg(count(lit(1)).as("__n"))))
+      val raw = Seq((31, 7), (17, 3), (13, 11), (7, 1), (41, 19)).map { case (a, b) =>
+        withN.select(col("p_partkey").as("src"),
+          (pmod(col("p_partkey") * a + b, col("__n")) + 1).as("dst"))
+      }.reduce(_.unionByName(_))
+      graft.ops.Graph.triangleCount(raw.filter(col("src") =!= col("dst")))
+    }),
     "s08_stream_cdc_merge" -> ((s, d) => {
       // q43's CDC MERGE with the changelog arriving as a STREAM: the
       // latest-change-per-key half runs as a stateful streaming aggregation
       // (max_by against the state store), then the snapshot merge is the
       // same batch anti-join + union. Same oracle SQL as q43 — the streamed
       // formulation must converge to the batch MERGE bit for bit.
-      import org.apache.spark.sql.types._
       val ss = graft.streaming.Streaming.statefulSession(s)
-      val ordersSchema = StructType(Seq(
-        StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-        StructField("o_orderstatus", StringType), StructField("o_totalprice", DoubleType),
-        StructField("o_orderdate", TimestampType), StructField("o_orderpriority", StringType)))
-      val changes = graft.streaming.Streaming.availableNowFileStream(
-          ss, d, ordersSchema, glob = Some("orders.parquet"))
+      val changes = ordersStream(ss, d)
         .filter(col("o_orderdate") >= lit("1997-01-01"))
         .select(col("o_custkey").as("custkey"), col("o_orderkey").as("last_orderkey"),
           col("o_totalprice").as("last_price"), col("o_orderstatus").as("last_status"),
@@ -2433,6 +2489,54 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    "d31_inverted_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), big AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+        |)
+        |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
+        |  list_sort(list(doc_id)) AS postings
+        |FROM big GROUP BY gram HAVING COUNT(*) BETWEEN 3 AND 40
+        |ORDER BY gram""".stripMargin,
+    "s09_stream_audit" ->
+      """WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM orders),
+        |v AS (
+        |  SELECT 'date_in_range' AS check_name,
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_orderdate >= TIMESTAMP '1992-01-01'
+        |      AND o_orderdate < TIMESTAMP '1999-01-01', FALSE)) AS BIGINT) AS n_violations
+        |  FROM orders
+        |  UNION ALL SELECT 'orderkey_not_null',
+        |    CAST(COUNT(*) FILTER (WHERE o_orderkey IS NULL) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'priority_pattern',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      regexp_matches(o_orderpriority, '^[1-5]-'), FALSE)) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'status_in_domain',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(
+        |      o_orderstatus IN ('O','F','P'), FALSE)) AS BIGINT) FROM orders
+        |  UNION ALL SELECT 'totalprice_positive',
+        |    CAST(COUNT(*) FILTER (WHERE NOT COALESCE(o_totalprice > 0, FALSE)) AS BIGINT) FROM orders
+        |)
+        |SELECT check_name, n.c AS n_rows, n_violations, n_violations = 0 AS passed
+        |FROM v, n ORDER BY check_name""".stripMargin,
+    "q46_triangle_count" ->
+      """WITH n AS (SELECT COUNT(*) AS n FROM part),
+        |raw AS (
+        |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n.n) + 1 AS dst FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n.n) + 1 FROM part, n
+        |), e AS (
+        |  SELECT DISTINCT least(src, dst) AS s, greatest(src, dst) AS t
+        |  FROM raw WHERE src <> dst
+        |)
+        |SELECT CAST((SELECT COUNT(*) FROM e e1
+        |  JOIN e e2 ON e1.t = e2.s AND e1.s < e2.s
+        |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t) AS BIGINT) AS n_triangles""".stripMargin,
     "s08_stream_cdc_merge" -> cdcMergeOracleSql,
     "q43_cdc_merge" -> cdcMergeOracleSql,
     "q44_cube" ->
