@@ -1271,6 +1271,61 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "q47_funnel" -> ((s, d) => {
+      // ordered funnel (view → click → purchase within 7 days): three
+      // successive min-after-predecessor aggregates; each stage is a keyed
+      // agg + broadcastable join on the shrinking user set. Timestamps
+      // emitted as epoch micros (exact integer bridge to the oracle).
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1"))
+        .groupBy("user_id").agg(min("us").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase").join(s2, "user_id")
+        .filter(col("us") > col("t2"))
+        .groupBy("user_id").agg(min("us").as("t3"))
+      s1.join(s2, Seq("user_id"), "left").join(s3, Seq("user_id"), "left")
+        .withColumn("converted",
+          coalesce(col("t3") - col("t1") <= 604800000000L, lit(false)))
+        .orderBy(col("user_id"))
+    }),
+    "q48_cohort_retention" -> ((s, d) => {
+      // cohort retention triangle: cohort = week of first event, offset =
+      // event week − cohort week, cell = distinct active users. Two keyed
+      // aggs; the first-event table is user-sized and broadcast back.
+      val ev = t(s, d, "events").select(col("user_id"),
+        expr("(unix_micros(ts) - 1704067200000000) div 604800000000").as("week"))
+      val cohorts = ev.groupBy("user_id").agg(min("week").as("cohort_week"))
+      ev.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("offset_week"))
+        .agg(count_distinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_week"), col("offset_week"))
+    }),
+    "q49_resample_locf" -> ((s, d) => {
+      // time-series resampling to a per-user daily grid with last-
+      // observation-carried-forward: per-(user, day) latest value (one
+      // window), per-user day grid (sequence + explode — narrow), LOCF via
+      // last(ignoreNulls) over the ordered grid. Values are carried
+      // verbatim (no float arithmetic) — hash-safe.
+      val ev = t(s, d, "events").select(col("user_id"), col("event_id"),
+        col("value"), unix_micros(col("ts")).as("us"),
+        expr("unix_micros(ts) div 86400000000").as("d"))
+      val wLast = Window.partitionBy("user_id", "d")
+        .orderBy(col("us").desc, col("event_id").desc)
+      val perDay = ev.withColumn("__rn", row_number().over(wLast))
+        .filter(col("__rn") === 1).select(col("user_id"), col("d"), col("value"))
+      val grid = ev.groupBy("user_id")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      val wLocf = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      grid.join(perDay, Seq("user_id", "d"), "left")
+        .withColumn("locf_value", last(col("value"), ignoreNulls = true).over(wLocf))
+        .select(col("user_id"), col("d").as("day"), col("locf_value"))
+        .orderBy(col("user_id"), col("day"))
+    }),
     "d31_inverted_index" -> ((s, d) => {
       // distributed inverted-index build (the IR/retrieval core): token →
       // document frequency + sorted posting list. Narrow per-doc distinct
@@ -2489,6 +2544,48 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    "q47_funnel" ->
+      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  COALESCE(s3.t3 - s1.t1 <= 604800000000, FALSE) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin,
+    "q48_cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - 1704067200000000) // 604800000000 AS week
+        |  FROM events
+        |), c AS (SELECT user_id, MIN(week) AS cohort_week FROM ev GROUP BY 1)
+        |SELECT c.cohort_week, ev.week - c.cohort_week AS offset_week,
+        |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+        |FROM ev JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q49_resample_locf" ->
+      """WITH ev AS (
+        |  SELECT user_id, event_id, value, epoch_us(ts) AS us,
+        |    epoch_us(ts) // 86400000000 AS d
+        |  FROM events
+        |), per_day AS (
+        |  SELECT user_id, d, value FROM (
+        |    SELECT user_id, d, value,
+        |      row_number() OVER (PARTITION BY user_id, d
+        |                         ORDER BY us DESC, event_id DESC) AS rn
+        |    FROM ev) WHERE rn = 1
+        |), grid AS (
+        |  SELECT user_id, unnest(range(MIN(d), MAX(d) + 1)) AS d
+        |  FROM ev GROUP BY user_id
+        |)
+        |SELECT g.user_id, g.d AS day,
+        |  last_value(p.value IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_value
+        |FROM grid g LEFT JOIN per_day p ON g.user_id = p.user_id AND g.d = p.d
+        |ORDER BY g.user_id, g.d""".stripMargin,
     "d31_inverted_index" ->
       """WITH toks AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
