@@ -1271,6 +1271,19 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "d32_setsim_join" -> ((s, d) => {
+      // EXACT set-similarity self-join (AllPairs prefix filtering): every
+      // doc pair with bigram-Jaccard >= 0.5, no all-pairs pass, no
+      // approximation — the oracle recomputes it brute-force, so the gate
+      // also proves the candidate pruning is lossless.
+      val grams = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(col("doc_id"), transform(sequence(lit(1), size(col("ts")) - 1), i =>
+          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))).as("grams"))
+      Dedup.setSimilarityJoin(grams, "doc_id", "grams", minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q47_funnel" -> ((s, d) => {
       // ordered funnel (view → click → purchase within 7 days): three
       // successive min-after-predecessor aggregates; each stage is a keyed
@@ -2544,6 +2557,26 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (
         |    PARTITION BY lang ORDER BY k DESC, doc_id) AS rk FROM keyed)
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
+    // brute-force ground truth — no prefix filter; equality proves the
+    // Spark side's pruning is lossless
+    "d32_setsim_join" ->
+      """WITH toks AS (
+        |  SELECT doc_id, ts FROM (
+        |    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |    FROM documents) WHERE len(ts) >= 2
+        |), big AS (
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+        |), m AS (SELECT doc_id, COUNT(*) AS m FROM big GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+        |  FROM big a JOIN big b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, inter, ma.m AS m_a, mb.m AS m_b
+        |FROM inter JOIN m ma ON ma.doc_id = id_a JOIN m mb ON mb.doc_id = id_b
+        |WHERE inter * 2 >= (ma.m + mb.m - inter)
+        |ORDER BY id_a, id_b""".stripMargin,
     "q47_funnel" ->
       """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),

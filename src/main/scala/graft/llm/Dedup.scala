@@ -401,7 +401,8 @@ object Dedup {
    */
   def cosineNearDupPairs(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double, dim: Int,
-                         bits: Int = 8, tables: Int = 8): DataFrame = {
+                         bits: Int = 8, tables: Int = 8,
+                         maxBucketSize: Int = 10000): DataFrame = {
     // Same narrow-shuffle discipline as [[minhashLsh]]: everything that
     // shuffles or materializes is vector-free (table, bucket, id) — caching
     // or shuffling the array<float> column pays per-element columnar encode
@@ -411,11 +412,19 @@ object Dedup {
     // exact expression the oracle computes.
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("__v"),
       Similarity.normFast(col(vecCol)).as("__n"))
-    val bucketed = df.select(col(idCol).as("id"),
+    val bucketedRaw = df.select(col(idCol).as("id"),
       posexplode(array((0 until tables).map(t =>
         Similarity.hyperplaneBucket(col(vecCol), dim, bits, seed = 42L + 1000L * t)): _*))
         .as(Seq("table", "bucket")))
       .localCheckpoint(false)
+    // skew cap: a bucket that collects a degenerate share of the corpus
+    // (near-constant embeddings, dead dimensions) would make the self-join
+    // quadratic — cap it like the minhash/winnow paths; recall for such
+    // buckets falls to the OTHER tables
+    val wBucket = Window.partitionBy("table", "bucket")
+    val bucketed = bucketedRaw
+      .withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
     val a = bucketed.select(col("table"), col("bucket"), col("id").as("id_a"))
     val b = bucketed.select(col("table"), col("bucket"), col("id").as("id_b"))
     a.join(b, Seq("table", "bucket")).filter(col("id_a") < col("id_b"))
@@ -530,6 +539,63 @@ object Dedup {
     a.join(b, Seq("__h")).filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
+  }
+
+  /**
+   * EXACT set-similarity self-join via prefix filtering (Bayardo/Ma/Srikant
+   * "Scaling Up All Pairs Similarity Search", WWW'07 — the AllPairs/PPJoin
+   * family): emit every pair with Jaccard(tokens_a, tokens_b) ≥ `minJaccard`,
+   * WITHOUT an all-pairs pass and WITHOUT approximation (MinHash estimates;
+   * this one is exact — the candidate pruning is lossless).
+   *
+   * Prefix filter: order each doc's distinct tokens by ascending global
+   * document frequency (rarest first, ties by token); two sets with
+   * Jaccard ≥ t MUST share a token among each one's first
+   * m − ⌈t·m⌉ + 1 tokens, so only docs sharing a PREFIX token become
+   * candidates — rare-token buckets, tiny by construction. Verify is an
+   * exact sorted-rank-array intersection on candidates only.
+   *
+   * Scale: the only global structure is the vocabulary rank (vocab-sized,
+   * broadcast back); everything else shuffles on (token-rank) buckets with
+   * the usual `maxBucketSize` skew cap — capping can only DROP candidates
+   * whose bucket token is that common, i.e. it trades the exactness
+   * guarantee for boundedness at the extreme tail (default keeps it exact
+   * on any sane vocabulary).
+   */
+  def setSimilarityJoin(df: DataFrame, idCol: String, tokCol: String,
+                        minJaccard: Double,
+                        maxBucketSize: Int = 100000): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard=$minJaccard must be in (0, 1]")
+    val toks = df.select(col(idCol).as("id"),
+      explode(array_distinct(col(tokCol))).as("tok"))
+    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      .select(col("tok"),
+        row_number().over(Window.orderBy(col("df"), col("tok"))).as("rk"))
+    val sets = toks.join(broadcast(ranked), "tok")
+      .groupBy("id").agg(sort_array(collect_set(col("rk"))).as("rks"))
+      .select(col("id"), col("rks"), size(col("rks")).as("m"))
+    // prefix length p = m − ⌈t·m⌉ + 1, in EXACT integer arithmetic (a float
+    // ceil of t·m can overshoot by one and silently break losslessness)
+    val num = math.round(minJaccard * 1000000)
+    val pfx = sets.select(col("id"),
+      explode(slice(col("rks"), lit(1),
+        (col("m") - expr(s"(m * ${num}L + 999999L) div 1000000L") + 1).cast("int"))).as("rk"))
+    val wBucket = Window.partitionBy("rk")
+    val capped = pfx.withColumn("__n", count(lit(1)).over(wBucket))
+      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val cands = capped.select(col("rk"), col("id").as("id_a"))
+      .join(capped.select(col("rk"), col("id").as("id_b")), Seq("rk"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cands
+      .join(sets.select(col("id").as("id_a"), col("rks").as("__ra"), col("m").as("m_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("rks").as("__rb"), col("m").as("m_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__ra"), col("__rb"))))
+      // exact rational compare: inter/(m_a+m_b-inter) >= t without float
+      .filter(col("inter") * lit(1000000L) >=
+        lit(math.round(minJaccard * 1000000)) * (col("m_a") + col("m_b") - col("inter")))
+      .select("id_a", "id_b", "inter", "m_a", "m_b")
   }
 
   /**

@@ -254,6 +254,32 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((2L, 1L)))
   }
 
+  test("setSimilarityJoin: lossless prefix filtering vs brute force, threshold boundary inclusive") {
+    // pseudo-random token sets with planted near-dups
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 40).map(i => s"t$i")
+    val base = (1L to 30L).map(i => i -> rnd.shuffle(vocab).take(8 + rnd.nextInt(6)).toSeq)
+    val dups = (31L to 40L).map { i =>
+      val (srcId, srcToks) = base((i % 30).toInt)
+      i -> (srcToks.take(srcToks.size - 1) :+ s"x$i") // high-overlap variant of src
+    }
+    val df = (base ++ dups).toDF("id", "toks")
+    val got = Dedup.setSimilarityJoin(df, "id", "toks", minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force
+    val sets = (base ++ dups).map { case (i, ts) => i -> ts.toSet }.toMap
+    val expect = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size
+      if inter * 2 >= (sets(a).size + sets(b).size - inter)
+    } yield (a, b)).toSet
+    assert(expect.nonEmpty, "fixture must produce pairs")
+    assert(got == expect, s"only_spark=${got -- expect} only_brute=${expect -- got}")
+    // exact boundary: jaccard exactly 0.5 must be INCLUDED (2 shared of sizes 3,3)
+    val edge = Seq((1L, Seq("a", "b", "c")), (2L, Seq("a", "b", "d"))).toDF("id", "toks")
+    assert(Dedup.setSimilarityJoin(edge, "id", "toks", minJaccard = 0.5).count() == 1L)
+  }
+
   test("winnowKeys: selection matches a brute-force winnow; rightmost tie rule") {
     val s = "abcabcabcabcxyzq"  // repeated structure forces equal gram hashes
     val k = 4; val w = 3
