@@ -1271,6 +1271,23 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"), col("n_chars"))
         .orderBy(col("lang"), col("doc_id"))
     }),
+    "d33_winnow_edit_verify" -> ((s, d) => {
+      // candidate → verify: d30's winnow candidates verified by exact edit
+      // distance on the normalized text (dist ≤ 25% of the longer doc).
+      // Levenshtein is unit-cost integer in both engines — hash-safe; the
+      // O(len²) DP runs on candidate pairs ONLY, never all pairs.
+      val docs = t(s, d, "documents")
+      val cl = docs.select(col("doc_id"),
+        regexp_replace(lower(col("text")), "[^a-z0-9]", "").as("s"))
+      Dedup.winnowPairs(docs, "doc_id", k = 16, w = 4, minShared = 3)
+        .join(cl.select(col("doc_id").as("id_a"), col("s").as("__sa")), Seq("id_a"))
+        .join(cl.select(col("doc_id").as("id_b"), col("s").as("__sb")), Seq("id_b"))
+        .withColumn("edit_dist", levenshtein(col("__sa"), col("__sb")))
+        .withColumn("verified",
+          col("edit_dist") * 4 <= greatest(length(col("__sa")), length(col("__sb"))))
+        .select("id_a", "id_b", "n_shared", "edit_dist", "verified")
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d32_setsim_join" -> ((s, d) => {
       // EXACT set-similarity self-join (AllPairs prefix filtering): every
       // doc pair with bigram-Jaccard >= 0.5, no all-pairs pass, no
@@ -1503,6 +1520,52 @@ object SparkEntry {
         .orderBy(col("bucket"))
     })
   )
+
+  /** d30's winnowing oracle; d33 wraps it as a CTE for the verify stage. */
+  private val winnowPairsOracleSql: String =
+    """WITH cleaned AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, i AS pos,
+        |    list_reduce(
+        |      list_prepend(CAST(42 AS BIGINT),
+        |        list_transform(range(0, 16), j -> CAST(ord(s[i+j]) AS BIGINT))),
+        |      (a, c) -> (a * 31 + c) % 2147483647) AS h
+        |  FROM cleaned, LATERAL (SELECT unnest(range(1, length(s) - 16 + 2)) AS i) t
+        |  WHERE length(s) >= 16
+        |), keyed AS (
+        |  SELECT doc_id, pos, h * 2097152 + (1048576 - pos) AS key,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+        |  FROM grams
+        |), wins AS (
+        |  SELECT doc_id,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, rn
+        |  FROM keyed
+        |), fps AS (
+        |  SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM wins WHERE rn >= 4
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+        |ORDER BY 1, 2""".stripMargin
+
+  /** d33: the d30 candidate set, verified by exact edit distance on the
+    * normalized text (unit-cost Levenshtein is engine-identical). */
+  private val winnowEditVerifyOracleSql: String =
+    s"""WITH pairs AS (
+       |${winnowPairsOracleSql.linesIterator.map("  " + _).mkString("\n")}
+       |), cl AS (
+       |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM documents
+       |)
+       |SELECT p.id_a, p.id_b, p.n_shared,
+       |  CAST(levenshtein(a.s, b.s) AS INT) AS edit_dist,
+       |  levenshtein(a.s, b.s) * 4 <=
+       |    greatest(length(a.s), length(b.s)) AS verified
+       |FROM pairs p JOIN cl a ON a.doc_id = p.id_a JOIN cl b ON b.doc_id = p.id_b
+       |ORDER BY p.id_a, p.id_b""".stripMargin
 
   /** Shared oracle for q43 (batch MERGE) and s08 (streamed changelog +
     * batch merge step) — both formulations must converge to this state. */
@@ -2711,34 +2774,8 @@ object SparkEntry {
     // identical winnowing pipeline from shared primitives: same polynomial
     // gram hash (seed 42, ·31 mod 2³¹−1), same h·2²¹+(2²⁰−pos) key encoding
     // (min ⇒ rightmost-tie winnowing rule), same window-min selection
-    "d30_winnow_pairs" ->
-      """WITH cleaned AS (
-        |  SELECT doc_id, regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
-        |  FROM documents
-        |), grams AS (
-        |  SELECT doc_id, i AS pos,
-        |    list_reduce(
-        |      list_prepend(CAST(42 AS BIGINT),
-        |        list_transform(range(0, 16), j -> CAST(ord(s[i+j]) AS BIGINT))),
-        |      (a, c) -> (a * 31 + c) % 2147483647) AS h
-        |  FROM cleaned, LATERAL (SELECT unnest(range(1, length(s) - 16 + 2)) AS i) t
-        |  WHERE length(s) >= 16
-        |), keyed AS (
-        |  SELECT doc_id, pos, h * 2097152 + (1048576 - pos) AS key,
-        |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
-        |  FROM grams
-        |), wins AS (
-        |  SELECT doc_id,
-        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
-        |                   ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS wmin, rn
-        |  FROM keyed
-        |), fps AS (
-        |  SELECT DISTINCT doc_id, wmin // 2097152 AS h FROM wins WHERE rn >= 4
-        |)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-        |FROM fps a JOIN fps b ON a.h = b.h AND a.doc_id < b.doc_id
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-        |ORDER BY 1, 2""".stripMargin,
+    "d30_winnow_pairs" -> winnowPairsOracleSql,
+    "d33_winnow_edit_verify" -> winnowEditVerifyOracleSql,
     "q41_zorder_stats" ->
       s"""WITH z AS (
          |  SELECT l_suppkey, l_partkey, l_orderkey, l_linenumber,
