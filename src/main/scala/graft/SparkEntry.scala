@@ -1301,6 +1301,27 @@ object SparkEntry {
       Dedup.setSimilarityJoin(grams, "doc_id", "grams", minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "s10_stream_funnel" -> ((s, d) => {
+      // q47's ordered funnel as CUSTOM KEYED STATE on the stream: a 3-step
+      // state machine per user (flatMapGroupsWithState, Update mode),
+      // advanced in event-time order; the most-progressed row per user is
+      // the final state. Same oracle SQL as q47.
+      val ss = statefulEventsSession(s)
+      import ss.implicits._
+      val ev = eventsStream(ss, d)
+        .select(col("user_id"), col("event_type"), unix_micros(col("ts")).as("us"))
+        .as[graft.streaming.Streaming.FunnelEvent]
+      val out = graft.streaming.Streaming.runAvailableNow(
+        graft.streaming.Streaming.funnelStream(ev, Seq("view", "click", "purchase")),
+        s"s10_funnel_${System.nanoTime()}", outputMode = "update")
+      val w = Window.partitionBy("user_id").orderBy(col("t3").desc_nulls_last,
+        col("t2").desc_nulls_last, col("t1").desc_nulls_last)
+      out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1).drop("__rn")
+        .filter(col("t1").isNotNull)
+        .withColumn("converted",
+          coalesce(col("t3") - col("t1") <= 604800000000L, lit(false)))
+        .orderBy(col("user_id"))
+    }),
     "q47_funnel" -> ((s, d) => {
       // ordered funnel (view → click → purchase within 7 days): three
       // successive min-after-predecessor aggregates; each stage is a keyed
@@ -1520,6 +1541,20 @@ object SparkEntry {
         .orderBy(col("bucket"))
     })
   )
+
+  /** Shared oracle for q47 (batch funnel) and s10 (flatMapGroupsWithState
+    * funnel state machine) — the stream must converge to the batch answer. */
+  private val funnelOracleSql: String =
+    """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
+        |  COALESCE(s3.t3 - s1.t1 <= 604800000000, FALSE) AS converted
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY s1.user_id""".stripMargin
 
   /** d30's winnowing oracle; d33 wraps it as a CTE for the verify stage. */
   private val winnowPairsOracleSql: String =
@@ -2640,17 +2675,8 @@ object SparkEntry {
         |FROM inter JOIN m ma ON ma.doc_id = id_a JOIN m mb ON mb.doc_id = id_b
         |WHERE inter * 2 >= (ma.m + mb.m - inter)
         |ORDER BY id_a, id_b""".stripMargin,
-    "q47_funnel" ->
-      """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
-        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
-        |s2 AS (SELECT e.user_id, MIN(e.us) AS t2 FROM ev e JOIN s1 USING (user_id)
-        |       WHERE e.event_type = 'click' AND e.us > s1.t1 GROUP BY 1),
-        |s3 AS (SELECT e.user_id, MIN(e.us) AS t3 FROM ev e JOIN s2 USING (user_id)
-        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2 GROUP BY 1)
-        |SELECT s1.user_id, s1.t1, s2.t2, s3.t3,
-        |  COALESCE(s3.t3 - s1.t1 <= 604800000000, FALSE) AS converted
-        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
-        |ORDER BY s1.user_id""".stripMargin,
+    "q47_funnel" -> funnelOracleSql,
+    "s10_stream_funnel" -> funnelOracleSql,
     "q48_cohort_retention" ->
       """WITH ev AS (
         |  SELECT user_id,

@@ -184,6 +184,48 @@ object Streaming {
       }
   }
 
+  /** One funnel event; `us` = event-time epoch micros. */
+  case class FunnelEvent(user_id: Long, event_type: String, us: Long)
+  /** Per-user funnel progress (first-step, after-step-1, after-step-2). */
+  case class FunnelState(t1: Option[Long], t2: Option[Long], t3: Option[Long])
+
+  /**
+   * Streaming ordered-funnel detection as CUSTOM KEYED STATE (the q47
+   * semantics on a stream): per user the state store holds the earliest
+   * step-1 time, the earliest step-2 time AFTER it, and the earliest
+   * step-3 time after THAT — a 3-state machine advanced in event-time
+   * order within each microbatch (events are sorted per key per batch;
+   * cross-batch correctness relies on ordered arrival, which
+   * Trigger.AvailableNow's single batch provides — a live deployment
+   * would pair this with a watermark-delayed source). Each batch emits
+   * every touched user's current progress (Update mode); the LAST row
+   * per user is the final state. State is three optional longs per
+   * live user — O(users), evictable by timeout in production.
+   */
+  def funnelStream(events: org.apache.spark.sql.Dataset[FunnelEvent],
+                   steps: Seq[String]): DataFrame = {
+    require(steps.size == 3, s"3-step funnel, got ${steps.size}")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, (Long, Option[Long], Option[Long], Option[Long])](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, batch: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var st = state.getOption.getOrElse(FunnelState(None, None, None))
+          batch.toArray.sortBy(_.us).foreach { e =>
+            if (st.t1.isEmpty && e.event_type == steps(0))
+              st = st.copy(t1 = Some(e.us))
+            else if (st.t1.exists(e.us > _) && st.t2.isEmpty && e.event_type == steps(1))
+              st = st.copy(t2 = Some(e.us))
+            else if (st.t2.exists(e.us > _) && st.t3.isEmpty && e.event_type == steps(2))
+              st = st.copy(t3 = Some(e.us))
+          }
+          state.update(st)
+          Iterator((user, st.t1, st.t2, st.t3))
+      }
+      .toDF("user_id", "t1", "t2", "t3")
+  }
+
   /**
    * Streaming NEAR-duplicate ingest — the streaming completion of
    * [[graft.llm.CorpusPipeline.cleanStream]], which deliberately refuses
