@@ -65,6 +65,35 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((1L, "a2", 20L, false), (2L, "b1", 15L, true), (3L, "c1", 1L, false)))
   }
 
+  test("funnelStream: 3-step state machine in event-time order, strict progression") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-funnel").toString
+    Seq(
+      // user 1 converts; click BEFORE the first view must not count
+      (1L, "click", 5L), (1L, "view", 10L), (1L, "click", 20L), (1L, "purchase", 30L),
+      // user 2: purchase before click -> no step 3
+      (2L, "view", 10L), (2L, "purchase", 15L), (2L, "click", 20L),
+      // user 3: no view at all
+      (3L, "click", 10L), (3L, "purchase", 20L),
+      // user 4: equal timestamps are NOT strict progression
+      (4L, "view", 10L), (4L, "click", 10L)
+    ).toDF("user_id", "event_type", "us").write.parquet(s"$dir/drop1")
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType)))
+    import spark.implicits._
+    val stream = Streaming.availableNowFileStream(spark, s"$dir/drop1", schema)
+      .as[Streaming.FunnelEvent]
+    val out = Streaming.runAvailableNow(
+      Streaming.funnelStream(stream, Seq("view", "click", "purchase")),
+      s"t_${System.nanoTime()}", outputMode = "update")
+      .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+      .groupBy(_._1).map { case (u, rows) => u -> rows.last }
+    assert(out(1L) == ((1L, Some(10L), Some(20L), Some(30L))))
+    assert(out(2L) == ((2L, Some(10L), Some(20L), None)))
+    assert(out(3L) == ((3L, None, None, None)))
+    assert(out(4L) == ((4L, Some(10L), None, None)))
+  }
+
   test("newForecastsOnly: custom keyed state suppresses replays across microbatches") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-state").toString
     val checkpoint = java.nio.file.Files.createTempDirectory("graft-stream-ckpt").toString
