@@ -606,6 +606,13 @@ object Dedup {
    * Lloyd's with k ≈ √n stops being practical around 10⁶ rows — sign-LSH
    * needs no training at all and its recall is tunable with (bits,
    * tables). Verify is exact cosine, so precision stays 1.0.
+   *
+   * SIZE `bits` ≈ log₂(n) + 4 for a SELF-join: expected structural
+   * candidates are n²·tables/2^(bits+1) REGARDLESS of similarity, so
+   * under-bucketing (16 bits at 10⁶ rows → ~15 rows/bucket → ~60M pairs)
+   * floods the verify join with vector payloads. Near-identical pairs
+   * survive even very fine buckets (flip probability per hyperplane ≈
+   * angle/π), so more bits costs little recall at high `minCosine`.
    */
   def semanticDedupLsh(df: DataFrame, idCol: String, vecCol: String,
                        dim: Int, minCosine: Double,
