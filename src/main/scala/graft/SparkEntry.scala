@@ -1288,6 +1288,24 @@ object SparkEntry {
         .select("id_a", "id_b", "n_shared", "edit_dist", "verified")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d34_sorted_neighborhood" -> ((s, d) => {
+      // sorted-neighborhood blocking (Merge/Purge): one range-partitioned
+      // sort by a 20-char text-prefix key, pairs only within a 4-row
+      // window (O(n*w) candidates), exact bigram-Jaccard >= 0.5 verify in
+      // integer arithmetic. Near-dups share prefixes, so the positional
+      // window finds them without signatures — the record-linkage
+      // complement to d04's LSH blocking.
+      val docs = t(s, d, "documents")
+      val ts = TextAnalysis.tokens(col("text"))
+      val grams = docs
+        .filter(size(ts) >= 2)
+        .select(col("doc_id"), substring(col("text"), 1, 20).as("bkey"),
+          transform(sequence(lit(1), size(ts) - 1), i =>
+            concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))).as("grams"))
+      Dedup.sortedNeighborhoodPairs(grams, "doc_id", col("bkey"), "grams",
+          window = 4, minJaccard = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "d32_setsim_join" -> ((s, d) => {
       // EXACT set-similarity self-join (AllPairs prefix filtering): every
       // doc pair with bigram-Jaccard >= 0.5, no all-pairs pass, no
@@ -2657,6 +2675,34 @@ object SparkEntry {
         |WHERE rk <= 15 ORDER BY lang, doc_id""".stripMargin,
     // brute-force ground truth — no prefix filter; equality proves the
     // Spark side's pruning is lossless
+    // d34: the same bigram sets as d32, but candidates come from the
+    // positional window over the (text-prefix, id) sort order — the oracle
+    // recomputes the global order with a window row_number and pairs rows
+    // at distance 1..3, so the hash also checks the scalable position
+    // assignment (range partitions + offsets) against a plain sort.
+    "d34_sorted_neighborhood" ->
+      """WITH toks AS (
+        |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+        |  FROM documents
+        |), f AS (SELECT * FROM toks WHERE len(ts) >= 2),
+        |grams AS (
+        |  SELECT doc_id, substr(text, 1, 20) AS bkey,
+        |         list_sort(list_distinct([ts[i] || ' ' || ts[i+1] FOR i IN range(1, len(ts))])) AS gs
+        |  FROM f
+        |), pos AS (
+        |  SELECT doc_id, gs, len(gs) AS m,
+        |         row_number() OVER (ORDER BY bkey, doc_id) AS pos
+        |  FROM grams
+        |), cand AS (
+        |  SELECT least(a.doc_id, b.doc_id) AS id_a, greatest(a.doc_id, b.doc_id) AS id_b,
+        |         len(list_intersect(a.gs, b.gs)) AS inter,
+        |         CASE WHEN a.doc_id < b.doc_id THEN a.m ELSE b.m END AS m_a,
+        |         CASE WHEN a.doc_id < b.doc_id THEN b.m ELSE a.m END AS m_b
+        |  FROM pos a JOIN pos b ON b.pos - a.pos BETWEEN 1 AND 3
+        |)
+        |SELECT id_a, id_b, inter, m_a, m_b FROM cand
+        |WHERE inter * 2 >= (m_a + m_b - inter)
+        |ORDER BY id_a, id_b""".stripMargin,
     "d32_setsim_join" ->
       """WITH toks AS (
         |  SELECT doc_id, ts FROM (

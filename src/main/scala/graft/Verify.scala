@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val sfDir = args(0)
+    val outDir = args(1)
+    // optional third arg: only run queries whose name contains the filter
+    // (local iteration; the driver always passes exactly two args)
+    val nameFilter = if (args.length > 2) Some(args(2)) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -21,7 +25,11 @@ object Verify {
     // SparkSession is thread-safe for concurrent job submission.
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(2, cpus.toInt))
-    val futures = SparkEntry.queries.toSeq.map { case (name, fn) =>
+    val selected = nameFilter match {
+      case Some(f) => SparkEntry.queries.filter(_._1.contains(f))
+      case None    => SparkEntry.queries
+    }
+    val futures = selected.toSeq.map { case (name, fn) =>
       pool.submit(new Runnable {
         def run(): Unit =
           try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

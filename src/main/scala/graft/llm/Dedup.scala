@@ -632,6 +632,72 @@ object Dedup {
         (coalesce(col("component"), col("id")) === col("id")).as("keep"))
   }
 
+  /**
+   * Sorted-neighborhood blocking (Hernández & Stolfo, "The Merge/Purge
+   * Problem for Large Databases", SIGMOD'95): order the corpus ONCE by a
+   * caller-supplied blocking key, and only rows within `window` positions
+   * of each other become candidate pairs — O(n·window) candidates instead
+   * of O(n²) — then verify candidates with EXACT token-set Jaccard. The
+   * classic record-linkage complement to LSH ([[minhashLsh]]): it needs no
+   * signatures, and a good blocking key (sort-normalized name, text
+   * prefix, zip code) places near-dups adjacently regardless of how many
+   * tokens they share.
+   *
+   * Scale design: a global `row_number` window would funnel the corpus
+   * through ONE task, so the global position is assigned the scalable way
+   * — `repartitionByRange(key, id)` (sampled range exchange, the Z-order
+   * write-path trick) + per-partition indexes + partition-count offsets
+   * (`zipWithIndex`'s one extra counting job; no single-task stage). The
+   * neighbor pairing is then ONE equi-join on position (each row joins to
+   * its `window − 1` predecessors via a static offset explode), and gram
+   * arrays are shipped exactly once per side. Output: `(id_a, id_b,
+   * inter, m_a, m_b)` with `Jaccard = inter/(m_a + m_b − inter) ≥
+   * minJaccard` enforced in exact integer arithmetic (hash-safe).
+   */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, blockKey: Column,
+                              tokCol: String, window: Int,
+                              minJaccard: Double): DataFrame = {
+    require(window >= 2, s"window=$window must be >= 2")
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard=$minJaccard must be in (0, 1]")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).as("id"), blockKey.as("__bk"),
+      sort_array(array_distinct(col(tokCol))).as("__gs"))
+      .withColumn("__m", size(col("__gs")))
+    // scalable global position: range-partition on (key, id), sort within
+    // partitions, then per-partition index + cumulative partition offsets
+    val sorted = base
+      .repartitionByRange(spark.sparkContext.defaultParallelism,
+        col("__bk"), col("id"))
+      .sortWithinPartitions("__bk", "id")
+    val posSchema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType)
+    val withPos = spark.createDataFrame(
+      sorted.rdd.zipWithIndex().map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, posSchema)
+    // each row pairs with its window-1 predecessors: explode the offsets on
+    // the slim (pos, id) side, equi-join on position — positions are unique,
+    // so every unordered pair is emitted at most once (no distinct needed)
+    val slim = withPos.select(col("pos"), col("id"))
+    val probe = slim
+      .select(explode(sequence(lit(1), lit(window - 1))).as("__o"),
+        col("pos"), col("id").as("__id_hi"))
+      .select((col("pos") - col("__o")).as("pos"), col("__id_hi"))
+      .filter(col("pos") >= 1L)
+    val cands = slim.join(probe, "pos")
+      .select(least(col("id"), col("__id_hi")).as("id_a"),
+        greatest(col("id"), col("__id_hi")).as("id_b"))
+    val sets = withPos.select(col("id"), col("__gs"), col("__m"))
+    val num = math.round(minJaccard * 1000000)
+    cands
+      .join(sets.select(col("id").as("id_a"), col("__gs").as("__ga"), col("__m").as("m_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("__gs").as("__gb"), col("__m").as("m_b")), Seq("id_b"))
+      .withColumn("inter", size(array_intersect(col("__ga"), col("__gb"))))
+      .filter(col("inter") * lit(1000000L) >=
+        lit(num) * (col("m_a") + col("m_b") - col("inter")))
+      .select("id_a", "id_b", "inter", "m_a", "m_b")
+  }
+
   /** Exact all-pairs variant (the correctness baseline / oracle path):
     * O(n²/2) — bound the input (subset, partition) before calling at scale. */
   def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,

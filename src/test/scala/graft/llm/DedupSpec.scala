@@ -280,6 +280,37 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.setSimilarityJoin(edge, "id", "toks", minJaccard = 0.5).count() == 1L)
   }
 
+  test("sortedNeighborhoodPairs: window candidates match a brute-force positional pairing") {
+    // keys chosen so near-dups sort adjacently and a far pair does NOT,
+    // proving both the find and the blocking miss are positional
+    val rows = Seq(
+      (10L, "aaa", Seq("x", "y", "z", "w")),
+      (11L, "aab", Seq("x", "y", "z", "q")),      // adjacent near-dup of 10
+      (12L, "mmm", Seq("p", "q", "r")),
+      (13L, "zzz", Seq("x", "y", "z", "w")),      // IDENTICAL to 10 but sorts far away
+      (14L, "mmn", Seq("p", "q", "s"))            // adjacent near-dup of 12
+    )
+    val df = rows.toDF("id", "bkey", "toks")
+    val got = Dedup.sortedNeighborhoodPairs(df, "id", col("bkey"), "toks",
+        window = 2, minJaccard = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // brute force: sort by (bkey, id), pair only adjacent positions, Jaccard >= 0.5
+    val order = rows.sortBy(r => (r._2, r._1)).map(r => (r._1, r._3.toSet))
+    val expect = order.sliding(2).collect {
+      case Seq((ia, ta), (ib, tb))
+        if (ta & tb).size * 2 >= (ta.size + tb.size - (ta & tb).size) =>
+        (math.min(ia, ib), math.max(ia, ib))
+    }.toSet
+    assert(expect == Set((10L, 11L), (12L, 14L)), s"fixture expectation drifted: $expect")
+    assert(got == expect, s"only_spark=${got -- expect} only_brute=${expect -- got}")
+    // widening the window to cover the whole corpus must surface the far
+    // identical pair too (blocking recall is a function of w, not similarity)
+    val gotWide = Dedup.sortedNeighborhoodPairs(df, "id", col("bkey"), "toks",
+        window = 5, minJaccard = 0.99)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(gotWide.contains((10L, 13L)))
+  }
+
   test("winnowKeys: selection matches a brute-force winnow; rightmost tie rule") {
     val s = "abcabcabcabcxyzq"  // repeated structure forces equal gram hashes
     val k = 4; val w = 3
