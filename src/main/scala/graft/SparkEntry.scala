@@ -1433,6 +1433,23 @@ object SparkEntry {
           audited, s"s09_audit_${System.nanoTime()}", outputMode = "complete")
         .orderBy(col("check_name"))
     }),
+    "q50_pagerank" -> ((s, d) => {
+      // 5 power-iteration rounds on the same deterministic affine-map graph
+      // as q46, with the ORDERED-fold variant: every inbound sum folds in
+      // ascending-src order, so all 5 rounds of doubles are bit-identical
+      // across engines (the q45 exact-fold trick) and the top-20 ranks
+      // hash-check against DuckDB's unrolled 5-round CTE. Production path
+      // is the unordered map-side-combinable sum (orderedFold = false).
+      val part = t(s, d, "part").select(col("p_partkey"))
+      val withN = part.crossJoin(broadcast(part.agg(count(lit(1)).as("__n"))))
+      val raw = Seq((31, 7), (17, 3), (13, 11), (7, 1), (41, 19)).map { case (a, b) =>
+        withN.select(col("p_partkey").as("src"),
+          (pmod(col("p_partkey") * a + b, col("__n")) + 1).as("dst"))
+      }.reduce(_.unionByName(_))
+      graft.ops.Graph.pageRank(raw, iterations = 5, damping = 0.85,
+          orderedFold = true)
+        .orderBy(col("r").desc, col("v")).limit(20)
+    }),
     "q46_triangle_count" -> ((s, d) => {
       // degree-oriented distributed triangle count (Suri-Vassilvitskii) on a
       // deterministic sparse affine-map graph over part keys — scale-free
@@ -1562,6 +1579,39 @@ object SparkEntry {
 
   /** Shared oracle for q47 (batch funnel) and s10 (flatMapGroupsWithState
     * funnel state machine) — the stream must converge to the batch answer. */
+  /** q50's oracle: 5 unrolled PageRank rounds over the q46 affine graph.
+    * Each round's inbound sum is an ORDERED `list_reduce` (ascending src)
+    * so every double matches the Spark ordered fold bit for bit —
+    * list_reduce has no init, but 0.0 + c == c exactly for the positive
+    * contributions, so the missing seed cannot diverge from Spark's
+    * aggregate(…, 0.0, +). Generated per round to keep the 5 copies
+    * literally identical. */
+  private val pageRankOracleSql: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT vv.v, (1.0::DOUBLE - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * COALESCE(s.s, 0.0::DOUBLE) AS r
+         |  FROM v vv CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS v, list_reduce(list(rp.r / od.od ORDER BY e.src), (x,y) -> x + y) AS s
+         |    FROM e JOIN r${k - 1} rp ON rp.v = e.src JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) s USING (v)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+       |raw AS (
+       |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n0.n) + 1 FROM part, n0
+       |), e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+       |v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM v),
+       |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT v.v, 1.0::DOUBLE / nn.n AS r FROM v, nn),
+       |$rounds
+       |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 20""".stripMargin
+  }
+
   private val funnelOracleSql: String =
     """WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
         |s1 AS (SELECT user_id, MIN(us) AS t1 FROM ev WHERE event_type = 'view' GROUP BY 1),
@@ -2787,6 +2837,7 @@ object SparkEntry {
         |)
         |SELECT check_name, n.c AS n_rows, n_violations, n_violations = 0 AS passed
         |FROM v, n ORDER BY check_name""".stripMargin,
+    "q50_pagerank" -> pageRankOracleSql,
     "q46_triangle_count" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM part),
         |raw AS (

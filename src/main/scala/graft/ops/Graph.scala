@@ -27,6 +27,59 @@ object Graph {
     e.filter(col("src") < col("dst")).distinct()
   }
 
+  /**
+   * PageRank by power iteration over the DIRECTED edge list (distinct
+   * edges, self-loops dropped): `r' = (1−d)/N + d·Σ_in r/outdeg`, dangling
+   * mass dropped (a sink's rank re-enters only through the teleport term —
+   * deterministic and documented; the classic redistribute variant adds a
+   * per-round global scalar exchange for little analytical difference).
+   *
+   * Scale: each round is two equi-joins keyed on `src` (rank + out-degree
+   * attach) and one aggregation keyed on `dst` — AQE-splittable shuffles
+   * whose width follows the edge set; `localCheckpoint` per round truncates
+   * the iterative lineage exactly like [[ConnectedComponents]]. No driver
+   * collect; N rides along as a broadcast 1-row frame.
+   *
+   * `orderedFold = true` sums each vertex's inbound contributions in
+   * ascending-`src` order with an explicit left fold instead of `sum()`.
+   * Same O(E) work, but the floating-point result becomes ENGINE-PORTABLE
+   * (every add is IEEE exactly-rounded, so a fixed fold order fixes the
+   * bits — the q45 EWMA trick) — that's what lets an external oracle
+   * hash-check 5 rounds of doubles. The default unordered `sum` is the
+   * 100 TB path: map-side partials, no per-vertex array.
+   */
+  def pageRank(edges: DataFrame, iterations: Int, damping: Double = 0.85,
+               orderedFold: Boolean = false): DataFrame = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val e = edges.select(col("src"), col("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val verts = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    val n = broadcast(verts.agg(count(lit(1)).as("__n")))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
+    var ranks = verts.crossJoin(n)
+      .select(col("v"), (lit(1.0) / col("__n")).as("r"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.withColumnRenamed("v", "src"), "src")
+        .join(outdeg, "src")
+        .select(col("dst").as("v"), col("src"), (col("r") / col("__od")).as("c"))
+      val sums =
+        if (orderedFold)
+          contribs.groupBy("v").agg(
+            aggregate(sort_array(collect_list(struct(col("src"), col("c")))),
+              lit(0.0), (acc, x) => acc + x.getField("c")).as("__s"))
+        else
+          contribs.groupBy("v").agg(sum(col("c")).as("__s"))
+      ranks = verts.join(sums, Seq("v"), "left").crossJoin(n)
+        .select(col("v"),
+          ((lit(1.0) - lit(damping)) / col("__n") +
+            lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Total triangle count of the undirected graph. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)

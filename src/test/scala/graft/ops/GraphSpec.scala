@@ -39,6 +39,35 @@ class GraphSpec extends SparkSpec {
     assert(count(edges) == brute(edges))
   }
 
+  test("pageRank: hand-computed two-node exchange; mass conservation; fold paths agree") {
+    // 1 <-> 2: symmetric, so ranks stay at 1/2 every round
+    val sym = Graph.pageRank(Seq((1L, 2L), (2L, 1L)).toDF("src", "dst"),
+        iterations = 3, orderedFold = true)
+      .as[(Long, Double)].collect().toMap
+    assert(sym(1L) == 0.5 && sym(2L) == 0.5)
+
+    // no dangling nodes -> total rank mass stays 1 (up to float error)
+    val n = 40L
+    val edges = (1L to n).flatMap { p =>
+      Seq((p, (p * 31 + 7) % n + 1), (p, (p * 17 + 3) % n + 1))
+    }.filter(e => e._1 != e._2)
+    // every vertex 1..n has an out-edge in this construction
+    val df = edges.toDF("src", "dst")
+    val ranks = Graph.pageRank(df, iterations = 5).as[(Long, Double)].collect()
+    assert(math.abs(ranks.map(_._2).sum - 1.0) < 1e-9)
+    // ordered fold is the same algorithm, just a fixed fold order
+    val ordered = Graph.pageRank(df, iterations = 5, orderedFold = true)
+      .as[(Long, Double)].collect().toMap
+    ranks.foreach { case (v, r) => assert(math.abs(r - ordered(v)) < 1e-12) }
+
+    // sink drops mass: 1 -> 2 with 2 dangling loses 2's mass each round
+    val sink = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
+      iterations = 1, orderedFold = true).as[(Long, Double)].collect().toMap
+    // r1(1) = 0.15/2 (no inbound); r1(2) = 0.15/2 + 0.85 * 0.5
+    assert(sink(1L) == (1.0 - 0.85) / 2)
+    assert(sink(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
