@@ -1250,6 +1250,25 @@ object SparkEntry {
           nExact == 0 || nCelled.toDouble / nExact >= 0.8))
         .toDF("n_exact_dropped", "subset_ok", "recall_ok")
     }),
+    "d35_bpe_encode" -> ((s, d) => {
+      // the other half of the tokenizer story: ENCODE the corpus with the
+      // 6 rules d28 learns (applyMerges — a narrow per-word greedy fold,
+      // merge list arrives as literals, no join) and aggregate integer
+      // token statistics per source. The oracle replays training AND
+      // encoding, so the gate covers the full learn -> tokenize loop.
+      val docs = t(s, d, "documents")
+      val merges = graft.llm.Bpe.learnMerges(docs, "text", numMerges = 6)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      graft.llm.Bpe.applyMerges(docs, merges)
+        .select(col("source"), explode(col("bpe_tokens")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          countDistinct(col("tok")).as("n_distinct"),
+          sum(length(col("tok"))).as("n_chars"))
+        .orderBy("source")
+    }),
     "d28_bpe_merges" -> ((s, d) => {
       // distributed BPE merge learning, oracle-checked END TO END: six
       // training rounds (pair-count aggregate over the cached word-freq
@@ -1699,11 +1718,13 @@ object SparkEntry {
       s"((($x >> $i) & 1) << ${2 * i + 1}) + ((($y >> $i) & 1) << ${2 * i})")
       .mkString(" + ")
 
-  /** The d28 oracle: `numMerges` BPE training rounds unrolled as CTEs —
-    * each round recomputes pair counts from the previous round's word
-    * table, picks the argmax rule (count DESC, pair ASC), and re-segments
-    * with the same greedy string fold the Spark side runs. */
-  private def bpeOracleSql(numMerges: Int): String = {
+  /** Shared BPE-training CTE prefix (d28/d35 oracles): `numMerges` rounds
+    * unrolled — each round recomputes pair counts from the previous
+    * round's word table, picks the argmax rule (count DESC, pair ASC),
+    * and re-segments with the same greedy string fold the Spark side
+    * runs. The original word `w` rides along so the final round doubles
+    * as a word → BPE-token-sequence dictionary (d35's encode). */
+  private def bpeRoundsCte(numMerges: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH tk AS (
@@ -1711,7 +1732,7 @@ object SparkEntry {
         |), wf AS (
         |  SELECT w, COUNT(*) AS freq FROM tk WHERE length(w) > 0 GROUP BY w
         |), w0 AS (
-        |  SELECT array_to_string(list_transform(range(1, length(w) + 1),
+        |  SELECT w, array_to_string(list_transform(range(1, length(w) + 1),
         |    i -> substring(w, i, 1)), ' ') AS sym, freq FROM wf
         |)""".stripMargin)
     for (m <- 1 to numMerges) {
@@ -1726,18 +1747,38 @@ object SparkEntry {
         |  FROM (SELECT pair, SUM(freq) AS n FROM p$m GROUP BY pair
         |        ORDER BY n DESC, pair LIMIT 1)
         |), w$m AS (
-        |  SELECT list_reduce(string_split(w.sym, ' '),
+        |  SELECT w.w, list_reduce(string_split(w.sym, ' '),
         |    (acc, x) -> CASE WHEN (acc = b.lft OR ends_with(acc, ' ' || b.lft)) AND x = b.rgt
         |                THEN acc || x ELSE acc || ' ' || x END) AS sym, w.freq
         |  FROM w${m - 1} w CROSS JOIN b$m b
         |)""".stripMargin)
     }
-    sb.append("\n")
-    sb.append((1 to numMerges)
-      .map(m => s"SELECT merge_rank, lft, rgt, pair_freq FROM b$m")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank"))
     sb.toString
   }
+
+  private def bpeOracleSql(numMerges: Int): String =
+    bpeRoundsCte(numMerges) + "\n" + (1 to numMerges)
+      .map(m => s"SELECT merge_rank, lft, rgt, pair_freq FROM b$m")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY merge_rank")
+
+  /** The d35 oracle: learn the same 6 rules, then ENCODE the corpus with
+    * the final word → token-sequence dictionary and aggregate integer
+    * token statistics per source (all counts — hash-safe). */
+  private def bpeEncodeOracleSql(numMerges: Int): String =
+    bpeRoundsCte(numMerges) + s""",
+      |enc AS (SELECT w, string_split(sym, ' ') AS toks FROM w$numMerges),
+      |wfs AS (
+      |  SELECT source, w, COUNT(*) AS freq FROM (
+      |    SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+      |    FROM documents) WHERE length(w) > 0 GROUP BY 1, 2
+      |), ex AS (
+      |  SELECT wfs.source, t.tok, wfs.freq
+      |  FROM wfs JOIN enc USING (w), LATERAL unnest(enc.toks) AS t(tok)
+      |)
+      |SELECT source, CAST(SUM(freq) AS BIGINT) AS n_tokens,
+      |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
+      |  CAST(SUM(freq * length(tok)) AS BIGINT) AS n_chars
+      |FROM ex GROUP BY source ORDER BY source""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
@@ -2710,6 +2751,7 @@ object SparkEntry {
         |  TRUE AS subset_ok, TRUE AS recall_ok
         |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
     "d28_bpe_merges" -> bpeOracleSql(6),
+    "d35_bpe_encode" -> bpeEncodeOracleSql(6),
     // identical multiplicative-hash uniform and A-ES ranking; only the
     // integer sample is hashed (ln key is engine-local, d25 rule)
     "d29_weighted_sample" ->
