@@ -1432,6 +1432,28 @@ object SparkEntry {
         .filter(col("df").between(3, 40))
         .orderBy(col("gram"))
     }),
+    "s11_stream_heavy_hitters" -> ((s, d) => {
+      // q38's heavy hitters with the corpus arriving as a STREAM: per-token
+      // counts run as a stateful streaming aggregation (map-side partials
+      // against the state store, complete mode); top-20 is taken on the
+      // final state. Hash-checked against the same exact-count oracle as
+      // q38 (minus the sketch column — the state store IS the exact
+      // counter here; the mergeable CMS stays the batch/sketch path).
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val counts = stream
+        .select(explode(TextAnalysis.tokens(col("text"))).as("item"))
+        .groupBy("item").agg(count(lit(1)).as("n"))
+      graft.streaming.Streaming.runAvailableNow(
+          counts, s"s11_hh_${System.nanoTime()}", outputMode = "complete")
+        .orderBy(col("n").desc, col("item")).limit(20)
+    }),
     "s09_stream_audit" -> ((s, d) => {
       // q42's row-check audit over the orders stream: row checks fold into
       // a streaming GLOBAL aggregate (map-side partials against the state
@@ -2636,6 +2658,13 @@ object SparkEntry {
         |  FROM documents
         |)
         |SELECT item, COUNT(*) AS n, TRUE AS cms_ok FROM tok
+        |GROUP BY item ORDER BY n DESC, item LIMIT 20""".stripMargin,
+    "s11_stream_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS item
+        |  FROM documents
+        |)
+        |SELECT item, COUNT(*) AS n FROM tok
         |GROUP BY item ORDER BY n DESC, item LIMIT 20""".stripMargin,
     // the streaming scrub is stateless, so its availableNow output is the
     // batch result bit for bit — same oracle as d23

@@ -161,6 +161,22 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((10L, 21L), (10L, 22L)), s"got $out")
   }
 
+  test("streaming token counts accumulate in the state store and match batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-hh").toString
+    Seq((1L, "a b a"), (2L, "b c")).toDF("doc_id", "text").write.parquet(s"$dir/d1")
+    Seq((3L, "a b")).toDF("doc_id", "text").write.mode("append").parquet(s"$dir/d1")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    val stream = Streaming.availableNowFileStream(spark, s"$dir/d1", schema)
+    val counts = stream
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val out = Streaming.runAvailableNow(counts,
+        s"t_${System.nanoTime()}", outputMode = "complete")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+  }
+
   test("streaming near-dup ingest: batch self-dedup, index dedup across drops, index growth") {
     val root = java.nio.file.Files.createTempDirectory("graft-neardup").toString
     val schema = StructType(Seq(
