@@ -225,6 +225,45 @@ object ScaleBench {
       .filter(!col("keep")).agg(count(lit(1))).head().getLong(0)
     val secs9 = (System.nanoTime() - t9) / 1e9
     println(f"""{"metric":"scale_semantic_dedup","vectors":$nSem,"planted_dups":${nSem - nSemBase},"dropped":$semDropped,"sec":$secs9%.2f,"vectors_per_sec":${(nSem / secs9).toLong}}""")
+
+    // PageRank at graph scale (q50's operator, production unordered-sum
+    // path): 2M vertices x 5 out-edges, 5 rounds. Per-round cost is two
+    // src-keyed equi-joins + one dst-keyed map-side-combinable aggregate —
+    // AQE-splittable shuffles, lineage truncated per round. Mass stays
+    // <= 1 (dangling drop), reported as a sanity figure.
+    val nPrVerts = math.min(nTiles * 2, 2000000L)
+    val prEdges = Seq((31L, 7L), (17L, 3L), (13L, 11L), (7L, 1L), (41L, 19L))
+      .map { case (a, b) =>
+        spark.range(nPrVerts).select(col("id").as("src"),
+          ((col("id") * a + b) % nPrVerts).as("dst"))
+      }.reduce(_.unionByName(_)).repartition(cpus.toInt * 4)
+    val t10 = System.nanoTime()
+    val prStats = graft.ops.Graph.pageRank(prEdges, iterations = 5)
+      .agg(count(lit(1)).as("n"), sum(col("r")).as("mass")).head()
+    val secs10 = (System.nanoTime() - t10) / 1e9
+    println(f"""{"metric":"scale_pagerank","edges":${nPrVerts * 5},"vertices":${prStats.getLong(0)},"mass":${prStats.getDouble(1)}%.4f,"rounds":5,"sec":$secs10%.2f,"edge_rounds_per_sec":${(nPrVerts * 5 * 5 / secs10).toLong}}""")
+
+    // Sorted-neighborhood blocking at corpus scale (d34's operator): 1M
+    // rows, 20% planted dups sharing the blocking key so they sort
+    // adjacent. The global position comes from the range-partitioned
+    // zipWithIndex path (no single-task window); candidates are exactly
+    // n*(w-1) before the Jaccard verify.
+    val nSnm = math.min(nTiles, 1000000L)
+    val snmBase = nSnm * 4 / 5
+    val snmRows = spark.range(nSnm).select(col("id"), (col("id") % snmBase).as("b"))
+      .select(col("id"),
+        concat(lit("k"), lpad(col("b").cast("string"), 9, "0")).as("bkey"),
+        transform(sequence(lit(0), lit(29)), j =>
+          concat(lit("t"), (((col("b") * 31 + j) * 2654435761L) % 1000000L +
+            when(col("id") >= snmBase && j === lit(0), lit(1L)).otherwise(lit(0L)))
+            .cast("string"))).as("toks"))
+      .repartition(cpus.toInt * 4)
+    val t11 = System.nanoTime()
+    val nSnmPairs = graft.llm.Dedup.sortedNeighborhoodPairs(snmRows, "id",
+        col("bkey"), "toks", window = 4, minJaccard = 0.8)
+      .agg(count(lit(1))).head().getLong(0)
+    val secs11 = (System.nanoTime() - t11) / 1e9
+    println(f"""{"metric":"scale_sorted_neighborhood","rows":$nSnm,"planted_dups":${nSnm - snmBase},"pairs":$nSnmPairs,"sec":$secs11%.2f,"rows_per_sec":${(nSnm / secs11).toLong}}""")
     spark.stop()
   }
 }

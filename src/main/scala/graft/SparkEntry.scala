@@ -1260,9 +1260,24 @@ object SparkEntry {
       val merges = graft.llm.Bpe.learnMerges(docs, "text", numMerges = 6)
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq
-      graft.llm.Bpe.applyMerges(docs, merges)
-        .select(col("source"), explode(col("bpe_tokens")).as("tok"))
-        .filter(length(col("tok")) > 0)
+      // encode each DISTINCT word once (the greedy fold runs at vocabulary
+      // size, not corpus size — words repeat) and broadcast the dictionary
+      // back onto the corpus explode; the corpus-sized stages stay narrow
+      // localCheckpoint MATTERS here: un-materialized, the dict's greedy-
+      // fold expression rides through the broadcast join and Catalyst
+      // re-evaluates it per CORPUS row (~300k times) instead of per
+      // vocabulary row — the d21 CollapseProject lesson in join form
+      val dict = graft.llm.Bpe.applyMerges(
+        docs.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+          .filter(length(col("w")) > 0).distinct()
+          .repartition(s.sparkContext.defaultParallelism),
+        merges, textCol = "w", outCol = "toks")
+        .localCheckpoint()
+      docs.repartition(s.sparkContext.defaultParallelism)
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .join(broadcast(dict), "w")
+        .select(col("source"), explode(col("toks")).as("tok"))
         .groupBy("source")
         .agg(count(lit(1)).as("n_tokens"),
           countDistinct(col("tok")).as("n_distinct"),
@@ -1314,7 +1329,12 @@ object SparkEntry {
       // integer arithmetic. Near-dups share prefixes, so the positional
       // window finds them without signatures — the record-linkage
       // complement to d04's LSH blocking.
+      // a small parquet arrives as ONE partition — spread BEFORE the gram
+      // build, or the interpreted bigram transform runs single-threaded
+      // when the checkpoint materializes it (count() never showed it: the
+      // column gets pruned)
       val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
       val ts = TextAnalysis.tokens(col("text"))
       val grams = docs
         .filter(size(ts) >= 2)

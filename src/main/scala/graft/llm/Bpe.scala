@@ -98,14 +98,39 @@ object Bpe {
     spark.createDataFrame(learned.toSeq).toDF("merge_rank", "lft", "rgt", "pair_freq")
   }
 
+  /** [[applyMerge]] with the rule arriving as a runtime struct value
+    * (lambda-captured) instead of string literals. */
+  private def applyMergeDyn(sym: Column, rule: Column): Column = {
+    val lft = rule.getField("l")
+    val rgt = rule.getField("r")
+    val parts = split(sym, " ")
+    aggregate(slice(parts, lit(2), size(parts) - 1), element_at(parts, 1),
+      (acc, x) =>
+        when((acc === lft || acc.endsWith(concat(lit(" "), lft))) && x === rgt,
+          concat(acc, rgt))
+          .otherwise(concat(acc, lit(" "), x)))
+  }
+
   /** Tokenize `textCol` with a learned merge table: each word's characters
     * re-folded through the rules in rank order. The merge list is tiny and
-    * arrives as literals — a narrow projection, no join, no shuffle. */
+    * arrives as an array literal — a narrow projection, no join, no
+    * shuffle.
+    *
+    * The rule chain is a RUNTIME fold (`aggregate` over the merges array),
+    * not a compile-time one: folding Columns with `merges.foldLeft` would
+    * nest each round's symbol expression inside the next, and since
+    * [[applyMergeDyn]] references its input 3× (slice/size/element_at of
+    * the split), Catalyst would re-evaluate the whole upstream chain 3×
+    * per level — 3^k blowup per word (20+ minutes at sf0.1 with k = 6).
+    * As an array fold the accumulator is a materialized VALUE between
+    * rounds, so the cost is the honest O(k·len) per word. */
   def applyMerges(docs: DataFrame, merges: Seq[(String, String)],
-                  textCol: String = "text", outCol: String = "bpe_tokens"): DataFrame =
+                  textCol: String = "text", outCol: String = "bpe_tokens"): DataFrame = {
+    val ruleArr = array(merges.map { case (l, r) =>
+      struct(lit(l).as("l"), lit(r).as("r"))
+    }: _*)
     docs.withColumn(outCol,
       flatten(transform(TextAnalysis.tokens(col(textCol)), w =>
-        split(merges.foldLeft(charSym(w)) {
-          case (sym, (lft, rgt)) => applyMerge(sym, lft, rgt)
-        }, " "))))
+        split(aggregate(ruleArr, charSym(w), (sym, rule) => applyMergeDyn(sym, rule)), " "))))
+  }
 }

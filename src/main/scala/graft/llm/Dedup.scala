@@ -644,10 +644,14 @@ object Dedup {
    * tokens they share.
    *
    * Scale design: a global `row_number` window would funnel the corpus
-   * through ONE task, so the global position is assigned the scalable way
-   * — `repartitionByRange(key, id)` (sampled range exchange, the Z-order
-   * write-path trick) + per-partition indexes + partition-count offsets
-   * (`zipWithIndex`'s one extra counting job; no single-task stage). The
+   * through ONE task, so the global position is assembled declaratively —
+   * `repartitionByRange(key, id)` (sampled range exchange, the Z-order
+   * write-path trick) fixes an ORDERED partitioning, then each row's
+   * position is its per-partition `row_number` (windows keyed on
+   * `spark_partition_id()` — parallel) plus the cumulative count of the
+   * partitions before it (a partition-count offset table, P rows). Range
+   * partitions are ordered and (key, id) is a strict total order, so the
+   * result is independent of where the sampled boundaries fall. The
    * neighbor pairing is then ONE equi-join on position (each row joins to
    * its `window − 1` predecessors via a static offset explode), and gram
    * arrays are shipped exactly once per side. Output: `(id_a, id_b,
@@ -664,17 +668,24 @@ object Dedup {
     val base = df.select(col(idCol).as("id"), blockKey.as("__bk"),
       sort_array(array_distinct(col(tokCol))).as("__gs"))
       .withColumn("__m", size(col("__gs")))
-    // scalable global position: range-partition on (key, id), sort within
-    // partitions, then per-partition index + cumulative partition offsets
-    val sorted = base
+    // capture the range partition id BEFORE any further exchange; the
+    // localCheckpoint both freezes the (sampled) partitioning the offsets
+    // are computed against and stops the gram build re-running per consumer
+    val ranged = base
       .repartitionByRange(spark.sparkContext.defaultParallelism,
         col("__bk"), col("id"))
-      .sortWithinPartitions("__bk", "id")
-    val posSchema = sorted.schema.add("pos", org.apache.spark.sql.types.LongType)
-    val withPos = spark.createDataFrame(
-      sorted.rdd.zipWithIndex().map { case (r, i) =>
-        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
-      }, posSchema)
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint()
+    // P-row offset table: rows in earlier range partitions precede ALL rows
+    // of later ones, so global pos = partition offset + in-partition rank
+    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"),
+        (sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt")).as("__off"))
+    // checkpointed: feeds the slim pair join (twice) and both gram attaches
+    val withPos = ranged.join(broadcast(offsets), "__pid")
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("__pid").orderBy("__bk", "id")) + col("__off"))
+      .localCheckpoint()
     // each row pairs with its window-1 predecessors: explode the offsets on
     // the slim (pos, id) side, equi-join on position — positions are unique,
     // so every unordered pair is emitted at most once (no distinct needed)

@@ -59,6 +59,15 @@ class GraphSpec extends SparkSpec {
     val ordered = Graph.pageRank(df, iterations = 5, orderedFold = true)
       .as[(Long, Double)].collect().toMap
     ranks.foreach { case (v, r) => assert(math.abs(r - ordered(v)) < 1e-12) }
+    // the driver fast path and the DISTRIBUTED ordered fold must agree to
+    // the BIT (localThreshold = 0 forces the distributed rounds)
+    val distributed = Graph.pageRank(df, iterations = 5, orderedFold = true,
+      localThreshold = 0).as[(Long, Double)].collect().toMap
+    ordered.foreach { case (v, r) =>
+      assert(java.lang.Double.doubleToLongBits(r) ==
+        java.lang.Double.doubleToLongBits(distributed(v)),
+        s"vertex $v: local $r != distributed ${distributed(v)}")
+    }
 
     // sink drops mass: 1 -> 2 with 2 dangling loses 2's mass each round
     val sink = Graph.pageRank(Seq((1L, 2L)).toDF("src", "dst"),
