@@ -221,7 +221,11 @@ object ScaleBench {
       .localCheckpoint(false)
     val t9 = System.nanoTime()
     val semDropped = graft.llm.Dedup.semanticDedupLsh(semVecs, "vec_id",
-        "embedding", dim = dimV, minCosine = 0.999, bits = 16, tables = 8)
+        // bits = 24 per the operator's own self-join sizing (log2(n) + 4):
+        // 16 bits at 1M rows means ~60M structural candidate pairs whose
+        // vector payloads spill the sort join to disk death — under-
+        // bucketing is THE failure mode this shape exists to demonstrate
+        "embedding", dim = dimV, minCosine = 0.999, bits = 24, tables = 8)
       .filter(!col("keep")).agg(count(lit(1))).head().getLong(0)
     val secs9 = (System.nanoTime() - t9) / 1e9
     println(f"""{"metric":"scale_semantic_dedup","vectors":$nSem,"planted_dups":${nSem - nSemBase},"dropped":$semDropped,"sec":$secs9%.2f,"vectors_per_sec":${(nSem / secs9).toLong}}""")

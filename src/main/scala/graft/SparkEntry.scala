@@ -792,6 +792,22 @@ object SparkEntry {
       import s.implicits._
       Seq(equal).toDF("stream_matches_batch")
     }),
+    "v06_kmeans" -> ((s, d) => {
+      // distributed Lloyd's k-means, oracle-checked BIT FOR BIT: 3 rounds,
+      // k = 4, deterministic lowest-id init, every float widened to double
+      // before arithmetic, distances and centroid means folded in fixed
+      // order (the q50 exact-fold contract extended to vectors). DuckDB
+      // replays all 3 rounds as unrolled CTEs — assignment argmins,
+      // centroid means, member counts, and within-cluster inertia must all
+      // reproduce exactly.
+      val emb = t(s, d, "embeddings")
+        .repartition(s.sparkContext.defaultParallelism)
+      graft.llm.Clustering.lloyd(emb, "vec_id", "embedding", k = 4,
+          iterations = 3, orderedFold = true)
+        .select(col("cluster"), col("n"), col("inertia"),
+          posexplode(col("centroid")).as(Seq("dim", "c")))
+        .orderBy(col("cluster"), col("dim"))
+    }),
     "v05_ann_opq" -> ((s, d) => {
       // OPQ-ADC: same recall@R shortlist gate as v04 (true top-5 in the ADC
       // top-50, total >= 0.8, all queries found; measured 0.90-1.0 at every
@@ -1347,14 +1363,20 @@ object SparkEntry {
     }),
     "d32_setsim_join" -> ((s, d) => {
       // EXACT set-similarity self-join (AllPairs prefix filtering): every
-      // doc pair with bigram-Jaccard >= 0.5, no all-pairs pass, no
+      // doc pair with TRIgram-Jaccard >= 0.5, no all-pairs pass, no
       // approximation — the oracle recomputes it brute-force, so the gate
-      // also proves the candidate pruning is lossless.
+      // also proves the candidate pruning is lossless. Trigrams, not
+      // bigrams, deliberately: prefix filtering is only as strong as the
+      // token space is discriminative — on this corpus's ~30-word
+      // vocabulary the ~900 possible bigrams put thousands of docs in each
+      // rare-prefix bucket (16.5M candidate pairs at sf0.1); the ~27k
+      // observed trigrams cut that 38x (430k) with the same operator.
       val grams = t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
-        .filter(size(col("ts")) >= 2)
-        .select(col("doc_id"), transform(sequence(lit(1), size(col("ts")) - 1), i =>
-          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1))).as("grams"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("doc_id"), transform(sequence(lit(1), size(col("ts")) - 2), i =>
+          concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
+            element_at(col("ts"), i + 2))).as("grams"))
       Dedup.setSimilarityJoin(grams, "doc_id", "grams", minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))
     }),
@@ -1640,6 +1662,47 @@ object SparkEntry {
 
   /** Shared oracle for q47 (batch funnel) and s10 (flatMapGroupsWithState
     * funnel state machine) — the stream must converge to the batch answer. */
+  /** v06's oracle: `iters` unrolled Lloyd rounds over the embeddings
+    * table — the same fixed-order float contract as q50/q45 (argmin on
+    * dim-ordered distance folds with ties to the lower cluster id;
+    * centroid means folded over members in ascending-id order from the
+    * first member; inertia likewise), so every double matches the Spark
+    * `Clustering.lloyd(orderedFold = true)` result bit for bit. */
+  private def kmeansOracleSql(k: Int, iters: Int, dim: Int): String = {
+    val dp = dim + 1
+    def dist(v1: String, v2: String) =
+      s"list_reduce(list_transform(range(1, $dp), i -> ($v1[i]-$v2[i])*($v1[i]-$v2[i])), (x,y) -> x + y)"
+    val rounds = (1 to iters).map { m =>
+      s"""a$m AS (SELECT vec_id, v, j AS cluster FROM (
+         |    SELECT e.vec_id, e.v, c.j, row_number() OVER (PARTITION BY e.vec_id
+         |      ORDER BY ${dist("e.v", "c.v")}, c.j) AS rn
+         |    FROM emb e CROSS JOIN c${m - 1} c) t WHERE rn = 1),
+         |g$m AS (SELECT cluster AS j, COUNT(*) AS n, list(v ORDER BY vec_id) AS vs
+         |        FROM a$m GROUP BY cluster),
+         |c$m AS (SELECT j, n, list_transform(
+         |    list_reduce(vs, (acc, x) -> list_transform(range(1, $dp), i -> acc[i] + x[i])),
+         |    s -> s / n) AS v FROM g$m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH emb AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |  FROM embeddings
+       |),
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS j, v
+       |       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT $k) t),
+       |$rounds,
+       |d$iters AS (
+       |  SELECT a.vec_id, a.cluster, ${dist("a.v", "c.v")} AS d2
+       |  FROM a$iters a JOIN c$iters c ON c.j = a.cluster
+       |),
+       |inert AS (SELECT cluster, list_reduce(list(d2 ORDER BY vec_id), (x,y) -> x + y) AS inertia
+       |          FROM d$iters GROUP BY cluster)
+       |SELECT CAST(c$iters.j AS INTEGER) AS cluster, c$iters.n, inert.inertia,
+       |  CAST(u.i - 1 AS INTEGER) AS dim, c$iters.v[u.i] AS c
+       |FROM c$iters JOIN inert ON inert.cluster = c$iters.j,
+       |  LATERAL unnest(range(1, $dp)) AS u(i)
+       |ORDER BY cluster, dim""".stripMargin
+  }
+
   /** q50's oracle: 5 unrolled PageRank rounds over the q46 affine graph.
     * Each round's inbound sum is an ORDERED `list_reduce` (ascending src)
     * so every double matches the Spark ordered fold bit for bit —
@@ -2469,6 +2532,7 @@ object SparkEntry {
       "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(40 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok",
     "v05_ann_opq" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(40 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok",
+    "v06_kmeans" -> kmeansOracleSql(4, 3, 64),
     "d19_minhash_sql" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -2848,10 +2912,10 @@ object SparkEntry {
       """WITH toks AS (
         |  SELECT doc_id, ts FROM (
         |    SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS ts
-        |    FROM documents) WHERE len(ts) >= 2
+        |    FROM documents) WHERE len(ts) >= 3
         |), big AS (
-        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] AS gram
-        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
+        |  SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS gram
+        |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts) - 1)) AS i) u
         |), m AS (SELECT doc_id, COUNT(*) AS m FROM big GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
