@@ -1474,6 +1474,45 @@ object SparkEntry {
         .filter(col("df").between(3, 40))
         .orderBy(col("gram"))
     }),
+    "s12_stream_ivm" -> ((s, d) => {
+      // STREAMING IVM (Streaming.ivmRefreshStream): q51's change set
+      // arrives in 3 microbatches; each merges into the persisted
+      // materialized view via Ivm.refresh with versioned copy-on-write
+      // commits (batch b: read v=b, write v=b+1 — idempotent under
+      // replay). The final version is hash-checked against q51's FULL
+      // RECOMPUTE oracle: stream-merged ≡ batch-refreshed ≡ re-materialized,
+      // regardless of how the delta was split (refresh is associative and
+      // commutative).
+      import graft.ops.Ivm
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val ev = t(ss, d, "events").select(col("event_type"),
+        (col("user_id") % 10).as("user_bucket"),
+        floor(col("value") * 100).as("iv"), col("ts"))
+      val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+      val base = ev.filter(col("ts") < cutoff)
+      val keys = Seq("event_type", "user_bucket")
+      val root = java.nio.file.Files.createTempDirectory("s12").toString
+      Ivm.materialize(base, keys, Seq("iv"))
+        .coalesce(1).write.parquet(s"$root/view/v=0")
+      val deletes = base.filter(col("user_bucket") === 3)
+        .withColumn("__mult", lit(-1L))
+      val inserts = ev.filter(col("ts") >= cutoff && col("user_bucket") =!= 3)
+        .withColumn("__mult", lit(1L))
+      deletes.unionByName(inserts).drop("ts").repartition(3)
+        .write.parquet(s"$root/delta")
+      val schema = StructType(Seq(
+        StructField("event_type", StringType),
+        StructField("user_bucket", LongType), StructField("iv", LongType),
+        StructField("__mult", LongType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/delta")
+      graft.streaming.Streaming.ivmRefreshStream(stream, s"$root/view",
+          s"$root/ckpt", keys, Seq("iv"), "__mult")
+        .awaitTermination()
+      graft.streaming.Streaming.latestIvmView(s, s"$root/view")
+        .orderBy("event_type", "user_bucket")
+    }),
     "s11_stream_heavy_hitters" -> ((s, d) => {
       // q38's heavy hitters with the corpus arriving as a STREAM: per-token
       // counts run as a stateful streaming aggregation (map-side partials
@@ -1532,6 +1571,31 @@ object SparkEntry {
       graft.ops.Graph.pageRank(raw, iterations = 5, damping = 0.85,
           orderedFold = true)
         .orderBy(col("r").desc, col("v")).limit(20)
+    }),
+    "q51_ivm_refresh" -> ((s, d) => {
+      // INCREMENTAL VIEW MAINTENANCE (ops/Ivm): materialize a per-key
+      // COUNT+SUM view over the base slice, then apply a multiplicity-
+      // weighted change set (deletes that wipe every user_bucket-3 row,
+      // inserts from the post-cutoff slice) WITHOUT rescanning the base.
+      // The oracle is the full recompute over the changed base — proving
+      // delta-merge ≡ re-materialization, including whole-group drops
+      // (bucket 3 vanishes: refreshed n_rows hits 0). Sum column is an
+      // integer (floor(value*100)), so the hash is float-safe.
+      import graft.ops.Ivm
+      val ev = t(s, d, "events").select(col("event_type"),
+        (col("user_id") % 10).as("user_bucket"),
+        floor(col("value") * 100).as("iv"), col("ts"))
+      val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
+      val base = ev.filter(col("ts") < cutoff)
+      val view = Ivm.materialize(base,
+        Seq("event_type", "user_bucket"), Seq("iv"))
+      val deletes = base.filter(col("user_bucket") === 3)
+        .withColumn("__mult", lit(-1L))
+      val inserts = ev.filter(col("ts") >= cutoff && col("user_bucket") =!= 3)
+        .withColumn("__mult", lit(1L))
+      Ivm.refresh(view, deletes.unionByName(inserts),
+          Seq("event_type", "user_bucket"), Seq("iv"), "__mult")
+        .orderBy("event_type", "user_bucket")
     }),
     "q46_triangle_count" -> ((s, d) => {
       // degree-oriented distributed triangle count (Suri-Vassilvitskii) on a
@@ -1710,6 +1774,23 @@ object SparkEntry {
     * contributions, so the missing seed cannot diverge from Spark's
     * aggregate(…, 0.0, +). Generated per round to keep the 5 copies
     * literally identical. */
+  /** q51 (batch IVM refresh) and s12 (streamed IVM) share one oracle: the
+    * full recompute over the changed base — the thing IVM exists to avoid
+    * doing, and the ground truth it must equal. */
+  private val ivmOracleSql: String =
+    """WITH ev AS (
+      |  SELECT event_type, user_id % 10 AS user_bucket,
+      |    CAST(floor(value * 100) AS BIGINT) AS iv, ts FROM events
+      |), survivors AS (
+      |  SELECT * FROM ev
+      |  WHERE (ts < TIMESTAMP '2024-01-25 00:00:00' AND user_bucket <> 3)
+      |     OR (ts >= TIMESTAMP '2024-01-25 00:00:00' AND user_bucket <> 3)
+      |)
+      |SELECT event_type, user_bucket, COUNT(*) AS n_rows,
+      |  CAST(SUM(iv) AS BIGINT) AS sum_iv
+      |FROM survivors GROUP BY event_type, user_bucket
+      |ORDER BY event_type, user_bucket""".stripMargin
+
   private val pageRankOracleSql: String = {
     val rounds = (1 to 5).map { k =>
       s"""r$k AS (
@@ -2993,6 +3074,14 @@ object SparkEntry {
         |SELECT check_name, n.c AS n_rows, n_violations, n_violations = 0 AS passed
         |FROM v, n ORDER BY check_name""".stripMargin,
     "q50_pagerank" -> pageRankOracleSql,
+    // q51/s12's oracle deliberately recomputes the aggregate FROM SCRATCH
+    // over the changed base (survivors = base minus deleted bucket plus the
+    // non-bucket-3 post-cutoff inserts): the Spark side must reproduce it
+    // via the incremental delta-merge path (batch q51, streamed s12),
+    // including dropping bucket 3's groups when their refreshed count
+    // reaches zero.
+    "q51_ivm_refresh" -> ivmOracleSql,
+    "s12_stream_ivm" -> ivmOracleSql,
     "q46_triangle_count" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM part),
         |raw AS (

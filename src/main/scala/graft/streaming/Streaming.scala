@@ -256,6 +256,46 @@ object Streaming {
    * size; the index grows as `bands` narrow rows per kept document and
    * should be written partitioned/bucketed on `bucket` at scale.
    */
+  /**
+   * Streaming incremental view maintenance: each microbatch of
+   * multiplicity-weighted delta rows (+1 insert / −1 delete) merges into a
+   * persisted materialized aggregate via [[graft.ops.Ivm.refresh]] — the
+   * streaming face of q51's batch refresh, converging to the identical
+   * view (same oracle).
+   *
+   * The view is VERSIONED copy-on-write: batch `b` reads `viewDir/v=b` and
+   * writes `viewDir/v=b+1` (setup writes the initial materialization at
+   * `v=0`). That makes replay after a crash IDEMPOTENT — a re-run of batch
+   * `b` re-reads the same immutable pre-`b` version and deterministically
+   * overwrites `v=b+1` — which is exactly the transactional-commit shape a
+   * lakehouse table format provides, expressed directly on the filesystem.
+   * Old versions are retained time travel; prune them like checkpoints.
+   * Refresh is associative and commutative (count/sum partials), so the
+   * microbatch split of the delta cannot change the converged view.
+   */
+  def ivmRefreshStream(delta: DataFrame, viewDir: String, checkpointDir: String,
+                       keys: Seq[String], sumCols: Seq[String], multCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    delta.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val view = spark.read.parquet(s"$viewDir/v=$batchId")
+        graft.ops.Ivm.refresh(view, batch, keys, sumCols, multCol)
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$viewDir/v=${batchId + 1}")
+      }
+      .start()
+
+  /** Latest committed version of an [[ivmRefreshStream]] view. */
+  def latestIvmView(spark: SparkSession, viewDir: String): DataFrame = {
+    val latest = new java.io.File(viewDir).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).max
+    spark.read.parquet(s"$viewDir/v=$latest")
+  }
+
   def nearDupIngestStream(docs: DataFrame, indexDir: String, checkpointDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
                           minEstJaccard: Double = 0.5)(
