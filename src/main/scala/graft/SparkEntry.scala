@@ -1562,15 +1562,20 @@ object SparkEntry {
       // across engines (the q45 exact-fold trick) and the top-20 ranks
       // hash-check against DuckDB's unrolled 5-round CTE. Production path
       // is the unordered map-side-combinable sum (orderedFold = false).
-      val part = t(s, d, "part").select(col("p_partkey"))
-      val withN = part.crossJoin(broadcast(part.agg(count(lit(1)).as("__n"))))
-      val raw = Seq((31, 7), (17, 3), (13, 11), (7, 1), (41, 19)).map { case (a, b) =>
-        withN.select(col("p_partkey").as("src"),
-          (pmod(col("p_partkey") * a + b, col("__n")) + 1).as("dst"))
-      }.reduce(_.unionByName(_))
-      graft.ops.Graph.pageRank(raw, iterations = 5, damping = 0.85,
-          orderedFold = true)
+      graft.ops.Graph.pageRank(affinePartGraph(s, d), iterations = 5,
+          damping = 0.85, orderedFold = true)
         .orderBy(col("r").desc, col("v")).limit(20)
+    }),
+    "q52_bfs_distances" -> ((s, d) => {
+      // multi-source BFS (Graph.bfsDistances) on the q46/q50 graph:
+      // level-synchronous frontier expansion, one frontier-keyed equi-join
+      // + anti-join per round, adaptive driver path on small graphs. Hop
+      // counts are exact integers, so the full distance map hash-checks
+      // against DuckDB's recursive-CTE shortest paths.
+      import s.implicits._
+      graft.ops.Graph.bfsDistances(affinePartGraph(s, d),
+          Seq(1L, 2L, 3L).toDF("v"), maxDepth = 12)
+        .orderBy("v")
     }),
     "q51_ivm_refresh" -> ((s, d) => {
       // INCREMENTAL VIEW MAINTENANCE (ops/Ivm): materialize a per-key
@@ -1602,12 +1607,7 @@ object SparkEntry {
       // deterministic sparse affine-map graph over part keys — scale-free
       // density (5 out-edges/vertex at every SF), so the wedge join stays
       // bounded where a co-occurrence graph goes complete
-      val part = t(s, d, "part").select(col("p_partkey"))
-      val withN = part.crossJoin(broadcast(part.agg(count(lit(1)).as("__n"))))
-      val raw = Seq((31, 7), (17, 3), (13, 11), (7, 1), (41, 19)).map { case (a, b) =>
-        withN.select(col("p_partkey").as("src"),
-          (pmod(col("p_partkey") * a + b, col("__n")) + 1).as("dst"))
-      }.reduce(_.unionByName(_))
+      val raw = affinePartGraph(s, d)
       graft.ops.Graph.triangleCount(raw.filter(col("src") =!= col("dst")))
     }),
     "s08_stream_cdc_merge" -> ((s, d) => {
@@ -1774,6 +1774,18 @@ object SparkEntry {
     * contributions, so the missing seed cannot diverge from Spark's
     * aggregate(…, 0.0, +). Generated per round to keep the 5 copies
     * literally identical. */
+  /** The q46/q50/q52 graph: 5 deterministic affine maps over part keys —
+    * sparse (5 out-edges/vertex) at EVERY scale factor, where a data-derived
+    * co-occurrence graph goes complete at sf0.01. */
+  private def affinePartGraph(s: SparkSession, d: String): DataFrame = {
+    val part = t(s, d, "part").select(col("p_partkey"))
+    val withN = part.crossJoin(broadcast(part.agg(count(lit(1)).as("__n"))))
+    Seq((31, 7), (17, 3), (13, 11), (7, 1), (41, 19)).map { case (a, b) =>
+      withN.select(col("p_partkey").as("src"),
+        (pmod(col("p_partkey") * a + b, col("__n")) + 1).as("dst"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** q51 (batch IVM refresh) and s12 (streamed IVM) share one oracle: the
     * full recompute over the changed base — the thing IVM exists to avoid
     * doing, and the ground truth it must equal. */
@@ -3082,6 +3094,27 @@ object SparkEntry {
     // reaches zero.
     "q51_ivm_refresh" -> ivmOracleSql,
     "s12_stream_ivm" -> ivmOracleSql,
+    // q52: recursive-CTE shortest paths over the same affine-map graph.
+    // UNION (distinct) recursion generates every (v, depth<=12) pair once;
+    // MIN(d) is the hop distance — exact integers end to end, so the full
+    // distance map is hash-safe.
+    "q52_bfs_distances" ->
+      """WITH RECURSIVE n AS (SELECT COUNT(*) AS n FROM part),
+        |raw AS (
+        |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n.n) + 1 AS dst FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n.n) + 1 FROM part, n
+        |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n.n) + 1 FROM part, n
+        |), e AS (
+        |  SELECT DISTINCT src, dst FROM raw WHERE src <> dst
+        |), bfs AS (
+        |  SELECT CAST(v AS BIGINT) AS v, 0 AS d FROM (VALUES (1), (2), (3)) AS s(v)
+        |  UNION
+        |  SELECT e.dst AS v, bfs.d + 1 AS d FROM bfs JOIN e ON e.src = bfs.v
+        |  WHERE bfs.d < 12
+        |)
+        |SELECT v, CAST(MIN(d) AS INTEGER) AS d FROM bfs GROUP BY v ORDER BY v""".stripMargin,
     "q46_triangle_count" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM part),
         |raw AS (

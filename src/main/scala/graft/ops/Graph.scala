@@ -118,6 +118,76 @@ object Graph {
     verts.toSeq.map(v => (v, r(v))).toDF("v", "r")
   }
 
+  /**
+   * Multi-source BFS: shortest hop-count from ANY source to every reachable
+   * vertex (≤ `maxDepth` hops), over the directed edge list. Level-
+   * synchronous frontier expansion — the canonical distributed-BFS shape:
+   * each round is one equi-join of the edge list with the CURRENT frontier
+   * (shuffle keyed on `src`, width follows the frontier, AQE-splittable),
+   * a distinct, and a left-anti join against the settled set; rounds run
+   * until the frontier empties or `maxDepth`. `localCheckpoint` per round
+   * truncates the iterative lineage ([[ConnectedComponents]]' lesson), and
+   * the empty-frontier poll is `isEmpty` (a LIMIT-1 probe, never a count).
+   *
+   * Small graphs take the bounded-probe driver path (the d20/CC lesson:
+   * iterative rounds on a few-MB graph are pure fixed cost) — a collected
+   * adjacency-list BFS producing identical integer distances, so the two
+   * paths are interchangeable (spec'd) and hash-safe for an external
+   * oracle: hop counts are exact integers, no float anywhere.
+   *
+   * @param sources one column `v`; distances are 0 at sources
+   * @return columns (v: long, d: int), reached vertices only
+   */
+  def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
+                   localThreshold: Int = 200000): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val src = sources.select(col("v").cast("long").as("v")).distinct()
+    val probe = e.limit(localThreshold + 1).collect() // bounded by construction
+    if (probe.length <= localThreshold) {
+      val srcProbe = src.limit(localThreshold + 1).collect() // bounded
+      require(srcProbe.length <= localThreshold,
+        s"more than $localThreshold sources on a local-path graph")
+      return bfsLocal(edges.sparkSession, probe, srcProbe.map(_.getLong(0)), maxDepth)
+    }
+    var dist = src.withColumn("d", lit(0)).localCheckpoint()
+    var frontier = dist.select("v")
+    var depth = 0
+    while (depth < maxDepth && !frontier.isEmpty) {
+      depth += 1
+      val next = e.join(frontier.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v")).distinct()
+        .join(dist.select("v"), Seq("v"), "left_anti")
+        .withColumn("d", lit(depth)).localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("v")
+    }
+    dist
+  }
+
+  /** Driver BFS over a bounded collected edge set — integer twin of the
+    * distributed path (identical distances by construction). */
+  private def bfsLocal(spark: org.apache.spark.sql.SparkSession,
+                       rows: Array[org.apache.spark.sql.Row],
+                       sources: Array[Long], maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val adj = rows.map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (s, es) => s -> es.map(_._2) }
+    val dist = scala.collection.mutable.Map.empty[Long, Int]
+    var frontier = sources.distinct.toSeq
+    frontier.foreach(v => dist(v) = 0)
+    var depth = 0
+    while (depth < maxDepth && frontier.nonEmpty) {
+      depth += 1
+      frontier = frontier.flatMap(v => adj.getOrElse(v, Array.empty[Long]))
+        .distinct.filterNot(dist.contains)
+      frontier.foreach(v => dist(v) = depth)
+    }
+    dist.toSeq.map { case (v, dd) => (v, dd) }.toDF("v", "d")
+  }
+
   /** Total triangle count of the undirected graph. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)

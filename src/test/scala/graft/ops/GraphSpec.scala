@@ -77,6 +77,40 @@ class GraphSpec extends SparkSpec {
     assert(sink(2L) == (1.0 - 0.85) / 2 + 0.85 * 0.5)
   }
 
+  test("bfsDistances: hand-computed chain + diamond, multi-source, depth cap") {
+    // 1->2->3->4->5 chain plus shortcut 1->4; source {1}
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+    val got = Graph.bfsDistances(edges.toDF("src", "dst"), Seq(1L).toDF("v"),
+        maxDepth = 10)
+      .orderBy("v").as[(Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 0), (2L, 1), (3L, 2), (4L, 1), (5L, 2)))
+    // multi-source: min over sources; vertex 6 unreachable -> absent
+    val got2 = Graph.bfsDistances(
+        (edges :+ ((6L, 1L))).toDF("src", "dst"),
+        Seq(1L, 3L).toDF("v"), maxDepth = 10)
+      .orderBy("v").as[(Long, Int)].collect().toSeq
+    assert(got2 == Seq((1L, 0), (2L, 1), (3L, 0), (4L, 1), (5L, 2)))
+    // depth cap: nothing beyond 1 hop
+    val capped = Graph.bfsDistances(edges.toDF("src", "dst"),
+        Seq(1L).toDF("v"), maxDepth = 1)
+      .orderBy("v").as[(Long, Int)].collect().toSeq
+    assert(capped == Seq((1L, 0), (2L, 1), (4L, 1)))
+  }
+
+  test("bfsDistances: distributed path is identical to the driver path") {
+    val n = 80L
+    val edges = (1L to n).flatMap { p =>
+      Seq((p, (p * 31 + 7) % n + 1), (p, (p * 17 + 3) % n + 1))
+    }
+    val srcs = Seq(1L, 2L).toDF("v")
+    val local = Graph.bfsDistances(edges.toDF("src", "dst"), srcs, maxDepth = 8)
+      .orderBy("v").as[(Long, Int)].collect().toSeq
+    val dist = Graph.bfsDistances(edges.toDF("src", "dst"), srcs, maxDepth = 8,
+        localThreshold = 0)
+      .orderBy("v").as[(Long, Int)].collect().toSeq
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
