@@ -1338,6 +1338,35 @@ object SparkEntry {
         .select("id_a", "id_b", "n_shared", "edit_dist", "verified")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d36_golden_records" -> ((s, d) => {
+      // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
+      // blockings — (lang, n_chars%101) and (source, n_chars%23) — chain
+      // into transitive match clusters (CC closure); each cluster
+      // collapses to its survivor (longest doc, ties min id) with lineage
+      // (member count + sorted member ids). The oracle replays the
+      // closure with a recursive CTE and the same survivorship window —
+      // cluster formation, singleton handling, and survivor choice all
+      // hash-checked.
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def side(p: String) = docs.select(col("doc_id").as(s"${p}_id"),
+        col("lang").as(s"${p}_lang"), col("source").as(s"${p}_source"),
+        col("n_chars").as(s"${p}_nc"))
+      val pa = side("a").join(side("b"),
+          col("a_lang") === col("b_lang") &&
+            col("a_nc") % 101 === col("b_nc") % 101 && col("a_id") < col("b_id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      val pb = side("a").join(side("b"),
+          col("a_source") === col("b_source") &&
+            col("a_nc") % 23 === col("b_nc") % 23 && col("a_id") < col("b_id"))
+        .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
+      Dedup.goldenRecords(docs, "doc_id", pa.unionByName(pb),
+          survivorOrder = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("cluster_id"), col("n_members"), col("member_ids"),
+          col("doc_id").as("canonical_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("cluster_id")
+    }),
     "d34_sorted_neighborhood" -> ((s, d) => {
       // sorted-neighborhood blocking (Merge/Purge): one range-partitioned
       // sort by a 20-char text-prefix key, pairs only within a 4-row
@@ -2978,6 +3007,46 @@ object SparkEntry {
     // recomputes the global order with a window row_number and pairs rows
     // at distance 1..3, so the hash also checks the scalable position
     // assignment (range partitions + offsets) against a plain sort.
+    // d36: the oracle independently replays blocking, transitive closure
+    // (recursive CTE), singleton fill, survivorship window, and lineage agg
+    "d36_golden_records" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
+        |), pa AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM d x JOIN d y
+        |  ON x.lang = y.lang AND x.n_chars % 101 = y.n_chars % 101
+        |    AND x.doc_id < y.doc_id
+        |), pb AS (
+        |  SELECT x.doc_id AS id_a, y.doc_id AS id_b FROM d x JOIN d y
+        |  ON x.source = y.source AND x.n_chars % 23 = y.n_chars % 23
+        |    AND x.doc_id < y.doc_id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM pa UNION SELECT id_a, id_b FROM pb
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+        |), lbl AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN comp c USING (doc_id)
+        |), stats AS (
+        |  SELECT cluster_id, COUNT(*) AS n_members,
+        |    list_sort(list(doc_id)) AS member_ids
+        |  FROM lbl GROUP BY cluster_id
+        |), ranked AS (
+        |  SELECT l.cluster_id, d.doc_id, d.lang, d.source, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM lbl l JOIN d USING (doc_id)
+        |)
+        |SELECT r.cluster_id, s.n_members, s.member_ids,
+        |  r.doc_id AS canonical_id, r.lang, r.source, r.n_chars
+        |FROM ranked r JOIN stats s USING (cluster_id)
+        |WHERE rn = 1 ORDER BY r.cluster_id""".stripMargin,
     "d34_sorted_neighborhood" ->
       """WITH toks AS (
         |  SELECT doc_id, text, regexp_split_to_array(trim(lower(text)), '\s+') AS ts

@@ -797,6 +797,47 @@ object Dedup {
         coalesce(col("n_covered_tokens"), lit(0L)).as("n_covered_tokens"))
   }
 
+  /**
+   * Entity consolidation (golden records): collapse each transitive match
+   * cluster to ONE survivor row plus cluster lineage — the step after
+   * candidate pairing + verification in an entity-resolution pipeline
+   * (pairs typically come from [[sortedNeighborhoodPairs]], [[minhashLsh]],
+   * or blocking joins; any (id_a, id_b) frame works).
+   *
+   *   - cluster_id = the minimum member id ([[graft.ops.ConnectedComponents
+   *     .labels]] closure over the pairs; unpaired rows are singleton
+   *     clusters of themselves);
+   *   - the survivor is the first row per cluster under `survivorOrder`
+   *     (e.g. richest/newest record wins — row-level survivorship; field-
+   *     level merge is a projection of the same window);
+   *   - lineage = member count and the sorted member-id list.
+   *
+   * Scale: closure cost is the CC labeling (adaptive driver/distributed);
+   * everything else is ONE window + ONE aggregate, both keyed on
+   * cluster_id, plus a broadcast-friendly label join. The member-id list is
+   * per-cluster bounded (clusters are near-dup groups, not the corpus); at
+   * adversarial cluster sizes, drop `member_ids` and keep the count.
+   */
+  def goldenRecords(docs: DataFrame, idCol: String, pairs: DataFrame,
+                    survivorOrder: Seq[Column],
+                    srcCol: String = "id_a", dstCol: String = "id_b"): DataFrame = {
+    require(survivorOrder.nonEmpty, "survivorOrder must be non-empty")
+    val lbl = graft.ops.ConnectedComponents.labels(pairs, srcCol, dstCol)
+      .withColumnRenamed("id", idCol)
+    val clustered = docs.join(lbl, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("component"), col(idCol)))
+      .drop("component")
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(survivorOrder: _*)
+    val survivors = clustered
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .drop("__rn")
+    val stats = clustered.groupBy("cluster_id").agg(
+      count(lit(1)).as("n_members"),
+      sort_array(collect_list(col(idCol))).as("member_ids"))
+    survivors.join(stats, Seq("cluster_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id_a, id_b) against the documents table. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

@@ -185,6 +185,24 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
   }
 
+  test("goldenRecords: transitive clusters, survivor order, singleton lineage") {
+    val recs = Seq(
+      (1L, "alice", 10L), (2L, "alice", 40L), (3L, "alice", 40L),
+      (4L, "bob", 7L), (5L, "carol", 99L)
+    ).toDF("id", "name", "quality")
+    // 1-2 and 2-3 chain into {1,2,3}; 4 pairs with nothing; 5 singleton
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.goldenRecords(recs, "id", pairs,
+        survivorOrder = Seq(col("quality").desc, col("id")))
+      .select(col("cluster_id"), col("id"), col("n_members"), col("member_ids"))
+      .orderBy("cluster_id")
+      .as[(Long, Long, Long, Seq[Long])].collect().toSeq
+    assert(got == Seq(
+      (1L, 2L, 3L, Seq(1L, 2L, 3L)), // survivor 2: quality 40 ties with 3, min id wins
+      (4L, 4L, 1L, Seq(4L)),
+      (5L, 5L, 1L, Seq(5L))))
+  }
+
   test("ngram jaccard on candidate pairs") {
     val pairs = Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(pairs, docs, "doc_id")
