@@ -30,12 +30,21 @@ object SparkEntry {
     // the ST_* wrappers resolve against the session registry (idempotent)
     graft.geo.GeoFunctions.ensureRegistered(spark)
     if (name == "events") {
-      // events.parquet stores TIMESTAMP(NANOS); Spark reads nanos only as
-      // long (legacy conf), so convert to microsecond timestamps on ingest
-      // (truncation — matches DuckDB's nanos→micros read of the same file).
+      // events.parquet has shipped two physical ts encodings across driver
+      // generations: TIMESTAMP(NANOS), which Spark reads only as a long
+      // (legacy conf) and we truncate to micros exactly like DuckDB's
+      // nanos→micros read, and TIMESTAMP(MICROS) without UTC adjustment,
+      // which arrives as TIMESTAMP_NTZ and only needs the session-UTC cast.
+      // Adapt on the observed schema so both vintages read identically.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val raw = spark.read.parquet(s"$dir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else spark.read.parquet(s"$dir/$name.parquet")
   }
 
@@ -140,10 +149,15 @@ object SparkEntry {
   // conversion, state-sized session) shared by every s* query
   // ---------------------------------------------------------------------
 
-  private def eventsStreamSchema: org.apache.spark.sql.types.StructType = {
+  /** Stream-read schema for events.parquet, adapted to the file's actual ts
+    * encoding (see `t`'s note on the two driver vintages): readStream needs
+    * the schema up front, so probe it with a batch read of the same file. */
+  private def eventsStreamSchema(ss: SparkSession, d: String)
+      : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
+    val tsType = ss.read.parquet(s"$d/events.parquet").schema("ts").dataType
     StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("event_id", LongType), StructField("ts", tsType),
       StructField("user_id", LongType), StructField("event_type", StringType),
       StructField("value", DoubleType), StructField("props", StringType)))
   }
@@ -156,10 +170,18 @@ object SparkEntry {
   }
 
   /** events.parquet as a micro-timestamped file stream on `ss`. */
-  private def eventsStream(ss: SparkSession, d: String): DataFrame =
-    graft.streaming.Streaming.availableNowFileStream(
-      ss, d, eventsStreamSchema, glob = Some("events.parquet"))
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  private def eventsStream(ss: SparkSession, d: String): DataFrame = {
+    val schema = eventsStreamSchema(ss, d)
+    val raw = graft.streaming.Streaming.availableNowFileStream(
+      ss, d, schema, glob = Some("events.parquet"))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** orders.parquet as a file stream on `ss` (s08 changelog, s09 audit). */
   private def ordersStream(ss: SparkSession, d: String): DataFrame = {
@@ -1605,6 +1627,41 @@ object SparkEntry {
       graft.ops.Graph.bfsDistances(affinePartGraph(s, d),
           Seq(1L, 2L, 3L).toDF("v"), maxDepth = 12)
         .orderBy("v")
+    }),
+    "q53_kmv_overlap" -> ((s, d) => {
+      // KMV min-k sketches (ops/Kmv): per-priority sketch of the distinct
+      // o_custkey set (k = 64 smallest md5s), then DIRECT pairwise
+      // Jaccard/intersection estimation from the sketches alone — the set
+      // operation HLL can't do without inclusion-exclusion blow-up. The
+      // sketch contents and overlap counts are exact integers/strings
+      // (lexicographic min-k over fixed-width hex), so the whole result
+      // hash-checks; jaccard_est = both_k/union_k is one IEEE divide of
+      // those integers, safe to hash too.
+      graft.ops.Kmv.shardOverlap(t(s, d, "orders"),
+        "o_orderpriority", "o_custkey", k = 64)
+    }),
+    "q54_skyline" -> ((s, d) => {
+      // distributed 2-D Pareto frontier (ops/Skyline): parts minimizing
+      // (p_size, p_retailprice) — bucket-partitioned local skylines, two
+      // keyed windows, broadcast cross-bucket min merge. The oracle is the
+      // O(n²) NOT EXISTS dominance definition; the distributed plan must
+      // reproduce it exactly, ties and duplicate points included.
+      graft.ops.Skyline.pareto2d(t(s, d, "part"), "p_size", "p_retailprice")
+        .select(col("p_partkey"), col("p_size"),
+          col("p_retailprice"))
+        .orderBy("p_size", "p_retailprice", "p_partkey")
+    }),
+    "q55_mad_outliers" -> ((s, d) => {
+      // robust per-group outlier gate (ops/Robust): EXACT median + MAD via
+      // structural rank selection (both engines pick the same two middle
+      // rows and fold them with one add + one divide), then count rows with
+      // |x - med| > 3*MAD. Every float op is a single correctly-rounded
+      // IEEE operation on identical operands — bit-identical across
+      // engines, so med/mad/n_outliers all hash-check (see the PERF.md
+      // float-determinism note: interpolated percentiles are NOT safe; this
+      // construction is).
+      graft.ops.Robust.madOutliers(t(s, d, "events"), Seq("event_type"), "value")
+        .orderBy("event_type")
     }),
     "q51_ivm_refresh" -> ((s, d) => {
       // INCREMENTAL VIEW MAINTENANCE (ops/Ivm): materialize a per-key
@@ -3184,6 +3241,85 @@ object SparkEntry {
         |  WHERE bfs.d < 12
         |)
         |SELECT v, CAST(MIN(d) AS INTEGER) AS d FROM bfs GROUP BY v ORDER BY v""".stripMargin,
+    // q53: the oracle rebuilds the KMV sketches from scratch — same md5
+    // hash, same lexicographic min-k (fixed-width hex ⇒ string order ==
+    // numeric order) — then derives the pairwise union-min-k and
+    // both-membership counts. Integers + one IEEE divide: hash-safe.
+    "q53_kmv_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT o_orderpriority AS shard,
+        |    md5(CAST(o_custkey AS VARCHAR)) AS h
+        |  FROM orders WHERE o_custkey IS NOT NULL
+        |), mink AS (
+        |  SELECT shard, h FROM (
+        |    SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+        |    FROM h) WHERE rn <= 64
+        |), shards AS (SELECT DISTINCT shard FROM mink),
+        |pairs AS (
+        |  SELECT a.shard AS sa, b.shard AS sb
+        |  FROM shards a JOIN shards b ON a.shard < b.shard
+        |), u AS (
+        |  SELECT p.sa, p.sb, m.h FROM pairs p
+        |  JOIN mink m ON m.shard IN (p.sa, p.sb)
+        |  GROUP BY 1, 2, 3
+        |), uk AS (
+        |  SELECT sa, sb, h FROM (
+        |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+        |    FROM u) WHERE rn <= 64
+        |)
+        |SELECT uk.sa AS shard_a, uk.sb AS shard_b,
+        |  CAST(COUNT(*) AS BIGINT) AS union_k,
+        |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS BIGINT) AS both_k,
+        |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS DOUBLE)
+        |    / COUNT(*) AS jaccard_est
+        |FROM uk
+        |LEFT JOIN mink ma ON ma.shard = uk.sa AND ma.h = uk.h
+        |LEFT JOIN mink mb ON mb.shard = uk.sb AND mb.h = uk.h
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q54: the O(n²) dominance definition — the distributed bucketed plan
+    // must reproduce it exactly (ties and duplicate points included).
+    "q54_skyline" ->
+      """SELECT p1.p_partkey, p1.p_size, p1.p_retailprice FROM part p1
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part p2
+        |  WHERE p2.p_size <= p1.p_size AND p2.p_retailprice <= p1.p_retailprice
+        |    AND (p2.p_size < p1.p_size OR p2.p_retailprice < p1.p_retailprice))
+        |ORDER BY p1.p_size, p1.p_retailprice, p1.p_partkey""".stripMargin,
+    // q55: structural median/MAD — both engines pick ranks ⌊(n+1)/2⌋ and
+    // ⌊(n+2)/2⌋ from the same per-group sort and fold them with ONE add +
+    // ONE divide, so the doubles are bit-identical (no interpolation
+    // formula in play; see PERF.md's float-determinism note).
+    "q55_mad_outliers" ->
+      """WITH b AS (
+        |  SELECT event_type, CAST(value AS DOUBLE) AS x
+        |  FROM events WHERE value IS NOT NULL
+        |), r AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY x) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM b
+        |), m AS (
+        |  SELECT event_type, SUM(x) / COUNT(*) AS med
+        |  FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY event_type
+        |), dev AS (
+        |  SELECT b.event_type, ABS(b.x - m.med) AS dv, m.med AS med
+        |  FROM b JOIN m USING (event_type)
+        |), r2 AS (
+        |  SELECT event_type, dv,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY dv) AS rn,
+        |    COUNT(*) OVER (PARTITION BY event_type) AS n
+        |  FROM dev
+        |), mad AS (
+        |  SELECT event_type, SUM(dv) / COUNT(*) AS mad
+        |  FROM r2 WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |  GROUP BY event_type
+        |)
+        |SELECT d.event_type, d.med AS med, mad.mad AS mad,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CASE WHEN d.dv > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad USING (event_type)
+        |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "q46_triangle_count" ->
       """WITH n AS (SELECT COUNT(*) AS n FROM part),
         |raw AS (

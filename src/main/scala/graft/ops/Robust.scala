@@ -1,0 +1,79 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Robust per-group statistics: EXACT median and MAD (median absolute
+ * deviation), and the classic robust outlier gate |x − med| > k·MAD.
+ * Mean/stddev outlier tests break down exactly when you need them — the
+ * outliers drag the mean and inflate σ (masking); the median/MAD pair has
+ * a 50% breakdown point.
+ *
+ * Float-determinism contract (why this is hash-checkable across engines
+ * when built-in percentiles are not): engines disagree on quantile
+ * INTERPOLATION (a+(b−a)·f vs (a+b)/2 round differently), so instead the
+ * median is computed structurally — row_number over the per-group sort,
+ * pick the two middle ranks ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ (equal when n is odd),
+ * then sum(picked)/count(picked). Every step is a single correctly-rounded
+ * IEEE operation on identical operands in any engine: one add, one divide.
+ * The deviations |x − med|, the second median over them, the k·MAD product
+ * and the comparison are likewise single IEEE ops — the whole statistic is
+ * bit-identical wherever IEEE doubles are (everywhere), with no
+ * transcendental in sight.
+ *
+ * Scale shape: two keyed window sorts per group (the unavoidable cost of
+ * exact order statistics), fully parallel across groups; the per-group
+ * medians are one row per group and broadcast back. For a single giant
+ * group — where any exact median degenerates to one sorted partition —
+ * use `approx_percentile` and accept sketch error; this operator is for
+ * the many-groups shape.
+ */
+object Robust {
+
+  /** Exact per-group median of `xCol` (nulls dropped): one keyed sort, one
+    * agg. Returns (groupCols*, `outCol`). */
+  def exactMedian(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  outCol: String = "med"): DataFrame =
+    medianOf(df.filter(col(xCol).isNotNull), groupCols, col(xCol).cast("double"), outCol)
+
+  private def medianOf(df: DataFrame, groupCols: Seq[String], x: Column,
+                       outCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(x)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__x", x)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      // middle ranks: ⌊(n+1)/2⌋ and ⌈(n+1)/2⌉ = ⌊(n+2)/2⌋ (1-indexed;
+      // floor() because Spark's / on integers is double division)
+      .filter(col("__rn") === floor((col("__n") + 1) / 2) ||
+              col("__rn") === floor((col("__n") + 2) / 2))
+      .groupBy(groupCols.map(col): _*)
+      // odd n: one row, sum/1; even n: (a+b)/2 — one rounded add, one
+      // exact-or-rounded divide, same everywhere
+      .agg((sum(col("__x")) / count(lit(1))).as(outCol))
+  }
+
+  /**
+   * Per-group robust summary: median, MAD, total `n`, and how many rows
+   * fail the |x − med| > k·MAD gate (`n_outliers`). A group whose MAD is 0
+   * (over half the values identical) flags every row off the median —
+   * the textbook caveat, kept as-is for fidelity to the definition.
+   */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], xCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val in = df.filter(col(xCol).isNotNull)
+      .select(groupCols.map(col) :+ col(xCol).cast("double").as("__x"): _*)
+    val med = exactMedian(in, groupCols, "__x", "med")
+    val withMed = in.join(med, groupCols)
+      .withColumn("__dev", abs(col("__x") - col("med")))
+    val mad = medianOf(withMed, groupCols, col("__dev"), "mad")
+    withMed.join(mad, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(first(col("med")).as("med"), first(col("mad")).as("mad"),
+        count(lit(1)).as("n"),
+        sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+}

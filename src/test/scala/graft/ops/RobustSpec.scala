@@ -1,0 +1,59 @@
+package graft.ops
+
+import graft.SparkSpec
+
+class RobustSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def seqMedian(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    val n = s.length
+    // same structural rule as the operator: ranks ⌊(n+1)/2⌋, ⌊(n+2)/2⌋
+    (s((n - 1) / 2) + s(n / 2)) / 2
+  }
+
+  test("exact median: odd and even group sizes, unsorted input") {
+    val df = Seq(
+      ("a", 9.0), ("a", 1.0), ("a", 5.0),                 // odd: med 5
+      ("b", 4.0), ("b", 1.0), ("b", 10.0), ("b", 2.0))    // even: (2+4)/2 = 3
+      .toDF("g", "x")
+    val got = Robust.exactMedian(df, Seq("g"), "x")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == Map("a" -> 5.0, "b" -> 3.0))
+  }
+
+  test("median matches the sequential rule on random doubles") {
+    val rnd = new scala.util.Random(11)
+    val rows = for (g <- 0 until 6; _ <- 0 until (50 + g)) yield
+      (g, rnd.nextDouble() * 1e6 - 5e5)
+    val got = Robust.exactMedian(rows.toDF("g", "x"), Seq("g"), "x")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val expect = rows.groupBy(_._1).map { case (g, vs) => g -> seqMedian(vs.map(_._2)) }
+    assert(got == expect) // bit-identical, not approximately equal
+  }
+
+  test("MAD outliers: planted spikes are flagged, bulk is not") {
+    // bulk at 10±2 (MAD 1), spikes at 1000 — |1000-10| >> 3*MAD
+    val bulk = (0 until 99).map(i => ("a", 10.0 + (i % 5) - 2))
+    val spikes = Seq(("a", 1000.0), ("a", -1000.0))
+    val r = Robust.madOutliers((bulk ++ spikes).toDF("g", "x"), Seq("g"), "x")
+      .head()
+    assert(r.getAs[Long]("n") == 101)
+    assert(r.getAs[Long]("n_outliers") == 2)
+    assert(r.getAs[Double]("med") == 10.0)
+  }
+
+  test("MAD 0 group (constant values): only off-median rows flagged") {
+    val df = (Seq.fill(10)(("c", 7.0)) :+ ("c", 7.5)).toDF("g", "x")
+    val r = Robust.madOutliers(df, Seq("g"), "x").head()
+    assert(r.getAs[Double]("mad") == 0.0)
+    assert(r.getAs[Long]("n_outliers") == 1)
+  }
+
+  test("nulls are dropped before ranking") {
+    val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
+      .toDF("g", "x")
+    val got = Robust.exactMedian(df, Seq("g"), "x").head().getDouble(1)
+    assert(got == 2.0)
+  }
+}
