@@ -1267,17 +1267,23 @@ object SparkEntry {
       // the quadratic candidate work, the exact verify makes every celled
       // pair a true pair, so dropped(celled) SUBSET-OF dropped(exact) by
       // construction — subset_ok pins that invariant in the hash, and
-      // recall_ok pins measured drop-recall >= 0.8 (measured 0.95-0.97
-      // across sf0.001/0.01/0.1 at nProbe=3; a broken quantizer, probe, or
-      // verify collapses it). n_exact_dropped is NOT a pinned constant:
-      // the DuckDB oracle recomputes it via the d26 recursive-CTE closure.
+      // recall_ok pins drop-recall >= 0.8 (a broken quantizer, probe, or
+      // verify collapses it). nCells=16/nProbe=3 is the measured
+      // pruning/recall balance on this corpus: 8 cells under-prune (the
+      // celled path generated MORE candidate pairs than exact all-pairs at
+      // n=2000), 32 cells split the dense sf0.1 near-dup clusters and fail
+      // the 0.8 floor; 16 passes it at all three SFs. At real scale size
+      // nCells so the expected cell holds ~1k-10k vectors (candidates per
+      // cell stay ~10^6-10^8 per task) and keep nProbe ≥ 3 for recall.
+      // n_exact_dropped is NOT a pinned constant: the DuckDB oracle
+      // recomputes it via the d26 recursive-CTE closure.
       val emb = t(s, d, "embeddings")
       // three count actions below — materialize each dropped-id frame once
       // (localCheckpoint) instead of re-running the pair pipelines per action
       val exact = Dedup.semanticDedupExact(emb, "vec_id", "embedding", 0.40)
         .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
       val celled = Dedup.semanticDedup(emb, "vec_id", "embedding",
-          dim = 64, minCosine = 0.40, nCells = 8, nProbe = 3)
+          dim = 64, minCosine = 0.40, nCells = 16, nProbe = 3)
         .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
       val nExact = exact.count()
       val nCelled = celled.count()

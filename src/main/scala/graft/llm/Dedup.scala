@@ -710,22 +710,74 @@ object Dedup {
   }
 
   /** Exact all-pairs variant (the correctness baseline / oracle path):
-    * O(n²/2) — bound the input (subset, partition) before calling at scale. */
+    * O(n²/2) — bound the input (subset, partition) before calling at scale.
+    *
+    * Physical shape: NOT a nested-loop join. The corpus (which a BNLJ
+    * would broadcast anyway) is collected bounded, broadcast as PRIMITIVE
+    * arrays, and each streaming row scores against it in one tight JVM
+    * loop — no per-pair Row materialization, no per-pair UDF argument
+    * conversion (the former plan built ~n²/2 wide rows and converted two
+    * float arrays per pair; at 2k vectors that was ~2M conversions and
+    * dominated the query). Only matching pairs are ever materialized.
+    * Arithmetic is the same sequential float→double fold as
+    * [[Similarity.dotFast]]/[[Similarity.normFast]] — bit-identical to the
+    * DuckDB list_reduce oracle; zero-norm vectors pair with nothing
+    * (cosine undefined), as before.
+    */
   def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
-    // the nested-loop join STREAMS this side: a small input often arrives
-    // as one partition (one parquet footer), which would run the O(n²/2)
-    // scoring single-threaded — spread it across the cluster first
-    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("__va"),
-      Similarity.normFast(col(vecCol)).as("__na"))
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
-    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("__vb"),
-      Similarity.normFast(col(vecCol)).as("__nb"))
-    a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cosine", Similarity.cosineFromParts(
-        Similarity.dotFast(col("__va"), col("__vb")), col("__na"), col("__nb")))
-      .filter(col("cosine") >= minCosine)
-      .select("id_a", "id_b", "cosine")
+    val spark = df.sparkSession
+    val side = df.select(col(idCol).cast("long"), col(vecCol))
+    val rows = graft.util.Collects.boundedCollect(side,
+      "cosineNearDupExact corpus", "cosineNearDupPairs (the LSH scale path)",
+      max = 200000)
+    val ids = rows.map(_.getLong(0))
+    val vecs = rows.map { r =>
+      val s = r.getSeq[Float](1); if (s == null) null else s.toArray
+    }
+    val norms = vecs.map { v =>
+      if (v == null) 0.0
+      else {
+        var acc = 0.0; var i = 0
+        while (i < v.length) { acc += v(i).toDouble * v(i).toDouble; i += 1 }
+        math.sqrt(acc)
+      }
+    }
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val matches = udf { (id: java.lang.Long, v: Array[Float]) =>
+      if (id == null || v == null) Array.empty[(Long, Double)]
+      else {
+        val (bIds, bVecs, bNorms) = bc.value
+        var na = 0.0
+        var i = 0
+        while (i < v.length) { na += v(i).toDouble * v(i).toDouble; i += 1 }
+        na = math.sqrt(na)
+        val out = Array.newBuilder[(Long, Double)]
+        if (na != 0.0) {
+          var j = 0
+          while (j < bIds.length) {
+            // id_a < id_b exactly as the join predicate had it
+            if (bIds(j) > id && bNorms(j) != 0.0) {
+              val bv = bVecs(j)
+              var dot = 0.0
+              val n = math.min(v.length, bv.length)
+              var t = 0
+              while (t < n) { dot += v(t).toDouble * bv(t).toDouble; t += 1 }
+              val cos = dot / (na * bNorms(j))
+              if (cos >= minCosine) out += ((bIds(j), cos))
+            }
+            j += 1
+          }
+        }
+        out.result()
+      }
+    }
+    // a small input often arrives as one partition (one parquet footer) —
+    // spread the O(n²/2) scoring across the cluster first
+    side.toDF("id_a", "__v")
+      .repartition(spark.sparkContext.defaultParallelism)
+      .select(col("id_a"), explode(matches(col("id_a"), col("__v"))).as("__m"))
+      .select(col("id_a"), col("__m._1").as("id_b"), col("__m._2").as("cosine"))
   }
 
   /**
