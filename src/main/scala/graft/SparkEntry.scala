@@ -1669,6 +1669,52 @@ object SparkEntry {
       graft.ops.Robust.madOutliers(t(s, d, "events"), Seq("event_type"), "value")
         .orderBy("event_type")
     }),
+    "q56_trend" -> ((s, d) => {
+      // exact per-group OLS trend as a RATIONAL (ops/Regression): x = day
+      // index, y = centi-quantized value — every Σ is an exact 64-bit
+      // integer, so slope/intercept numerators and denominator hash-check
+      // bit for bit (float sums of raw doubles would not; see PERF.md).
+      // One map-side-combinable aggregate, no window.
+      val ev = t(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date")).as("x"),
+          floor(col("value") * 100).as("y"))
+      graft.ops.Regression.exactOlsRational(ev, Seq("event_type"), "x", "y")
+        .orderBy("event_type")
+    }),
+    "q57_weighted_median" -> ((s, d) => {
+      // lower weighted median (ops/Robust.weightedMedian): smallest
+      // quantity whose cumulative line-number weight reaches half the
+      // group total — ties collapsed on (group, x) BEFORE the cumulative
+      // pass, 2·cumw ≥ W in pure integers; the windows run over ≤50
+      // distinct quantities per group, not the raw rows.
+      graft.ops.Robust.weightedMedian(t(s, d, "lineitem"),
+          Seq("l_returnflag"), "l_quantity", "l_linenumber")
+        .orderBy("l_returnflag")
+    }),
+    "s13_stream_kmv" -> ((s, d) => {
+      // q53's KMV sketches maintained under STREAMING ingest
+      // (Streaming.kmvSketchStream): per-shard min-k state updated per
+      // microbatch, then the emitted sketches are MERGED (min-k is
+      // mergeable — explode + re-select) and the same pairwise overlap
+      // derived. Hash-checked against the same oracle as q53: streamed
+      // maintenance must converge to the batch sketch bit for bit.
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val hashed = ordersStream(ss, d)
+        .filter(col("o_custkey").isNotNull)
+        .select(col("o_orderpriority").as("shard"),
+          graft.ops.Kmv.kmvHash(col("o_custkey")).as("h"))
+      val emitted = graft.streaming.Streaming.runAvailableNow(
+        graft.streaming.Streaming.kmvSketchStream(hashed, 64),
+        s"s13_kmv_${System.nanoTime()}", outputMode = "update")
+      // AvailableNow may split the input into several batches (several
+      // emissions per shard) — min-k mergeability makes the union re-merge
+      // exact, whatever the batch layout was
+      val sketches = graft.ops.Kmv.sketchHashed(
+        emitted.select(col("shard"), explode(col("kmv")).as("h")), k = 64)
+      graft.ops.Kmv.pairOverlap(sketches, 64).orderBy("shard_a", "shard_b")
+    }),
     "q51_ivm_refresh" -> ((s, d) => {
       // INCREMENTAL VIEW MAINTENANCE (ops/Ivm): materialize a per-key
       // COUNT+SUM view over the base slice, then apply a multiplicity-
@@ -1881,6 +1927,43 @@ object SparkEntry {
   /** q51 (batch IVM refresh) and s12 (streamed IVM) share one oracle: the
     * full recompute over the changed base — the thing IVM exists to avoid
     * doing, and the ground truth it must equal. */
+  /** q53/s13: rebuild the KMV sketches from scratch — same md5 hash, same
+    * lexicographic min-k (fixed-width hex ⇒ string order == numeric order)
+    * — then derive the pairwise union-min-k and both-membership counts.
+    * Integers + one IEEE divide: hash-safe. The streaming twin (s13) must
+    * converge to the identical sketches, so it shares this oracle. */
+  private val kmvOverlapOracleSql: String =
+    """WITH h AS (
+      |  SELECT DISTINCT o_orderpriority AS shard,
+      |    md5(CAST(o_custkey AS VARCHAR)) AS h
+      |  FROM orders WHERE o_custkey IS NOT NULL
+      |), mink AS (
+      |  SELECT shard, h FROM (
+      |    SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
+      |    FROM h) WHERE rn <= 64
+      |), shards AS (SELECT DISTINCT shard FROM mink),
+      |pairs AS (
+      |  SELECT a.shard AS sa, b.shard AS sb
+      |  FROM shards a JOIN shards b ON a.shard < b.shard
+      |), u AS (
+      |  SELECT p.sa, p.sb, m.h FROM pairs p
+      |  JOIN mink m ON m.shard IN (p.sa, p.sb)
+      |  GROUP BY 1, 2, 3
+      |), uk AS (
+      |  SELECT sa, sb, h FROM (
+      |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
+      |    FROM u) WHERE rn <= 64
+      |)
+      |SELECT uk.sa AS shard_a, uk.sb AS shard_b,
+      |  CAST(COUNT(*) AS BIGINT) AS union_k,
+      |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS BIGINT) AS both_k,
+      |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS DOUBLE)
+      |    / COUNT(*) AS jaccard_est
+      |FROM uk
+      |LEFT JOIN mink ma ON ma.shard = uk.sa AND ma.h = uk.h
+      |LEFT JOIN mink mb ON mb.shard = uk.sb AND mb.h = uk.h
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private val ivmOracleSql: String =
     """WITH ev AS (
       |  SELECT event_type, user_id % 10 AS user_bucket,
@@ -3247,41 +3330,39 @@ object SparkEntry {
         |  WHERE bfs.d < 12
         |)
         |SELECT v, CAST(MIN(d) AS INTEGER) AS d FROM bfs GROUP BY v ORDER BY v""".stripMargin,
-    // q53: the oracle rebuilds the KMV sketches from scratch — same md5
-    // hash, same lexicographic min-k (fixed-width hex ⇒ string order ==
-    // numeric order) — then derives the pairwise union-min-k and
-    // both-membership counts. Integers + one IEEE divide: hash-safe.
-    "q53_kmv_overlap" ->
-      """WITH h AS (
-        |  SELECT DISTINCT o_orderpriority AS shard,
-        |    md5(CAST(o_custkey AS VARCHAR)) AS h
-        |  FROM orders WHERE o_custkey IS NOT NULL
-        |), mink AS (
-        |  SELECT shard, h FROM (
-        |    SELECT shard, h, row_number() OVER (PARTITION BY shard ORDER BY h) AS rn
-        |    FROM h) WHERE rn <= 64
-        |), shards AS (SELECT DISTINCT shard FROM mink),
-        |pairs AS (
-        |  SELECT a.shard AS sa, b.shard AS sb
-        |  FROM shards a JOIN shards b ON a.shard < b.shard
-        |), u AS (
-        |  SELECT p.sa, p.sb, m.h FROM pairs p
-        |  JOIN mink m ON m.shard IN (p.sa, p.sb)
-        |  GROUP BY 1, 2, 3
-        |), uk AS (
-        |  SELECT sa, sb, h FROM (
-        |    SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb ORDER BY h) AS rn
-        |    FROM u) WHERE rn <= 64
+    "q53_kmv_overlap" -> kmvOverlapOracleSql,
+    "s13_stream_kmv" -> kmvOverlapOracleSql,
+    // q56: same five integer sums, same rational numerators — DuckDB's
+    // hugeint sums are cast back to BIGINT so both engines hash longs.
+    "q56_trend" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+        |    CAST(floor(value * 100) AS BIGINT) AS y
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
         |)
-        |SELECT uk.sa AS shard_a, uk.sb AS shard_b,
-        |  CAST(COUNT(*) AS BIGINT) AS union_k,
-        |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS BIGINT) AS both_k,
-        |  CAST(COUNT(CASE WHEN ma.h IS NOT NULL AND mb.h IS NOT NULL THEN 1 END) AS DOUBLE)
-        |    / COUNT(*) AS jaccard_est
-        |FROM uk
-        |LEFT JOIN mink ma ON ma.shard = uk.sa AND ma.h = uk.h
-        |LEFT JOIN mink mb ON mb.shard = uk.sb AND mb.h = uk.h
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+        |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+        |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
+        |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
+        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q57: ties collapsed on (group, x) first, then the integer 2·cumw ≥ W
+    // rule over distinct x — identical construction both engines.
+    "q57_weighted_median" ->
+      """WITH perx AS (
+        |  SELECT l_returnflag, l_quantity AS x,
+        |    SUM(CAST(l_linenumber AS BIGINT)) AS w
+        |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_returnflag, x,
+        |    SUM(w) OVER (PARTITION BY l_returnflag ORDER BY x
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+        |    SUM(w) OVER (PARTITION BY l_returnflag) AS tw
+        |  FROM perx
+        |)
+        |SELECT l_returnflag, MIN(x) AS wmed FROM c
+        |WHERE cw * 2 >= tw GROUP BY 1 ORDER BY 1""".stripMargin,
     // q54: the O(n²) dominance definition — the distributed bucketed plan
     // must reproduce it exactly (ties and duplicate points included).
     "q54_skyline" ->

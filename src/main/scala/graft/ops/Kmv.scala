@@ -44,11 +44,17 @@ object Kmv {
    * first window sorts at most ~|distinct|/salts rows per task.
    */
   def sketch(df: DataFrame, shardCol: String, valueCol: String,
-             k: Int = 64, salts: Int = 16): DataFrame = {
+             k: Int = 64, salts: Int = 16): DataFrame =
+    sketchHashed(
+      df.select(col(shardCol).as("shard"), kmvHash(col(valueCol)).as("h")),
+      k, salts)
+
+  /** [[sketch]] over already-hashed (shard, h) rows — also the MERGE of
+    * previously built sketches (min-k is mergeable: explode sketches back
+    * to (shard, h) and re-select; the streaming twin uses exactly this). */
+  def sketchHashed(hashed: DataFrame, k: Int = 64, salts: Int = 16): DataFrame = {
     require(k > 0 && salts > 0, s"k=$k salts=$salts must be positive")
-    val h = df.select(col(shardCol).as("shard"), kmvHash(col(valueCol)).as("h"))
-      .filter(col("h").isNotNull)
-      .distinct()
+    val h = hashed.filter(col("h").isNotNull).distinct()
     // salt is derived from the hash itself: deterministic, and uniform
     // because h already is. Survivors per shard: ≤ k·salts.
     val salted = h.withColumn("__salt", pmod(xxhash64(col("h")), lit(salts)))

@@ -56,6 +56,31 @@ object Robust {
   }
 
   /**
+   * Per-group LOWER WEIGHTED MEDIAN with integer weights: the smallest x
+   * whose cumulative weight reaches half the group total (2·cumw ≥ W —
+   * pure integer comparison, no halving float). Ties on x are collapsed
+   * BEFORE the cumulative pass (one groupBy on (group, x)), so the result
+   * is deterministic regardless of row order within equal x — and the
+   * cumulative window then runs over distinct x values, not raw rows.
+   * All-integer ⇒ hash-portable across engines.
+   */
+  def weightedMedian(df: DataFrame, groupCols: Seq[String], xCol: String,
+                     wCol: String, outCol: String = "wmed"): DataFrame = {
+    val perX = df.filter(col(xCol).isNotNull)
+      .groupBy((groupCols :+ xCol).map(col): _*)
+      .agg(sum(col(wCol).cast("long")).as("__w"))
+    val wOrd = Window.partitionBy(groupCols.map(col): _*).orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(groupCols.map(col): _*)
+    perX
+      .withColumn("__cw", sum(col("__w")).over(wOrd))
+      .withColumn("__W", sum(col("__w")).over(wAll))
+      .filter(col("__cw") * 2 >= col("__W"))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(col(xCol)).as(outCol))
+  }
+
+  /**
    * Per-group robust summary: median, MAD, total `n`, and how many rows
    * fail the |x − med| > k·MAD gate (`n_outliers`). A group whose MAD is 0
    * (over half the values identical) flags every row off the median —

@@ -333,4 +333,35 @@ object Streaming {
       }
       .start()
   }
+
+  /**
+   * Streaming KMV sketch maintenance (the sketch [[graft.ops.Kmv]] builds
+   * in batch, kept live under ingest): per shard, the k smallest DISTINCT
+   * hashes are held as mapGroupsWithState state — min-k is
+   * order-insensitive, idempotent under duplicates, and mergeable, so
+   * replay/out-of-order arrival cannot corrupt it and the converged state
+   * is bit-equal to the batch sketch over the same rows (same oracle).
+   * State per shard is ≤ k fixed-width hex strings — O(shards·k) total,
+   * independent of stream length; each batch emits the shard's updated
+   * sketch (Update mode; the LAST row per shard is the live sketch).
+   *
+   * Input contract: `hashed` = (shard string, h string) rows, h already
+   * [[graft.ops.Kmv.kmvHash]]-hashed (keeps the state op agnostic of the
+   * value column's type).
+   */
+  def kmvSketchStream(hashed: DataFrame, k: Int): DataFrame = {
+    import hashed.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    hashed.as[(String, String)].groupByKey(_._1)
+      .mapGroupsWithState[Array[String], (String, Seq[String])](
+        GroupStateTimeout.NoTimeout()) {
+        (shard, batch, state) =>
+          val cur = state.getOption.getOrElse(Array.empty[String])
+          val merged = (cur.iterator ++ batch.map(_._2))
+            .toArray.distinct.sorted.take(k)
+          state.update(merged)
+          (shard, merged.toSeq)
+      }
+      .toDF("shard", "kmv")
+  }
 }

@@ -58,6 +58,18 @@ class KmvSpec extends SparkSpec {
     assert(bkAC == 0, "disjoint shards must not overlap")
   }
 
+  test("sketchHashed merges partial sketches exactly (min-k mergeability)") {
+    val full = Kmv.sketch(data, "shard", "v", k = 24)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    // sketch two halves independently, then merge by explode + re-select
+    val half1 = Kmv.sketch(data.filter($"v" % 2 === 0), "shard", "v", k = 24)
+    val half2 = Kmv.sketch(data.filter($"v" % 2 === 1), "shard", "v", k = 24)
+    val merged = Kmv.sketchHashed(
+      half1.union(half2).select(col("shard"), explode(col("kmv")).as("h")), k = 24)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(merged == full)
+  }
+
   test("Jaccard estimate tracks the true overlap (A,B share 1/3 of union)") {
     val est = Kmv.shardOverlap(data, "shard", "v", k = 128)
       .filter($"shard_a" === "A" && $"shard_b" === "B")

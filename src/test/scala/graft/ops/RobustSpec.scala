@@ -50,6 +50,22 @@ class RobustSpec extends SparkSpec {
     assert(r.getAs[Long]("n_outliers") == 1)
   }
 
+  test("weighted median: lower median rule, ties collapsed before cumulation") {
+    // weights: x=1 w=3, x=2 w=1 (two tied rows), x=9 w=4 → W=8, first x with
+    // 2·cumw ≥ 8 is x=2 (cumw 4)
+    val df = Seq(("a", 1.0, 3L), ("a", 2.0, 1L), ("a", 2.0, 0L), ("a", 9.0, 4L))
+      .toDF("g", "x", "w")
+    val got = Robust.weightedMedian(df, Seq("g"), "x", "w").head().getDouble(1)
+    assert(got == 2.0)
+    // all weight on one value dominates
+    val df2 = Seq(("b", 1.0, 1L), ("b", 5.0, 10L), ("b", 7.0, 1L)).toDF("g", "x", "w")
+    assert(Robust.weightedMedian(df2, Seq("g"), "x", "w").head().getDouble(1) == 5.0)
+    // unit weights reduce to the lower (rank ⌈n/2⌉) median
+    val df3 = Seq(("c", 1.0, 1L), ("c", 2.0, 1L), ("c", 3.0, 1L), ("c", 4.0, 1L))
+      .toDF("g", "x", "w")
+    assert(Robust.weightedMedian(df3, Seq("g"), "x", "w").head().getDouble(1) == 2.0)
+  }
+
   test("nulls are dropped before ranking") {
     val df = Seq(("a", Some(1.0)), ("a", None), ("a", Some(3.0)))
       .toDF("g", "x")

@@ -215,4 +215,27 @@ class StreamingSpec extends SparkSpec {
       .select("id").distinct().as[Long].collect().sorted
     assert(indexed.toSeq == Seq(1L, 3L, 5L), s"got ${indexed.toSeq}")
   }
+
+  test("kmvSketchStream: streamed min-k state re-merges to the batch sketch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-kmv").toString
+    val rows = (0 until 300).map(v => ("A", v.toLong)) ++
+      (150 until 450).map(v => ("B", v.toLong))
+    // two files → AvailableNow may process them as separate microbatches;
+    // duplicates across files exercise idempotence of the min-k state
+    rows.toDF("shard", "v").write.parquet(s"$dir/d1")
+    rows.take(100).toDF("shard", "v").write.mode("append").parquet(s"$dir/d1")
+    val schema = StructType(Seq(
+      StructField("shard", StringType), StructField("v", LongType)))
+    val stream = Streaming.availableNowFileStream(spark, s"$dir/d1", schema)
+      .select(col("shard"), graft.ops.Kmv.kmvHash(col("v")).as("h"))
+    val emitted = Streaming.runAvailableNow(
+      Streaming.kmvSketchStream(stream, k = 16),
+      s"t_${System.nanoTime()}", outputMode = "update")
+    val streamed = graft.ops.Kmv.sketchHashed(
+        emitted.select(col("shard"), explode(col("kmv")).as("h")), k = 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    val batch = graft.ops.Kmv.sketch(rows.toDF("shard", "v"), "shard", "v", k = 16)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    assert(streamed == batch)
+  }
 }
