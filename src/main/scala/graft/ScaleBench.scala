@@ -268,6 +268,36 @@ object ScaleBench {
       .agg(count(lit(1))).head().getLong(0)
     val secs11 = (System.nanoTime() - t11) / 1e9
     println(f"""{"metric":"scale_sorted_neighborhood","rows":$nSnm,"planted_dups":${nSnm - snmBase},"pairs":$nSnmPairs,"sec":$secs11%.2f,"rows_per_sec":${(nSnm / secs11).toLong}}""")
+
+    // 2-D skyline at scale (q54's operator): 10M correlated points — the
+    // shape where bucketed local skylines prune hardest (anti-correlated
+    // data keeps more of the frontier; both shapes stay one bucket-keyed
+    // pass + broadcast merge). Deterministic congruential "noise".
+    val nSky = math.min(nTiles * 10, 10000000L)
+    val skyRows = spark.range(nSky).select(col("id"),
+      ((col("id") * 2654435761L) % 1000000L).as("x"),
+      ((col("id") * 40503L + 7L) % 1000000L).as("y"))
+      .repartition(cpus.toInt * 4)
+    val t12 = System.nanoTime()
+    val nFrontier = graft.ops.Skyline.pareto2d(skyRows, "x", "y", buckets = 256)
+      .agg(count(lit(1))).head().getLong(0)
+    val secs12 = (System.nanoTime() - t12) / 1e9
+    println(f"""{"metric":"scale_skyline","rows":$nSky,"frontier":$nFrontier,"buckets":256,"sec":$secs12%.2f,"rows_per_sec":${(nSky / secs12).toLong}}""")
+
+    // KMV shard-overlap at scale (q53's operator): 10M values across 16
+    // shards with engineered pairwise overlap; the only full-data pass is
+    // ONE distinct on (shard, hash), min-k is two bounded keyed windows.
+    val nKmv = math.min(nTiles * 10, 10000000L)
+    val kmvRows = spark.range(nKmv).select(
+      concat(lit("s"), (col("id") % 16).cast("string")).as("shard"),
+      // consecutive shards share half their value range
+      ((col("id") % 16) * 500000L + (expr("id div 16") % 1000000L)).as("v"))
+      .repartition(cpus.toInt * 4)
+    val t13 = System.nanoTime()
+    val nOverlaps = graft.ops.Kmv.shardOverlap(kmvRows, "shard", "v", k = 256)
+      .agg(count(lit(1)), sum(col("both_k"))).head()
+    val secs13 = (System.nanoTime() - t13) / 1e9
+    println(f"""{"metric":"scale_kmv_overlap","rows":$nKmv,"shards":16,"pairs":${nOverlaps.getLong(0)},"sum_both_k":${nOverlaps.getLong(1)},"k":256,"sec":$secs13%.2f,"rows_per_sec":${(nKmv / secs13).toLong}}""")
     spark.stop()
   }
 }

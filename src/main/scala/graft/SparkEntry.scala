@@ -1693,6 +1693,46 @@ object SparkEntry {
           Seq("l_returnflag"), "l_quantity", "l_linenumber")
         .orderBy("l_returnflag")
     }),
+    "q58_transitions" -> ((s, d) => {
+      // first-order Markov transition counts over each user's event
+      // sequence (user-journey analysis): ONE keyed lag window (parallel
+      // across users, (ts, event_id) total order makes the lag
+      // deterministic under timestamp ties) + one map-side-combinable
+      // count. Integers only.
+      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
+        col("ts"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      ev.withColumn("prev", lag(col("event_type"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .groupBy(col("prev").as("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
+    "q59_concurrency" -> ((s, d) => {
+      // sweep-line max concurrency per event_type: each event holds for
+      // floor(value)+1 seconds; +1/-1 boundary deltas, ends sorted before
+      // starts at equal time ([s, e) semantics), ONE keyed running-sum
+      // window, then max + earliest peak instant. Tied deltas make the
+      // intermediate running sums order-dependent but not the maximum or
+      // its earliest time — the hashed output is deterministic.
+      val iv = t(s, d, "events")
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"), unix_micros(col("ts")).as("st"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") + 1) * 1000000L).as("en"))
+      val deltas = iv.select(col("event_type"), col("st").as("t"), lit(1L).as("d"))
+        .unionByName(iv.select(col("event_type"), col("en").as("t"), lit(-1L).as("d")))
+      val w = Window.partitionBy("event_type").orderBy("t", "d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val run = deltas.withColumn("c", sum(col("d")).over(w))
+      val mx = run.groupBy("event_type").agg(max(col("c")).as("max_concurrent"))
+      run.join(mx, Seq("event_type"))
+        .filter(col("c") === col("max_concurrent"))
+        .groupBy("event_type")
+        .agg(first(col("max_concurrent")).as("max_concurrent"),
+          min(col("t")).as("peak_us"))
+        .orderBy("event_type")
+    }),
     "s13_stream_kmv" -> ((s, d) => {
       // q53's KMV sketches maintained under STREAMING ingest
       // (Streaming.kmvSketchStream): per-shard min-k state updated per
@@ -3347,6 +3387,40 @@ object SparkEntry {
         |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
         |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q58: same lag over the same (ts, event_id) total order.
+    "q58_transitions" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // q59: same +1/-1 sweep — ends before starts at equal instants, the
+    // peak and its earliest time are order-independent under tied deltas.
+    "q59_concurrency" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS st,
+        |    epoch_us(ts) + (CAST(floor(value) AS BIGINT) + 1) * 1000000 AS en
+        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+        |), deltas AS (
+        |  SELECT event_type, st AS t, CAST(1 AS BIGINT) AS d FROM iv
+        |  UNION ALL SELECT event_type, en, CAST(-1 AS BIGINT) FROM iv
+        |), run AS (
+        |  SELECT event_type, t,
+        |    SUM(d) OVER (PARTITION BY event_type ORDER BY t, d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+        |  FROM deltas
+        |), mx AS (
+        |  SELECT event_type, MAX(c) AS max_concurrent FROM run GROUP BY 1
+        |)
+        |SELECT r.event_type, CAST(m.max_concurrent AS BIGINT) AS max_concurrent,
+        |  MIN(r.t) AS peak_us
+        |FROM run r JOIN mx m ON r.event_type = m.event_type
+        |  AND r.c = m.max_concurrent
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     // q57: ties collapsed on (group, x) first, then the integer 2·cumw ≥ W
     // rule over distinct x — identical construction both engines.
     "q57_weighted_median" ->
