@@ -150,4 +150,31 @@ class PlanSpec extends SparkSpec {
         s"vectors reached the top-k window input: $in")
     }
   }
+
+  test("d26: exact cosine pairs plan has no nested-loop join (broadcast-array scoring)") {
+    // the rewrite scores each row against the broadcast primitive-array
+    // corpus inside one UDF — a BroadcastNestedLoopJoin reappearing here
+    // means someone reverted to the materialize-n²/2-rows plan
+    val p = formatted("d26_semantic_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "exact-cosine path regressed to a nested-loop join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q54: skyline is bucket-keyed windows + broadcast merge, never O(n²)") {
+    val p = formatted("q54_skyline")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "skyline regressed to the quadratic dominance join:\n" + p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"),
+      "cross-bucket cumulative-min merge should broadcast:\n" + p)
+  }
+
+  test("q53: KMV sketch windows are salted — no unsalted single pass over a shard") {
+    // the first min-k window must partition on (shard, __salt); an
+    // orderBy-only or shard-only first window funnels a hot shard's whole
+    // distinct set through one task
+    val p = formatted("q53_kmv_overlap")
+    assert(p.contains("__salt"), "salted pre-selection window missing:\n" + p)
+  }
 }
