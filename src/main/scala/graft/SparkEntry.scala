@@ -1733,6 +1733,25 @@ object SparkEntry {
           min(col("t")).as("peak_us"))
         .orderBy("event_type")
     }),
+    "s14_stream_transitions" -> ((s, d) => {
+      // q58's Markov transitions with events arriving as a STREAM: the lag
+      // window becomes flatMapGroupsWithState carrying ONE last-event per
+      // user (O(users) state); emitted pairs are batch-counted after
+      // AvailableNow. Same oracle as q58 — the streamed chain must
+      // reproduce the batch lag bit for bit.
+      val ss = statefulEventsSession(s)
+      import ss.implicits._
+      val ev = eventsStream(ss, d)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"), col("event_id"))
+        .as[graft.streaming.Streaming.TransitionEvent]
+      val pairs = graft.streaming.Streaming.transitionStream(ev)
+      graft.streaming.Streaming.runAvailableNow(pairs,
+          s"s14_tr_${System.nanoTime()}", outputMode = "append")
+        .groupBy("from_type", "to_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("from_type", "to_type")
+    }),
     "s13_stream_kmv" -> ((s, d) => {
       // q53's KMV sketches maintained under STREAMING ingest
       // (Streaming.kmvSketchStream): per-shard min-k state updated per
@@ -3387,7 +3406,18 @@ object SparkEntry {
         |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
         |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
-    // q58: same lag over the same (ts, event_id) total order.
+    // q58/s14: same lag over the same (ts, event_id) total order (the
+    // streamed twin carries one last-event per user instead of a window).
+    "s14_stream_transitions" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events
+        |)
+        |SELECT prev AS from_type, event_type AS to_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r WHERE prev IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q58_transitions" ->
       """WITH r AS (
         |  SELECT user_id, event_type,

@@ -334,6 +334,52 @@ object Streaming {
       .start()
   }
 
+  /** One event on the transition stream. */
+  case class TransitionEvent(user_id: Long, event_type: String, us: Long,
+                             event_id: Long)
+  /** Per-user carry state: the last event seen, with its (us, event_id)
+    * position so a late batch cannot silently reorder the chain. */
+  case class LastEvent(event_type: String, us: Long, event_id: Long)
+
+  /**
+   * Streaming Markov transition extraction (q58's lag window as a stream):
+   * per user, each batch's events are sorted by the (us, event_id) total
+   * order and chained onto the carried last event — state is ONE event per
+   * live user, so the transition pairs emit incrementally with O(users)
+   * state instead of a growing window. Cross-batch correctness relies on
+   * ordered arrival (same contract as [[funnelStream]] — AvailableNow's
+   * batches preserve file order; a live deployment pairs this with a
+   * watermark-delayed source), and the carried position makes a violation
+   * detectable rather than silent.
+   *
+   * Output: one (from_type, to_type) row per consecutive pair — aggregate
+   * downstream (batch count after AvailableNow, or a second stateful agg).
+   */
+  def transitionStream(events: org.apache.spark.sql.Dataset[TransitionEvent])
+      : DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, (String, String)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: Long, batch: Iterator[TransitionEvent], state: GroupState[LastEvent]) =>
+          val sorted = batch.toArray.sortBy(e => (e.us, e.event_id))
+          val out = Seq.newBuilder[(String, String)]
+          var prev = state.getOption
+          sorted.foreach { e =>
+            prev.foreach { p =>
+              require(p.us < e.us || (p.us == e.us && p.event_id <= e.event_id),
+                s"out-of-order batch: carried (${p.us},${p.event_id}) after (${e.us},${e.event_id})")
+              out += ((p.event_type, e.event_type))
+            }
+            prev = Some(LastEvent(e.event_type, e.us, e.event_id))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("from_type", "to_type")
+  }
+
   /**
    * Streaming KMV sketch maintenance (the sketch [[graft.ops.Kmv]] builds
    * in batch, kept live under ingest): per shard, the k smallest DISTINCT

@@ -216,6 +216,44 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.toSeq == Seq(1L, 3L, 5L), s"got ${indexed.toSeq}")
   }
 
+  test("transitionStream: last-event state chains transitions across restarts") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-tr").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-tr-ckpt").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("us", LongType), StructField("event_id", LongType)))
+    def drop(rows: Seq[(Long, String, Long, Long)], n: Int): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-tr-staging").toString
+      rows.toDF("user_id", "event_type", "us", "event_id")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"drop$n.parquet"))
+    }
+    def run(): Seq[(String, String)] = {
+      val ev = Streaming.availableNowFileStream(spark, dir, schema)
+        .as[Streaming.TransitionEvent]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+      val q = Streaming.transitionStream(ev).writeStream
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sink.add((r.getString(0), r.getString(1))))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.toArray.map(_.asInstanceOf[(String, String)]).toSeq
+    }
+    // batch 1: out-of-order within the batch — must sort by (us, event_id)
+    drop(Seq((1L, "click", 2L, 11L), (1L, "view", 1L, 10L), (2L, "view", 5L, 12L)), 1)
+    assert(run().sorted == Seq(("view", "click")))
+    // batch 2: continuation events chain onto the CARRIED last event
+    drop(Seq((1L, "purchase", 3L, 13L), (2L, "click", 6L, 14L)), 2)
+    assert(run().sorted == Seq(("click", "purchase"), ("view", "click")))
+  }
+
   test("kmvSketchStream: streamed min-k state re-merges to the batch sketch") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-kmv").toString
     val rows = (0 until 300).map(v => ("A", v.toLong)) ++
