@@ -1733,6 +1733,23 @@ object SparkEntry {
           min(col("t")).as("peak_us"))
         .orderBy("event_type")
     }),
+    "q60_snapshot_diff" -> ((s, d) => {
+      // lakehouse TABLE DIFF (Cdc.snapshotDiff — applyChangeset's inverse):
+      // two deterministic snapshot versions of orders (keys %10 dropped /
+      // %7 dropped, %3 prices bumped) → the minimal I/U/D changeset from
+      // ONE full outer join, payloads compared null-safe as structs.
+      // CdcSpec pins the round-trip law (apply(old, diff) == new).
+      val base = t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice"), col("o_orderstatus"))
+      val old = base.filter(col("o_orderkey") % 10 =!= 0)
+      val nw = base.filter(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.ops.Cdc.snapshotDiff(old, nw, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
     "s14_stream_transitions" -> ((s, d) => {
       // q58's Markov transitions with events arriving as a STREAM: the lag
       // window becomes flatMapGroupsWithState carrying ONE last-event per
@@ -3406,6 +3423,35 @@ object SparkEntry {
         |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
         |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
         |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q60: same full outer join, per-column IS DISTINCT FROM = the
+    // null-safe struct compare.
+    "q60_snapshot_diff" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus FROM orders
+        |), o AS (SELECT * FROM base WHERE o_orderkey % 10 <> 0),
+        |n AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM base WHERE o_orderkey % 7 <> 0
+        |), d AS (
+        |  SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_custkey
+        |         ELSE n.o_custkey END AS o_custkey,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |         ELSE n.o_totalprice END AS o_totalprice,
+        |    CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+        |         ELSE n.o_orderstatus END AS o_orderstatus,
+        |    CASE WHEN o.o_orderkey IS NULL THEN 'I'
+        |         WHEN n.o_orderkey IS NULL THEN 'D'
+        |         WHEN (o.o_custkey IS DISTINCT FROM n.o_custkey)
+        |           OR (o.o_totalprice IS DISTINCT FROM n.o_totalprice)
+        |           OR (o.o_orderstatus IS DISTINCT FROM n.o_orderstatus)
+        |         THEN 'U' END AS change_type
+        |  FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |)
+        |SELECT * FROM d WHERE change_type IS NOT NULL ORDER BY o_orderkey""".stripMargin,
     // q58/s14: same lag over the same (ts, event_id) total order (the
     // streamed twin carries one last-event per user instead of a window).
     "s14_stream_transitions" ->

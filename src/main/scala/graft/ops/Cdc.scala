@@ -45,4 +45,45 @@ object Cdc {
     untouched.unionByName(
       latest.filter(!coalesce(col(deleteCol), lit(false))).drop(seqCol, deleteCol))
   }
+
+  /**
+   * The inverse of [[applyChangeset]]: derive the MINIMAL changeset that
+   * turns `oldSnap` into `newSnap` — the lakehouse "table diff" (what a
+   * snapshot-compaction audit, an incremental-replication planner, or a
+   * backfill validator needs). Each output row is a full new-side row (or
+   * the old row for deletes) plus `change_type` ∈ {'I','U','D'}; unchanged
+   * keys emit nothing.
+   *
+   * Round-trip law (spec-pinned): applying the derived changeset to
+   * `oldSnap` reproduces `newSnap` exactly.
+   *
+   * 100 TB design: ONE full outer join keyed on `keyCols` (both sides read
+   * once; bucketed layouts co-locate it), update detection compares the
+   * non-key payloads as structs — null-safe (`<=>`), so NULL payload
+   * fields diff correctly. No window, no second scan.
+   */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "keyCols must be non-empty")
+    require(oldSnap.columns.toSeq == newSnap.columns.toSeq,
+      s"snapshots must share a schema; got ${oldSnap.columns.mkString(",")} " +
+        s"vs ${newSnap.columns.mkString(",")}")
+    val payload = oldSnap.columns.filterNot(keyCols.contains).toSeq
+    val o = oldSnap.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__po"): _*)
+    val n = newSnap.select(keyCols.map(col) :+
+      struct(payload.map(col): _*).as("__pn"): _*)
+    o.join(n, keyCols, "full_outer")
+      .withColumn("change_type",
+        when(col("__po").isNull, lit("I"))
+          .when(col("__pn").isNull, lit("D"))
+          .when(!(col("__po") <=> col("__pn")), lit("U")))
+      .filter(col("change_type").isNotNull)
+      .select(keyCols.map(col) ++ payload.indices.map(i =>
+        // deletes carry the old payload (the row being removed); inserts
+        // and updates carry the new one
+        when(col("change_type") === "D", col("__po").getField(payload(i)))
+          .otherwise(col("__pn").getField(payload(i))).as(payload(i))) :+
+        col("change_type"): _*)
+  }
 }

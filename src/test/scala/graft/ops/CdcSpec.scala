@@ -32,6 +32,35 @@ class CdcSpec extends SparkSpec {
     assert(got == Seq((1L, "x9", 9)))
   }
 
+  test("snapshotDiff: minimal I/U/D set, null-safe payload compare") {
+    val old = Seq((1L, Some("a"), 10), (2L, Some("b"), 20), (3L, None, 30),
+      (4L, Some("d"), 40)).toDF("k", "name", "v")
+    val nw = Seq((1L, Some("a"), 10),       // unchanged → no row
+      (2L, Some("b2"), 20),                  // updated
+      (3L, None, 30),                        // unchanged incl. null payload
+      (5L, Some("e"), 50)).toDF("k", "name", "v") // insert; k=4 deleted
+    val got = Cdc.snapshotDiff(old, nw, Seq("k"))
+      .orderBy("k").as[(Long, Option[String], Int, String)].collect().toSeq
+    assert(got == Seq((2L, Some("b2"), 20, "U"), (4L, Some("d"), 40, "D"),
+      (5L, Some("e"), 50, "I")))
+  }
+
+  test("round trip: applyChangeset(old, snapshotDiff(old, new)) == new") {
+    val rnd = new scala.util.Random(3)
+    val old = (1L to 500L).map(k => (k, s"n$k", rnd.nextInt(100))).toDF("k", "name", "v")
+    val nw = (1L to 600L).filter(_ % 7 != 0)
+      .map(k => (k, s"n$k", if (k % 3 == 0) 999 else (k % 100).toInt))
+      .toDF("k", "name", "v")
+    val diff = Cdc.snapshotDiff(old, nw, Seq("k"))
+      .withColumn("seq", lit(1L))
+      .withColumn("del", col("change_type") === "D")
+      .drop("change_type")
+    val applied = Cdc.applyChangeset(old, diff, Seq("k"), "seq", "del")
+      .as[(Long, String, Int)].collect().toSet
+    val expect = nw.as[(Long, String, Int)].collect().toSet
+    assert(applied == expect)
+  }
+
   test("applyChangeset rejects schema drift in changes") {
     val snapshot = Seq((1L, 1)).toDF("k", "v")
     val bad = Seq((1L, 1, 2L)).toDF("k", "v", "seq") // missing delete col
