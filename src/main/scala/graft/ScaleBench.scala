@@ -18,6 +18,10 @@ object ScaleBench {
   def main(args: Array[String]): Unit = {
     val nTiles = sys.env.getOrElse("SPARK_GRAFT_TILES", "1000000").toLong
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // optional args = substring filters over metric names, so one shape can
+    // be re-measured without paying for the whole suite
+    def sel(name: String): Boolean = args.isEmpty || args.exists(name.contains)
+    val dimV = 64
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -28,276 +32,310 @@ object ScaleBench {
     spark.sparkContext.setLogLevel("WARN")
     graft.geo.GeoFunctions.ensureRegistered(spark)
 
-    // size a bbox to ~nTiles zoom-14 tiles (square-ish)
-    val side = math.sqrt(nTiles.toDouble).ceil.toInt
-    val degPerTile = 360.0 / (1 << 14)
-    val (minLon, minLat) = (-72.0, 10.0)
-    val tiles = TileUniverse.generate(spark, 14,
-      minLon, minLat, minLon + side * degPerTile, minLat + side * degPerTile * 0.8)
-      .repartition(cpus.toInt * 4)
+    if (sel("probability_join")) {
+      // size a bbox to ~nTiles zoom-14 tiles (square-ish)
+      val side = math.sqrt(nTiles.toDouble).ceil.toInt
+      val degPerTile = 360.0 / (1 << 14)
+      val (minLon, minLat) = (-72.0, 10.0)
+      val tiles = TileUniverse.generate(spark, 14,
+        minLon, minLat, minLon + side * degPerTile, minLat + side * degPerTile * 0.8)
+        .repartition(cpus.toInt * 4)
 
-    val envs = SyntheticScenario.envelopes(spark, members = 51,
-      thresholds = Constants.WindThresholds.take(5),
-      anchorLon = minLon + side * degPerTile / 2,
-      anchorLat = minLat + side * degPerTile * 0.4)
+      val envs = SyntheticScenario.envelopes(spark, members = 51,
+        thresholds = Constants.WindThresholds.take(5),
+        anchorLon = minLon + side * degPerTile / 2,
+        anchorLat = minLat + side * degPerTile * 0.4)
 
-    val nGen = tiles.count()
-    val t0 = System.nanoTime()
-    val tv = SpatialJoin.probabilityByThreshold(tiles, "geometry", envs, "geometry",
-      keepZeroRows = false)
-    val out = tv.agg(count(lit(1)), sum("n_members")).head()
-    val secs = (System.nanoTime() - t0) / 1e9
-    println(f"""{"metric":"scale_probability_join","tiles":$nGen,"envelopes":${51 * 5},"hit_rows":${out.getLong(0)},"member_hits":${out.getLong(1)},"sec":$secs%.2f,"tiles_per_sec":${(nGen / secs).toLong}}""")
-
-    // wind-field construction (S3): narrow per-row quadrant-arc polygons —
-    // the other per-row geometry hot path; scales with cores like the join
-    val nPoints = math.min(nTiles, 2000000L)
-    val pts = spark.range(nPoints).select(
-      col("id"),
-      (lit(-72.0) + (col("id") % 1000) * lit(0.001)).as("longitude"),
-      (lit(18.0) + (col("id") % 800) * lit(0.001)).as("latitude"),
-      (col("id") % 97).cast("double").as("radius_34_knot_winds_ne_km"),
-      (col("id") % 89).cast("double").as("radius_34_knot_winds_se_km"),
-      (col("id") % 83).cast("double").as("radius_34_knot_winds_sw_km"),
-      (col("id") % 79).cast("double").as("radius_34_knot_winds_nw_km"))
-      .repartition(cpus.toInt * 4)
-    val t1 = System.nanoTime()
-    val wf = graft.ops.Tracks.withWindFields(pts)
-    val nPolys = wf.filter(col("wind_field_polygon_34kt").isNotNull).count()
-    val secs1 = (System.nanoTime() - t1) / 1e9
-    println(f"""{"metric":"scale_wind_field","points":$nPoints,"polygons":$nPolys,"sec":$secs1%.2f,"points_per_sec":${(nPoints / secs1).toLong}}""")
-
-    // related-table flatten (S17): many small per-(storm,threshold,level)
-    // CSVs → one long frame. The scale property under test: plan depth is
-    // the number of DISTINCT HEADERS (3 here), not the number of files, so
-    // a thousand-storm backfill stays a handful of multi-path scans.
-    val nFiles = sys.env.getOrElse("SPARK_GRAFT_RT_FILES", "300").toInt
-    val rowsPerFile = 500
-    val rtRoot = java.nio.file.Files.createTempDirectory("graft_rt_scale").toString
-    val store = new graft.io.DataStore(rtRoot)
-    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$rtRoot/admin_impact_views"))
-    // three header groups: full metrics, no-facilities, population-only
-    val headers = Seq(
-      "tile_id,E_population,E_built_surface_m2,E_num_schools,probability",
-      "tile_id,E_population,E_built_surface_m2,probability",
-      "tile_id,E_population,probability")
-    (0 until nFiles).foreach { i =>
-      val name = f"PHL_STORM${i % 40}%02d_202601${(i % 28) + 1}%02d000000_${Seq(34, 50, 64)(i % 3)}_admin${(i % 3) + 1}.csv"
-      val h = headers(i % headers.size)
-      val nCols = h.count(_ == ',')
-      val body = (0 until rowsPerFile).map { r =>
-        (Seq(s"t$r") ++ (1 to nCols).map(c => ((r * c) % 1000).toString)).mkString(",")
-      }.mkString("\n")
-      java.nio.file.Files.writeString(
-        java.nio.file.Paths.get(s"$rtRoot/admin_impact_views/$name"), h + "\n" + body)
+      val nGen = tiles.count()
+      val t0 = System.nanoTime()
+      val tv = SpatialJoin.probabilityByThreshold(tiles, "geometry", envs, "geometry",
+        keepZeroRows = false)
+      val out = tv.agg(count(lit(1)), sum("n_members")).head()
+      val secs = (System.nanoTime() - t0) / 1e9
+      println(f"""{"metric":"scale_probability_join","tiles":$nGen,"envelopes":${51 * 5},"hit_rows":${out.getLong(0)},"member_hits":${out.getLong(1)},"sec":$secs%.2f,"tiles_per_sec":${(nGen / secs).toLong}}""")
     }
-    val t2 = System.nanoTime()
-    val discovered = graft.io.RelatedTable.discover(store)
-    val flat = graft.io.RelatedTable.rows(spark, store, discovered)
-    val nRows = flat.agg(count(lit(1))).head().getLong(0)
-    val secs2 = (System.nanoTime() - t2) / 1e9
-    println(f"""{"metric":"scale_related_table_flatten","files":${discovered.size},"rows":$nRows,"header_groups":${headers.size},"sec":$secs2%.2f,"rows_per_sec":${(nRows / secs2).toLong}}""")
-    store.remove("")
 
-    // minhash signature (dedup hot path): one narrow UDF pass computing all
-    // 64 hash minima per ~200-char document — the per-row cost that
-    // dominates corpus dedup; scales with cores, no shuffle
-    val nDocs = math.min(nTiles, 500000L)
-    val docs = spark.range(nDocs).select(col("id"),
-      concat_ws(" ", (0 until 30).map(j =>
-        concat(lit(s"w$j"), ((col("id") * (j + 7)) % 1000).cast("string"))): _*).as("text"))
-      .repartition(cpus.toInt * 4)
-    val t3 = System.nanoTime()
-    val nSigs = docs
-      .select(graft.llm.Dedup.minhashSignature(col("text"), 5, 64).as("sig"))
-      .filter(size(col("sig")) === 64).count()
-    val secs3 = (System.nanoTime() - t3) / 1e9
-    println(f"""{"metric":"scale_minhash_signature","docs":$nSigs,"hashes":64,"sec":$secs3%.2f,"docs_per_sec":${(nSigs / secs3).toLong}}""")
+    if (sel("wind_field")) {
+      // wind-field construction (S3): narrow per-row quadrant-arc polygons —
+      // the other per-row geometry hot path; scales with cores like the join
+      val nPoints = math.min(nTiles, 2000000L)
+      val pts = spark.range(nPoints).select(
+        col("id"),
+        (lit(-72.0) + (col("id") % 1000) * lit(0.001)).as("longitude"),
+        (lit(18.0) + (col("id") % 800) * lit(0.001)).as("latitude"),
+        (col("id") % 97).cast("double").as("radius_34_knot_winds_ne_km"),
+        (col("id") % 89).cast("double").as("radius_34_knot_winds_se_km"),
+        (col("id") % 83).cast("double").as("radius_34_knot_winds_sw_km"),
+        (col("id") % 79).cast("double").as("radius_34_knot_winds_nw_km"))
+        .repartition(cpus.toInt * 4)
+      val t1 = System.nanoTime()
+      val wf = graft.ops.Tracks.withWindFields(pts)
+      val nPolys = wf.filter(col("wind_field_polygon_34kt").isNotNull).count()
+      val secs1 = (System.nanoTime() - t1) / 1e9
+      println(f"""{"metric":"scale_wind_field","points":$nPoints,"polygons":$nPolys,"sec":$secs1%.2f,"points_per_sec":${(nPoints / secs1).toLong}}""")
+    }
 
-    // as-of join (union + one window pass): left = 8x the right side,
-    // 100k keys — the shape that replaces a per-key cross product; cost
-    // must stay linear in |left| + |right|
-    val nEvents = math.min(nTiles * 10, 10000000L)
-    val lefts = spark.range(nEvents).select(
-      (col("id") % 100000).as("k"), col("id").as("lid"),
-      ((col("id") * 37L) % 1000000000L).as("lt"))
-      .repartition(cpus.toInt * 4)
-    val rights = spark.range(nEvents / 8).select(
-      (col("id") % 100000).as("k"), col("id").as("rid"),
-      ((col("id") * 293L) % 1000000000L).as("rt"))
-    val t4 = System.nanoTime()
-    val nAsof = graft.ops.Deltas.asofJoin(lefts, rights, Seq("k"),
-        leftTime = "lt", rightTime = "rt", payload = Seq("rid"))
-      .agg(count(col("asof_rid"))).head().getLong(0)
-    val secs4 = (System.nanoTime() - t4) / 1e9
-    println(f"""{"metric":"scale_asof_join","left_rows":$nEvents,"right_rows":${nEvents / 8},"matched":$nAsof,"sec":$secs4%.2f,"rows_per_sec":${(nEvents / secs4).toLong}}""")
+    if (sel("related_table")) {
+      // related-table flatten (S17): many small per-(storm,threshold,level)
+      // CSVs → one long frame. The scale property under test: plan depth is
+      // the number of DISTINCT HEADERS (3 here), not the number of files, so
+      // a thousand-storm backfill stays a handful of multi-path scans.
+      val nFiles = sys.env.getOrElse("SPARK_GRAFT_RT_FILES", "300").toInt
+      val rowsPerFile = 500
+      val rtRoot = java.nio.file.Files.createTempDirectory("graft_rt_scale").toString
+      val store = new graft.io.DataStore(rtRoot)
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$rtRoot/admin_impact_views"))
+      // three header groups: full metrics, no-facilities, population-only
+      val headers = Seq(
+        "tile_id,E_population,E_built_surface_m2,E_num_schools,probability",
+        "tile_id,E_population,E_built_surface_m2,probability",
+        "tile_id,E_population,probability")
+      (0 until nFiles).foreach { i =>
+        val name = f"PHL_STORM${i % 40}%02d_202601${(i % 28) + 1}%02d000000_${Seq(34, 50, 64)(i % 3)}_admin${(i % 3) + 1}.csv"
+        val h = headers(i % headers.size)
+        val nCols = h.count(_ == ',')
+        val body = (0 until rowsPerFile).map { r =>
+          (Seq(s"t$r") ++ (1 to nCols).map(c => ((r * c) % 1000).toString)).mkString(",")
+        }.mkString("\n")
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(s"$rtRoot/admin_impact_views/$name"), h + "\n" + body)
+      }
+      val t2 = System.nanoTime()
+      val discovered = graft.io.RelatedTable.discover(store)
+      val flat = graft.io.RelatedTable.rows(spark, store, discovered)
+      val nRows = flat.agg(count(lit(1))).head().getLong(0)
+      val secs2 = (System.nanoTime() - t2) / 1e9
+      println(f"""{"metric":"scale_related_table_flatten","files":${discovered.size},"rows":$nRows,"header_groups":${headers.size},"sec":$secs2%.2f,"rows_per_sec":${(nRows / secs2).toLong}}""")
+      store.remove("")
+    }
 
-    // MinHash-LSH END TO END (signature + band explode + bucket join + pair
-    // agg) with a 20% planted duplicate rate — the d04 shape at 100x the
-    // bench corpus. The property under test: candidate pairs stay
-    // output-bound (planted dup groups), so cost is dominated by the narrow
-    // signature pass and stays linear in docs.
-    val nLshDocs = math.min(nTiles, 500000L)
-    val base = (col("id") % (nLshDocs * 4 / 5)).as("b")
-    // word values are injective in the base (no small modulus) and mixed by
-    // a large prime so the vocabulary is diverse: each dup group has the
-    // intended ~2 members and band collisions stay near the true-dup rate.
-    // (A low-entropy generator — few distinct words — inflates candidate
-    // pairs quadratically through noise buckets and benchmarks the verify
-    // step's worst case rather than a realistic corpus.)
-    val lshDocs = spark.range(nLshDocs).select(col("id"), base)
-      .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
-        concat(lit(s"w$j"), ((col("b") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
-      .repartition(cpus.toInt * 4)
-    val t5 = System.nanoTime()
-    val nPairs = graft.llm.Dedup.minhashLsh(lshDocs, "id", minEstJaccard = 0.5)
-      .agg(count(lit(1))).head().getLong(0)
-    val secs5 = (System.nanoTime() - t5) / 1e9
-    println(f"""{"metric":"scale_minhash_lsh_pairs","docs":$nLshDocs,"pairs":$nPairs,"sec":$secs5%.2f,"docs_per_sec":${(nLshDocs / secs5).toLong}}""")
+    if (sel("minhash_signature")) {
+      // minhash signature (dedup hot path): one narrow UDF pass computing all
+      // 64 hash minima per ~200-char document — the per-row cost that
+      // dominates corpus dedup; scales with cores, no shuffle
+      val nDocs = math.min(nTiles, 500000L)
+      val docs = spark.range(nDocs).select(col("id"),
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit(s"w$j"), ((col("id") * (j + 7)) % 1000).cast("string"))): _*).as("text"))
+        .repartition(cpus.toInt * 4)
+      val t3 = System.nanoTime()
+      val nSigs = docs
+        .select(graft.llm.Dedup.minhashSignature(col("text"), 5, 64).as("sig"))
+        .filter(size(col("sig")) === 64).count()
+      val secs3 = (System.nanoTime() - t3) / 1e9
+      println(f"""{"metric":"scale_minhash_signature","docs":$nSigs,"hashes":64,"sec":$secs3%.2f,"docs_per_sec":${(nSigs / secs3).toLong}}""")
+    }
 
-    // Connected components (d20's algorithm) on a graph engineered to be
-    // hard both ways: a sparse random-ish graph (giant component — many
-    // rounds of bulk work) PLUS a long path (the diameter case where naive
-    // label propagation needs O(path) rounds but large/small-star stays
-    // O(log²)). Cost per round is keyed shuffles over a SHRINKING edge set.
-    val nVerts = math.min(nTiles * 2, 2000000L)
-    val nRandEdges = nVerts / 2
-    val pathLen = 100000L
-    val rand = spark.range(nRandEdges).select(
-      ((col("id") * 2654435761L) % nVerts).as("src"),
-      ((col("id") * 1099511628211L) % nVerts).as("dst"))
-    val path = spark.range(pathLen).select(
-      (col("id") + nVerts).as("src"), (col("id") + nVerts + 1).as("dst"))
-    val edges = rand.unionByName(path).repartition(cpus.toInt * 4)
-    val t6 = System.nanoTime()
-    val lbl = graft.ops.ConnectedComponents.labels(edges, "src", "dst")
-    val cc = lbl.agg(count(lit(1)).as("n"), countDistinct(col("component")).as("c")).head()
-    val secs6 = (System.nanoTime() - t6) / 1e9
-    val nEdgesTotal = nRandEdges + pathLen
-    println(f"""{"metric":"scale_connected_components","edges":$nEdgesTotal,"vertices":${cc.getLong(0)},"components":${cc.getLong(1)},"sec":$secs6%.2f,"edges_per_sec":${(nEdgesTotal / secs6).toLong}}""")
+    if (sel("asof_join")) {
+      // as-of join (union + one window pass): left = 8x the right side,
+      // 100k keys — the shape that replaces a per-key cross product; cost
+      // must stay linear in |left| + |right|
+      val nEvents = math.min(nTiles * 10, 10000000L)
+      val lefts = spark.range(nEvents).select(
+        (col("id") % 100000).as("k"), col("id").as("lid"),
+        ((col("id") * 37L) % 1000000000L).as("lt"))
+        .repartition(cpus.toInt * 4)
+      val rights = spark.range(nEvents / 8).select(
+        (col("id") % 100000).as("k"), col("id").as("rid"),
+        ((col("id") * 293L) % 1000000000L).as("rt"))
+      val t4 = System.nanoTime()
+      val nAsof = graft.ops.Deltas.asofJoin(lefts, rights, Seq("k"),
+          leftTime = "lt", rightTime = "rt", payload = Seq("rid"))
+        .agg(count(col("asof_rid"))).head().getLong(0)
+      val secs4 = (System.nanoTime() - t4) / 1e9
+      println(f"""{"metric":"scale_asof_join","left_rows":$nEvents,"right_rows":${nEvents / 8},"matched":$nAsof,"sec":$secs4%.2f,"rows_per_sec":${(nEvents / secs4).toLong}}""")
+    }
 
-    // ANN at corpus scale: 1M 64-dim vectors. The exact baseline scores
-    // |corpus| x |queries| primitive dots and shuffles only narrow rows to
-    // its top-k window; the sign-LSH path probes hash buckets, so its
-    // candidate count (and cost) is output-bound. Vectors localCheckpoint,
-    // not cache: columnar-caching array columns pays per-element encoding.
-    val nVecs = math.min(nTiles * 2, 1000000L)
-    val dimV = 64
-    val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
-      transform(sequence(lit(0), lit(dimV - 1)),
-        j => sin((col("id") % 100000) * (j + 1) * 0.0001).cast("float")).as("embedding"))
-      .repartition(cpus.toInt * 4)
-      .localCheckpoint(false)
-    val qs10 = vecs.filter(col("vec_id") < 10)
-    val t7 = System.nanoTime()
-    val nExact = graft.llm.Similarity.bruteForceTopK(vecs, qs10, k = 10)
-      .agg(count(lit(1))).head().getLong(0)
-    val secs7 = (System.nanoTime() - t7) / 1e9
-    println(f"""{"metric":"scale_ann_bruteforce","corpus":$nVecs,"queries":10,"dim":$dimV,"rows":$nExact,"sec":$secs7%.2f,"scored_pairs_per_sec":${(nVecs * 10 / secs7).toLong}}""")
-    val qs100 = vecs.filter(col("vec_id") < 100)
-    val t8 = System.nanoTime()
-    val nLsh = graft.llm.Similarity.lshBucketedTopK(vecs, qs100, k = 10,
-        dim = dimV, bits = 16, tables = 4)
-      .agg(count(lit(1))).head().getLong(0)
-    val secs8 = (System.nanoTime() - t8) / 1e9
-    println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
+    if (sel("minhash_lsh_pairs")) {
+      // MinHash-LSH END TO END (signature + band explode + bucket join + pair
+      // agg) with a 20% planted duplicate rate — the d04 shape at 100x the
+      // bench corpus. The property under test: candidate pairs stay
+      // output-bound (planted dup groups), so cost is dominated by the narrow
+      // signature pass and stays linear in docs.
+      val nLshDocs = math.min(nTiles, 500000L)
+      val base = (col("id") % (nLshDocs * 4 / 5)).as("b")
+      // word values are injective in the base (no small modulus) and mixed by
+      // a large prime so the vocabulary is diverse: each dup group has the
+      // intended ~2 members and band collisions stay near the true-dup rate.
+      // (A low-entropy generator — few distinct words — inflates candidate
+      // pairs quadratically through noise buckets and benchmarks the verify
+      // step's worst case rather than a realistic corpus.)
+      val lshDocs = spark.range(nLshDocs).select(col("id"), base)
+        .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
+          concat(lit(s"w$j"), ((col("b") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
+        .repartition(cpus.toInt * 4)
+      val t5 = System.nanoTime()
+      val nPairs = graft.llm.Dedup.minhashLsh(lshDocs, "id", minEstJaccard = 0.5)
+        .agg(count(lit(1))).head().getLong(0)
+      val secs5 = (System.nanoTime() - t5) / 1e9
+      println(f"""{"metric":"scale_minhash_lsh_pairs","docs":$nLshDocs,"pairs":$nPairs,"sec":$secs5%.2f,"docs_per_sec":${(nLshDocs / secs5).toLong}}""")
+    }
 
-    // Semantic dedup at corpus scale (the d26/d27 semantics on 1M vectors,
-    // 20% planted near-dups): sign-LSH candidates (no k-means training —
-    // the celled path needs ~√n cells, impractical to train driver-side at
-    // this size), exact cosine verify, adaptive CC, min-id keep. Cost is
-    // bucket-keyed and output-bound; the planted dups are near-identical
-    // (one dim perturbed), so drop-recall should be ~the planted count.
-    val nSem = math.min(nTiles, 1000000L)
-    val nSemBase = nSem * 4 / 5
-    val semVecs = spark.range(nSem).select(col("id"),
-        (col("id") % nSemBase).as("b"))
-      .select(col("id").as("vec_id"),
-        transform(sequence(lit(0), lit(dimV - 1)), j =>
-          (sin((col("b") % 100000) * (j + 1) * 0.0001) +
-            when(col("id") >= nSemBase && j === lit(0), lit(0.001))
-              .otherwise(lit(0.0))).cast("float")).as("embedding"))
-      .repartition(cpus.toInt * 4)
-      .localCheckpoint(false)
-    val t9 = System.nanoTime()
-    val semDropped = graft.llm.Dedup.semanticDedupLsh(semVecs, "vec_id",
-        // bits = 24 per the operator's own self-join sizing (log2(n) + 4):
-        // 16 bits at 1M rows means ~60M structural candidate pairs whose
-        // vector payloads spill the sort join to disk death — under-
-        // bucketing is THE failure mode this shape exists to demonstrate
-        "embedding", dim = dimV, minCosine = 0.999, bits = 24, tables = 8)
-      .filter(!col("keep")).agg(count(lit(1))).head().getLong(0)
-    val secs9 = (System.nanoTime() - t9) / 1e9
-    println(f"""{"metric":"scale_semantic_dedup","vectors":$nSem,"planted_dups":${nSem - nSemBase},"dropped":$semDropped,"sec":$secs9%.2f,"vectors_per_sec":${(nSem / secs9).toLong}}""")
+    if (sel("connected_components")) {
+      // Connected components (d20's algorithm) on a graph engineered to be
+      // hard both ways: a sparse random-ish graph (giant component — many
+      // rounds of bulk work) PLUS a long path (the diameter case where naive
+      // label propagation needs O(path) rounds but large/small-star stays
+      // O(log²)). Cost per round is keyed shuffles over a SHRINKING edge set.
+      val nVerts = math.min(nTiles * 2, 2000000L)
+      val nRandEdges = nVerts / 2
+      val pathLen = 100000L
+      val rand = spark.range(nRandEdges).select(
+        ((col("id") * 2654435761L) % nVerts).as("src"),
+        ((col("id") * 1099511628211L) % nVerts).as("dst"))
+      val path = spark.range(pathLen).select(
+        (col("id") + nVerts).as("src"), (col("id") + nVerts + 1).as("dst"))
+      val edges = rand.unionByName(path).repartition(cpus.toInt * 4)
+      val t6 = System.nanoTime()
+      val lbl = graft.ops.ConnectedComponents.labels(edges, "src", "dst")
+      val cc = lbl.agg(count(lit(1)).as("n"), countDistinct(col("component")).as("c")).head()
+      val secs6 = (System.nanoTime() - t6) / 1e9
+      val nEdgesTotal = nRandEdges + pathLen
+      println(f"""{"metric":"scale_connected_components","edges":$nEdgesTotal,"vertices":${cc.getLong(0)},"components":${cc.getLong(1)},"sec":$secs6%.2f,"edges_per_sec":${(nEdgesTotal / secs6).toLong}}""")
+    }
 
-    // PageRank at graph scale (q50's operator, production unordered-sum
-    // path): 2M vertices x 5 out-edges, 5 rounds. Per-round cost is two
-    // src-keyed equi-joins + one dst-keyed map-side-combinable aggregate —
-    // AQE-splittable shuffles, lineage truncated per round. Mass stays
-    // <= 1 (dangling drop), reported as a sanity figure.
-    val nPrVerts = math.min(nTiles * 2, 2000000L)
-    val prEdges = Seq((31L, 7L), (17L, 3L), (13L, 11L), (7L, 1L), (41L, 19L))
-      .map { case (a, b) =>
-        spark.range(nPrVerts).select(col("id").as("src"),
-          ((col("id") * a + b) % nPrVerts).as("dst"))
-      }.reduce(_.unionByName(_)).repartition(cpus.toInt * 4)
-    val t10 = System.nanoTime()
-    val prStats = graft.ops.Graph.pageRank(prEdges, iterations = 5)
-      .agg(count(lit(1)).as("n"), sum(col("r")).as("mass")).head()
-    val secs10 = (System.nanoTime() - t10) / 1e9
-    println(f"""{"metric":"scale_pagerank","edges":${nPrVerts * 5},"vertices":${prStats.getLong(0)},"mass":${prStats.getDouble(1)}%.4f,"rounds":5,"sec":$secs10%.2f,"edge_rounds_per_sec":${(nPrVerts * 5 * 5 / secs10).toLong}}""")
+    if (sel("ann")) {
+      // ANN at corpus scale: 1M 64-dim vectors. The exact baseline scores
+      // |corpus| x |queries| primitive dots and shuffles only narrow rows to
+      // its top-k window; the sign-LSH path probes hash buckets, so its
+      // candidate count (and cost) is output-bound. Vectors localCheckpoint,
+      // not cache: columnar-caching array columns pays per-element encoding.
+      val nVecs = math.min(nTiles * 2, 1000000L)
+      val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dimV - 1)),
+          j => sin((col("id") % 100000) * (j + 1) * 0.0001).cast("float")).as("embedding"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val qs10 = vecs.filter(col("vec_id") < 10)
+      val t7 = System.nanoTime()
+      val nExact = graft.llm.Similarity.bruteForceTopK(vecs, qs10, k = 10)
+        .agg(count(lit(1))).head().getLong(0)
+      val secs7 = (System.nanoTime() - t7) / 1e9
+      println(f"""{"metric":"scale_ann_bruteforce","corpus":$nVecs,"queries":10,"dim":$dimV,"rows":$nExact,"sec":$secs7%.2f,"scored_pairs_per_sec":${(nVecs * 10 / secs7).toLong}}""")
+      val qs100 = vecs.filter(col("vec_id") < 100)
+      val t8 = System.nanoTime()
+      val nLsh = graft.llm.Similarity.lshBucketedTopK(vecs, qs100, k = 10,
+          dim = dimV, bits = 16, tables = 4)
+        .agg(count(lit(1))).head().getLong(0)
+      val secs8 = (System.nanoTime() - t8) / 1e9
+      println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
+    }
 
-    // Sorted-neighborhood blocking at corpus scale (d34's operator): 1M
-    // rows, 20% planted dups sharing the blocking key so they sort
-    // adjacent. The global position comes from the range-partitioned
-    // zipWithIndex path (no single-task window); candidates are exactly
-    // n*(w-1) before the Jaccard verify.
-    val nSnm = math.min(nTiles, 1000000L)
-    val snmBase = nSnm * 4 / 5
-    val snmRows = spark.range(nSnm).select(col("id"), (col("id") % snmBase).as("b"))
-      .select(col("id"),
-        concat(lit("k"), lpad(col("b").cast("string"), 9, "0")).as("bkey"),
-        transform(sequence(lit(0), lit(29)), j =>
-          concat(lit("t"), (((col("b") * 31 + j) * 2654435761L) % 1000000L +
-            when(col("id") >= snmBase && j === lit(0), lit(1L)).otherwise(lit(0L)))
-            .cast("string"))).as("toks"))
-      .repartition(cpus.toInt * 4)
-    val t11 = System.nanoTime()
-    val nSnmPairs = graft.llm.Dedup.sortedNeighborhoodPairs(snmRows, "id",
-        col("bkey"), "toks", window = 4, minJaccard = 0.8)
-      .agg(count(lit(1))).head().getLong(0)
-    val secs11 = (System.nanoTime() - t11) / 1e9
-    println(f"""{"metric":"scale_sorted_neighborhood","rows":$nSnm,"planted_dups":${nSnm - snmBase},"pairs":$nSnmPairs,"sec":$secs11%.2f,"rows_per_sec":${(nSnm / secs11).toLong}}""")
+    if (sel("semantic_dedup")) {
+      // Semantic dedup at corpus scale (the d26/d27 semantics on 1M vectors,
+      // 20% planted near-dups): sign-LSH candidates (no k-means training —
+      // the celled path needs ~√n cells, impractical to train driver-side at
+      // this size), exact cosine verify, adaptive CC, min-id keep. Cost is
+      // bucket-keyed and output-bound; the planted dups are near-identical
+      // (one dim perturbed), so drop-recall should be ~the planted count.
+      val nSem = math.min(nTiles, 1000000L)
+      val nSemBase = nSem * 4 / 5
+      // xxhash64-decorrelated coordinates: every (base, dim) gets an
+      // INDEPENDENT uniform value, so distinct bases have cosine ~N(0,1/64)
+      // and only the planted perturbed copies pass minCosine. Two failed
+      // generators are cautionary tales: `b % 100000` collapsed 1M rows
+      // onto 100k distinct vectors (10 identical copies each — every LSH
+      // bucket quadratic), and sin(b·P + j·Q) made different bases SHIFTED
+      // WINDOWS of one sequence (lag-m pairs have cosine ≈ cos(mQ) — ±1
+      // for unlucky lags, flooding buckets again). Only real hash mixing
+      // breaks the linear structure.
+      val semVecs = spark.range(nSem).select(col("id"),
+          (col("id") % nSemBase).as("b"))
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimV - 1)), j =>
+            (pmod(xxhash64(col("b"), j), lit(1000L)).cast("double") / 500.0 - 1.0 +
+              when(col("id") >= nSemBase && j === lit(0), lit(0.001))
+                .otherwise(lit(0.0))).cast("float")).as("embedding"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val t9 = System.nanoTime()
+      val semDropped = graft.llm.Dedup.semanticDedupLsh(semVecs, "vec_id",
+          // bits = 24 per the operator's own self-join sizing (log2(n) + 4):
+          // 16 bits at 1M rows means ~60M structural candidate pairs whose
+          // vector payloads spill the sort join to disk death — under-
+          // bucketing is THE failure mode this shape exists to demonstrate
+          "embedding", dim = dimV, minCosine = 0.999, bits = 24, tables = 8)
+        .filter(!col("keep")).agg(count(lit(1))).head().getLong(0)
+      val secs9 = (System.nanoTime() - t9) / 1e9
+      println(f"""{"metric":"scale_semantic_dedup","vectors":$nSem,"planted_dups":${nSem - nSemBase},"dropped":$semDropped,"sec":$secs9%.2f,"vectors_per_sec":${(nSem / secs9).toLong}}""")
+    }
 
-    // 2-D skyline at scale (q54's operator): 10M correlated points — the
-    // shape where bucketed local skylines prune hardest (anti-correlated
-    // data keeps more of the frontier; both shapes stay one bucket-keyed
-    // pass + broadcast merge). Deterministic congruential "noise".
-    val nSky = math.min(nTiles * 10, 10000000L)
-    val skyRows = spark.range(nSky).select(col("id"),
-      ((col("id") * 2654435761L) % 1000000L).as("x"),
-      ((col("id") * 40503L + 7L) % 1000000L).as("y"))
-      .repartition(cpus.toInt * 4)
-    val t12 = System.nanoTime()
-    val nFrontier = graft.ops.Skyline.pareto2d(skyRows, "x", "y", buckets = 256)
-      .agg(count(lit(1))).head().getLong(0)
-    val secs12 = (System.nanoTime() - t12) / 1e9
-    println(f"""{"metric":"scale_skyline","rows":$nSky,"frontier":$nFrontier,"buckets":256,"sec":$secs12%.2f,"rows_per_sec":${(nSky / secs12).toLong}}""")
+    if (sel("pagerank")) {
+      // PageRank at graph scale (q50's operator, production unordered-sum
+      // path): 2M vertices x 5 out-edges, 5 rounds. Per-round cost is two
+      // src-keyed equi-joins + one dst-keyed map-side-combinable aggregate —
+      // AQE-splittable shuffles, lineage truncated per round. Mass stays
+      // <= 1 (dangling drop), reported as a sanity figure.
+      val nPrVerts = math.min(nTiles * 2, 2000000L)
+      val prEdges = Seq((31L, 7L), (17L, 3L), (13L, 11L), (7L, 1L), (41L, 19L))
+        .map { case (a, b) =>
+          spark.range(nPrVerts).select(col("id").as("src"),
+            ((col("id") * a + b) % nPrVerts).as("dst"))
+        }.reduce(_.unionByName(_)).repartition(cpus.toInt * 4)
+      val t10 = System.nanoTime()
+      val prStats = graft.ops.Graph.pageRank(prEdges, iterations = 5)
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("mass")).head()
+      val secs10 = (System.nanoTime() - t10) / 1e9
+      println(f"""{"metric":"scale_pagerank","edges":${nPrVerts * 5},"vertices":${prStats.getLong(0)},"mass":${prStats.getDouble(1)}%.4f,"rounds":5,"sec":$secs10%.2f,"edge_rounds_per_sec":${(nPrVerts * 5 * 5 / secs10).toLong}}""")
+    }
 
-    // KMV shard-overlap at scale (q53's operator): 10M values across 16
-    // shards with engineered pairwise overlap; the only full-data pass is
-    // ONE distinct on (shard, hash), min-k is two bounded keyed windows.
-    val nKmv = math.min(nTiles * 10, 10000000L)
-    val kmvRows = spark.range(nKmv).select(
-      concat(lit("s"), (col("id") % 16).cast("string")).as("shard"),
-      // consecutive shards share half their value range
-      ((col("id") % 16) * 500000L + (expr("id div 16") % 1000000L)).as("v"))
-      .repartition(cpus.toInt * 4)
-    val t13 = System.nanoTime()
-    val nOverlaps = graft.ops.Kmv.shardOverlap(kmvRows, "shard", "v", k = 256)
-      .agg(count(lit(1)), sum(col("both_k"))).head()
-    val secs13 = (System.nanoTime() - t13) / 1e9
-    println(f"""{"metric":"scale_kmv_overlap","rows":$nKmv,"shards":16,"pairs":${nOverlaps.getLong(0)},"sum_both_k":${nOverlaps.getLong(1)},"k":256,"sec":$secs13%.2f,"rows_per_sec":${(nKmv / secs13).toLong}}""")
+    if (sel("sorted_neighborhood")) {
+      // Sorted-neighborhood blocking at corpus scale (d34's operator): 1M
+      // rows, 20% planted dups sharing the blocking key so they sort
+      // adjacent. The global position comes from the range-partitioned
+      // zipWithIndex path (no single-task window); candidates are exactly
+      // n*(w-1) before the Jaccard verify.
+      val nSnm = math.min(nTiles, 1000000L)
+      val snmBase = nSnm * 4 / 5
+      val snmRows = spark.range(nSnm).select(col("id"), (col("id") % snmBase).as("b"))
+        .select(col("id"),
+          concat(lit("k"), lpad(col("b").cast("string"), 9, "0")).as("bkey"),
+          transform(sequence(lit(0), lit(29)), j =>
+            concat(lit("t"), (((col("b") * 31 + j) * 2654435761L) % 1000000L +
+              when(col("id") >= snmBase && j === lit(0), lit(1L)).otherwise(lit(0L)))
+              .cast("string"))).as("toks"))
+        .repartition(cpus.toInt * 4)
+      val t11 = System.nanoTime()
+      val nSnmPairs = graft.llm.Dedup.sortedNeighborhoodPairs(snmRows, "id",
+          col("bkey"), "toks", window = 4, minJaccard = 0.8)
+        .agg(count(lit(1))).head().getLong(0)
+      val secs11 = (System.nanoTime() - t11) / 1e9
+      println(f"""{"metric":"scale_sorted_neighborhood","rows":$nSnm,"planted_dups":${nSnm - snmBase},"pairs":$nSnmPairs,"sec":$secs11%.2f,"rows_per_sec":${(nSnm / secs11).toLong}}""")
+    }
+
+    if (sel("skyline")) {
+      // 2-D skyline at scale (q54's operator): 10M correlated points — the
+      // shape where bucketed local skylines prune hardest (anti-correlated
+      // data keeps more of the frontier; both shapes stay one bucket-keyed
+      // pass + broadcast merge). Deterministic congruential "noise".
+      val nSky = math.min(nTiles * 10, 10000000L)
+      val skyRows = spark.range(nSky).select(col("id"),
+        ((col("id") * 2654435761L) % 1000000L).as("x"),
+        ((col("id") * 40503L + 7L) % 1000000L).as("y"))
+        .repartition(cpus.toInt * 4)
+      val t12 = System.nanoTime()
+      val nFrontier = graft.ops.Skyline.pareto2d(skyRows, "x", "y", buckets = 256)
+        .agg(count(lit(1))).head().getLong(0)
+      val secs12 = (System.nanoTime() - t12) / 1e9
+      println(f"""{"metric":"scale_skyline","rows":$nSky,"frontier":$nFrontier,"buckets":256,"sec":$secs12%.2f,"rows_per_sec":${(nSky / secs12).toLong}}""")
+    }
+
+    if (sel("kmv")) {
+      // KMV shard-overlap at scale (q53's operator): 10M values across 16
+      // shards with engineered pairwise overlap; the only full-data pass is
+      // ONE distinct on (shard, hash), min-k is two bounded keyed windows.
+      val nKmv = math.min(nTiles * 10, 10000000L)
+      val kmvRows = spark.range(nKmv).select(
+        concat(lit("s"), (col("id") % 16).cast("string")).as("shard"),
+        // consecutive shards share half their value range
+        ((col("id") % 16) * 500000L + (expr("id div 16") % 1000000L)).as("v"))
+        .repartition(cpus.toInt * 4)
+      val t13 = System.nanoTime()
+      val nOverlaps = graft.ops.Kmv.shardOverlap(kmvRows, "shard", "v", k = 256)
+        .agg(count(lit(1)), sum(col("both_k"))).head()
+      val secs13 = (System.nanoTime() - t13) / 1e9
+      println(f"""{"metric":"scale_kmv_overlap","rows":$nKmv,"shards":16,"pairs":${nOverlaps.getLong(0)},"sum_both_k":${nOverlaps.getLong(1)},"k":256,"sec":$secs13%.2f,"rows_per_sec":${(nKmv / secs13).toLong}}""")
+    }
     spark.stop()
   }
 }
