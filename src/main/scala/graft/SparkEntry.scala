@@ -626,6 +626,34 @@ object SparkEntry {
         .select(col("o_orderkey"), col("id"))
         .orderBy(col("o_orderkey"))
     }),
+    "g13_antimeridian" -> ((s, d) => {
+      // The dateline rule (main_pipeline.py:211-214) oracle-checked end to
+      // end: per-key boxes built from integer (center, half-width) overflow
+      // ±180° and get folded by the REAL ST_SplitAntimeridian (JTS
+      // intersection + translate + union); part count, folded envelope
+      // bounds, and the width-preservation invariant (planar area / lat
+      // span == 2h exactly — integer-valued doubles) all come back out of
+      // the geometry, while DuckDB derives every one analytically. A wrong
+      // split point, a lost part, or a fold that clips area breaks the hash.
+      // Centers stay in [-180, 180) so boxes STRADDLE at most one dateline
+      // (a box entirely beyond ±180 folds by pure translation — one part,
+      // shifted bounds — which the straddle-only analytic model doesn't
+      // cover; GeoSpec covers that case on the JTS side).
+      val k = col("o_orderkey")
+      val boxes = t(s, d, "orders").select(k,
+          ((k % 360) - 180).cast("double").as("c"),
+          ((k % 37) + 5).cast("double").as("h"))
+        .withColumn("g", call_function("st_box",
+          col("c") - col("h"), lit(-10.0), col("c") + col("h"), lit(10.0)))
+        .withColumn("f", call_function("st_split_antimeridian", col("g")))
+        .withColumn("b", call_function("st_bounds", col("f")))
+      boxes.select(col("o_orderkey"),
+          call_function("st_num_geoms", col("f")).as("n_parts"),
+          element_at(col("b"), 1).as("min_lon"),
+          element_at(col("b"), 3).as("max_lon"),
+          (call_function("st_area_planar", col("f")) / 20.0).as("width_sum"))
+        .orderBy("o_orderkey")
+    }),
     "g12_track_segments" -> ((s, d) => {
       // W4: consecutive track points -> line segments via the REAL
       // linesFromPoints operator (lead window + ST_MakeLine), oracle-checked
@@ -2741,6 +2769,22 @@ object SparkEntry {
         |            ELSE (o_orderkey % 100) // 5 END AS VARCHAR) AS id
         |FROM orders WHERE o_orderkey % 3 = 0
         |ORDER BY o_orderkey""".stripMargin,
+    // g13: the dateline fold derived analytically — overflow east/west adds
+    // a part and pins the folded bounds to ±180; width is always preserved.
+    "g13_antimeridian" ->
+      """WITH b AS (
+        |  SELECT o_orderkey,
+        |    CAST((o_orderkey % 360) - 180 AS DOUBLE) AS c,
+        |    CAST((o_orderkey % 37) + 5 AS DOUBLE) AS h
+        |  FROM orders
+        |)
+        |SELECT o_orderkey,
+        |  CAST(1 + CASE WHEN c + h > 180 THEN 1 ELSE 0 END
+        |         + CASE WHEN c - h < -180 THEN 1 ELSE 0 END AS INTEGER) AS n_parts,
+        |  CASE WHEN c + h > 180 OR c - h < -180 THEN -180.0 ELSE c - h END AS min_lon,
+        |  CASE WHEN c + h > 180 OR c - h < -180 THEN 180.0 ELSE c + h END AS max_lon,
+        |  2 * h AS width_sum
+        |FROM b ORDER BY o_orderkey""".stripMargin,
     "g12_track_segments" ->
       """WITH p AS (
         |  SELECT o_orderkey % 7 AS member, o_orderkey,

@@ -219,7 +219,51 @@ object GeoExpressions {
   }
 
   /** Function registry entries: name -> builder. */
+  /** Fold coordinates overflowing ±180° back into the canonical frame,
+    * splitting at the antimeridian ([[Geo.splitAntimeridian]] —
+    * main_pipeline.py:211-214's dateline rule as an expression). */
+  case class StSplitAntimeridian(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = BinaryType
+    override def nullSafeEval(b: Any): Any = Geo.toWkb(Geo.splitAntimeridian(geom(b)))
+    override protected def withNewChildInternal(c: Expression): StSplitAntimeridian = copy(c)
+    override def prettyName: String = "st_split_antimeridian"
+  }
+
+  /** Envelope bounds as [minx, miny, maxx, maxy] (geopandas `.bounds`). */
+  case class StBounds(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(DoubleType)
+    override def nullSafeEval(b: Any): Any = {
+      val e = geom(b).getEnvelopeInternal
+      org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        Array(e.getMinX, e.getMinY, e.getMaxX, e.getMaxY))
+    }
+    override protected def withNewChildInternal(c: Expression): StBounds = copy(c)
+    override def prettyName: String = "st_bounds"
+  }
+
+  /** Component count of a (multi-)geometry. */
+  case class StNumGeoms(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = IntegerType
+    override def nullSafeEval(b: Any): Any = geom(b).getNumGeometries
+    override protected def withNewChildInternal(c: Expression): StNumGeoms = copy(c)
+    override def prettyName: String = "st_num_geoms"
+  }
+
+  /** Planar (coordinate-unit) area — degrees² on lon/lat input; the
+    * equal-area metric variant is [[StAreaM2]]. */
+  case class StAreaPlanar(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def nullSafeEval(b: Any): Any = geom(b).getArea
+    override protected def withNewChildInternal(c: Expression): StAreaPlanar = copy(c)
+    override def prettyName: String = "st_area_planar"
+  }
+
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "st_split_antimeridian" -> (es => StSplitAntimeridian(es.head)),
+    "st_bounds" -> (es => StBounds(es.head)),
+    "st_num_geoms" -> (es => StNumGeoms(es.head)),
+    "st_area_planar" -> (es => StAreaPlanar(es.head)),
     "st_geomfromwkt" -> (es => StGeomFromWkt(es.head)),
     "st_aswkt" -> (es => StAsWkt(es.head)),
     "st_point" -> (es => StPoint(es(0), es(1))),
