@@ -1394,6 +1394,16 @@ object SparkEntry {
         .select("id_a", "id_b", "n_shared", "edit_dist", "verified")
         .orderBy(col("id_a"), col("id_b"))
     }),
+    "d37_importance_rank" -> ((s, d) => {
+      // DSIR-flavored hashed-feature importance ranking
+      // (Sampling.hashedImportanceTopK): 4096 md5-prefix token buckets,
+      // target = lang='en', per-doc target/raw mass ratio as the score —
+      // both masses exact integers, score one IEEE divide, so the top-100
+      // (score desc, doc_id) selection is engine-deterministic. One
+      // bounded bucket-stats broadcast + doc-keyed sums + TakeOrdered.
+      graft.llm.Sampling.hashedImportanceTopK(t(s, d, "documents"),
+        "doc_id", "text", isTarget = col("lang") === "en", k = 100)
+    }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
       // blockings — (lang, n_chars%101) and (source, n_chars%23) — chain
@@ -3275,6 +3285,31 @@ object SparkEntry {
     // assignment (range partitions + offsets) against a plain sort.
     // d36: the oracle independently replays blocking, transitive closure
     // (recursive CTE), singleton fill, survivorship window, and lineage agg
+    // d37: same bucket stats, same integer masses, same (score desc, id)
+    // top-k — md5-prefix buckets keep the feature space a portable string.
+    "d37_importance_rank" ->
+      """WITH tok AS (
+        |  SELECT doc_id, lang = 'en' AS t,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, t, substr(md5(w), 1, 3) AS f FROM tok
+        |), stats AS (
+        |  SELECT f, CAST(COUNT(*) AS BIGINT) AS r_cnt,
+        |    CAST(COUNT(*) FILTER (WHERE t) AS BIGINT) AS t_cnt
+        |  FROM f GROUP BY 1
+        |), pd AS (
+        |  SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS c FROM f GROUP BY 1, 2
+        |), m AS (
+        |  SELECT pd.doc_id,
+        |    SUM(pd.c * stats.t_cnt) AS t_mass,
+        |    SUM(pd.c * stats.r_cnt) AS r_mass
+        |  FROM pd JOIN stats USING (f) GROUP BY 1
+        |)
+        |SELECT doc_id, CAST(t_mass AS BIGINT) AS t_mass,
+        |  CAST(r_mass AS BIGINT) AS r_mass,
+        |  CAST(t_mass AS DOUBLE) / r_mass AS score
+        |FROM m ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
     "d36_golden_records" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0

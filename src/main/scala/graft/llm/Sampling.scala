@@ -198,4 +198,40 @@ object Sampling {
       .withColumn("weight", col("__term") / col("__denom"))
       .drop("__term", "__denom")
   }
+
+  /**
+   * DSIR-flavored importance ranking over HASHED n-gram features (Xie et
+   * al., "Data Selection for Language Models via Importance Resampling",
+   * 2023 — the hashed-feature half; the log-ratio weight is replaced by a
+   * ratio-of-masses score so the statistic stays rational): feature =
+   * 3-hex-char md5 bucket of each token (4096 buckets — portable to any
+   * engine as a STRING key, no hex→int cast), `t_mass` = Σ_f c_{d,f}·T_f
+   * and `r_mass` = Σ_f c_{d,f}·R_f where T/R are the target/raw corpus
+   * bucket frequencies. Docs whose token mass concentrates in
+   * target-heavy buckets score near 1, off-target docs near the target's
+   * corpus share — and both masses are exact integers, so the score
+   * (one IEEE divide) and the (score desc, id) top-k are deterministic
+   * across engines.
+   *
+   * Scale shape: token explode → ONE bucket-stats aggregate (bounded at
+   * 4096 rows — broadcast), one (doc, bucket) count, one doc-keyed sum,
+   * TakeOrdered for the top-k. Nothing shuffles wider than (doc, bucket).
+   */
+  def hashedImportanceTopK(df: DataFrame, idCol: String, textCol: String,
+                           isTarget: Column, k: Int = 100): DataFrame = {
+    val toks = df.select(col(idCol).as(idCol), isTarget.as("__t"),
+        explode(TextAnalysis.tokens(col(textCol))).as("__w"))
+      .withColumn("__f", substring(md5(col("__w")), 1, 3))
+    val stats = toks.groupBy("__f").agg(
+      count(lit(1)).as("__r_cnt"),
+      sum(when(col("__t"), 1L).otherwise(0L)).as("__t_cnt"))
+    toks.groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
+      .join(broadcast(stats), "__f")
+      .groupBy(col(idCol))
+      .agg(sum(col("__c") * col("__t_cnt")).as("t_mass"),
+        sum(col("__c") * col("__r_cnt")).as("r_mass"))
+      .withColumn("score", col("t_mass").cast("double") / col("r_mass"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
 }

@@ -104,6 +104,26 @@ class SamplingSpec extends SparkSpec {
     assert(heavyEn >= 6 && heavyEs >= 6, s"weight-proportionality: en=$heavyEn es=$heavyEs of 8")
   }
 
+  test("hashedImportanceTopK: target-heavy docs outrank, masses are exact") {
+    import org.apache.spark.sql.functions._
+    // target corpus speaks "tt"; raw noise speaks "zz"; doc 5 is mixed
+    val docs = Seq(
+      (1L, "tt tt tt", true), (2L, "tt tt zz", true),
+      (3L, "zz zz zz", false), (4L, "zz zz tt", false),
+      (5L, "tt zz", false)).toDF("doc_id", "text", "is_en")
+    val got = Sampling.hashedImportanceTopK(docs, "doc_id", "text",
+        isTarget = col("is_en"), k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // bucket stats: T(tt)=5 (docs 1,2), R(tt)=7; T(zz)=1, R(zz)=7
+    // doc1: 3 tt -> t=15 r=21; doc3: 3 zz -> t=3 r=21
+    val byId = got.toMap
+    assert(byId(1L) == (15L, 21L, 15.0 / 21))
+    assert(byId(3L) == (3L, 21L, 3.0 / 21))
+    // ranking: pure-target docs first, pure-noise last
+    assert(got.head._1 == 1L && got.last._1 == 3L)
+    assert(byId(2L)._3 > byId(4L)._3)
+  }
+
   test("chunkSpans: full coverage with overlap, short tail, no empty chunks") {
     val df = Seq((1L, 100), (2L, 64), (3L, 65), (4L, 1)).toDF("id", "n")
     val out = Sampling.chunkSpans(df, "n", window = 64, stride = 48)
