@@ -62,6 +62,6 @@ class GeoExpressionsSpec extends SparkSpec {
     // installer's injections must all be well-formed
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed identifiers/builders
-    assert(GeoExpressions.registry.size == 21)
+    assert(GeoExpressions.registry.size == 25)
   }
 }
