@@ -170,6 +170,27 @@ class PlanSpec extends SparkSpec {
       "cross-bucket cumulative-min merge should broadcast:\n" + p)
   }
 
+  test("q56: rational OLS is one partial-aggregated pass — no window, no second scan") {
+    val p = formatted("q56_trend")
+    assert(p.contains("partial_"), "no map-side combine before the shuffle:\n" + p)
+    assert(!p.contains("Window"), "trend must not need a window:\n" + p)
+  }
+
+  test("q60: snapshot diff is a single full-outer key join, never a nested loop") {
+    val p = formatted("q60_snapshot_diff")
+    assert(p.contains("FullOuter"), "diff lost its full outer join:\n" + p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert("""\(\d+\) SortMergeJoin""".r.findAllIn(p).size +
+      """\(\d+\) ShuffledHashJoin""".r.findAllIn(p).size <= 1,
+      "diff should read each snapshot once through ONE keyed join:\n" + p)
+  }
+
+  test("d37: importance top-k ends in TakeOrderedAndProject with a broadcast stats join") {
+    val p = formatted("d37_importance_rank")
+    assert(p.contains("TakeOrderedAndProject"), "top-k regressed to a global sort:\n" + p)
+    assert(p.contains("BroadcastHashJoin"), "bucket stats should broadcast:\n" + p)
+  }
+
   test("q53: KMV sketch windows are salted — no unsalted single pass over a shard") {
     // the first min-k window must partition on (shard, __salt); an
     // orderBy-only or shard-only first window funnels a hot shard's whole
