@@ -1908,6 +1908,22 @@ object SparkEntry {
       graft.ops.Cdc.applyChangeset(snapshot, changes, Seq("custkey"), "__seq", "__del")
         .orderBy(col("custkey"))
     }),
+    "q61_grouping_sets" -> ((s, d) => {
+      // explicit GROUPING SETS — the third multi-level-agg form next to
+      // q35's ROLLUP and q44's CUBE: two independent one-dimension slices
+      // ((priority), (status)) in ONE pass over orders (Catalyst Expand +
+      // one shuffle), disambiguated by GROUPING flags.
+      val ss = s
+      t(ss, d, "orders").createOrReplaceTempView("__q61_orders")
+      ss.sql("""
+        SELECT CAST(GROUPING(o_orderpriority) AS INT) AS g_pri,
+               CAST(GROUPING(o_orderstatus) AS INT) AS g_st,
+               o_orderpriority, o_orderstatus,
+               COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM __q61_orders
+        GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""")
+    }),
     "q44_cube" -> ((s, d) => {
       // CUBE grouping-set rollup with GROUPING disambiguators (the §2.6
       // family's missing multi-set member next to q35's ROLLUP)
@@ -3653,6 +3669,14 @@ object SparkEntry {
         |  JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t) AS BIGINT) AS n_triangles""".stripMargin,
     "s08_stream_cdc_merge" -> cdcMergeOracleSql,
     "q43_cdc_merge" -> cdcMergeOracleSql,
+    "q61_grouping_sets" ->
+      """SELECT CAST(GROUPING(o_orderpriority) AS INTEGER) AS g_pri,
+        |  CAST(GROUPING(o_orderstatus) AS INTEGER) AS g_st,
+        |  o_orderpriority, o_orderstatus,
+        |  CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
+        |ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""".stripMargin,
     "q44_cube" ->
       """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_rf,
         |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_ls,
