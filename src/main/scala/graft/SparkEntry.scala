@@ -1788,6 +1788,34 @@ object SparkEntry {
       graft.ops.Cdc.snapshotDiff(old, nw, Seq("o_orderkey"))
         .orderBy("o_orderkey")
     }),
+    "s15_stream_trend" -> ((s, d) => {
+      // q56's exact rational OLS with events arriving as a STREAM: the
+      // five integer sums run as a stateful streaming aggregation
+      // (map-side partials against the state store, complete mode) —
+      // integer sums are order- and batching-insensitive, so the streamed
+      // trend is bit-equal to batch whatever the microbatch layout was.
+      // Same oracle as q56. The rational-derivation arithmetic happens on
+      // the final state (post-sink), exactly like the batch finish.
+      val ss = statefulEventsSession(s)
+      val ev = eventsStream(ss, d)
+        .filter(col("value").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          datediff(col("ts").cast("date"), lit("2024-01-01").cast("date"))
+            .cast("long").as("x"),
+          floor(col("value") * 100).as("y"))
+      val sums = ev.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("x")).as("sum_x"), sum(col("y")).as("sum_y"),
+        sum(col("x") * col("y")).as("__sxy"), sum(col("x") * col("x")).as("__sxx"))
+      graft.streaming.Streaming.runAvailableNow(sums,
+          s"s15_trend_${System.nanoTime()}", outputMode = "complete")
+        .select(col("event_type"), col("n"), col("sum_x"), col("sum_y"),
+          (col("n") * col("__sxy") - col("sum_x") * col("sum_y")).as("slope_num"),
+          (col("n") * col("__sxx") - col("sum_x") * col("sum_x")).as("slope_den"),
+          (col("sum_y") * col("__sxx") - col("sum_x") * col("__sxy"))
+            .as("intercept_num"))
+        .orderBy("event_type")
+    }),
     "s14_stream_transitions" -> ((s, d) => {
       // q58's Markov transitions with events arriving as a STREAM: the lag
       // window becomes flatMapGroupsWithState carrying ONE last-event per
@@ -2093,6 +2121,20 @@ object SparkEntry {
       |LEFT JOIN mink ma ON ma.shard = uk.sa AND ma.h = uk.h
       |LEFT JOIN mink mb ON mb.shard = uk.sb AND mb.h = uk.h
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val trendOracleSql: String =
+    """WITH b AS (
+      |  SELECT event_type,
+      |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+      |    CAST(floor(value * 100) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
+      |)
+      |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
+      |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
+      |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
+      |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
+      |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin
 
   private val ivmOracleSql: String =
     """WITH ev AS (
@@ -3503,21 +3545,12 @@ object SparkEntry {
         |SELECT v, CAST(MIN(d) AS INTEGER) AS d FROM bfs GROUP BY v ORDER BY v""".stripMargin,
     "q53_kmv_overlap" -> kmvOverlapOracleSql,
     "s13_stream_kmv" -> kmvOverlapOracleSql,
-    // q56: same five integer sums, same rational numerators — DuckDB's
-    // hugeint sums are cast back to BIGINT so both engines hash longs.
-    "q56_trend" ->
-      """WITH b AS (
-        |  SELECT event_type,
-        |    CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
-        |    CAST(floor(value * 100) AS BIGINT) AS y
-        |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL
-        |)
-        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
-        |  CAST(SUM(x) AS BIGINT) AS sum_x, CAST(SUM(y) AS BIGINT) AS sum_y,
-        |  CAST(COUNT(*) * SUM(x*y) - SUM(x) * SUM(y) AS BIGINT) AS slope_num,
-        |  CAST(COUNT(*) * SUM(x*x) - SUM(x) * SUM(x) AS BIGINT) AS slope_den,
-        |  CAST(SUM(y) * SUM(x*x) - SUM(x) * SUM(x*y) AS BIGINT) AS intercept_num
-        |FROM b GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // q56/s15: same five integer sums, same rational numerators — DuckDB's
+    // hugeint sums are cast back to BIGINT so both engines hash longs (the
+    // streamed twin accumulates the sums in the state store; integer sums
+    // are batching-insensitive, so it shares this oracle bit for bit).
+    "s15_stream_trend" -> trendOracleSql,
+    "q56_trend" -> trendOracleSql,
     // q60: same full outer join, per-column IS DISTINCT FROM = the
     // null-safe struct compare.
     "q60_snapshot_diff" ->
