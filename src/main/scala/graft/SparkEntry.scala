@@ -1428,7 +1428,10 @@ object SparkEntry {
         .select(col("a_id").as("id_a"), col("b_id").as("id_b"))
       Dedup.goldenRecords(docs, "doc_id", pa.unionByName(pb),
           survivorOrder = Seq(col("n_chars").desc, col("doc_id")))
-        .select(col("cluster_id"), col("n_members"), col("member_ids"),
+        .select(col("cluster_id"), col("n_members"),
+          // comma-joined string, not array<long>: the driver's pandas
+          // canonicalizer cannot sort rows on an array-typed column
+          concat_ws(",", col("member_ids").cast("array<string>")).as("member_ids"),
           col("doc_id").as("canonical_id"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy("cluster_id")
@@ -1565,7 +1568,11 @@ object SparkEntry {
             concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1)))))
           .as("gram"))
         .groupBy("gram")
-        .agg(count(lit(1)).as("df"), sort_array(collect_set(col("doc_id"))).as("postings"))
+        // postings as a comma-joined string, not array<long>: the driver's
+        // pandas canonicalizer cannot sort rows on an array-typed column
+        .agg(count(lit(1)).as("df"),
+          concat_ws(",", sort_array(collect_set(col("doc_id"))).cast("array<string>"))
+            .as("postings"))
         .filter(col("df").between(3, 40))
         .orderBy(col("gram"))
     }),
@@ -3402,7 +3409,8 @@ object SparkEntry {
         |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
         |  FROM lbl l JOIN d USING (doc_id)
         |)
-        |SELECT r.cluster_id, s.n_members, s.member_ids,
+        |SELECT r.cluster_id, s.n_members,
+        |  array_to_string(s.member_ids, ',') AS member_ids,
         |  r.doc_id AS canonical_id, r.lang, r.source, r.n_chars
         |FROM ranked r JOIN stats s USING (cluster_id)
         |WHERE rn = 1 ORDER BY r.cluster_id""".stripMargin,
@@ -3489,7 +3497,7 @@ object SparkEntry {
         |  FROM toks, LATERAL (SELECT unnest(range(1, len(ts))) AS i) u
         |)
         |SELECT gram, CAST(COUNT(*) AS BIGINT) AS df,
-        |  list_sort(list(doc_id)) AS postings
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
         |FROM big GROUP BY gram HAVING COUNT(*) BETWEEN 3 AND 40
         |ORDER BY gram""".stripMargin,
     "s09_stream_audit" ->
