@@ -556,15 +556,44 @@ object Dedup {
    * exact sorted-rank-array intersection on candidates only.
    *
    * Scale: the only global structure is the vocabulary rank (vocab-sized,
-   * broadcast back); everything else shuffles on (token-rank) buckets with
-   * the usual `maxBucketSize` skew cap — capping can only DROP candidates
-   * whose bucket token is that common, i.e. it trades the exactness
-   * guarantee for boundedness at the extreme tail (default keeps it exact
-   * on any sane vocabulary).
+   * broadcast back); everything else shuffles on (token-rank) buckets. A
+   * prefix bucket larger than `maxBucketSize` would break the quadratic
+   * bound, and DROPPING it would silently break the exactness guarantee —
+   * so the default FAILS the job loudly (`raise_error`) when a bucket
+   * exceeds the cap, naming the over-full token rank and telling the
+   * caller their two options: raise the cap, or opt into bounded recall
+   * loss with [[setSimilarityJoinCounted]], which drops over-full buckets
+   * but surfaces the dropped-entry count through a named accumulator
+   * (never silently).
    */
   def setSimilarityJoin(df: DataFrame, idCol: String, tokCol: String,
                         minJaccard: Double,
-                        maxBucketSize: Int = 100000): DataFrame = {
+                        maxBucketSize: Int = 100000): DataFrame =
+    setSimJoinImpl(df, idCol, tokCol, minJaccard, maxBucketSize, dropAcc = None)
+
+  /**
+   * [[setSimilarityJoin]] with bounded-drop semantics: prefix buckets over
+   * `maxBucketSize` are DROPPED (trading exactness for boundedness at the
+   * extreme skew tail) and every dropped (token, doc) prefix entry is
+   * counted in the returned `LongAccumulator` — registered under a UI-
+   * visible name, populated once the returned DataFrame executes. Callers
+   * MUST check it: a non-zero value means the result may be missing pairs
+   * whose only shared prefix token was that hot. (Task retries can
+   * over-count; zero vs non-zero is the load-bearing signal.)
+   */
+  def setSimilarityJoinCounted(df: DataFrame, idCol: String, tokCol: String,
+                               minJaccard: Double,
+                               maxBucketSize: Int = 100000)
+      : (DataFrame, org.apache.spark.util.LongAccumulator) = {
+    val acc = df.sparkSession.sparkContext
+      .longAccumulator("graft.setSimilarityJoin.droppedPrefixEntries")
+    (setSimJoinImpl(df, idCol, tokCol, minJaccard, maxBucketSize, Some(acc)), acc)
+  }
+
+  private def setSimJoinImpl(df: DataFrame, idCol: String, tokCol: String,
+                             minJaccard: Double, maxBucketSize: Int,
+                             dropAcc: Option[org.apache.spark.util.LongAccumulator])
+      : DataFrame = {
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard=$minJaccard must be in (0, 1]")
     val toks = df.select(col(idCol).as("id"),
@@ -582,8 +611,27 @@ object Dedup {
       explode(slice(col("rks"), lit(1),
         (col("m") - expr(s"(m * ${num}L + 999999L) div 1000000L") + 1).cast("int"))).as("rk"))
     val wBucket = Window.partitionBy("rk")
-    val capped = pfx.withColumn("__n", count(lit(1)).over(wBucket))
-      .filter(col("__n") <= maxBucketSize).drop("__n")
+    val withN = pfx.withColumn("__n", count(lit(1)).over(wBucket))
+    val capped = dropAcc match {
+      case None =>
+        // lossless contract: an over-full bucket is a hard, descriptive error
+        withN.filter(when(col("__n") > maxBucketSize,
+            raise_error(format_string(
+              "setSimilarityJoin: prefix bucket for token rank %d holds %d entries" +
+                " > maxBucketSize %d; raise maxBucketSize or use" +
+                " setSimilarityJoinCounted to drop with an audited count",
+              col("rk"), col("__n"), lit(maxBucketSize))))
+          .otherwise(lit(true))).drop("__n")
+      case Some(acc) =>
+        // bounded-drop: count every dropped prefix entry (non-codegen UDF,
+        // but it only runs on the already-shuffled window output)
+        val keep = udf { n: Long =>
+          val ok = n <= maxBucketSize
+          if (!ok) acc.add(1L)
+          ok
+        }
+        withN.filter(keep(col("__n"))).drop("__n")
+    }
     val cands = capped.select(col("rk"), col("id").as("id_a"))
       .join(capped.select(col("rk"), col("id").as("id_b")), Seq("rk"))
       .filter(col("id_a") < col("id_b"))

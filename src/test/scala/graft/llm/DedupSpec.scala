@@ -298,6 +298,44 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.setSimilarityJoin(edge, "id", "toks", minJaccard = 0.5).count() == 1L)
   }
 
+  test("setSimilarityJoin: over-full prefix bucket FAILS loudly, never drops silently") {
+    // every doc is {hot, uniq_i}: at t=0.5 the prefix is the whole 2-token
+    // set, so "hot" lands in every doc's prefix -> one bucket of size 20,
+    // over a cap of 5 -> the lossless default must raise, naming the cap
+    val hot = (1L to 20L).map(i => (i, Seq("hot", s"uniq$i"))).toDF("id", "toks")
+    val ex = intercept[Exception] {
+      Dedup.setSimilarityJoin(hot, "id", "toks", minJaccard = 0.5, maxBucketSize = 5)
+        .count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ msgs(e.getCause))
+    assert(msgs(ex).exists(_.contains("maxBucketSize")),
+      s"expected the cap error to surface, got: ${ex.getMessage}")
+  }
+
+  test("setSimilarityJoinCounted: drops over-full buckets with an audited count") {
+    // hot docs {hot, shared, u_i} are pairwise jaccard 2/4 = 0.5; their
+    // 2-token prefixes are [u_i, hot] (rarest-first), so ALL 190 hot pairs
+    // flow through the single "hot" bucket (size 20). Cap 5 drops it —
+    // the counted variant must lose exactly those pairs, report the loss
+    // in the accumulator, and keep the cold exact-dup pair intact.
+    val rows = (1L to 20L).map(i => (i, Seq("hot", "shared", s"u$i"))) ++
+      Seq((101L, Seq("cold", "alpha")), (102L, Seq("cold", "alpha")))
+    val df = rows.toDF("id", "toks")
+    val (res, acc) = Dedup.setSimilarityJoinCounted(
+      df, "id", "toks", minJaccard = 0.5, maxBucketSize = 5)
+    val pairs = res.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(acc.value > 0L, "dropped-entry accumulator must fire on the hot bucket")
+    assert(pairs == Set((101L, 102L)),
+      s"hot pairs dropped, cold pair kept; got $pairs")
+    // with a generous cap the counted variant is exact: all 190 hot pairs
+    // plus the cold pair come back and zero drops are counted
+    val (resOk, accOk) = Dedup.setSimilarityJoinCounted(
+      df, "id", "toks", minJaccard = 0.5)
+    assert(resOk.count() == 191L)
+    assert(accOk.value == 0L)
+  }
+
   test("sortedNeighborhoodPairs: window candidates match a brute-force positional pairing") {
     // keys chosen so near-dups sort adjacently and a far pair does NOT,
     // proving both the find and the blocking miss are positional
