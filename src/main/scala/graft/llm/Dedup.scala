@@ -232,8 +232,18 @@ object Dedup {
                              textCol: String = "text", shingleSize: Int = 5,
                              numHashes: Int = 64, bands: Int = 16,
                              minEstJaccard: Double = 0.5,
-                             maxBucketSize: Int = 1000): DataFrame = {
-    val fresh = bandedSignatures(newDocs, idCol, textCol, shingleSize, numHashes, bands)
+                             maxBucketSize: Int = 1000): DataFrame =
+    minhashLshSigsAgainstIndex(
+      bandedSignatures(newDocs, idCol, textCol, shingleSize, numHashes, bands),
+      index, minEstJaccard, maxBucketSize)
+
+  /** [[minhashLshAgainstIndex]] taking PRE-COMPUTED [[bandedSignatures]]
+    * for the new batch — the ingest path computes signatures once and
+    * reuses them for both the index probe and the index append. */
+  def minhashLshSigsAgainstIndex(newSigs: DataFrame, index: DataFrame,
+                                 minEstJaccard: Double = 0.5,
+                                 maxBucketSize: Int = 1000): DataFrame = {
+    val fresh = newSigs
       .select(col("band"), col("bucket"), col("id").as("new_id"), col("sig").as("sig_new"))
     // stale-index guard: signatures from a different definition version can
     // never match — fail loud instead of silently returning zero pairs
@@ -258,6 +268,73 @@ object Dedup {
       .withColumn("est_jaccard", estJaccard(col("sig_new"), col("sig_idx")))
       .filter(col("est_jaccard") >= minEstJaccard)
       .select("new_id", "index_id", "est_jaccard")
+  }
+
+  /** Number of band-hash prefix partitions a persisted signature index is
+    * bucketed into. 64 keeps per-partition file counts manageable while a
+    * single-doc probe (16 bands) still prunes to ≤ 16/64 of the index. */
+  val IndexBucketPrefixes = 64
+
+  /** Partition key for the persisted signature index: a uniform prefix of
+    * the (already xxhash64-distributed) band bucket. */
+  def indexPrefix(bucket: Column): Column =
+    pmod(bucket, lit(IndexBucketPrefixes.toLong))
+
+  /** Append [[bandedSignatures]] rows to a persisted index bucketed by
+    * [[indexPrefix]] (layout: parquet files under `dir/pfx=N`), so a probe for a new
+    * batch partition-prunes to only the prefixes the batch hashes into
+    * instead of re-scanning the whole corpus index every ingest. */
+  def writeSignatureIndex(sigs: DataFrame, dir: String): Unit =
+    sigs.withColumn("pfx", indexPrefix(col("bucket")))
+      .write.mode("append").partitionBy("pfx").parquet(dir)
+
+  /** Read a bucketed signature index restricted to the given prefixes —
+    * the `pfx` filter is a partition-column predicate, so Spark prunes the
+    * non-matching `pfx=N` directories at planning time (the probe never
+    * opens their files). */
+  def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                         prefixes: Seq[Int]): DataFrame =
+    spark.read.parquet(dir)
+      .filter(col("pfx").isin(prefixes.map(_.toLong): _*))
+
+  /** True once a bucketed signature index has any committed data. */
+  def signatureIndexExists(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    d.isDirectory && d.listFiles().exists(p =>
+      p.isDirectory && p.getName.startsWith("pfx=") &&
+        p.listFiles().exists(_.getName.endsWith(".parquet")))
+  }
+
+  /** Compact index partitions that have accumulated more than
+    * `maxFilesPerPartition` parquet files (streaming appends one file per
+    * touched partition per batch — unbounded small files otherwise).
+    * Each over-full `pfx=N` directory is rewritten to a single file via a
+    * hidden sibling dir + atomic rename, so a concurrent reader sees
+    * either the old or the new layout, never a partial one. Returns the
+    * number of partitions compacted. Uses the Hadoop FileSystem API, so
+    * it works on any supported store, not just the local FS. */
+  def compactSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+                            maxFilesPerPartition: Int = 8): Int = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).filter(s =>
+      s.isDirectory && s.getPath.getName.startsWith("pfx="))
+    val overFull = parts.filter { s =>
+      fs.listStatus(s.getPath).count(_.getPath.getName.endsWith(".parquet")) >
+        maxFilesPerPartition
+    }
+    overFull.foreach { s =>
+      val part = s.getPath
+      // dot-prefixed staging dir: hidden from Spark's partition discovery
+      val staging = new Path(root, s".compact_${part.getName}")
+      spark.read.parquet(part.toString).coalesce(1)
+        .write.mode("overwrite").parquet(staging.toString)
+      fs.delete(part, true)
+      fs.rename(staging, part)
+    }
+    overFull.length
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit sign-sum of per-token

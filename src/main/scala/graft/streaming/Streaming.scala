@@ -298,7 +298,8 @@ object Streaming {
 
   def nearDupIngestStream(docs: DataFrame, indexDir: String, checkpointDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
-                          minEstJaccard: Double = 0.5)(
+                          minEstJaccard: Double = 0.5,
+                          compactAfterFiles: Int = 8)(
                           sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.Dedup
     docs.writeStream
@@ -306,18 +307,21 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // the batch feeds three passes (index check, self-pairs, signature
-        // append); localCheckpoint bounds it to one source read
+        // append); localCheckpoint bounds it to one source read, and ONE
+        // signature build serves both the index probe and the index append
         val b = batch.localCheckpoint()
         val spark = b.sparkSession
-        val hasIndex = {
-          val d = new java.io.File(indexDir)
-          d.isDirectory && d.listFiles().exists(_.getName.endsWith(".parquet"))
-        }
+        val sigs = Dedup.bandedSignatures(b, idCol, textCol).localCheckpoint()
         val fresh =
-          if (!hasIndex) b
+          if (!Dedup.signatureIndexExists(indexDir)) b
           else {
-            val dupOfCorpus = Dedup.minhashLshAgainstIndex(
-                b, spark.read.parquet(indexDir), idCol, textCol,
+            // the batch's band buckets hash into a bounded prefix set
+            // (≤ IndexBucketPrefixes values) — probe ONLY those index
+            // partitions instead of re-scanning the whole corpus index
+            val pfxs = sigs.select(Dedup.indexPrefix(col("bucket")).as("p"))
+              .distinct().collect().map(_.getLong(0).toInt).toSeq
+            val dupOfCorpus = Dedup.minhashLshSigsAgainstIndex(
+                sigs, Dedup.readSignatureIndex(spark, indexDir, pfxs),
                 minEstJaccard = minEstJaccard)
               .select(col("new_id").as(idCol)).distinct()
             b.join(dupOfCorpus, Seq(idCol), "left_anti")
@@ -328,8 +332,12 @@ object Streaming {
           .keepRepresentatives(fresh, idCol, selfPairs)
           .localCheckpoint()
         sink(keep)
-        Dedup.bandedSignatures(keep, idCol, textCol)
-          .write.mode("append").parquet(indexDir)
+        Dedup.writeSignatureIndex(
+          sigs.join(keep.select(col(idCol).as("id")), Seq("id"), "left_semi"),
+          indexDir)
+        // bound the small-files growth from one-file-per-batch appends
+        Dedup.compactSignatureIndex(spark, indexDir, compactAfterFiles)
+        ()
       }
       .start()
   }

@@ -216,6 +216,71 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.toSeq == Seq(1L, 3L, 5L), s"got ${indexed.toSeq}")
   }
 
+  test("streaming near-dup index: bucketed layout prunes the probe and compacts") {
+    import graft.llm.Dedup
+    val root = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+    // per-doc seeded-random words: docs are distinct at the CHARACTER
+    // level (minhash shingles are char n-grams), so nothing dedups away
+    // and all 18 docs reach the index
+    def texts(tag: String) = (0 until 6).map { i =>
+      val rnd = new scala.util.Random(tag.hashCode * 31 + i)
+      (0 until 15).map(_ => rnd.alphanumeric.take(8).mkString).mkString(" ")
+    }
+    def drop(ids: Seq[Long], tag: String): Unit = {
+      ids.zip(texts(tag)).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$root/docs")
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      // compactAfterFiles = 1: any partition touched by 2+ batches compacts
+      Streaming.nearDupIngestStream(stream, s"$root/index", s"$root/ckpt",
+          compactAfterFiles = 1)(
+          keep => keep.write.mode("append").parquet(s"$root/corpus"))
+        .awaitTermination()
+    }
+    drop(1L to 6L, "alpha")
+    drop(11L to 16L, "beta")
+    drop(21L to 26L, "gamma")
+
+    // 1) layout: band-hash-prefix partition directories, all compacted back
+    //    to one file each despite three append batches
+    val pfxDirs = new java.io.File(s"$root/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("pfx="))
+    assert(pfxDirs.nonEmpty, "index must be pfx= partitioned")
+    val overFull = pfxDirs.filter(
+      _.listFiles().count(_.getName.endsWith(".parquet")) > 1)
+    assert(overFull.isEmpty,
+      s"compaction must bound files/partition, over-full: ${overFull.map(_.getName).toSeq}")
+
+    // 2) the probe for a small batch reads a STRICT subset of index files —
+    //    asserted on the physical scan's post-pruning partition selection
+    //    (Dataset.inputFiles lists the whole FileIndex, pruned or not)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    def scannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.queryExecution.sparkPlan.collect { case f: FileSourceScanExec => f }
+        .flatMap(_.selectedPartitions.toPartitionArray.map(_.filePath.toString))
+        .toSet
+    val allFiles = spark.read.parquet(s"$root/index").inputFiles.toSet
+    val probeSigs = Dedup.bandedSignatures(
+      Seq((99L, texts("alpha").head)).toDF("doc_id", "text"), "doc_id", "text")
+    val pfxs = probeSigs.select(Dedup.indexPrefix(col("bucket")).as("p"))
+      .distinct().as[Long].collect().map(_.toInt).toSeq
+    val pruned = Dedup.readSignatureIndex(spark, s"$root/index", pfxs)
+    val prunedFiles = scannedFiles(pruned)
+    assert(prunedFiles.subsetOf(allFiles))
+    assert(prunedFiles.size < allFiles.size,
+      s"probe must prune: read ${prunedFiles.size} of ${allFiles.size} files")
+
+    // 3) compaction preserved the index contents: all 18 kept docs indexed,
+    //    and the near-dup probe still finds the duplicate through the index
+    val indexed = spark.read.parquet(s"$root/index")
+      .select("id").distinct().as[Long].collect().sorted.toSeq
+    assert(indexed == ((1L to 6L) ++ (11L to 16L) ++ (21L to 26L)).sorted.toSeq)
+    val hits = Dedup.minhashLshSigsAgainstIndex(probeSigs, pruned)
+      .select("index_id").as[Long].collect().toSet
+    assert(hits == Set(1L), s"pruned probe must find doc 99's near-dup, got $hits")
+  }
+
   test("transitionStream: last-event state chains transitions across restarts") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stream-tr").toString
     val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-tr-ckpt").toString
