@@ -472,14 +472,49 @@ object SparkEntry {
           count(lit(1)).as("n_docs"))
         .orderBy(col("lang"))
     }),
-    // rows-only (no SQL oracle): verified by ScalaTest specs instead
+    // d04/d05: the custom-hash production paths (xxhash shingle minhash,
+    // native simhash64) have no portable pair-for-pair SQL twin, so the
+    // gate pins a RECALL property instead (the v03 pattern): every
+    // strongest-signal pair from the hash-green portable twin (d19/d21)
+    // must be found by the custom path. The oracle recomputes n_strong
+    // EXACTLY in DuckDB; the 90%-floor clamp makes the healthy output
+    // deterministic (constant-by-formula while recall holds, the raw
+    // count when tripped — diagnosable from the dumped row).
     "d04_minhash_lsh" -> ((s, d) => {
-      Dedup.minhashLsh(t(s, d, "documents"), "doc_id", minEstJaccard = 0.3)
-        .orderBy(col("id_a"), col("id_b"))
+      // strong = d19-pipeline pairs with 8/8 portable minima agreeing
+      // (portable est jaccard 1.0, near-identical docs). Custom banding
+      // math: at true j >= 0.8 a pair misses all 16 bands with
+      // p = (1 - j^4)^16 < 1e-4 — the 90% floor is noise headroom.
+      val strong = minhashSqlPairs(s, d).filter(col("n_matching") === 8)
+        .select(col("id_a"), col("id_b"))
+      val custom = Dedup.minhashLsh(t(s, d, "documents"), "doc_id",
+          minEstJaccard = 0.3)
+        .select(col("id_a"), col("id_b")).distinct()
+      strong.join(custom.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_strong"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+        .select(col("n_strong"),
+          least(col("n_found"), expr("(n_strong * 9) div 10")).as("n_found_floored"),
+          (col("n_found") >= expr("(n_strong * 9) div 10")).as("recall_ok"))
     }),
     "d05_simhash" -> ((s, d) => {
-      Dedup.simhashPairs(t(s, d, "documents"), "doc_id", maxHamming = 8)
-        .orderBy(col("id_a"), col("id_b"))
+      // strong = d21's portable pairs at hamming <= 1 (near-identical
+      // token multisets). The custom path at maxHamming=8 splits 64 bits
+      // into 9 chunks, so any pair within 8 custom-hamming bits has a
+      // clean chunk by pigeonhole — candidate generation is deterministic;
+      // the only probabilistic link is portable-close => custom-close.
+      val strong = Dedup.simhashPairsPortable(t(s, d, "documents"), "doc_id",
+          maxHamming = 3)
+        .filter(col("hamming") <= 1).select(col("id_a"), col("id_b"))
+      val custom = Dedup.simhashPairs(t(s, d, "documents"), "doc_id",
+          maxHamming = 8)
+        .select(col("id_a"), col("id_b")).distinct()
+      strong.join(custom.withColumn("__hit", lit(1L)), Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_strong"),
+          coalesce(sum(col("__hit")), lit(0L)).as("n_found"))
+        .select(col("n_strong"),
+          least(col("n_found"), expr("(n_strong * 9) div 10")).as("n_found_floored"),
+          (col("n_found") >= expr("(n_strong * 9) div 10")).as("recall_ok"))
     }),
     "d06_langid" -> ((s, d) => {
       TextAnalysis.withLangId(t(s, d, "documents"))
@@ -2996,6 +3031,62 @@ object SparkEntry {
     "v05_ann_opq" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(40 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok",
     "v06_kmeans" -> kmeansOracleSql(4, 3, 64),
+    // d04/d05: recall-property gates (the v03 pattern). DuckDB recomputes
+    // n_strong EXACTLY via the portable twin pipelines (d19/d21 SQL) and
+    // emits the formula-derived floor + TRUE; the engine's measured row
+    // hash-matches only while the custom paths find >= 90% of the
+    // strongest portable pairs.
+    "d04_minhash_lsh" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tk WHERE len(t) > 1
+        |), banded AS (
+        |  SELECT doc_id, k,
+        |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+        |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+        |), strong AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) = 8
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_strong FROM strong)
+        |SELECT n_strong,
+        |  CAST((n_strong * 9) // 10 AS BIGINT) AS n_found_floored,
+        |  TRUE AS recall_ok
+        |FROM n""".stripMargin,
+    "d05_simhash" ->
+      """WITH hs AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_split_to_array(trim(lower(text)), '\s+'), w -> md5(w)) AS hs
+        |  FROM documents
+        |), sigs AS (
+        |  SELECT doc_id, array_to_string(list_transform(range(0, 64), j ->
+        |    CASE WHEN list_reduce(list_prepend(0, list_transform(hs, h ->
+        |        (((instr('0123456789abcdef', substring(h, CAST(j % 16 AS INTEGER) + 1, 1)) - 1)
+        |          >> (j >> 4)) & 1) * 2 - 1)),
+        |      (x, y) -> x + y) > 0 THEN '1' ELSE '0' END), '') AS sig
+        |  FROM hs
+        |), chunked AS (
+        |  SELECT doc_id, sig, c AS chunk, substring(sig, CAST(c * 16 + 1 AS INTEGER), 16) AS key
+        |  FROM sigs, (SELECT unnest(range(0, 4)) AS c)
+        |), pairs AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+        |  FROM chunked a JOIN chunked b ON a.chunk = b.chunk AND a.key = b.key AND a.doc_id < b.doc_id
+        |), verified AS (
+        |  SELECT id_a, id_b, list_reduce(list_prepend(0, list_transform(range(1, 65), i ->
+        |      CASE WHEN substring(sig_a, CAST(i AS INTEGER), 1) <> substring(sig_b, CAST(i AS INTEGER), 1)
+        |        THEN 1 ELSE 0 END)), (x, y) -> x + y) AS hamming
+        |  FROM pairs
+        |), n AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_strong FROM verified WHERE hamming <= 1
+        |)
+        |SELECT n_strong,
+        |  CAST((n_strong * 9) // 10 AS BIGINT) AS n_found_floored,
+        |  TRUE AS recall_ok
+        |FROM n""".stripMargin,
     "d19_minhash_sql" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
