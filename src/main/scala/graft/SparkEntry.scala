@@ -295,6 +295,30 @@ object SparkEntry {
           count(when(col("l_quantity") < 2, lit(1))).as("n_present"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
+    "q18_impact_rollup" -> ((s, d) => {
+      // multi-way GROUPING SETS over the impact view (reports.py:643-677
+      // per-threshold totals): ONE Expand+shuffle pass yields the
+      // per-threshold expected-population totals, the per-threshold
+      // admin breakdown, AND the grand total. ceil(sum(E_pop)) stays in
+      // exact integer arithmetic: E = pop * n_members / 51, so
+      // ceil = (sum(pop*n) + 50) div 51 — bit-identical in any engine.
+      val probs = SpatialJoin.probabilityByThreshold(
+          geoTiles(s, d), "geometry", geoEnvelopes(s, d), "geometry")
+        .withColumn("admin_id",
+          concat_ws("_", expr("CAST(tile_id AS BIGINT) % 40 div 8"),
+            expr("CAST(tile_id AS BIGINT) div 40 % 40 div 8")))
+      probs.createOrReplaceTempView("__q18_probs")
+      s.sql("""
+        SELECT CAST(GROUPING(wind_threshold) AS INT) AS g_wind,
+               CAST(GROUPING(admin_id) AS INT) AS g_admin,
+               wind_threshold, admin_id,
+               CAST((SUM(CAST(population AS BIGINT) * n_members) + 50) div 51 AS BIGINT)
+                 AS expected_pop_ceil,
+               COUNT(*) AS n_rows
+        FROM __q18_probs
+        GROUP BY GROUPING SETS ((wind_threshold), (wind_threshold, admin_id), ())
+        ORDER BY g_wind, g_admin, wind_threshold, admin_id""")
+    }),
     "q19_bucket_agg" -> ((s, d) => {
       // vulnerability-bucket analogue (A8): band by acctbal, bucket sums
       val band = when(col("c_acctbal") < 0, "severe")
@@ -369,6 +393,42 @@ object SparkEntry {
         .agg(countDistinct(col("sig")).as("n_distinct_sigs"), count(lit(1)).as("n_rows"))
     }),
     // --- scalar functions (§2.7) ---------------------------------------
+    "q21_report_sequence" -> ((s, d) => {
+      // J15 end-to-end over a 3+-step forecast sequence: per-storm 6h
+      // report steps; each report as-of joins (Deltas.asofJoin, the J15
+      // operator) to the latest report available at or before T-6h —
+      // the previous step on the quantized series — and derives the
+      // reports.py:360-391 change semantics (first report: change =
+      // expected, direction 'increased'; change 0 counts 'decreased').
+      // The DuckDB oracle replays it with LAG, which is equivalent on a
+      // per-storm step-ordered series.
+      val stepUs = 21600000000L // 6h
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select((col("user_id") % 5).as("storm_id"),
+          expr(s"unix_micros(ts) div ${stepUs}L").as("step"),
+          floor(col("value") * 100).cast("long").as("iv"))
+      val steps = ev.groupBy("storm_id", "step")
+        .agg(sum(col("iv")).as("total"), count(lit(1)).as("n_events"))
+      // a step's report becomes visible to successors from (step+1)*6h on:
+      // asof(left t = step*6h) then picks the latest strictly-earlier step
+      val prev = steps.select(col("storm_id"),
+        ((col("step") + 1) * stepUs).as("avail_us"),
+        col("total").as("p_total"), col("step").as("p_step"))
+      Deltas.asofJoin(
+          steps.withColumn("t_us", col("step") * stepUs), prev,
+          Seq("storm_id"), leftTime = "t_us", rightTime = "avail_us",
+          payload = Seq("p_total", "p_step"), tieBreak = Some("p_step"))
+        .withColumn("change", when(col("asof_p_total").isNull, col("total"))
+          .otherwise(col("total") - col("asof_p_total")))
+        .withColumn("direction",
+          when(col("asof_p_total").isNull || col("change") > 0, lit("increased"))
+            .otherwise(lit("decreased")))
+        .select(col("storm_id"), col("step"), col("total"), col("n_events"),
+          col("asof_p_total").as("prev_total"), col("asof_p_step").as("prev_step"),
+          col("change"), col("direction"))
+        .orderBy(col("storm_id"), col("step"))
+    }),
     "q22_regexp_extract" -> ((s, d) => {
       t(s, d, "part")
         .withColumn("last_word", regexp_extract(col("p_type"), "([A-Z]+)$", 1))
@@ -2425,6 +2485,49 @@ object SparkEntry {
         | COUNT(CASE WHEN l_quantity < 2 THEN 1 END) AS n_present
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q18_impact_rollup" ->
+      s"""WITH tiles AS ($geoTilesSql), envs AS ($geoEnvelopesSql),
+         |probs AS (
+         | SELECT t.tile_id, t.population, e.wind_threshold, COUNT(*) AS n_members
+         | FROM tiles t JOIN envs e
+         |  ON t.minlon <= e.maxlon AND t.maxlon >= e.minlon
+         |  AND t.minlat <= e.maxlat AND t.maxlat >= e.minlat
+         | GROUP BY 1, 2, 3),
+         |lbl AS (
+         | SELECT *, CONCAT(CAST((CAST(tile_id AS BIGINT) % 40) // 8 AS VARCHAR), '_',
+         |   CAST(((CAST(tile_id AS BIGINT) // 40) % 40) // 8 AS VARCHAR)) AS admin_id
+         | FROM probs)
+         |SELECT CAST(GROUPING(wind_threshold) AS INT) AS g_wind,
+         |  CAST(GROUPING(admin_id) AS INT) AS g_admin,
+         |  wind_threshold, admin_id,
+         |  CAST((SUM(CAST(population AS BIGINT) * n_members) + 50) // 51 AS BIGINT)
+         |    AS expected_pop_ceil,
+         |  COUNT(*) AS n_rows
+         |FROM lbl
+         |GROUP BY GROUPING SETS ((wind_threshold), (wind_threshold, admin_id), ())
+         |ORDER BY g_wind, g_admin, wind_threshold, admin_id""".stripMargin,
+    "q21_report_sequence" ->
+      """WITH ev AS (
+        |  SELECT user_id % 5 AS storm_id,
+        |    epoch_us(ts) // 21600000000 AS step,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS iv
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |), steps AS (
+        |  SELECT storm_id, step, SUM(iv) AS total, COUNT(*) AS n_events
+        |  FROM ev GROUP BY 1, 2
+        |), seq AS (
+        |  SELECT *,
+        |    LAG(total) OVER (PARTITION BY storm_id ORDER BY step) AS prev_total,
+        |    LAG(step) OVER (PARTITION BY storm_id ORDER BY step) AS prev_step
+        |  FROM steps
+        |)
+        |SELECT storm_id, step, CAST(total AS BIGINT) AS total, n_events,
+        |  CAST(prev_total AS BIGINT) AS prev_total, prev_step,
+        |  CAST(CASE WHEN prev_total IS NULL THEN total
+        |    ELSE total - prev_total END AS BIGINT) AS change,
+        |  CASE WHEN prev_total IS NULL OR total - prev_total > 0
+        |    THEN 'increased' ELSE 'decreased' END AS direction
+        |FROM seq ORDER BY storm_id, step""".stripMargin,
     "q19_bucket_agg" ->
       """SELECT c_mktsegment,
         | CASE WHEN c_acctbal < 0 THEN 'severe' WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS band,
