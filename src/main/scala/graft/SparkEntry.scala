@@ -800,13 +800,20 @@ object SparkEntry {
         .orderBy("media_id")
     }),
     "m01_media_features" -> ((s, d) => {
-      // multimodal plumbing: binary payload + metadata -> per-partition
-      // feature extraction (decode step stubbed; batch shape real)
+      // multimodal decode + feature extraction: image rows are REAL P6
+      // PPM payloads decoded by the pure-JVM decoder — the oracle
+      // recomputes the decoded pixels' exact per-channel sums from the
+      // synthetic formula, so a decode regression (header parse, raster
+      // offset, channel order) breaks the hash. Audio/video stay opaque
+      // stub bytes (no codec in this build) with the same plumbing.
       val media = graft.llm.Multimodal.syntheticMedia(
         t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
-      graft.llm.Multimodal.extractFeatures(media, dim = 16)
+      val feats = graft.llm.Multimodal.extractFeatures(media, dim = 16)
         .select(col("media_id"), col("meta.media_type").as("media_type"),
           size(col("features")).as("dim"))
+      feats.join(graft.llm.Multimodal.imageStats(media)
+          .select(col("media_id"), col("sum_r"), col("sum_g"), col("sum_b")),
+          Seq("media_id"), "left")
         .orderBy("media_id")
     }),
     "g08_strategy_join" -> ((s, d) => {
@@ -2702,12 +2709,32 @@ object SparkEntry {
         |     * sqrt(list_reduce(list_apply(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))
         |  >= 0.3125
         |ORDER BY id_a, id_b""".stripMargin,
+    // m01's sum_r/g/b replay the DECODED pixels of the synthetic P6 PPMs:
+    // channel value (id*7 + y*11 + x*13 + c*17) % 256 over a
+    // (4 + id%5) × (3 + id%4) raster — if the engine's PPM decoder reads
+    // the header or raster wrong, these sums cannot match.
     "m01_media_features" ->
-      """SELECT p_partkey AS media_id,
-        | CASE WHEN p_partkey % 3 = 0 THEN 'image'
-        |      WHEN p_partkey % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type,
-        | 16 AS dim
-        |FROM part WHERE p_partkey <= 200 ORDER BY media_id""".stripMargin,
+      """WITH m AS (
+        |  SELECT p_partkey AS media_id,
+        |    CASE WHEN p_partkey % 3 = 0 THEN 'image'
+        |         WHEN p_partkey % 3 = 1 THEN 'audio' ELSE 'video' END AS media_type
+        |  FROM part WHERE p_partkey <= 200
+        |), img AS (
+        |  SELECT media_id, 4 + media_id % 5 AS w, 3 + media_id % 4 AS h
+        |  FROM m WHERE media_type = 'image'
+        |), px AS (
+        |  SELECT i.media_id,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT) AS sum_r,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |  GROUP BY i.media_id
+        |)
+        |SELECT m.media_id, m.media_type, CAST(16 AS INT) AS dim,
+        |  px.sum_r, px.sum_g, px.sum_b
+        |FROM m LEFT JOIN px USING (media_id) ORDER BY media_id""".stripMargin,
     // cosine ordering is bit-identical across engines: both compute the dot
     // and norms as SEQUENTIAL double folds over the float vectors (Spark
     // `aggregate` with 0.0 init vs DuckDB list_reduce; 0.0+v1 == v1 exactly),

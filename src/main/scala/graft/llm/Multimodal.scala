@@ -10,11 +10,14 @@ import org.apache.spark.sql.types._
  * frame-sample are per-row transforms batched via `mapPartitions` (the
  * Scala analogue of Python's mapInPandas batches).
  *
- * The decode step is a clearly-marked STUB — media codec libraries are not
- * available in this build environment — but the Spark-side plumbing is
- * real and tested: schema, batch shape, partition-level processing,
- * deterministic fake features. Swapping [[decodeStub]] for a real codec
- * (javacv / ImageIO) changes no plan shape.
+ * Decode: binary PPM (P6) images are decoded for real by the pure-JVM
+ * [[decodePpm]] (netpbm is a public textbook format — no codec library
+ * needed), and [[extractFeatures]] derives features from actual pixels for
+ * them. Other formats (png/wav/mp4 …) fall back to [[decodeStub]] — codec
+ * libraries are not available in this build environment — with the
+ * Spark-side plumbing (schema, batch shape, partition-level processing)
+ * identical either way: swapping the stub for a real codec (javacv /
+ * ImageIO) changes no plan shape.
  */
 object Multimodal {
 
@@ -49,21 +52,118 @@ object Multimodal {
   }
 
   /**
+   * Minimal pure-JVM decoder for binary PPM (P6), the textbook netpbm
+   * format: `P6 <ws> width <ws> height <ws> maxval <one ws> raw RGB`,
+   * with `#` comments allowed in the header. Returns `(width, height,
+   * rgb bytes row-major)` or None for anything that is not a well-formed
+   * 8-bit P6 payload (the caller then falls back to [[decodeStub]]).
+   */
+  def decodePpm(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 2 ||
+        payload(0) != 'P'.toByte || payload(1) != '6'.toByte) return None
+    var i = 2
+    def skipWs(): Unit = {
+      var done = false
+      while (!done && i < payload.length) {
+        val b = payload(i)
+        if (b == '#'.toByte) {
+          while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+        } else if (b == ' '.toByte || b == '\t'.toByte ||
+                   b == '\r'.toByte || b == '\n'.toByte) i += 1
+        else done = true
+      }
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      var any = false
+      while (i < payload.length && payload(i) >= '0'.toByte && payload(i) <= '9'.toByte) {
+        v = v * 10 + (payload(i) - '0'.toByte)
+        i += 1
+        any = true
+        if (v > (1 << 20)) return -1 // bound absurd dims before overflow
+      }
+      if (any) v else -1
+    }
+    val w = readInt(); val h = readInt(); val maxv = readInt()
+    if (w <= 0 || h <= 0 || maxv <= 0 || maxv > 255) return None
+    i += 1 // exactly one whitespace byte separates maxval from raster
+    val n = w.toLong * h * 3
+    if (n > Int.MaxValue || i + n > payload.length) return None
+    Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
+  }
+
+  /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
+    * by a luminance histogram over the remaining `dim - 3` bins,
+    * normalized by pixel count. Deterministic integer folds until the
+    * final divisions. Requires dim >= 4. */
+  def pixelFeatures(w: Int, h: Int, rgb: Array[Byte], dim: Int): Array[Float] = {
+    require(dim >= 4, s"dim=$dim: need 3 channel means + >=1 histogram bin")
+    val out = new Array[Float](dim)
+    val bins = dim - 3
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p + 2 < rgb.length) {
+      val r = rgb(p) & 0xFF; val g = rgb(p + 1) & 0xFF; val b = rgb(p + 2) & 0xFF
+      sr += r; sg += g; sb += b
+      val lum = (r * 299 + g * 587 + b * 114) / 1000
+      out(3 + lum * bins / 256) += 1f
+      p += 3
+    }
+    val n = (w.toLong * h).toFloat
+    out(0) = sr / 255f / n
+    out(1) = sg / 255f / n
+    out(2) = sb / 255f / n
+    var bIdx = 3
+    while (bIdx < dim) { out(bIdx) /= n; bIdx += 1 }
+    out
+  }
+
+  /**
    * Feature extraction over media rows, batched per partition (one codec
    * context per partition, like one model per Python worker): adds
-   * `features: array<float>`. Narrow map — no shuffle, scales with input.
+   * `features: array<float>`. PPM payloads decode to real pixels
+   * ([[decodePpm]] → [[pixelFeatures]]); other formats use the stub.
+   * Narrow map — no shuffle, scales with input.
    */
   def extractFeatures(media: DataFrame, dim: Int = 64): DataFrame = {
     val outSchema = StructType(media.schema.fields :+
       StructField("features", ArrayType(FloatType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
-      // per-partition "codec" init happens here (stubbed)
+      // per-partition codec init happens here (none needed for PPM)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        Row.fromSeq(r.toSeq :+ decodeStub(payload, dim).toSeq)
+        val feats = decodePpm(payload) match {
+          case Some((w, h, rgb)) if dim >= 4 => pixelFeatures(w, h, rgb, dim)
+          case _ => decodeStub(payload, dim)
+        }
+        Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
+  }
+
+  /** Integer per-channel sums from REAL decoded pixels — the
+    * oracle-checkable face of the decode path (exact longs, no float
+    * folds). Non-PPM rows are dropped. */
+  def imageStats(media: DataFrame): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      decodePpm(payload).map { case (w, h, rgb) =>
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var p = 0
+        while (p + 2 < rgb.length) {
+          sr += rgb(p) & 0xFF; sg += rgb(p + 1) & 0xFF; sb += rgb(p + 2) & 0xFF
+          p += 3
+        }
+        (w, h, sr, sg, sb)
+      }.orNull
+    }
+    media.withColumn("__st", dec(col("payload")))
+      .filter(col("__st").isNotNull)
+      .select(col("media_id"),
+        col("__st._1").as("width"), col("__st._2").as("height"),
+        col("__st._3").as("sum_r"), col("__st._4").as("sum_g"),
+        col("__st._5").as("sum_b"))
   }
 
   /** Image resize stub: rewrites the metadata dims, payload untouched
@@ -93,26 +193,58 @@ object Multimodal {
       .withColumn("frame_ms",
         explode(sequence(lit(0L), col("meta.duration_ms") - 1, lit(everyMs))))
 
+  /** Deterministic PPM (P6) image for a key: `(4 + id%5) × (3 + id%4)`
+    * pixels, channel value `(id*7 + y*11 + x*13 + c*17) % 256` — plain
+    * portable arithmetic, so a second engine can recompute the exact
+    * channel sums of the DECODED pixels (the m01 oracle does). */
+  def syntheticPpm(id: Long): Array[Byte] = {
+    val w = (4 + id % 5).toInt
+    val h = (3 + id % 4).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var k = 0; var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < 3) {
+          px(k) = ((id * 7 + y * 11 + x * 13 + c * 17) % 256).toByte
+          k += 1; c += 1
+        }
+        x += 1
+      }
+      y += 1
+    }
+    header ++ px
+  }
+
   /** Synthesize a deterministic media table from any keyed table — test/
-    * bench input when no real media exists. */
+    * bench input when no real media exists. Image rows carry REAL P6 PPM
+    * payloads ([[syntheticPpm]]) so the decode path runs on actual
+    * pixels; audio/video rows keep opaque stub bytes. */
   def syntheticMedia(keys: DataFrame, idCol: String): DataFrame = {
     val payload = udf { (id: Long) =>
-      val bytes = new Array[Byte](64 + (id % 64).toInt)
-      var i = 0
-      while (i < bytes.length) {
-        bytes(i) = (graft.util.Hashing.mix64(id * 1000L + i) & 0xFF).toByte
-        i += 1
+      if (id % 3 == 0) syntheticPpm(id)
+      else {
+        val bytes = new Array[Byte](64 + (id % 64).toInt)
+        var i = 0
+        while (i < bytes.length) {
+          bytes(i) = (graft.util.Hashing.mix64(id * 1000L + i) & 0xFF).toByte
+          i += 1
+        }
+        bytes
       }
-      bytes
     }
     keys.select(col(idCol).cast("long").as("media_id"))
       .withColumn("payload", payload(col("media_id")))
       .withColumn("meta", struct(
         when(col("media_id") % 3 === 0, "image")
           .when(col("media_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-        lit("stub").as("format"),
-        (col("media_id") % 1000 + 100).cast("int").as("width"),
-        (col("media_id") % 800 + 100).cast("int").as("height"),
+        when(col("media_id") % 3 === 0, "ppm").otherwise("stub").as("format"),
+        when(col("media_id") % 3 === 0, (col("media_id") % 5 + 4))
+          .otherwise(col("media_id") % 1000 + 100).cast("int").as("width"),
+        when(col("media_id") % 3 === 0, (col("media_id") % 4 + 3))
+          .otherwise(col("media_id") % 800 + 100).cast("int").as("height"),
         when(col("media_id") % 3 === 2, (col("media_id") % 10000 + 1000).cast("long"))
           .otherwise(lit(null).cast("long")).as("duration_ms")))
   }

@@ -30,6 +30,40 @@ class MultimodalSpec extends SparkSpec {
     assert(f1(0L) != f1(1L)) // payloads differ -> features differ
   }
 
+  test("decodePpm: hand-written P6 literal decodes to the exact pixels") {
+    val raster = Array[Byte](
+      10, 20, 30, 40, 50, 60,
+      70, 80, 90, 100, 110, 120)
+    val bytes = "P6\n# a header comment\n2 2\n255\n".getBytes("US-ASCII") ++ raster
+    val (w, h, px) = Multimodal.decodePpm(bytes).get
+    assert(w == 2 && h == 2)
+    assert(px.toSeq == raster.toSeq)
+    // malformed payloads are rejected, not mis-decoded
+    assert(Multimodal.decodePpm("P5\n2 2\n255\n".getBytes("US-ASCII") ++ raster).isEmpty,
+      "P5 (grayscale) magic must not decode as P6")
+    assert(Multimodal.decodePpm("P6\n2 2\n255\n".getBytes("US-ASCII") ++ raster.take(5)).isEmpty,
+      "truncated raster must be rejected")
+    assert(Multimodal.decodePpm("P6\n2 2\n65535\n".getBytes("US-ASCII") ++ raster).isEmpty,
+      "16-bit maxval must be rejected")
+    assert(Multimodal.decodePpm(null).isEmpty)
+  }
+
+  test("extractFeatures decodes PPM image rows to real pixel features") {
+    // ids 0 and 3 are images (real P6 payloads); their features must equal
+    // a direct pixelFeatures computation over the decoded raster
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .select("media_id", "features").as[(Long, Seq[Float])].collect().toMap
+    for (id <- Seq(0L, 3L)) {
+      val (w, h, rgb) = Multimodal.decodePpm(Multimodal.syntheticPpm(id)).get
+      assert(feats(id) == Multimodal.pixelFeatures(w, h, rgb, 8).toSeq,
+        s"image $id features must come from decoded pixels")
+    }
+    // and the first feature is the true red-channel mean, not stub noise
+    val (w0, h0, rgb0) = Multimodal.decodePpm(Multimodal.syntheticPpm(0L)).get
+    val meanR = rgb0.grouped(3).map(p => p(0) & 0xFF).sum / (w0 * h0).toFloat / 255f
+    assert(math.abs(feats(0L)(0) - meanR) < 1e-6f)
+  }
+
   test("resizeImages caps the max dimension, preserving aspect") {
     val resized = Multimodal.resizeImages(media, maxDim = 50)
     val dims = resized.select($"media_id", $"meta.width", $"meta.height")
