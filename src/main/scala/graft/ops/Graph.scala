@@ -34,11 +34,15 @@ object Graph {
    * deterministic and documented; the classic redistribute variant adds a
    * per-round global scalar exchange for little analytical difference).
    *
-   * Scale: each round is two equi-joins keyed on `src` (rank + out-degree
-   * attach) and one aggregation keyed on `dst` — AQE-splittable shuffles
-   * whose width follows the edge set; `localCheckpoint` per round truncates
-   * the iterative lineage exactly like [[ConnectedComponents]]. No driver
-   * collect; N rides along as a broadcast 1-row frame.
+   * Scale: the edge set and out-degrees are checkpointed ONCE (not
+   * recomputed per round); each round is one VERTEX-sized join (rank ⋈
+   * out-degree, pre-dividing r/outdeg), one edge-wide equi-join on `src`,
+   * and one aggregation keyed on `dst` — AQE-splittable shuffles whose
+   * width follows the edge set; `localCheckpoint` per round truncates the
+   * iterative lineage exactly like [[ConnectedComponents]]. N is a driver
+   * scalar folded into the teleport constant (verts is already
+   * materialized, so the count is one cheap job — not a per-round
+   * broadcast-nested-loop crossJoin).
    *
    * `orderedFold = true` sums each vertex's inbound contributions in
    * ascending-`src` order with an explicit left fold instead of `sum()`.
@@ -64,17 +68,26 @@ object Graph {
     val probe = e.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold)
       return pageRankLocal(edges.sparkSession, probe, iterations, damping)
-    val verts = e.select(col("src").as("v"))
-      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
-    val n = broadcast(verts.agg(count(lit(1)).as("__n")))
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("__od"))
-    var ranks = verts.crossJoin(n)
-      .select(col("v"), (lit(1.0) / col("__n")).as("r"))
+    // checkpoint the deduped edges + degrees ONCE: every round's eager
+    // localCheckpoint used to replay the distinct and the degree agg
+    val eCk = e.localCheckpoint()
+    val verts = eCk.select(col("src").as("v"))
+      .union(eCk.select(col("dst").as("v"))).distinct().localCheckpoint()
+    val nVerts = verts.count() // driver scalar; verts is materialized
+    val outdegV = eCk.groupBy("src").agg(count(lit(1)).as("__od"))
+      .withColumnRenamed("src", "v").localCheckpoint()
+    // teleport constant precomputed with the SAME double ops Catalyst's
+    // constant folding performed ((1.0 - d) then / N) — bit-identical to
+    // the previous per-row expression and to pageRankLocal
+    val teleport = (1.0 - damping) / nVerts
+    var ranks = verts.select(col("v"), lit(1.0 / nVerts).as("r"))
     for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.withColumnRenamed("v", "src"), "src")
-        .join(outdeg, "src")
-        .select(col("dst").as("v"), col("src"), (col("r") / col("__od")).as("c"))
+      // vertex-sized join first: r/outdeg divides once per SOURCE vertex,
+      // then ONE edge-wide equi-join attaches the ready-made contribution
+      val srcRank = ranks.join(outdegV, Seq("v"))
+        .select(col("v").as("src"), (col("r") / col("__od")).as("c"))
+      val contribs = eCk.join(srcRank, "src")
+        .select(col("dst").as("v"), col("src"), col("c"))
       val sums =
         if (orderedFold)
           contribs.groupBy("v").agg(
@@ -82,10 +95,9 @@ object Graph {
               lit(0.0), (acc, x) => acc + x.getField("c")).as("__s"))
         else
           contribs.groupBy("v").agg(sum(col("c")).as("__s"))
-      ranks = verts.join(sums, Seq("v"), "left").crossJoin(n)
+      ranks = verts.join(sums, Seq("v"), "left")
         .select(col("v"),
-          ((lit(1.0) - lit(damping)) / col("__n") +
-            lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
+          (lit(teleport) + lit(damping) * coalesce(col("__s"), lit(0.0))).as("r"))
         .localCheckpoint()
     }
     ranks
