@@ -1845,9 +1845,14 @@ object SparkEntry {
       // sequence (user-journey analysis): ONE keyed lag window (parallel
       // across users, (ts, event_id) total order makes the lag
       // deterministic under timestamp ties) + one map-side-combinable
-      // count. Integers only.
-      val ev = t(s, d, "events").select(col("user_id"), col("event_type"),
-        col("ts"), col("event_id"))
+      // count. Integers only. Null user_id/ts rows are dropped explicitly:
+      // s14's typed stream decode (primitive Long fields) can't carry
+      // them, and a null ts would sort nulls-first here vs nulls-last in
+      // DuckDB — the filter pins identical semantics in all three places.
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("event_type"),
+          col("ts"), col("event_id"))
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       ev.withColumn("prev", lag(col("event_type"), 1).over(w))
         .filter(col("prev").isNotNull)
@@ -1934,6 +1939,9 @@ object SparkEntry {
       val ss = statefulEventsSession(s)
       import ss.implicits._
       val ev = eventsStream(ss, d)
+        // q58's null filter, applied BEFORE the typed decode: a null
+        // user_id/ts would crash the primitive-Long case-class decode
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("event_type"),
           unix_micros(col("ts")).as("us"), col("event_id"))
         .as[graft.streaming.Streaming.TransitionEvent]
@@ -3815,7 +3823,7 @@ object SparkEntry {
       """WITH r AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |)
         |SELECT prev AS from_type, event_type AS to_type,
         |  CAST(COUNT(*) AS BIGINT) AS n
@@ -3825,7 +3833,7 @@ object SparkEntry {
       """WITH r AS (
         |  SELECT user_id, event_type,
         |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-        |  FROM events
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
         |)
         |SELECT prev AS from_type, event_type AS to_type,
         |  CAST(COUNT(*) AS BIGINT) AS n

@@ -837,6 +837,16 @@ object Dedup {
   /** Exact all-pairs variant (the correctness baseline / oracle path):
     * O(n²/2) — bound the input (subset, partition) before calling at scale.
     *
+    * CONTRACT: `idCol` must be an integral type (byte/short/int/long) —
+    * ids are widened to long for the primitive broadcast arrays, and
+    * `id_a`/`id_b` come back as long regardless of the input width. A
+    * string or decimal id is rejected up front (it would otherwise throw
+    * mid-job under ANSI, or null out and silently return nothing with
+    * ANSI off) — map such ids through a dense integer index and join
+    * back. The corpus is hard-bounded at 200,000 rows (boundedCollect
+    * FAILS above that, it does not truncate); use
+    * [[cosineNearDupPairs]] for anything larger.
+    *
     * Physical shape: NOT a nested-loop join. The corpus (which a BNLJ
     * would broadcast anyway) is collected bounded, broadcast as PRIMITIVE
     * arrays, and each streaming row scores against it in one tight JVM
@@ -852,6 +862,14 @@ object Dedup {
   def cosineNearDupExact(df: DataFrame, idCol: String, vecCol: String,
                          minCosine: Double): DataFrame = {
     val spark = df.sparkSession
+    val idType = df.schema(idCol).dataType
+    require(Seq(org.apache.spark.sql.types.ByteType,
+        org.apache.spark.sql.types.ShortType,
+        org.apache.spark.sql.types.IntegerType,
+        org.apache.spark.sql.types.LongType).contains(idType),
+      s"cosineNearDupExact: idCol '$idCol' is $idType; an integral id type" +
+        " is required (map arbitrary ids through a dense integer index and" +
+        " join back)")
     val side = df.select(col(idCol).cast("long"), col(vecCol))
     val rows = graft.util.Collects.boundedCollect(side,
       "cosineNearDupExact corpus", "cosineNearDupPairs (the LSH scale path)",

@@ -213,19 +213,27 @@ object Sampling {
    * (one IEEE divide) and the (score desc, id) top-k are deterministic
    * across engines.
    *
-   * Scale shape: token explode → ONE bucket-stats aggregate (bounded at
-   * 4096 rows — broadcast), one (doc, bucket) count, one doc-keyed sum,
-   * TakeOrdered for the top-k. Nothing shuffles wider than (doc, bucket).
+   * Scale shape: the tokenize+explode pass — the expensive corpus scan —
+   * runs ONCE: it folds straight into a (doc, target, bucket) count that
+   * is materialized (localCheckpoint), and BOTH the 4096-row bucket stats
+   * and the doc-keyed mass sums derive from that count. Then one
+   * broadcast join back and TakeOrdered for the top-k. Nothing shuffles
+   * wider than (doc, bucket).
    */
   def hashedImportanceTopK(df: DataFrame, idCol: String, textCol: String,
                            isTarget: Column, k: Int = 100): DataFrame = {
     val toks = df.select(col(idCol).as(idCol), isTarget.as("__t"),
         explode(TextAnalysis.tokens(col(textCol))).as("__w"))
       .withColumn("__f", substring(md5(col("__w")), 1, 3))
-    val stats = toks.groupBy("__f").agg(
-      count(lit(1)).as("__r_cnt"),
-      sum(when(col("__t"), 1L).otherwise(0L)).as("__t_cnt"))
-    toks.groupBy(col(idCol), col("__f")).agg(count(lit(1)).as("__c"))
+    // __t is doc-constant, so (id, __t, __f) groups = (id, __f) groups;
+    // checkpointing here bounds the corpus scan to one execution
+    val perDoc = toks.groupBy(col(idCol), col("__t"), col("__f"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val stats = perDoc.groupBy("__f").agg(
+      sum(col("__c")).as("__r_cnt"),
+      sum(when(col("__t"), col("__c")).otherwise(0L)).as("__t_cnt"))
+    perDoc
       .join(broadcast(stats), "__f")
       .groupBy(col(idCol))
       .agg(sum(col("__c") * col("__t_cnt")).as("t_mass"),

@@ -29,12 +29,15 @@ object Regression {
     * slope_den, intercept_num) — slope = slope_num/slope_den, intercept =
     * intercept_num/slope_den. A group with all-equal x has slope_den 0
     * (undefined trend) — kept, caller decides. `xCol`/`yCol` must already
-    * be integral. */
+    * be integral. Rows with a null x or y are dropped INSIDE the operator:
+    * `count` would otherwise include rows the null-skipping `sum`s don't,
+    * making (n, Σ) inconsistent and the slope silently wrong. */
   def exactOlsRational(df: DataFrame, groupCols: Seq[String],
                        xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
-    df.groupBy(groupCols.map(col): _*)
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(groupCols.map(col): _*)
       .agg(
         count(lit(1)).as("n"),
         sum(x).as("sum_x"), sum(y).as("sum_y"),

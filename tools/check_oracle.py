@@ -20,6 +20,18 @@ def canon(rows, cols):
         out.append(tuple(repr(r[i]) for i in order))
     return sorted(out), [cols[i] for i in order]
 
+def array_cols(rows, cols):
+    # The DRIVER's gate canonicalizes with pandas, which cannot sort rows
+    # on array-typed cells (numpy.ndarray is unhashable) — our repr-based
+    # canon would mask that, so flag any complex-typed output column as a
+    # failure here even though we could hash it.
+    bad = set()
+    for r in rows[:100]:
+        for i, v in enumerate(r):
+            if isinstance(v, (list, dict, set)) or type(v).__name__ == "ndarray":
+                bad.add(cols[i])
+    return sorted(bad)
+
 def main():
     con = duckdb.connect()
     for t in TABLES:
@@ -36,6 +48,12 @@ def main():
             continue
         got = con.execute(f"SELECT * FROM read_parquet('{pdir}/*.parquet')")
         grows, gcols = got.fetchall(), [d[0] for d in got.description]
+        bad = array_cols(grows, gcols)
+        if bad:
+            results[name] = (f"ARRAY_TYPED_OUTPUT {bad}: the driver's pandas "
+                             "canonicalizer cannot sort these — stringify "
+                             "(concat_ws) in the query")
+            continue
         if name not in oracle:
             results[name] = f"ROWS_ONLY({len(grows)})"
             continue
