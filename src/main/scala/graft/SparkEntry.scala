@@ -2,7 +2,7 @@ package graft
 
 import graft.geo.GeoFunctions._
 import graft.llm.{Decontamination, Dedup, Pii, Sampling, Similarity, TextAnalysis}
-import graft.ops.{Aggregations, BloomJoin, Deltas, RangeJoin, Sessionize, Sketches, SpatialJoin, Tracks}
+import graft.ops.{Aggregations, BloomJoin, Deltas, RangeJoin, RasterZonal, Sessionize, Sketches, SpatialJoin, Tracks}
 import graft.pipeline.{Constants, ImpactPipeline, SyntheticScenario}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
@@ -109,6 +109,73 @@ object SparkEntry {
       |  0.0625 + (s_suppkey % 17) * 0.046875 + 0.0625 + (s_suppkey % 5) * 0.03125 AS maxlon,
       |  0.03125 + (s_suppkey % 13) * 0.0625 + 0.046875 + (s_suppkey % 7) * 0.03125 AS maxlat
       |FROM supplier""".stripMargin
+
+  /** Synthetic raster cells for the S12 zonal queries (g14/g15): one row
+    * per cell centroid with an age band, an integer population value (exact
+    * sums), a built-surface value, and an SMOD L2 class. Coordinates are
+    * spread over ~13 zoom-8 tiles and never land near tile boundaries. */
+  private def rasterCells(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "part").select(
+      col("p_partkey"),
+      (expr("p_partkey % 50") * lit(0.37) - lit(9.2)).as("lon"),
+      (expr("(p_partkey div 50) % 40") * lit(0.31) - lit(6.1)).as("lat"),
+      expr("CAST(p_partkey % 20 AS INT)").as("band"),
+      col("p_size").as("v"),
+      col("p_retailprice").as("bs"),
+      expr("""CASE CAST(p_partkey % 8 AS INT) WHEN 0 THEN 10 WHEN 1 THEN 11
+             | WHEN 2 THEN 12 WHEN 3 THEN 13 WHEN 4 THEN 21 WHEN 5 THEN 22
+             | WHEN 6 THEN 23 ELSE 30 END""".stripMargin.replace("\n", ""))
+        .cast("int").as("smod"))
+
+  private val rasterCellsSql =
+    """SELECT p_partkey,
+      |  (p_partkey % 50) * 0.37 - 9.2 AS lon,
+      |  ((p_partkey // 50) % 40) * 0.31 - 6.1 AS lat,
+      |  CAST(p_partkey % 20 AS INTEGER) AS band,
+      |  p_size AS v,
+      |  p_retailprice AS bs,
+      |  CAST(CASE CAST(p_partkey % 8 AS INTEGER) WHEN 0 THEN 10 WHEN 1 THEN 11
+      |   WHEN 2 THEN 12 WHEN 3 THEN 13 WHEN 4 THEN 21 WHEN 5 THEN 22
+      |   WHEN 6 THEN 23 ELSE 30 END AS INTEGER) AS smod
+      |FROM part""".stripMargin
+
+  /** Facility/RWI points for g15 (S12 map_points): same coordinate lattice
+    * as the raster cells, nudged off it so points and cells interleave. */
+  private def facilityPoints(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "supplier").select(
+      (expr("s_suppkey % 50") * lit(0.37) - lit(9.2) + lit(0.01)).as("lon"),
+      (expr("(s_suppkey div 50) % 40") * lit(0.31) - lit(6.1) + lit(0.01)).as("lat"),
+      col("s_acctbal").as("rwi"))
+
+  private val facilityPointsSql =
+    """SELECT (s_suppkey % 50) * 0.37 - 9.2 + 0.01 AS lon,
+      |  ((s_suppkey // 50) % 40) * 0.31 - 6.1 + 0.01 AS lat,
+      |  s_acctbal AS rwi
+      |FROM supplier""".stripMargin
+
+  private val ZonalZoom = 8
+
+  /** DuckDB twin of `st_quadkey` given tx/ty tile-coordinate columns: the
+    * Bing quadkey digit fold (digit_i = 2*bit_i(ty) + bit_i(tx), MSB first)
+    * generated as a zoom-length CONCAT of bit expressions. */
+  private def quadkeySqlFromTxTy(zoom: Int): String =
+    (1 to zoom).map { i =>
+      val sh = zoom - i
+      s"CAST(((ty >> $sh) & 1) * 2 + ((tx >> $sh) & 1) AS VARCHAR)"
+    }.mkString("CONCAT(", ", ", ")")
+
+  /** CTE suffix that turns a relation with lon/lat into one with tile_id:
+    * Web-Mercator tile x/y at [[ZonalZoom]] then the quadkey fold — the
+    * same arithmetic as Quadkey.lonLatToTileXY/tileXYToQuadkey. */
+  private def tiledSql(src: String): String = {
+    val n = 1 << ZonalZoom
+    s"""SELECT *, ${quadkeySqlFromTxTy(ZonalZoom)} AS tile_id FROM (
+       |  SELECT *,
+       |    CAST(FLOOR((lon + 180.0) / 360.0 * $n) AS BIGINT) AS tx,
+       |    CAST(FLOOR((0.5 - LN((1.0 + SIN(RADIANS(lat))) / (1.0 - SIN(RADIANS(lat))))
+       |         / (4.0 * PI())) * $n) AS BIGINT) AS ty
+       |  FROM $src)""".stripMargin
+  }
 
   /** Engine-portable MinHash-LSH pairs (md5 over word 2-grams, min = hex
     * string order) on the doc_id%2=0 subset — shared by d19 (pair output)
@@ -748,6 +815,54 @@ object SparkEntry {
           element_at(col("b"), 3).as("max_lon"),
           (call_function("st_area_planar", col("f")) / 20.0).as("width_sum"))
         .orderBy("o_orderkey")
+    }),
+    "g14_zonal_bands" -> ((s, d) => {
+      // S12 map_wp_pop re-expressed Spark-first: every WorldPop age band in
+      // ONE scan + ONE aggregation of conditional sums (the reference runs
+      // four sequential raster passes). tile assignment = st_quadkey, so
+      // centroid-within needs no geometry predicate. Integer cell values ->
+      // exact long sums; a tile with no cells in a band stays NULL ("no
+      // data"), never 0 — the NaN-vs-0 contract.
+      RasterZonal.ageBandSums(rasterCells(s, d), "lon", "lat", "band", "v",
+          ZonalZoom, Seq(
+            ("school_age_population", 5, 14),
+            ("infant_population", 0, 1),
+            ("adolescent_population", 15, 15)))
+        .orderBy(col("tile_id"))
+    }),
+    "g15_base_layer" -> ((s, d) => {
+      // S12 end to end: the base mercator tile layer assembled from zonal
+      // band sums, a built-surface zonal sum, the modal SMOD class (+ the
+      // always-derived L1 reclass), point counts (confirmed zeros), an RWI
+      // point mean, and one deliberately-unavailable layer (num_wash) that
+      // must land as NULL, not 0 (impact_analysis.py:922-945).
+      val cells = rasterCells(s, d)
+      val pop = RasterZonal.ageBandSums(cells, "lon", "lat", "band", "v",
+        ZonalZoom, Seq(
+          ("school_age_population", 5, 14),
+          ("infant_population", 0, 1),
+          ("adolescent_population", 15, 15)))
+      val built = RasterZonal.zonalSum(cells, "lon", "lat", "bs", ZonalZoom,
+        "built_surface_m2")
+      val smod = RasterZonal.zonalModal(cells, "lon", "lat", "smod", ZonalZoom,
+        "smod_class")
+      val pts = facilityPoints(s, d)
+      val schools = RasterZonal.pointCounts(pts, "lon", "lat", ZonalZoom,
+        "num_schools")
+      val rwi = RasterZonal.pointMean(pts, "lon", "lat", "rwi", ZonalZoom, "rwi")
+      RasterZonal.buildBaseLayer(pop, Seq(
+          "built_surface_m2" -> Some(built),
+          "smod_class" -> Some(smod),
+          "num_schools" -> Some(schools),
+          "rwi" -> Some(rwi),
+          "num_wash" -> None),
+          fillZero = Set("num_schools"))
+        .select(col("tile_id"), col("school_age_population"),
+          col("infant_population"), col("adolescent_population"),
+          col("population"), round(col("built_surface_m2"), 2).as("built_surface_m2"),
+          col("smod_class"), col("smod_class_l1"), col("num_schools"),
+          round(col("rwi"), 2).as("rwi"), col("num_wash"))
+        .orderBy(col("tile_id"))
     }),
     "g12_track_segments" -> ((s, d) => {
       // W4: consecutive track points -> line segments via the REAL
@@ -1505,6 +1620,35 @@ object SparkEntry {
       // bounded bucket-stats broadcast + doc-keyed sums + TakeOrdered.
       graft.llm.Sampling.hashedImportanceTopK(t(s, d, "documents"),
         "doc_id", "text", isTarget = col("lang") === "en", k = 100)
+    }),
+    "d38_bm25" -> ((s, d) => {
+      // BM25 top-5 retrieval per query (TextAnalysis.bm25TopK). Query
+      // terms are chosen with pairwise-DISTINCT document frequencies, so
+      // symmetric tf swaps can't produce exact score ties; the hash
+      // carries the selection + exact integer inputs (tf_sum, dl), not
+      // the ln-carrying score (the d25 rule).
+      import s.implicits._
+      val qs = Seq(
+        ("q1", Seq("spark", "join")),
+        ("q2", Seq("hash", "window", "dup")),
+        ("q3", Seq("vector", "stream")),
+        ("q4", Seq("batch", "sort", "key")),
+        ("q5", Seq("dup", "merge"))).toDF("query_id", "terms")
+      TextAnalysis.bm25TopK(t(s, d, "documents"), qs, k = 5)
+        .select(col("query_id"), col("rank"), col("doc_id"), col("tf_sum"), col("dl"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
+    "d39_bigram_lm" -> ((s, d) => {
+      // Bigram-LM quality scoring (KenLM-style perplexity filter,
+      // TextAnalysis.bigramLmScore): add-1-smoothed bigram model trained
+      // on the corpus itself, per-doc average negative log-likelihood.
+      // Per-doc logp terms fold in position order (deterministic double
+      // sum); the ln ulps survive ROUND(,4) — boundary flips need the
+      // true value within 1e-14 of a rounding edge.
+      TextAnalysis.bigramLmScore(t(s, d, "documents"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_nll"), 4).as("avg_nll"))
+        .orderBy(col("doc_id"))
     }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
@@ -3033,6 +3177,55 @@ object SparkEntry {
         |  CASE WHEN c + h > 180 OR c - h < -180 THEN 180.0 ELSE c + h END AS max_lon,
         |  2 * h AS width_sum
         |FROM b ORDER BY o_orderkey""".stripMargin,
+    // g14/g15: the DuckDB twin recomputes the Web-Mercator tile x/y and the
+    // quadkey digit fold analytically (bit ops generated per zoom level), so
+    // the hash pins the quadkey codec itself, not just the aggregation.
+    "g14_zonal_bands" ->
+      s"""WITH cells AS ($rasterCellsSql),
+         |tiled AS (${tiledSql("cells")})
+         |SELECT tile_id,
+         |  CAST(SUM(CASE WHEN band BETWEEN 5 AND 14 THEN v END) AS BIGINT) AS school_age_population,
+         |  CAST(SUM(CASE WHEN band BETWEEN 0 AND 1 THEN v END) AS BIGINT) AS infant_population,
+         |  CAST(SUM(CASE WHEN band = 15 THEN v END) AS BIGINT) AS adolescent_population,
+         |  CAST(SUM(v) AS BIGINT) AS population
+         |FROM tiled GROUP BY tile_id ORDER BY tile_id""".stripMargin,
+    "g15_base_layer" ->
+      s"""WITH cells AS ($rasterCellsSql),
+         |tiled AS (${tiledSql("cells")}),
+         |pop AS (
+         |  SELECT tile_id,
+         |    CAST(SUM(CASE WHEN band BETWEEN 5 AND 14 THEN v END) AS BIGINT) AS school_age_population,
+         |    CAST(SUM(CASE WHEN band BETWEEN 0 AND 1 THEN v END) AS BIGINT) AS infant_population,
+         |    CAST(SUM(CASE WHEN band = 15 THEN v END) AS BIGINT) AS adolescent_population,
+         |    CAST(SUM(v) AS BIGINT) AS population,
+         |    ROUND(SUM(bs), 2) AS built_surface_m2
+         |  FROM tiled GROUP BY tile_id),
+         |sm AS (
+         |  SELECT tile_id, smod AS smod_class, COUNT(*) AS n
+         |  FROM tiled GROUP BY 1, 2),
+         |smod1 AS (
+         |  SELECT tile_id, smod_class FROM (
+         |    SELECT tile_id, smod_class,
+         |      ROW_NUMBER() OVER (PARTITION BY tile_id
+         |        ORDER BY n DESC, smod_class DESC) AS r
+         |    FROM sm) WHERE r = 1),
+         |pts AS ($facilityPointsSql),
+         |ptile AS (${tiledSql("pts")}),
+         |fac AS (
+         |  SELECT tile_id, COUNT(*) AS num_schools, ROUND(AVG(rwi), 2) AS rwi
+         |  FROM ptile GROUP BY tile_id)
+         |SELECT p.tile_id, p.school_age_population, p.infant_population,
+         |  p.adolescent_population, p.population, p.built_surface_m2,
+         |  s1.smod_class,
+         |  CASE WHEN s1.smod_class = 30 THEN 3
+         |       WHEN s1.smod_class >= 21 THEN 2 ELSE 1 END AS smod_class_l1,
+         |  COALESCE(fac.num_schools, 0) AS num_schools,
+         |  fac.rwi AS rwi,
+         |  CAST(NULL AS DOUBLE) AS num_wash
+         |FROM pop p
+         |JOIN smod1 s1 USING (tile_id)
+         |LEFT JOIN fac USING (tile_id)
+         |ORDER BY p.tile_id""".stripMargin,
     "g12_track_segments" ->
       """WITH p AS (
         |  SELECT o_orderkey % 7 AS member, o_orderkey,
@@ -3604,6 +3797,72 @@ object SparkEntry {
         |  CAST(r_mass AS BIGINT) AS r_mass,
         |  CAST(t_mass AS DOUBLE) / r_mass AS score
         |FROM m ORDER BY score DESC, doc_id LIMIT 100""".stripMargin,
+    // d38: same BM25 fold (sorted-term order) with DuckDB's own ln; the
+    // hash carries the selection + (tf_sum, dl), never the score
+    "d38_bm25" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY 1, 2
+        |), dl AS (
+        |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+        |), dfx AS (
+        |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+        |), sc AS (
+        |  SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl
+        |), q AS (
+        |  SELECT * FROM (VALUES
+        |    ('q1', 'spark'), ('q1', 'join'),
+        |    ('q2', 'hash'), ('q2', 'window'), ('q2', 'dup'),
+        |    ('q3', 'vector'), ('q3', 'stream'),
+        |    ('q4', 'batch'), ('q4', 'sort'), ('q4', 'key'),
+        |    ('q5', 'dup'), ('q5', 'merge')) AS v(query_id, term)
+        |), ts AS (
+        |  SELECT q.query_id, tf.doc_id, tf.term, tf.tf, dl.dl,
+        |    ln(1.0 + ((sc.n_docs - dfx.df) + CAST(0.5 AS DOUBLE)) / (dfx.df + CAST(0.5 AS DOUBLE)))
+        |      * (tf.tf * CAST(2.25 AS DOUBLE))
+        |      / (tf.tf + CAST(1.25 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) * dl.dl / sc.avgdl)) AS s
+        |  FROM tf JOIN q USING (term) JOIN dfx USING (term)
+        |  JOIN dl USING (doc_id) CROSS JOIN sc
+        |), agg AS (
+        |  SELECT query_id, doc_id,
+        |    list_reduce(list(s ORDER BY term), (x, y) -> x + y) AS bm25,
+        |    CAST(SUM(tf) AS BIGINT) AS tf_sum, MAX(dl) AS dl
+        |  FROM ts GROUP BY 1, 2
+        |)
+        |SELECT query_id, rank, doc_id, tf_sum, dl FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rank
+        |  FROM agg)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "d39_bigram_lm" ->
+      """WITH tk AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+        |    generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, pos, w,
+        |    lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tk QUALIFY w2 IS NOT NULL
+        |), c2 AS (
+        |  SELECT w, w2, COUNT(*) AS c2 FROM big GROUP BY 1, 2
+        |), c1 AS (
+        |  SELECT w, SUM(c2) AS c1 FROM c2 GROUP BY 1
+        |), v AS (
+        |  SELECT COUNT(DISTINCT w) AS v FROM tk
+        |), lp AS (
+        |  SELECT b.doc_id, b.pos,
+        |    ln(CAST(c2.c2 + 1 AS DOUBLE) / CAST(c1.c1 + v.v AS DOUBLE)) AS logp
+        |  FROM big b JOIN c2 USING (w, w2) JOIN c1 USING (w) CROSS JOIN v
+        |), agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |    -list_reduce(list(logp ORDER BY pos), (x, y) -> x + y) AS nll
+        |  FROM lp GROUP BY 1
+        |)
+        |SELECT doc_id, n_bigrams, ROUND(nll / n_bigrams, 4) AS avg_nll
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "d36_golden_records" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0

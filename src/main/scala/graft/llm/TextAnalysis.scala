@@ -200,4 +200,94 @@ object TextAnalysis {
       .agg((max(col("__c")).cast("double") / sum(col("__c"))).as("top_token_frac"))
     narrow.join(topFrac, Seq(idCol), "left").drop("__toks")
   }
+
+  /**
+   * BM25 retrieval: top-k documents per query (Okapi BM25, the Robertson/
+   * Spärck Jones formulation with the Lucene `ln(1 + …)` idf, public
+   * textbook formula). `queries` is (queryIdCol, termsCol: array<string>).
+   *
+   * Scale shape: one corpus explode → (doc, term) tf aggregate; document
+   * length reaggregates THAT frame; df and the (N, avgdl) scalars are
+   * vocabulary-/unit-sized and broadcast; the query terms broadcast onto tf
+   * so the corpus never reshuffles on term; scoring is a per-(query, doc)
+   * aggregate and the top-k a per-query window — no global sort, no
+   * all-pairs.
+   *
+   * Determinism: per-(query, doc) term scores are folded in sorted-term
+   * order (collect → sort_array → aggregate), so the double sum is
+   * reproducible run to run; `bm25` itself still carries `ln` ulps, so
+   * hash gates should compare the selection + exact integer inputs
+   * (tf_sum, dl), not the score (the d25 rule).
+   */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+               idCol: String = "doc_id", textCol: String = "text",
+               queryIdCol: String = "query_id", termsCol: String = "terms",
+               k1: Double = 1.25, b: Double = 0.75): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val tf = docs.select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col(idCol)).agg(sum(col("tf")).as("dl"))
+    val docFreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scalars = dl.agg(count(lit(1)).as("__n_docs"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("__avgdl"))
+    val qt = queries.select(col(queryIdCol), explode(col(termsCol)).as("term")).distinct()
+    val termScore =
+      log(lit(1.0) + (col("__n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        (col("tf") * (lit(k1) + 1.0)) /
+        (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("__avgdl")))
+    val scored = tf
+      .join(broadcast(qt), Seq("term"))
+      .join(broadcast(docFreq), Seq("term"))
+      .join(dl, Seq(idCol))
+      .crossJoin(broadcast(scalars))
+      .select(col(queryIdCol), col(idCol), col("dl"), col("tf"),
+        termScore.as("__s"), col("term"))
+      .groupBy(col(queryIdCol), col(idCol))
+      .agg(
+        aggregate(transform(sort_array(collect_list(struct(col("term"), col("__s")))),
+          x => x("__s")), lit(0.0), (acc, x) => acc + x).as("bm25"),
+        sum(col("tf")).as("tf_sum"), first(col("dl")).as("dl"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(queryIdCol)).orderBy(col("bm25").desc, col(idCol))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("tf_sum"), col("dl"), col("bm25"))
+  }
+
+  /**
+   * Bigram-language-model quality scoring (the KenLM-perplexity filter of
+   * CCNet/RefinedWeb-style pipelines, reduced to an add-1-smoothed bigram
+   * model trained on the corpus itself): per document, the average negative
+   * log-likelihood `avg_nll = -(1/n) Σ ln p(w_i | w_{i-1})` with
+   * `p(w2|w1) = (c(w1,w2)+1) / (c(w1·)+V)`. High avg_nll = improbable
+   * token transitions = low-quality text; `exp(avg_nll)` is the perplexity.
+   *
+   * Scale shape: one posexplode + a per-doc window builds the bigram
+   * stream; the model (bigram counts, history counts, vocab size) is
+   * aggregated from that stream — model size is O(vocab²), data-dependent,
+   * so the count joins are plain equi-joins (AQE broadcasts them when they
+   * fit, falls back to shuffle when a real vocabulary doesn't); only the
+   * two scalar frames are forced broadcast. Per-doc logp terms fold in
+   * position order so the double sum is reproducible run to run.
+   */
+  def bigramLmScore(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    val tk = df.select(col(idCol), posexplode(tokens(col(textCol))).as(Seq("pos", "w")))
+    val big = tk.withColumn("w2", lead(col("w"), 1).over(w))
+      .filter(col("w2").isNotNull)
+    val c2 = big.groupBy(col("w"), col("w2")).agg(count(lit(1)).as("c2"))
+    val c1 = c2.groupBy(col("w")).agg(sum(col("c2")).as("c1"))
+    val vocab = tk.agg(countDistinct(col("w")).as("__v"))
+    val logp = log((col("c2") + 1).cast("double") / (col("c1") + col("__v")).cast("double"))
+    big.join(c2, Seq("w", "w2")).join(c1, Seq("w"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), col("pos"), logp.as("__lp"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        (-aggregate(transform(sort_array(collect_list(struct(col("pos"), col("__lp")))),
+          x => x("__lp")), lit(0.0), (acc, x) => acc + x)).as("nll"))
+      .withColumn("avg_nll", col("nll") / col("n_bigrams"))
+      .select(col(idCol), col("n_bigrams"), col("avg_nll"))
+  }
 }
