@@ -133,4 +133,44 @@ class TextAnalysisSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(sig(1L) ^ sig(3L))
     assert(hamming > 10, s"unrelated texts must be distant, hamming=$hamming")
   }
+
+  test("bm25TopK matches a hand-computed score ranking") {
+    // 3 docs, 1 query: "cat dog". df(cat)=2, df(dog)=1. doc 30 has no
+    // query term and must be absent; doc 20 (cat + dog) outranks doc 10
+    // (cat cat) because dog's idf dwarfs the extra cat tf.
+    val docs = Seq((10L, "cat cat fish"), (20L, "cat dog bird"),
+      (30L, "fish bird bird")).toDF("doc_id", "text")
+    val qs = Seq(("q", Seq("cat", "dog"))).toDF("query_id", "terms")
+    val out = TextAnalysis.bm25TopK(docs, qs, k = 3)
+      .orderBy("rank")
+      .select("doc_id", "tf_sum", "dl", "bm25")
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.map(_._1).toSeq == Seq(20L, 10L))
+    assert(out(0)._2 == 2L && out(0)._3 == 3L) // cat+dog tf, doclen
+    // closed-form check of doc 20's score (k1=1.25, b=0.75, avgdl=3 -> the
+    // length normalizer is exactly 1): per term tf=1 -> s = idf * 2.25/2.25
+    val idf = (df: Double) => math.log(1.0 + (3.0 - df + 0.5) / (df + 0.5))
+    assert(math.abs(out(0)._4 - (idf(2) + idf(1))) < 1e-12)
+  }
+
+  test("bigramLmScore: uniform doc scores lower nll than a shuffled one") {
+    // model trained on both docs; doc 1 is a repeated high-count bigram,
+    // doc 2 contains transitions seen only once
+    val docs = Seq((1L, "a b a b a b a b"), (2L, "b b a a b"))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.bigramLmScore(docs)
+      .select("doc_id", "n_bigrams", "avg_nll")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(1L)._1 == 7L && out(2L)._1 == 4L)
+    assert(out(1L)._2 < out(2L)._2, s"repetitive doc must score lower nll: $out")
+    // hand-check doc 2 exactly. Corpus bigram counts: (a,b)=5, (b,a)=4,
+    // (b,b)=1, (a,a)=1; histories c1(a)=6, c1(b)=5; V=2.
+    // doc 2's bigrams in order: (b,b), (b,a), (a,a), (a,b).
+    val pB_givenB = math.log(2.0 / 7.0) // (1+1)/(5+2)
+    val pA_givenB = math.log(5.0 / 7.0) // (4+1)/(5+2)
+    val pA_givenA = math.log(2.0 / 8.0) // (1+1)/(6+2)
+    val pB_givenA = math.log(6.0 / 8.0) // (5+1)/(6+2)
+    val exact2 = -(pB_givenB + pA_givenB + pA_givenA + pB_givenA) / 4.0
+    assert(math.abs(out(2L)._2 - exact2) < 1e-12, s"got ${out(2L)._2}, want $exact2")
+  }
 }
