@@ -1650,6 +1650,28 @@ object SparkEntry {
           round(col("avg_nll"), 4).as("avg_nll"))
         .orderBy(col("doc_id"))
     }),
+    "d40_span_dedup" -> ((s, d) => {
+      // corpus-level EXACT span dedup WITH text reconstruction
+      // (Dedup.removeDuplicateSpans, Lee et al. 2022 direction at 5-token
+      // chunk granularity): d24 finds repeated spans, this removes every
+      // non-first occurrence and reassembles the surviving text. One
+      // chunk-keyed min-agg for the global first occurrence + one id-keyed
+      // rebuild — strings and integers only, fully hash-checked.
+      Dedup.removeDuplicateSpans(t(s, d, "documents"), "doc_id",
+          chunkTokens = 5)
+        .orderBy("doc_id")
+    }),
+    "d41_boilerplate_strip" -> ((s, d) => {
+      // CCNet-style boilerplate strip (Dedup.stripBoilerplateSpans):
+      // remove ALL occurrences of any 5-token chunk present in >= 3
+      // distinct docs (cross-crawl repeated content), keep everything
+      // else. df threshold is exact count-distinct here so the oracle can
+      // replay it; the operator degrades to approx_count_distinct at
+      // corpus scale.
+      Dedup.stripBoilerplateSpans(t(s, d, "documents"), "doc_id",
+          chunkTokens = 5, minDocFrequency = 3)
+        .orderBy("doc_id")
+    }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
       // blockings — (lang, n_chars%101) and (source, n_chars%23) — chain
@@ -2213,6 +2235,28 @@ object SparkEntry {
         GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus))
         ORDER BY g_pri, g_st, o_orderpriority, o_orderstatus""")
     }),
+    "q62_label_prop" -> ((s, d) => {
+      // synchronous label propagation (Graph.labelPropagation) on the
+      // q46/q50 affine graph, 3 rounds: per round one neighbour-keyed
+      // equi-join + (v,label) count + argmax re-key (max-count,
+      // min-label tie-break). Labels are exact longs, so all 3 rounds
+      // hash-check against DuckDB's unrolled window-ranked replay.
+      graft.ops.Graph.labelPropagation(affinePartGraph(s, d), rounds = 3)
+        .orderBy("v")
+    }),
+    "q63_sssp" -> ((s, d) => {
+      // round-synchronous Bellman-Ford (Graph.shortestPaths) over the
+      // affine graph with deterministic integer weights w = (src*7 +
+      // dst*3) % 20 + 1, sources {1,2,3}, at most 6 relaxation rounds.
+      // Distances are exact longs (no float anywhere) and extra rounds
+      // past convergence are no-ops, so the ≤6-round distance map
+      // hash-checks against DuckDB's 6 unrolled min-relaxation CTEs.
+      import s.implicits._
+      val e = affinePartGraph(s, d).select(col("src"), col("dst"),
+        ((col("src") * 7 + col("dst") * 3) % 20 + 1).as("w"))
+      graft.ops.Graph.shortestPaths(e, Seq(1L, 2L, 3L).toDF("v"), maxRounds = 6)
+        .orderBy("v")
+    }),
     "q44_cube" -> ((s, d) => {
       // CUBE grouping-set rollup with GROUPING disambiguators (the §2.6
       // family's missing multi-set member next to q35's ROLLUP)
@@ -2435,6 +2479,70 @@ object SparkEntry {
        |r0 AS (SELECT v.v, 1.0::DOUBLE / nn.n AS r FROM v, nn),
        |$rounds
        |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 20""".stripMargin
+  }
+
+  /** q62: replay 3 synchronous LPA rounds — neighbour label counts, then
+    * the (max count, min label) pick via a window rank over the grouped
+    * counts. Labels are exact integers, so every round is portable. */
+  private val labelPropOracleSql: String = {
+    val rounds = (1 to 3).map { k =>
+      s"""c$k AS (
+         |  SELECT b.v, p.label, COUNT(*) AS cnt
+         |  FROM bi b JOIN l${k - 1} p ON p.v = b.nbr GROUP BY 1, 2
+         |), l$k AS (
+         |  SELECT v, label FROM (
+         |    SELECT v, label, ROW_NUMBER() OVER (
+         |      PARTITION BY v ORDER BY cnt DESC, label ASC) AS rn FROM c$k)
+         |  WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+       |raw AS (
+       |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n0.n) + 1 FROM part, n0
+       |), canon AS (
+       |  SELECT DISTINCT LEAST(src, dst) AS s, GREATEST(src, dst) AS g
+       |  FROM raw WHERE src <> dst
+       |), bi AS (
+       |  SELECT s AS v, g AS nbr FROM canon UNION ALL SELECT g, s FROM canon
+       |), l0 AS (SELECT DISTINCT v AS v, v AS label FROM bi),
+       |$rounds
+       |SELECT CAST(v AS BIGINT) AS v, CAST(label AS BIGINT) AS label
+       |FROM l3 ORDER BY v""".stripMargin
+  }
+
+  /** q63: 6 unrolled round-synchronous Bellman-Ford relaxations — each
+    * round is (previous distances UNION ALL edge-relaxed candidates) →
+    * MIN per vertex. Integer weights, so every distance is exact. */
+  private val ssspOracleSql: String = {
+    val rounds = (1 to 6).map { k =>
+      s"""d$k AS (
+         |  SELECT v, MIN(dist) AS dist FROM (
+         |    SELECT v, dist FROM d${k - 1}
+         |    UNION ALL
+         |    SELECT e.dst AS v, p.dist + e.w AS dist
+         |    FROM e JOIN d${k - 1} p ON p.v = e.src
+         |  ) GROUP BY v
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+       |raw AS (
+       |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n0.n) + 1 FROM part, n0
+       |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n0.n) + 1 FROM part, n0
+       |), e AS (
+       |  SELECT DISTINCT src, dst, (src * 7 + dst * 3) % 20 + 1 AS w
+       |  FROM raw WHERE src <> dst
+       |), d0 AS (SELECT CAST(v AS BIGINT) AS v, CAST(0 AS BIGINT) AS dist
+       |          FROM (VALUES (1), (2), (3)) t(v)),
+       |$rounds
+       |SELECT CAST(v AS BIGINT) AS v, CAST(dist AS BIGINT) AS dist
+       |FROM d6 ORDER BY v""".stripMargin
   }
 
   private val funnelOracleSql: String =
@@ -3863,6 +3971,55 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_bigrams, ROUND(nll / n_bigrams, 4) AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
+    // d40/d41 share the chunking CTEs: 0-based 5-token non-overlapping
+    // chunks (list_slice clamps the tail), first-occurrence key encoded as
+    // doc_id*1000000+idx (idx < 1e6 — docs are short), reassembly via
+    // position-ordered string_agg (empty docs -> '').
+    "d40_span_dedup" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
+        |), ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
+        |  FROM ix
+        |), fo AS (
+        |  SELECT chunk, MIN(doc_id * 1000000 + idx) AS first_key FROM ch GROUP BY 1
+        |), m AS (
+        |  SELECT c.doc_id, c.idx, c.chunk,
+        |    (c.doc_id * 1000000 + c.idx) = f.first_key AS kept
+        |  FROM ch c JOIN fo f USING (chunk)
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d41_boilerplate_strip" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), ix AS (
+        |  SELECT doc_id, t,
+        |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
+        |), ch AS (
+        |  SELECT doc_id, idx,
+        |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
+        |  FROM ix
+        |), df AS (
+        |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+        |), m AS (
+        |  SELECT c.doc_id, c.idx, c.chunk, f.df < 3 AS kept
+        |  FROM ch c JOIN df f USING (chunk)
+        |)
+        |SELECT doc_id,
+        |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "d36_golden_records" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0
@@ -4010,6 +4167,8 @@ object SparkEntry {
         |SELECT check_name, n.c AS n_rows, n_violations, n_violations = 0 AS passed
         |FROM v, n ORDER BY check_name""".stripMargin,
     "q50_pagerank" -> pageRankOracleSql,
+    "q62_label_prop" -> labelPropOracleSql,
+    "q63_sssp" -> ssspOracleSql,
     // q51/s12's oracle deliberately recomputes the aggregate FROM SCRATCH
     // over the changed base (survivors = base minus deleted bucket plus the
     // non-bucket-3 post-cutoff inserts): the Spark side must reproduce it

@@ -7,9 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
-    // optional third arg: only run queries whose name contains the filter
-    // (local iteration; the driver always passes exactly two args)
-    val nameFilter = if (args.length > 2) Some(args(2)) else None
+    // optional third arg: only run queries whose name contains ANY of the
+    // comma-separated filters (local iteration; the driver always passes
+    // exactly two args)
+    val nameFilter = if (args.length > 2) Some(args(2).split(',').toSeq) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +27,7 @@ object Verify {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.max(2, cpus.toInt))
     val selected = nameFilter match {
-      case Some(f) => SparkEntry.queries.filter(_._1.contains(f))
+      case Some(fs) => SparkEntry.queries.filter(q => fs.exists(q._1.contains))
       case None    => SparkEntry.queries
     }
     val futures = selected.toSeq.map { case (name, fn) =>

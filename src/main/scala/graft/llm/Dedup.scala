@@ -1033,6 +1033,95 @@ object Dedup {
     survivors.join(stats, Seq("cluster_id"))
   }
 
+  /** Non-overlapping `c`-token chunks of the normalized text as an array
+    * of chunk strings (the last chunk may be shorter). The chunk is the
+    * UNIT of exact corpus-level span dedup below — the C4/CCNet paragraph
+    * analogue for corpora whose documents have no sentence structure. */
+  private def tokenChunks(text: Column, c: Int): Column = {
+    val toks = TextAnalysis.tokens(text)
+    val nChunks = floor((size(toks) + lit(c - 1)) / lit(c)).cast("int")
+    transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * c + 1, lit(c))))
+  }
+
+  /** Shared explode: one row per (id, chunk_idx, chunk string). */
+  private def explodedChunks(docs: DataFrame, idCol: String, textCol: String,
+                             chunkTokens: Int): DataFrame =
+    docs.select(col(idCol).as("__id"),
+        posexplode(tokenChunks(col(textCol), chunkTokens)).as(Seq("__idx", "__chunk")))
+
+  /**
+   * Corpus-level EXACT span dedup with text reconstruction — the
+   * "deduplicate training data" direction of Lee et al. 2022 at chunk
+   * granularity: every occurrence of a `chunkTokens`-token chunk that is
+   * NOT the corpus-wide first occurrence (smallest (id, position)) is
+   * REMOVED, and each document's text is reassembled from its surviving
+   * chunks in order. d24 finds repeated spans; this operator applies the
+   * removal — what a pipeline actually ships to training.
+   *
+   * Scale: one narrow tokenize+explode, ONE chunk-keyed aggregation for
+   * the global first occurrence (min combiner — map-side partial, hot
+   * boilerplate chunks cost one partial per partition, never a fan-out),
+   * one chunk-keyed equi-join back, and one id-keyed reassembly agg. No
+   * all-pairs anywhere; shuffle width follows the chunk count (≈ corpus
+   * tokens / chunkTokens). Documents whose every chunk is removed come
+   * back with empty `clean_text` (they stay countable).
+   *
+   * @param idCol orderable id — first occurrence = min (id, chunk_idx)
+   * @return (id, clean_text, n_chunks, n_removed), one row per input doc
+   */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String,
+                           textCol: String = "text",
+                           chunkTokens: Int = 5): DataFrame = {
+    val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
+    val firstOcc = ch.groupBy("__chunk")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
+    ch.join(firstOcc, "__chunk")
+      .withColumn("__kept",
+        col("__id") === col("__first.__id") && col("__idx") === col("__first.__idx"))
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("__idx"), col("__chunk"))))),
+          x => x.getField("__chunk"))).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
+  /**
+   * CCNet-style boilerplate strip: remove ALL occurrences of any chunk
+   * that appears in at least `minDocFrequency` DISTINCT documents (nav
+   * bars, cookie banners, licence footers — content repeated across the
+   * crawl, not within a page). Complements [[removeDuplicateSpans]]: that
+   * keeps one copy corpus-wide; this keeps none of the high-df chunks and
+   * everything else untouched.
+   *
+   * Same plan shape — the df aggregate is `count distinct id` per chunk,
+   * which at 100 TB degrades gracefully to approx_count_distinct without
+   * changing the operator contract (exact here so the gate can replay it).
+   *
+   * @return (id, clean_text, n_chunks, n_removed), one row per input doc
+   */
+  def stripBoilerplateSpans(docs: DataFrame, idCol: String,
+                            textCol: String = "text",
+                            chunkTokens: Int = 5,
+                            minDocFrequency: Int = 3): DataFrame = {
+    val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
+    val df = ch.groupBy("__chunk")
+      .agg(countDistinct(col("__id")).as("__df"))
+    ch.join(df, "__chunk")
+      .withColumn("__kept", col("__df") < minDocFrequency)
+      .groupBy(col("__id").as(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("__idx"), col("__chunk"))))),
+          x => x.getField("__chunk"))).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id_a, id_b) against the documents table. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

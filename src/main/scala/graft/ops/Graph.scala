@@ -200,6 +200,164 @@ object Graph {
     dist.toSeq.map { case (v, dd) => (v, dd) }.toDF("v", "d")
   }
 
+  /**
+   * Synchronous label propagation (Raghavan et al. 2007) over the
+   * UNDIRECTED graph — community detection for near-dup cluster graphs
+   * where [[ConnectedComponents]] is too coarse (CC merges everything
+   * reachable; LPA splits a component into densely-linked communities).
+   *
+   * Deterministic variant: labels start as vertex ids; each round every
+   * vertex adopts the label held by the MOST of its neighbours, ties
+   * broken by the smallest label. All updates in a round read the
+   * previous round's labels (synchronous — no update-order dependence),
+   * so `rounds` rounds produce one well-defined integer labelling that an
+   * external engine can replay exactly.
+   *
+   * Scale: per round one edge-wide equi-join on the neighbour key and two
+   * keyed aggregations — (v, label) counts, then an argmax re-key on v via
+   * `max(struct(cnt, -label))` (no window, map-side combinable).
+   * `localCheckpoint` per round truncates the iterative lineage; small
+   * graphs take the bounded-probe driver path (the d20/CC lesson) with
+   * identical integer output.
+   *
+   * @return columns (v: long, label: long)
+   */
+  def labelPropagation(edges: DataFrame, rounds: Int,
+                       localThreshold: Int = 200000): DataFrame = {
+    require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    val canon = canonicalEdges(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val probe = canon.limit(localThreshold + 1).collect() // bounded by construction
+    if (probe.length <= localThreshold)
+      return labelPropagationLocal(edges.sparkSession, probe, rounds)
+    // bidirectional neighbour list, checkpointed once
+    val bi = canon.select(col("src").as("v"), col("dst").as("nbr"))
+      .union(canon.select(col("dst").as("v"), col("src").as("nbr")))
+      .localCheckpoint()
+    var labels = bi.select(col("v")).distinct()
+      .select(col("v"), col("v").as("label")).localCheckpoint()
+    for (_ <- 1 to rounds) {
+      val nbrLabels = bi.join(
+        labels.select(col("v").as("nbr"), col("label")), "nbr")
+      val counts = nbrLabels.groupBy(col("v"), col("label"))
+        .agg(count(lit(1)).as("__cnt"))
+      // argmax with min-label tie-break: max over (cnt, -label)
+      labels = counts.groupBy("v")
+        .agg(max(struct(col("__cnt"), (-col("label")).as("__nl"))).as("__m"))
+        .select(col("v"), (-col("__m.__nl")).as("label"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** Driver synchronous LPA over a bounded collected edge set — integer
+    * twin of the distributed path (identical labels by construction). */
+  private def labelPropagationLocal(spark: org.apache.spark.sql.SparkSession,
+                                    rows: Array[org.apache.spark.sql.Row],
+                                    rounds: Int): DataFrame = {
+    import spark.implicits._
+    val canon = rows.map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (canon ++ canon.map(_.swap)).groupBy(_._1)
+      .map { case (v, es) => v -> es.map(_._2) }
+    val verts = nbrs.keys.toArray.sorted
+    var labels = verts.iterator.map(v => v -> v).toMap
+    for (_ <- 1 to rounds) {
+      labels = verts.iterator.map { v =>
+        val cnt = scala.collection.mutable.Map.empty[Long, Long]
+        nbrs(v).foreach(n => cnt(labels(n)) = cnt.getOrElse(labels(n), 0L) + 1L)
+        // max count, ties smallest label
+        v -> cnt.toSeq.map { case (l, c) => (c, -l) }.max._2.unary_-
+      }.toMap
+    }
+    verts.toSeq.map(v => (v, labels(v))).toDF("v", "label")
+  }
+
+  /**
+   * Bellman-Ford single/multi-source shortest paths over the DIRECTED
+   * weighted edge list (columns `src`, `dst`, `w` — INTEGER weights, so
+   * every distance is an exact long and the result is engine-portable
+   * with no float anywhere). Distances after at most `maxRounds`
+   * synchronous relaxation rounds: each round relaxes EVERY edge whose
+   * source is settled (`d' = min(d, min_in(d_src + w))`), which is the
+   * classic round-synchronous Bellman-Ford — after k rounds every
+   * shortest path of ≤ k hops is final, and extra rounds are no-ops, so
+   * the early exit below never changes the result vs a fixed unrolled
+   * round count (what lets a SQL oracle replay it).
+   *
+   * Scale: per round ONE edge-wide equi-join on `src` (shuffle width
+   * follows the edge set, AQE-splittable) + one min-agg keyed on vertex
+   * (map-side combinable). Convergence is detected with a 2-scalar
+   * fingerprint (vertex count + total distance — min-relaxation is
+   * monotone non-increasing, so a stable pair means a fixpoint), one
+   * cheap driver scalar per round rather than a change-detection join.
+   * `localCheckpoint` per round; bounded-probe driver path on small
+   * graphs, bit-identical (integers).
+   *
+   * @param sources one column `v`; distances are 0 at sources
+   * @return columns (v: long, dist: long), reached vertices only
+   */
+  def shortestPaths(edges: DataFrame, sources: DataFrame, maxRounds: Int,
+                    localThreshold: Int = 200000): DataFrame = {
+    require(maxRounds >= 0, s"maxRounds=$maxRounds must be >= 0")
+    val e = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
+      .filter(col("src") =!= col("dst")).groupBy("src", "dst")
+      .agg(min(col("w")).as("w")) // parallel edges: keep the cheapest
+    val src = sources.select(col("v").cast("long").as("v")).distinct()
+    val probe = e.limit(localThreshold + 1).collect() // bounded by construction
+    if (probe.length <= localThreshold) {
+      val srcProbe = src.limit(localThreshold + 1).collect() // bounded
+      require(srcProbe.length <= localThreshold,
+        s"more than $localThreshold sources on a local-path graph")
+      return shortestPathsLocal(edges.sparkSession, probe,
+        srcProbe.map(_.getLong(0)), maxRounds)
+    }
+    val eCk = e.localCheckpoint()
+    var dist = src.withColumn("dist", lit(0L)).localCheckpoint()
+    var fingerprint = (-1L, -1L)
+    var round = 0
+    var converged = false
+    while (round < maxRounds && !converged) {
+      round += 1
+      val relaxed = eCk.join(dist.withColumnRenamed("v", "src"), "src")
+        .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
+      dist = dist.unionByName(relaxed)
+        .groupBy("v").agg(min(col("dist")).as("dist")).localCheckpoint()
+      val fp = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
+        .collect()(0) // 2 scalars
+      val next = (fp.getLong(0), fp.getLong(1))
+      converged = next == fingerprint
+      fingerprint = next
+    }
+    dist
+  }
+
+  /** Driver Bellman-Ford over a bounded collected edge set — integer twin
+    * of the distributed path (identical distances by construction). */
+  private def shortestPathsLocal(spark: org.apache.spark.sql.SparkSession,
+                                 rows: Array[org.apache.spark.sql.Row],
+                                 sources: Array[Long], maxRounds: Int): DataFrame = {
+    import spark.implicits._
+    val e = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val dist = scala.collection.mutable.Map.empty[Long, Long]
+    sources.distinct.foreach(v => dist(v) = 0L)
+    var round = 0
+    var changed = true
+    while (round < maxRounds && changed) {
+      round += 1
+      changed = false
+      // synchronous: relax against the PREVIOUS round's distances
+      val prev = dist.toMap
+      e.foreach { case (s, d, w) =>
+        prev.get(s).foreach { ds =>
+          val cand = ds + w
+          if (dist.get(d).forall(cand < _)) { dist(d) = cand; changed = true }
+        }
+      }
+    }
+    dist.toSeq.map { case (v, dd) => (v, dd) }.toDF("v", "dist")
+  }
+
   /** Total triangle count of the undirected graph. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)

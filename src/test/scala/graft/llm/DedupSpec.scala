@@ -406,4 +406,49 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(again == pairs)
   }
+
+  test("removeDuplicateSpans: later occurrences removed, first kept, text reassembled") {
+    // chunk size 2: doc 1 = [a b][c d], doc 2 = [a b][x y], doc 3 = [c d]
+    // -> doc 2 loses "a b" (doc 1 idx 0 is first), doc 3 loses "c d"
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b x y"), (3L, "c d")
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", chunkTokens = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d", 2L, 0L),
+      (2L, "x y", 2L, 1L),
+      (3L, "", 1L, 1L)))
+  }
+
+  test("removeDuplicateSpans: within-doc repeats collapse to the first occurrence") {
+    val docs = Seq((7L, "a b a b a b")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", chunkTokens = 2)
+      .as[(Long, String, Long, Long)].head()
+    assert(out == ((7L, "a b", 3L, 2L)))
+  }
+
+  test("stripBoilerplateSpans: high-df chunks vanish everywhere, low-df survive") {
+    // "nav bar" appears in 3 docs (df=3 >= 3 -> stripped from ALL),
+    // "a b" in 2 docs (df=2 -> kept everywhere)
+    val docs = Seq(
+      (1L, "nav bar a b"), (2L, "nav bar a b"), (3L, "nav bar c c")
+    ).toDF("doc_id", "text")
+    val out = Dedup.stripBoilerplateSpans(docs, "doc_id",
+        chunkTokens = 2, minDocFrequency = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b", 2L, 1L),
+      (2L, "a b", 2L, 1L),
+      (3L, "c c", 2L, 1L)))
+  }
+
+  test("span chunking: partial tail chunk is kept and deduped as its own unit") {
+    // 5 tokens at chunk size 2 -> chunks [a b][c d][e]; doc 2's lone "e"
+    // matches doc 1's tail chunk exactly
+    val docs = Seq((1L, "a b c d e"), (2L, "e")).toDF("doc_id", "text")
+    val out = Dedup.removeDuplicateSpans(docs, "doc_id", chunkTokens = 2)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a b c d e", 3L, 0L), (2L, "", 1L, 1L)))
+  }
 }

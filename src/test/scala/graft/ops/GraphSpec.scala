@@ -111,6 +111,79 @@ class GraphSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("labelPropagation: two cliques joined by a bridge split into two communities") {
+    // K4 on {1..4} + K4 on {5..8} + bridge 4-5: LPA converges to the
+    // min label of each clique; the bridge is not enough to merge them
+    def k4(off: Long) = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .map { case (a, b) => (a + off, b + off) }
+    val edges = k4(0) ++ k4(4) ++ Seq((4L, 5L))
+    val labels = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 4L).map(labels).toSet == Set(1L))
+    assert((6L to 8L).map(labels).toSet == Set(5L))
+  }
+
+  test("labelPropagation: hand-computed one round on a path graph") {
+    // path 1-2-3: round 1 is pure neighbour-min adoption
+    // v=1 sees {2}; v=2 sees {1,3} -> tie, min = 1; v=3 sees {2}
+    val labels = Graph.labelPropagation(
+        Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"), rounds = 1)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 2L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("labelPropagation: distributed path is identical to the driver path") {
+    val n = 60L
+    val edges = (1L to n).flatMap { p =>
+      Seq((p, (p * 31 + 7) % n + 1), (p, (p * 17 + 3) % n + 1))
+    }
+    val local = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 3)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    val dist = Graph.labelPropagation(edges.toDF("src", "dst"), rounds = 3,
+        localThreshold = 0)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(local == dist && local.nonEmpty)
+  }
+
+  test("shortestPaths: hand-computed weighted diamond incl. parallel-edge min") {
+    // 1->2 (w=1), 1->3 (w=5), 2->3 (w=1), 3->4 (w=1), plus a worse
+    // parallel 1->2 (w=9) that must lose to the cheaper one
+    val e = Seq((1L, 2L, 1L), (1L, 2L, 9L), (1L, 3L, 5L), (2L, 3L, 1L), (3L, 4L, 1L))
+    val d = Graph.shortestPaths(e.toDF("src", "dst", "w"),
+        Seq(1L).toDF("v"), maxRounds = 10)
+      .as[(Long, Long)].collect().toMap
+    assert(d == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("shortestPaths: round cap truncates long cheap paths") {
+    // chain 1->2->3->4 all w=1, and a direct expensive 1->4 (w=100):
+    // with maxRounds=2 the 3-hop path is not yet relaxed
+    val e = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 4L, 1L), (1L, 4L, 100L))
+    val capped = Graph.shortestPaths(e.toDF("src", "dst", "w"),
+        Seq(1L).toDF("v"), maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(capped(4L) == 100L)
+    val full = Graph.shortestPaths(e.toDF("src", "dst", "w"),
+        Seq(1L).toDF("v"), maxRounds = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(full(4L) == 3L)
+  }
+
+  test("shortestPaths: distributed path is identical to the driver path") {
+    val n = 70L
+    val edges = (1L to n).flatMap { p =>
+      Seq((p, (p * 31 + 7) % n + 1, (p * 7) % 20 + 1),
+        (p, (p * 17 + 3) % n + 1, (p * 3) % 20 + 1))
+    }
+    val srcs = Seq(1L, 2L).toDF("v")
+    val local = Graph.shortestPaths(edges.toDF("src", "dst", "w"), srcs, maxRounds = 12)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    val dist = Graph.shortestPaths(edges.toDF("src", "dst", "w"), srcs, maxRounds = 12,
+        localThreshold = 0)
+      .orderBy("v").as[(Long, Long)].collect().toSeq
+    assert(local == dist && local.nonEmpty)
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
