@@ -1672,6 +1672,42 @@ object SparkEntry {
           chunkTokens = 5, minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d43_linkage_scores" -> ((s, d) => {
+      // Fellegi-Sunter record-linkage scoring (Dedup.linkageScores) on
+      // (lang, n_chars%17)-blocked pairs: per-field agreement bits, an
+      // additive QUANTIZED-integer log-likelihood score, and the 1969
+      // three-way link/possible/non-link decision. Integer weights make
+      // the whole result exact, so score and decision both hash-check.
+      import graft.llm.Dedup.LinkageRule
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
+        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
+      val pairs = key("a").join(key("b"),
+          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+          LinkageRule("same_source",
+            col("source_a") === col("source_b"), 24L, -8L),
+          LinkageRule("close_length",
+            abs(col("n_chars_a") - col("n_chars_b")) <= 5, 11L, -5L),
+          LinkageRule("first_token",
+            element_at(TextAnalysis.tokens(col("text_a")), 1) ===
+              element_at(TextAnalysis.tokens(col("text_b")), 1), 6L, -2L)),
+        upperThreshold = 20L, lowerThreshold = 0L)
+        .orderBy("id_a", "id_b")
+    }),
+    "d44_source_containment" -> ((s, d) => {
+      // cross-source shingle CONTAINMENT (|A∩B|/|A|, the asymmetric
+      // leakage measure) over distinct token bigrams per source
+      // (Dedup.sourceShingleContainment). Exact counts + one IEEE divide
+      // — fully hash-checked; the 100 TB path swaps the exact distinct
+      // sets for q53's KMV sketches with the same output schema.
+      Dedup.sourceShingleContainment(t(s, d, "documents"), "source")
+        .orderBy("source_a", "source_b")
+    }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
       // blockings — (lang, n_chars%101) and (source, n_chars%23) — chain
@@ -4020,6 +4056,53 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d43_linkage_scores" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    a.source AS source_a, b.source AS source_b,
+        |    a.n_chars AS nc_a, b.n_chars AS nc_b,
+        |    regexp_split_to_array(trim(lower(a.text)), '\s+')[1] AS ft_a,
+        |    regexp_split_to_array(trim(lower(b.text)), '\s+')[1] AS ft_b
+        |  FROM d a JOIN d b ON a.lang = b.lang
+        |    AND a.n_chars % 17 = b.n_chars % 17 AND a.doc_id < b.doc_id
+        |), sc AS (
+        |  SELECT id_a, id_b,
+        |    CASE WHEN source_a = source_b THEN 1 ELSE 0 END AS same_source_agree,
+        |    CASE WHEN abs(nc_a - nc_b) <= 5 THEN 1 ELSE 0 END AS close_length_agree,
+        |    CASE WHEN ft_a = ft_b THEN 1 ELSE 0 END AS first_token_agree,
+        |    (CASE WHEN source_a = source_b THEN 24 ELSE -8 END
+        |     + CASE WHEN abs(nc_a - nc_b) <= 5 THEN 11 ELSE -5 END
+        |     + CASE WHEN ft_a = ft_b THEN 6 ELSE -2 END) AS score
+        |  FROM p
+        |)
+        |SELECT id_a, id_b, same_source_agree, close_length_agree,
+        |  first_token_agree, CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 20 THEN 'link' WHEN score > 0 THEN 'possible'
+        |       ELSE 'non-link' END AS decision
+        |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    "d44_source_containment" ->
+      """WITH tk AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, gram FROM (
+        |    SELECT source,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |    FROM tk WHERE len(t) > 1)
+        |), tot AS (
+        |  SELECT source AS source_a, CAST(COUNT(*) AS BIGINT) AS n_a FROM g GROUP BY 1
+        |), com AS (
+        |  SELECT a.source AS source_a, b.source AS source_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_common
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source <> b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT c.source_a, c.source_b, c.n_common, t.n_a,
+        |  CAST(c.n_common AS DOUBLE) / t.n_a AS containment
+        |FROM com c JOIN tot t USING (source_a)
+        |ORDER BY source_a, source_b""".stripMargin,
     "d36_golden_records" ->
       """WITH RECURSIVE d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents WHERE doc_id % 2 = 0

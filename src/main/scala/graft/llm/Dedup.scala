@@ -1122,6 +1122,102 @@ object Dedup {
         sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
   }
 
+  /** One field-comparison rule for [[linkageScores]]: `agree` is a boolean
+    * over the pair frame's `<col>_a` / `<col>_b` columns; the weights are
+    * QUANTIZED Fellegi-Sunter log-likelihood ratios (integer ≈
+    * round(log2(m/u)) resp. round(log2((1−m)/(1−u))) for match/unmatch
+    * field probabilities m,u) — integers so the total score is exact and
+    * engine-portable. */
+  final case class LinkageRule(name: String, agree: Column,
+                               wAgree: Long, wDisagree: Long)
+
+  /**
+   * Fellegi-Sunter record-linkage scoring (Fellegi & Sunter 1969) over
+   * BLOCKED candidate pairs — the probabilistic complement to the
+   * blocking operators ([[sortedNeighborhoodPairs]], [[minhashLsh]],
+   * golden-record consolidation): each pair gets a per-field agreement
+   * vector, an additive integer log-likelihood score, and the classic
+   * three-way decision (`link` / `possible` / `non-link`) against the
+   * caller's upper/lower thresholds.
+   *
+   * Plan shape: two equi-joins attach the `_a`/`_b` field copies to the
+   * pair list (both sides keyed on the id — broadcast when the record
+   * table is small, shuffle otherwise), then one narrow projection folds
+   * the rules. No aggregation, no window — O(pairs) with codegen'd
+   * comparisons; the pair list itself comes from a blocking operator, so
+   * the all-pairs blow-up is someone else's contract.
+   *
+   * @param pairs columns id_a, id_b
+   * @param docs  record table; every column is exposed as `<name>_a` /
+   *              `<name>_b` to the rule expressions
+   * @return id_a, id_b, one `<rule>_agree` int column per rule, score,
+   *         decision
+   */
+  def linkageScores(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    rules: Seq[LinkageRule],
+                    upperThreshold: Long, lowerThreshold: Long): DataFrame = {
+    require(rules.nonEmpty, "at least one LinkageRule required")
+    require(upperThreshold >= lowerThreshold,
+      s"upper=$upperThreshold must be >= lower=$lowerThreshold")
+    // the id copy gets an internal name (not `<idCol>_a`) so a pair frame
+    // whose idCol is literally `id` cannot collide with its own id_a/id_b
+    def side(sfx: String) = docs.columns.foldLeft(docs) { (d, c) =>
+      d.withColumnRenamed(c, if (c == idCol) s"__rid$sfx" else s"$c$sfx")
+    }
+    val joined = pairs
+      .join(side("_a"), col("id_a") === col("__rid_a"))
+      .join(side("_b"), col("id_b") === col("__rid_b"))
+    val score = rules.map(r =>
+        when(r.agree, lit(r.wAgree)).otherwise(lit(r.wDisagree)))
+      .reduce(_ + _)
+    joined.select(
+      Seq(col("id_a"), col("id_b")) ++
+        rules.map(r => when(r.agree, 1).otherwise(0).as(s"${r.name}_agree")) ++
+        Seq(score.as("score"),
+          when(score >= upperThreshold, "link")
+            .when(score > lowerThreshold, "possible")
+            .otherwise("non-link").as("decision")): _*)
+  }
+
+  /**
+   * Cross-source corpus CONTAINMENT: for every ordered pair of groups
+   * (sources, crawls, snapshots), the fraction of group A's distinct
+   * token-bigram shingles that also occur in group B — `|A∩B| / |A|`,
+   * the asymmetric leakage measure Jaccard can't express (a small corpus
+   * fully contained in a big one has tiny Jaccard but containment 1).
+   *
+   * Exact path (this): one distinct over (group, gram) — map-side
+   * combinable — then a gram-keyed self-join whose output is bounded by
+   * Σ_gram df(gram)², aggregated down to groups² rows. Fine while the
+   * vocabulary is corpus-bounded; at 100 TB swap the exact distinct sets
+   * for per-group KMV sketches ([[graft.ops.Kmv]], q53) — same output
+   * schema, estimated counts. Counts are exact longs + one IEEE divide,
+   * so the gate hashes the whole result.
+   *
+   * @return source_a, source_b (a ≠ b), n_common, n_a, containment
+   */
+  def sourceShingleContainment(docs: DataFrame, groupCol: String,
+                               textCol: String = "text"): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = docs
+      .filter(size(toks) >= 2)
+      .select(col(groupCol).as("__g"), explode(array_distinct(
+        transform(sequence(lit(1), size(toks) - 1), i =>
+          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+        .as("__gram"))
+      .distinct()
+    val totals = grams.groupBy(col("__g").as("source_a"))
+      .agg(count(lit(1)).as("n_a"))
+    val common = grams.join(
+        grams.select(col("__g").as("__g2"), col("__gram")), "__gram")
+      .filter(col("__g") =!= col("__g2"))
+      .groupBy(col("__g").as("source_a"), col("__g2").as("source_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common.join(totals, "source_a")
+      .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"),
+        (col("n_common").cast("double") / col("n_a")).as("containment"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id_a, id_b) against the documents table. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

@@ -443,6 +443,64 @@ class DedupSpec extends SparkSpec {
       (3L, "c c", 2L, 1L)))
   }
 
+  test("linkageScores: hand-computed agreement vectors, scores, and decisions") {
+    import Dedup.LinkageRule
+    val recs = Seq(
+      (1L, "srcA", 100L), (2L, "srcA", 103L), (3L, "srcB", 250L)
+    ).toDF("id", "src", "nc")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = Dedup.linkageScores(pairs, recs, "id", Seq(
+        LinkageRule("same_src", col("src_a") === col("src_b"), 10L, -4L),
+        LinkageRule("close_nc", abs(col("nc_a") - col("nc_b")) <= 5, 5L, -2L)),
+        upperThreshold = 12L, lowerThreshold = 0L)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Int, Int, Long, String)].collect().toSeq
+    // (1,2): both agree -> 15, link; (1,3): both disagree -> -6, non-link
+    assert(out == Seq(
+      (1L, 2L, 1, 1, 15L, "link"),
+      (1L, 3L, 0, 0, -6L, "non-link")))
+  }
+
+  test("linkageScores: possible band sits strictly between the thresholds") {
+    import Dedup.LinkageRule
+    val recs = Seq((1L, "x"), (2L, "x")).toDF("id", "src")
+    val pairs = Seq((1L, 2L)).toDF("id_a", "id_b")
+    def run(w: Long) = Dedup.linkageScores(pairs, recs, "id",
+        Seq(LinkageRule("s", col("src_a") === col("src_b"), w, -1L)),
+        upperThreshold = 10L, lowerThreshold = 0L)
+      .select("decision").as[String].head()
+    assert(run(10L) == "link")     // == upper -> link
+    assert(run(5L) == "possible")  // between
+    assert(run(0L) == "non-link")  // == lower -> non-link
+  }
+
+  test("sourceShingleContainment: asymmetric containment, subset corpus scores 1.0") {
+    // source "small" has grams {a b, b c} (from "a b c"); source "big"
+    // has those plus more ("a b c d e" -> {a b, b c, c d, d e})
+    val docs = Seq(
+      ("small", "a b c"), ("big", "a b c d e")
+    ).toDF("source", "text")
+    val out = Dedup.sourceShingleContainment(docs, "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("big", "small", 2L, 4L, 0.5),
+      ("small", "big", 2L, 2L, 1.0)))
+  }
+
+  test("sourceShingleContainment: duplicate grams within a source count once") {
+    val docs = Seq(
+      ("s1", "a b a b"), ("s1", "a b"), ("s2", "a b x")
+    ).toDF("source", "text")
+    val out = Dedup.sourceShingleContainment(docs, "source")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    // s1 grams: {a b, b a}; s2 grams: {a b, b x}; common = {a b}
+    assert(out == Seq(
+      ("s1", "s2", 1L, 2L, 0.5),
+      ("s2", "s1", 1L, 2L, 0.5)))
+  }
+
   test("span chunking: partial tail chunk is kept and deduped as its own unit") {
     // 5 tokens at chunk size 2 -> chunks [a b][c d][e]; doc 2's lone "e"
     // matches doc 1's tail chunk exactly
