@@ -60,6 +60,25 @@ class DataStore(root: String) {
   def readParquet(spark: SparkSession, rel: String): DataFrame =
     spark.read.parquet(path(rel))
 
+  /**
+   * Bucketed + bucket-sorted managed-table write — the CO-LOCATED JOIN
+   * layout for 100 TB: two tables bucketed on the same key into the same
+   * bucket count join with ZERO Exchange (and with `sortBy`, zero Sort) —
+   * the repeated fact⋈fact join's shuffle is paid once at write time
+   * instead of on every query. Bucket pruning also serves point lookups
+   * on the bucket key. Path-based `save` cannot carry bucket metadata, so
+   * this goes through the session catalog (`saveAsTable`); read back with
+   * `spark.table(name)` — `read.parquet` on the files would silently
+   * discard the bucketing and re-shuffle (PlanSpec-guarded both ways).
+   */
+  def writeBucketedTable(df: DataFrame, table: String, bucketCol: String,
+                         numBuckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Single-file CSV with header (reference writes one CSV per view). */
   def writeSingleCsv(df: DataFrame, rel: String): Unit = {
     val target = Paths.get(path(rel))
