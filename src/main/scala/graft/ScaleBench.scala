@@ -336,6 +336,80 @@ object ScaleBench {
       val secs13 = (System.nanoTime() - t13) / 1e9
       println(f"""{"metric":"scale_kmv_overlap","rows":$nKmv,"shards":16,"pairs":${nOverlaps.getLong(0)},"sum_both_k":${nOverlaps.getLong(1)},"k":256,"sec":$secs13%.2f,"rows_per_sec":${(nKmv / secs13).toLong}}""")
     }
+    if (sel("span_dedup")) {
+      // corpus span dedup at scale (d40's operator): 1M docs, 30 tokens
+      // each, 20% exact-duplicate docs (so every chunk of a dup doc is a
+      // later occurrence and gets removed). Cost model: one explode
+      // (6 chunks/doc), one chunk-keyed min-agg, one join back, one
+      // id-keyed rebuild — all linear in total chunks. The planted check:
+      // removed chunks == exactly the duplicated docs' chunk count.
+      val nSpanDocs = math.min(nTiles, 1000000L)
+      val nUnique = nSpanDocs * 4 / 5
+      val spanBase = (col("id") % nUnique).as("b")
+      val spanDocs = spark.range(nSpanDocs).select(col("id"), spanBase)
+        .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
+          concat(lit(s"w$j"), ((col("b") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
+        .repartition(cpus.toInt * 4)
+      val t14 = System.nanoTime()
+      val spanOut = graft.llm.Dedup.removeDuplicateSpans(spanDocs, "id",
+          chunkTokens = 5)
+        .agg(count(lit(1)), sum("n_removed"), sum("n_chunks")).head()
+      val secs14 = (System.nanoTime() - t14) / 1e9
+      val expectRemoved = (nSpanDocs - nUnique) * 6 // 30 tokens -> 6 chunks
+      println(f"""{"metric":"scale_span_dedup","docs":${spanOut.getLong(0)},"chunks":${spanOut.getLong(2)},"removed":${spanOut.getLong(1)},"expect_removed":$expectRemoved,"sec":$secs14%.2f,"docs_per_sec":${(nSpanDocs / secs14).toLong}}""")
+    }
+
+    if (sel("label_prop")) {
+      // label propagation at scale (q62's operator): 3 rounds on the same
+      // 10M-edge affine multigraph as the pagerank section. Per round one
+      // edge-wide neighbour join + two keyed aggs; the planted check is
+      // community count <= vertex count and > 1.
+      val nLpV = math.min(nTiles * 2, 2000000L)
+      val lpEdges = spark.range(nLpV).select(col("id").as("src"),
+          ((col("id") * 31 + 7) % nLpV).as("dst"))
+        .union(spark.range(nLpV).select(col("id"),
+          ((col("id") * 17 + 3) % nLpV).as("dst")))
+        .union(spark.range(nLpV).select(col("id"),
+          ((col("id") * 13 + 11) % nLpV).as("dst")))
+        .union(spark.range(nLpV).select(col("id"),
+          ((col("id") * 7 + 1) % nLpV).as("dst")))
+        .union(spark.range(nLpV).select(col("id"),
+          ((col("id") * 41 + 19) % nLpV).as("dst")))
+        .repartition(cpus.toInt * 4)
+      val t15 = System.nanoTime()
+      val lp = graft.ops.Graph.labelPropagation(lpEdges, rounds = 3,
+          localThreshold = 0)
+        .agg(count(lit(1)), countDistinct(col("label"))).head()
+      val secs15 = (System.nanoTime() - t15) / 1e9
+      println(f"""{"metric":"scale_label_prop","edges":${nLpV * 5},"vertices":${lp.getLong(0)},"communities":${lp.getLong(1)},"rounds":3,"sec":$secs15%.2f,"edge_rounds_per_sec":${(nLpV * 15 / secs15).toLong}}""")
+    }
+
+    if (sel("sssp")) {
+      // Bellman-Ford at scale (q63's operator): bounded 8-round relaxation
+      // over the 10M-edge graph with integer weights; per round one edge
+      // join + one min-agg + a 2-scalar convergence probe.
+      val nSsV = math.min(nTiles * 2, 2000000L)
+      val ssEdges = spark.range(nSsV).select(col("id").as("src"),
+          ((col("id") * 31 + 7) % nSsV).as("dst"))
+        .union(spark.range(nSsV).select(col("id"),
+          ((col("id") * 17 + 3) % nSsV).as("dst")))
+        .union(spark.range(nSsV).select(col("id"),
+          ((col("id") * 13 + 11) % nSsV).as("dst")))
+        .union(spark.range(nSsV).select(col("id"),
+          ((col("id") * 7 + 1) % nSsV).as("dst")))
+        .union(spark.range(nSsV).select(col("id"),
+          ((col("id") * 41 + 19) % nSsV).as("dst")))
+        .select(col("src"), col("dst"),
+          ((col("src") * 7 + col("dst") * 3) % 20 + 1).as("w"))
+        .repartition(cpus.toInt * 4)
+      val t16 = System.nanoTime()
+      val ss = graft.ops.Graph.shortestPaths(ssEdges,
+          spark.range(3).select((col("id") + 1).as("v")), maxRounds = 8,
+          localThreshold = 0)
+        .agg(count(lit(1)), max(col("dist"))).head()
+      val secs16 = (System.nanoTime() - t16) / 1e9
+      println(f"""{"metric":"scale_sssp","edges":${nSsV * 5},"reached":${ss.getLong(0)},"max_dist":${ss.getLong(1)},"rounds":8,"sec":$secs16%.2f,"edge_rounds_per_sec":${(nSsV * 40 / secs16).toLong}}""")
+    }
     spark.stop()
   }
 }
