@@ -1059,6 +1059,41 @@ object SparkEntry {
       import s.implicits._
       Seq(equal).toDF("stream_matches_batch")
     }),
+    "s16_stream_span_dedup" -> ((s, d) => {
+      // STREAMING SPAN DEDUP (Streaming.spanDedupIngestStream): documents
+      // arrive in 3 ascending-doc_id microbatches; each batch removes
+      // chunks already in the persisted seen-chunk index, dedups the rest
+      // batch-locally, appends cleaned docs to the corpus sink and new
+      // chunk keys to the index. Because batch order follows doc_id
+      // order, the converged corpus must equal d40's batch result — s16
+      // shares d40's SQL oracle VERBATIM (batch files get explicit
+      // ascending mtimes; the file source processes oldest-first).
+      import org.apache.spark.sql.types._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("s16").toString
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      Seq((0, col("doc_id") < 167),
+          (1, col("doc_id") >= 167 && col("doc_id") < 334),
+          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
+        val stage = s"$root/stage$b"
+        docs.filter(cond).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified((b + 1) * 1000000000L)
+      }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.Streaming.spanDedupIngestStream(
+          stream, s"$root/index", s"$root/ckpt", compactAfterFiles = 2)(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+      s.read.parquet(s"$root/out").orderBy("doc_id")
+    }),
     "v06_kmeans" -> ((s, d) => {
       // distributed Lloyd's k-means, oracle-checked BIT FOR BIT: 3 rounds,
       // k = 4, deterministic lowest-id init, every float widened to double
@@ -1708,6 +1743,32 @@ object SparkEntry {
       Dedup.sourceShingleContainment(t(s, d, "documents"), "source")
         .orderBy("source_a", "source_b")
     }),
+    "d45_source_entropy" -> ((s, d) => {
+      // corpus diversity metrics per source: unigram Shannon entropy
+      // H = -Σ (c/N)·ln(c/N) folded in ascending-token order (the d39
+      // trick: every divide/multiply/add is one correctly-rounded IEEE op
+      // on identical operands, the fold order fixes the bits, and the ln
+      // ulps survive ROUND(,4)) + exact type-token ratio. The ordered
+      // fold is the GATE path; the 100 TB path is the order-free
+      // decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable
+      // sum.
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+      val counts = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val totals = counts.groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      val p = col("c").cast("double") / col("n_tokens")
+      counts.join(totals, "source")
+        .select(col("source"), col("w"), (-p * log(p)).as("term"))
+        .groupBy("source")
+        .agg(aggregate(sort_array(collect_list(struct(col("w"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("__h"))
+        .join(totals, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          round(col("__h"), 4).as("entropy"))
+        .orderBy("source")
+    }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
       // blockings — (lang, n_chars%101) and (source, n_chars%23) — chain
@@ -2293,6 +2354,22 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(e, Seq(1L, 2L, 3L).toDF("v"), maxRounds = 6)
         .orderBy("v")
     }),
+    "q64_unpivot" -> ((s, d) => {
+      // UNPIVOT/melt — wide metric columns to long (metric, value) rows,
+      // the §2.6 inverse of q34's pivot. Native Dataset.unpivot (Catalyst
+      // Expand: one pass, no join, output = rows × metrics); values are
+      // verbatim source doubles, so the melt hash-checks exactly.
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"), col("l_discount"), col("l_tax"))
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "metric", "value")
+        .orderBy("l_orderkey", "l_linenumber", "metric")
+    }),
     "q44_cube" -> ((s, d) => {
       // CUBE grouping-set rollup with GROUPING disambiguators (the §2.6
       // family's missing multi-set member next to q35's ROLLUP)
@@ -2516,6 +2593,35 @@ object SparkEntry {
        |$rounds
        |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 20""".stripMargin
   }
+
+  /** d40 + s16 (stream ≡ batch) span-dedup oracle. Chunking CTEs: 0-based
+    * 5-token non-overlapping chunks (list_slice clamps the tail),
+    * first-occurrence key encoded as doc_id*1000000+idx (idx < 1e6 — docs
+    * are short), reassembly via position-ordered string_agg (fully-removed
+    * docs -> ''). */
+  private val spanDedupOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), ix AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
+      |), ch AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
+      |  FROM ix
+      |), fo AS (
+      |  SELECT chunk, MIN(doc_id * 1000000 + idx) AS first_key FROM ch GROUP BY 1
+      |), m AS (
+      |  SELECT c.doc_id, c.idx, c.chunk,
+      |    (c.doc_id * 1000000 + c.idx) = f.first_key AS kept
+      |  FROM ch c JOIN fo f USING (chunk)
+      |)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** q62: replay 3 synchronous LPA rounds — neighbour label counts, then
     * the (max count, min label) pick via a window rank over the grouped
@@ -4007,33 +4113,12 @@ object SparkEntry {
         |)
         |SELECT doc_id, n_bigrams, ROUND(nll / n_bigrams, 4) AS avg_nll
         |FROM agg ORDER BY doc_id""".stripMargin,
-    // d40/d41 share the chunking CTEs: 0-based 5-token non-overlapping
-    // chunks (list_slice clamps the tail), first-occurrence key encoded as
-    // doc_id*1000000+idx (idx < 1e6 — docs are short), reassembly via
-    // position-ordered string_agg (empty docs -> '').
-    "d40_span_dedup" ->
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents
-        |), ix AS (
-        |  SELECT doc_id, t,
-        |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
-        |), ch AS (
-        |  SELECT doc_id, idx,
-        |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
-        |  FROM ix
-        |), fo AS (
-        |  SELECT chunk, MIN(doc_id * 1000000 + idx) AS first_key FROM ch GROUP BY 1
-        |), m AS (
-        |  SELECT c.doc_id, c.idx, c.chunk,
-        |    (c.doc_id * 1000000 + c.idx) = f.first_key AS kept
-        |  FROM ch c JOIN fo f USING (chunk)
-        |)
-        |SELECT doc_id,
-        |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
-        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d40_span_dedup" -> spanDedupOracleSql,
+    // s16 streams the same corpus in ascending-doc_id microbatches through
+    // the persisted seen-chunk index; first-occurrence-wins order matches
+    // the batch formulation, so the streamed corpus shares d40's oracle
+    // verbatim.
+    "s16_stream_span_dedup" -> spanDedupOracleSql,
     "d41_boilerplate_strip" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
@@ -4056,6 +4141,45 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q64_unpivot" ->
+      """WITH b AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+        |    l_discount, l_tax
+        |  FROM lineitem WHERE l_orderkey % 50 = 0
+        |)
+        |SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM b
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b
+        |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
+    "d45_source_entropy" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS n_types
+        |  FROM c GROUP BY 1
+        |), tm AS (
+        |  SELECT c.source, c.w,
+        |    -(CAST(c.c AS DOUBLE) / t.n_tokens) * ln(CAST(c.c AS DOUBLE) / t.n_tokens) AS term
+        |  FROM c JOIN t USING (source)
+        |), h AS (
+        |  SELECT source,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
+        |      (x, y) -> x + y) AS hh
+        |  FROM tm GROUP BY 1
+        |)
+        |SELECT h.source, t.n_tokens, t.n_types,
+        |  CAST(t.n_types AS DOUBLE) / t.n_tokens AS ttr,
+        |  ROUND(hh, 4) AS entropy
+        |FROM h JOIN t USING (source) ORDER BY source""".stripMargin,
     "d43_linkage_scores" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars, text FROM documents

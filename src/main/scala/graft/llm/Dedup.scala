@@ -1050,6 +1050,42 @@ object Dedup {
     docs.select(col(idCol).as("__id"),
         posexplode(tokenChunks(col(textCol), chunkTokens)).as(Seq("__idx", "__chunk")))
 
+  /** Chunk frame with keep decisions: a chunk occurrence is kept iff its
+    * chunk is NOT in `seenChunks` (one string column `chunk` — chunks
+    * first-seen by EARLIER corpora/batches) AND it is the batch-local
+    * first occurrence. `seenChunks = None` gives pure batch semantics.
+    * Columns: (__id, __idx, __chunk, __kept). */
+  private[graft] def markedSpans(docs: DataFrame, idCol: String, textCol: String,
+                                 chunkTokens: Int,
+                                 seenChunks: Option[DataFrame]): DataFrame = {
+    val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
+    val withSeen = seenChunks match {
+      case Some(seen) => ch.join(
+          seen.select(col("chunk").as("__chunk")).distinct()
+            .withColumn("__seen", lit(true)),
+          Seq("__chunk"), "left")
+        .withColumn("__seen", coalesce(col("__seen"), lit(false)))
+      case None => ch.withColumn("__seen", lit(false))
+    }
+    val firstOcc = withSeen.groupBy("__chunk")
+      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
+    withSeen.join(firstOcc, "__chunk")
+      .withColumn("__kept", !col("__seen") &&
+        col("__id") === col("__first.__id") && col("__idx") === col("__first.__idx"))
+  }
+
+  /** Rebuild per-doc clean text from a marked chunk frame: one id-keyed
+    * aggregation (kept chunks concatenated in position order). */
+  private[graft] def reassembleSpans(marked: DataFrame, idCol: String): DataFrame =
+    marked.groupBy(col("__id").as(idCol))
+      .agg(
+        concat_ws(" ", transform(
+          sort_array(collect_list(when(col("__kept"),
+            struct(col("__idx"), col("__chunk"))))),
+          x => x.getField("__chunk"))).as("clean_text"),
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+
   /**
    * Corpus-level EXACT span dedup with text reconstruction — the
    * "deduplicate training data" direction of Lee et al. 2022 at chunk
@@ -1072,22 +1108,9 @@ object Dedup {
    */
   def removeDuplicateSpans(docs: DataFrame, idCol: String,
                            textCol: String = "text",
-                           chunkTokens: Int = 5): DataFrame = {
-    val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
-    val firstOcc = ch.groupBy("__chunk")
-      .agg(min(struct(col("__id"), col("__idx"))).as("__first"))
-    ch.join(firstOcc, "__chunk")
-      .withColumn("__kept",
-        col("__id") === col("__first.__id") && col("__idx") === col("__first.__idx"))
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          sort_array(collect_list(when(col("__kept"),
-            struct(col("__idx"), col("__chunk"))))),
-          x => x.getField("__chunk"))).as("clean_text"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
-  }
+                           chunkTokens: Int = 5): DataFrame =
+    reassembleSpans(
+      markedSpans(docs, idCol, textCol, chunkTokens, seenChunks = None), idCol)
 
   /**
    * CCNet-style boilerplate strip: remove ALL occurrences of any chunk
@@ -1110,16 +1133,9 @@ object Dedup {
     val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
     val df = ch.groupBy("__chunk")
       .agg(countDistinct(col("__id")).as("__df"))
-    ch.join(df, "__chunk")
-      .withColumn("__kept", col("__df") < minDocFrequency)
-      .groupBy(col("__id").as(idCol))
-      .agg(
-        concat_ws(" ", transform(
-          sort_array(collect_list(when(col("__kept"),
-            struct(col("__idx"), col("__chunk"))))),
-          x => x.getField("__chunk"))).as("clean_text"),
-        count(lit(1)).as("n_chunks"),
-        sum(when(col("__kept"), 0L).otherwise(1L)).as("n_removed"))
+    reassembleSpans(
+      ch.join(df, "__chunk")
+        .withColumn("__kept", col("__df") < minDocFrequency), idCol)
   }
 
   /** One field-comparison rule for [[linkageScores]]: `agree` is a boolean
@@ -1199,6 +1215,10 @@ object Dedup {
   def sourceShingleContainment(docs: DataFrame, groupCol: String,
                                textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
+    // materialize the distinct (group, gram) set ONCE — it feeds both the
+    // totals agg and the self-join, and the tokenize+explode pass is the
+    // expensive part (the hashedImportanceTopK lesson: without this the
+    // scan runs once per consumer)
     val grams = docs
       .filter(size(toks) >= 2)
       .select(col(groupCol).as("__g"), explode(array_distinct(
@@ -1206,6 +1226,7 @@ object Dedup {
           concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
         .as("__gram"))
       .distinct()
+      .localCheckpoint()
     val totals = grams.groupBy(col("__g").as("source_a"))
       .agg(count(lit(1)).as("n_a"))
     val common = grams.join(

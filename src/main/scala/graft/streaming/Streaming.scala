@@ -342,6 +342,71 @@ object Streaming {
       .start()
   }
 
+  /**
+   * Streaming span-dedup ingest — d40's corpus-level exact span dedup with
+   * documents arriving in ordered microbatches: each batch's chunks are
+   * checked against the persisted SEEN-CHUNK index (any indexed chunk was
+   * first seen earlier, so every batch occurrence is removed), the
+   * remainder dedups batch-locally by first occurrence, cleaned documents
+   * go to `sink`, and the batch's distinct new chunk keys APPEND to the
+   * index. With batches in ascending id order the converged sink equals
+   * the batch `Dedup.removeDuplicateSpans` of the whole corpus — the
+   * stream ≡ batch gate (s16 shares d40's SQL oracle verbatim).
+   *
+   * foreachBatch for the same reason as [[nearDupIngestStream]]: the keep
+   * decision needs batch-side groupBys and the index append must follow
+   * the sink write. The index append is at-least-once under crash replay;
+   * duplicate chunk keys are harmless (the probe join is semi-style via a
+   * distinct'd seen flag). Per-batch cost: one explode + one index
+   * equi-join + two keyed aggs — never a corpus re-scan. The flat index
+   * is compacted once it exceeds `compactAfterFiles` part files; at 100 TB
+   * the index belongs in a chunk-bucketed table
+   * ([[graft.io.DataStore.writeBucketedTable]]) so the per-batch probe
+   * join is co-located instead of a shuffle.
+   */
+  def spanDedupIngestStream(docs: DataFrame, indexDir: String,
+                            checkpointDir: String, idCol: String = "doc_id",
+                            textCol: String = "text", chunkTokens: Int = 5,
+                            compactAfterFiles: Int = 8)(
+                            sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.llm.Dedup
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.localCheckpoint()
+        val spark = b.sparkSession
+        val idxPath = new org.apache.hadoop.fs.Path(indexDir)
+        val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val haveIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
+          .exists(_.getPath.getName.endsWith(".parquet"))
+        val seen =
+          if (haveIndex) Some(spark.read.parquet(indexDir)) else None
+        val marked = Dedup.markedSpans(b, idCol, textCol, chunkTokens, seen)
+          .localCheckpoint() // one evaluation serves sink + index append
+        sink(Dedup.reassembleSpans(marked, idCol))
+        // every batch chunk not already indexed is now first-seen (kept or
+        // removed-within-batch alike — both block later occurrences)
+        marked.filter(!col("__seen")).select(col("__chunk").as("chunk"))
+          .distinct()
+          .write.mode("append").parquet(indexDir)
+        // bound small-files growth: rewrite the flat index through a
+        // hidden staging dir + atomic rename (the signature-index pattern)
+        if (fs.exists(idxPath) && fs.listStatus(idxPath)
+            .count(_.getPath.getName.endsWith(".parquet")) > compactAfterFiles) {
+          val staging = new org.apache.hadoop.fs.Path(
+            idxPath.getParent, s".compact_${idxPath.getName}")
+          spark.read.parquet(indexDir).distinct().coalesce(1)
+            .write.mode("overwrite").parquet(staging.toString)
+          fs.delete(idxPath, true)
+          fs.rename(staging, idxPath)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** One event on the transition stream. */
   case class TransitionEvent(user_id: Long, event_type: String, us: Long,
                              event_id: Long)

@@ -191,6 +191,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), "bucket stats should broadcast:\n" + p)
   }
 
+  test("d40: span dedup is explode + keyed aggs — no nested loop, bounded shuffles") {
+    val p = formatted("d40_span_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    val exchanges = exchangeCount(p)
+    // chunk-key agg, join-back, id-key rebuild, output sort (+AQE variance)
+    assert(exchanges <= 5, s"expected <=5 Exchange, found $exchanges:\n$p")
+  }
+
+  test("d43: linkage scoring attaches both record sides without a cartesian blow-up") {
+    val p = formatted("d43_linkage_scores")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "field attachment must be an equi-join:\n" + p)
+  }
+
+  test("d44: containment self-join is gram-keyed, never all-pairs") {
+    val p = formatted("d44_source_containment")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    assert(p.contains("partial_count"), "gram counts must combine map-side:\n" + p)
+  }
+
   test("q53: KMV sketch windows are salted — no unsalted single pass over a shard") {
     // the first min-k window must partition on (shard, __salt); an
     // orderBy-only or shard-only first window funnels a hot shard's whole

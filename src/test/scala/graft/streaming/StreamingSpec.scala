@@ -216,6 +216,45 @@ class StreamingSpec extends SparkSpec {
     assert(indexed.toSeq == Seq(1L, 3L, 5L), s"got ${indexed.toSeq}")
   }
 
+  test("spanDedupIngestStream: cross-drop chunk removal via the index, then compaction") {
+    val root = java.nio.file.Files.createTempDirectory("graft-span").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      Streaming.spanDedupIngestStream(stream, s"$root/index", s"$root/ckpt",
+          chunkTokens = 2, compactAfterFiles = 1)(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+    }
+
+    // drop 1: doc 2 repeats doc 1's chunk "a b" in-batch
+    Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    val after1 = spark.read.parquet(s"$root/out")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(after1 == Seq((1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L)))
+
+    // drop 2: doc 3 repeats chunks from BOTH earlier docs — removed via
+    // the persisted index, not any in-batch first occurrence; "z z" is new
+    Seq((3L, "c d z z x y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    val after2 = spark.read.parquet(s"$root/out")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(after2 == Seq(
+      (1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L), (3L, "z z", 3L, 2L)))
+
+    // index holds each first-seen chunk exactly once, compacted to one file
+    val idx = spark.read.parquet(s"$root/index").as[String].collect().sorted
+    assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"))
+    val files = new java.io.File(s"$root/index").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files == 1, s"expected compaction to 1 file, found $files")
+  }
+
   test("streaming near-dup index: bucketed layout prunes the probe and compacts") {
     import graft.llm.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
