@@ -1744,30 +1744,38 @@ object SparkEntry {
         .orderBy("source_a", "source_b")
     }),
     "d45_source_entropy" -> ((s, d) => {
-      // corpus diversity metrics per source: unigram Shannon entropy
-      // H = -Σ (c/N)·ln(c/N) folded in ascending-token order (the d39
-      // trick: every divide/multiply/add is one correctly-rounded IEEE op
-      // on identical operands, the fold order fixes the bits, and the ln
-      // ulps survive ROUND(,4)) + exact type-token ratio. The ordered
-      // fold is the GATE path; the 100 TB path is the order-free
-      // decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable
-      // sum.
-      val tok = t(s, d, "documents")
+      // corpus diversity metrics per source (TextAnalysis.unigramEntropy):
+      // Shannon entropy over the unigram distribution + exact type-token
+      // ratio. The s17 streaming twin derives the same metrics from the
+      // state store's final counts and shares this oracle.
+      val counts = t(s, d, "documents")
         .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
-      val counts = tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
-      val totals = counts.groupBy("source")
-        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
-      val p = col("c").cast("double") / col("n_tokens")
-      counts.join(totals, "source")
-        .select(col("source"), col("w"), (-p * log(p)).as("term"))
-        .groupBy("source")
-        .agg(aggregate(sort_array(collect_list(struct(col("w"), col("term")))),
-          lit(0.0), (a, x) => a + x.getField("term")).as("__h"))
-        .join(totals, "source")
-        .select(col("source"), col("n_tokens"), col("n_types"),
-          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
-          round(col("__h"), 4).as("entropy"))
-        .orderBy("source")
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      TextAnalysis.unigramEntropy(counts).orderBy("source")
+    }),
+    "s17_stream_entropy" -> ((s, d) => {
+      // STREAMING ENTROPY DRIFT MONITOR: the (source, token) counts run as
+      // a stateful streaming aggregation (complete mode — the s11 heavy-
+      // hitter pattern); entropy/ttr derive from the FINAL state, so the
+      // converged metrics equal batch d45 exactly (shared oracle). In
+      // production the per-batch emission of the same metrics is the
+      // corpus drift signal.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val counts = stream
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val finalCounts = graft.streaming.Streaming.runAvailableNow(
+        counts, s"s17_entropy_${System.nanoTime()}", outputMode = "complete")
+      // localCheckpoint: unigramEntropy self-joins its input, and the
+      // memory-sink view resolves to the SAME attribute ids on both sides
+      TextAnalysis.unigramEntropy(finalCounts.localCheckpoint()).orderBy("source")
     }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
@@ -2370,6 +2378,18 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
+    "q65_histogram" -> ((s, d) => {
+      // exact equi-width histogram (the profiling family next to q42's
+      // audit and q40's approx quantiles): DYADIC bin width 32, so
+      // value/32 is one exact IEEE divide and floor is exact — bin ids
+      // are deterministic integers both engines agree on. One partial-
+      // aggregated pass; at 100 TB this is the cheap first look before
+      // the exact-percentile machinery.
+      t(s, d, "events")
+        .select(col("event_type"), floor(col("value") / 32).cast("long").as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bin")
+    }),
     "q44_cube" -> ((s, d) => {
       // CUBE grouping-set rollup with GROUPING disambiguators (the §2.6
       // family's missing multi-set member next to q35's ROLLUP)
@@ -2622,6 +2642,35 @@ object SparkEntry {
       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
+    * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
+    * portability contract), exact type-token ratio. */
+  private val sourceEntropyOracleSql: String =
+    """WITH tok AS (
+      |  SELECT source,
+      |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |  FROM documents
+      |), c AS (
+      |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+      |), t AS (
+      |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+      |    CAST(COUNT(*) AS BIGINT) AS n_types
+      |  FROM c GROUP BY 1
+      |), tm AS (
+      |  SELECT c.source, c.w,
+      |    -(CAST(c.c AS DOUBLE) / t.n_tokens) * ln(CAST(c.c AS DOUBLE) / t.n_tokens) AS term
+      |  FROM c JOIN t USING (source)
+      |), h AS (
+      |  SELECT source,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
+      |      (x, y) -> x + y) AS hh
+      |  FROM tm GROUP BY 1
+      |)
+      |SELECT h.source, t.n_tokens, t.n_types,
+      |  CAST(t.n_types AS DOUBLE) / t.n_tokens AS ttr,
+      |  ROUND(hh, 4) AS entropy
+      |FROM h JOIN t USING (source) ORDER BY source""".stripMargin
 
   /** q62: replay 3 synchronous LPA rounds — neighbour label counts, then
     * the (max count, min label) pick via a window rank over the grouped
@@ -4141,6 +4190,10 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q65_histogram" ->
+      """SELECT event_type, CAST(FLOOR(value / 32) AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q64_unpivot" ->
       """WITH b AS (
         |  SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
@@ -4155,31 +4208,12 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM b
         |ORDER BY l_orderkey, l_linenumber, metric""".stripMargin,
-    "d45_source_entropy" ->
-      """WITH tok AS (
-        |  SELECT source,
-        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        |  FROM documents
-        |), c AS (
-        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
-        |), t AS (
-        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |    CAST(COUNT(*) AS BIGINT) AS n_types
-        |  FROM c GROUP BY 1
-        |), tm AS (
-        |  SELECT c.source, c.w,
-        |    -(CAST(c.c AS DOUBLE) / t.n_tokens) * ln(CAST(c.c AS DOUBLE) / t.n_tokens) AS term
-        |  FROM c JOIN t USING (source)
-        |), h AS (
-        |  SELECT source,
-        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
-        |      (x, y) -> x + y) AS hh
-        |  FROM tm GROUP BY 1
-        |)
-        |SELECT h.source, t.n_tokens, t.n_types,
-        |  CAST(t.n_types AS DOUBLE) / t.n_tokens AS ttr,
-        |  ROUND(hh, 4) AS entropy
-        |FROM h JOIN t USING (source) ORDER BY source""".stripMargin,
+    "d45_source_entropy" -> sourceEntropyOracleSql,
+    // s17 accumulates the same (source, token) counts in the state store
+    // (complete mode) and derives entropy from the FINAL state — the
+    // converged metrics must equal the batch formulation, so it shares
+    // d45's oracle verbatim.
+    "s17_stream_entropy" -> sourceEntropyOracleSql,
     "d43_linkage_scores" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars, text FROM documents

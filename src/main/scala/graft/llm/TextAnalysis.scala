@@ -290,4 +290,30 @@ object TextAnalysis {
       .withColumn("avg_nll", col("nll") / col("n_bigrams"))
       .select(col(idCol), col("n_bigrams"), col("avg_nll"))
   }
+
+  /**
+   * Corpus diversity metrics from a unigram count table (columns
+   * `groupCol`, `w`, `c`): Shannon entropy H = -Σ (c/N)·ln(c/N) folded in
+   * ascending-token order (the bigram-LM double-portability contract:
+   * every divide/multiply/add is one correctly-rounded IEEE op on
+   * identical operands, the fold order fixes the bits, and the ln ulps
+   * survive ROUND(,4)) + exact type-token ratio. Taking COUNTS as input
+   * lets the batch (d45) and streaming-state (s17) paths share it. The
+   * ordered fold is the GATE path; the 100 TB path is the order-free
+   * decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable sum.
+   */
+  def unigramEntropy(counts: DataFrame, groupCol: String = "source"): DataFrame = {
+    val totals = counts.groupBy(groupCol)
+      .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+    val p = col("c").cast("double") / col("n_tokens")
+    counts.join(totals, groupCol)
+      .select(col(groupCol), col("w"), (-p * log(p)).as("term"))
+      .groupBy(groupCol)
+      .agg(aggregate(sort_array(collect_list(struct(col("w"), col("term")))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("__h"))
+      .join(totals, groupCol)
+      .select(col(groupCol), col("n_tokens"), col("n_types"),
+        (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+        round(col("__h"), 4).as("entropy"))
+  }
 }
