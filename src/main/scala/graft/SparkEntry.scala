@@ -2349,6 +2349,15 @@ object SparkEntry {
       graft.ops.Graph.labelPropagation(affinePartGraph(s, d), rounds = 3)
         .orderBy("v")
     }),
+    "q66_modularity" -> ((s, d) => {
+      // Newman modularity of q62's LPA labelling as an EXACT RATIONAL
+      // (Graph.modularity): q_num/q_den = Σ_c(4·m·l_c − D_c²) / 4m², all
+      // 64-bit integers — the quality gate that tells you whether the
+      // community structure beats random expectation, float-free.
+      val edges = affinePartGraph(s, d)
+      graft.ops.Graph.modularity(edges,
+        graft.ops.Graph.labelPropagation(edges, rounds = 3))
+    }),
     "q63_sssp" -> ((s, d) => {
       // round-synchronous Bellman-Ford (Graph.shortestPaths) over the
       // affine graph with deterministic integer weights w = (src*7 +
@@ -2672,10 +2681,11 @@ object SparkEntry {
       |  ROUND(hh, 4) AS entropy
       |FROM h JOIN t USING (source) ORDER BY source""".stripMargin
 
-  /** q62: replay 3 synchronous LPA rounds — neighbour label counts, then
-    * the (max count, min label) pick via a window rank over the grouped
+  /** q62/q66 shared CTE chain: the affine graph's canonical undirected
+    * edges + 3 synchronous LPA rounds — neighbour label counts, then the
+    * (max count, min label) pick via a window rank over the grouped
     * counts. Labels are exact integers, so every round is portable. */
-  private val labelPropOracleSql: String = {
+  private val lpaCtesSql: String = {
     val rounds = (1 to 3).map { k =>
       s"""c$k AS (
          |  SELECT b.v, p.label, COUNT(*) AS cnt
@@ -2687,7 +2697,7 @@ object SparkEntry {
          |  WHERE rn = 1
          |)""".stripMargin
     }.mkString(",\n")
-    s"""WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+    s"""n0 AS (SELECT COUNT(*) AS n FROM part),
        |raw AS (
        |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
        |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
@@ -2700,10 +2710,32 @@ object SparkEntry {
        |), bi AS (
        |  SELECT s AS v, g AS nbr FROM canon UNION ALL SELECT g, s FROM canon
        |), l0 AS (SELECT DISTINCT v AS v, v AS label FROM bi),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val labelPropOracleSql: String =
+    s"""WITH $lpaCtesSql
        |SELECT CAST(v AS BIGINT) AS v, CAST(label AS BIGINT) AS label
        |FROM l3 ORDER BY v""".stripMargin
-  }
+
+  /** q66: modularity of the l3 labelling as the exact rational
+    * q_num/q_den = Σ_c(4·m·l_c − D_c²) / 4m² — integers only. */
+  private val modularityOracleSql: String =
+    s"""WITH $lpaCtesSql,
+       |m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM canon),
+       |degs AS (SELECT v, COUNT(*) AS d FROM bi GROUP BY 1),
+       |dc AS (SELECT l.label, SUM(d.d) AS dc FROM l3 l JOIN degs d USING (v) GROUP BY 1),
+       |lc AS (
+       |  SELECT la.label, CAST(COUNT(*) AS BIGINT) AS lc
+       |  FROM canon c JOIN l3 la ON la.v = c.s JOIN l3 lb ON lb.v = c.g
+       |  WHERE la.label = lb.label GROUP BY 1
+       |), terms AS (
+       |  SELECT d.label, 4 * m.m * COALESCE(l.lc, 0) - d.dc * d.dc AS t
+       |  FROM dc d LEFT JOIN lc l USING (label) CROSS JOIN m
+       |)
+       |SELECT m.m AS m_edges, CAST(COUNT(*) AS BIGINT) AS n_communities,
+       |  CAST(SUM(t.t) AS BIGINT) AS q_num, CAST(4 * m.m * m.m AS BIGINT) AS q_den
+       |FROM terms t CROSS JOIN m GROUP BY m.m""".stripMargin
 
   /** q63: 6 unrolled round-synchronous Bellman-Ford relaxations — each
     * round is (previous distances UNION ALL edge-relaxed candidates) →
@@ -4410,6 +4442,7 @@ object SparkEntry {
     "q50_pagerank" -> pageRankOracleSql,
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
+    "q66_modularity" -> modularityOracleSql,
     // q51/s12's oracle deliberately recomputes the aggregate FROM SCRATCH
     // over the changed base (survivors = base minus deleted bucket plus the
     // non-bucket-3 post-cutoff inserts): the Spark side must reproduce it

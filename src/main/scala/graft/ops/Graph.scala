@@ -358,6 +358,46 @@ object Graph {
     dist.toSeq.map { case (v, dd) => (v, dd) }.toDF("v", "dist")
   }
 
+  /**
+   * Newman modularity of a community labelling, as an EXACT RATIONAL
+   * (the q56 contract — no float anywhere): for undirected communities,
+   * `Q = Σ_c (l_c/m − (D_c/2m)²)` with l_c = intra-community edges,
+   * D_c = degree sum of community c, m = |edges|. Over the common
+   * denominator: `q_num = Σ_c (4·m·l_c − D_c²)`, `q_den = 4m²` —
+   * all 64-bit-safe integers up to m ≈ 1.5·10⁹ edges.
+   *
+   * The quality gate for [[labelPropagation]]'s output (and any other
+   * clustering of a dedup-pair graph): one edge join against the label
+   * map (twice, both endpoint sides), one degree agg, two community-keyed
+   * aggs — no per-pair communication beyond the edge list itself.
+   *
+   * @param labels columns (v, label)
+   * @return one row: m_edges, n_communities, q_num, q_den
+   */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val canon = canonicalEdges(edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")))
+    val lab = labels.select(col("v").cast("long").as("v"),
+      col("label").cast("long").as("label")).localCheckpoint()
+    val cCk = canon.localCheckpoint()
+    val m = cCk.count() // driver scalar, one agg job on the materialized edges
+    val withLabels = cCk
+      .join(lab.select(col("v").as("src"), col("label").as("__la")), "src")
+      .join(lab.select(col("v").as("dst"), col("label").as("__lb")), "dst")
+    val lc = withLabels.filter(col("__la") === col("__lb"))
+      .groupBy(col("__la").as("label")).agg(count(lit(1)).as("__lc"))
+    val dc = cCk.select(explode(array(col("src"), col("dst"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("__d"))
+      .join(lab, "v")
+      .groupBy("label").agg(sum(col("__d")).as("__dc"))
+    dc.join(lc, Seq("label"), "left")
+      .select((lit(4L * m) * coalesce(col("__lc"), lit(0L)) -
+        col("__dc") * col("__dc")).as("__t"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("__t")).as("q_num"))
+      .select(lit(m).as("m_edges"), col("n_communities"), col("q_num"),
+        lit(4L * m * m).as("q_den"))
+  }
+
   /** Total triangle count of the undirected graph. */
   def triangleCount(edges: DataFrame): DataFrame = {
     val canon = canonicalEdges(edges)

@@ -184,6 +184,23 @@ class GraphSpec extends SparkSpec {
     assert(local == dist && local.nonEmpty)
   }
 
+  test("modularity: hand-computed two-triangle graph; whole-graph community scores 0") {
+    // two triangles {1,2,3} and {4,5,6} + bridge 3-4: m=7, per community
+    // l_c=3, D_c=7 -> Q = 2*(3/7 - (7/14)^2) = 5/14 = 70/196
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+      .toDF("src", "dst")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L), (6L, 4L))
+      .toDF("v", "label")
+    val q = Graph.modularity(edges, labels)
+      .as[(Long, Long, Long, Long)].head()
+    assert(q == ((7L, 2L, 70L, 196L)))
+
+    // everything in ONE community: Q = m/m - 1 = 0 exactly
+    val one = labels.withColumn("label", lit(1L))
+    val q1 = Graph.modularity(edges, one).as[(Long, Long, Long, Long)].head()
+    assert(q1 == ((7L, 1L, 0L, 196L)))
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
