@@ -1327,6 +1327,37 @@ object SparkEntry {
         .select(col("id").as("doc_id"), col("component"))
         .orderBy(col("doc_id"))
     }),
+    "s18_stream_cc" -> ((s, d) => {
+      // STREAMING INCREMENTAL CC (Streaming.incrementalCcStream): d20's
+      // edge set arrives in 3 microbatches; each folds into the versioned
+      // (id, component) map with the previous map re-entering as
+      // id→component edges (history compresses to O(V) rows). CC is
+      // batching-insensitive, so the converged map equals the batch
+      // labelling — s18 shares d20's recursive-CTE oracle verbatim.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val chain = docs.filter(expr("doc_id % 7 = 0"))
+        .select(col("doc_id").as("id_a"), (col("doc_id") + 7).as("id_b"))
+        .join(docs.withColumnRenamed("doc_id", "id_b"), Seq("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val edges = minhashSqlPairs(s, d).select(col("id_a"), col("id_b"))
+        .unionByName(chain)
+      val root = java.nio.file.Files.createTempDirectory("s18").toString
+      edges.repartition(3).write.parquet(s"$root/edges")
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id_a",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("id_b",
+          org.apache.spark.sql.types.LongType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/edges")
+      graft.streaming.Streaming.incrementalCcStream(
+          stream, s"$root/map", s"$root/ckpt")
+        .awaitTermination()
+      graft.streaming.Streaming.latestIvmView(s, s"$root/map")
+        .select(col("id").as("doc_id"), col("component"))
+        .orderBy("doc_id")
+    }),
     "d21_simhash_sql" -> ((s, d) => {
       // ORACLE-CHECKED SimHash twin: the full banding + Hamming-verify
       // pipeline over md5-derived per-token bits (engine-portable
@@ -2387,6 +2418,36 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
+    "q67_set_ops" -> ((s, d) => {
+      // explicit INTERSECT / EXCEPT — the §2.6 members q24's UNION left
+      // implicit: customers with urgent orders ∩/∖ customers with 'F'
+      // status orders, tagged and unioned into one result. Both plan as
+      // keyed joins (left-semi/left-anti over distinct sets), never a
+      // nested loop.
+      val o = t(s, d, "orders")
+      val urgent = o.filter(col("o_orderpriority") === "1-URGENT")
+        .select(col("o_custkey"))
+      val done = o.filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey"))
+      urgent.intersect(done).withColumn("tag", lit("both"))
+        .unionByName(urgent.except(done).withColumn("tag", lit("urgent_only")))
+        .orderBy("tag", "o_custkey")
+    }),
+    "q68_ntile" -> ((s, d) => {
+      // equi-DEPTH histogram via ntile(10) over the (value, event_id)
+      // TOTAL order (the tie-break makes bucket boundaries deterministic,
+      // so the bucket stats hash — lo/hi are verbatim source doubles).
+      // An unpartitioned window is a single-task global sort BY DESIGN
+      // here (the semantic under test); at 100 TB equi-depth bounds come
+      // from q33's exact percentiles / q40's approx_percentile instead.
+      val w = Window.orderBy(col("value"), col("event_id"))
+      t(s, d, "events")
+        .select(col("event_id"), col("value"), ntile(10).over(w).as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
+          max(col("value")).as("hi"))
+        .orderBy("decile")
+    }),
     "q65_histogram" -> ((s, d) => {
       // exact equi-width histogram (the profiling family next to q42's
       // audit and q40's approx quantiles): DYADIC bin width 32, so
@@ -2622,6 +2683,41 @@ object SparkEntry {
        |$rounds
        |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 20""".stripMargin
   }
+
+  /** d20 + s18 (stream ≡ batch) cluster-formation oracle: the portable
+    * minhash pair set UNION the deterministic id chain, closed with a
+    * recursive CTE to min-id component labels. */
+  private val dedupClustersOracleSql: String =
+    """WITH RECURSIVE tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents WHERE doc_id % 2 = 0
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+      |  FROM tk WHERE len(t) > 1
+      |), banded AS (
+      |  SELECT doc_id, k,
+      |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+      |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+      |), mh AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 4
+      |), chain AS (
+      |  SELECT d.doc_id AS id_a, d.doc_id + 7 AS id_b
+      |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
+      |  WHERE d.doc_id % 7 = 0
+      |), edges AS (
+      |  SELECT id_a, id_b FROM mh UNION ALL SELECT id_a, id_b FROM chain
+      |), sym AS (
+      |  SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges
+      |), reach AS (
+      |  SELECT u, v FROM sym
+      |  UNION
+      |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+      |)
+      |SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
+      |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin
 
   /** d40 + s16 (stream ≡ batch) span-dedup oracle. Chunking CTEs: 0-based
     * 5-token non-overlapping chunks (list_slice clamps the tail),
@@ -3769,37 +3865,11 @@ object SparkEntry {
     // closure by recursive CTE: tiny here, but the point of the Spark side
     // (large-star/small-star) is exactly that closure-by-joins does NOT
     // scale — the oracle pins the semantics, the operator owns the scale
-    "d20_dedup_clusters" ->
-      """WITH RECURSIVE tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents WHERE doc_id % 2 = 0
-        |), g AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
-        |  FROM tk WHERE len(t) > 1
-        |), banded AS (
-        |  SELECT doc_id, k,
-        |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
-        |  FROM g, (SELECT unnest(range(0, 8)) AS k)
-        |), mh AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4
-        |), chain AS (
-        |  SELECT d.doc_id AS id_a, d.doc_id + 7 AS id_b
-        |  FROM documents d JOIN documents e ON e.doc_id = d.doc_id + 7
-        |  WHERE d.doc_id % 7 = 0
-        |), edges AS (
-        |  SELECT id_a, id_b FROM mh UNION ALL SELECT id_a, id_b FROM chain
-        |), sym AS (
-        |  SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges
-        |), reach AS (
-        |  SELECT u, v FROM sym
-        |  UNION
-        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
-        |)
-        |SELECT u AS doc_id, LEAST(u, MIN(v)) AS component
-        |FROM reach GROUP BY u ORDER BY doc_id""".stripMargin,
+    "d20_dedup_clusters" -> dedupClustersOracleSql,
+    // s18 folds the SAME edge set into the versioned component map one
+    // microbatch at a time; CC is batching-insensitive, so the converged
+    // map shares d20's closure oracle verbatim.
+    "s18_stream_cc" -> dedupClustersOracleSql,
     "d15_stratified_sample" ->
       """SELECT lang, doc_id FROM (
         |  SELECT lang, doc_id,
@@ -4222,6 +4292,27 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q67_set_ops" ->
+      """WITH urgent AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+        |), done AS (
+        |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |)
+        |SELECT o_custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey FROM urgent INTERSECT SELECT o_custkey FROM done)
+        |UNION ALL
+        |SELECT o_custkey, 'urgent_only' FROM (
+        |  SELECT o_custkey FROM urgent EXCEPT SELECT o_custkey FROM done)
+        |ORDER BY tag, o_custkey""".stripMargin,
+    "q68_ntile" ->
+      """WITH b AS (
+        |  SELECT event_id, value,
+        |    NTILE(10) OVER (ORDER BY value, event_id) AS decile
+        |  FROM events
+        |)
+        |SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+        |  MIN(value) AS lo, MAX(value) AS hi
+        |FROM b GROUP BY decile ORDER BY decile""".stripMargin,
     "q65_histogram" ->
       """SELECT event_type, CAST(FLOOR(value / 32) AS BIGINT) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n

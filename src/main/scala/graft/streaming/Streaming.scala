@@ -407,6 +407,46 @@ object Streaming {
       .start()
   }
 
+  /**
+   * Streaming incremental connected components: edge microbatches fold
+   * into a persisted (id, component) map — the d20 cluster formation with
+   * the pair stream arriving over time (near-dup edges from s06-style
+   * ingest, entity-match edges from linkage). Per batch the previous map
+   * re-enters as (id → component) edges, so all history COMPRESSES into
+   * O(V) rows regardless of how many edges ever arrived, and the new
+   * batch unions with it through [[graft.ops.ConnectedComponents]] (min-id
+   * labels; bounded-probe driver path on small graphs, large-star/
+   * small-star above). CC is order- and batching-insensitive — any edge
+   * split converges to the batch labelling, which is why s18 shares d20's
+   * recursive-CTE oracle shape.
+   *
+   * The map is VERSIONED copy-on-write exactly like [[ivmRefreshStream]]:
+   * batch `b` reads `mapDir/v=b` (absent ⇒ empty) and overwrites
+   * `mapDir/v=b+1`, making crash replay idempotent. Old versions are
+   * retained time travel; prune like checkpoints.
+   */
+  def incrementalCcStream(edges: DataFrame, mapDir: String,
+                          checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    edges.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val vPath = new org.apache.hadoop.fs.Path(s"$mapDir/v=$batchId")
+        val fs = vPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val prevEdges =
+          if (fs.exists(vPath))
+            spark.read.parquet(vPath.toString)
+              .select(col("id").as("id_a"), col("component").as("id_b"))
+          else batch.limit(0).select(col("id_a"), col("id_b"))
+        val all = batch.select(col("id_a"), col("id_b")).unionByName(prevEdges)
+        graft.ops.ConnectedComponents.labels(all, "id_a", "id_b")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$mapDir/v=${batchId + 1}")
+      }
+      .start()
+
   /** One event on the transition stream. */
   case class TransitionEvent(user_id: Long, event_type: String, us: Long,
                              event_id: Long)

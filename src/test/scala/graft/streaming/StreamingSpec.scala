@@ -255,6 +255,36 @@ class StreamingSpec extends SparkSpec {
     assert(files == 1, s"expected compaction to 1 file, found $files")
   }
 
+  test("incrementalCcStream: late bridge edge merges two streamed components") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scc").toString
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+
+    def runDrop(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/edges")
+      Streaming.incrementalCcStream(stream, s"$root/map", s"$root/ckpt")
+        .awaitTermination()
+    }
+
+    // drop 1: two separate components {1,2,3} and {10,11}
+    Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+      .write.mode("append").parquet(s"$root/edges")
+    runDrop()
+    val m1 = Streaming.latestIvmView(spark, s"$root/map")
+      .as[(Long, Long)].collect().toMap
+    assert(m1 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+
+    // drop 2: a bridge 3-10 must merge BOTH components to min id 1 —
+    // including vertex 11, reachable only through the compressed map
+    Seq((3L, 10L)).toDF("id_a", "id_b")
+      .write.mode("append").parquet(s"$root/edges")
+    runDrop()
+    val m2 = Streaming.latestIvmView(spark, s"$root/map")
+      .as[(Long, Long)].collect().toMap
+    assert(m2 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 11L -> 1L))
+  }
+
   test("streaming near-dup index: bucketed layout prunes the probe and compacts") {
     import graft.llm.Dedup
     val root = java.nio.file.Files.createTempDirectory("graft-neardup-idx").toString
