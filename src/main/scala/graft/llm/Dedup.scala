@@ -1216,10 +1216,13 @@ object Dedup {
                                textCol: String = "text"): DataFrame = {
     val toks = TextAnalysis.tokens(col(textCol))
     // materialize the distinct (group, gram) set ONCE — it feeds both the
-    // totals agg and the self-join, and the tokenize+explode pass is the
-    // expensive part (the hashedImportanceTopK lesson: without this the
-    // scan runs once per consumer)
+    // totals agg and the pair generation, and the tokenize+explode pass is
+    // the expensive part (the hashedImportanceTopK lesson: without this
+    // the scan runs once per consumer). Spread FIRST: a small parquet
+    // arrives as one partition and the explode would run single-threaded
+    // into the checkpoint (the d34 lesson).
     val grams = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .filter(size(toks) >= 2)
       .select(col(groupCol).as("__g"), explode(array_distinct(
         transform(sequence(lit(1), size(toks) - 1), i =>
@@ -1229,10 +1232,16 @@ object Dedup {
       .localCheckpoint()
     val totals = grams.groupBy(col("__g").as("source_a"))
       .agg(count(lit(1)).as("n_a"))
-    val common = grams.join(
-        grams.select(col("__g").as("__g2"), col("__gram")), "__gram")
-      .filter(col("__g") =!= col("__g2"))
-      .groupBy(col("__g").as("source_a"), col("__g2").as("source_b"))
+    // pairs via per-gram group sets, NOT a gram-keyed self-join: one agg
+    // collects each gram's sources (bounded by the group count, not the
+    // corpus), then a narrow ordered-pair explode feeds the pair counts —
+    // the Σ_gram df² intermediate never goes through join machinery
+    val common = grams.groupBy("__gram")
+      .agg(collect_set(col("__g")).as("__gs"))
+      .select(explode(expr(
+        "flatten(transform(__gs, a -> transform(filter(__gs, b -> b != a), b -> struct(a, b))))"))
+        .as("__p"))
+      .groupBy(col("__p.a").as("source_a"), col("__p.b").as("source_b"))
       .agg(count(lit(1)).as("n_common"))
     common.join(totals, "source_a")
       .select(col("source_a"), col("source_b"), col("n_common"), col("n_a"),
