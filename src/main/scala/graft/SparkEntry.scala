@@ -914,6 +914,19 @@ object SparkEntry {
         .groupBy(col("media_id")).agg(count(lit(1)).as("n_frames"))
         .orderBy("media_id")
     }),
+    "m03_resize" -> ((s, d) => {
+      // multimodal RESIZE with real pixels: PPM rows downsample to fit
+      // maxDim=4 via integer nearest-neighbour (src = (x'·w)/w' integer
+      // division), re-encode as P6, and imageStats re-decodes the RESIZED
+      // payload — the oracle replays the exact pixel mapping analytically
+      // from the synthetic formula, so a resample bug (coordinate math,
+      // raster offset, header) breaks the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+      graft.llm.Multimodal.imageStats(
+          graft.llm.Multimodal.resizeImages(media, maxDim = 4))
+        .orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -3292,6 +3305,31 @@ object SparkEntry {
     // channel value (id*7 + y*11 + x*13 + c*17) % 256 over a
     // (4 + id%5) × (3 + id%4) raster — if the engine's PPM decoder reads
     // the header or raster wrong, these sums cannot match.
+    // m03: replay the integer nearest-neighbour resample analytically —
+    // output dims (2·d·4 + m)/(2m) round-half-up, source pixel
+    // ((x'·w)//w2, (y'·h)//h2), channel value from the synthetic formula.
+    "m03_resize" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id, 4 + p_partkey % 5 AS w, 3 + p_partkey % 4 AS h
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 0
+        |), dims AS (
+        |  SELECT media_id, w, h,
+        |    CASE WHEN GREATEST(w, h) <= 4 THEN w
+        |         ELSE GREATEST((2 * w * 4 + GREATEST(w, h)) // (2 * GREATEST(w, h)), 1)
+        |    END AS w2,
+        |    CASE WHEN GREATEST(w, h) <= 4 THEN h
+        |         ELSE GREATEST((2 * h * 4 + GREATEST(w, h)) // (2 * GREATEST(w, h)), 1)
+        |    END AS h2
+        |  FROM img
+        |)
+        |SELECT d.media_id, CAST(d.w2 AS INT) AS width, CAST(d.h2 AS INT) AS height,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |FROM dims d,
+        |  LATERAL (SELECT unnest(range(d.h2)) AS y) y,
+        |  LATERAL (SELECT unnest(range(d.w2)) AS x) x
+        |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,

@@ -166,19 +166,57 @@ object Multimodal {
         col("__st._5").as("sum_b"))
   }
 
-  /** Image resize stub: rewrites the metadata dims, payload untouched
-    * (??? real pixel work requires a codec). Plan shape is the real one. */
+  /** Round-half-up integer scaling of one dimension to fit `maxDim`:
+    * `(2·d·maxDim + m) / (2m)` — pure integer rational, so an external
+    * engine replays the exact output dims. */
+  private def scaleDim(d: Int, m: Int, maxDim: Int): Int =
+    math.max(((2L * d * maxDim + m) / (2L * m)).toInt, 1)
+
+  /**
+   * Image resize with REAL pixels for PPM rows: integer nearest-neighbour
+   * resample — source pixel of output (x', y') is `((x'·w)/w', (y'·h)/h')`
+   * with integer division, so the pixel mapping (and therefore the
+   * resized image's exact channel sums — the m03 oracle) is replayable by
+   * a second engine — re-encoded as P6. Non-PPM payloads pass through
+   * untouched (no codec for them in this build); metadata dims update for
+   * every row via the same integer rational. Narrow map, no shuffle, one
+   * decode+encode per image — the mapInPandas-shaped batch stage of a
+   * real media pipeline with the codec swapped for the pure-JVM PPM one.
+   */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    val resample = udf { (payload: Array[Byte]) =>
+      decodePpm(payload) match {
+        case Some((w, h, rgb)) if math.max(w, h) > maxDim =>
+          val m = math.max(w, h)
+          val w2 = scaleDim(w, m, maxDim)
+          val h2 = scaleDim(h, m, maxDim)
+          val out = new Array[Byte](w2 * h2 * 3)
+          var y = 0
+          while (y < h2) {
+            val sy = y * h / h2
+            var x = 0
+            while (x < w2) {
+              val sp = (sy * w + x * w / w2) * 3
+              val dp = (y * w2 + x) * 3
+              out(dp) = rgb(sp); out(dp + 1) = rgb(sp + 1); out(dp + 2) = rgb(sp + 2)
+              x += 1
+            }
+            y += 1
+          }
+          s"P6\n$w2 $h2\n255\n".getBytes("US-ASCII") ++ out
+        case _ => payload
+      }
+    }
     val scale = udf { (w: java.lang.Integer, h: java.lang.Integer) =>
       if (w == null || h == null) null
       else {
         val m = math.max(w.toInt, h.toInt)
         if (m <= maxDim) (w.toInt, h.toInt)
-        else (math.round(w.toInt * maxDim.toDouble / m).toInt,
-              math.round(h.toInt * maxDim.toDouble / m).toInt)
+        else (scaleDim(w.toInt, m, maxDim), scaleDim(h.toInt, m, maxDim))
       }
     }.apply(col("meta.width"), col("meta.height"))
-    media.withColumn("__dims", scale)
+    media.withColumn("payload", resample(col("payload")))
+      .withColumn("__dims", scale)
       .withColumn("meta", struct(
         col("meta.media_type"), col("meta.format"),
         col("__dims._1").as("width"), col("__dims._2").as("height"),

@@ -71,6 +71,31 @@ class MultimodalSpec extends SparkSpec {
     dims.foreach { case (_, w, h) => assert(math.max(w, h) <= 50) }
   }
 
+  test("resizeImages resamples real pixels: nearest-neighbour mapping, hand-checked") {
+    import spark.implicits._
+    // id=6 -> 5x5 source, resized to 4x4; expected pixel (x,y,c) =
+    // formula at src (x*5/4, y*5/4) integer division
+    val media = Multimodal.syntheticMedia(Seq(6L).toDF("k"), "k")
+    val resized = Multimodal.resizeImages(media, maxDim = 4)
+    val payload = resized.select("payload").as[Array[Byte]].head()
+    val Some((w2, h2, rgb)) = Multimodal.decodePpm(payload)
+    assert(w2 == 4 && h2 == 4)
+    for (y <- 0 until 4; x <- 0 until 4; c <- 0 until 3) {
+      val sx = x * 5 / 4; val sy = y * 5 / 4
+      val expect = ((6L * 7 + sy * 11 + sx * 13 + c * 17) % 256).toInt
+      assert((rgb((y * 4 + x) * 3 + c) & 0xFF) == expect,
+        s"pixel ($x,$y,$c): got ${rgb((y * 4 + x) * 3 + c) & 0xFF}, want $expect")
+    }
+    // meta dims track the payload dims
+    val dims = resized.select("meta.width", "meta.height").as[(Int, Int)].head()
+    assert(dims == ((4, 4)))
+    // already-small image passes through byte-identical
+    val small = Multimodal.resizeImages(media, maxDim = 10)
+      .select("payload").as[Array[Byte]].head()
+    val orig = media.select("payload").as[Array[Byte]].head()
+    assert(java.util.Arrays.equals(small, orig))
+  }
+
   test("sampleFrames: one row per sampled timestamp within duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
