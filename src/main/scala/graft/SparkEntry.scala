@@ -2431,6 +2431,31 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
+    "q69_scd2" -> ((s, d) => {
+      // SCD TYPE 2 history merge (Cdc.applyChangesetScd2, the
+      // history-tracking complement to q43's latest-wins SCD1): base
+      // customer balances open at epoch 0, event changes (purchase ⇒
+      // delete, else upsert at floor(value*100)) re-version each key —
+      // ONE lead window per key builds the whole validity chain, deletes
+      // close their predecessor but emit no row. All cells are exact
+      // longs (epoch-us, floors), fully hash-checked.
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("custkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val ev = t(s, d, "events").filter(col("user_id") <= 50)
+        .select(col("user_id").as("custkey"),
+          floor(col("value") * 100).cast("long").as("bal"),
+          unix_micros(col("ts")).as("ts"),
+          when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+          col("event_id"))
+      val wDedup = Window.partitionBy("custkey", "ts").orderBy(col("event_id").desc)
+      val ch = ev.withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn", "event_id")
+      graft.ops.Cdc.applyChangesetScd2(base, ch,
+          Seq("custkey"), Seq("bal"), "ts", "op")
+        .orderBy("custkey", "valid_from")
+    }),
     "q67_set_ops" -> ((s, d) => {
       // explicit INTERSECT / EXCEPT — the §2.6 members q24's UNION left
       // implicit: customers with urgent orders ∩/∖ customers with 'F'
@@ -4330,6 +4355,32 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q69_scd2" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
+        |    CAST(0 AS BIGINT) AS ts, 'U' AS op
+        |  FROM customer WHERE c_custkey <= 50
+        |), ch0 AS (
+        |  SELECT user_id AS custkey, CAST(FLOOR(value * 100) AS BIGINT) AS bal,
+        |    epoch_us(ts) AS ts,
+        |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+        |    event_id
+        |  FROM events WHERE user_id <= 50
+        |), ch AS (
+        |  SELECT custkey, bal, ts, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, ts
+        |      ORDER BY event_id DESC) AS rn FROM ch0)
+        |  WHERE rn = 1
+        |), ev AS (
+        |  SELECT custkey, bal, ts, op FROM base
+        |  UNION ALL SELECT custkey, bal, ts, op FROM ch
+        |), vers AS (
+        |  SELECT custkey, bal, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to, op
+        |  FROM ev
+        |)
+        |SELECT custkey, bal, valid_from, valid_to, valid_to IS NULL AS is_current
+        |FROM vers WHERE op <> 'D' ORDER BY custkey, valid_from""".stripMargin,
     "q67_set_ops" ->
       """WITH urgent AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'

@@ -62,6 +62,57 @@ object Cdc {
    * non-key payloads as structs — null-safe (`<=>`), so NULL payload
    * fields diff correctly. No window, no second scan.
    */
+  /**
+   * SCD TYPE 2 changeset application — MERGE with full history tracking,
+   * the other classic dimension-maintenance contract next to
+   * [[applyChangeset]]'s latest-wins overwrite: every upsert OPENS a new
+   * version row valid from its change time and CLOSES the key's previous
+   * current version at the same instant; a delete closes without opening.
+   * Version validity is the half-open interval `[valid_from, valid_to)`
+   * with `valid_to` null (and `is_current` true) for the live row.
+   *
+   * Mechanics: the base table's CURRENT rows re-enter as opening events
+   * at their own `valid_from`, union with the change events, and ONE
+   * `lead(ts)` window per key assigns every event its successor's
+   * timestamp as `valid_to` — deletes participate in the chain (they
+   * close their predecessor) but emit no row. Rows already closed in the
+   * base (`valid_to` non-null) pass through untouched. One shuffle on the
+   * key, one window, no join — the history rebuild never touches rows
+   * outside the changed keys' partitions, and at scale base+changes
+   * bucketed on the key makes the shuffle a co-located read.
+   *
+   * Timestamps are caller-supplied LONGS (epoch-us) so every output cell
+   * is exact; `(key, ts)` must be unique (dedupe upstream — latest
+   * sequence wins — exactly as [[applyChangeset]] requires).
+   *
+   * @param base    columns: keyCols ++ payloadCols ++ (valid_from: long,
+   *                valid_to: long nullable)
+   * @param changes columns: keyCols ++ payloadCols ++ (opCol: 'U' | 'D',
+   *                tsCol: long)
+   * @return keyCols ++ payloadCols ++ (valid_from, valid_to, is_current)
+   */
+  def applyChangesetScd2(base: DataFrame, changes: DataFrame,
+                         keyCols: Seq[String], payloadCols: Seq[String],
+                         tsCol: String, opCol: String): DataFrame = {
+    val closed = base.filter(col("valid_to").isNotNull)
+      .select((keyCols ++ payloadCols).map(col) :+ col("valid_from") :+
+        col("valid_to") :+ lit(false).as("is_current"): _*)
+    val openEvents = base.filter(col("valid_to").isNull)
+      .select((keyCols ++ payloadCols).map(col) :+
+        col("valid_from").as("__ts") :+ lit("U").as("__op"): _*)
+    val changeEvents = changes
+      .select((keyCols ++ payloadCols).map(col) :+
+        col(tsCol).cast("long").as("__ts") :+ col(opCol).as("__op"): _*)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ts"))
+    openEvents.unionByName(changeEvents)
+      .withColumn("__next", lead(col("__ts"), 1).over(w))
+      .filter(col("__op") =!= "D")
+      .select((keyCols ++ payloadCols).map(col) :+
+        col("__ts").as("valid_from") :+ col("__next").as("valid_to") :+
+        col("__next").isNull.as("is_current"): _*)
+      .unionByName(closed)
+  }
+
   def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
                    keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "keyCols must be non-empty")

@@ -61,6 +61,31 @@ class CdcSpec extends SparkSpec {
     assert(applied == expect)
   }
 
+  test("applyChangesetScd2: versions chain, deletes close, closed history passes through") {
+    // base: key 1 current since t=0; key 2 current since t=0 with an old
+    // closed version [(-10, 0)]; key 3 untouched current
+    val base = Seq(
+      (1L, 100L, 0L, Option.empty[Long]),
+      (2L, 200L, 0L, Option.empty[Long]),
+      (2L, 190L, -10L, Some(0L)),
+      (3L, 300L, 0L, Option.empty[Long])
+    ).toDF("k", "v", "valid_from", "valid_to")
+    // key 1: update at 5, update at 9; key 2: delete at 7
+    val changes = Seq(
+      (1L, 110L, "U", 5L), (1L, 120L, "U", 9L), (2L, 0L, "D", 7L)
+    ).toDF("k", "v", "op", "ts")
+    val out = Cdc.applyChangesetScd2(base, changes, Seq("k"), Seq("v"), "ts", "op")
+      .orderBy("k", "valid_from")
+      .as[(Long, Long, Long, Option[Long], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, 100L, 0L, Some(5L), false),   // closed by the t=5 update
+      (1L, 110L, 5L, Some(9L), false),   // closed by the t=9 update
+      (1L, 120L, 9L, None, true),        // live
+      (2L, 190L, -10L, Some(0L), false), // pre-closed history untouched
+      (2L, 200L, 0L, Some(7L), false),   // closed by the delete, no successor
+      (3L, 300L, 0L, None, true)))       // untouched key stays current
+  }
+
   test("applyChangeset rejects schema drift in changes") {
     val snapshot = Seq((1L, 1)).toDF("k", "v")
     val bad = Seq((1L, 1, 2L)).toDF("k", "v", "seq") // missing delete col
