@@ -2456,6 +2456,53 @@ object SparkEntry {
           Seq("custkey"), Seq("bal"), "ts", "op")
         .orderBy("custkey", "valid_from")
     }),
+    "q70_pit_join" -> ((s, d) => {
+      // POINT-IN-TIME JOIN: facts (click events, first 2000) against the
+      // q69 SCD2 dimension — each fact matches the version whose
+      // [valid_from, valid_to) interval contains its timestamp, i.e. the
+      // as-of operator (Deltas.asofJoin: union + ONE window pass, never a
+      // per-key cross product) applied to version rows; the half-open
+      // upper bound falls out because a later version always supersedes
+      // at its own valid_from. Facts before any version left-join to null.
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("custkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      // changes = views (upsert) + purchases (delete) ONLY; clicks are
+      // pure facts, so a click after a purchase and before the next view
+      // lands in a real deletion gap and must resolve to null
+      val ev = t(s, d, "events")
+        .filter(col("user_id") <= 50 &&
+          col("event_type").isin("view", "purchase"))
+        .select(col("user_id").as("custkey"),
+          floor(col("value") * 100).cast("long").as("bal"),
+          unix_micros(col("ts")).as("ts"),
+          when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+          col("event_id"))
+      val wDedup = Window.partitionBy("custkey", "ts").orderBy(col("event_id").desc)
+      val ch = ev.withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn", "event_id")
+      val dim = graft.ops.Cdc.applyChangesetScd2(base, ch,
+          Seq("custkey"), Seq("bal"), "ts", "op")
+      val facts = t(s, d, "events")
+        .filter(col("user_id") <= 50 && col("event_type") === "click" &&
+          col("event_id") <= 2000)
+        .select(col("event_id"), col("user_id").as("custkey"),
+          unix_micros(col("ts")).as("t_us"))
+      // delete tombstones enter the as-of input with null payload so a
+      // fact inside a deletion gap resolves to null (true interval
+      // semantics), not to the stale pre-delete version
+      val lookup = dim.select(col("custkey"), col("valid_from"), col("bal"))
+        .unionByName(ch.filter(col("op") === "D")
+          .select(col("custkey"), col("ts").as("valid_from"),
+            lit(null).cast("long").as("bal")))
+      graft.ops.Deltas.asofJoin(facts, lookup,
+          Seq("custkey"), leftTime = "t_us", rightTime = "valid_from",
+          payload = Seq("bal"))
+        .select(col("event_id"), col("custkey"), col("t_us"),
+          col("asof_bal").as("bal_at_event"))
+        .orderBy("event_id")
+    }),
     "q67_set_ops" -> ((s, d) => {
       // explicit INTERSECT / EXCEPT — the §2.6 members q24's UNION left
       // implicit: customers with urgent orders ∩/∖ customers with 'F'
@@ -4355,6 +4402,43 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
         |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
         |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // q70: interval semantics directly — each fact LEFT JOINs the single
+    // version whose [valid_from, valid_to) contains it (deletion gaps and
+    // pre-history match nothing -> null), which must equal the Spark
+    // as-of-with-tombstones formulation.
+    "q70_pit_join" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
+        |    CAST(0 AS BIGINT) AS ts, 'U' AS op
+        |  FROM customer WHERE c_custkey <= 50
+        |), ch0 AS (
+        |  SELECT user_id AS custkey, CAST(FLOOR(value * 100) AS BIGINT) AS bal,
+        |    epoch_us(ts) AS ts,
+        |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+        |    event_id
+        |  FROM events WHERE user_id <= 50 AND event_type IN ('view', 'purchase')
+        |), ch AS (
+        |  SELECT custkey, bal, ts, op FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, ts
+        |      ORDER BY event_id DESC) AS rn FROM ch0)
+        |  WHERE rn = 1
+        |), ev AS (
+        |  SELECT custkey, bal, ts, op FROM base
+        |  UNION ALL SELECT custkey, bal, ts, op FROM ch
+        |), vers AS (
+        |  SELECT custkey, bal, ts AS valid_from,
+        |    LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to, op
+        |  FROM ev
+        |), facts AS (
+        |  SELECT event_id, user_id AS custkey, epoch_us(ts) AS t_us
+        |  FROM events
+        |  WHERE user_id <= 50 AND event_type = 'click' AND event_id <= 2000
+        |)
+        |SELECT f.event_id, f.custkey, f.t_us, v.bal AS bal_at_event
+        |FROM facts f LEFT JOIN vers v ON v.custkey = f.custkey AND v.op <> 'D'
+        |  AND f.t_us >= v.valid_from
+        |  AND (v.valid_to IS NULL OR f.t_us < v.valid_to)
+        |ORDER BY event_id""".stripMargin,
     "q69_scd2" ->
       """WITH base AS (
         |  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
