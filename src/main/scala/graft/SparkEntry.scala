@@ -676,6 +676,17 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v07_hard_negatives" -> ((s, d) => {
+      // HARD-NEGATIVE MINING for contrastive training: each query's top-3
+      // most-similar vectors whose label DIFFERS (the near-but-wrong
+      // examples a dual encoder trains against). Same exact cosine fold
+      // as v01 — only ids and integer ranks survive to the hash.
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), k = 3,
+          excludeSameCol = Some("label"))
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "v02_ann_lsh" -> ((s, d) => {
       // LSH parameters sized to the corpus (500-2k vectors -> 2^5 buckets)
       // with Hamming-1 multiprobe: measured recall is 1.0 at every SF, so
@@ -1749,6 +1760,27 @@ object SparkEntry {
       // corpus scale.
       Dedup.stripBoilerplateSpans(t(s, d, "documents"), "doc_id",
           chunkTokens = 5, minDocFrequency = 3)
+        .orderBy("doc_id")
+    }),
+    "d46_leakfree_split" -> ((s, d) => {
+      // LEAKAGE-FREE train/test split: a near-dup of a training doc in
+      // the eval set leaks the answer, so the split unit is the CONNECTED
+      // COMPONENT of the near-dup graph, not the document — every member
+      // inherits its component's side. Side = first md5 hex digit of the
+      // component id (< '8' ⇒ train, ~50/50, portable); singletons are
+      // their own component. Composition of oracle-green pieces: d19's
+      // pair pipeline + d20's CC + d11's hash-split rule.
+      val docs = t(s, d, "documents").filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id"))
+      val pairs = minhashSqlPairs(s, d).select(col("id_a"), col("id_b"))
+      val comp = graft.ops.ConnectedComponents.labels(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("component"))
+      docs.join(comp, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("component"), col("doc_id")).as("component"))
+        .withColumn("split",
+          when(substring(md5(col("component").cast("string")), 1, 1) < "8",
+            "train").otherwise("test"))
         .orderBy("doc_id")
     }),
     "d43_linkage_scores" -> ((s, d) => {
@@ -3428,6 +3460,22 @@ object SparkEntry {
     // and norms as SEQUENTIAL double folds over the float vectors (Spark
     // `aggregate` with 0.0 init vs DuckDB list_reduce; 0.0+v1 == v1 exactly),
     // so equal ranks need no float output — only ids survive to the hash
+    "v07_hard_negatives" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin,
     "v01_ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -4510,6 +4558,35 @@ object SparkEntry {
     // converged metrics must equal the batch formulation, so it shares
     // d45's oracle verbatim.
     "s17_stream_entropy" -> sourceEntropyOracleSql,
+    "d46_leakfree_split" ->
+      """WITH RECURSIVE tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), g AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+        |  FROM tk WHERE len(t) > 1
+        |), banded AS (
+        |  SELECT doc_id, k,
+        |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+        |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+        |), mh AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2 HAVING COUNT(*) >= 4
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM mh UNION SELECT id_b, id_a FROM mh
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+        |), d AS (SELECT doc_id FROM documents WHERE doc_id % 2 = 0)
+        |SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS component,
+        |  CASE WHEN substring(md5(CAST(COALESCE(c.component, d.doc_id) AS VARCHAR)), 1, 1) < '8'
+        |       THEN 'train' ELSE 'test' END AS split
+        |FROM d LEFT JOIN comp c USING (doc_id) ORDER BY d.doc_id""".stripMargin,
     "d43_linkage_scores" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars, text FROM documents

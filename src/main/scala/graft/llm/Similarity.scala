@@ -75,19 +75,33 @@ object Similarity {
    * @param corpus  (idCol, vecCol) — any size
    * @param queries (idCol, vecCol) — small enough to broadcast
    */
+  /**
+   * @param excludeSameCol when set, candidates sharing the query's value
+   *        in this column are filtered out — the HARD-NEGATIVE MINING
+   *        contract for contrastive training: nearest vectors that are
+   *        NOT the query's own class (v07). None = plain nearest
+   *        neighbours.
+   */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     excludeSameCol: Option[String] = None): DataFrame = {
     // norms once per ROW (queries broadcast with theirs precomputed), one
     // primitive dot per pair, and the top-k window shuffles only narrow
     // (query_id, neighbor_id, cosine) rows — the n×q scored set never
     // carries vectors through an exchange. Same fold order as the HOF
     // formulation → bit-identical to the DuckDB oracle.
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("__qv"), normFast(col(vecCol)).as("__qn")))
-    val scored = corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn"))
+    val qCols = Seq(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), normFast(col(vecCol)).as("__qn")) ++
+      excludeSameCol.map(c => col(c).as("__qx"))
+    val cCols = Seq(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn")) ++
+      excludeSameCol.map(c => col(c).as("__cx"))
+    val q = broadcast(queries.select(qCols: _*))
+    val scored = corpus.select(cCols: _*)
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
+      .filter(if (excludeSameCol.isDefined) !(col("__cx") <=> col("__qx"))
+              else lit(true))
       .withColumn("cosine", cosineFromParts(
         dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
       .filter(col("cosine").isNotNull)

@@ -27,6 +27,26 @@ class SimilaritySpec extends SparkSpec {
     assert(nn == 1L)
   }
 
+  test("hard-negative mining: same-label candidates excluded, nearest other-label wins") {
+    val rng = new scala.util.Random(2)
+    val base = (1 to 40).map(i =>
+      (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat), i % 2))
+    // 41 copies vector 1 (label 1) but carries label 1 too — with
+    // excludeSameCol its twin is INVISIBLE and some label-0 vector wins;
+    // without, the twin wins
+    val df = (base :+ (41L, base.head._2, 1)).toDF("vec_id", "embedding", "label")
+    val plain = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 41), k = 1)
+      .select("neighbor_id").as[Long].head()
+    assert(plain == 1L)
+    val hard = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 41), k = 5,
+        excludeSameCol = Some("label"))
+      .select("neighbor_id").as[Long].collect().toSeq
+    assert(!hard.contains(1L) && hard.nonEmpty)
+    // every mined negative carries the OTHER label
+    val labels = df.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    hard.foreach(n => assert(labels(n) == 0))
+  }
+
   test("zero vectors get null cosine (no ANSI divide-by-zero) and never rank") {
     // one degenerate row must not kill a corpus-scale job: the zero vector's
     // cosine is undefined (0/0) — it is excluded from rankings, both as a
