@@ -1762,6 +1762,28 @@ object SparkEntry {
           chunkTokens = 5, minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d47_pipeline_e2e" -> ((s, d) => {
+      // END-TO-END PRETRAINING DATA PIPELINE — the composition a user of
+      // this library ships: corpus-level exact span dedup (d40) →
+      // survival-quality gate (keep docs retaining at least half their
+      // chunks, drop fully-deduped residue) → token recount of the
+      // CLEANED text → per-language token-budget packing (d12's greedy
+      // contiguous bins). Every stage is individually oracle-green; this
+      // row proves the COMPOSITION against one independent SQL replay.
+      val cleaned = Dedup.removeDuplicateSpans(t(s, d, "documents"),
+        "doc_id", chunkTokens = 5)
+      val kept = cleaned
+        .filter(col("n_removed") * 2 <= col("n_chunks") &&
+          col("clean_text") =!= "")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("clean_text"))))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.seqPack(kept, Seq("lang"), "doc_id", "n_tokens",
+          capacity = 256L)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
     "d46_leakfree_split" -> ((s, d) => {
       // LEAKAGE-FREE train/test split: a near-dup of a training doc in
       // the eval set leaks the answer, so the split unit is the CONNECTED
@@ -2801,6 +2823,26 @@ object SparkEntry {
        |SELECT v, r FROM r5 ORDER BY r DESC, v LIMIT 20""".stripMargin
   }
 
+  /** d47: the composed pipeline — span dedup (d40's CTEs) → survival
+    * quality gate → token recount of the CLEANED text → per-lang
+    * token-budget packing (d12's rule). Integers end to end. */
+  private val pipelineE2eOracleSql: String =
+    s"""WITH $spanDedupCtesSql,
+       |kept AS (
+       |  SELECT c.doc_id, d.lang,
+       |    CAST(len(regexp_split_to_array(c.clean_text, '\\s+')) AS BIGINT) AS n_tokens
+       |  FROM cleaned c JOIN documents d USING (doc_id)
+       |  WHERE c.n_removed * 2 <= c.n_chunks AND c.clean_text <> ''
+       |), packed AS (
+       |  SELECT lang, doc_id, n_tokens,
+       |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS bin_id
+       |  FROM kept
+       |)
+       |SELECT lang, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** d20 + s18 (stream ≡ batch) cluster-formation oracle: the portable
     * minhash pair set UNION the deterministic id chain, closed with a
     * recursive CTE to min-id component labels. */
@@ -2841,8 +2883,10 @@ object SparkEntry {
     * first-occurrence key encoded as doc_id*1000000+idx (idx < 1e6 — docs
     * are short), reassembly via position-ordered string_agg (fully-removed
     * docs -> ''). */
-  private val spanDedupOracleSql: String =
-    """WITH tk AS (
+  // def, not val: referenced by pipelineE2eOracleSql, which is declared
+  // earlier in this object — a val here would still be null at that point
+  private def spanDedupCtesSql: String =
+    """tk AS (
       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
       |  FROM documents
       |), ix AS (
@@ -2858,12 +2902,18 @@ object SparkEntry {
       |  SELECT c.doc_id, c.idx, c.chunk,
       |    (c.doc_id * 1000000 + c.idx) = f.first_key AS kept
       |  FROM ch c JOIN fo f USING (chunk)
-      |)
-      |SELECT doc_id,
-      |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
-      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-      |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+      |), cleaned AS (
+      |  SELECT doc_id,
+      |    COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+      |    CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |    CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |  FROM m GROUP BY doc_id
+      |)""".stripMargin
+
+  private val spanDedupOracleSql: String =
+    s"""WITH $spanDedupCtesSql
+       |SELECT doc_id, clean_text, n_chunks, n_removed
+       |FROM cleaned ORDER BY doc_id""".stripMargin
 
   /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
     * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
@@ -4558,6 +4608,7 @@ object SparkEntry {
     // converged metrics must equal the batch formulation, so it shares
     // d45's oracle verbatim.
     "s17_stream_entropy" -> sourceEntropyOracleSql,
+    "d47_pipeline_e2e" -> pipelineE2eOracleSql,
     "d46_leakfree_split" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
