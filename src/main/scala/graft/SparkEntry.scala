@@ -1762,6 +1762,30 @@ object SparkEntry {
           chunkTokens = 5, minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d48_novelty" -> ((s, d) => {
+      // per-doc NOVELTY score (curriculum / crawl-dedup signal): the
+      // fraction of a doc's distinct bigrams whose corpus-wide FIRST
+      // occurrence (min doc_id) is this doc — 1.0 = all-new content,
+      // 0.0 = everything seen before. One per-doc distinct explode, one
+      // gram-keyed min-agg (map-side combinable), one id-keyed rollup;
+      // counts exact, novelty one IEEE divide.
+      val toks = TextAnalysis.tokens(col("text"))
+      val grams = t(s, d, "documents")
+        .filter(size(toks) >= 2)
+        .select(col("doc_id"), explode(array_distinct(
+          transform(sequence(lit(1), size(toks) - 1), i =>
+            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+          .as("gram"))
+      val fo = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(fo, "gram")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
+        .orderBy("doc_id")
+    }),
     "d47_pipeline_e2e" -> ((s, d) => {
       // END-TO-END PRETRAINING DATA PIPELINE — the composition a user of
       // this library ships: corpus-level exact span dedup (d40) →
@@ -2556,6 +2580,16 @@ object SparkEntry {
         .select(col("event_id"), col("custkey"), col("t_us"),
           col("asof_bal").as("bal_at_event"))
         .orderBy("event_id")
+    }),
+    "q71_explode_outer" -> ((s, d) => {
+      // OUTER generator semantics (§2.9's table-function family): docs
+      // explode into their long tokens (length >= 8), and posexplode_outer
+      // KEEPS docs whose filtered array is empty as one null-pos/null-tok
+      // row — the left-join-shaped lateral a plain explode silently drops.
+      t(s, d, "documents").select(col("doc_id"),
+          posexplode_outer(filter(TextAnalysis.tokens(col("text")),
+            t => length(t) >= 8)).as(Seq("pos", "tok")))
+        .orderBy("doc_id", "pos")
     }),
     "q67_set_ops" -> ((s, d) => {
       // explicit INTERSECT / EXCEPT — the §2.6 members q24's UNION left
@@ -4563,6 +4597,36 @@ object SparkEntry {
         |)
         |SELECT custkey, bal, valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM vers WHERE op <> 'D' ORDER BY custkey, valid_from""".stripMargin,
+    "q71_explode_outer" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |      t -> len(t) >= 8) AS fs
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CASE WHEN len(fs) = 0 THEN NULL ELSE CAST(i - 1 AS INT) END AS pos,
+        |  CASE WHEN len(fs) = 0 THEN NULL ELSE fs[CAST(i AS INTEGER)] END AS tok
+        |FROM d, LATERAL (SELECT unnest(range(1, GREATEST(len(fs), 1) + 1)) AS i) r
+        |ORDER BY doc_id, pos""".stripMargin,
+    "d48_novelty" ->
+      """WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id, gram FROM (
+        |    SELECT doc_id,
+        |      unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS gram
+        |    FROM tk WHERE len(t) > 1)
+        |), fo AS (
+        |  SELECT gram, MIN(doc_id) AS first_doc FROM g GROUP BY 1
+        |)
+        |SELECT g.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        |  CAST(SUM(CASE WHEN f.first_doc = g.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / COUNT(*) AS novelty
+        |FROM g JOIN fo f USING (gram)
+        |GROUP BY g.doc_id ORDER BY g.doc_id""".stripMargin,
     "q67_set_ops" ->
       """WITH urgent AS (
         |  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
