@@ -1770,12 +1770,17 @@ object SparkEntry {
       // gram-keyed min-agg (map-side combinable), one id-keyed rollup;
       // counts exact, novelty one IEEE divide.
       val toks = TextAnalysis.tokens(col("text"))
+      // spread + materialize ONCE: grams feed both the first-occurrence
+      // agg and the join back (the d44 lesson — without this the explode
+      // runs twice, single-threaded off the one-partition parquet)
       val grams = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
         .filter(size(toks) >= 2)
         .select(col("doc_id"), explode(array_distinct(
           transform(sequence(lit(1), size(toks) - 1), i =>
             concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
           .as("gram"))
+        .localCheckpoint()
       val fo = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       grams.join(fo, "gram")
         .groupBy("doc_id")
@@ -2580,6 +2585,36 @@ object SparkEntry {
         .select(col("event_id"), col("custkey"), col("t_us"),
           col("asof_bal").as("bal_at_event"))
         .orderBy("event_id")
+    }),
+    "q72_range_frame" -> ((s, d) => {
+      // value-RANGE window frame (the frame kind q45's ROWS frames don't
+      // cover): per event, count and sum of the SAME USER's centi-values
+      // within ±1 hour of event time — RANGE BETWEEN interval bounds over
+      // the epoch-us long, exact integers end to end.
+      val w = Window.partitionBy("user_id").orderBy(col("t_us"))
+        .rangeBetween(-3600000000L, 3600000000L)
+      t(s, d, "events")
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .withColumn("n_nearby", count(lit(1)).over(w))
+        .withColumn("sum_nearby", sum(col("v")).over(w))
+        .orderBy("event_id")
+    }),
+    "q73_typed_agg" -> ((s, d) => {
+      // typed Aggregator UDAF (ops/TypedAggregators.ExactMoments): exact
+      // (n, Σx, Σx²) per event type over integer centi-values — the
+      // Dataset-API UDAF surface (case-class buffer + product encoders,
+      // registered via functions.udaf), map-side combinable by
+      // construction (reduce = partial, merge = combiner).
+      val mm = udaf(graft.ops.TypedAggregators.ExactMoments)
+      t(s, d, "events")
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("v"))
+        .groupBy("event_type")
+        .agg(mm(col("v")).as("__m"))
+        .select(col("event_type"), col("__m.n").as("n"),
+          col("__m.sum").as("sum_v"), col("__m.sumSq").as("sum_sq"))
+        .orderBy("event_type")
     }),
     "q71_explode_outer" -> ((s, d) => {
       // OUTER generator semantics (§2.9's table-function family): docs
@@ -4597,6 +4632,24 @@ object SparkEntry {
         |)
         |SELECT custkey, bal, valid_from, valid_to, valid_to IS NULL AS is_current
         |FROM vers WHERE op <> 'D' ORDER BY custkey, valid_from""".stripMargin,
+    "q72_range_frame" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
+        |    CAST(FLOOR(value * 100) AS BIGINT) AS v
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, t_us, v,
+        |  CAST(COUNT(*) OVER w AS BIGINT) AS n_nearby,
+        |  CAST(SUM(v) OVER w AS BIGINT) AS sum_nearby
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY t_us
+        |  RANGE BETWEEN 3600000000 PRECEDING AND 3600000000 FOLLOWING)
+        |ORDER BY event_id""".stripMargin,
+    "q73_typed_agg" ->
+      """SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_v,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT) * CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_sq
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q71_explode_outer" ->
       """WITH d AS (
         |  SELECT doc_id,

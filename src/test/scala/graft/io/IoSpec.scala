@@ -100,4 +100,31 @@ class IoSpec extends SparkSpec {
     assert(back.orderBy("doc_id").collect().toSeq ==
       clean.orderBy("doc_id").collect().toSeq)
   }
+
+  test("hive-partitioned layout: partition filter prunes at planning time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    (1L to 100L).map(i => (i, s"src${i % 4}", i * 2))
+      .toDF("id", "source", "v")
+      .write.partitionBy("source").parquet(s"$dir/t")
+    val q = spark.read.parquet(s"$dir/t").filter($"source" === "src1")
+    val plan = q.queryExecution.executedPlan.toString
+    // the partition-column predicate must reach PartitionFilters (directory
+    // pruning), not survive as a post-scan Filter over all partitions
+    assert(plan.contains("PartitionFilters") && plan.contains("src1"), plan)
+    assert(q.count() == 25L)
+  }
+
+  test("schema evolution: mergeSchema unifies old and new parquet vintages") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evolve").toString
+    Seq((1L, "a")).toDF("id", "name").write.parquet(s"$dir/t/batch=0")
+    Seq((2L, "b", 9L)).toDF("id", "name", "score").write.parquet(s"$dir/t/batch=1")
+    val merged = spark.read.option("mergeSchema", "true").parquet(s"$dir/t")
+    assert(merged.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = merged.select("id", "score").orderBy("id")
+      .as[(Long, Option[Long])].collect().toSeq
+    // old vintage surfaces null for the later-added column
+    assert(rows == Seq((1L, None), (2L, Some(9L))))
+  }
 }
