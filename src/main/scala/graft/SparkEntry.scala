@@ -1791,6 +1791,27 @@ object SparkEntry {
           (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
         .orderBy("doc_id")
     }),
+    "d49_pair_metrics" -> ((s, d) => {
+      // blocking-evaluation harness (Dedup.pairMetrics): two independent
+      // blocking schemes — (lang, n_chars%7) candidates vs
+      // (source, n_chars%5) "truth" — scored as tp/fp/fn + precision/
+      // recall from one full-outer pair join. The arithmetic and the
+      // canonicalization (unordered, deduped, self-pairs dropped) are
+      // what's gated; DedupSpec exercises the real LSH-vs-bruteforce use.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      def block(keys: Seq[Column]) = {
+        val a = docs.select(col("doc_id").as("id_a"),
+          struct(keys: _*).as("__k"))
+        val b = docs.select(col("doc_id").as("id_b"),
+          struct(keys: _*).as("__k"))
+        a.join(b, Seq("__k")).filter(col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+      }
+      Dedup.pairMetrics(
+        block(Seq(col("lang"), (col("n_chars") % 7).as("m"))),
+        block(Seq(col("source"), (col("n_chars") % 5).as("m"))))
+    }),
     "d47_pipeline_e2e" -> ((s, d) => {
       // END-TO-END PRETRAINING DATA PIPELINE — the composition a user of
       // this library ships: corpus-level exact span dedup (d40) →
@@ -2514,6 +2535,56 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_orderkey", "l_linenumber", "metric")
     }),
+    "s19_stream_scd2" -> ((s, d) => {
+      // STREAMING SCD2 (Streaming.scd2Stream): q69's change set arrives
+      // in 3 TIME-ORDERED microbatches (epoch-us cutoffs at Jan 10/20),
+      // each folding into the versioned history with copy-on-write
+      // commits. SCD2 application is batching-insensitive for
+      // time-ordered changes, so the converged history equals the
+      // one-shot batch application — s19 shares q69's oracle VERBATIM.
+      import org.apache.spark.sql.types._
+      val base = t(s, d, "customer").filter(col("c_custkey") <= 50)
+        .select(col("c_custkey").as("custkey"),
+          floor(col("c_acctbal")).cast("long").as("bal"),
+          lit(0L).as("valid_from"), lit(null).cast("long").as("valid_to"))
+      val ev = t(s, d, "events").filter(col("user_id") <= 50)
+        .select(col("user_id").as("custkey"),
+          floor(col("value") * 100).cast("long").as("bal"),
+          unix_micros(col("ts")).as("ts"),
+          when(col("event_type") === "purchase", "D").otherwise("U").as("op"),
+          col("event_id"))
+      val wDedup = Window.partitionBy("custkey", "ts").orderBy(col("event_id").desc)
+      val ch = ev.withColumn("__rn", row_number().over(wDedup))
+        .filter(col("__rn") === 1).drop("__rn", "event_id")
+      val root = java.nio.file.Files.createTempDirectory("s19").toString
+      base.coalesce(1).write.parquet(s"$root/dim/v=0")
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      val cut1 = 1704844800000000L // 2024-01-10 UTC in epoch-us
+      val cut2 = 1705708800000000L // 2024-01-20
+      Seq((0, col("ts") < cut1),
+          (1, col("ts") >= cut1 && col("ts") < cut2),
+          (2, col("ts") >= cut2)).foreach { case (b, cond) =>
+        val stage = s"$root/stage$b"
+        ch.filter(cond).coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified((b + 1) * 1000000000L)
+      }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("custkey", LongType),
+        StructField("bal", LongType), StructField("ts", LongType),
+        StructField("op", StringType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.Streaming.scd2Stream(stream, s"$root/dim",
+          s"$root/ckpt", Seq("custkey"), Seq("bal"), "ts", "op")
+        .awaitTermination()
+      graft.streaming.Streaming.latestIvmView(s, s"$root/dim")
+        .withColumn("is_current", col("valid_to").isNull)
+        .orderBy("custkey", "valid_from")
+    }),
     "q69_scd2" -> ((s, d) => {
       // SCD TYPE 2 history merge (Cdc.applyChangesetScd2, the
       // history-tracking complement to q43's latest-wins SCD1): base
@@ -2911,6 +2982,36 @@ object SparkEntry {
        |SELECT lang, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** q69 + s19 (stream ≡ batch) SCD2 oracle: base opening events UNION
+    * deduped changes, one LEAD chain per key, deletes filtered after
+    * closing their predecessor. Exact longs throughout. */
+  private val scd2OracleSql: String =
+    """WITH base AS (
+      |  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
+      |    CAST(0 AS BIGINT) AS ts, 'U' AS op
+      |  FROM customer WHERE c_custkey <= 50
+      |), ch0 AS (
+      |  SELECT user_id AS custkey, CAST(FLOOR(value * 100) AS BIGINT) AS bal,
+      |    epoch_us(ts) AS ts,
+      |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+      |    event_id
+      |  FROM events WHERE user_id <= 50
+      |), ch AS (
+      |  SELECT custkey, bal, ts, op FROM (
+      |    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, ts
+      |      ORDER BY event_id DESC) AS rn FROM ch0)
+      |  WHERE rn = 1
+      |), ev AS (
+      |  SELECT custkey, bal, ts, op FROM base
+      |  UNION ALL SELECT custkey, bal, ts, op FROM ch
+      |), vers AS (
+      |  SELECT custkey, bal, ts AS valid_from,
+      |    LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to, op
+      |  FROM ev
+      |)
+      |SELECT custkey, bal, valid_from, valid_to, valid_to IS NULL AS is_current
+      |FROM vers WHERE op <> 'D' ORDER BY custkey, valid_from""".stripMargin
 
   /** d20 + s18 (stream ≡ batch) cluster-formation oracle: the portable
     * minhash pair set UNION the deterministic id chain, closed with a
@@ -4606,32 +4707,11 @@ object SparkEntry {
         |  AND f.t_us >= v.valid_from
         |  AND (v.valid_to IS NULL OR f.t_us < v.valid_to)
         |ORDER BY event_id""".stripMargin,
-    "q69_scd2" ->
-      """WITH base AS (
-        |  SELECT c_custkey AS custkey, CAST(FLOOR(c_acctbal) AS BIGINT) AS bal,
-        |    CAST(0 AS BIGINT) AS ts, 'U' AS op
-        |  FROM customer WHERE c_custkey <= 50
-        |), ch0 AS (
-        |  SELECT user_id AS custkey, CAST(FLOOR(value * 100) AS BIGINT) AS bal,
-        |    epoch_us(ts) AS ts,
-        |    CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
-        |    event_id
-        |  FROM events WHERE user_id <= 50
-        |), ch AS (
-        |  SELECT custkey, bal, ts, op FROM (
-        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY custkey, ts
-        |      ORDER BY event_id DESC) AS rn FROM ch0)
-        |  WHERE rn = 1
-        |), ev AS (
-        |  SELECT custkey, bal, ts, op FROM base
-        |  UNION ALL SELECT custkey, bal, ts, op FROM ch
-        |), vers AS (
-        |  SELECT custkey, bal, ts AS valid_from,
-        |    LEAD(ts) OVER (PARTITION BY custkey ORDER BY ts) AS valid_to, op
-        |  FROM ev
-        |)
-        |SELECT custkey, bal, valid_from, valid_to, valid_to IS NULL AS is_current
-        |FROM vers WHERE op <> 'D' ORDER BY custkey, valid_from""".stripMargin,
+    "q69_scd2" -> scd2OracleSql,
+    // s19 folds the SAME change set into the versioned history one
+    // time-ordered microbatch at a time; the converged history equals the
+    // one-shot application, so it shares q69's oracle verbatim.
+    "s19_stream_scd2" -> scd2OracleSql,
     "q72_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t_us,
@@ -4725,6 +4805,31 @@ object SparkEntry {
     // converged metrics must equal the batch formulation, so it shares
     // d45's oracle verbatim.
     "s17_stream_entropy" -> sourceEntropyOracleSql,
+    "d49_pair_metrics" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars FROM documents
+        |), cand AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a JOIN d b
+        |  ON a.lang = b.lang AND a.n_chars % 7 = b.n_chars % 7
+        |    AND a.doc_id < b.doc_id
+        |), truth AS (
+        |  SELECT a.doc_id AS ia, b.doc_id AS ib FROM d a JOIN d b
+        |  ON a.source = b.source AND a.n_chars % 5 = b.n_chars % 5
+        |    AND a.doc_id < b.doc_id
+        |), j AS (
+        |  SELECT COALESCE(c.ia, t.ia) AS ia, c.ia IS NOT NULL AS in_c,
+        |    t.ia IS NOT NULL AS in_t
+        |  FROM cand c FULL OUTER JOIN truth t ON c.ia = t.ia AND c.ib = t.ib
+        |), m AS (
+        |  SELECT CAST(SUM(CASE WHEN in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(SUM(CASE WHEN in_c AND NOT in_t THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(SUM(CASE WHEN NOT in_c AND in_t THEN 1 ELSE 0 END) AS BIGINT) AS fn
+        |  FROM j
+        |)
+        |SELECT tp, fp, fn,
+        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
+        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall
+        |FROM m""".stripMargin,
     "d47_pipeline_e2e" -> pipelineE2eOracleSql,
     "d46_leakfree_split" ->
       """WITH RECURSIVE tk AS (

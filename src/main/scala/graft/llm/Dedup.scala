@@ -1248,6 +1248,31 @@ object Dedup {
         (col("n_common").cast("double") / col("n_a")).as("containment"))
   }
 
+  /**
+   * Candidate-pair quality metrics against a ground-truth pair set — the
+   * evaluation harness every blocking/LSH parameterization needs before
+   * it ships: both sides canonicalize to distinct unordered (min, max)
+   * pairs, then ONE full-outer key join yields tp/fp/fn and
+   * precision/recall (pair completeness) as single IEEE divides of exact
+   * longs. One row out; input order, duplicates, and orientation are all
+   * normalized away.
+   */
+  def pairMetrics(candidates: DataFrame, truth: DataFrame): DataFrame = {
+    def canon(df: DataFrame) = df.select(
+        least(col("id_a"), col("id_b")).as("a"),
+        greatest(col("id_a"), col("id_b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    canon(candidates).withColumn("__c", lit(1))
+      .join(canon(truth).withColumn("__t", lit(1)), Seq("a", "b"), "full_outer")
+      .agg(
+        sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L).otherwise(0L)).as("tp"),
+        sum(when(col("__c").isNotNull && col("__t").isNull, 1L).otherwise(0L)).as("fp"),
+        sum(when(col("__c").isNull && col("__t").isNotNull, 1L).otherwise(0L)).as("fn"))
+      .select(col("tp"), col("fp"), col("fn"),
+        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
+        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate pairs
     * (columns id_a, id_b) against the documents table. */
   def ngramJaccard(pairs: DataFrame, docs: DataFrame, idCol: String,

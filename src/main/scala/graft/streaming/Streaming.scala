@@ -447,6 +447,41 @@ object Streaming {
       }
       .start()
 
+  /**
+   * Streaming SCD2 maintenance: change microbatches fold into a versioned
+   * HISTORY table via [[graft.ops.Cdc.applyChangesetScd2]] — the
+   * history-tracking face of [[latestChangePerKey]]'s streaming SCD1.
+   * Batch `b` reads the full history at `dimDir/v=b` (absent ⇒ the
+   * caller-seeded initial base at `v=0`), applies the batch's changes
+   * (closed rows pass through, current rows re-version), and writes
+   * `v=b+1` — the [[ivmRefreshStream]] copy-on-write contract, so crash
+   * replay is idempotent. SCD2 application is batching-insensitive for
+   * time-ordered changes (each version's neighbours in the lead chain
+   * are the same whatever the batch split), so the converged history
+   * equals the one-shot batch application — s19 shares q69's oracle.
+   *
+   * The written history carries (valid_from, valid_to) only; is_current
+   * is DERIVED (`valid_to IS NULL`) to keep the stored schema the
+   * operator's input schema.
+   */
+  def scd2Stream(changes: DataFrame, dimDir: String, checkpointDir: String,
+                 keyCols: Seq[String], payloadCols: Seq[String],
+                 tsCol: String, opCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val dim = spark.read.parquet(s"$dimDir/v=$batchId")
+        graft.ops.Cdc.applyChangesetScd2(dim, batch, keyCols, payloadCols,
+            tsCol, opCol)
+          .drop("is_current")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(s"$dimDir/v=${batchId + 1}")
+      }
+      .start()
+
   /** One event on the transition stream. */
   case class TransitionEvent(user_id: Long, event_type: String, us: Long,
                              event_id: Long)

@@ -501,6 +501,32 @@ class DedupSpec extends SparkSpec {
       ("s2", "s1", 1L, 2L, 0.5)))
   }
 
+  test("pairMetrics: canonicalization + hand-computed precision/recall") {
+    // candidates {1-2 (twice, reversed), 3-4, 5-5 self}; truth {1-2, 4-3, 7-8}
+    val cand = Seq((1L, 2L), (2L, 1L), (3L, 4L), (5L, 5L)).toDF("id_a", "id_b")
+    val truth = Seq((1L, 2L), (4L, 3L), (7L, 8L)).toDF("id_a", "id_b")
+    val m = Dedup.pairMetrics(cand, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    // canon candidates = {1-2, 3-4}; tp=2, fp=0, fn=1 (7-8)
+    assert(m == ((2L, 0L, 1L, 1.0, 2.0 / 3.0)))
+  }
+
+  test("pairMetrics on a real blocking: LSH candidates vs brute-force truth") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact dup of 1
+      (3L, "totally different content here now"),
+      (4L, "alpha beta gamma delta epsilon eta")   // near-dup of 1/2
+    ).toDF("doc_id", "text")
+    val cand = Dedup.minhashLsh(docs, "doc_id", minEstJaccard = 0.5)
+      .select("id_a", "id_b")
+    val truth = Seq((1L, 2L), (1L, 4L), (2L, 4L)).toDF("id_a", "id_b")
+    val m = Dedup.pairMetrics(cand, truth)
+      .as[(Long, Long, Long, Double, Double)].head()
+    // exact dup pair must be found; no false positives against doc 3
+    assert(m._2 == 0L && m._1 >= 1L)
+  }
+
   test("span chunking: partial tail chunk is kept and deduped as its own unit") {
     // 5 tokens at chunk size 2 -> chunks [a b][c d][e]; doc 2's lone "e"
     // matches doc 1's tail chunk exactly

@@ -255,6 +255,39 @@ class StreamingSpec extends SparkSpec {
     assert(files == 1, s"expected compaction to 1 file, found $files")
   }
 
+  test("scd2Stream: a later drop closes versions opened by an earlier drop") {
+    val root = java.nio.file.Files.createTempDirectory("graft-scd2").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("v", LongType),
+      StructField("ts", LongType), StructField("op", StringType)))
+    // seed: key 1 current since t=0
+    Seq((1L, 100L, 0L, Option.empty[Long])).toDF("k", "v", "valid_from", "valid_to")
+      .coalesce(1).write.parquet(s"$root/dim/v=0")
+
+    def runDrop(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      Streaming.scd2Stream(stream, s"$root/dim", s"$root/ckpt",
+          Seq("k"), Seq("v"), "ts", "op")
+        .awaitTermination()
+    }
+
+    // drop 1: update at t=5 (closes the seed)
+    Seq((1L, 110L, 5L, "U")).toDF("k", "v", "ts", "op")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    runDrop()
+    // drop 2: delete at t=9 — must close the version drop 1 OPENED
+    Seq((1L, 0L, 9L, "D")).toDF("k", "v", "ts", "op")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    runDrop()
+    val hist = Streaming.latestIvmView(spark, s"$root/dim")
+      .orderBy("valid_from")
+      .as[(Long, Long, Long, Option[Long])].collect().toSeq
+    assert(hist == Seq(
+      (1L, 100L, 0L, Some(5L)),
+      (1L, 110L, 5L, Some(9L)))) // closed by the cross-drop delete, no live row
+  }
+
   test("incrementalCcStream: late bridge edge merges two streamed components") {
     val root = java.nio.file.Files.createTempDirectory("graft-scc").toString
     val schema = StructType(Seq(
