@@ -1921,9 +1921,10 @@ object SparkEntry {
         .groupBy("source", "w").agg(count(lit(1)).as("c"))
       val finalCounts = graft.streaming.Streaming.runAvailableNow(
         counts, s"s17_entropy_${System.nanoTime()}", outputMode = "complete")
-      // localCheckpoint: unigramEntropy self-joins its input, and the
-      // memory-sink view resolves to the SAME attribute ids on both sides
-      TextAnalysis.unigramEntropy(finalCounts.localCheckpoint()).orderBy("source")
+      // unigramEntropy checkpoints its input internally — which also
+      // breaks the memory-sink view's identical attribute ids that would
+      // otherwise make its internal self-join ambiguous
+      TextAnalysis.unigramEntropy(finalCounts).orderBy("source")
     }),
     "d36_golden_records" -> ((s, d) => {
       // ENTITY CONSOLIDATION (Dedup.goldenRecords): two overlapping
@@ -2656,6 +2657,27 @@ object SparkEntry {
         .select(col("event_id"), col("custkey"), col("t_us"),
           col("asof_bal").as("bal_at_event"))
         .orderBy("event_id")
+    }),
+    "q74_not_in_nulls" -> ((s, d) => {
+      // the NOT IN null trap, pinned across engines: one NULL in the
+      // subquery list makes `x NOT IN (...)` UNKNOWN for every row
+      // (count 0), while NOT EXISTS / left-anti keeps the rows a reader
+      // expects — both variants in one result so the gate certifies the
+      // three-valued-logic behavior AND the correct alternative.
+      t(s, d, "orders").createOrReplaceTempView("__q74_orders")
+      t(s, d, "customer").createOrReplaceTempView("__q74_cust")
+      s.sql("""
+        SELECT variant, n FROM (
+          SELECT 'not_in' AS variant, COUNT(*) AS n FROM __q74_cust
+          WHERE c_custkey NOT IN (
+            SELECT o_custkey FROM __q74_orders WHERE o_orderkey % 3 = 0
+            UNION ALL SELECT CAST(NULL AS BIGINT))
+          UNION ALL
+          SELECT 'not_exists', COUNT(*) FROM __q74_cust c
+          WHERE NOT EXISTS (SELECT 1 FROM __q74_orders o
+                            WHERE o.o_custkey = c.c_custkey
+                              AND o.o_orderkey % 3 = 0))
+        ORDER BY variant""")
     }),
     "q72_range_frame" -> ((s, d) => {
       // value-RANGE window frame (the frame kind q45's ROWS frames don't
@@ -4712,6 +4734,18 @@ object SparkEntry {
     // time-ordered microbatch at a time; the converged history equals the
     // one-shot application, so it shares q69's oracle verbatim.
     "s19_stream_scd2" -> scd2OracleSql,
+    "q74_not_in_nulls" ->
+      """SELECT variant, CAST(n AS BIGINT) AS n FROM (
+        |  SELECT 'not_in' AS variant, COUNT(*) AS n FROM customer
+        |  WHERE c_custkey NOT IN (
+        |    SELECT o_custkey FROM orders WHERE o_orderkey % 3 = 0
+        |    UNION ALL SELECT CAST(NULL AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'not_exists', COUNT(*) FROM customer c
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                    WHERE o.o_custkey = c.c_custkey
+        |                      AND o.o_orderkey % 3 = 0))
+        |ORDER BY variant""".stripMargin,
     "q72_range_frame" ->
       """WITH e AS (
         |  SELECT event_id, user_id, epoch_us(ts) AS t_us,

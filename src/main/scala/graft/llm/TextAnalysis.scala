@@ -303,10 +303,15 @@ object TextAnalysis {
    * decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable sum.
    */
   def unigramEntropy(counts: DataFrame, groupCol: String = "source"): DataFrame = {
-    val totals = counts.groupBy(groupCol)
+    // materialize once: counts feeds the totals agg AND the term join, and
+    // totals feeds two joins — without this the upstream tokenize/explode
+    // (batch path) replays once per consumer (9 shuffles -> 5)
+    val c = counts.localCheckpoint()
+    val totals = c.groupBy(groupCol)
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
+      .localCheckpoint()
     val p = col("c").cast("double") / col("n_tokens")
-    counts.join(totals, groupCol)
+    c.join(totals, groupCol)
       .select(col(groupCol), col("w"), (-p * log(p)).as("term"))
       .groupBy(groupCol)
       .agg(aggregate(sort_array(collect_list(struct(col("w"), col("term")))),
