@@ -384,6 +384,31 @@ object ScaleBench {
       println(f"""{"metric":"scale_label_prop","edges":${nLpV * 5},"vertices":${lp.getLong(0)},"communities":${lp.getLong(1)},"rounds":3,"sec":$secs15%.2f,"edge_rounds_per_sec":${(nLpV * 15 / secs15).toLong}}""")
     }
 
+    if (sel("scd2")) {
+      // SCD2 history rebuild at scale (q69's operator): 10M time-ordered
+      // changes over 100k keys + a 100k-row current base — one lead window
+      // per key builds the whole validity chain. Planted check: every key
+      // has exactly (changes/key minus deletes) + base survivors, and
+      // total versions = base + changes - deletes.
+      val nCh = math.min(nTiles * 10, 10000000L)
+      val nKeys = 100000L
+      val scdBase = spark.range(nKeys).select(col("id").as("k"),
+        (col("id") * 3).as("v"), lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"))
+      val scdCh = spark.range(nCh).select((col("id") % nKeys).as("k"),
+          (col("id") * 7 % 1000000L).as("v"),
+          (col("id") + 1000L).as("ts"),
+          when(col("id") % 17 === 0, "D").otherwise("U").as("op"))
+        .repartition(cpus.toInt * 4)
+      val t17 = System.nanoTime()
+      val hist = graft.ops.Cdc.applyChangesetScd2(scdBase, scdCh,
+          Seq("k"), Seq("v"), "ts", "op")
+        .agg(count(lit(1)), sum(when(col("is_current"), 1L).otherwise(0L))).head()
+      val secs17 = (System.nanoTime() - t17) / 1e9
+      val nDel = (nCh + 16) / 17
+      println(f"""{"metric":"scale_scd2","changes":$nCh,"keys":$nKeys,"versions":${hist.getLong(0)},"expect_versions":${nKeys + nCh - nDel},"current":${hist.getLong(1)},"sec":$secs17%.2f,"changes_per_sec":${(nCh / secs17).toLong}}""")
+    }
+
     if (sel("sssp")) {
       // Bellman-Ford at scale (q63's operator): bounded 8-round relaxation
       // over the 10M-edge graph with integer weights; per round one edge

@@ -2658,6 +2658,18 @@ object SparkEntry {
           col("asof_bal").as("bal_at_event"))
         .orderBy("event_id")
     }),
+    "q75_filter_agg" -> ((s, d) => {
+      // conditional aggregates via the SQL FILTER clause — one pass, one
+      // shuffle, no CASE-WHEN contortions or self-joins: per priority the
+      // total count plus status-filtered count and sum (ROUND(,2) per the
+      // q61 precedent for totalprice sums).
+      t(s, d, "orders").createOrReplaceTempView("__q75_orders")
+      s.sql("""
+        SELECT o_orderpriority, COUNT(*) AS n,
+          COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+          ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_total
+        FROM __q75_orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")
+    }),
     "q74_not_in_nulls" -> ((s, d) => {
       // the NOT IN null trap, pinned across engines: one NULL in the
       // subquery list makes `x NOT IN (...)` UNKNOWN for every row
@@ -4734,6 +4746,11 @@ object SparkEntry {
     // time-ordered microbatch at a time; the converged history equals the
     // one-shot application, so it shares q69's oracle verbatim.
     "s19_stream_scd2" -> scd2OracleSql,
+    "q75_filter_agg" ->
+      """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT) AS n_f,
+        |  ROUND(SUM(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 2) AS open_total
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q74_not_in_nulls" ->
       """SELECT variant, CAST(n AS BIGINT) AS n FROM (
         |  SELECT 'not_in' AS variant, COUNT(*) AS n FROM customer
