@@ -4878,8 +4878,8 @@ object SparkEntry {
         |  FROM j
         |)
         |SELECT tp, fp, fn,
-        |  CAST(tp AS DOUBLE) / (tp + fp) AS precision,
-        |  CAST(tp AS DOUBLE) / (tp + fn) AS recall
+        |  CAST(tp AS DOUBLE) / NULLIF(tp + fp, 0) AS precision,
+        |  CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall
         |FROM m""".stripMargin,
     "d47_pipeline_e2e" -> pipelineE2eOracleSql,
     "d46_leakfree_split" ->

@@ -1173,6 +1173,9 @@ object Dedup {
                     rules: Seq[LinkageRule],
                     upperThreshold: Long, lowerThreshold: Long): DataFrame = {
     require(rules.nonEmpty, "at least one LinkageRule required")
+    require(rules.map(_.name).distinct.size == rules.size,
+      s"duplicate rule names: ${rules.map(_.name).mkString(", ")} — " +
+        "each rule becomes an output column")
     require(upperThreshold >= lowerThreshold,
       s"upper=$upperThreshold must be >= lower=$lowerThreshold")
     // the id copy gets an internal name (not `<idCol>_a`) so a pair frame
@@ -1269,8 +1272,14 @@ object Dedup {
         sum(when(col("__c").isNotNull && col("__t").isNull, 1L).otherwise(0L)).as("fp"),
         sum(when(col("__c").isNull && col("__t").isNotNull, 1L).otherwise(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("fn"),
-        (col("tp").cast("double") / (col("tp") + col("fp"))).as("precision"),
-        (col("tp").cast("double") / (col("tp") + col("fn"))).as("recall"))
+        // null (not NaN/inf) when a denominator is empty — engines differ
+        // on 0.0/0, and null is the honest "undefined" for empty inputs
+        when(col("tp") + col("fp") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fp")))
+          .as("precision"),
+        when(col("tp") + col("fn") === 0, lit(null).cast("double"))
+          .otherwise(col("tp").cast("double") / (col("tp") + col("fn")))
+          .as("recall"))
   }
 
   /** Exact n-gram Jaccard similarity for given candidate pairs

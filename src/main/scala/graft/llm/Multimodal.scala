@@ -184,6 +184,7 @@ object Multimodal {
    * real media pipeline with the codec swapped for the pure-JVM PPM one.
    */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
+    require(maxDim >= 1, s"maxDim=$maxDim must be >= 1")
     val resample = udf { (payload: Array[Byte]) =>
       decodePpm(payload) match {
         case Some((w, h, rgb)) if math.max(w, h) > maxDim =>

@@ -19,7 +19,10 @@ object TypedAggregators {
 
   /** Σ over longs of (1, x, x²) — associative + commutative, the
     * textbook mergeable aggregate. Null inputs are skipped by Spark's
-    * typed-aggregator input encoder contract upstream (filter first). */
+    * typed-aggregator input encoder contract upstream (filter first).
+    * CONTRACT: |x| must stay ≤ ~3·10⁹ and group sizes within ~10⁵ of
+    * that scale so x² and Σx² fit a long — quantized/centi values, not
+    * raw magnitudes (the q56 rational-OLS bound, same reasoning). */
   object ExactMoments extends Aggregator[Long, Moments, Moments] {
     override def zero: Moments = Moments(0L, 0L, 0L)
     override def reduce(b: Moments, x: Long): Moments =
