@@ -918,6 +918,20 @@ object SparkEntry {
           deduped, s"s02_dedup_${System.nanoTime()}", outputMode = "append")
         .orderBy("user_id", "event_type")
     }),
+    "s20_stream_dedup_bounded" -> ((s, d) => {
+      // BOUNDED-STATE streaming dedup (dropDuplicatesWithinWatermark):
+      // s02's semantics with state the watermark can evict. The 90-day
+      // horizon exceeds the corpus's 30-day span, so nothing expires
+      // during the run and the converged output equals batch DISTINCT —
+      // s20 shares s02's oracle; the re-emission-after-expiry semantics
+      // is StreamingSpec's three-drop case.
+      val stream = eventsStream(statefulEventsSession(s), d)
+      val deduped = graft.streaming.Streaming.dedupedStreamBounded(
+        stream, Seq("user_id", "event_type"), "ts", "90 days")
+      graft.streaming.Streaming.runAvailableNow(
+          deduped, s"s20_dedup_${System.nanoTime()}", outputMode = "append")
+        .orderBy("user_id", "event_type")
+    }),
     "m02_frame_sample" -> ((s, d) => {
       // multimodal: video rows exploded into sampled frame timestamps
       val media = graft.llm.Multimodal.syntheticMedia(t(s, d, "part"), "p_partkey")
@@ -3648,6 +3662,10 @@ object SparkEntry {
       """SELECT MIN(doc_id) AS keep_id, COUNT(*) AS group_size FROM documents
         |GROUP BY md5(text) HAVING COUNT(*) > 1 ORDER BY keep_id""".stripMargin,
     "s02_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
+    // s20: the bounded-state variant with a horizon wider than the corpus
+    // span converges to the same DISTINCT — shared oracle.
+    "s20_stream_dedup_bounded" ->
       """SELECT DISTINCT user_id, event_type FROM events ORDER BY user_id, event_type""",
     "d08_embedding_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

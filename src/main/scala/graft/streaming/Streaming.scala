@@ -113,6 +113,23 @@ object Streaming {
   }
 
   /**
+   * BOUNDED-STATE streaming dedup — the 100 TB realization of
+   * [[dedupedStream]]'s scale note: `dropDuplicatesWithinWatermark`
+   * guarantees per-key uniqueness only within the watermark horizon and
+   * EVICTS state for keys whose event time has fallen behind it, so the
+   * state store holds O(keys per horizon) instead of O(every key ever
+   * seen). The semantic trade is explicit: a key recurring after its
+   * state expired legitimately re-emits (spec'd) — exactly-once-per-
+   * horizon, which is the only dedup contract that survives an unbounded
+   * stream. First occurrences emit immediately (append mode).
+   */
+  def dedupedStreamBounded(events: DataFrame, keyCols: Seq[String],
+                           watermarkCol: String, horizon: String): DataFrame =
+    events.withWatermark(watermarkCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+      .select(keyCols.map(col): _*)
+
+  /**
    * Streaming half of the CDC MERGE ([[graft.ops.Cdc]] semantics as a
    * stream): maintain the LATEST change per key as a stateful streaming
    * aggregation — `max_by(struct(payload), seq)` against the state store —

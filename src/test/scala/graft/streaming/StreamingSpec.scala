@@ -255,6 +255,41 @@ class StreamingSpec extends SparkSpec {
     assert(files == 1, s"expected compaction to 1 file, found $files")
   }
 
+  test("dedupedStreamBounded: duplicate suppressed within horizon, re-emits after expiry") {
+    val root = java.nio.file.Files.createTempDirectory("graft-wmdedup").toString
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("ts", TimestampType)))
+    def t(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+
+    def runDrop(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val out = Streaming.dedupedStreamBounded(stream, Seq("k"), "ts", "1 hour")
+      out.writeStream.option("checkpointLocation", s"$root/ckpt")
+        .format("parquet").option("path", s"$root/out")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+
+    // drop 1: key 1 at 00:00 -> emits; watermark after = 00:00 - 1h
+    Seq((1L, t(0))).toDF("k", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    runDrop()
+    // drop 2: key 1 again at 10:00 — state not yet expired at batch START
+    // (watermark < 01:00) -> SUPPRESSED; watermark advances to 09:00
+    Seq((1L, t(10))).toDF("k", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    runDrop()
+    // drop 3: key 1 at 11:00 — its old state expired (09:00 > 01:00),
+    // so the key legitimately RE-EMITS
+    Seq((1L, t(11))).toDF("k", "ts").coalesce(1)
+      .write.mode("append").parquet(s"$root/in")
+    runDrop()
+    val emitted = spark.read.parquet(s"$root/out").as[Long].collect().toSeq
+    assert(emitted == Seq(1L, 1L),
+      s"expected emit + suppress + re-emit, got ${emitted.length} rows")
+  }
+
   test("scd2Stream: a later drop closes versions opened by an earlier drop") {
     val root = java.nio.file.Files.createTempDirectory("graft-scd2").toString
     val schema = StructType(Seq(
