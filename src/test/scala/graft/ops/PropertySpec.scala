@@ -143,4 +143,87 @@ class PropertySpec extends SparkSpec {
       }
     }, tests = 8)
   }
+
+  // --- SCD2 laws (q69/s19's correctness argument, property-checked) ---
+
+  private val scd2ChangesGen: Gen[List[(Long, Long, Long, String)]] =
+    Gen.listOfN(14, for {
+      k <- Gen.choose(1L, 3L); v <- Gen.choose(0L, 99L)
+      ts <- Gen.choose(1L, 40L)
+      op <- Gen.frequency(3 -> Gen.const("U"), 1 -> Gen.const("D"))
+    } yield (k, v, ts, op)).map(
+      // contract: (k, ts) unique — keep the first of each collision
+      _.groupBy(c => (c._1, c._3)).values.map(_.head).toList)
+
+  test("SCD2: per-key validity intervals chain disjointly for any change set") {
+    run(Prop.forAll(scd2ChangesGen) { chs =>
+      val base = Seq((1L, 0L, 0L, Option.empty[Long]), (2L, 0L, 0L, Option.empty[Long]))
+        .toDF("k", "v", "valid_from", "valid_to")
+      val out = Cdc.applyChangesetScd2(base,
+          chs.toDF("k", "v", "ts", "op"), Seq("k"), Seq("v"), "ts", "op")
+        .as[(Long, Long, Long, Option[Long], Boolean)].collect()
+      out.groupBy(_._1).forall { case (_, vs) =>
+        val sorted = vs.sortBy(_._3)
+        // chained: each closed version ends exactly where a successor or a
+        // delete begins (valid_to >= own valid_from always)
+        sorted.forall(v => v._4.forall(_ >= v._3)) &&
+          // at most one live version per key, and it is the LAST interval
+          sorted.count(_._4.isEmpty) <= 1 &&
+          sorted.dropRight(1).forall(_._4.nonEmpty) &&
+          // disjoint + ordered: next opens no earlier than previous closes
+          sorted.sliding(2).forall {
+            case Array(a, b) => a._4.forall(_ <= b._3)
+            case _ => true
+          }
+      }
+    }, tests = 30)
+  }
+
+  test("SCD2: any time-split of the changes converges to the one-shot history") {
+    run(Prop.forAll(scd2ChangesGen, Gen.choose(5L, 35L)) { (chs, cut) =>
+      val base = Seq((1L, 0L, 0L, Option.empty[Long]), (2L, 0L, 0L, Option.empty[Long]))
+        .toDF("k", "v", "valid_from", "valid_to")
+      val all = chs.toDF("k", "v", "ts", "op")
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.as[(Long, Long, Long, Option[Long], Boolean)].collect().sortBy(r => (r._1, r._3)).toSeq
+      val oneShot = canon(Cdc.applyChangesetScd2(base, all,
+        Seq("k"), Seq("v"), "ts", "op"))
+      val firstHalf = Cdc.applyChangesetScd2(base,
+          all.filter(col("ts") < cut), Seq("k"), Seq("v"), "ts", "op")
+        .drop("is_current")
+      val twoStep = canon(Cdc.applyChangesetScd2(firstHalf,
+        all.filter(col("ts") >= cut), Seq("k"), Seq("v"), "ts", "op"))
+      oneShot == twoStep
+    }, tests = 20)
+  }
+
+  test("pairMetrics accounting: tp+fp = |candidates|, tp+fn = |truth| for any sets") {
+    import graft.llm.Dedup
+    val pairsGen = Gen.listOfN(10, for {
+      a <- Gen.choose(1L, 6L); b <- Gen.choose(1L, 6L)
+    } yield (a, b))
+    run(Prop.forAll(pairsGen, pairsGen) { (cs, ts) =>
+      val m = Dedup.pairMetrics(cs.toDF("id_a", "id_b"), ts.toDF("id_a", "id_b"))
+        .as[(Long, Long, Long, Option[Double], Option[Double])].head()
+      def canon(ps: List[(Long, Long)]) =
+        ps.filter(p => p._1 != p._2)
+          .map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+      m._1 + m._2 == canon(cs).size && m._1 + m._3 == canon(ts).size
+    }, tests = 30)
+  }
+
+  test("span dedup conservation: removed = total chunks - distinct chunks, any corpus") {
+    import graft.llm.Dedup
+    val docsGen = Gen.listOfN(6, Gen.listOfN(8,
+      Gen.oneOf("a", "b", "c", "d")).map(_.mkString(" ")))
+    run(Prop.forAll(docsGen) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = Dedup.removeDuplicateSpans(docs, "doc_id", chunkTokens = 2)
+        .as[(Long, String, Long, Long)].collect()
+      val allChunks = texts.flatMap(_.split(" ").grouped(2).map(_.mkString(" ")))
+      out.map(_._4).sum == allChunks.size - allChunks.distinct.size &&
+        out.map(_._3).sum == allChunks.size
+    }, tests = 25)
+  }
 }
