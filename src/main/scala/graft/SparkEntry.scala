@@ -1805,6 +1805,17 @@ object SparkEntry {
           (col("n_novel").cast("double") / col("n_grams")).as("novelty"))
         .orderBy("doc_id")
     }),
+    "d50_jsd_drift" -> ((s, d) => {
+      // pairwise Jensen-Shannon divergence between every source pair's
+      // unigram distribution (TextAnalysis.jensenShannon) — the bounded
+      // symmetric drift metric s17's entropy monitor escalates to when a
+      // source shifts. Ordered per-token folds + ROUND(,4) make the
+      // doubles portable (the d39/d45 contract).
+      val counts = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      TextAnalysis.jensenShannon(counts).orderBy("g_a", "g_b")
+    }),
     "d49_pair_metrics" -> ((s, d) => {
       // blocking-evaluation harness (Dedup.pairMetrics): two independent
       // blocking schemes — (lang, n_chars%7) candidates vs
@@ -4874,6 +4885,43 @@ object SparkEntry {
     // converged metrics must equal the batch formulation, so it shares
     // d45's oracle verbatim.
     "s17_stream_entropy" -> sourceEntropyOracleSql,
+    "d50_jsd_drift" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2
+        |), t AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n FROM c GROUP BY 1
+        |), g AS (SELECT DISTINCT source FROM c),
+        |pairs AS (
+        |  SELECT a.source AS g_a, b.source AS g_b
+        |  FROM g a JOIN g b ON a.source < b.source
+        |), vocab AS (SELECT DISTINCT w FROM c),
+        |grid AS (
+        |  SELECT p.g_a, p.g_b, v.w, ca.c AS ca, cb.c AS cb, ta.n AS na, tb.n AS nb
+        |  FROM pairs p CROSS JOIN vocab v
+        |  LEFT JOIN c ca ON ca.source = p.g_a AND ca.w = v.w
+        |  LEFT JOIN c cb ON cb.source = p.g_b AND cb.w = v.w
+        |  JOIN t ta ON ta.source = p.g_a JOIN t tb ON tb.source = p.g_b
+        |), tm AS (
+        |  SELECT g_a, g_b, w,
+        |    COALESCE(CASE WHEN ca IS NOT NULL THEN
+        |      (CAST(ca AS DOUBLE) / na) * ln((CAST(ca AS DOUBLE) / na) /
+        |        ((COALESCE(CAST(ca AS DOUBLE) / na, 0) + COALESCE(CAST(cb AS DOUBLE) / nb, 0)) / 2)) / 2
+        |      END, 0) +
+        |    COALESCE(CASE WHEN cb IS NOT NULL THEN
+        |      (CAST(cb AS DOUBLE) / nb) * ln((CAST(cb AS DOUBLE) / nb) /
+        |        ((COALESCE(CAST(ca AS DOUBLE) / na, 0) + COALESCE(CAST(cb AS DOUBLE) / nb, 0)) / 2)) / 2
+        |      END, 0) AS tt,
+        |    CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END AS in_both
+        |  FROM grid
+        |)
+        |SELECT g_a, g_b, CAST(SUM(in_both) AS BIGINT) AS n_shared,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tt ORDER BY w)),
+        |    (x, y) -> x + y), 4) AS jsd
+        |FROM tm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d49_pair_metrics" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

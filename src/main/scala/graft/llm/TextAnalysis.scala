@@ -302,6 +302,55 @@ object TextAnalysis {
    * ordered fold is the GATE path; the 100 TB path is the order-free
    * decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable sum.
    */
+  /**
+   * Pairwise Jensen-Shannon divergence between groups' unigram
+   * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
+   * metric: `JSD(P,Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)`, `m = (p+q)/2`,
+   * with absent-token terms contributing 0 on their side. Portability is
+   * the [[unigramEntropy]] contract: every divide/multiply/add is one
+   * correctly-rounded IEEE op on identical operands, per-token terms fold
+   * in ascending-token order, and the ln ulps survive ROUND(,4).
+   *
+   * Plan: pair grid (|groups|² rows, broadcast) × union vocabulary, two
+   * LEFT joins against the count table and one keyed ordered-fold agg —
+   * output is |pairs| rows however large the corpus. At 100 TB the
+   * count table is the only data-sized input and it is already the
+   * product of one map-side-combinable aggregation.
+   *
+   * @param counts columns (groupCol, w, c)
+   * @return (g_a, g_b) for g_a < g_b: n_shared (tokens in both), jsd
+   */
+  def jensenShannon(counts: DataFrame, groupCol: String = "source"): DataFrame = {
+    val c = counts.localCheckpoint()
+    val totals = c.groupBy(groupCol).agg(sum(col("c")).as("n"))
+    val groups = totals.select(col(groupCol).as("g"))
+    val pairs = broadcast(groups.crossJoin(groups.select(col("g").as("g2")))
+      .filter(col("g") < col("g2"))
+      .select(col("g").as("g_a"), col("g2").as("g_b")))
+    val vocab = c.select(col("w")).distinct()
+    val grid = pairs.crossJoin(vocab)
+      .join(c.select(col(groupCol).as("g_a"), col("w"), col("c").as("ca")),
+        Seq("g_a", "w"), "left")
+      .join(c.select(col(groupCol).as("g_b"), col("w"), col("c").as("cb")),
+        Seq("g_b", "w"), "left")
+      .join(broadcast(totals.select(col(groupCol).as("g_a"), col("n").as("na"))), "g_a")
+      .join(broadcast(totals.select(col(groupCol).as("g_b"), col("n").as("nb"))), "g_b")
+    val p = col("ca").cast("double") / col("na")
+    val q = col("cb").cast("double") / col("nb")
+    val m = (coalesce(p, lit(0.0)) + coalesce(q, lit(0.0))) / 2
+    val term =
+      coalesce(when(col("ca").isNotNull, p * log(p / m) / 2), lit(0.0)) +
+        coalesce(when(col("cb").isNotNull, q * log(q / m) / 2), lit(0.0))
+    grid.select(col("g_a"), col("g_b"), col("w"), term.as("__t"),
+        (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("__both"))
+      .groupBy("g_a", "g_b")
+      .agg(sum(col("__both")).as("n_shared"),
+        aggregate(sort_array(collect_list(struct(col("w"), col("__t")))),
+          lit(0.0), (a, x) => a + x.getField("__t")).as("__j"))
+      .select(col("g_a"), col("g_b"), col("n_shared"),
+        round(col("__j"), 4).as("jsd"))
+  }
+
   def unigramEntropy(counts: DataFrame, groupCol: String = "source"): DataFrame = {
     // materialize once: counts feeds the totals agg AND the term join, and
     // totals feeds two joins — without this the upstream tokenize/explode

@@ -173,4 +173,36 @@ class TextAnalysisSpec extends SparkSpec {
     val exact2 = -(pB_givenB + pA_givenB + pA_givenA + pB_givenA) / 4.0
     assert(math.abs(out(2L)._2 - exact2) < 1e-12, s"got ${out(2L)._2}, want $exact2")
   }
+
+  test("jensenShannon: 0 for identical distributions, ln 2 for disjoint vocabularies") {
+    import spark.implicits._
+    // s1 and s2 identical (JSD 0); s3 disjoint from both (JSD ln 2)
+    val counts = Seq(
+      ("s1", "a", 2L), ("s1", "b", 1L),
+      ("s2", "a", 2L), ("s2", "b", 1L),
+      ("s3", "x", 5L)
+    ).toDF("source", "w", "c")
+    val out = TextAnalysis.jensenShannon(counts)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+    assert(out(("s1", "s2")) == ((2L, 0.0)))
+    assert(out(("s1", "s3")) == ((0L, 0.6931))) // round(ln 2, 4)
+    assert(out(("s2", "s3")) == ((0L, 0.6931)))
+  }
+
+  test("jensenShannon: hand-computed asymmetric-overlap pair") {
+    import spark.implicits._
+    // P = {a: 1}, Q = {a: 1/2, b: 1/2}
+    // m(a) = 3/4, m(b) = 1/4
+    // JSD = 1/2·[1·ln(4/3)] + 1/2·[1/2·ln(2/3) + 1/2·ln(2)]
+    val counts = Seq(("p", "a", 4L), ("q", "a", 2L), ("q", "b", 2L))
+      .toDF("source", "w", "c")
+    val expect = BigDecimal(
+        0.5 * math.log(4.0 / 3.0) + 0.25 * math.log(2.0 / 3.0) + 0.25 * math.log(2.0))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val out = TextAnalysis.jensenShannon(counts)
+      .as[(String, String, Long, Double)].head()
+    assert(out._1 == "p" && out._2 == "q" && out._3 == 1L)
+    assert(math.abs(out._4 - expect) < 1e-9, s"got ${out._4}, want $expect")
+  }
 }
