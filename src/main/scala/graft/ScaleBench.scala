@@ -384,6 +384,51 @@ object ScaleBench {
       println(f"""{"metric":"scale_label_prop","edges":${nLpV * 5},"vertices":${lp.getLong(0)},"communities":${lp.getLong(1)},"rounds":3,"sec":$secs15%.2f,"edge_rounds_per_sec":${(nLpV * 15 / secs15).toLong}}""")
     }
 
+    if (sel("stream_span_dedup")) {
+      // STREAMING span dedup at scale (s16's operator): 900k docs arrive
+      // as 3 ordered microbatches through the persisted seen-chunk index.
+      // Measures the real streaming cost — per-batch index probe joins +
+      // checkpoint commits — against the batch section's one-shot number.
+      // Planted check: later batches repeat earlier batches' docs, so
+      // removed chunks == the planted repeats exactly.
+      val nStreamDocs = math.min(nTiles, 300000L)
+      val root = java.nio.file.Files.createTempDirectory("sb_span").toString
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      (0 until 3).foreach { b =>
+        // batch b re-emits the first 20% of batch b-1's id space
+        val lo = b * nStreamDocs
+        val docs = spark.range(lo - (if (b > 0) nStreamDocs / 5 else 0L),
+            lo + nStreamDocs)
+          .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
+            concat(lit(s"w$j"), ((col("id") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
+        val stage = s"$root/stage$b"
+        docs.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified((b + 1) * 1000000000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val t18 = System.nanoTime()
+      graft.streaming.Streaming.spanDedupIngestStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
+          s"$root/index", s"$root/ckpt", idCol = "id", chunkTokens = 5)(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+      val out = spark.read.parquet(s"$root/out")
+        .agg(count(lit(1)), sum("n_removed")).head()
+      val secs18 = (System.nanoTime() - t18) / 1e9
+      val totalDocs = 3 * nStreamDocs + 2 * (nStreamDocs / 5)
+      val expectRemoved = 2 * (nStreamDocs / 5) * 6 // re-emitted docs, 6 chunks each
+      println(f"""{"metric":"scale_stream_span_dedup","docs":${out.getLong(0)},"expect_docs":$totalDocs,"removed":${out.getLong(1)},"expect_removed":$expectRemoved,"batches":3,"sec":$secs18%.2f,"docs_per_sec":${(totalDocs / secs18).toLong}}""")
+    }
+
     if (sel("scd2")) {
       // SCD2 history rebuild at scale (q69's operator): 10M time-ordered
       // changes over 100k keys + a 100k-row current base — one lead window

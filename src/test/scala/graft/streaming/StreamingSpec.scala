@@ -255,6 +255,36 @@ class StreamingSpec extends SparkSpec {
     assert(files == 1, s"expected compaction to 1 file, found $files")
   }
 
+  test("spanDedupIngestStream: duplicated index rows (crash-replay shape) change nothing") {
+    // the index append is at-least-once under crash replay; duplicate
+    // chunk keys must be harmless because the probe distinct's the seen set
+    val root = java.nio.file.Files.createTempDirectory("graft-span-replay").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      Streaming.spanDedupIngestStream(stream, s"$root/index", s"$root/ckpt",
+          chunkTokens = 2, compactAfterFiles = 100)(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+    }
+
+    Seq((1L, "a b c d")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    // simulate a replayed append: duplicate every index row
+    val idx = spark.read.parquet(s"$root/index")
+    idx.write.mode("append").parquet(s"$root/index")
+    // next drop still removes exactly the already-seen chunks, once
+    Seq((2L, "a b x y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    val out = spark.read.parquet(s"$root/out")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L)))
+  }
+
   test("dedupedStreamBounded: duplicate suppressed within horizon, re-emits after expiry") {
     val root = java.nio.file.Files.createTempDirectory("graft-wmdedup").toString
     val schema = StructType(Seq(
