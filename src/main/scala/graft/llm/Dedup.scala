@@ -1060,11 +1060,16 @@ object Dedup {
                                  seenChunks: Option[DataFrame]): DataFrame = {
     val ch = explodedChunks(docs, idCol, textCol, chunkTokens)
     val withSeen = seenChunks match {
-      case Some(seen) => ch.join(
-          seen.select(col("chunk").as("__chunk")).distinct()
-            .withColumn("__seen", lit(true)),
-          Seq("__chunk"), "left")
-        .withColumn("__seen", coalesce(col("__seen"), lit(false)))
+      case Some(seen) =>
+        // semi/anti, not distinct + outer join: duplicate index rows (the
+        // at-least-once replay shape) can neither multiply chunk rows nor
+        // force an O(index) dedup shuffle every batch — the index side
+        // streams through the join untouched
+        val keys = seen.select(col("chunk").as("__chunk"))
+        ch.join(keys, Seq("__chunk"), "left_semi")
+          .withColumn("__seen", lit(true))
+          .unionByName(ch.join(keys, Seq("__chunk"), "left_anti")
+            .withColumn("__seen", lit(false)))
       case None => ch.withColumn("__seen", lit(false))
     }
     val firstOcc = withSeen.groupBy("__chunk")
