@@ -286,10 +286,12 @@ object Graph {
    *
    * Scale: per round ONE edge-wide equi-join on `src` (shuffle width
    * follows the edge set, AQE-splittable) + one min-agg keyed on vertex
-   * (map-side combinable). Convergence is detected with a 2-scalar
-   * fingerprint (vertex count + total distance — min-relaxation is
-   * monotone non-increasing, so a stable pair means a fixpoint), one
-   * cheap driver scalar per round rather than a change-detection join.
+   * (map-side combinable). Convergence is detected with a 3-scalar
+   * fingerprint (vertex count + the total distance split into exact
+   * mod/div-by-prime partial sums, so no raw `sum(dist)` can overflow
+   * under ANSI at scale — min-relaxation is monotone non-increasing, so
+   * a stable triple means a fixpoint), cheap driver scalars per round
+   * rather than a change-detection join.
    * `localCheckpoint` per round; bounded-probe driver path on small
    * graphs, bit-identical (integers).
    *
@@ -314,7 +316,7 @@ object Graph {
     }
     val eCk = e.localCheckpoint()
     var dist = src.withColumn("dist", lit(0L)).localCheckpoint()
-    var fingerprint = (-1L, -1L)
+    var fingerprint = (-1L, -1L, -1L)
     var round = 0
     var converged = false
     while (round < maxRounds && !converged) {
@@ -323,9 +325,20 @@ object Graph {
         .select(col("dst").as("v"), (col("dist") + col("w")).as("dist"))
       dist = dist.unionByName(relaxed)
         .groupBy("v").agg(min(col("dist")).as("dist")).localCheckpoint()
-      val fp = dist.agg(count(lit(1)), coalesce(sum(col("dist")), lit(0L)))
-        .collect()(0) // 2 scalars
-      val next = (fp.getLong(0), fp.getLong(1))
+      // exact overflow-free total: split each dist into (div, mod) by a
+      // large prime — Σ true = P·Σdiv + Σmod, and both partial sums stay
+      // far from long range however big the graph (a raw sum(dist) would
+      // THROW under ANSI at scale). (count, Σdiv, Σmod) equality ⟺
+      // (count, true Σ) equality, and min-relaxation is monotone, so a
+      // stable triple proves the fixpoint.
+      val P = 1000000007L
+      val fp = dist.agg(count(lit(1)),
+          // (dist - pmod) is exactly divisible, so integer `div` recovers
+          // the exact quotient for any sign — no double division anywhere
+          coalesce(sum(expr(s"(dist - pmod(dist, ${P}L)) div ${P}L")), lit(0L)),
+          coalesce(sum(pmod(col("dist"), lit(P))), lit(0L)))
+        .collect()(0) // 3 scalars
+      val next = (fp.getLong(0), fp.getLong(1), fp.getLong(2))
       converged = next == fingerprint
       fingerprint = next
     }
