@@ -211,6 +211,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count"), "gram counts must combine map-side:\n" + p)
   }
 
+  test("join strategy hints are honored: broadcast / shuffle_hash / merge") {
+    // the §2.3 escape hatch when stats mislead Catalyst: each hint must
+    // actually change the physical join, not silently no-op
+    val sf001 = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf001/orders.parquet")
+    val c = spark.read.parquet(s"$sf001/customer.parquet")
+    def plan(j: org.apache.spark.sql.DataFrame) = j.queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val b = plan(o.join(c.hint("broadcast"), o("o_custkey") === c("c_custkey")))
+    assert(b.contains("BroadcastHashJoin"), b)
+    val sh = plan(o.join(c.hint("shuffle_hash"), o("o_custkey") === c("c_custkey")))
+    assert(sh.contains("ShuffledHashJoin"), sh)
+    val m = plan(o.join(c.hint("merge"), o("o_custkey") === c("c_custkey")))
+    assert(m.contains("SortMergeJoin"), m)
+  }
+
   test("q53: KMV sketch windows are salted — no unsalted single pass over a shard") {
     // the first min-k window must partition on (shard, __salt); an
     // orderBy-only or shard-only first window funnels a hot shard's whole
