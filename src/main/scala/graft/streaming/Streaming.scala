@@ -376,15 +376,17 @@ object Streaming {
    * duplicate chunk keys are harmless (the probe join is semi-style via a
    * distinct'd seen flag). Per-batch cost: one explode + one index
    * equi-join + two keyed aggs — never a corpus re-scan. The flat index
-   * is compacted once it exceeds `compactAfterFiles` part files; at 100 TB
-   * the index belongs in a chunk-bucketed table
-   * ([[graft.io.DataStore.writeBucketedTable]]) so the per-batch probe
-   * join is co-located instead of a shuffle.
+   * is compacted once it exceeds `compactAfterFiles` part files;
+   * `bucketedIndexTable` switches to the 100 TB layout — a chunk-bucketed
+   * catalog table whose probe join never re-shuffles the index side
+   * (StreamingSpec proves the single-Exchange plan).
    */
   def spanDedupIngestStream(docs: DataFrame, indexDir: String,
                             checkpointDir: String, idCol: String = "doc_id",
                             textCol: String = "text", chunkTokens: Int = 5,
-                            compactAfterFiles: Int = 8)(
+                            compactAfterFiles: Int = 8,
+                            bucketedIndexTable: Option[String] = None,
+                            indexBuckets: Int = 16)(
                             sink: DataFrame => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.Dedup
@@ -396,28 +398,46 @@ object Streaming {
         val spark = b.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-        val haveIndex = fs.exists(idxPath) && fs.listStatus(idxPath)
-          .exists(_.getPath.getName.endsWith(".parquet"))
+        // PRODUCTION PATH: the index as a chunk-bucketed catalog table —
+        // the big side of the per-batch probe join arrives pre-hashed
+        // into its buckets and never re-shuffles (only the batch side
+        // exchanges, into `indexBuckets` partitions); each append writes
+        // at most `indexBuckets` files. Flat-parquet path stays the
+        // zero-catalog default for the gate.
+        val haveIndex = bucketedIndexTable match {
+          case Some(t) => spark.catalog.tableExists(t)
+          case None => fs.exists(idxPath) && fs.listStatus(idxPath)
+            .exists(_.getPath.getName.endsWith(".parquet"))
+        }
         val seen =
-          if (haveIndex) Some(spark.read.parquet(indexDir)) else None
+          if (!haveIndex) None
+          else Some(bucketedIndexTable.map(spark.table)
+            .getOrElse(spark.read.parquet(indexDir)))
         val marked = Dedup.markedSpans(b, idCol, textCol, chunkTokens, seen)
           .localCheckpoint() // one evaluation serves sink + index append
         sink(Dedup.reassembleSpans(marked, idCol))
         // every batch chunk not already indexed is now first-seen (kept or
         // removed-within-batch alike — both block later occurrences)
-        marked.filter(!col("__seen")).select(col("__chunk").as("chunk"))
-          .distinct()
-          .write.mode("append").parquet(indexDir)
-        // bound small-files growth: rewrite the flat index through a
-        // hidden staging dir + atomic rename (the signature-index pattern)
-        if (fs.exists(idxPath) && fs.listStatus(idxPath)
-            .count(_.getPath.getName.endsWith(".parquet")) > compactAfterFiles) {
-          val staging = new org.apache.hadoop.fs.Path(
-            idxPath.getParent, s".compact_${idxPath.getName}")
-          spark.read.parquet(indexDir).distinct().coalesce(1)
-            .write.mode("overwrite").parquet(staging.toString)
-          fs.delete(idxPath, true)
-          fs.rename(staging, idxPath)
+        val newKeys = marked.filter(!col("__seen"))
+          .select(col("__chunk").as("chunk")).distinct()
+        bucketedIndexTable match {
+          case Some(t) =>
+            newKeys.write.mode("append")
+              .bucketBy(indexBuckets, "chunk").sortBy("chunk")
+              .format("parquet").saveAsTable(t)
+          case None =>
+            newKeys.write.mode("append").parquet(indexDir)
+            // bound small-files growth: rewrite the flat index through a
+            // hidden staging dir + atomic rename (signature-index pattern)
+            if (fs.exists(idxPath) && fs.listStatus(idxPath)
+                .count(_.getPath.getName.endsWith(".parquet")) > compactAfterFiles) {
+              val staging = new org.apache.hadoop.fs.Path(
+                idxPath.getParent, s".compact_${idxPath.getName}")
+              spark.read.parquet(indexDir).distinct().coalesce(1)
+                .write.mode("overwrite").parquet(staging.toString)
+              fs.delete(idxPath, true)
+              fs.rename(staging, idxPath)
+            }
         }
         ()
       }

@@ -255,6 +255,52 @@ class StreamingSpec extends SparkSpec {
     assert(files == 1, s"expected compaction to 1 file, found $files")
   }
 
+  test("spanDedupIngestStream: bucketed index table matches flat path; index never re-shuffles") {
+    val root = java.nio.file.Files.createTempDirectory("graft-span-bkt").toString
+    val tbl = s"span_idx_${System.nanoTime()}"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      Streaming.spanDedupIngestStream(stream, s"$root/unused", s"$root/ckpt",
+          chunkTokens = 2, bucketedIndexTable = Some(tbl))(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+    }
+
+    try {
+      Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$root/docs")
+      runDrop()
+      Seq((3L, "c d z z x y")).toDF("doc_id", "text")
+        .write.mode("append").parquet(s"$root/docs")
+      runDrop()
+      // identical outcome to the flat-index path's two-drop case
+      val out = spark.read.parquet(s"$root/out")
+        .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+      assert(out == Seq(
+        (1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L), (3L, "z z", 3L, 2L)))
+      val idx = spark.table(tbl).as[String].collect().sorted
+      assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"))
+
+      // LAYOUT PROOF: a probe semi-join against the bucketed index plans
+      // with exactly ONE Exchange — the probe side; the index arrives
+      // pre-bucketed and never re-shuffles (broadcast disabled so the
+      // bucket property, not a broadcast, is what kills the exchange)
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        val probe = Seq("a b", "q q").toDF("chunk")
+        val p = probe.join(spark.table(tbl), Seq("chunk"), "left_semi")
+          .queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+        assert(exchanges == 1, s"expected only the probe-side Exchange:\n$p")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("spanDedupIngestStream: duplicated index rows (crash-replay shape) change nothing") {
     // the index append is at-least-once under crash replay; duplicate
     // chunk keys must be harmless because the probe distinct's the seen set
