@@ -429,6 +429,50 @@ object ScaleBench {
       println(f"""{"metric":"scale_stream_span_dedup","docs":${out.getLong(0)},"expect_docs":$totalDocs,"removed":${out.getLong(1)},"expect_removed":$expectRemoved,"batches":3,"sec":$secs18%.2f,"docs_per_sec":${(totalDocs / secs18).toLong}}""")
     }
 
+    if (sel("span_stream_bucketed")) {
+      // the SAME streaming workload with the chunk-bucketed index table:
+      // the per-batch probe join keeps the growing index side co-located
+      // (no re-shuffle) — the production layout's measured effect.
+      val nStreamDocs = math.min(nTiles, 300000L)
+      val root = java.nio.file.Files.createTempDirectory("sb_spanb").toString
+      val tbl = s"sb_span_idx_${System.nanoTime()}"
+      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
+      (0 until 3).foreach { b =>
+        val lo = b * nStreamDocs
+        val docs = spark.range(lo - (if (b > 0) nStreamDocs / 5 else 0L),
+            lo + nStreamDocs)
+          .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
+            concat(lit(s"w$j"), ((col("id") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
+        val stage = s"$root/stage$b"
+        docs.coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dest = new java.io.File(inDir, s"b$b.parquet")
+        java.nio.file.Files.move(part.toPath, dest.toPath)
+        dest.setLastModified((b + 1) * 1000000000L)
+      }
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val t19 = System.nanoTime()
+      graft.streaming.Streaming.spanDedupIngestStream(
+          spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
+          s"$root/unused", s"$root/ckpt", idCol = "id", chunkTokens = 5,
+          bucketedIndexTable = Some(tbl), indexBuckets = 32)(
+          clean => clean.write.mode("append").parquet(s"$root/out"))
+        .awaitTermination()
+      val out = spark.read.parquet(s"$root/out")
+        .agg(count(lit(1)), sum("n_removed")).head()
+      val secs19 = (System.nanoTime() - t19) / 1e9
+      spark.sql(s"DROP TABLE IF EXISTS $tbl")
+      val totalDocs = 3 * nStreamDocs + 2 * (nStreamDocs / 5)
+      val expectRemoved = 2 * (nStreamDocs / 5) * 6
+      println(f"""{"metric":"scale_span_stream_bucketed","docs":${out.getLong(0)},"expect_docs":$totalDocs,"removed":${out.getLong(1)},"expect_removed":$expectRemoved,"batches":3,"sec":$secs19%.2f,"docs_per_sec":${(totalDocs / secs19).toLong}}""")
+    }
+
     if (sel("scd2")) {
       // SCD2 history rebuild at scale (q69's operator): 10M time-ordered
       // changes over 100k keys + a 100k-row current base — one lead window
