@@ -212,6 +212,47 @@ class PropertySpec extends SparkSpec {
     }, tests = 30)
   }
 
+  test("graph laws: LPA labels are vertex ids; modularity bounded; SSSP triangle inequality") {
+    val edgesGen = Gen.listOfN(20, for {
+      a <- Gen.choose(1L, 10L); b <- Gen.choose(1L, 10L) if a != b
+    } yield (a, b))
+    run(Prop.forAll(edgesGen) { es =>
+      es.nonEmpty && {
+        val edges = es.toDF("src", "dst")
+        val labels = Graph.labelPropagation(edges, rounds = 2)
+          .as[(Long, Long)].collect()
+        val verts = es.flatMap(e => Seq(e._1, e._2)).toSet
+        // every labelled vertex is a graph vertex and every label is too
+        val labelLaw = labels.forall(l => verts(l._1) && verts(l._2))
+        // modularity of that labelling is a valid rational in [-1/2, 1]
+        val q = Graph.modularity(edges, labels.toSeq.toDF("v", "label"))
+          .as[(Long, Long, Long, Long)].head()
+        val qv = q._3.toDouble / q._4
+        labelLaw && qv <= 1.0 + 1e-12 && qv >= -0.5 - 1e-12
+      }
+    }, tests = 20)
+
+    // SSSP: converged distances satisfy the relaxation fixpoint —
+    // no edge (u,v,w) with d(u) + w < d(v)
+    val wEdgesGen = Gen.listOfN(16, for {
+      a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L) if a != b
+      w <- Gen.choose(1L, 9L)
+    } yield (a, b, w))
+    run(Prop.forAll(wEdgesGen) { es =>
+      es.nonEmpty && {
+        val d = Graph.shortestPaths(es.toDF("src", "dst", "w"),
+            Seq(1L).toDF("v"), maxRounds = 20)
+          .as[(Long, Long)].collect().toMap
+        // pre-min parallel edges like the operator does
+        val minW = es.groupBy(e => (e._1, e._2))
+          .map { case (k, g) => k -> g.map(_._3).min }
+        minW.forall { case ((u, v), w) =>
+          d.get(u).forall(du => d.get(v).exists(dv => dv <= du + w))
+        }
+      }
+    }, tests = 20)
+  }
+
   test("span dedup conservation: removed = total chunks - distinct chunks, any corpus") {
     import graft.llm.Dedup
     val docsGen = Gen.listOfN(6, Gen.listOfN(8,
