@@ -419,7 +419,8 @@ object ScaleBench {
           spark.readStream.schema(schema)
             .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
           s"$root/index", s"$root/ckpt", idCol = "id", chunkTokens = 5)(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
       val out = spark.read.parquet(s"$root/out")
         .agg(count(lit(1)), sum("n_removed")).head()
@@ -462,7 +463,8 @@ object ScaleBench {
             .option("maxFilesPerTrigger", "1").parquet(s"$root/in"),
           s"$root/unused", s"$root/ckpt", idCol = "id", chunkTokens = 5,
           bucketedIndexTable = Some(tbl), indexBuckets = 32)(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
       val out = spark.read.parquet(s"$root/out")
         .agg(count(lit(1)), sum("n_removed")).head()

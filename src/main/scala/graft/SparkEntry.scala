@@ -1127,10 +1127,13 @@ object SparkEntry {
       val stream = ss.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
       graft.streaming.Streaming.spanDedupIngestStream(
-          stream, s"$root/index", s"$root/ckpt", compactAfterFiles = 2)(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          stream, s"$root/index", s"$root/ckpt", compactAfterDirs = 1)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
-      s.read.parquet(s"$root/out").orderBy("doc_id")
+      s.read.parquet(s"$root/out")
+        .select("doc_id", "clean_text", "n_chunks", "n_removed")
+        .orderBy("doc_id")
     }),
     "v06_kmeans" -> ((s, d) => {
       // distributed Lloyd's k-means, oracle-checked BIT FOR BIT: 3 rounds,

@@ -96,11 +96,14 @@ object ApiFetchers {
   /** Rows parsed out of one GeoJSON FeatureCollection page:
     * (id, lon, lat, typeAttr). Point features only — the reference keeps
     * facilities as points. */
+  /** Returns (raw feature count, parsed Point rows). The RAW count is what
+    * pagination must terminate on — a page of only non-Point/malformed
+    * features parses to zero rows but is NOT the end of the data. */
   private def geoJsonFeatures(body: String, idField: String,
-                              typeField: String): Seq[(String, Double, Double, String)] = {
+                              typeField: String): (Int, Seq[(String, Double, Double, String)]) = {
     val root = mapper.readTree(body)
     val feats = Option(root.get("features")).map(_.elements().asScala.toSeq).getOrElse(Nil)
-    feats.flatMap { f =>
+    val rows = feats.flatMap { f =>
       val geom = f.get("geometry")
       val props = f.get("properties")
       if (geom == null || props == null || optText(geom, "type") != "Point") None
@@ -111,6 +114,7 @@ object ApiFetchers {
           coords.get(1).asDouble(), optText(props, typeField)))
       }
     }
+    (feats.size, rows)
   }
 
   private def toFacilityDf(spark: SparkSession,
@@ -142,9 +146,9 @@ object ApiFetchers {
       val body = http.request("GET", baseUrl,
         query = Seq("country" -> country, "page" -> page.toString,
           "page-size" -> pageSize.toString))
-      val feats = geoJsonFeatures(body, "osm_id", "amenity")
+      val (rawCount, feats) = geoJsonFeatures(body, "osm_id", "amenity")
       rows ++= feats
-      done = feats.isEmpty
+      done = rawCount == 0
       page += 1
     }
     toFacilityDf(spark, rows.result(), "osm_id", "amenity")

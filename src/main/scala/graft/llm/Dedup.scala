@@ -297,10 +297,40 @@ object Dedup {
     spark.read.parquet(dir)
       .filter(col("pfx").isin(prefixes.map(_.toLong): _*))
 
-  /** True once a bucketed signature index has any committed data. */
+  /** Complete or discard interrupted compaction commits: a crash between
+    * `delete(part)` and `rename(staging, part)` leaves only the hidden
+    * `.compact_pfx=N` staging dir — its contents ARE the compacted
+    * partition, so rename it into place; if both exist the crash happened
+    * before the delete and the staging copy is redundant. Called from the
+    * existence probe (every ingest batch) and from compaction itself, so
+    * the index self-heals on the next touch. */
+  private[graft] def recoverInterruptedCompactions(dir: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    if (!fs.exists(root)) return
+    fs.listStatus(root)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
+      .foreach { s =>
+        val target = new Path(root, s.getPath.getName.stripPrefix(".compact_"))
+        if (!fs.exists(target)) fs.rename(s.getPath, target)
+        else fs.delete(s.getPath, true)
+      }
+  }
+
+  /** True once a bucketed signature index has any committed data. Also
+    * heals interrupted compactions and REFUSES a legacy flat layout
+    * (naked parquet at the top level) loudly — appending the pfx=
+    * layout next to it would corrupt both. */
   def signatureIndexExists(dir: String): Boolean = {
     val d = new java.io.File(dir)
-    d.isDirectory && d.listFiles().exists(p =>
+    if (!d.isDirectory) return false
+    recoverInterruptedCompactions(dir)
+    require(!d.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
+      s"signature index at $dir uses the legacy FLAT layout (top-level parquet" +
+        " files); migrate it to the pfx= bucketed layout before streaming" +
+        " against it — mixed layouts fail Spark's partition discovery")
+    d.listFiles().exists(p =>
       p.isDirectory && p.getName.startsWith("pfx=") &&
         p.listFiles().exists(_.getName.endsWith(".parquet")))
   }
@@ -319,6 +349,8 @@ object Dedup {
     val root = new Path(dir)
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
+    // heal any commit interrupted between delete and rename first
+    recoverInterruptedCompactions(dir)
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("pfx="))
     val overFull = parts.filter { s =>
@@ -701,13 +733,18 @@ object Dedup {
           .otherwise(lit(true))).drop("__n")
       case Some(acc) =>
         // bounded-drop: count every dropped prefix entry (non-codegen UDF,
-        // but it only runs on the already-shuffled window output)
+        // but it only runs on the already-shuffled window output). The
+        // side effect forces asNondeterministic + an EAGER materialization:
+        // the capped frame feeds BOTH sides of the candidate self-join, and
+        // without the checkpoint the filter would re-execute per side and
+        // double every count (task retries can still over-count — the
+        // accumulator is a monitoring signal, not an exact ledger).
         val keep = udf { n: Long =>
           val ok = n <= maxBucketSize
           if (!ok) acc.add(1L)
           ok
-        }
-        withN.filter(keep(col("__n"))).drop("__n")
+        }.asNondeterministic()
+        withN.filter(keep(col("__n"))).drop("__n").localCheckpoint()
     }
     val cands = capped.select(col("rk"), col("id").as("id_a"))
       .join(capped.select(col("rk"), col("id").as("id_b")), Seq("rk"))
@@ -1038,7 +1075,9 @@ object Dedup {
     * UNIT of exact corpus-level span dedup below — the C4/CCNet paragraph
     * analogue for corpora whose documents have no sentence structure. */
   private def tokenChunks(text: Column, c: Int): Column = {
-    val toks = TextAnalysis.tokens(text)
+    // null-safe: a null text must still yield its one-chunk empty doc so
+    // the per-doc output contract ("one row per input doc") holds
+    val toks = TextAnalysis.tokens(coalesce(text, lit("")))
     val nChunks = floor((size(toks) + lit(c - 1)) / lit(c)).cast("int")
     transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * c + 1, lit(c))))
@@ -1273,9 +1312,14 @@ object Dedup {
     canon(candidates).withColumn("__c", lit(1))
       .join(canon(truth).withColumn("__t", lit(1)), Seq("a", "b"), "full_outer")
       .agg(
-        sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L).otherwise(0L)).as("tp"),
-        sum(when(col("__c").isNotNull && col("__t").isNull, 1L).otherwise(0L)).as("fp"),
-        sum(when(col("__c").isNull && col("__t").isNotNull, 1L).otherwise(0L)).as("fn"))
+        // coalesce: sum over ZERO joined rows (both inputs empty after
+        // canonicalization) must report 0, not null
+        coalesce(sum(when(col("__c").isNotNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("tp"),
+        coalesce(sum(when(col("__c").isNotNull && col("__t").isNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fp"),
+        coalesce(sum(when(col("__c").isNull && col("__t").isNotNull, 1L)
+          .otherwise(0L)), lit(0L)).as("fn"))
       .select(col("tp"), col("fp"), col("fn"),
         // null (not NaN/inf) when a denominator is empty — engines differ
         // on 0.0/0, and null is the honest "undefined" for empty inputs

@@ -292,17 +292,6 @@ object TextAnalysis {
   }
 
   /**
-   * Corpus diversity metrics from a unigram count table (columns
-   * `groupCol`, `w`, `c`): Shannon entropy H = -Σ (c/N)·ln(c/N) folded in
-   * ascending-token order (the bigram-LM double-portability contract:
-   * every divide/multiply/add is one correctly-rounded IEEE op on
-   * identical operands, the fold order fixes the bits, and the ln ulps
-   * survive ROUND(,4)) + exact type-token ratio. Taking COUNTS as input
-   * lets the batch (d45) and streaming-state (s17) paths share it. The
-   * ordered fold is the GATE path; the 100 TB path is the order-free
-   * decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable sum.
-   */
-  /**
    * Pairwise Jensen-Shannon divergence between groups' unigram
    * distributions — the symmetric, bounded ([0, ln 2]) corpus-drift
    * metric: `JSD(P,Q) = ½Σ p·ln(p/m) + ½Σ q·ln(q/m)`, `m = (p+q)/2`,
@@ -351,6 +340,17 @@ object TextAnalysis {
         round(col("__j"), 4).as("jsd"))
   }
 
+  /**
+   * Corpus diversity metrics from a unigram count table (columns
+   * `groupCol`, `w`, `c`): Shannon entropy H = -Σ (c/N)·ln(c/N) folded in
+   * ascending-token order (the bigram-LM double-portability contract:
+   * every divide/multiply/add is one correctly-rounded IEEE op on
+   * identical operands, the fold order fixes the bits, and the ln ulps
+   * survive ROUND(,4)) + exact type-token ratio. Taking COUNTS as input
+   * lets the batch (d45) and streaming-state (s17) paths share it. The
+   * ordered fold is the GATE path; the 100 TB path is the order-free
+   * decomposition H = ln N − (Σ c·ln c)/N with a map-side-combinable sum.
+   */
   def unigramEntropy(counts: DataFrame, groupCol: String = "source"): DataFrame = {
     // materialize once: counts feeds the totals agg AND the term join, and
     // totals feeds two joins — without this the upstream tokenize/explode

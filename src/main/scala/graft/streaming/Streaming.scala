@@ -266,7 +266,15 @@ object Streaming {
    * exactly the per-microbatch batch semantics foreachBatch provides. The
    * index append is at-least-once under crash replay; duplicate index rows
    * only duplicate candidate pairs, which the pair-level distinct already
-   * collapses, so dedup semantics are unaffected.
+   * collapses, so dedup semantics are unaffected. KNOWN REPLAY LIMIT: a
+   * batch replayed after its index append finds its own signatures in the
+   * index, classifies every doc as a corpus duplicate, and sinks an EMPTY
+   * keep set — so the sink must have committed on the first attempt for
+   * those docs to exist downstream. Pair with an idempotent, synchronous
+   * sink (write-then-fsync before returning), or use
+   * [[spanDedupIngestStream]]'s batch-attributed index layout, which
+   * makes replays fully deterministic, as the pattern to port here if
+   * exactly-once ingest is required.
    *
    * Per-batch cost is |batch| signature folds plus output-bound bucket
    * joins — never a corpus re-scan — so ingest throughput is flat in corpus
@@ -372,11 +380,17 @@ object Streaming {
    *
    * foreachBatch for the same reason as [[nearDupIngestStream]]: the keep
    * decision needs batch-side groupBys and the index append must follow
-   * the sink write. The index append is at-least-once under crash replay;
-   * duplicate chunk keys are harmless (the probe join is semi-style via a
-   * distinct'd seen flag). Per-batch cost: one explode + one index
-   * equi-join + two keyed aggs — never a corpus re-scan. The flat index
-   * is compacted once it exceeds `compactAfterFiles` part files;
+   * the sink write. CRASH REPLAY is fully deterministic: every index
+   * write is attributed to its batch (batch=<id> subdir / `batch` table
+   * column) and the probe EXCLUDES the current batch id, so a replayed
+   * batch recomputes identical keep decisions even if its own keys were
+   * already appended; the sink receives the batchId so it can be
+   * idempotent too (`mode("overwrite")` under out/batch=<id>). Duplicate
+   * older keys stay harmless (semi/anti probe). Per-batch cost: one
+   * explode + one index equi-join + two keyed aggs — never a corpus
+   * re-scan. Prior batch dirs merge once they exceed `compactAfterDirs`
+   * (rename-before-delete through a staging dir: every crash window
+   * leaves either redundant duplicates or a droppable orphan);
    * `bucketedIndexTable` switches to the 100 TB layout — a chunk-bucketed
    * catalog table whose probe join never re-shuffles the index side
    * (StreamingSpec proves the single-Exchange plan).
@@ -384,59 +398,83 @@ object Streaming {
   def spanDedupIngestStream(docs: DataFrame, indexDir: String,
                             checkpointDir: String, idCol: String = "doc_id",
                             textCol: String = "text", chunkTokens: Int = 5,
-                            compactAfterFiles: Int = 8,
+                            compactAfterDirs: Int = 8,
                             bucketedIndexTable: Option[String] = None,
                             indexBuckets: Int = 16)(
-                            sink: DataFrame => Unit)
+                            sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.Dedup
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val b = batch.localCheckpoint()
         val spark = b.sparkSession
         val idxPath = new org.apache.hadoop.fs.Path(indexDir)
         val fs = idxPath.getFileSystem(spark.sessionState.newHadoopConf())
-        // PRODUCTION PATH: the index as a chunk-bucketed catalog table —
-        // the big side of the per-batch probe join arrives pre-hashed
-        // into its buckets and never re-shuffles (only the batch side
-        // exchanges, into `indexBuckets` partitions); each append writes
-        // at most `indexBuckets` files. Flat-parquet path stays the
-        // zero-catalog default for the gate.
-        val haveIndex = bucketedIndexTable match {
-          case Some(t) => spark.catalog.tableExists(t)
-          case None => fs.exists(idxPath) && fs.listStatus(idxPath)
-            .exists(_.getPath.getName.endsWith(".parquet"))
+        // REPLAY-STABLE layout: every write is attributed to its batch.
+        // The flat index is indexDir/batch=<id> subdirs, written with
+        // OVERWRITE; the bucketed table carries a `batch` column. The
+        // probe then reads the index EXCLUDING the current batch id, so a
+        // crash-replayed batch recomputes the exact same keep decisions
+        // even though its own keys may already be in the index — and the
+        // batchId handed to `sink` lets the sink be idempotent too
+        // (write mode("overwrite") under out/batch=<id>).
+        def batchDirs(): Seq[org.apache.hadoop.fs.Path] =
+          if (!fs.exists(idxPath)) Nil
+          else fs.listStatus(idxPath).toSeq
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch="))
+            .map(_.getPath)
+        val seen = bucketedIndexTable match {
+          case Some(t) =>
+            if (!spark.catalog.tableExists(t)) None
+            else Some(spark.table(t).filter(col("batch") =!= batchId)
+              .select(col("chunk")))
+          case None =>
+            // orphaned merge staging (crash before rename) duplicates
+            // dirs that still exist — just drop it
+            if (fs.exists(idxPath))
+              fs.listStatus(idxPath)
+                .filter(s => s.getPath.getName.startsWith(".merge_"))
+                .foreach(s => fs.delete(s.getPath, true))
+            val dirs = batchDirs().filterNot(_.getName == s"batch=$batchId")
+            if (dirs.isEmpty) None
+            else Some(spark.read.parquet(dirs.map(_.toString): _*)
+              .select(col("chunk")))
         }
-        val seen =
-          if (!haveIndex) None
-          else Some(bucketedIndexTable.map(spark.table)
-            .getOrElse(spark.read.parquet(indexDir)))
         val marked = Dedup.markedSpans(b, idCol, textCol, chunkTokens, seen)
           .localCheckpoint() // one evaluation serves sink + index append
-        sink(Dedup.reassembleSpans(marked, idCol))
+        sink(Dedup.reassembleSpans(marked, idCol), batchId)
         // every batch chunk not already indexed is now first-seen (kept or
         // removed-within-batch alike — both block later occurrences)
         val newKeys = marked.filter(!col("__seen"))
           .select(col("__chunk").as("chunk")).distinct()
         bucketedIndexTable match {
           case Some(t) =>
-            newKeys.write.mode("append")
+            // PRODUCTION PATH: chunk-bucketed catalog table — the probe's
+            // big side arrives pre-hashed and never re-shuffles; appends
+            // are at-least-once and replay-safe (the probe filters the
+            // current batch id out; duplicate older rows are dup-tolerant)
+            newKeys.withColumn("batch", lit(batchId)).write.mode("append")
               .bucketBy(indexBuckets, "chunk").sortBy("chunk")
               .format("parquet").saveAsTable(t)
           case None =>
-            newKeys.write.mode("append").parquet(indexDir)
-            // bound small-files growth: rewrite the flat index through a
-            // hidden staging dir + atomic rename (signature-index pattern)
-            if (fs.exists(idxPath) && fs.listStatus(idxPath)
-                .count(_.getPath.getName.endsWith(".parquet")) > compactAfterFiles) {
+            newKeys.coalesce(math.max(1, indexBuckets / 4)).write
+              .mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+            // bound dir growth: merge all PRIOR batch dirs (never the
+            // current one — replay exclusion needs it intact) through a
+            // staging dir; rename BEFORE deleting sources, so every crash
+            // window leaves either redundant duplicates (harmless — the
+            // probe is dup-tolerant) or a droppable orphan staging
+            val merge = batchDirs().filterNot(_.getName == s"batch=$batchId")
+            if (merge.size > compactAfterDirs) {
               val staging = new org.apache.hadoop.fs.Path(
-                idxPath.getParent, s".compact_${idxPath.getName}")
-              spark.read.parquet(indexDir).distinct().coalesce(1)
-                .write.mode("overwrite").parquet(staging.toString)
-              fs.delete(idxPath, true)
-              fs.rename(staging, idxPath)
+                idxPath, s".merge_$batchId")
+              spark.read.parquet(merge.map(_.toString): _*).distinct()
+                .coalesce(1).write.mode("overwrite").parquet(staging.toString)
+              fs.rename(staging,
+                new org.apache.hadoop.fs.Path(idxPath, s"batch=m$batchId"))
+              merge.foreach(p => fs.delete(p, true))
             }
         }
         ()

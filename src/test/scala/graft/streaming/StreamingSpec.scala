@@ -224,8 +224,9 @@ class StreamingSpec extends SparkSpec {
     def runDrop(): Unit = {
       val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
       Streaming.spanDedupIngestStream(stream, s"$root/index", s"$root/ckpt",
-          chunkTokens = 2, compactAfterFiles = 1)(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          chunkTokens = 2, compactAfterDirs = 0)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
     }
 
@@ -234,6 +235,7 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/docs")
     runDrop()
     val after1 = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "n_chunks", "n_removed")
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(after1 == Seq((1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L)))
 
@@ -243,16 +245,20 @@ class StreamingSpec extends SparkSpec {
       .write.mode("append").parquet(s"$root/docs")
     runDrop()
     val after2 = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "n_chunks", "n_removed")
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(after2 == Seq(
       (1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L), (3L, "z z", 3L, 2L)))
 
-    // index holds each first-seen chunk exactly once, compacted to one file
-    val idx = spark.read.parquet(s"$root/index").as[String].collect().sorted
+    // index holds each first-seen chunk exactly once; compactAfterDirs=0
+    // merged batch 0 into a single m-dir alongside batch 1's own dir
+    val idx = spark.read.parquet(s"$root/index")
+      .select("chunk").as[String].collect().sorted
     assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"))
-    val files = new java.io.File(s"$root/index").listFiles()
-      .count(_.getName.endsWith(".parquet"))
-    assert(files == 1, s"expected compaction to 1 file, found $files")
+    val dirs = new java.io.File(s"$root/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("batch=1", "batch=m1"),
+      s"expected merged prior dirs + the current batch dir, got ${dirs.toSeq}")
   }
 
   test("spanDedupIngestStream: bucketed index table matches flat path; index never re-shuffles") {
@@ -265,7 +271,8 @@ class StreamingSpec extends SparkSpec {
       val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
       Streaming.spanDedupIngestStream(stream, s"$root/unused", s"$root/ckpt",
           chunkTokens = 2, bucketedIndexTable = Some(tbl))(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
     }
 
@@ -278,10 +285,11 @@ class StreamingSpec extends SparkSpec {
       runDrop()
       // identical outcome to the flat-index path's two-drop case
       val out = spark.read.parquet(s"$root/out")
+        .select("doc_id", "clean_text", "n_chunks", "n_removed")
         .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
       assert(out == Seq(
         (1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L), (3L, "z z", 3L, 2L)))
-      val idx = spark.table(tbl).as[String].collect().sorted
+      val idx = spark.table(tbl).select("chunk").as[String].collect().sorted
       assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"))
 
       // LAYOUT PROOF: a probe semi-join against the bucketed index plans
@@ -311,22 +319,24 @@ class StreamingSpec extends SparkSpec {
     def runDrop(): Unit = {
       val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
       Streaming.spanDedupIngestStream(stream, s"$root/index", s"$root/ckpt",
-          chunkTokens = 2, compactAfterFiles = 100)(
-          clean => clean.write.mode("append").parquet(s"$root/out"))
+          chunkTokens = 2, compactAfterDirs = 100)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
         .awaitTermination()
     }
 
     Seq((1L, "a b c d")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$root/docs")
     runDrop()
-    // simulate a replayed append: duplicate every index row
-    val idx = spark.read.parquet(s"$root/index")
-    idx.write.mode("append").parquet(s"$root/index")
+    // simulate a replayed append: a duplicate batch dir with the same keys
+    spark.read.parquet(s"$root/index/batch=0")
+      .write.mode("overwrite").parquet(s"$root/index/batch=77")
     // next drop still removes exactly the already-seen chunks, once
     Seq((2L, "a b x y")).toDF("doc_id", "text")
       .write.mode("append").parquet(s"$root/docs")
     runDrop()
     val out = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "n_chunks", "n_removed")
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(out == Seq((1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L)))
   }
