@@ -393,7 +393,6 @@ object ScaleBench {
       // removed chunks == the planted repeats exactly.
       val nStreamDocs = math.min(nTiles, 300000L)
       val root = java.nio.file.Files.createTempDirectory("sb_span").toString
-      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
       (0 until 3).foreach { b =>
         // batch b re-emits the first 20% of batch b-1's id space
         val lo = b * nStreamDocs
@@ -401,13 +400,7 @@ object ScaleBench {
             lo + nStreamDocs)
           .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
             concat(lit(s"w$j"), ((col("id") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
-        val stage = s"$root/stage$b"
-        docs.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, s"b$b.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified((b + 1) * 1000000000L)
+        graft.streaming.Streaming.writeOrderedMicrobatch(docs, s"$root/in", b)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",
@@ -437,20 +430,13 @@ object ScaleBench {
       val nStreamDocs = math.min(nTiles, 300000L)
       val root = java.nio.file.Files.createTempDirectory("sb_spanb").toString
       val tbl = s"sb_span_idx_${System.nanoTime()}"
-      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
       (0 until 3).foreach { b =>
         val lo = b * nStreamDocs
         val docs = spark.range(lo - (if (b > 0) nStreamDocs / 5 else 0L),
             lo + nStreamDocs)
           .select(col("id"), concat_ws(" ", (0 until 30).map(j =>
             concat(lit(s"w$j"), ((col("id") * 31 + j) * 2654435761L).cast("string"))): _*).as("text"))
-        val stage = s"$root/stage$b"
-        docs.coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, s"b$b.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified((b + 1) * 1000000000L)
+        graft.streaming.Streaming.writeOrderedMicrobatch(docs, s"$root/in", b)
       }
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("id",

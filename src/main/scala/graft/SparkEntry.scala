@@ -1109,17 +1109,11 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val root = java.nio.file.Files.createTempDirectory("s16").toString
-      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
       Seq((0, col("doc_id") < 167),
           (1, col("doc_id") >= 167 && col("doc_id") < 334),
           (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
-        val stage = s"$root/stage$b"
-        docs.filter(cond).coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, s"b$b.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified((b + 1) * 1000000000L)
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          docs.filter(cond), s"$root/in", b)
       }
       val ss = graft.streaming.Streaming.statefulSession(s)
       val schema = StructType(Seq(StructField("doc_id", LongType),
@@ -2587,19 +2581,13 @@ object SparkEntry {
         .filter(col("__rn") === 1).drop("__rn", "event_id")
       val root = java.nio.file.Files.createTempDirectory("s19").toString
       base.coalesce(1).write.parquet(s"$root/dim/v=0")
-      val inDir = new java.io.File(s"$root/in"); inDir.mkdirs()
       val cut1 = 1704844800000000L // 2024-01-10 UTC in epoch-us
       val cut2 = 1705708800000000L // 2024-01-20
       Seq((0, col("ts") < cut1),
           (1, col("ts") >= cut1 && col("ts") < cut2),
           (2, col("ts") >= cut2)).foreach { case (b, cond) =>
-        val stage = s"$root/stage$b"
-        ch.filter(cond).coalesce(1).write.parquet(stage)
-        val part = new java.io.File(stage).listFiles()
-          .find(_.getName.endsWith(".parquet")).get
-        val dest = new java.io.File(inDir, s"b$b.parquet")
-        java.nio.file.Files.move(part.toPath, dest.toPath)
-        dest.setLastModified((b + 1) * 1000000000L)
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          ch.filter(cond), s"$root/in", b)
       }
       val ss = graft.streaming.Streaming.statefulSession(s)
       val schema = StructType(Seq(StructField("custkey", LongType),

@@ -39,6 +39,23 @@ object Streaming {
     ss
   }
 
+  /** Stage `df` as the single-file microbatch `b` of an AvailableNow drop
+    * directory, with an explicit ascending mtime so the file source
+    * processes drops in batch order — the shared setup for every
+    * ordered-batch gate/bench (s16/s19/ScaleBench); keep mtime handling
+    * here so a fix lands once. */
+  def writeOrderedMicrobatch(df: DataFrame, inDir: String, b: Int): Unit = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-mb").toString
+    df.coalesce(1).write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+    val dir = new java.io.File(inDir); dir.mkdirs()
+    val dest = new java.io.File(dir, s"b$b.parquet")
+    java.nio.file.Files.move(part.toPath, dest.toPath)
+    dest.setLastModified((b + 1) * 1000000000L)
+  }
+
   /** File-source stream over a directory of parquet drops. `glob` narrows
     * the files when pointing at a shared directory (the file source requires
     * a directory basePath). */
