@@ -1086,7 +1086,8 @@ object SparkEntry {
         s, s"$root/docs", schema)
       graft.streaming.Streaming.nearDupIngestStream(
           stream, s"$root/index", s"$root/ckpt")(
-          keep => keep.write.mode("append").parquet(s"$root/corpus"))
+          (keep, bid) => keep.write.mode("overwrite")
+            .parquet(s"$root/corpus/batch=$bid"))
         .awaitTermination()
       val streamed = s.read.parquet(s"$root/corpus").select(col("doc_id"))
       val batch = graft.ops.ConnectedComponents.keepRepresentatives(

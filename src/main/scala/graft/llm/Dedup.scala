@@ -283,19 +283,32 @@ object Dedup {
   /** Append [[bandedSignatures]] rows to a persisted index bucketed by
     * [[indexPrefix]] (layout: parquet files under `dir/pfx=N`), so a probe for a new
     * batch partition-prunes to only the prefixes the batch hashes into
-    * instead of re-scanning the whole corpus index every ingest. */
-  def writeSignatureIndex(sigs: DataFrame, dir: String): Unit =
-    sigs.withColumn("pfx", indexPrefix(col("bucket")))
+    * instead of re-scanning the whole corpus index every ingest.
+    * `batchId` attributes the rows to their writing microbatch (-1 for
+    * one-shot builds) — what lets a crash-replayed ingest batch probe the
+    * index EXCLUDING its own prior append and recompute identical
+    * decisions. */
+  def writeSignatureIndex(sigs: DataFrame, dir: String, batchId: Long = -1L): Unit =
+    sigs.withColumn("batch", lit(batchId))
+      .withColumn("pfx", indexPrefix(col("bucket")))
       .write.mode("append").partitionBy("pfx").parquet(dir)
 
   /** Read a bucketed signature index restricted to the given prefixes —
     * the `pfx` filter is a partition-column predicate, so Spark prunes the
     * non-matching `pfx=N` directories at planning time (the probe never
-    * opens their files). */
+    * opens their files). `excludeBatch` drops rows a crash-replayed batch
+    * appended itself (older indexes without the batch column read as-is). */
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
-                         prefixes: Seq[Int]): DataFrame =
-    spark.read.parquet(dir)
+                         prefixes: Seq[Int],
+                         excludeBatch: Option[Long] = None): DataFrame = {
+    val df = spark.read.parquet(dir)
       .filter(col("pfx").isin(prefixes.map(_.toLong): _*))
+    excludeBatch match {
+      case Some(b) if df.columns.contains("batch") =>
+        df.filter(col("batch") =!= b)
+      case _ => df
+    }
+  }
 
   /** Complete or discard interrupted compaction commits: a crash between
     * `delete(part)` and `rename(staging, part)` leaves only the hidden

@@ -283,15 +283,13 @@ object Streaming {
    * exactly the per-microbatch batch semantics foreachBatch provides. The
    * index append is at-least-once under crash replay; duplicate index rows
    * only duplicate candidate pairs, which the pair-level distinct already
-   * collapses, so dedup semantics are unaffected. KNOWN REPLAY LIMIT: a
-   * batch replayed after its index append finds its own signatures in the
-   * index, classifies every doc as a corpus duplicate, and sinks an EMPTY
-   * keep set — so the sink must have committed on the first attempt for
-   * those docs to exist downstream. Pair with an idempotent, synchronous
-   * sink (write-then-fsync before returning), or use
-   * [[spanDedupIngestStream]]'s batch-attributed index layout, which
-   * makes replays fully deterministic, as the pattern to port here if
-   * exactly-once ingest is required.
+   * collapses, so dedup semantics are unaffected. CRASH REPLAY is
+   * deterministic beyond that: appended signatures carry their batch id
+   * and the probe EXCLUDES the current batch, so a replayed batch cannot
+   * see its own prior append (which would have classified every doc as a
+   * corpus duplicate and sunk an empty keep set) — it recomputes the
+   * identical keep set, and the batchId handed to `sink` makes the sink
+   * side idempotent (overwrite under corpus/batch=<id>).
    *
    * Per-batch cost is |batch| signature folds plus output-bound bucket
    * joins — never a corpus re-scan — so ingest throughput is flat in corpus
@@ -342,12 +340,12 @@ object Streaming {
                           idCol: String = "doc_id", textCol: String = "text",
                           minEstJaccard: Double = 0.5,
                           compactAfterFiles: Int = 8)(
-                          sink: DataFrame => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
+                          sink: (DataFrame, Long) => Unit): org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.Dedup
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // the batch feeds three passes (index check, self-pairs, signature
         // append); localCheckpoint bounds it to one source read, and ONE
         // signature build serves both the index probe and the index append
@@ -359,11 +357,15 @@ object Streaming {
           else {
             // the batch's band buckets hash into a bounded prefix set
             // (≤ IndexBucketPrefixes values) — probe ONLY those index
-            // partitions instead of re-scanning the whole corpus index
+            // partitions instead of re-scanning the whole corpus index.
+            // excludeBatch = this batch id: a crash-replayed batch must
+            // not see its own prior append, so it recomputes the exact
+            // same keep set and the batchId-keyed sink stays idempotent
             val pfxs = sigs.select(Dedup.indexPrefix(col("bucket")).as("p"))
               .distinct().collect().map(_.getLong(0).toInt).toSeq
             val dupOfCorpus = Dedup.minhashLshSigsAgainstIndex(
-                sigs, Dedup.readSignatureIndex(spark, indexDir, pfxs),
+                sigs, Dedup.readSignatureIndex(spark, indexDir, pfxs,
+                  excludeBatch = Some(batchId)),
                 minEstJaccard = minEstJaccard)
               .select(col("new_id").as(idCol)).distinct()
             b.join(dupOfCorpus, Seq(idCol), "left_anti")
@@ -373,10 +375,10 @@ object Streaming {
         val keep = graft.ops.ConnectedComponents
           .keepRepresentatives(fresh, idCol, selfPairs)
           .localCheckpoint()
-        sink(keep)
+        sink(keep, batchId)
         Dedup.writeSignatureIndex(
           sigs.join(keep.select(col(idCol).as("id")), Seq("id"), "left_semi"),
-          indexDir)
+          indexDir, batchId)
         // bound the small-files growth from one-file-per-batch appends
         Dedup.compactSignatureIndex(spark, indexDir, compactAfterFiles)
         ()

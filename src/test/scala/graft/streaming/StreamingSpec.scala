@@ -189,7 +189,8 @@ class StreamingSpec extends SparkSpec {
       val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema,
         glob = None)
       val q = Streaming.nearDupIngestStream(stream, s"$root/index", s"$root/ckpt")(
-        keep => keep.write.mode("append").parquet(s"$root/corpus"))
+        (keep, bid) => keep.write.mode("overwrite")
+          .parquet(s"$root/corpus/batch=$bid"))
       q.awaitTermination()
     }
 
@@ -458,7 +459,8 @@ class StreamingSpec extends SparkSpec {
       // compactAfterFiles = 1: any partition touched by 2+ batches compacts
       Streaming.nearDupIngestStream(stream, s"$root/index", s"$root/ckpt",
           compactAfterFiles = 1)(
-          keep => keep.write.mode("append").parquet(s"$root/corpus"))
+          (keep, bid) => keep.write.mode("overwrite")
+            .parquet(s"$root/corpus/batch=$bid"))
         .awaitTermination()
     }
     drop(1L to 6L, "alpha")
