@@ -512,6 +512,39 @@ object ScaleBench {
       val secs16 = (System.nanoTime() - t16) / 1e9
       println(f"""{"metric":"scale_sssp","edges":${nSsV * 5},"reached":${ss.getLong(0)},"max_dist":${ss.getLong(1)},"rounds":8,"sec":$secs16%.2f,"edge_rounds_per_sec":${(nSsV * 40 / secs16).toLong}}""")
     }
+
+    if (sel("entropy_vocab")) {
+      // unigramEntropy at a 10^7-distinct-token vocabulary — the workload
+      // that OOM'd the pre-round-8 single whole-vocab collect_list fold.
+      // The two-level md5-bucket fold caps every aggregation buffer at
+      // ~|vocab per source|/4096 structs; the planted check is the
+      // order-free closed form H = ln N - (sum c*ln c)/N, which the
+      // ordered fold must match to ~1e-9 relative at this scale.
+      val nVocab = math.max(nTiles * 10, 10000000L)
+      val counts = spark.range(nVocab).select(
+          concat(lit("s"), col("id") % 4).as("source"),
+          concat(lit("w"), col("id")).as("w"),
+          (col("id") % 7 + 1).as("c"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint()
+      val t17 = System.nanoTime()
+      val ent = graft.llm.TextAnalysis.unigramEntropy(counts)
+        .select(col("source"), col("entropy")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      val secs17 = (System.nanoTime() - t17) / 1e9
+      val closed = counts.groupBy("source")
+        .agg(sum(col("c")).as("n"),
+          sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
+        .select(col("source"),
+          round(log(col("n").cast("double")) - col("clc") / col("n"), 4).as("h"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      require(ent == closed, s"entropy drifted from closed form: $ent vs $closed")
+      // peak buffer bound: the largest (source, bucket) group, measured
+      val maxBucket = counts
+        .groupBy(col("source"), substring(md5(col("w").cast("binary")), 1, 3).as("bk"))
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
+      println(f"""{"metric":"scale_entropy_vocab","vocab":$nVocab,"sources":4,"max_bucket_rows":$maxBucket,"sec":$secs17%.2f,"tokens_per_sec":${(nVocab / secs17).toLong}}""")
+    }
     spark.stop()
   }
 }

@@ -3030,7 +3030,8 @@ object SparkEntry {
        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 256 AS bin_id
        |  FROM kept
        |)
-       |SELECT lang, bin_id, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |SELECT lang, CAST(bin_id AS BIGINT) AS bin_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
        |FROM packed GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
@@ -3154,11 +3155,16 @@ object SparkEntry {
       |  SELECT c.source, c.w,
       |    -(CAST(c.c AS DOUBLE) / t.n_tokens) * ln(CAST(c.c AS DOUBLE) / t.n_tokens) AS term
       |  FROM c JOIN t USING (source)
+      |), hb AS (
+      |  SELECT source, substr(md5(w), 1, 3) AS bk,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
+      |      (x, y) -> x + y) AS bs
+      |  FROM tm GROUP BY 1, 2
       |), h AS (
       |  SELECT source,
-      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(term ORDER BY w)),
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bs ORDER BY bk)),
       |      (x, y) -> x + y) AS hh
-      |  FROM tm GROUP BY 1
+      |  FROM hb GROUP BY 1
       |)
       |SELECT h.source, t.n_tokens, t.n_types,
       |  CAST(t.n_types AS DOUBLE) / t.n_tokens AS ttr,
@@ -4910,10 +4916,17 @@ object SparkEntry {
         |    CASE WHEN ca IS NOT NULL AND cb IS NOT NULL THEN 1 ELSE 0 END AS in_both
         |  FROM grid
         |)
-        |SELECT g_a, g_b, CAST(SUM(in_both) AS BIGINT) AS n_shared,
-        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tt ORDER BY w)),
+        |, jb AS (
+        |  SELECT g_a, g_b, substr(md5(w), 1, 3) AS bk,
+        |    CAST(SUM(in_both) AS BIGINT) AS bshared,
+        |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(tt ORDER BY w)),
+        |      (x, y) -> x + y) AS bs
+        |  FROM tm GROUP BY 1, 2, 3
+        |)
+        |SELECT g_a, g_b, CAST(SUM(bshared) AS BIGINT) AS n_shared,
+        |  ROUND(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(bs ORDER BY bk)),
         |    (x, y) -> x + y), 4) AS jsd
-        |FROM tm GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM jb GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d49_pair_metrics" ->
       """WITH d AS (
         |  SELECT doc_id, lang, source, n_chars FROM documents

@@ -15,6 +15,13 @@ object TextAnalysis {
   /** Whitespace tokens of the lowercased text. */
   def tokens(text: Column): Column = split(trim(lower(text)), "\\s+")
 
+  /** Bucket key for the two-level ordered folds ([[unigramEntropy]],
+    * [[jensenShannon]]): the first 3 hex chars of md5(w) — 4096 buckets,
+    * byte-identical in Spark and DuckDB (`substr(md5(w), 1, 3)`), so the
+    * (bucket, token) fold order is a portable contract while every
+    * aggregation buffer stays at ~|vocab|/4096 entries. */
+  private def foldBucket: Column = substring(md5(col("w").cast("binary")), 1, 3)
+
   /** Whitespace-token COUNT without materializing the token array: the
     * native codegen'd [[TextExpressions.WsTokenCount]] byte scan. Matches
     * `size(tokens(text))` exactly (incl. the empty-string -> 1 regex-split
@@ -330,12 +337,24 @@ object TextAnalysis {
     val term =
       coalesce(when(col("ca").isNotNull, p * log(p / m) / 2), lit(0.0)) +
         coalesce(when(col("cb").isNotNull, q * log(q / m) / 2), lit(0.0))
-    grid.select(col("g_a"), col("g_b"), col("w"), term.as("__t"),
+    // Two-level ordered fold: bucket tokens by substr(md5(w),1,3) (4096
+    // buckets, identical bytes in Spark and DuckDB), fold each bucket in
+    // token order, then fold bucket subtotals in bucket order. Same
+    // double-portability contract as the single fold, but each
+    // aggregation buffer holds at most ~|vocab|/4096 structs — bounded at
+    // a 10^8-token corpus where the whole-vocabulary collect_list would
+    // OOM an executor.
+    grid.select(col("g_a"), col("g_b"), col("w"), foldBucket.as("__bk"),
+        term.as("__t"),
         (col("ca").isNotNull && col("cb").isNotNull).cast("long").as("__both"))
-      .groupBy("g_a", "g_b")
-      .agg(sum(col("__both")).as("n_shared"),
+      .groupBy(col("g_a"), col("g_b"), col("__bk"))
+      .agg(sum(col("__both")).as("__bshared"),
         aggregate(sort_array(collect_list(struct(col("w"), col("__t")))),
-          lit(0.0), (a, x) => a + x.getField("__t")).as("__j"))
+          lit(0.0), (a, x) => a + x.getField("__t")).as("__bs"))
+      .groupBy("g_a", "g_b")
+      .agg(sum(col("__bshared")).as("n_shared"),
+        aggregate(sort_array(collect_list(struct(col("__bk"), col("__bs")))),
+          lit(0.0), (a, x) => a + x.getField("__bs")).as("__j"))
       .select(col("g_a"), col("g_b"), col("n_shared"),
         round(col("__j"), 4).as("jsd"))
   }
@@ -360,11 +379,20 @@ object TextAnalysis {
       .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("n_types"))
       .localCheckpoint()
     val p = col("c").cast("double") / col("n_tokens")
+    // Two-level ordered fold (see jensenShannon): md5-prefix buckets keep
+    // every aggregation buffer at ~|vocab|/4096 structs instead of the
+    // whole vocabulary, while the (bucket order, token order) fold stays a
+    // fixed data-independent sequence of IEEE adds that DuckDB replays
+    // bit-for-bit.
     c.join(totals, groupCol)
-      .select(col(groupCol), col("w"), (-p * log(p)).as("term"))
-      .groupBy(groupCol)
+      .select(col(groupCol), col("w"), foldBucket.as("__bk"),
+        (-p * log(p)).as("term"))
+      .groupBy(col(groupCol), col("__bk"))
       .agg(aggregate(sort_array(collect_list(struct(col("w"), col("term")))),
-        lit(0.0), (a, x) => a + x.getField("term")).as("__h"))
+        lit(0.0), (a, x) => a + x.getField("term")).as("__bs"))
+      .groupBy(groupCol)
+      .agg(aggregate(sort_array(collect_list(struct(col("__bk"), col("__bs")))),
+        lit(0.0), (a, x) => a + x.getField("__bs")).as("__h"))
       .join(totals, groupCol)
       .select(col(groupCol), col("n_tokens"), col("n_types"),
         (col("n_types").cast("double") / col("n_tokens")).as("ttr"),

@@ -205,4 +205,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out._1 == "p" && out._2 == "q" && out._3 == 1L)
     assert(math.abs(out._4 - expect) < 1e-9, s"got ${out._4}, want $expect")
   }
+
+  test("two-level md5-bucketed fold matches the single whole-vocab fold at the ROUND(,4) contract") {
+    import spark.implicits._
+    // 5k distinct tokens across 3 sources, counts 1..7: large enough that
+    // tokens land in many distinct md5 buckets, so the two-level
+    // re-association actually exercises a different IEEE add order than
+    // one flat ascending-token fold.
+    val counts = (0 until 5000).flatMap { i =>
+      val w = f"tok$i%05d"
+      Seq(("a", w, (i % 7 + 1).toLong)) ++
+        (if (i % 2 == 0) Seq(("b", w, (i % 5 + 1).toLong)) else Nil) ++
+        (if (i % 3 == 0) Seq(("c", w, (i % 3 + 1).toLong)) else Nil)
+    }.toDF("source", "w", "c")
+    // single-fold reference, computed exactly as the pre-round-8 engine
+    // did: one ascending-token ordered fold over the whole vocabulary
+    val totals = counts.groupBy("source")
+      .agg(sum($"c").as("n_tokens"))
+    val p = $"c".cast("double") / $"n_tokens"
+    val single = counts.join(totals, "source")
+      .select($"source", $"w", (-p * log(p)).as("term"))
+      .groupBy("source")
+      .agg(aggregate(sort_array(collect_list(struct($"w", $"term"))),
+        lit(0.0), (a, x) => a + x.getField("term")).as("h"))
+      .select($"source", round($"h", 4).as("entropy"))
+      .as[(String, Double)].collect().toMap
+    val twoLevel = TextAnalysis.unigramEntropy(counts)
+      .select($"source", $"entropy").as[(String, Double)].collect().toMap
+    assert(twoLevel == single,
+      s"two-level fold must agree with the single fold at 4 dp: $twoLevel vs $single")
+  }
 }
