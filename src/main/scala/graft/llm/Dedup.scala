@@ -301,11 +301,18 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          prefixes: Seq[Int],
                          excludeBatch: Option[Long] = None): DataFrame = {
-    val df = spark.read.parquet(dir)
+    // mergeSchema: an index with mixed files (pre-upgrade without the
+    // batch column + new ones with it) must still expose `batch` — with
+    // footer-sampled inference the replay exclusion could silently not
+    // apply at all
+    val df = spark.read.option("mergeSchema", "true").parquet(dir)
       .filter(col("pfx").isin(prefixes.map(_.toLong): _*))
     excludeBatch match {
       case Some(b) if df.columns.contains("batch") =>
-        df.filter(col("batch") =!= b)
+        // legacy rows read as batch=NULL; a null-rejecting =!= would drop
+        // them from EVERY probe (missed duplicates). Coalesce to the
+        // one-shot sentinel -1, which no microbatch id collides with.
+        df.filter(coalesce(col("batch"), lit(-1L)) =!= b)
       case _ => df
     }
   }
@@ -317,10 +324,12 @@ object Dedup {
     * before the delete and the staging copy is redundant. Called from the
     * existence probe (every ingest batch) and from compaction itself, so
     * the index self-heals on the next touch. */
-  private[graft] def recoverInterruptedCompactions(dir: String): Unit = {
+  private[graft] def recoverInterruptedCompactions(
+      dir: String,
+      conf: org.apache.hadoop.conf.Configuration): Unit = {
     import org.apache.hadoop.fs.Path
     val root = new Path(dir)
-    val fs = root.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return
     fs.listStatus(root)
       .filter(s => s.isDirectory && s.getPath.getName.startsWith(".compact_"))
@@ -338,7 +347,13 @@ object Dedup {
   def signatureIndexExists(dir: String): Boolean = {
     val d = new java.io.File(dir)
     if (!d.isDirectory) return false
-    recoverInterruptedCompactions(dir)
+    // session conf when a session is active (credentials/settings for
+    // object stores), bare defaults otherwise — same FS resolution as
+    // compactSignatureIndex
+    val conf = org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+    recoverInterruptedCompactions(dir, conf)
     require(!d.listFiles().exists(f => f.isFile && f.getName.endsWith(".parquet")),
       s"signature index at $dir uses the legacy FLAT layout (top-level parquet" +
         " files); migrate it to the pfx= bucketed layout before streaming" +
@@ -363,7 +378,7 @@ object Dedup {
     val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
     // heal any commit interrupted between delete and rename first
-    recoverInterruptedCompactions(dir)
+    recoverInterruptedCompactions(dir, spark.sessionState.newHadoopConf())
     val parts = fs.listStatus(root).filter(s =>
       s.isDirectory && s.getPath.getName.startsWith("pfx="))
     val overFull = parts.filter { s =>

@@ -103,8 +103,11 @@ object Similarity {
     // apply the exclusion only when requested — an unconditional
     // filter(lit(true)) node measurably broke codegen fusion on the 1M-row
     // scored pass (ScaleBench ann: 6.1 s -> 11.1 s) before being a no-op
+    // null-rejecting =!= matches SQL `<>` three-valued logic (the v07
+    // oracle): a pair where either label is NULL is DROPPED, not kept —
+    // the null-safe !(<=>) variant silently diverged on nullable columns
     val scored = excludeSameCol.fold(paired)(_ =>
-      paired.filter(!(col("__cx") <=> col("__qx"))))
+      paired.filter(col("__cx") =!= col("__qx")))
       .withColumn("cosine", cosineFromParts(
         dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
       .filter(col("cosine").isNotNull)

@@ -309,12 +309,14 @@ object Streaming {
    * `b` re-reads the same immutable pre-`b` version and deterministically
    * overwrites `v=b+1` — which is exactly the transactional-commit shape a
    * lakehouse table format provides, expressed directly on the filesystem.
-   * Old versions are retained time travel; prune them like checkpoints.
+   * Old versions are retained as time travel; `retainVersions` > 0 prunes
+   * all but the newest max(retainVersions, 2) after each commit.
    * Refresh is associative and commutative (count/sum partials), so the
    * microbatch split of the delta cannot change the converged view.
    */
   def ivmRefreshStream(delta: DataFrame, viewDir: String, checkpointDir: String,
-                       keys: Seq[String], sumCols: Seq[String], multCol: String)
+                       keys: Seq[String], sumCols: Seq[String], multCol: String,
+                       retainVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     delta.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -322,11 +324,36 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val view = spark.read.parquet(s"$viewDir/v=$batchId")
-        graft.ops.Ivm.refresh(view, batch, keys, sumCols, multCol)
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$viewDir/v=${batchId + 1}")
+        commitVersionedMap(
+          graft.ops.Ivm.refresh(view, batch, keys, sumCols, multCol),
+          viewDir, batchId + 1, retainVersions)
       }
       .start()
+
+  /** Copy-on-write commit shared by the versioned-map streams (IVM, CC,
+    * SCD2): write `dir/v=<next>` with a bounded partition count — a
+    * coalesce(1) single-file write is an O(|map|) single task that would
+    * serialize every microbatch at production volume — then, when
+    * `retainVersions > 0`, prune versions older than the newest
+    * `max(retainVersions, 2)`. At least 2 always survive: `v=<next-1>`
+    * is the replay input of the batch that wrote `v=<next>` and must
+    * outlive that batch's checkpoint commit. */
+  private def commitVersionedMap(df: DataFrame, dir: String, next: Long,
+                                 retainVersions: Int): Unit = {
+    val spark = df.sparkSession
+    df.coalesce(math.max(1, spark.sparkContext.defaultParallelism))
+      .write.mode("overwrite").parquet(s"$dir/v=$next")
+    if (retainVersions > 0) {
+      val root = new org.apache.hadoop.fs.Path(dir)
+      val fs = root.getFileSystem(spark.sessionState.newHadoopConf())
+      val keep = math.max(retainVersions, 2)
+      fs.listStatus(root).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+        .map(s => (s.getPath.getName.stripPrefix("v=").toLong, s.getPath))
+        .filter(_._1 <= next - keep)
+        .foreach(p => fs.delete(p._2, true))
+    }
+  }
 
   /** Latest committed version of an [[ivmRefreshStream]] view. */
   def latestIvmView(spark: SparkSession, viewDir: String): DataFrame = {
@@ -491,8 +518,19 @@ object Streaming {
                 idxPath, s".merge_$batchId")
               spark.read.parquet(merge.map(_.toString): _*).distinct()
                 .coalesce(1).write.mode("overwrite").parquet(staging.toString)
-              fs.rename(staging,
-                new org.apache.hadoop.fs.Path(idxPath, s"batch=m$batchId"))
+              // rename to a name UNIQUE per attempt: a crash between the
+              // rename and the source deletes leaves the merged dir among
+              // the sources of the replayed merge, so renaming onto a
+              // fixed batch=m<id> would hit an existing target (fails or
+              // nests on Hadoop FS) and the source deletes would then
+              // destroy the fresh merge itself. With a fresh target name
+              // every crash window leaves only redundant duplicates
+              // (probe is dup-tolerant) or a droppable .merge_ orphan.
+              val attempt = merge.count(_.getName.startsWith(s"batch=m${batchId}_"))
+              val target = new org.apache.hadoop.fs.Path(
+                idxPath, s"batch=m${batchId}_$attempt")
+              require(fs.rename(staging, target),
+                s"index merge commit failed: rename $staging -> $target")
               merge.foreach(p => fs.delete(p, true))
             }
         }
@@ -517,10 +555,11 @@ object Streaming {
    * The map is VERSIONED copy-on-write exactly like [[ivmRefreshStream]]:
    * batch `b` reads `mapDir/v=b` (absent ⇒ empty) and overwrites
    * `mapDir/v=b+1`, making crash replay idempotent. Old versions are
-   * retained time travel; prune like checkpoints.
+   * retained as time travel; `retainVersions` > 0 prunes all but the
+   * newest max(retainVersions, 2) after each commit.
    */
   def incrementalCcStream(edges: DataFrame, mapDir: String,
-                          checkpointDir: String)
+                          checkpointDir: String, retainVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -535,9 +574,9 @@ object Streaming {
               .select(col("id").as("id_a"), col("component").as("id_b"))
           else batch.limit(0).select(col("id_a"), col("id_b"))
         val all = batch.select(col("id_a"), col("id_b")).unionByName(prevEdges)
-        graft.ops.ConnectedComponents.labels(all, "id_a", "id_b")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$mapDir/v=${batchId + 1}")
+        commitVersionedMap(
+          graft.ops.ConnectedComponents.labels(all, "id_a", "id_b"),
+          mapDir, batchId + 1, retainVersions)
       }
       .start()
 
@@ -560,7 +599,7 @@ object Streaming {
    */
   def scd2Stream(changes: DataFrame, dimDir: String, checkpointDir: String,
                  keyCols: Seq[String], payloadCols: Seq[String],
-                 tsCol: String, opCol: String)
+                 tsCol: String, opCol: String, retainVersions: Int = 0)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -568,11 +607,11 @@ object Streaming {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val dim = spark.read.parquet(s"$dimDir/v=$batchId")
-        graft.ops.Cdc.applyChangesetScd2(dim, batch, keyCols, payloadCols,
-            tsCol, opCol)
-          .drop("is_current")
-          .coalesce(1).write.mode("overwrite")
-          .parquet(s"$dimDir/v=${batchId + 1}")
+        commitVersionedMap(
+          graft.ops.Cdc.applyChangesetScd2(dim, batch, keyCols, payloadCols,
+              tsCol, opCol)
+            .drop("is_current"),
+          dimDir, batchId + 1, retainVersions)
       }
       .start()
 

@@ -535,4 +535,36 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
     assert(out == Seq((1L, "a b c d e", 3L, 0L), (2L, "", 1L, 1L)))
   }
+
+  test("readSignatureIndex: excludeBatch keeps legacy batch-less rows and applies on mixed files") {
+    // a pre-upgrade index has files WITHOUT the batch column; after an
+    // upgrade new appends carry it. The replay exclusion must (a) still
+    // apply at all — parquet footer sampling without mergeSchema can hide
+    // the column entirely — and (b) keep the legacy rows, which read as
+    // batch=NULL and would vanish from EVERY probe under a null-rejecting
+    // =!= (silently missed corpus duplicates).
+    val root = java.nio.file.Files.createTempDirectory("graft-legacy-idx").toString
+    val sigs = Dedup.bandedSignatures(
+      Seq((1L, "alpha beta gamma delta epsilon zeta")).toDF("doc_id", "text"),
+      "doc_id", "text")
+    // legacy layout: same pfx= partitioning, NO batch column
+    sigs.withColumn("pfx", Dedup.indexPrefix(col("bucket")))
+      .write.mode("append").partitionBy("pfx").parquet(s"$root/idx")
+    // post-upgrade appends from two microbatches
+    Dedup.writeSignatureIndex(Dedup.bandedSignatures(
+      Seq((2L, "one two three four five six")).toDF("doc_id", "text"),
+      "doc_id", "text"), s"$root/idx", batchId = 7L)
+    Dedup.writeSignatureIndex(Dedup.bandedSignatures(
+      Seq((3L, "sept huit neuf dix onze douze")).toDF("doc_id", "text"),
+      "doc_id", "text"), s"$root/idx", batchId = 8L)
+    val allPfx = (0 until Dedup.IndexBucketPrefixes).toSeq
+    val ids = (b: Option[Long]) =>
+      Dedup.readSignatureIndex(spark, s"$root/idx", allPfx, b)
+        .select("id").distinct().as[Long].collect().toSet
+    assert(ids(None) == Set(1L, 2L, 3L))
+    // replaying batch 7 excludes ONLY its own rows — doc 1 (legacy, NULL
+    // batch) and doc 8's rows stay probe-visible
+    assert(ids(Some(7L)) == Set(1L, 3L),
+      "excludeBatch must keep legacy NULL-batch rows and other batches")
+  }
 }

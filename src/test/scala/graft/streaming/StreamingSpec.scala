@@ -258,8 +258,66 @@ class StreamingSpec extends SparkSpec {
     assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"))
     val dirs = new java.io.File(s"$root/index").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
-    assert(dirs.toSeq == Seq("batch=1", "batch=m1"),
+    assert(dirs.toSeq == Seq("batch=1", "batch=m1_0"),
       s"expected merged prior dirs + the current batch dir, got ${dirs.toSeq}")
+  }
+
+  test("spanDedupIngestStream: crash between merge rename and source deletes is replay-safe") {
+    // the crash window the round-7 advisor flagged: the merged dir exists
+    // but its source dirs were never deleted. The replayed merge must not
+    // rename onto the existing merged dir (Hadoop rename fails or nests)
+    // and must NOT delete the fresh merge along with the stale sources.
+    val root = java.nio.file.Files.createTempDirectory("graft-span-crash").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      Streaming.spanDedupIngestStream(stream, s"$root/index", s"$root/ckpt",
+          chunkTokens = 2, compactAfterDirs = 0)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
+        .awaitTermination()
+    }
+
+    Seq((1L, "a b c d"), (2L, "a b x y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    // simulate the interrupted merge of (replayed) batch 1: its merge of
+    // batch=0 was renamed into place as batch=m1_0, but the crash hit
+    // before the source delete AND before the checkpoint commit — so
+    // batch=0 survives alongside the merged dir, and the next run of the
+    // stream re-executes batch 1's merge with batch=m1_0 among its sources
+    spark.read.parquet(s"$root/index/batch=0")
+      .write.mode("overwrite").parquet(s"$root/index/batch=m1_0")
+    Seq((3L, "c d z z x y")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    // the replayed merge landed under the NEXT unique name — it did not
+    // rename onto the existing batch=m1_0 or get destroyed by the
+    // source deletes
+    val dirsAfter = new java.io.File(s"$root/index").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch=")).map(_.getName).sorted
+    assert(dirsAfter.toSeq == Seq("batch=1", "batch=m1_1"),
+      s"expected the replayed merge under a fresh attempt name, got ${dirsAfter.toSeq}")
+    val out = spark.read.parquet(s"$root/out")
+      .select("doc_id", "clean_text", "n_chunks", "n_removed")
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "a b c d", 2L, 0L), (2L, "x y", 2L, 1L), (3L, "z z", 3L, 2L)))
+    // the index survived intact: every first-seen chunk still present once
+    val idx = spark.read.parquet(s"$root/index")
+      .select("chunk").distinct().as[String].collect().sorted
+    assert(idx.toSeq == Seq("a b", "c d", "x y", "z z"),
+      s"seen-chunk index lost rows after replayed merge: ${idx.toSeq}")
+    // and a THIRD drop re-admits nothing previously seen
+    Seq((4L, "a b z z")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$root/docs")
+    runDrop()
+    val doc4 = spark.read.parquet(s"$root/out")
+      .filter($"doc_id" === 4L)
+      .select("clean_text", "n_removed").as[(String, Long)].head()
+    assert(doc4 == (("", 2L)), s"doc 4 should lose both seen chunks: $doc4")
   }
 
   test("spanDedupIngestStream: bucketed index table matches flat path; index never re-shuffles") {
@@ -408,6 +466,37 @@ class StreamingSpec extends SparkSpec {
     assert(hist == Seq(
       (1L, 100L, 0L, Some(5L)),
       (1L, 110L, 5L, Some(9L)))) // closed by the cross-drop delete, no live row
+  }
+
+  test("versioned-map retention prunes old versions but never the replay input") {
+    val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
+    val schema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
+
+    def runDrop(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/edges")
+      Streaming.incrementalCcStream(stream, s"$root/map", s"$root/ckpt",
+          retainVersions = 2)
+        .awaitTermination()
+    }
+
+    // 4 single-file drops -> batches 0..3 -> versions v=1..v=4
+    for (b <- 0 until 4) {
+      Seq((b * 10L, b * 10L + 1L)).toDF("id_a", "id_b")
+        .coalesce(1).write.mode("append").parquet(s"$root/edges")
+      runDrop()
+    }
+    val versions = new java.io.File(s"$root/map").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted
+    assert(versions.toSeq == Seq(3L, 4L),
+      s"retainVersions=2 must keep the newest 2 (incl. the replay input), got ${versions.toSeq}")
+    // the surviving latest map is complete: all 4 drops' components
+    val m = Streaming.latestIvmView(spark, s"$root/map")
+      .as[(Long, Long)].collect().toMap
+    assert(m == (0 until 4).flatMap(b =>
+      Seq(b * 10L -> b * 10L, b * 10L + 1L -> b * 10L)).toMap)
   }
 
   test("incrementalCcStream: late bridge edge merges two streamed components") {
