@@ -952,6 +952,17 @@ object SparkEntry {
           graft.llm.Multimodal.resizeImages(media, maxDim = 4))
         .orderBy("media_id")
     }),
+    "m04_audio_stats" -> ((s, d) => {
+      // multimodal AUDIO decode with real samples: WAV rows parse the
+      // RIFF chunk walk and PCM16LE frames in pure JVM
+      // (Multimodal.decodeWav) and audioStats folds exact integer
+      // channel sums — the oracle replays every sum from the synthetic
+      // formula, so a header-walk, alignment, or endianness bug breaks
+      // the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+      graft.llm.Multimodal.audioStats(media).orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -3715,6 +3726,32 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(range(d.h2)) AS y) y,
         |  LATERAL (SELECT unnest(range(d.w2)) AS x) x
         |GROUP BY 1, 2, 3 ORDER BY media_id""".stripMargin,
+    // m04: replay the DECODED PCM16 samples of the synthetic WAVs —
+    // 1 + id%2 channels at 8 kHz, 100 + id%50 frames, sample value
+    // (id·31 + frame·7 + ch·13) % 4096 − 2048 — if the engine's RIFF
+    // walk, fmt parse, or little-endian sample read is wrong, these
+    // exact sums cannot match.
+    "m04_audio_stats" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 1
+        |), s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 31 + f.f * 7) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 31 + f.f * 7 + c.c * 13) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, CAST(nc AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |  CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  sum_ch0, sum_rest
+        |FROM s ORDER BY media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,

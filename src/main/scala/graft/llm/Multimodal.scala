@@ -13,11 +13,14 @@ import org.apache.spark.sql.types._
  * Decode: binary PPM (P6) images are decoded for real by the pure-JVM
  * [[decodePpm]] (netpbm is a public textbook format — no codec library
  * needed), and [[extractFeatures]] derives features from actual pixels for
- * them. Other formats (png/wav/mp4 …) fall back to [[decodeStub]] — codec
- * libraries are not available in this build environment — with the
- * Spark-side plumbing (schema, batch shape, partition-level processing)
- * identical either way: swapping the stub for a real codec (javacv /
- * ImageIO) changes no plan shape.
+ * them. RIFF/WAVE PCM16 audio likewise decodes for real via [[decodeWav]]
+ * (the canonical WAV container is a ~40-line header walk), feeding
+ * [[audioStats]] exact per-channel sample sums. Remaining formats
+ * (png/mp4 …) fall back to [[decodeStub]] — compressed-codec libraries
+ * are not available in this build environment — with the Spark-side
+ * plumbing (schema, batch shape, partition-level processing) identical
+ * either way: swapping the stub for a real codec (javacv / ImageIO)
+ * changes no plan shape.
  */
 object Multimodal {
 
@@ -143,6 +146,76 @@ object Multimodal {
     }(enc)
   }
 
+  /**
+   * Minimal pure-JVM decoder for RIFF/WAVE PCM16LE, the textbook audio
+   * container: `RIFF <size> WAVE` then a chunk walk — `fmt ` (PCM format
+   * tag 1, channel count, sample rate, 16 bits/sample) and `data`
+   * (interleaved little-endian 16-bit frames). Returns
+   * `(channels, sampleRate, interleaved samples)` or None for anything
+   * that is not well-formed uncompressed PCM16 (the caller then falls
+   * back to [[decodeStub]]).
+   */
+  def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload == null || payload.length < 44) return None
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    def le32(o: Int): Long = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
+      ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var nc = -1; var rate = -1
+    var samples: Array[Short] = null
+    var o = 12
+    while (o + 8 <= payload.length) {
+      val id = tag(o)
+      val size = le32(o + 4)
+      if (o + 8 + size > payload.length) return None
+      if (id == "fmt ") {
+        if (size < 16 || le16(o + 8) != 1 || le16(o + 22) != 16) return None
+        nc = le16(o + 10)
+        rate = le32(o + 12).toInt
+        if (nc <= 0 || rate <= 0) return None
+      } else if (id == "data") {
+        val n = (size / 2).toInt
+        samples = new Array[Short](n)
+        var i = 0
+        while (i < n) {
+          samples(i) = le16(o + 8 + 2 * i).toShort
+          i += 1
+        }
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
+    }
+    if (nc <= 0 || samples == null || samples.length % nc != 0) None
+    else Some((nc, rate, samples))
+  }
+
+  /** Exact integer stats from REAL decoded PCM16 samples — the
+    * oracle-checkable face of the audio decode path (the m04 oracle
+    * replays every sum from [[syntheticWav]]'s formula): channel count,
+    * sample rate, frames per channel, integer duration, the sum of
+    * channel 0 and the sum of ALL other channels. Non-WAV rows are
+    * dropped. Narrow map, no shuffle. */
+  def audioStats(media: DataFrame): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      decodeWav(payload).map { case (nc, rate, samples) =>
+        val frames = samples.length / nc
+        var s0 = 0L; var sRest = 0L
+        var i = 0
+        while (i < samples.length) {
+          if (i % nc == 0) s0 += samples(i) else sRest += samples(i)
+          i += 1
+        }
+        (nc, rate, frames, frames.toLong * 1000 / rate, s0, sRest)
+      }.orNull
+    }
+    media.withColumn("__a", dec(col("payload")))
+      .filter(col("__a").isNotNull)
+      .select(col("media_id"),
+        col("__a._1").as("channels"), col("__a._2").as("sample_rate"),
+        col("__a._3").as("n_frames"), col("__a._4").as("duration_ms"),
+        col("__a._5").as("sum_ch0"), col("__a._6").as("sum_rest"))
+  }
+
   /** Integer per-channel sums from REAL decoded pixels — the
     * oracle-checkable face of the decode path (exact longs, no float
     * folds). Non-PPM rows are dropped. */
@@ -257,13 +330,45 @@ object Multimodal {
     header ++ px
   }
 
+  /** Deterministic RIFF/WAVE PCM16LE clip for a key: `1 + id%2` channels
+    * at 8 kHz, `100 + id%50` frames, sample value
+    * `(id·31 + frame·7 + ch·13) % 4096 − 2048` — plain portable integer
+    * arithmetic, so a second engine can recompute the exact per-channel
+    * sample sums of the DECODED audio (the m04 oracle does). */
+  def syntheticWav(id: Long): Array[Byte] = {
+    val nc = (1 + id % 2).toInt
+    val rate = 8000
+    val frames = (100 + id % 50).toInt
+    val dataBytes = frames * nc * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(nc.toShort).putInt(rate).putInt(rate * nc * 2)
+      .putShort((nc * 2).toShort).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < frames) {
+      var ch = 0
+      while (ch < nc) {
+        buf.putShort((((id * 31 + i * 7 + ch * 13) % 4096) - 2048).toShort)
+        ch += 1
+      }
+      i += 1
+    }
+    buf.array()
+  }
+
   /** Synthesize a deterministic media table from any keyed table — test/
     * bench input when no real media exists. Image rows carry REAL P6 PPM
-    * payloads ([[syntheticPpm]]) so the decode path runs on actual
-    * pixels; audio/video rows keep opaque stub bytes. */
+    * payloads ([[syntheticPpm]]) and audio rows REAL PCM16 WAV payloads
+    * ([[syntheticWav]]) so both decode paths run on actual media; video
+    * rows keep opaque stub bytes (no compressed codec in this build). */
   def syntheticMedia(keys: DataFrame, idCol: String): DataFrame = {
     val payload = udf { (id: Long) =>
       if (id % 3 == 0) syntheticPpm(id)
+      else if (id % 3 == 1) syntheticWav(id)
       else {
         val bytes = new Array[Byte](64 + (id % 64).toInt)
         var i = 0
@@ -279,7 +384,8 @@ object Multimodal {
       .withColumn("meta", struct(
         when(col("media_id") % 3 === 0, "image")
           .when(col("media_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
-        when(col("media_id") % 3 === 0, "ppm").otherwise("stub").as("format"),
+        when(col("media_id") % 3 === 0, "ppm")
+          .when(col("media_id") % 3 === 1, "wav").otherwise("stub").as("format"),
         when(col("media_id") % 3 === 0, (col("media_id") % 5 + 4))
           .otherwise(col("media_id") % 1000 + 100).cast("int").as("width"),
         when(col("media_id") % 3 === 0, (col("media_id") % 4 + 3))

@@ -96,6 +96,43 @@ class MultimodalSpec extends SparkSpec {
     assert(java.util.Arrays.equals(small, orig))
   }
 
+  test("decodeWav: synthetic round-trip, exact samples, malformed fallback") {
+    // stereo clip (odd id): decode must recover every interleaved sample
+    val id = 7L
+    val Some((nc, rate, samples)) = Multimodal.decodeWav(Multimodal.syntheticWav(id))
+    assert(nc == 2 && rate == 8000)
+    val frames = (100 + id % 50).toInt
+    assert(samples.length == frames * nc)
+    for (i <- 0 until frames; ch <- 0 until nc) {
+      val expect = ((id * 31 + i * 7 + ch * 13) % 4096 - 2048).toShort
+      assert(samples(i * nc + ch) == expect,
+        s"frame $i ch $ch: got ${samples(i * nc + ch)}, want $expect")
+    }
+    // mono clip decodes too
+    val Some((nc1, _, s1)) = Multimodal.decodeWav(Multimodal.syntheticWav(4L))
+    assert(nc1 == 1 && s1.length == 104)
+    // non-WAV payloads (PPM, junk, truncated WAV) fall back to None
+    assert(Multimodal.decodeWav(Multimodal.syntheticPpm(3L)).isEmpty)
+    assert(Multimodal.decodeWav(Array.fill[Byte](64)(1)).isEmpty)
+    assert(Multimodal.decodeWav(
+      Multimodal.syntheticWav(id).take(50)).isEmpty)
+  }
+
+  test("audioStats: exact channel sums over the synthetic media table") {
+    val stats = Multimodal.audioStats(media)
+      .as[(Long, Int, Int, Int, Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, nc, rate, nf, dur, s0, sr) =>
+      assert(id % 3 == 1, "only audio rows survive")
+      assert(nc == (1 + id % 2).toInt && rate == 8000 && nf == (100 + id % 50).toInt)
+      assert(dur == nf.toLong * 1000 / 8000)
+      val e0 = (0 until nf).map(i => (id * 31 + i * 7) % 4096 - 2048).sum
+      val er = (0 until nf).flatMap(i =>
+        (1 until nc).map(ch => (id * 31 + i * 7 + ch * 13) % 4096 - 2048)).sum
+      assert(s0 == e0 && sr == er, s"id=$id: ($s0,$sr) vs ($e0,$er)")
+    }
+  }
+
   test("sampleFrames: one row per sampled timestamp within duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
