@@ -1785,6 +1785,36 @@ object SparkEntry {
           chunkTokens = 5, minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d42_stream_boilerplate" -> ((s, d) => {
+      // STREAMING BOILERPLATE STRIP (Streaming.boilerplateStripStream):
+      // documents arrive in 3 microbatches; each folds its per-chunk
+      // distinct-doc counts into the versioned df map (additive — every
+      // doc is in exactly one batch) and stores its chunk occurrences.
+      // The strip is NON-CAUSAL (a chunk may cross the df threshold
+      // after its first doc streamed), so the convergent artifact is the
+      // VIEW over the final map — which must equal d41's one-shot batch
+      // strip; d42 shares d41's SQL oracle verbatim.
+      import org.apache.spark.sql.types._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("d42").toString
+      Seq((0, col("doc_id") < 167),
+          (1, col("doc_id") >= 167 && col("doc_id") < 334),
+          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          docs.filter(cond), s"$root/in", b)
+      }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.Streaming.boilerplateStripStream(
+          stream, s"$root/state", s"$root/ckpt")
+        .awaitTermination()
+      graft.streaming.Streaming.boilerplateStripView(
+          s, s"$root/state", minDocFrequency = 3)
+        .orderBy("doc_id")
+    }),
     "d48_novelty" -> ((s, d) => {
       // per-doc NOVELTY score (curriculum / crawl-dedup signal): the
       // fraction of a doc's distinct bigrams whose corpus-wide FIRST
@@ -3151,6 +3181,31 @@ object SparkEntry {
   /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
     * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
     * portability contract), exact type-token ratio. */
+  /** d41 + d42 (stream ≡ batch) boilerplate-strip oracle: 5-token chunks,
+    * drop every occurrence of any chunk in >= 3 distinct docs. */
+  private val boilerplateStripOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), ix AS (
+      |  SELECT doc_id, t,
+      |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
+      |), ch AS (
+      |  SELECT doc_id, idx,
+      |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
+      |  FROM ix
+      |), df AS (
+      |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1
+      |), m AS (
+      |  SELECT c.doc_id, c.idx, c.chunk, f.df < 3 AS kept
+      |  FROM ch c JOIN df f USING (chunk)
+      |)
+      |SELECT doc_id,
+      |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
+      |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+      |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+      |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   private val sourceEntropyOracleSql: String =
     """WITH tok AS (
       |  SELECT source,
@@ -4746,28 +4801,11 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
-    "d41_boilerplate_strip" ->
-      """WITH tk AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
-        |  FROM documents
-        |), ix AS (
-        |  SELECT doc_id, t,
-        |    unnest(range(0, (len(t) + 4) // 5)) AS idx FROM tk
-        |), ch AS (
-        |  SELECT doc_id, idx,
-        |    array_to_string(list_slice(t, idx * 5 + 1, (idx + 1) * 5), ' ') AS chunk
-        |  FROM ix
-        |), df AS (
-        |  SELECT chunk, COUNT(DISTINCT doc_id) AS df FROM ch GROUP BY 1
-        |), m AS (
-        |  SELECT c.doc_id, c.idx, c.chunk, f.df < 3 AS kept
-        |  FROM ch c JOIN df f USING (chunk)
-        |)
-        |SELECT doc_id,
-        |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' ' ORDER BY idx), '') AS clean_text,
-        |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
-        |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
-        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "d41_boilerplate_strip" -> boilerplateStripOracleSql,
+    // d42: the streamed df-map formulation converges to the identical
+    // cleaned corpus (the strip is non-causal, so the convergent artifact
+    // is the view over the final df map) — shares d41's oracle VERBATIM.
+    "d42_stream_boilerplate" -> boilerplateStripOracleSql,
     // q70: interval semantics directly — each fact LEFT JOINs the single
     // version whose [valid_from, valid_to) contains it (deletion gaps and
     // pre-history match nothing -> null), which must equal the Spark

@@ -1210,6 +1210,40 @@ object Dedup {
         .withColumn("__kept", col("__df") < minDocFrequency), idCol)
   }
 
+  /** Exploded chunk occurrences with the span-pipeline's internal columns
+    * (__id, __idx, __chunk) — the persisted form of a streamed corpus
+    * slice awaiting a df-map strip
+    * ([[graft.streaming.Streaming.boilerplateStripStream]]). */
+  private[graft] def chunkOccurrences(docs: DataFrame, idCol: String,
+                                      textCol: String = "text",
+                                      chunkTokens: Int = 5): DataFrame =
+    explodedChunks(docs, idCol, textCol, chunkTokens)
+
+  /** Per-chunk DISTINCT-document counts of one corpus slice — the additive
+    * building block of the streaming boilerplate-strip df map: each doc
+    * lives in exactly one microbatch, so the per-batch counts SUM to the
+    * corpus-wide count distinct. Map-side combinable both levels. */
+  def chunkDocFrequency(docs: DataFrame, idCol: String,
+                        textCol: String = "text",
+                        chunkTokens: Int = 5): DataFrame =
+    explodedChunks(docs, idCol, textCol, chunkTokens)
+      .select(col("__chunk").as("chunk"), col("__id")).distinct()
+      .groupBy("chunk").agg(count(lit(1)).as("df"))
+
+  /** Strip a persisted chunk-occurrence store against a df map (columns
+    * `chunk`, `df`) — the view half of the streaming boilerplate strip:
+    * identical keep rule and reassembly as [[stripBoilerplateSpans]], so
+    * the result over a fully-folded df map equals the one-shot batch
+    * strip. */
+  private[graft] def stripAgainstDf(chunks: DataFrame, dfMap: DataFrame,
+                                    idCol: String,
+                                    minDocFrequency: Int): DataFrame =
+    reassembleSpans(
+      chunks.join(dfMap.select(col("chunk").as("__chunk"), col("df")),
+          Seq("__chunk"), "left")
+        .withColumn("__kept",
+          coalesce(col("df"), lit(0L)) < minDocFrequency), idCol)
+
   /** One field-comparison rule for [[linkageScores]]: `agree` is a boolean
     * over the pair frame's `<col>_a` / `<col>_b` columns; the weights are
     * QUANTIZED Fellegi-Sunter log-likelihood ratios (integer ≈

@@ -540,6 +540,60 @@ object Streaming {
   }
 
   /**
+   * Streaming boilerplate strip
+   * ([[graft.llm.Dedup.stripBoilerplateSpans]] as a stream): document
+   * microbatches fold their per-chunk DISTINCT-doc counts into a
+   * VERSIONED df map (the [[ivmRefreshStream]] copy-on-write contract;
+   * the sum is additive because each doc arrives in exactly one batch),
+   * while each batch's chunk occurrences land under
+   * `stateDir/chunks/batch=<id>` (mode overwrite ⇒ replay-idempotent).
+   *
+   * The strip itself — remove ALL occurrences of any chunk whose FINAL
+   * corpus df reaches the threshold — is inherently NON-CAUSAL: an early
+   * doc's chunk may only cross the threshold batches later, so per-batch
+   * emission cannot converge to the batch answer. The stream therefore
+   * maintains the expensive part (the df aggregate over the whole
+   * corpus) incrementally, and the cleaned corpus is a VIEW
+   * ([[boilerplateStripView]]) — one join + reassembly against the
+   * latest map, materialized on demand (or per threshold: the map is
+   * threshold-free). Converged view ≡ the one-shot batch strip, which is
+   * why d42 shares d41's oracle verbatim.
+   */
+  def boilerplateStripStream(docs: DataFrame, stateDir: String,
+                             checkpointDir: String, idCol: String = "doc_id",
+                             textCol: String = "text", chunkTokens: Int = 5,
+                             retainVersions: Int = 0)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.localCheckpoint() // one evaluation feeds store + df
+        graft.llm.Dedup.chunkOccurrences(b, idCol, textCol, chunkTokens)
+          .write.mode("overwrite").parquet(s"$stateDir/chunks/batch=$batchId")
+        val bdf = graft.llm.Dedup.chunkDocFrequency(b, idCol, textCol, chunkTokens)
+        val vPath = new org.apache.hadoop.fs.Path(s"$stateDir/df/v=$batchId")
+        val fs = vPath.getFileSystem(spark.sessionState.newHadoopConf())
+        val prev =
+          if (fs.exists(vPath)) spark.read.parquet(vPath.toString)
+          else bdf.limit(0)
+        commitVersionedMap(
+          bdf.unionByName(prev).groupBy("chunk").agg(sum(col("df")).as("df")),
+          s"$stateDir/df", batchId + 1, retainVersions)
+      }
+      .start()
+
+  /** The cleaned corpus of a [[boilerplateStripStream]] state dir: every
+    * stored chunk occurrence stripped against the LATEST df map. */
+  def boilerplateStripView(spark: SparkSession, stateDir: String,
+                           idCol: String = "doc_id",
+                           minDocFrequency: Int = 3): DataFrame =
+    graft.llm.Dedup.stripAgainstDf(
+      spark.read.parquet(s"$stateDir/chunks"),
+      latestIvmView(spark, s"$stateDir/df"), idCol, minDocFrequency)
+
+  /**
    * Streaming incremental connected components: edge microbatches fold
    * into a persisted (id, component) map — the d20 cluster formation with
    * the pair stream arriving over time (near-dup edges from s06-style

@@ -468,6 +468,49 @@ class StreamingSpec extends SparkSpec {
       (1L, 110L, 5L, Some(9L)))) // closed by the cross-drop delete, no live row
   }
 
+  test("boilerplateStripStream: a chunk crossing the df threshold in a LATER batch strips the early doc") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bp").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      Streaming.boilerplateStripStream(stream, s"$root/state", s"$root/ckpt",
+          chunkTokens = 2)
+        .awaitTermination()
+    }
+
+    // batch 1: docs 1-2 share "n v" once each (df=2, below threshold 3)
+    Seq((1L, "n v a a"), (2L, "n v b b")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    runDrop()
+    val early = Streaming.boilerplateStripView(spark, s"$root/state",
+        minDocFrequency = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(early == Seq((1L, "n v a a", 2L, 0L), (2L, "n v b b", 2L, 0L)))
+
+    // batch 2: doc 3 pushes "n v" to df=3 — the view must NOW strip it
+    // from docs 1 and 2 too (the non-causal part the per-batch emission
+    // of a causal stream could never converge to)
+    Seq((3L, "n v c c")).toDF("doc_id", "text")
+      .coalesce(1).write.mode("append").parquet(s"$root/in")
+    runDrop()
+    val late = Streaming.boilerplateStripView(spark, s"$root/state",
+        minDocFrequency = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(late == Seq(
+      (1L, "a a", 2L, 1L), (2L, "b b", 2L, 1L), (3L, "c c", 2L, 1L)),
+      s"got $late")
+    // and it equals the one-shot batch strip of the full corpus
+    val batch = graft.llm.Dedup.stripBoilerplateSpans(
+        Seq((1L, "n v a a"), (2L, "n v b b"), (3L, "n v c c"))
+          .toDF("doc_id", "text"),
+        "doc_id", chunkTokens = 2, minDocFrequency = 3)
+      .orderBy("doc_id").as[(Long, String, Long, Long)].collect().toSeq
+    assert(late == batch)
+  }
+
   test("versioned-map retention prunes old versions but never the replay input") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     val schema = StructType(Seq(
