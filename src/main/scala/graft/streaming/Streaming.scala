@@ -446,7 +446,8 @@ object Streaming {
                             textCol: String = "text", chunkTokens: Int = 5,
                             compactAfterDirs: Int = 8,
                             bucketedIndexTable: Option[String] = None,
-                            indexBuckets: Int = 16)(
+                            indexBuckets: Int = 16,
+                            compactTableAfterFiles: Int = 128)(
                             sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     import graft.llm.Dedup
@@ -473,6 +474,7 @@ object Streaming {
             .map(_.getPath)
         val seen = bucketedIndexTable match {
           case Some(t) =>
+            recoverBucketedIndexSwap(spark, t) // heal an interrupted compaction swap
             if (!spark.catalog.tableExists(t)) None
             else Some(spark.table(t).filter(col("batch") =!= batchId)
               .select(col("chunk")))
@@ -504,6 +506,13 @@ object Streaming {
             newKeys.withColumn("batch", lit(batchId)).write.mode("append")
               .bucketBy(indexBuckets, "chunk").sortBy("chunk")
               .format("parquet").saveAsTable(t)
+            // bound small-files growth: each append lands one file set per
+            // touched bucket, so at production cadence the table accrues
+            // O(batches x buckets) files — rewrite it once the count
+            // crosses the threshold (same role as the flat path's
+            // compactAfterDirs merge, staged + crash-recoverable)
+            compactBucketedIndexTable(spark, t, indexBuckets,
+              compactTableAfterFiles)
           case None =>
             newKeys.coalesce(math.max(1, indexBuckets / 4)).write
               .mode("overwrite").parquet(s"$indexDir/batch=$batchId")
@@ -537,6 +546,46 @@ object Streaming {
         ()
       }
       .start()
+  }
+
+  /** Heal an interrupted bucketed-index compaction swap: the swap is
+    * write `<t>_compact` → rename `t`→`<t>_old` → rename `<t>_compact`→`t`
+    * → drop `<t>_old`, so `t` is only ever missing AFTER the staged table
+    * fully committed — when `t` is absent, renaming whichever staged/
+    * backup table exists into place restores it; when `t` exists, a
+    * leftover `<t>_old` is the pre-compaction copy and is dropped. */
+  private[graft] def recoverBucketedIndexSwap(spark: SparkSession, t: String): Unit = {
+    val c = spark.catalog
+    if (!c.tableExists(t)) {
+      if (c.tableExists(s"${t}_compact"))
+        spark.sql(s"ALTER TABLE ${t}_compact RENAME TO $t")
+      else if (c.tableExists(s"${t}_old"))
+        spark.sql(s"ALTER TABLE ${t}_old RENAME TO $t")
+    } else if (c.tableExists(s"${t}_old")) spark.sql(s"DROP TABLE ${t}_old")
+  }
+
+  /** Rewrite a bucketed span-index table down to ~one file per bucket
+    * once it has accrued more than `maxFiles` parquet files (0 disables).
+    * The rewrite preserves rows verbatim — batch attribution included, so
+    * replay exclusion keeps working — and commits via the staged swap
+    * documented on [[recoverBucketedIndexSwap]]: every crash window
+    * leaves either the original table intact or a fully-written staged
+    * copy recoverable at the next probe. */
+  private[graft] def compactBucketedIndexTable(spark: SparkSession, t: String,
+                                               indexBuckets: Int,
+                                               maxFiles: Int): Unit = {
+    if (maxFiles <= 0 || spark.table(t).inputFiles.length <= maxFiles) return
+    val staged = s"${t}_compact"
+    spark.sql(s"DROP TABLE IF EXISTS $staged")
+    spark.table(t)
+      .repartition(indexBuckets, col("chunk")) // one task per bucket => one file set
+      .write.mode("overwrite")
+      .bucketBy(indexBuckets, "chunk").sortBy("chunk")
+      .format("parquet").saveAsTable(staged)
+    spark.sql(s"DROP TABLE IF EXISTS ${t}_old")
+    spark.sql(s"ALTER TABLE $t RENAME TO ${t}_old")
+    spark.sql(s"ALTER TABLE $staged RENAME TO $t")
+    spark.sql(s"DROP TABLE ${t}_old")
   }
 
   /**

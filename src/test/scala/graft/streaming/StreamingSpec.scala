@@ -368,6 +368,79 @@ class StreamingSpec extends SparkSpec {
     } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
   }
 
+  test("spanDedupIngestStream: bucketed index table compacts without losing planted decisions") {
+    val root = java.nio.file.Files.createTempDirectory("graft-span-tblc").toString
+    val tbl = s"span_idx_c_${System.nanoTime()}"
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType)))
+
+    def runDrop(): Unit = {
+      val stream = Streaming.availableNowFileStream(spark, s"$root/docs", schema)
+      Streaming.spanDedupIngestStream(stream, s"$root/unused", s"$root/ckpt",
+          chunkTokens = 2, bucketedIndexTable = Some(tbl), indexBuckets = 4,
+          compactTableAfterFiles = 4)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
+        .awaitTermination()
+    }
+
+    try {
+      // 6 drops of 2 docs each — well past 3x the 4-file threshold of
+      // accrued per-batch file sets; doc 2k+1 repeats doc 2k's first
+      // chunk in-batch, and every doc repeats the PLANTED chunk "p q"
+      // from drop 0 via the (possibly compacted) index
+      for (k <- 0 until 6) {
+        val base = k * 2
+        val (a, b) = (s"w$base x$base p q", s"w$base x$base y$base z$base")
+        Seq((base.toLong, a), (base.toLong + 1, b)).toDF("doc_id", "text")
+          .coalesce(1).write.mode("append").parquet(s"$root/docs")
+        runDrop()
+      }
+      val files = spark.table(tbl).inputFiles.length
+      assert(files <= 8,
+        s"compaction must bound table files (threshold 4 + one post-compact append), got $files")
+      // planted checks: drop 0 keeps "p q" (first seen); every later drop
+      // removes it via the index; the in-batch repeat "w$k x$k" removed
+      val out = spark.read.parquet(s"$root/out")
+        .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+      assert(out(0L) == 0L && out(1L) == 1L, s"drop 0: $out")
+      for (k <- 1 until 6) {
+        assert(out(k * 2L) == 1L, s"doc ${k * 2} must lose the planted chunk: $out")
+        assert(out(k * 2L + 1) == 1L, s"doc ${k * 2 + 1} must lose the in-batch repeat: $out")
+      }
+      // the index still holds every first-seen chunk exactly once per batch row
+      val chunks = spark.table(tbl).select("chunk").distinct().count()
+      assert(chunks == 1 + 6 * 2,
+        s"expected 'p q' + per-drop w/x + y/z chunks, got $chunks")
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
+  test("recoverBucketedIndexSwap: every crash window of the staged swap restores the table") {
+    val t = s"swap_t_${System.nanoTime()}"
+    def mk(name: String, v: Long): Unit =
+      Seq(("c", v)).toDF("chunk", "batch").write
+        .bucketBy(2, "chunk").sortBy("chunk").format("parquet").saveAsTable(name)
+    try {
+      // crash after t -> t_old, before <t>_compact -> t: prefer the staged copy
+      mk(s"${t}_old", 1L); mk(s"${t}_compact", 2L)
+      Streaming.recoverBucketedIndexSwap(spark, t)
+      assert(spark.table(t).select("batch").as[Long].head() == 2L)
+      assert(!spark.catalog.tableExists(s"${t}_compact"))
+      spark.sql(s"DROP TABLE IF EXISTS ${t}_old"); spark.sql(s"DROP TABLE $t")
+      // crash before the staged write committed: only t_old exists
+      mk(s"${t}_old", 3L)
+      Streaming.recoverBucketedIndexSwap(spark, t)
+      assert(spark.table(t).select("batch").as[Long].head() == 3L)
+      spark.sql(s"DROP TABLE $t")
+      // crash after <t>_compact -> t, before DROP t_old: drop the backup
+      mk(t, 4L); mk(s"${t}_old", 5L)
+      Streaming.recoverBucketedIndexSwap(spark, t)
+      assert(spark.table(t).select("batch").as[Long].head() == 4L)
+      assert(!spark.catalog.tableExists(s"${t}_old"))
+    } finally Seq(t, s"${t}_old", s"${t}_compact").foreach(n =>
+      spark.sql(s"DROP TABLE IF EXISTS $n"))
+  }
+
   test("spanDedupIngestStream: duplicated index rows (crash-replay shape) change nothing") {
     // the index append is at-least-once under crash replay; duplicate
     // chunk keys must be harmless because the probe distinct's the seen set
