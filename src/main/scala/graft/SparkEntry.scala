@@ -963,6 +963,17 @@ object SparkEntry {
         t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
       graft.llm.Multimodal.audioStats(media).orderBy("media_id")
     }),
+    "m05_video_stats" -> ((s, d) => {
+      // multimodal VIDEO decode with real frames: y4m rows parse the
+      // YUV4MPEG2 header and raw C420 planes in pure JVM
+      // (Multimodal.decodeY4m) and videoStats folds exact per-plane byte
+      // sums + the MEASURED duration from frames/fps — the oracle
+      // replays every sum from the synthetic formula, so a header-parse,
+      // plane-size, or frame-walk bug breaks the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+      graft.llm.Multimodal.videoStats(media).orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -3807,6 +3818,41 @@ object SparkEntry {
         |  CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
         |  sum_ch0, sum_rest
         |FROM s ORDER BY media_id""".stripMargin,
+    // m05: replay the DECODED y4m planes — (4 + id%3·2) × (4 + id%2·2)
+    // frames ×(3 + id%4) at 25 fps, plane byte
+    // (id·7 + f·31 + y·11 + x·13 + plane·29) % 256 over the luma raster
+    // and the two quarter chroma rasters — if the engine's header walk,
+    // plane sizing, or frame stride is wrong, these exact sums cannot
+    // match.
+    "m05_video_stats" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS media_id,
+        |    4 + (p_partkey % 3) * 2 AS w, 4 + (p_partkey % 2) * 2 AS h,
+        |    3 + p_partkey % 4 AS nf
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 2
+        |), ysum AS (
+        |  SELECT v.media_id,
+        |    CAST(SUM((v.media_id * 7 + f.f * 31 + y.y * 11 + x.x * 13) % 256) AS BIGINT) AS sum_y
+        |  FROM v,
+        |    LATERAL (SELECT unnest(range(v.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(v.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(v.w)) AS x) x
+        |  GROUP BY 1
+        |), csum AS (
+        |  SELECT v.media_id,
+        |    CAST(SUM((v.media_id * 7 + f.f * 31 + y.y * 11 + x.x * 13 + 29) % 256) AS BIGINT) AS sum_u,
+        |    CAST(SUM((v.media_id * 7 + f.f * 31 + y.y * 11 + x.x * 13 + 58) % 256) AS BIGINT) AS sum_v
+        |  FROM v,
+        |    LATERAL (SELECT unnest(range(v.h // 2)) AS y) y,
+        |    LATERAL (SELECT unnest(range(v.w // 2)) AS x) x,
+        |    LATERAL (SELECT unnest(range(v.nf)) AS f) f
+        |  GROUP BY 1
+        |)
+        |SELECT v.media_id, CAST(v.w AS INT) AS width, CAST(v.h AS INT) AS height,
+        |  CAST(v.nf AS INT) AS n_frames, CAST(v.nf * 40 AS BIGINT) AS measured_ms,
+        |  ysum.sum_y, csum.sum_u, csum.sum_v
+        |FROM v JOIN ysum USING (media_id) JOIN csum USING (media_id)
+        |ORDER BY media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,

@@ -15,12 +15,13 @@ import org.apache.spark.sql.types._
  * needed), and [[extractFeatures]] derives features from actual pixels for
  * them. RIFF/WAVE PCM16 audio likewise decodes for real via [[decodeWav]]
  * (the canonical WAV container is a ~40-line header walk), feeding
- * [[audioStats]] exact per-channel sample sums. Remaining formats
- * (png/mp4 …) fall back to [[decodeStub]] — compressed-codec libraries
- * are not available in this build environment — with the Spark-side
- * plumbing (schema, batch shape, partition-level processing) identical
- * either way: swapping the stub for a real codec (javacv / ImageIO)
- * changes no plan shape.
+ * [[audioStats]] exact per-channel sample sums, and uncompressed
+ * YUV4MPEG2 video via [[decodeY4m]] → [[videoStats]] exact per-plane
+ * frame sums. COMPRESSED formats (png/jpeg/mp3/mp4 …) fall back to
+ * [[decodeStub]] — codec libraries are not available in this build
+ * environment — with the Spark-side plumbing (schema, batch shape,
+ * partition-level processing) identical either way: swapping the stub
+ * for a real codec (javacv / ImageIO) changes no plan shape.
  */
 object Multimodal {
 
@@ -216,6 +217,87 @@ object Multimodal {
         col("__a._5").as("sum_ch0"), col("__a._6").as("sum_rest"))
   }
 
+  /**
+   * Minimal pure-JVM decoder for YUV4MPEG2 (.y4m), the textbook
+   * UNCOMPRESSED video format: an ASCII header line
+   * `YUV4MPEG2 W<w> H<h> F<num>:<den> …`, then per frame `FRAME…\n`
+   * followed by raw 4:2:0 planes (w·h luma bytes + two (w/2)·(h/2)
+   * chroma planes). Returns `(w, h, fpsNum, fpsDen, frames)` with each
+   * frame's planes concatenated Y‖U‖V, or None for anything not
+   * well-formed C420 (the caller then falls back to [[decodeStub]]).
+   * Only 4:2:0 subsampling is supported — it is what every practical
+   * y4m carries.
+   */
+  def decodeY4m(payload: Array[Byte]): Option[(Int, Int, Int, Int, Array[Array[Byte]])] = {
+    val magic = "YUV4MPEG2".getBytes("US-ASCII")
+    if (payload == null || payload.length < magic.length ||
+        !payload.take(magic.length).sameElements(magic)) return None
+    var i = magic.length
+    def readLine(): Option[String] = {
+      val start = i
+      while (i < payload.length && payload(i) != '\n'.toByte) i += 1
+      if (i >= payload.length) None
+      else { val s = new String(payload, start, i - start, "US-ASCII"); i += 1; Some(s) }
+    }
+    val header = readLine().getOrElse(return None)
+    var w = -1; var h = -1; var num = -1; var den = -1
+    header.trim.split(' ').filter(_.nonEmpty).foreach { p =>
+      p.charAt(0) match {
+        case 'W' => w = p.drop(1).toIntOption.getOrElse(-1)
+        case 'H' => h = p.drop(1).toIntOption.getOrElse(-1)
+        case 'F' => p.drop(1).split(':') match {
+          case Array(n, d) =>
+            num = n.toIntOption.getOrElse(-1); den = d.toIntOption.getOrElse(-1)
+          case _ => ()
+        }
+        case 'C' => if (!p.startsWith("C420")) return None
+        case _ => () // interlacing / aspect / extension params: ignored
+      }
+    }
+    if (w <= 0 || h <= 0 || num <= 0 || den <= 0 ||
+        w % 2 != 0 || h % 2 != 0 || w > (1 << 14) || h > (1 << 14)) return None
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    while (i < payload.length) {
+      val marker = readLine().getOrElse(return None)
+      if (!marker.startsWith("FRAME")) return None
+      if (i + frameBytes > payload.length) return None
+      frames += java.util.Arrays.copyOfRange(payload, i, i + frameBytes)
+      i += frameBytes
+    }
+    Some((w, h, num, den, frames.toArray))
+  }
+
+  /** Exact integer stats from REAL decoded y4m frames — the
+    * oracle-checkable face of the video decode path (the m05 oracle
+    * replays every plane sum from [[syntheticY4m]]'s formula): dims,
+    * frame count, MEASURED duration from frames/fps (vs the manifest's
+    * declared `meta.duration_ms`), and the per-plane byte sums over all
+    * frames. Non-y4m rows are dropped. Narrow map, no shuffle. */
+  def videoStats(media: DataFrame): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      decodeY4m(payload).map { case (w, h, num, den, frames) =>
+        val ySize = w * h
+        val cSize = (w / 2) * (h / 2)
+        var sy = 0L; var su = 0L; var sv = 0L
+        frames.foreach { f =>
+          var p = 0
+          while (p < ySize) { sy += f(p) & 0xFF; p += 1 }
+          while (p < ySize + cSize) { su += f(p) & 0xFF; p += 1 }
+          while (p < ySize + 2 * cSize) { sv += f(p) & 0xFF; p += 1 }
+        }
+        (w, h, frames.length, frames.length.toLong * 1000L * den / num, sy, su, sv)
+      }.orNull
+    }
+    media.withColumn("__v", dec(col("payload")))
+      .filter(col("__v").isNotNull)
+      .select(col("media_id"),
+        col("__v._1").as("width"), col("__v._2").as("height"),
+        col("__v._3").as("n_frames"), col("__v._4").as("measured_ms"),
+        col("__v._5").as("sum_y"), col("__v._6").as("sum_u"),
+        col("__v._7").as("sum_v"))
+  }
+
   /** Integer per-channel sums from REAL decoded pixels — the
     * oracle-checkable face of the decode path (exact longs, no float
     * folds). Non-PPM rows are dropped. */
@@ -360,24 +442,57 @@ object Multimodal {
     buf.array()
   }
 
+  /** Deterministic YUV4MPEG2 (C420) clip for a key: `4 + (id%3)·2` ×
+    * `4 + (id%2)·2` pixels, `3 + id%4` frames at 25 fps, plane value
+    * `(id·7 + frame·31 + y·11 + x·13 + plane·29) % 256` with (x, y)
+    * ranging over the full luma raster resp. the quarter chroma
+    * rasters — plain portable integer arithmetic, so a second engine can
+    * recompute the exact per-plane byte sums of the DECODED frames (the
+    * m05 oracle does). */
+  def syntheticY4m(id: Long): Array[Byte] = {
+    val w = (4 + (id % 3) * 2).toInt
+    val h = (4 + (id % 2) * 2).toInt
+    val frames = (3 + id % 4).toInt
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val buf = new java.io.ByteArrayOutputStream(
+      header.length + frames * (6 + frameBytes))
+    buf.write(header)
+    var f = 0
+    while (f < frames) {
+      buf.write("FRAME\n".getBytes("US-ASCII"))
+      var plane = 0
+      while (plane < 3) {
+        val (pw, ph) = if (plane == 0) (w, h) else (w / 2, h / 2)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            buf.write(((id * 7 + f * 31 + y * 11 + x * 13 + plane * 29) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        plane += 1
+      }
+      f += 1
+    }
+    buf.toByteArray
+  }
+
   /** Synthesize a deterministic media table from any keyed table — test/
     * bench input when no real media exists. Image rows carry REAL P6 PPM
-    * payloads ([[syntheticPpm]]) and audio rows REAL PCM16 WAV payloads
-    * ([[syntheticWav]]) so both decode paths run on actual media; video
-    * rows keep opaque stub bytes (no compressed codec in this build). */
+    * payloads ([[syntheticPpm]]), audio rows REAL PCM16 WAV payloads
+    * ([[syntheticWav]]) and video rows REAL uncompressed y4m clips
+    * ([[syntheticY4m]]) — all three decode paths run on actual media.
+    * Video `meta.duration_ms` stays the manifest-declared value (what an
+    * ingest catalog would carry); [[videoStats]] measures the real
+    * duration from the decoded frames. */
   def syntheticMedia(keys: DataFrame, idCol: String): DataFrame = {
     val payload = udf { (id: Long) =>
       if (id % 3 == 0) syntheticPpm(id)
       else if (id % 3 == 1) syntheticWav(id)
-      else {
-        val bytes = new Array[Byte](64 + (id % 64).toInt)
-        var i = 0
-        while (i < bytes.length) {
-          bytes(i) = (graft.util.Hashing.mix64(id * 1000L + i) & 0xFF).toByte
-          i += 1
-        }
-        bytes
-      }
+      else syntheticY4m(id)
     }
     keys.select(col(idCol).cast("long").as("media_id"))
       .withColumn("payload", payload(col("media_id")))
@@ -385,7 +500,7 @@ object Multimodal {
         when(col("media_id") % 3 === 0, "image")
           .when(col("media_id") % 3 === 1, "audio").otherwise("video").as("media_type"),
         when(col("media_id") % 3 === 0, "ppm")
-          .when(col("media_id") % 3 === 1, "wav").otherwise("stub").as("format"),
+          .when(col("media_id") % 3 === 1, "wav").otherwise("y4m").as("format"),
         when(col("media_id") % 3 === 0, (col("media_id") % 5 + 4))
           .otherwise(col("media_id") % 1000 + 100).cast("int").as("width"),
         when(col("media_id") % 3 === 0, (col("media_id") % 4 + 3))

@@ -133,6 +133,50 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("decodeY4m: synthetic round-trip, exact plane bytes, malformed fallback") {
+    val id = 8L // w=8, h=4, 3 frames
+    val Some((w, h, num, den, frames)) = Multimodal.decodeY4m(Multimodal.syntheticY4m(id))
+    assert(w == 8 && h == 4 && num == 25 && den == 1 && frames.length == 3)
+    val cSize = (w / 2) * (h / 2)
+    assert(frames.forall(_.length == w * h + 2 * cSize))
+    for (f <- frames.indices) {
+      // spot-check every byte of each plane against the formula
+      for (y <- 0 until h; x <- 0 until w) {
+        val expect = ((id * 7 + f * 31 + y * 11 + x * 13) % 256).toInt
+        assert((frames(f)(y * w + x) & 0xFF) == expect, s"Y($f,$y,$x)")
+      }
+      for (p <- 1 to 2; y <- 0 until h / 2; x <- 0 until w / 2) {
+        val off = w * h + (p - 1) * cSize
+        val expect = ((id * 7 + f * 31 + y * 11 + x * 13 + p * 29) % 256).toInt
+        assert((frames(f)(off + y * (w / 2) + x) & 0xFF) == expect, s"C$p($f,$y,$x)")
+      }
+    }
+    // malformed: wrong magic, PPM, truncated mid-frame, non-420 colorspace
+    assert(Multimodal.decodeY4m(Multimodal.syntheticPpm(3L)).isEmpty)
+    assert(Multimodal.decodeY4m(Multimodal.syntheticWav(4L)).isEmpty)
+    val clip = Multimodal.syntheticY4m(id)
+    assert(Multimodal.decodeY4m(clip.take(clip.length - 5)).isEmpty)
+    assert(Multimodal.decodeY4m(
+      "YUV4MPEG2 W4 H4 F25:1 C444\nFRAME\n".getBytes("US-ASCII") ++
+        Array.fill[Byte](48)(0)).isEmpty)
+  }
+
+  test("videoStats: exact plane sums and measured duration over the synthetic table") {
+    val stats = Multimodal.videoStats(media)
+      .as[(Long, Int, Int, Int, Long, Long, Long, Long)].collect()
+    assert(stats.nonEmpty)
+    stats.foreach { case (id, w, h, nf, ms, sy, su, sv) =>
+      assert(id % 3 == 2, "only video rows survive")
+      assert(w == (4 + (id % 3) * 2).toInt && h == (4 + (id % 2) * 2).toInt)
+      assert(nf == (3 + id % 4).toInt && ms == nf * 40L)
+      def planeSum(pw: Int, ph: Int, p: Int): Long =
+        (0 until nf).map(f => (0 until ph).map(y => (0 until pw).map(x =>
+          (id * 7 + f * 31 + y * 11 + x * 13 + p * 29) % 256).sum).sum).sum
+      assert(sy == planeSum(w, h, 0) && su == planeSum(w / 2, h / 2, 1) &&
+        sv == planeSum(w / 2, h / 2, 2), s"id=$id")
+    }
+  }
+
   test("sampleFrames: one row per sampled timestamp within duration") {
     val frames = Multimodal.sampleFrames(media, everyMs = 1000)
     val perVideo = frames.groupBy("media_id").agg(count(lit(1)).as("n"),
