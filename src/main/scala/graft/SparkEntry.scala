@@ -1826,6 +1826,27 @@ object SparkEntry {
           s, s"$root/state", minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d51_normalize_text" -> ((s, d) => {
+      // canonical corpus normalization (NFC -> strip accents -> casefold
+      // -> collapse whitespace) as a NATIVE codegen'd expression
+      // (TextExpressions.NormalizeText). The planted fixture rows carry
+      // combining marks, precomposed accents, tabs and edge whitespace;
+      // the ASCII documents corpus runs through the same pipeline at
+      // volume. The oracle replays the identical pipeline with DuckDB's
+      // nfc_normalize/strip_accents — byte equality IS the check.
+      import s.implicits._
+      val fixture = Seq(
+        (-1L, "Café  du  Monde"),
+        (-2L, "Ángel Ñoño"),
+        (-3L, "ZÜRICH\tnaïve côte"),
+        (-4L, "  Façade år  "),
+        (-5L, "plain ascii text")).toDF("doc_id", "text")
+      t(s, d, "documents").select(col("doc_id"), col("text"))
+        .unionByName(fixture)
+        .select(col("doc_id"),
+          graft.llm.TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .orderBy("doc_id")
+    }),
     "d48_novelty" -> ((s, d) => {
       // per-doc NOVELTY score (curriculum / crawl-dedup signal): the
       // fraction of a doc's distinct bigrams whose corpus-wide FIRST
@@ -4847,6 +4868,20 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
+    "d51_normalize_text" ->
+      """WITH fixture(doc_id, text) AS (VALUES
+        |  (-1, 'Cafe' || chr(769) || '  du  Monde'),
+        |  (-2, chr(193) || 'ngel ' || chr(209) || 'o' || chr(241) || 'o'),
+        |  (-3, 'Z' || chr(220) || 'RICH' || chr(9) || 'na' || chr(239) || 've c' || chr(244) || 'te'),
+        |  (-4, '  Fa' || chr(231) || 'ade ' || chr(229) || 'r  '),
+        |  (-5, 'plain ascii text')
+        |), u AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM fixture
+        |  UNION ALL SELECT doc_id, text FROM documents
+        |)
+        |SELECT doc_id,
+        |  trim(regexp_replace(lower(strip_accents(nfc_normalize(text))), '\s+', ' ', 'g')) AS norm_text
+        |FROM u ORDER BY doc_id""".stripMargin,
     "d41_boilerplate_strip" -> boilerplateStripOracleSql,
     // d42: the streamed df-map formulation converges to the identical
     // cleaned corpus (the strip is non-causal, so the convergent artifact

@@ -32,6 +32,16 @@ object TextAnalysis {
     call_function("ws_token_count", text)
   }
 
+  /** Canonical corpus text normalization (NFC → strip accents → casefold →
+    * collapse whitespace) via the native codegen'd
+    * [[TextExpressions.NormalizeText]] — the cleaning step run before
+    * hashing/dedup so "Café" and "cafe " collide. d51-oracle-pinned
+    * byte-compatible with DuckDB's strip_accents/nfc_normalize pipeline. */
+  def normalizeText(text: Column): Column = {
+    TextExpressions.ensureActive()
+    call_function("normalize_text", text)
+  }
+
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
   def bpeishTokenCount(text: Column): Column =

@@ -46,6 +46,31 @@ object TextKernels {
     runs + 1
   }
 
+  /**
+   * Corpus text normalization — the canonical cleaning pipeline NFC →
+   * strip accents → lowercase → collapse whitespace, byte-compatible with
+   * DuckDB's `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))),
+   * '\s+', ' ', 'g'))` on Latin-script text (the d51 oracle pins it):
+   * accents strip as NFD + drop NON_SPACING_MARK + NFC recompose, case
+   * folds via Locale.ROOT, and the whitespace class is ASCII `\s` in both
+   * regex engines. One String round-trip per row (java.text.Normalizer
+   * needs a String); still inside codegen — no UDF boundary.
+   */
+  def normalizeText(s: UTF8String): UTF8String = {
+    import java.text.Normalizer
+    val nfd = Normalizer.normalize(s.toString, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val c = nfd.charAt(i)
+      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
+      i += 1
+    }
+    val stripped = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+    val lower = stripped.toLowerCase(java.util.Locale.ROOT)
+    UTF8String.fromString(lower.replaceAll("\\s+", " ").trim)
+  }
+
   /** 64-bit SimHash over lowercased whitespace tokens — per-bit sign-sum of
     * per-token avalanche hashes. SIGNATURE DEFINITION (v2, differs from the
     * pre-round-4 UDF — re-derive any persisted simhash values): tokens are
@@ -148,6 +173,16 @@ object TextExpressions {
     override def prettyName: String = "ws_token_count"
   }
 
+  case class NormalizeText(child: Expression) extends UnaryExpression {
+    override def dataType: DataType = org.apache.spark.sql.types.StringType
+    override protected def nullSafeEval(s: Any): Any =
+      TextKernels.normalizeText(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$kernel.normalizeText($c)")
+    override protected def withNewChildInternal(c: Expression): NormalizeText = copy(c)
+    override def prettyName: String = "normalize_text"
+  }
+
   case class Simhash64(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override protected def nullSafeEval(s: Any): Any =
@@ -183,6 +218,7 @@ object TextExpressions {
 
   val registry: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "ws_token_count" -> (es => WsTokenCount(es.head)),
+    "normalize_text" -> (es => NormalizeText(es.head)),
     "simhash64" -> (es => Simhash64(es.head)),
     "winnow_keys" -> (es => WinnowKeys(es.head,
       foldableInt(es(1), "winnow_keys k"), foldableInt(es(2), "winnow_keys w"))))

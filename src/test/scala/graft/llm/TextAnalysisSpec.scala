@@ -206,6 +206,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(math.abs(out._4 - expect) < 1e-9, s"got ${out._4}, want $expect")
   }
 
+  test("normalizeText: NFC, accent strip, casefold, whitespace collapse") {
+    val rows = Seq(
+      (1L, "Café  du  Monde"),   // combining acute
+      (2L, "Ángel Ñoño"), // precomposed accents
+      (3L, "ZÜRICH\tnaïve côte"),
+      (4L, "  Façade år  "),
+      (5L, "plain ascii text"),
+      (6L, ""),
+      (7L, "ß stays")              // sharp s is not an accent
+    ).toDF("id", "text")
+    val out = rows.select($"id",
+        TextAnalysis.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "cafe du monde")
+    assert(out(2L) == "angel nono")
+    assert(out(3L) == "zurich naive cote")
+    assert(out(4L) == "facade ar")
+    assert(out(5L) == "plain ascii text")
+    assert(out(6L) == "")
+    assert(out(7L) == "ß stays")
+    // null-safe
+    val withNull = Seq((1L, Option.empty[String])).toDF("id", "text")
+      .select(TextAnalysis.normalizeText($"text").as("n"))
+    assert(withNull.head().isNullAt(0))
+  }
+
   test("two-level md5-bucketed fold matches the single whole-vocab fold at the ROUND(,4) contract") {
     import spark.implicits._
     // 5k distinct tokens across 3 sources, counts 1..7: large enough that
