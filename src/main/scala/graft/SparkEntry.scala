@@ -1826,6 +1826,31 @@ object SparkEntry {
           s, s"$root/state", minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d52_jsonl_roundtrip" -> ((s, d) => {
+      // JSONL io round-trip — the interchange format training pipelines
+      // actually move documents in. The corpus writes as JSON Lines and
+      // reads back with an explicit schema; the gate aggregates the
+      // READ-BACK rows (counts, exact char sums, distinct text md5s per
+      // (lang, source)) while the oracle computes the same over the
+      // parquet source — any escaping/encoding corruption in the
+      // round-trip breaks the md5-distinct count. Schema-on-read, narrow
+      // writes, partition-parallel: the plumbing is the real multi-TB
+      // export path.
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("d52").toString
+      t(s, d, "documents").write.mode("overwrite").json(s"$root/jsonl")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).json(s"$root/jsonl")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    }),
     "d51_normalize_text" -> ((s, d) => {
       // canonical corpus normalization (NFC -> strip accents -> casefold
       // -> collapse whitespace) as a NATIVE codegen'd expression
@@ -4868,6 +4893,12 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
+    "d52_jsonl_roundtrip" ->
+      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d51_normalize_text" ->
       """WITH fixture(doc_id, text) AS (VALUES
         |  (-1, 'Cafe' || chr(769) || '  du  Monde'),
