@@ -135,16 +135,83 @@ object Multimodal {
       StructField("features", ArrayType(FloatType)))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.mapPartitions { rows =>
-      // per-partition codec init happens here (none needed for PPM)
+      // per-partition codec init happens here (none needed for the
+      // pure-JVM decoders)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
         val feats = decodePpm(payload) match {
           case Some((w, h, rgb)) if dim >= 4 => pixelFeatures(w, h, rgb, dim)
-          case _ => decodeStub(payload, dim)
+          case _ => decodeWav(payload) match {
+            case Some((nc, rate, samples)) if dim >= 4 =>
+              audioFeatures(nc, rate, samples, dim)
+            case _ => decodeY4m(payload) match {
+              case Some((w, h, _, _, frames)) if dim >= 4 =>
+                videoFeatures(w, h, frames, dim)
+              case _ => decodeStub(payload, dim)
+            }
+          }
         }
         Row.fromSeq(r.toSeq :+ feats.toSeq)
       }
     }(enc)
+  }
+
+  /** Features from REAL decoded PCM16 samples: mean |amplitude| (scaled
+    * to [0,1]), channel count / 8, log10(sample rate) / 5, then an
+    * |amplitude| histogram over the remaining `dim - 3` bins normalized
+    * by sample count. Deterministic integer folds until the final
+    * divisions. Requires dim >= 4. */
+  def audioFeatures(nc: Int, rate: Int, samples: Array[Short], dim: Int): Array[Float] = {
+    require(dim >= 4, s"dim=$dim: need 3 summary slots + >=1 histogram bin")
+    val out = new Array[Float](dim)
+    val bins = dim - 3
+    var sumAbs = 0L
+    var i = 0
+    while (i < samples.length) {
+      val a = math.abs(samples(i).toInt)
+      sumAbs += a
+      out(3 + a * bins / 32768) += 1f
+      i += 1
+    }
+    val n = math.max(samples.length, 1).toFloat
+    out(0) = sumAbs / 32768f / n
+    out(1) = nc / 8f
+    out(2) = (math.log10(rate.toDouble) / 5.0).toFloat
+    var b = 3
+    while (b < dim) { out(b) /= n; b += 1 }
+    out
+  }
+
+  /** Features from REAL decoded y4m frames: mean Y/U/V (scaled to [0,1])
+    * followed by a luma histogram over the remaining `dim - 3` bins
+    * normalized by pixel count, folded across all frames. Requires
+    * dim >= 4. */
+  def videoFeatures(w: Int, h: Int, frames: Array[Array[Byte]], dim: Int): Array[Float] = {
+    require(dim >= 4, s"dim=$dim: need 3 plane means + >=1 histogram bin")
+    val out = new Array[Float](dim)
+    val bins = dim - 3
+    val ySize = w * h
+    val cSize = (w / 2) * (h / 2)
+    var sy = 0L; var su = 0L; var sv = 0L
+    frames.foreach { f =>
+      var p = 0
+      while (p < ySize) {
+        val v = f(p) & 0xFF
+        sy += v
+        out(3 + v * bins / 256) += 1f
+        p += 1
+      }
+      while (p < ySize + cSize) { su += f(p) & 0xFF; p += 1 }
+      while (p < ySize + 2 * cSize) { sv += f(p) & 0xFF; p += 1 }
+    }
+    val nY = math.max(frames.length.toLong * ySize, 1L).toFloat
+    val nC = math.max(frames.length.toLong * cSize, 1L).toFloat
+    out(0) = sy / 255f / nY
+    out(1) = su / 255f / nC
+    out(2) = sv / 255f / nC
+    var b = 3
+    while (b < dim) { out(b) /= nY; b += 1 }
+    out
   }
 
   /**

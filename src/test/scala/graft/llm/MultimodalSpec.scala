@@ -133,6 +133,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("extractFeatures: every modality derives features from REAL decoded media") {
+    val feats = Multimodal.extractFeatures(media, dim = 8)
+      .select($"media_id", $"features")
+      .as[(Long, Seq[Float])].collect().toMap
+    feats.foreach { case (_, f) => assert(f.size == 8) }
+    // audio row: slot 1 is channels/8, slot 2 is log10(8000)/5 — only the
+    // real WAV decode produces these; histogram mass sums to 1
+    val audioId = feats.keys.filter(_ % 3 == 1).min
+    val af = feats(audioId)
+    assert(af(1) == (1 + audioId % 2) / 8f, s"channels slot: ${af(1)}")
+    assert(math.abs(af(2) - math.log10(8000.0) / 5.0) < 1e-6)
+    assert(math.abs(af.drop(3).sum - 1f) < 1e-3)
+    // video row: slots are plane means in (0,1); histogram mass 1
+    val videoId = feats.keys.filter(_ % 3 == 2).min
+    val vf = feats(videoId)
+    assert(vf.take(3).forall(v => v > 0f && v < 1f), s"plane means: ${vf.take(3)}")
+    assert(math.abs(vf.drop(3).sum - 1f) < 1e-3)
+    // image row: channel means from real pixels (round-7 behavior intact)
+    val imageId = feats.keys.filter(_ % 3 == 0).min
+    assert(feats(imageId).take(3).forall(v => v >= 0f && v <= 1f))
+  }
+
   test("decodeY4m: synthetic round-trip, exact plane bytes, malformed fallback") {
     val id = 8L // w=8, h=4, 3 frames
     val Some((w, h, num, den, frames)) = Multimodal.decodeY4m(Multimodal.syntheticY4m(id))
