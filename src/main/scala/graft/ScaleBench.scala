@@ -513,6 +513,32 @@ object ScaleBench {
       println(f"""{"metric":"scale_sssp","edges":${nSsV * 5},"reached":${ss.getLong(0)},"max_dist":${ss.getLong(1)},"rounds":8,"sec":$secs16%.2f,"edge_rounds_per_sec":${(nSsV * 40 / secs16).toLong}}""")
     }
 
+    if (sel("scc")) {
+      // coloring/FW-BW SCC at scale, distributed path forced: 8-cycles
+      // (n/8 planted SCCs) with STAR bridges 0 -> blockStart, so the
+      // condensation is depth-2 and the outer loop settles in ~2 rounds —
+      // rounds track condensation depth (the documented coloring-SCC
+      // characteristic), while within a round every color class resolves
+      // in parallel.
+      val nScc = math.min(nTiles * 2, 2000000L)
+      val sccV = spark.range(nScc).select(col("id").as("v"))
+      val sccStart = expr("(v div 8) * 8")
+      val sccEnd = least(sccStart + 7, lit(nScc - 1))
+      val sccEdges = sccV.select(col("v").as("src"),
+          when(col("v") === sccEnd, sccStart).otherwise(col("v") + 1).as("dst"))
+        .union(sccV.filter(col("v") % 8 === 0 && col("v") > 0)
+          .select(lit(0L).as("src"), col("v").as("dst")))
+        .repartition(cpus.toInt * 4)
+      val t18 = System.nanoTime()
+      val scc = graft.ops.Graph.stronglyConnectedComponents(sccEdges,
+        localThreshold = 0)
+      val bad = scc.filter(col("component") =!= expr("(v div 8) * 8")).count()
+      val nv = scc.count()
+      val secs18 = (System.nanoTime() - t18) / 1e9
+      require(bad == 0, s"SCC planted check failed: $bad mislabelled vertices")
+      println(f"""{"metric":"scale_scc","vertices":$nv,"sccs":${(nScc + 7) / 8},"mislabelled":$bad,"sec":$secs18%.2f,"verts_per_sec":${(nv / secs18).toLong}}""")
+    }
+
     if (sel("entropy_vocab")) {
       // unigramEntropy at a 10^7-distinct-token vocabulary — the workload
       // that OOM'd the pre-round-8 single whole-vocab collect_list fold.

@@ -2641,6 +2641,28 @@ object SparkEntry {
       graft.ops.Graph.shortestPaths(e, Seq(1L, 2L, 3L).toDF("v"), maxRounds = 6)
         .orderBy("v")
     }),
+    "q76_scc" -> ((s, d) => {
+      // strongly connected components (Graph.stronglyConnectedComponents,
+      // coloring/FW-BW-MIN) over a PLANTED digraph from part keys: each
+      // block of 8 consecutive keys forms a directed cycle (one SCC; the
+      // tail block wraps early), plus a single forward bridge
+      // blockEnd -> blockEnd+1 between consecutive blocks — the bridges
+      // chain the condensation without merging anything, so the generic
+      // engine must recover component = block start, which the oracle
+      // states in closed form.
+      // part keys are 0-based (0..n-1)
+      val n = t(s, d, "part").count()
+      val v = t(s, d, "part")
+        .select(col("p_partkey").cast("long").as("v"))
+      val bStart = expr("(v div 8) * 8")
+      val bEnd = least(bStart + 7, lit(n - 1))
+      val cycle = v.select(col("v").as("src"),
+        when(col("v") === bEnd, bStart).otherwise(col("v") + 1).as("dst"))
+      val bridge = v.filter(col("v") === bEnd && col("v") < n - 1)
+        .select(col("v").as("src"), (col("v") + 1).as("dst"))
+      graft.ops.Graph.stronglyConnectedComponents(cycle.unionByName(bridge))
+        .orderBy("v")
+    }),
     "q64_unpivot" -> ((s, d) => {
       // UNPIVOT/melt — wide metric columns to long (metric, value) rows,
       // the §2.6 inverse of q34's pivot. Native Dataset.unpivot (Catalyst
@@ -5365,6 +5387,13 @@ object SparkEntry {
     "q50_pagerank" -> pageRankOracleSql,
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
+    // q76: the planted block-cycle digraph's SCCs are known in closed
+    // form — each 8-key block is one cycle (one SCC labelled by its
+    // min = block start); the chained forward bridges merge nothing.
+    "q76_scc" ->
+      """SELECT p_partkey AS v,
+        |  (p_partkey // 8) * 8 AS component
+        |FROM part ORDER BY v""".stripMargin,
     "q66_modularity" -> modularityOracleSql,
     // q51/s12's oracle deliberately recomputes the aggregate FROM SCRATCH
     // over the changed base (survivors = base minus deleted bucket plus the

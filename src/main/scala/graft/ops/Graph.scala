@@ -437,4 +437,158 @@ object Graph {
     wedges.join(closing, Seq("a", "b"))
       .agg(count(lit(1)).as("n_triangles"))
   }
+
+  /**
+   * Strongly connected components of a DIRECTED edge list — the coloring
+   * / FW-BW-MIN algorithm (Orzan 2004; Slota, Rajamanickam & Madduri,
+   * IPDPS'14), the standard label-based SCC for vertex-centric engines:
+   *
+   *  1. forward MIN-label propagation to a fixpoint — `color(v)` becomes
+   *     the smallest vertex id that can REACH v along remaining edges;
+   *  2. each color class's root (`color(v) == v`) seeds a BACKWARD
+   *     reachability restricted to edges whose endpoints share the color
+   *     — exactly the vertices both reached-by and reaching the root,
+   *     i.e. the root's whole SCC (labelled by the root id);
+   *  3. assign those vertices, drop them (and their edges) from the
+   *     active subgraph, repeat.
+   *
+   * Every outer round settles at least one SCC per remaining color class
+   * (trivial SCCs settle in droves — a root with no same-color in-edges
+   * is its own component), so rounds track the depth of the SCC
+   * condensation DAG, not the vertex count. Scale shape: each inner step
+   * is one edge-wide equi-join plus a vertex-keyed min/distinct agg —
+   * AQE-splittable; `localCheckpoint` truncates the iterative lineage per
+   * step and convergence tests are 3-scalar overflow-free fingerprints
+   * (the [[shortestPaths]] prime-split trick). Small graphs take the
+   * probe-bounded driver path — an iterative Tarjan, bit-identical
+   * labels by construction (both label by min member id).
+   *
+   * @return (v, component) with component = min vertex id of v's SCC
+   */
+  def stronglyConnectedComponents(edges: DataFrame, maxOuterRounds: Int = 30,
+                                  localThreshold: Int = 200000): DataFrame = {
+    val e0 = edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val probe = e0.limit(localThreshold + 1).collect() // bounded by construction
+    if (probe.length <= localThreshold)
+      return sccLocal(edges.sparkSession,
+        probe.map(r => (r.getLong(0), r.getLong(1))))
+    val P = 1000000007L
+    def fp(df: DataFrame, c: String): (Long, Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(expr(s"($c - pmod($c, ${P}L)) div ${P}L")), lit(0L)),
+        coalesce(sum(pmod(col(c), lit(P))), lit(0L))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var e = e0.localCheckpoint()
+    var verts = e.select(col("src").as("v"))
+      .unionByName(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var assigned = verts.limit(0).withColumn("component", lit(0L)).localCheckpoint()
+    var outer = 0
+    var remaining = verts.count()
+    while (remaining > 0 && outer < maxOuterRounds) {
+      outer += 1
+      // 1. forward min-label propagation to fixpoint
+      var color = verts.withColumn("color", col("v")).localCheckpoint()
+      var cfp = (-1L, -1L, -1L)
+      var stable = false
+      while (!stable) {
+        val msgs = e.join(color.withColumnRenamed("v", "src"), "src")
+          .select(col("dst").as("v"), col("color"))
+        color = color.unionByName(msgs)
+          .groupBy("v").agg(min(col("color")).as("color")).localCheckpoint()
+        val next = fp(color, "color") // min-label is monotone ⇒ stable sum = fixpoint
+        stable = next == cfp
+        cfp = next
+      }
+      // 2. backward reachability from each root inside its color class
+      val eSame = e
+        .join(color.select(col("v").as("src"), col("color").as("__cs")), "src")
+        .join(color.select(col("v").as("dst"), col("color").as("__cd")), "dst")
+        .filter(col("__cs") === col("__cd"))
+        .select(col("src"), col("dst"), col("__cs").as("component"))
+        .localCheckpoint()
+      var reached = color.filter(col("v") === col("color"))
+        .select(col("v"), col("color").as("component")).localCheckpoint()
+      var rfp = (-1L, -1L, -1L)
+      stable = false
+      while (!stable) {
+        val back = eSame.join(reached.withColumnRenamed("v", "dst"),
+            Seq("dst", "component"))
+          .select(col("src").as("v"), col("component"))
+        reached = reached.unionByName(back).distinct().localCheckpoint()
+        val next = fp(reached, "component") // grow-only ⇒ stable size = fixpoint
+        stable = next == rfp
+        rfp = next
+      }
+      // 3. commit this round's SCCs, shrink the active subgraph
+      assigned = assigned.unionByName(reached).localCheckpoint()
+      verts = verts.join(reached.select("v"), Seq("v"), "left_anti").localCheckpoint()
+      e = e.join(reached.select(col("v").as("src")), Seq("src"), "left_anti")
+        .join(reached.select(col("v").as("dst")), Seq("dst"), "left_anti")
+        .select("src", "dst").localCheckpoint()
+      remaining = verts.count()
+    }
+    require(remaining == 0,
+      s"SCC did not settle within $maxOuterRounds outer rounds: $remaining vertices " +
+        "unassigned — raise maxOuterRounds (bound tracks the condensation-DAG depth)")
+    assigned
+  }
+
+  /** Driver path: iterative Tarjan over a bounded collected edge set —
+    * explicit stack, no recursion; components labelled by min member id
+    * (identical labels to the distributed path by construction). */
+  private def sccLocal(spark: org.apache.spark.sql.SparkSession,
+                       es: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val adj = es.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2) }
+    val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+    val index = scala.collection.mutable.Map.empty[Long, Int]
+    val low = scala.collection.mutable.Map.empty[Long, Int]
+    val onStack = scala.collection.mutable.Set.empty[Long]
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val comp = scala.collection.mutable.Map.empty[Long, Long]
+    var counter = 0
+    verts.foreach { root =>
+      if (!index.contains(root)) {
+        // frames: (vertex, next-child cursor)
+        val frames = scala.collection.mutable.ArrayBuffer((root, 0))
+        index(root) = counter; low(root) = counter; counter += 1
+        stack += root; onStack += root
+        while (frames.nonEmpty) {
+          val (v, ci) = frames.last
+          val children = adj.getOrElse(v, Array.empty[Long])
+          if (ci < children.length) {
+            frames(frames.length - 1) = (v, ci + 1)
+            val w = children(ci)
+            if (!index.contains(w)) {
+              index(w) = counter; low(w) = counter; counter += 1
+              stack += w; onStack += w
+              frames += ((w, 0))
+            } else if (onStack(w)) low(v) = math.min(low(v), index(w))
+          } else {
+            frames.remove(frames.length - 1)
+            if (frames.nonEmpty) {
+              val p = frames.last._1
+              low(p) = math.min(low(p), low(v))
+            }
+            if (low(v) == index(v)) {
+              // pop the SCC, label by its min member id
+              val members = scala.collection.mutable.ArrayBuffer.empty[Long]
+              var done = false
+              while (!done) {
+                val w = stack.remove(stack.length - 1); onStack -= w
+                members += w
+                done = w == v
+              }
+              val label = members.min
+              members.foreach(m => comp(m) = label)
+            }
+          }
+        }
+      }
+    }
+    comp.toSeq.toDF("v", "component")
+  }
 }

@@ -201,6 +201,37 @@ class GraphSpec extends SparkSpec {
     assert(q1 == ((7L, 1L, 0L, 196L)))
   }
 
+  test("scc: hand-computed digraph — cycles, bridge, acyclic tail") {
+    // {1,2,3} cycle; bridge 3->4; {4,5} 2-cycle; acyclic tail 5->6->7;
+    // back-edge 7->6 makes {6,7} strong; 8->1 feeds the first SCC
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
+      (5L, 4L), (5L, 6L), (6L, 7L), (7L, 6L), (8L, 1L))
+      .toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L), s"got $got")
+  }
+
+  test("scc: distributed coloring/FW-BW path is identical to the driver Tarjan path") {
+    // pseudo-random digraph with planted cycles: 3 blocks of 6 vertices
+    // each forming a cycle, chained bridges, plus deterministic extra
+    // edges that stay within the condensation order
+    val blocks = (0 until 3).flatMap { b =>
+      val base = b * 6 + 1
+      (0 until 6).map(i => (base + i.toLong, base + ((i + 1) % 6).toLong))
+    }
+    val bridges = Seq((6L, 7L), (12L, 13L))
+    val extra = Seq((2L, 9L), (3L, 14L), (8L, 15L)) // forward only
+    val edges = (blocks ++ bridges ++ extra).toDF("src", "dst")
+    val local = Graph.stronglyConnectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.stronglyConnectedComponents(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == (1L to 18L).map(v => v -> (((v - 1) / 6) * 6 + 1)).toMap)
+    assert(dist == local, s"distributed=$dist local=$local")
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
