@@ -2003,6 +2003,43 @@ object SparkEntry {
         upperThreshold = 20L, lowerThreshold = 0L)
         .orderBy("id_a", "id_b")
     }),
+    "d53_er_e2e" -> ((s, d) => {
+      // ENTITY-RESOLUTION E2E COMPOSITION GATE — the linkage-side twin
+      // of d47's corpus gate: blocking (d43's (lang, n_chars%17)) →
+      // Fellegi-Sunter scoring (d43's integer rules) → keep only
+      // decision='link' → transitive closure + survivorship
+      // (d36's goldenRecords). Every stage exact, so the composed
+      // clusters, lineage and survivors all hash-check against one
+      // recursive-CTE oracle.
+      import graft.llm.Dedup.LinkageRule
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"),
+          col("n_chars"), col("text"))
+      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
+        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
+      val pairs = key("a").join(key("b"),
+          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      val links = Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+          LinkageRule("same_source",
+            col("source_a") === col("source_b"), 24L, -8L),
+          LinkageRule("close_length",
+            abs(col("n_chars_a") - col("n_chars_b")) <= 5, 11L, -5L),
+          LinkageRule("first_token",
+            element_at(TextAnalysis.tokens(col("text_a")), 1) ===
+              element_at(TextAnalysis.tokens(col("text_b")), 1), 6L, -2L)),
+          upperThreshold = 20L, lowerThreshold = 0L)
+        .filter(col("decision") === "link")
+        .select("id_a", "id_b")
+      Dedup.goldenRecords(docs.drop("text"), "doc_id", links,
+          survivorOrder = Seq(col("n_chars").desc, col("doc_id")))
+        .select(col("cluster_id"), col("n_members"),
+          concat_ws(",", col("member_ids").cast("array<string>")).as("member_ids"),
+          col("doc_id").as("canonical_id"), col("lang"), col("source"),
+          col("n_chars"))
+        .orderBy("cluster_id")
+    }),
     "d44_source_containment" -> ((s, d) => {
       // cross-source shingle CONTAINMENT (|A∩B|/|A|, the asymmetric
       // leakage measure) over distinct token bigrams per source
@@ -5217,6 +5254,49 @@ object SparkEntry {
         |  CASE WHEN score >= 20 THEN 'link' WHEN score > 0 THEN 'possible'
         |       ELSE 'non-link' END AS decision
         |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    // d53: d43's scored pairs at decision='link' (score >= 20) feed
+    // d36's recursive closure + survivorship — the whole ER pipeline in
+    // one gate.
+    "d53_er_e2e" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, lang, source, n_chars, text FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    (CASE WHEN a.source = b.source THEN 24 ELSE -8 END
+        |     + CASE WHEN abs(a.n_chars - b.n_chars) <= 5 THEN 11 ELSE -5 END
+        |     + CASE WHEN regexp_split_to_array(trim(lower(a.text)), '\s+')[1] =
+        |            regexp_split_to_array(trim(lower(b.text)), '\s+')[1]
+        |       THEN 6 ELSE -2 END) AS score
+        |  FROM d a JOIN d b ON a.lang = b.lang
+        |    AND a.n_chars % 17 = b.n_chars % 17 AND a.doc_id < b.doc_id
+        |), edges AS (
+        |  SELECT id_a, id_b FROM p WHERE score >= 20
+        |), sym AS (
+        |  SELECT id_a AS u, id_b AS v FROM edges UNION SELECT id_b, id_a FROM edges
+        |), reach AS (
+        |  SELECT u, v FROM sym
+        |  UNION
+        |  SELECT r.u, s.v FROM reach r JOIN sym s ON r.v = s.u
+        |), comp AS (
+        |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS component FROM reach GROUP BY u
+        |), lbl AS (
+        |  SELECT d.doc_id, COALESCE(c.component, d.doc_id) AS cluster_id
+        |  FROM d LEFT JOIN comp c USING (doc_id)
+        |), stats AS (
+        |  SELECT cluster_id, COUNT(*) AS n_members,
+        |    list_sort(list(doc_id)) AS member_ids
+        |  FROM lbl GROUP BY cluster_id
+        |), ranked AS (
+        |  SELECT l.cluster_id, d.doc_id, d.lang, d.source, d.n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+        |      ORDER BY d.n_chars DESC, d.doc_id) AS rn
+        |  FROM lbl l JOIN d USING (doc_id)
+        |)
+        |SELECT r.cluster_id, s.n_members,
+        |  array_to_string(s.member_ids, ',') AS member_ids,
+        |  r.doc_id AS canonical_id, r.lang, r.source, r.n_chars
+        |FROM ranked r JOIN stats s USING (cluster_id)
+        |WHERE rn = 1 ORDER BY r.cluster_id""".stripMargin,
     "d44_source_containment" ->
       """WITH tk AS (
         |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
