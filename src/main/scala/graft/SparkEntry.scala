@@ -1851,6 +1851,45 @@ object SparkEntry {
           min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
         .orderBy("lang", "source")
     }),
+    "d54_orc_roundtrip" -> ((s, d) => {
+      // ORC io round-trip — the other columnar interchange format Spark
+      // ships natively. Same checksum gate (and shared oracle) as d52's
+      // JSONL: corruption anywhere in the write/read path breaks the
+      // per-(lang, source) md5-distinct count.
+      val root = java.nio.file.Files.createTempDirectory("d54").toString
+      t(s, d, "documents").write.mode("overwrite").orc(s"$root/orc")
+      s.read.orc(s"$root/orc")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    }),
+    "d55_jaro_winkler" -> ((s, d) => {
+      // Jaro-Winkler field similarity (native codegen'd expression,
+      // TextExpressions.JaroWinkler) over blocked key pairs + the
+      // canonical literature fixtures (martha/marhta 0.9611,
+      // dixon/dicksonx 0.8133, the sub-0.7 no-boost case, the
+      // window-excluded 'ab'/'ba' 0.0). The oracle replays every score
+      // with DuckDB's jaro_winkler_similarity at 4 dp — match window,
+      // transposition halving and the 0.7 boost gate must all agree.
+      import s.implicits._
+      val fixture = Seq(
+        (-1L, "martha"), (-2L, "marhta"), (-3L, "dwayne"), (-4L, "duane"),
+        (-5L, "dixon"), (-6L, "dicksonx"), (-7L, "aXXXX"), (-8L, "aYYYY"),
+        (-9L, "ab"), (-10L, "ba")).toDF("doc_id", "key")
+      val keys = t(s, d, "documents")
+        .select(col("doc_id"), substring(col("text"), 1, 12).as("key"))
+        .unionByName(fixture)
+      def side(p: String) = keys.select(col("doc_id").as(s"id_$p"),
+        col("key").as(s"k_$p"))
+      side("a").join(side("b"),
+          col("id_a") % 37 === col("id_b") % 37 && col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(TextAnalysis.jaroWinkler(col("k_a"), col("k_b")), 4).as("jw"))
+        .orderBy("id_a", "id_b")
+    }),
     "d51_normalize_text" -> ((s, d) => {
       // canonical corpus normalization (NFC -> strip accents -> casefold
       // -> collapse whitespace) as a NATIVE codegen'd expression
@@ -3297,6 +3336,16 @@ object SparkEntry {
   /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
     * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
     * portability contract), exact type-token ratio. */
+  /** d52 + d54 shared corpus-checksum oracle: counts, exact char sums and
+    * DISTINCT text md5s per (lang, source) — any corruption in a
+    * round-tripped io format breaks the md5-distinct count. */
+  private val corpusChecksumOracleSql: String =
+    """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
+      |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+      |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+      |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** d41 + d42 (stream ≡ batch) boilerplate-strip oracle: 5-token chunks,
     * drop every occurrence of any chunk in >= 3 distinct docs. */
   private val boilerplateStripOracleSql: String =
@@ -4952,12 +5001,21 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
-    "d52_jsonl_roundtrip" ->
-      """SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-        |  CAST(SUM(len(text)) AS BIGINT) AS sum_len,
-        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
-        |  MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
-        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d52_jsonl_roundtrip" -> corpusChecksumOracleSql,
+    "d54_orc_roundtrip" -> corpusChecksumOracleSql,
+    "d55_jaro_winkler" ->
+      """WITH fixture(doc_id, key) AS (VALUES
+        |  (-1, 'martha'), (-2, 'marhta'), (-3, 'dwayne'), (-4, 'duane'),
+        |  (-5, 'dixon'), (-6, 'dicksonx'), (-7, 'aXXXX'), (-8, 'aYYYY'),
+        |  (-9, 'ab'), (-10, 'ba')
+        |), k AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, key FROM fixture
+        |  UNION ALL SELECT doc_id, substr(text, 1, 12) FROM documents
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  ROUND(jaro_winkler_similarity(a.key, b.key), 4) AS jw
+        |FROM k a JOIN k b ON a.doc_id % 37 = b.doc_id % 37 AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin,
     "d51_normalize_text" ->
       """WITH fixture(doc_id, text) AS (VALUES
         |  (-1, 'Cafe' || chr(769) || '  du  Monde'),

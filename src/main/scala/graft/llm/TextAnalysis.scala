@@ -42,6 +42,16 @@ object TextAnalysis {
     call_function("normalize_text", text)
   }
 
+  /** Jaro-Winkler similarity between two string columns via the native
+    * codegen'd [[TextExpressions.JaroWinkler]] — the record-linkage field
+    * comparator for names/short strings (a [[graft.llm.Dedup.LinkageRule]]
+    * agree predicate like `jaroWinkler(a, b) >= 0.9`); d55-oracle-pinned
+    * byte-compatible with DuckDB's `jaro_winkler_similarity`. */
+  def jaroWinkler(a: Column, b: Column): Column = {
+    TextExpressions.ensureActive()
+    call_function("jaro_winkler", a, b)
+  }
+
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
   def bpeishTokenCount(text: Column): Column =

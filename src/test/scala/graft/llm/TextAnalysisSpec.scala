@@ -232,6 +232,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(withNull.head().isNullAt(0))
   }
 
+  test("jaroWinkler: canonical literature values, boost gate, floor-halved transpositions") {
+    val pairs = Seq(
+      ("martha", "marhta", 0.9611),   // boost: l=3
+      ("dwayne", "duane", 0.84),      // boost: l=1
+      ("dixon", "dicksonx", 0.8133),  // boost: l=2
+      ("aXXXX", "aYYYY", 0.4667),     // jaro <= 0.7: NO boost despite prefix
+      ("ab", "ba", 0.0),              // window 0 excludes the cross match
+      ("", "abc", 0.0), ("", "", 0.0),
+      ("abc", "abc", 1.0),
+      // odd raw transposition count: the floor (not /2.0) convention
+      ("key agg row ", "merge merge ", 0.5556)
+    ).toDF("a", "b", "expect")
+    val got = pairs.select($"a", $"b", $"expect",
+        round(TextAnalysis.jaroWinkler($"a", $"b"), 4).as("jw"))
+      .as[(String, String, Double, Double)].collect()
+    got.foreach { case (a, b, e, j) =>
+      assert(j == e, s"jw('$a','$b') = $j, want $e")
+    }
+  }
+
   test("two-level md5-bucketed fold matches the single whole-vocab fold at the ROUND(,4) contract") {
     import spark.implicits._
     // 5k distinct tokens across 3 sources, counts 1..7: large enough that
