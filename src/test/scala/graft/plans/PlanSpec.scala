@@ -234,4 +234,25 @@ class PlanSpec extends SparkSpec {
     val p = formatted("q53_kmv_overlap")
     assert(p.contains("__salt"), "salted pre-selection window missing:\n" + p)
   }
+
+  test("d51/d55: native text expressions plan as Catalyst nodes, no UDF boundary") {
+    // the kernel must appear as its expression name inside a plain
+    // Project — a ScalaUDF/BatchEvalPython node would mean it fell off
+    // the codegen path (the whole point of the Catalyst expressions)
+    for ((q, fn) <- Seq("d51_normalize_text" -> "normalize_text",
+                        "d55_jaro_winkler" -> "jaro_winkler")) {
+      val p = formatted(q)
+      assert(p.contains(fn), s"$q: expression $fn not in the plan:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+        s"$q evaluates through a UDF boundary:\n$p")
+    }
+  }
+
+  test("d45: the entropy fold aggregates twice (bucket level then group level) — bounded buffers") {
+    // the round-8 two-level fold: a single whole-vocabulary collect_list
+    // plans ONE objectHashAggregate pair keyed on (source); the bounded
+    // version must show the intermediate (source, __bk)-keyed aggregate
+    val p = formatted("d45_source_entropy")
+    assert(p.contains("__bk"), "md5-bucket fold key missing — whole-vocab buffer is back:\n" + p)
+  }
 }
