@@ -2022,9 +2022,11 @@ object SparkEntry {
       // three-way link/possible/non-link decision. Integer weights make
       // the whole result exact, so score and decision both hash-check.
       import graft.llm.Dedup.LinkageRule
+      // tokenize ONCE per doc (the d53 lesson): short first_token through
+      // the pair join instead of the whole text payload
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          element_at(TextAnalysis.tokens(col("text")), 1).as("first_token"))
       def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
         col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
       val pairs = key("a").join(key("b"),
@@ -2037,8 +2039,7 @@ object SparkEntry {
           LinkageRule("close_length",
             abs(col("n_chars_a") - col("n_chars_b")) <= 5, 11L, -5L),
           LinkageRule("first_token",
-            element_at(TextAnalysis.tokens(col("text_a")), 1) ===
-              element_at(TextAnalysis.tokens(col("text_b")), 1), 6L, -2L)),
+            col("first_token_a") === col("first_token_b"), 6L, -2L)),
         upperThreshold = 20L, lowerThreshold = 0L)
         .orderBy("id_a", "id_b")
     }),
@@ -2051,9 +2052,11 @@ object SparkEntry {
       // clusters, lineage and survivors all hash-check against one
       // recursive-CTE oracle.
       import graft.llm.Dedup.LinkageRule
+      // tokenize ONCE per doc, not once per pair side: the pair join then
+      // carries a short first_token instead of the whole text payload
       val docs = t(s, d, "documents")
-        .select(col("doc_id"), col("lang"), col("source"),
-          col("n_chars"), col("text"))
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          element_at(TextAnalysis.tokens(col("text")), 1).as("first_token"))
       def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
         col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
       val pairs = key("a").join(key("b"),
@@ -2066,12 +2069,11 @@ object SparkEntry {
           LinkageRule("close_length",
             abs(col("n_chars_a") - col("n_chars_b")) <= 5, 11L, -5L),
           LinkageRule("first_token",
-            element_at(TextAnalysis.tokens(col("text_a")), 1) ===
-              element_at(TextAnalysis.tokens(col("text_b")), 1), 6L, -2L)),
+            col("first_token_a") === col("first_token_b"), 6L, -2L)),
           upperThreshold = 20L, lowerThreshold = 0L)
         .filter(col("decision") === "link")
         .select("id_a", "id_b")
-      Dedup.goldenRecords(docs.drop("text"), "doc_id", links,
+      Dedup.goldenRecords(docs.drop("first_token"), "doc_id", links,
           survivorOrder = Seq(col("n_chars").desc, col("doc_id")))
         .select(col("cluster_id"), col("n_members"),
           concat_ws(",", col("member_ids").cast("array<string>")).as("member_ids"),
