@@ -2741,6 +2741,24 @@ object SparkEntry {
       graft.ops.Graph.stronglyConnectedComponents(cycle.unionByName(bridge))
         .orderBy("v")
     }),
+    "q77_window_family" -> ((s, d) => {
+      // the rest of the §2.5 window-function family in one gate:
+      // percent_rank / cume_dist (exact single-divide rationals —
+      // bit-identical across engines), ntile, lag, lead-with-default,
+      // nth_value under the default ORDER BY frame, all over the same
+      // deterministic (o_custkey, o_orderkey) order.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderkey"))
+      t(s, d, "orders").filter(col("o_custkey") <= 300)
+        .select(col("o_custkey"), col("o_orderkey"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).as("q4"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 2, -1L).over(w).as("next2_key"),
+          nth_value(col("o_orderkey"), 2).over(w).as("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
     "q64_unpivot" -> ((s, d) => {
       // UNPIVOT/melt — wide metric columns to long (metric, value) rows,
       // the §2.6 inverse of q34's pivot. Native Dataset.unpivot (Catalyst
@@ -5527,6 +5545,17 @@ object SparkEntry {
     "q50_pagerank" -> pageRankOracleSql,
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
+    "q77_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        |  percent_rank() OVER w AS pr,
+        |  cume_dist() OVER w AS cd,
+        |  CAST(ntile(4) OVER w AS INT) AS q4,
+        |  lag(o_orderkey, 1) OVER w AS prev_key,
+        |  lead(o_orderkey, 2, -1) OVER w AS next2_key,
+        |  nth_value(o_orderkey, 2) OVER w AS second_key
+        |FROM orders WHERE o_custkey <= 300
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q76: the planted block-cycle digraph's SCCs are known in closed
     // form — each 8-key block is one cycle (one SCC labelled by its
     // min = block start); the chained forward bridges merge nothing.
