@@ -253,6 +253,44 @@ class PropertySpec extends SparkSpec {
     }, tests = 20)
   }
 
+  test("SCC law: same component iff mutually reachable, for any small digraph") {
+    // the defining property, checked against brute-force transitive
+    // closure on random digraphs (n <= 10, both Tarjan driver path and,
+    // on a sample, the distributed coloring path)
+    val edgeGen = Gen.choose(5, 18).flatMap(k => Gen.listOfN(k, for {
+      s <- Gen.choose(1L, 10L); t <- Gen.choose(1L, 10L) if s != t
+    } yield (s, t)))
+    var distributedChecked = 0
+    run(Prop.forAll(edgeGen) { es =>
+      val edges = es.toDF("src", "dst")
+      val comp = Graph.stronglyConnectedComponents(edges)
+        .as[(Long, Long)].collect().toMap
+      // brute-force closure over the vertex set
+      val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+      val reach = scala.collection.mutable.Set[(Long, Long)](verts.map(v => (v, v)): _*)
+      reach ++= es
+      var grew = true
+      while (grew) {
+        val add = for ((a, b) <- reach.toSeq; (c, d) <- es if b == c &&
+          !reach((a, d))) yield (a, d)
+        grew = add.nonEmpty
+        reach ++= add
+      }
+      val lawHolds = verts.forall(u => verts.forall(v =>
+        (comp(u) == comp(v)) == (reach((u, v)) && reach((v, u)))))
+      val labelsAreMinMembers = comp.groupBy(_._2).forall { case (c, m) =>
+        m.keys.min == c
+      }
+      // the distributed path must agree on a sample (it's ~100x slower)
+      val distAgrees = if (distributedChecked >= 3) true else {
+        distributedChecked += 1
+        Graph.stronglyConnectedComponents(edges, localThreshold = 0)
+          .as[(Long, Long)].collect().toMap == comp
+      }
+      lawHolds && labelsAreMinMembers && distAgrees
+    }, tests = 20)
+  }
+
   test("span dedup conservation: removed = total chunks - distinct chunks, any corpus") {
     import graft.llm.Dedup
     val docsGen = Gen.listOfN(6, Gen.listOfN(8,
