@@ -974,6 +974,17 @@ object SparkEntry {
         t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
       graft.llm.Multimodal.videoStats(media).orderBy("media_id")
     }),
+    "m06_frame_sample_decoded" -> ((s, d) => {
+      // frame sampling over REAL decoded frames (the decoded-pixel
+      // complement of m02's metadata-driven variant): every 2nd frame of
+      // each y4m clip with its exact luma byte sum — the oracle replays
+      // sums at exactly the sampled indexes, so a frame-stride or
+      // plane-offset bug breaks the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+      graft.llm.Multimodal.sampleDecodedFrames(media, every = 2)
+        .orderBy("media_id", "frame_idx")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -2080,6 +2091,32 @@ object SparkEntry {
           col("doc_id").as("canonical_id"), col("lang"), col("source"),
           col("n_chars"))
         .orderBy("cluster_id")
+    }),
+    "d56_fuzzy_linkage" -> ((s, d) => {
+      // the d55 comparator composed into Fellegi-Sunter: agreement on a
+      // jaro_winkler >= 0.9 match of the 12-char text prefix replaces
+      // exact equality — the fuzzy-name-match shape real ER runs on.
+      // Scores stay quantized integers so the gate is exact; the oracle
+      // replays the JW threshold with DuckDB's own function (the d55
+      // byte-compatibility is what makes the threshold portable).
+      import graft.llm.Dedup.LinkageRule
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
+          substring(col("text"), 1, 12).as("prefix"))
+      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
+        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
+      val pairs = key("a").join(key("b"),
+          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
+            col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+          LinkageRule("same_source",
+            col("source_a") === col("source_b"), 24L, -8L),
+          LinkageRule("fuzzy_prefix",
+            TextAnalysis.jaroWinkler(col("prefix_a"), col("prefix_b")) >= 0.9,
+            13L, -4L)),
+          upperThreshold = 30L, lowerThreshold = 5L)
+        .orderBy("id_a", "id_b")
     }),
     "d44_source_containment" -> ((s, d) => {
       // cross-source shingle CONTAINMENT (|A∩B|/|A|, the asymmetric
@@ -4027,6 +4064,23 @@ object SparkEntry {
         |  ysum.sum_y, csum.sum_u, csum.sum_v
         |FROM v JOIN ysum USING (media_id) JOIN csum USING (media_id)
         |ORDER BY media_id""".stripMargin,
+    "m06_frame_sample_decoded" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS media_id,
+        |    4 + (p_partkey % 3) * 2 AS w, 4 + (p_partkey % 2) * 2 AS h,
+        |    3 + p_partkey % 4 AS nf
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 2
+        |), fr AS (
+        |  SELECT v.media_id, v.w, v.h, f.f
+        |  FROM v, LATERAL (SELECT unnest(range(v.nf)) AS f) f
+        |  WHERE f.f % 2 = 0
+        |)
+        |SELECT fr.media_id, CAST(fr.f AS INT) AS frame_idx,
+        |  CAST(SUM((fr.media_id * 7 + fr.f * 31 + y.y * 11 + x.x * 13) % 256) AS BIGINT) AS luma_sum
+        |FROM fr,
+        |  LATERAL (SELECT unnest(range(fr.h)) AS y) y,
+        |  LATERAL (SELECT unnest(range(fr.w)) AS x) x
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,
@@ -5332,6 +5386,26 @@ object SparkEntry {
         |  CASE WHEN score >= 20 THEN 'link' WHEN score > 0 THEN 'possible'
         |       ELSE 'non-link' END AS decision
         |FROM sc ORDER BY id_a, id_b""".stripMargin,
+    "d56_fuzzy_linkage" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, source, n_chars, substr(text, 1, 12) AS prefix
+        |  FROM documents
+        |), p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS same_source_agree,
+        |    CASE WHEN jaro_winkler_similarity(a.prefix, b.prefix) >= 0.9
+        |      THEN 1 ELSE 0 END AS fuzzy_prefix_agree,
+        |    (CASE WHEN a.source = b.source THEN 24 ELSE -8 END
+        |     + CASE WHEN jaro_winkler_similarity(a.prefix, b.prefix) >= 0.9
+        |       THEN 13 ELSE -4 END) AS score
+        |  FROM d a JOIN d b ON a.lang = b.lang
+        |    AND a.n_chars % 17 = b.n_chars % 17 AND a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, same_source_agree, fuzzy_prefix_agree,
+        |  CAST(score AS BIGINT) AS score,
+        |  CASE WHEN score >= 30 THEN 'link' WHEN score > 5 THEN 'possible'
+        |       ELSE 'non-link' END AS decision
+        |FROM p ORDER BY id_a, id_b""".stripMargin,
     // d53: d43's scored pairs at decision='link' (score >= 20) feed
     // d36's recursive closure + survivorship — the whole ER pipeline in
     // one gate.

@@ -447,6 +447,31 @@ object Multimodal {
       .drop("__dims")
   }
 
+  /** Frame sampling over REAL decoded y4m frames: one row per sampled
+    * frame (`every`-th, starting at 0) with the frame's exact luma byte
+    * sum — the decoded-pixel complement of [[sampleFrames]]'s
+    * metadata-driven timestamp explode. Non-y4m rows are dropped.
+    * Narrow map → explode; no shuffle. */
+  def sampleDecodedFrames(media: DataFrame, every: Int): DataFrame = {
+    require(every >= 1, s"every=$every must be >= 1")
+    val dec = udf { (payload: Array[Byte]) =>
+      decodeY4m(payload).map { case (w, h, _, _, frames) =>
+        val ySize = w * h
+        frames.indices.collect { case f if f % every == 0 =>
+          var s = 0L
+          var p = 0
+          while (p < ySize) { s += frames(f)(p) & 0xFF; p += 1 }
+          (f, s)
+        }
+      }.orNull
+    }
+    media.withColumn("__f", dec(col("payload")))
+      .filter(col("__f").isNotNull)
+      .select(col("media_id"), explode(col("__f")).as("fr"))
+      .select(col("media_id"), col("fr._1").as("frame_idx"),
+        col("fr._2").as("luma_sum"))
+  }
+
   /** Frame sampling for video rows: explode into one row per sampled frame
     * timestamp (every `everyMs` within duration). */
   def sampleFrames(media: DataFrame, everyMs: Long): DataFrame =
