@@ -1983,6 +1983,46 @@ object SparkEntry {
         block(Seq(col("lang"), (col("n_chars") % 7).as("m"))),
         block(Seq(col("source"), (col("n_chars") % 5).as("m"))))
     }),
+    "s21_stream_pipeline_e2e" -> ((s, d) => {
+      // STREAMED END-TO-END PIPELINE: d47's composition with its heavy
+      // first stage — corpus span dedup — run as the s16 ingest stream
+      // (3 ascending-doc_id drops probing the persisted seen-chunk
+      // index) and the downstream (survival-quality gate → token
+      // recount → per-lang packing) applied over the CONVERGED corpus.
+      // Shares d47's oracle VERBATIM: streamed span dedup ≡ d40's batch
+      // result (the s16 contract) and every later stage is a
+      // deterministic function of the converged corpus.
+      import org.apache.spark.sql.types._
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files.createTempDirectory("s21").toString
+      Seq((0, col("doc_id") < 167),
+          (1, col("doc_id") >= 167 && col("doc_id") < 334),
+          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          docs.filter(cond), s"$root/in", b)
+      }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("doc_id", LongType),
+        StructField("text", StringType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.Streaming.spanDedupIngestStream(
+          stream, s"$root/index", s"$root/ckpt", compactAfterDirs = 1)(
+          (clean, bid) => clean.write.mode("overwrite")
+            .parquet(s"$root/out/batch=$bid"))
+        .awaitTermination()
+      val kept = s.read.parquet(s"$root/out")
+        .filter(col("n_removed") * 2 <= col("n_chunks") &&
+          col("clean_text") =!= "")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("clean_text"))))
+        .join(t(s, d, "documents").select(col("doc_id"), col("lang")), "doc_id")
+      Sampling.seqPack(kept, Seq("lang"), "doc_id", "n_tokens",
+          capacity = 256L)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        .orderBy(col("lang"), col("bin_id"))
+    }),
     "d47_pipeline_e2e" -> ((s, d) => {
       // END-TO-END PRETRAINING DATA PIPELINE — the composition a user of
       // this library ships: corpus-level exact span dedup (d40) →
@@ -5331,6 +5371,10 @@ object SparkEntry {
         |  CAST(tp AS DOUBLE) / NULLIF(tp + fn, 0) AS recall
         |FROM m""".stripMargin,
     "d47_pipeline_e2e" -> pipelineE2eOracleSql,
+    // s21: the streamed composition converges to d47's batch result —
+    // shared oracle VERBATIM (the s16 stream ≡ d40 contract composed
+    // with deterministic downstream stages).
+    "s21_stream_pipeline_e2e" -> pipelineE2eOracleSql,
     "d46_leakfree_split" ->
       """WITH RECURSIVE tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
