@@ -558,13 +558,18 @@ object ScaleBench {
         .select(col("source"), col("entropy")).collect()
         .map(r => r.getString(0) -> r.getDouble(1)).toMap
       val secs17 = (System.nanoTime() - t17) / 1e9
+      // tolerance, not exact equality: the closed form's sum() accumulates
+      // in partition order (nondeterministic bits), and ent is rounded to
+      // 4 dp — a true value near a 0.00005 boundary could flip one side
       val closed = counts.groupBy("source")
         .agg(sum(col("c")).as("n"),
           sum(col("c").cast("double") * log(col("c").cast("double"))).as("clc"))
         .select(col("source"),
-          round(log(col("n").cast("double")) - col("clc") / col("n"), 4).as("h"))
+          (log(col("n").cast("double")) - col("clc") / col("n")).as("h"))
         .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
-      require(ent == closed, s"entropy drifted from closed form: $ent vs $closed")
+      require(ent.keySet == closed.keySet &&
+        ent.forall { case (k, v) => math.abs(v - closed(k)) <= 6e-5 },
+        s"entropy drifted from closed form: $ent vs $closed")
       // peak buffer bound: the largest (source, bucket) group, measured
       val maxBucket = counts
         .groupBy(col("source"), substring(md5(col("w").cast("binary")), 1, 3).as("bk"))

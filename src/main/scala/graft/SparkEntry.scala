@@ -1886,10 +1886,13 @@ object SparkEntry {
       // with DuckDB's jaro_winkler_similarity at 4 dp — match window,
       // transposition halving and the 0.7 boost gate must all agree.
       import s.implicits._
+      // each canonical pair shares a residue mod 37 (e.g. -1 and -38) so
+      // the blocking join actually forms it; negative residues never
+      // collide with the real docs' 0..36
       val fixture = Seq(
-        (-1L, "martha"), (-2L, "marhta"), (-3L, "dwayne"), (-4L, "duane"),
-        (-5L, "dixon"), (-6L, "dicksonx"), (-7L, "aXXXX"), (-8L, "aYYYY"),
-        (-9L, "ab"), (-10L, "ba")).toDF("doc_id", "key")
+        (-1L, "martha"), (-38L, "marhta"), (-2L, "dwayne"), (-39L, "duane"),
+        (-3L, "dixon"), (-40L, "dicksonx"), (-4L, "aXXXX"), (-41L, "aYYYY"),
+        (-5L, "ab"), (-42L, "ba")).toDF("doc_id", "key")
       val keys = t(s, d, "documents")
         .select(col("doc_id"), substring(col("text"), 1, 12).as("key"))
         .unionByName(fixture)
@@ -5119,9 +5122,9 @@ object SparkEntry {
     "d54_orc_roundtrip" -> corpusChecksumOracleSql,
     "d55_jaro_winkler" ->
       """WITH fixture(doc_id, key) AS (VALUES
-        |  (-1, 'martha'), (-2, 'marhta'), (-3, 'dwayne'), (-4, 'duane'),
-        |  (-5, 'dixon'), (-6, 'dicksonx'), (-7, 'aXXXX'), (-8, 'aYYYY'),
-        |  (-9, 'ab'), (-10, 'ba')
+        |  (-1, 'martha'), (-38, 'marhta'), (-2, 'dwayne'), (-39, 'duane'),
+        |  (-3, 'dixon'), (-40, 'dicksonx'), (-4, 'aXXXX'), (-41, 'aYYYY'),
+        |  (-5, 'ab'), (-42, 'ba')
         |), k AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, key FROM fixture
         |  UNION ALL SELECT doc_id, substr(text, 1, 12) FROM documents

@@ -301,12 +301,17 @@ object Dedup {
   def readSignatureIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
                          prefixes: Seq[Int],
                          excludeBatch: Option[Long] = None): DataFrame = {
-    // mergeSchema: an index with mixed files (pre-upgrade without the
-    // batch column + new ones with it) must still expose `batch` — with
-    // footer-sampled inference the replay exclusion could silently not
-    // apply at all
-    val df = spark.read.option("mergeSchema", "true").parquet(dir)
-      .filter(col("pfx").isin(prefixes.map(_.toLong): _*))
+    // an index with mixed files (pre-upgrade without the batch column +
+    // new ones with it) must still expose `batch` — with footer-sampled
+    // inference the replay exclusion could silently not apply at all.
+    // mergeSchema reads EVERY footer though (an O(index files) tax per
+    // probe), so pay it only when the sampled schema actually lacks the
+    // column; a sampled schema WITH it reads legacy rows as NULL already.
+    val sampled = spark.read.parquet(dir)
+    val base =
+      if (sampled.columns.contains("batch")) sampled
+      else spark.read.option("mergeSchema", "true").parquet(dir)
+    val df = base.filter(col("pfx").isin(prefixes.map(_.toLong): _*))
     excludeBatch match {
       case Some(b) if df.columns.contains("batch") =>
         // legacy rows read as batch=NULL; a null-rejecting =!= would drop

@@ -170,7 +170,8 @@ object Multimodal {
     while (i < samples.length) {
       val a = math.abs(samples(i).toInt)
       sumAbs += a
-      out(3 + a * bins / 32768) += 1f
+      // clamp: |Short.MinValue| = 32768 would index one past the last bin
+      out(3 + math.min(a * bins / 32768, bins - 1)) += 1f
       i += 1
     }
     val n = math.max(samples.length, 1).toFloat

@@ -46,7 +46,10 @@ object TextAnalysis {
     * codegen'd [[TextExpressions.JaroWinkler]] — the record-linkage field
     * comparator for names/short strings (a [[graft.llm.Dedup.LinkageRule]]
     * agree predicate like `jaroWinkler(a, b) >= 0.9`); d55-oracle-pinned
-    * byte-compatible with DuckDB's `jaro_winkler_similarity`. */
+    * compatible with DuckDB's `jaro_winkler_similarity` on ASCII text
+    * (DuckDB compares UTF-8 bytes, this kernel UTF-16 chars — multi-byte
+    * codepoints diverge; normalize/transliterate first for accented
+    * names). */
   def jaroWinkler(a: Column, b: Column): Column = {
     TextExpressions.ensureActive()
     call_function("jaro_winkler", a, b)

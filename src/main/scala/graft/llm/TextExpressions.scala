@@ -72,8 +72,11 @@ object TextKernels {
   }
 
   /**
-   * Jaro-Winkler similarity, byte-compatible with DuckDB's
-   * `jaro_winkler_similarity` (the d55 oracle pins it): bounded-window
+   * Jaro-Winkler similarity, compatible with DuckDB's
+   * `jaro_winkler_similarity` ON ASCII TEXT (the d55 oracle pins it;
+   * DuckDB walks UTF-8 BYTES while this kernel walks UTF-16 chars, so
+   * multi-byte codepoints diverge — same caveat class as normalizeText's
+   * Latin-script qualifier): bounded-window
    * Jaro matches (window = max(|a|,|b|)/2 − 1, floor), half-counted
    * transpositions, 0.0 when either string is empty or no chars match,
    * and the Winkler prefix boost (≤4 chars, scale 0.1) applied ONLY when

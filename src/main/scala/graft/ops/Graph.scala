@@ -467,13 +467,22 @@ object Graph {
    */
   def stronglyConnectedComponents(edges: DataFrame, maxOuterRounds: Int = 30,
                                   localThreshold: Int = 200000): DataFrame = {
-    val e0 = edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+    val eAll = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst"))
+    // vertex set BEFORE the self-loop filter: a vertex whose only edge is
+    // a self-loop is a legitimate singleton SCC and must appear in the
+    // output, not vanish with its filtered edge
+    val vertsAll = eAll.select(col("src").as("v"))
+      .unionByName(eAll.select(col("dst").as("v"))).distinct()
+    val e0 = eAll.filter(col("src") =!= col("dst")).distinct()
     val probe = e0.limit(localThreshold + 1).collect() // bounded by construction
-    if (probe.length <= localThreshold)
-      return sccLocal(edges.sparkSession,
-        probe.map(r => (r.getLong(0), r.getLong(1))))
+    if (probe.length <= localThreshold) {
+      val probeV = vertsAll.limit(localThreshold + 1).collect()
+      if (probeV.length <= localThreshold)
+        return sccLocal(edges.sparkSession,
+          probe.map(r => (r.getLong(0), r.getLong(1))),
+          probeV.map(_.getLong(0)))
+    }
     val P = 1000000007L
     def fp(df: DataFrame, c: String): (Long, Long, Long) = {
       val r = df.agg(count(lit(1)),
@@ -482,8 +491,7 @@ object Graph {
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var e = e0.localCheckpoint()
-    var verts = e.select(col("src").as("v"))
-      .unionByName(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    var verts = vertsAll.localCheckpoint()
     var assigned = verts.limit(0).withColumn("component", lit(0L)).localCheckpoint()
     var outer = 0
     var remaining = verts.count()
@@ -540,10 +548,10 @@ object Graph {
     * explicit stack, no recursion; components labelled by min member id
     * (identical labels to the distributed path by construction). */
   private def sccLocal(spark: org.apache.spark.sql.SparkSession,
-                       es: Array[(Long, Long)]): DataFrame = {
+                       es: Array[(Long, Long)], allVerts: Array[Long]): DataFrame = {
     import spark.implicits._
     val adj = es.groupBy(_._1).map { case (s, ds) => s -> ds.map(_._2) }
-    val verts = (es.map(_._1) ++ es.map(_._2)).distinct
+    val verts = allVerts.distinct
     val index = scala.collection.mutable.Map.empty[Long, Int]
     val low = scala.collection.mutable.Map.empty[Long, Int]
     val onStack = scala.collection.mutable.Set.empty[Long]

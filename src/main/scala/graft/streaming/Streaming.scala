@@ -535,7 +535,13 @@ object Streaming {
               // destroy the fresh merge itself. With a fresh target name
               // every crash window leaves only redundant duplicates
               // (probe is dup-tolerant) or a droppable .merge_ orphan.
-              val attempt = merge.count(_.getName.startsWith(s"batch=m${batchId}_"))
+              // max parsed suffix + 1, NOT a count: a partial source-delete
+              // crash can leave a later attempt dir while earlier ones are
+              // gone, and a count would re-target the survivor
+              val attempt = merge.flatMap(p =>
+                p.getName.stripPrefix(s"batch=m${batchId}_").toLongOption
+                  .filter(_ => p.getName.startsWith(s"batch=m${batchId}_")))
+                .foldLeft(-1L)(math.max) + 1
               val target = new org.apache.hadoop.fs.Path(
                 idxPath, s"batch=m${batchId}_$attempt")
               require(fs.rename(staging, target),

@@ -155,6 +155,16 @@ class MultimodalSpec extends SparkSpec {
     assert(feats(imageId).take(3).forall(v => v >= 0f && v <= 1f))
   }
 
+  test("audioFeatures: full-scale negative sample lands in the last bin, not past it") {
+    // |Short.MinValue| = 32768: the unclamped histogram index would be
+    // 3 + 32768*bins/32768 = dim (AIOOBE)
+    val f = Multimodal.audioFeatures(1, 8000,
+      Array[Short](Short.MinValue, Short.MaxValue, 0, -1), dim = 8)
+    assert(f.length == 8)
+    assert(math.abs(f.drop(3).sum - 1f) < 1e-6, "histogram mass must be 1")
+    assert(f(7) == 0.5f, "both full-scale samples in the last bin")
+  }
+
   test("decodeY4m: synthetic round-trip, exact plane bytes, malformed fallback") {
     val id = 8L // w=8, h=4, 3 frames
     val Some((w, h, num, den, frames)) = Multimodal.decodeY4m(Multimodal.syntheticY4m(id))

@@ -201,16 +201,22 @@ class GraphSpec extends SparkSpec {
     assert(q1 == ((7L, 1L, 0L, 196L)))
   }
 
-  test("scc: hand-computed digraph — cycles, bridge, acyclic tail") {
+  test("scc: hand-computed digraph — cycles, bridge, acyclic tail, self-loop singleton") {
     // {1,2,3} cycle; bridge 3->4; {4,5} 2-cycle; acyclic tail 5->6->7;
-    // back-edge 7->6 makes {6,7} strong; 8->1 feeds the first SCC
+    // back-edge 7->6 makes {6,7} strong; 8->1 feeds the first SCC;
+    // 9 has ONLY a self-loop — a legitimate singleton SCC that must not
+    // vanish with its filtered edge
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L), (4L, 5L),
-      (5L, 4L), (5L, 6L), (6L, 7L), (7L, 6L), (8L, 1L))
+      (5L, 4L), (5L, 6L), (6L, 7L), (7L, 6L), (8L, 1L), (9L, 9L))
       .toDF("src", "dst")
+    val expect = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
+      6L -> 6L, 7L -> 6L, 8L -> 8L, 9L -> 9L)
     val got = Graph.stronglyConnectedComponents(edges)
       .as[(Long, Long)].collect().toMap
-    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L,
-      6L -> 6L, 7L -> 6L, 8L -> 8L), s"got $got")
+    assert(got == expect, s"got $got")
+    val dist = Graph.stronglyConnectedComponents(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(dist == expect, s"distributed path: $dist")
   }
 
   test("scc: distributed coloring/FW-BW path is identical to the driver Tarjan path") {
