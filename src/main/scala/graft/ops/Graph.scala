@@ -441,8 +441,14 @@ object Graph {
   /**
    * Strongly connected components of a DIRECTED edge list — the coloring
    * / FW-BW-MIN algorithm (Orzan 2004; Slota, Rajamanickam & Madduri,
-   * IPDPS'14), the standard label-based SCC for vertex-centric engines:
+   * IPDPS'14) with the standard TRIM phase, the label-based SCC for
+   * vertex-centric engines:
    *
+   *  0. trim: iteratively peel vertices with no remaining in-edges or no
+   *     remaining out-edges (each a singleton SCC) — real link/dedup
+   *     graphs are mostly acyclic, so trees, chains and DAG tails
+   *     resolve here with two cheap anti-joins per peel instead of
+   *     paying the coloring fixpoint;
    *  1. forward MIN-label propagation to a fixpoint — `color(v)` becomes
    *     the smallest vertex id that can REACH v along remaining edges;
    *  2. each color class's root (`color(v) == v`) seeds a BACKWARD
@@ -497,6 +503,32 @@ object Graph {
     var remaining = verts.count()
     while (remaining > 0 && outer < maxOuterRounds) {
       outer += 1
+      // 0. TRIM (the FW-BW-Trim standard): peel vertices with no
+      // remaining in-edges or no remaining out-edges — each is its own
+      // singleton SCC, and real link/dedup graphs are MOSTLY acyclic, so
+      // whole trees/chains resolve here with two anti-joins per peel
+      // instead of paying the coloring fixpoint for them
+      var trimmed = true
+      while (trimmed && remaining > 0) {
+        val srcs = e.select(col("src").as("v")).distinct()
+        val dsts = e.select(col("dst").as("v")).distinct()
+        val peel = verts.join(dsts, Seq("v"), "left_anti")
+          .unionByName(verts.join(srcs, Seq("v"), "left_anti"))
+          .distinct().localCheckpoint()
+        val nPeel = peel.count()
+        if (nPeel == 0) trimmed = false
+        else {
+          assigned = assigned
+            .unionByName(peel.withColumn("component", col("v")))
+            .localCheckpoint()
+          verts = verts.join(peel, Seq("v"), "left_anti").localCheckpoint()
+          e = e.join(peel.select(col("v").as("src")), Seq("src"), "left_anti")
+            .join(peel.select(col("v").as("dst")), Seq("dst"), "left_anti")
+            .select("src", "dst").localCheckpoint()
+          remaining -= nPeel
+        }
+      }
+      if (remaining == 0) return assigned
       // 1. forward min-label propagation to fixpoint
       var color = verts.withColumn("color", col("v")).localCheckpoint()
       var cfp = (-1L, -1L, -1L)

@@ -219,6 +219,19 @@ class GraphSpec extends SparkSpec {
     assert(dist == expect, s"distributed path: $dist")
   }
 
+  test("scc: a pure DAG resolves entirely in the trim phase (distributed path)") {
+    // binary tree + a chain — no cycles at all, so every vertex is a
+    // singleton SCC and the distributed path must settle without ever
+    // entering the coloring fixpoint (outer round 1, trim only)
+    val tree = (2L to 15L).map(v => (v / 2, v))
+    val chain = (20L to 24L).map(v => (v, v + 1))
+    val edges = (tree ++ chain).toDF("src", "dst")
+    val got = Graph.stronglyConnectedComponents(edges, localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    val verts = (1L to 15L) ++ (20L to 25L)
+    assert(got == verts.map(v => v -> v).toMap, s"got $got")
+  }
+
   test("scc: distributed coloring/FW-BW path is identical to the driver Tarjan path") {
     // pseudo-random digraph with planted cycles: 3 blocks of 6 vertices
     // each forming a cycle, chained bridges, plus deterministic extra
