@@ -1904,6 +1904,34 @@ object SparkEntry {
           round(TextAnalysis.jaroWinkler(col("k_a"), col("k_b")), 4).as("jw"))
         .orderBy("id_a", "id_b")
     }),
+    "d57_pmi_collocations" -> ((s, d) => {
+      // pointwise mutual information for adjacent-token collocations —
+      // the classic corpus-linguistics keyness score: PMI =
+      // ln(n12 · N / (n1 · n2)) over bigram occurrence counts, min
+      // support 10. Exact integer counts, one ln per surviving pair in
+      // a pinned operand order, ROUND(,4) — the bigram-LM portability
+      // contract. Two token-keyed aggs + two equi-joins, map-side
+      // combinable throughout.
+      val toks = TextAnalysis.tokens(col("text"))
+      val big = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+        .filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .localCheckpoint()
+      val n = big.count()
+      val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val c1 = big.groupBy("w1").agg(count(lit(1)).as("n1"))
+      val c2 = big.groupBy("w2").agg(count(lit(1)).as("n2"))
+      c12.filter(col("n12") >= 10)
+        .join(c1, "w1").join(c2, "w2")
+        .select(col("w1"), col("w2"), col("n12"),
+          round(log(col("n12").cast("double") * lit(n.toDouble) /
+            (col("n1").cast("double") * col("n2"))), 4).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
     "d51_normalize_text" -> ((s, d) => {
       // canonical corpus normalization (NFC -> strip accents -> casefold
       // -> collapse whitespace) as a NATIVE codegen'd expression
@@ -5118,6 +5146,24 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
+    "d57_pmi_collocations" ->
+      """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), big AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |  WHERE len(t) >= 2
+        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big),
+        |p12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
+        |p1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
+        |p2 AS (SELECT w2, COUNT(*) AS n2 FROM big GROUP BY 1)
+        |SELECT p12.w1, p12.w2, CAST(p12.n12 AS BIGINT) AS n12,
+        |  ROUND(ln(CAST(p12.n12 AS DOUBLE) * nn.n /
+        |    (CAST(p1.n1 AS DOUBLE) * p2.n2)), 4) AS pmi
+        |FROM p12 JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN nn
+        |WHERE p12.n12 >= 10
+        |ORDER BY 1, 2""".stripMargin,
     "d52_jsonl_roundtrip" -> corpusChecksumOracleSql,
     "d54_orc_roundtrip" -> corpusChecksumOracleSql,
     "d55_jaro_winkler" ->
