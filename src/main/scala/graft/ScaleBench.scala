@@ -513,6 +513,44 @@ object ScaleBench {
       println(f"""{"metric":"scale_sssp","edges":${nSsV * 5},"reached":${ss.getLong(0)},"max_dist":${ss.getLong(1)},"rounds":8,"sec":$secs16%.2f,"edge_rounds_per_sec":${(nSsV * 40 / secs16).toLong}}""")
     }
 
+    if (sel("stream_boilerplate")) {
+      // STREAMING boilerplate strip at scale (d42's operator): 3 ordered
+      // microbatches fold per-chunk distinct-doc counts into the
+      // versioned df map; the cleaned corpus is the VIEW over the final
+      // map. Planted check: every doc carries one shared boilerplate
+      // chunk (df = all docs, way past the threshold) plus two unique
+      // chunks, so the view must strip exactly one chunk per doc.
+      val nBpDocs = math.min(nTiles, 300000L)
+      val rootBp = java.nio.file.Files.createTempDirectory("sb_bp").toString
+      (0 until 3).foreach { b =>
+        val docs = spark.range(b * nBpDocs, (b + 1) * nBpDocs)
+          .select(col("id").as("doc_id"),
+            concat(lit("bp1 bp2 ua"), col("id"), lit(" ub"), col("id"),
+              lit(" wc"), col("id"), lit(" wd"), col("id")).as("text"))
+        graft.streaming.Streaming.writeOrderedMicrobatch(docs, s"$rootBp/in", b)
+      }
+      val bpSchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val tBp = System.nanoTime()
+      graft.streaming.Streaming.boilerplateStripStream(
+          spark.readStream.schema(bpSchema)
+            .option("maxFilesPerTrigger", "1").parquet(s"$rootBp/in"),
+          s"$rootBp/state", s"$rootBp/ckpt", chunkTokens = 2)
+        .awaitTermination()
+      val view = graft.streaming.Streaming.boilerplateStripView(
+        spark, s"$rootBp/state", minDocFrequency = 3)
+      val agg = view.agg(count(lit(1)), sum("n_removed"), sum("n_chunks")).head()
+      val secsBp = (System.nanoTime() - tBp) / 1e9
+      val totalBp = 3 * nBpDocs
+      require(agg.getLong(0) == totalBp && agg.getLong(1) == totalBp &&
+        agg.getLong(2) == 3 * totalBp,
+        s"planted boilerplate check failed: $agg vs ($totalBp, $totalBp, ${3 * totalBp})")
+      println(f"""{"metric":"scale_stream_boilerplate","docs":$totalBp,"removed":${agg.getLong(1)},"batches":3,"df_map_rows":${2 * totalBp + 1},"sec":$secsBp%.2f,"docs_per_sec":${(totalBp / secsBp).toLong}}""")
+    }
+
     if (sel("scc")) {
       // coloring/FW-BW SCC at scale, distributed path forced: 8-cycles
       // (n/8 planted SCCs) with STAR bridges 0 -> blockStart, so the
