@@ -2849,6 +2849,17 @@ object SparkEntry {
       graft.ops.Graph.stronglyConnectedComponents(cycle.unionByName(bridge))
         .orderBy("v")
     }),
+    "q78_sql_subqueries" -> ((s, d) => {
+      // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
+      // NOT EXISTS and two correlated scalar subqueries in one
+      // statement; Catalyst decorrelates all four into joins (no
+      // per-row re-execution). The SAME SQL text runs in DuckDB as the
+      // oracle, so the decorrelation must be semantics-preserving row
+      // for row.
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlSubqueriesSql)
+    }),
     "q77_window_family" -> ((s, d) => {
       // the rest of the §2.5 window-function family in one gate:
       // percent_rank / cume_dist (exact single-divide rationals —
@@ -3464,6 +3475,23 @@ object SparkEntry {
   /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
     * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
     * portability contract), exact type-token ratio. */
+  /** q78: one SQL text, two engines — correlated EXISTS / NOT EXISTS /
+    * scalar subqueries; Spark runs it via spark.sql, DuckDB as the
+    * oracle verbatim. */
+  private val sqlSubqueriesSql: String =
+    """SELECT c.c_custkey,
+      |  (SELECT COUNT(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT MAX(o.o_totalprice) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS max_price
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |      AND o.o_totalprice < 10000)
+      |ORDER BY c.c_custkey""".stripMargin
+
   /** d52 + d54 shared corpus-checksum oracle: counts, exact char sums and
     * DISTINCT text md5s per (lang, source) — any corruption in a
     * round-tripped io format breaks the md5-distinct count. */
@@ -5712,6 +5740,7 @@ object SparkEntry {
     "q50_pagerank" -> pageRankOracleSql,
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
+    "q78_sql_subqueries" -> sqlSubqueriesSql,
     "q77_window_family" ->
       """SELECT o_custkey, o_orderkey,
         |  percent_rank() OVER w AS pr,
