@@ -1140,20 +1140,7 @@ object SparkEntry {
       // order, the converged corpus must equal d40's batch result — s16
       // shares d40's SQL oracle VERBATIM (batch files get explicit
       // ascending mtimes; the file source processes oldest-first).
-      import org.apache.spark.sql.types._
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("s16").toString
-      Seq((0, col("doc_id") < 167),
-          (1, col("doc_id") >= 167 && col("doc_id") < 334),
-          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
-        graft.streaming.Streaming.writeOrderedMicrobatch(
-          docs.filter(cond), s"$root/in", b)
-      }
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      val schema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType)))
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val (stream, root) = docsThreeDropStream(s, d)
       graft.streaming.Streaming.spanDedupIngestStream(
           stream, s"$root/index", s"$root/ckpt", compactAfterDirs = 1)(
           (clean, bid) => clean.write.mode("overwrite")
@@ -1816,20 +1803,7 @@ object SparkEntry {
       // after its first doc streamed), so the convergent artifact is the
       // VIEW over the final map — which must equal d41's one-shot batch
       // strip; d42 shares d41's SQL oracle verbatim.
-      import org.apache.spark.sql.types._
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("d42").toString
-      Seq((0, col("doc_id") < 167),
-          (1, col("doc_id") >= 167 && col("doc_id") < 334),
-          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
-        graft.streaming.Streaming.writeOrderedMicrobatch(
-          docs.filter(cond), s"$root/in", b)
-      }
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      val schema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType)))
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val (stream, root) = docsThreeDropStream(s, d)
       graft.streaming.Streaming.boilerplateStripStream(
           stream, s"$root/state", s"$root/ckpt")
         .awaitTermination()
@@ -2023,20 +1997,7 @@ object SparkEntry {
       // Shares d47's oracle VERBATIM: streamed span dedup ≡ d40's batch
       // result (the s16 contract) and every later stage is a
       // deterministic function of the converged corpus.
-      import org.apache.spark.sql.types._
-      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("s21").toString
-      Seq((0, col("doc_id") < 167),
-          (1, col("doc_id") >= 167 && col("doc_id") < 334),
-          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
-        graft.streaming.Streaming.writeOrderedMicrobatch(
-          docs.filter(cond), s"$root/in", b)
-      }
-      val ss = graft.streaming.Streaming.statefulSession(s)
-      val schema = StructType(Seq(StructField("doc_id", LongType),
-        StructField("text", StringType)))
-      val stream = ss.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      val (stream, root) = docsThreeDropStream(s, d)
       graft.streaming.Streaming.spanDedupIngestStream(
           stream, s"$root/index", s"$root/ckpt", compactAfterDirs = 1)(
           (clean, bid) => clean.write.mode("overwrite")
@@ -2109,13 +2070,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           element_at(TextAnalysis.tokens(col("text")), 1).as("first_token"))
-      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
-        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
-      val pairs = key("a").join(key("b"),
-          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
-            col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+      Dedup.linkageScores(blockedDocPairs(docs), docs, "doc_id", Seq(
           LinkageRule("same_source",
             col("source_a") === col("source_b"), 24L, -8L),
           LinkageRule("close_length",
@@ -2139,13 +2094,7 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           element_at(TextAnalysis.tokens(col("text")), 1).as("first_token"))
-      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
-        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
-      val pairs = key("a").join(key("b"),
-          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
-            col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      val links = Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+      val links = Dedup.linkageScores(blockedDocPairs(docs), docs, "doc_id", Seq(
           LinkageRule("same_source",
             col("source_a") === col("source_b"), 24L, -8L),
           LinkageRule("close_length",
@@ -2174,17 +2123,14 @@ object SparkEntry {
       val docs = t(s, d, "documents")
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"),
           substring(col("text"), 1, 12).as("prefix"))
-      def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
-        col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
-      val pairs = key("a").join(key("b"),
-          col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
-            col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.linkageScores(pairs, docs, "doc_id", Seq(
+      Dedup.linkageScores(blockedDocPairs(docs), docs, "doc_id", Seq(
           LinkageRule("same_source",
             col("source_a") === col("source_b"), 24L, -8L),
           LinkageRule("fuzzy_prefix",
-            TextAnalysis.jaroWinkler(col("prefix_a"), col("prefix_b")) >= 0.9,
+            // threshold on the 4-dp ROUNDED score: d55 certifies the two
+            // engines agree at 4 dp, so the comparison is portable even
+            // when the raw doubles differ by an ulp at the boundary
+            round(TextAnalysis.jaroWinkler(col("prefix_a"), col("prefix_b")), 4) >= 0.9,
             13L, -4L)),
           upperThreshold = 30L, lowerThreshold = 5L)
         .orderBy("id_a", "id_b")
@@ -3472,9 +3418,41 @@ object SparkEntry {
        |SELECT doc_id, clean_text, n_chunks, n_removed
        |FROM cleaned ORDER BY doc_id""".stripMargin
 
-  /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
-    * counts, -Σ p·ln p folded in ascending-token order (the d39 double-
-    * portability contract), exact type-token ratio. */
+  /** (lang, n_chars%17)-blocked candidate pairs with id_a < id_b — the
+    * shared blocking of d43/d53/d56. `docs` needs (doc_id, lang,
+    * n_chars); extra columns ride along untouched. */
+  private def blockedDocPairs(docs: DataFrame): DataFrame = {
+    def key(p: String) = docs.select(col("doc_id").as(s"id_$p"),
+      col("lang").as(s"__l_$p"), (col("n_chars") % 17).as(s"__k_$p"))
+    key("a").join(key("b"),
+        col("__l_a") === col("__l_b") && col("__k_a") === col("__k_b") &&
+          col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+  }
+
+  /** Stage the documents table as 3 ascending-doc_id microbatch drops and
+    * return (file-source stream over them on a stateful sibling session,
+    * fresh temp root for the query's state/checkpoint/sink dirs) — the
+    * shared streamed-ingest scaffold of s16/s21/d42, so the batch-split
+    * contract lives once. */
+  private def docsThreeDropStream(s: SparkSession, d: String)
+      : (DataFrame, String) = {
+    import org.apache.spark.sql.types._
+    val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+    val root = java.nio.file.Files.createTempDirectory("docdrops").toString
+    Seq((0, col("doc_id") < 167),
+        (1, col("doc_id") >= 167 && col("doc_id") < 334),
+        (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
+      graft.streaming.Streaming.writeOrderedMicrobatch(
+        docs.filter(cond), s"$root/in", b)
+    }
+    val ss = graft.streaming.Streaming.statefulSession(s)
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    (ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+      .parquet(s"$root/in"), root)
+  }
+
   /** q78: one SQL text, two engines — correlated EXISTS / NOT EXISTS /
     * scalar subqueries; Spark runs it via spark.sql, DuckDB as the
     * oracle verbatim. */
@@ -3527,6 +3505,10 @@ object SparkEntry {
       |  CAST(SUM(CASE WHEN kept THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
       |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** d45 + s17 (stream ≡ batch) corpus-entropy oracle: per-source unigram
+    * counts, -Σ p·ln p via the two-level md5-bucketed ordered fold (the
+    * d39 double-portability contract with bounded buffers), exact
+    * type-token ratio. */
   private val sourceEntropyOracleSql: String =
     """WITH tok AS (
       |  SELECT source,
@@ -5514,10 +5496,10 @@ object SparkEntry {
         |), p AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |    CASE WHEN a.source = b.source THEN 1 ELSE 0 END AS same_source_agree,
-        |    CASE WHEN jaro_winkler_similarity(a.prefix, b.prefix) >= 0.9
+        |    CASE WHEN ROUND(jaro_winkler_similarity(a.prefix, b.prefix), 4) >= 0.9
         |      THEN 1 ELSE 0 END AS fuzzy_prefix_agree,
         |    (CASE WHEN a.source = b.source THEN 24 ELSE -8 END
-        |     + CASE WHEN jaro_winkler_similarity(a.prefix, b.prefix) >= 0.9
+        |     + CASE WHEN ROUND(jaro_winkler_similarity(a.prefix, b.prefix), 4) >= 0.9
         |       THEN 13 ELSE -4 END) AS score
         |  FROM d a JOIN d b ON a.lang = b.lang
         |    AND a.n_chars % 17 = b.n_chars % 17 AND a.doc_id < b.doc_id
