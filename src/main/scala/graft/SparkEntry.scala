@@ -1878,6 +1878,42 @@ object SparkEntry {
           round(TextAnalysis.jaroWinkler(col("k_a"), col("k_b")), 4).as("jw"))
         .orderBy("id_a", "id_b")
     }),
+    "s22_stream_pmi" -> ((s, d) => {
+      // STREAMING PMI: the (w1, w2) bigram counts run as a complete-mode
+      // stateful aggregation over the documents stream (the s17 heavy-
+      // hitter pattern); N and the margins n1/n2 all DERIVE from the
+      // final pair-count state, so the converged collocation scores
+      // equal batch d57 exactly — shared oracle verbatim. In production
+      // the per-batch emission of the same scores is the collocation
+      // drift signal.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val toks = TextAnalysis.tokens(col("text"))
+      val counts = stream.filter(size(toks) >= 2)
+        .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
+          struct(element_at(toks, i).as("w1"),
+            element_at(toks, i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+      val st = graft.streaming.Streaming.runAvailableNow(
+          counts, s"s22_pmi_${System.nanoTime()}", outputMode = "complete")
+        .localCheckpoint()
+      val n = st.agg(sum(col("n12"))).head().getLong(0)
+      val c1 = st.groupBy("w1").agg(sum(col("n12")).as("n1"))
+      val c2 = st.groupBy("w2").agg(sum(col("n12")).as("n2"))
+      st.filter(col("n12") >= 10)
+        .join(c1, "w1").join(c2, "w2")
+        .select(col("w1"), col("w2"), col("n12"),
+          round(log(col("n12").cast("double") * lit(n.toDouble) /
+            (col("n1").cast("double") * col("n2"))), 4).as("pmi"))
+        .orderBy("w1", "w2")
+    }),
     "d57_pmi_collocations" -> ((s, d) => {
       // pointwise mutual information for adjacent-token collocations —
       // the classic corpus-linguistics keyness score: PMI =
@@ -1905,6 +1941,37 @@ object SparkEntry {
           round(log(col("n12").cast("double") * lit(n.toDouble) /
             (col("n1").cast("double") * col("n2"))), 4).as("pmi"))
         .orderBy("w1", "w2")
+    }),
+    "d58_keyness_g2" -> ((s, d) => {
+      // log-likelihood keyness (Dunning's G²) per (source, token) vs the
+      // rest of the corpus — the classic "what words characterize this
+      // source" comparison: G² = 2·(a·ln(a·N/(n_s·ct)) +
+      // b·ln(b·N/(n_r·ct))) with a/b the in/out-of-source counts and ct
+      // the token's corpus count; zero-count terms contribute 0. Exact
+      // integer counts, two ln's per row in pinned operand order,
+      // ROUND(,4). Min corpus support 50 keeps the output stable.
+      val docs = t(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism)
+      val counts = docs
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("a"))
+        .localCheckpoint()
+      val colT = counts.groupBy("w").agg(sum(col("a")).as("ct"))
+      val rowT = counts.groupBy("source").agg(sum(col("a")).as("ns"))
+      val n = counts.agg(sum(col("a"))).head().getLong(0)
+      counts.join(colT, "w").join(rowT, "source")
+        .filter(col("ct") >= 50)
+        .select(col("source"), col("w"), col("a"),
+          (col("ct") - col("a")).as("b"),
+          round((
+            col("a").cast("double") * log(col("a").cast("double") * lit(n.toDouble) /
+              (col("ns").cast("double") * col("ct"))) +
+            when(col("ct") - col("a") > 0,
+              (col("ct") - col("a")).cast("double") *
+                log((col("ct") - col("a")).cast("double") * lit(n.toDouble) /
+                  ((lit(n) - col("ns")).cast("double") * col("ct"))))
+              .otherwise(lit(0.0))) * 2, 4).as("g2"))
+        .orderBy("source", "w")
     }),
     "d51_normalize_text" -> ((s, d) => {
       // canonical corpus normalization (NFC -> strip accents -> casefold
@@ -3452,6 +3519,27 @@ object SparkEntry {
     (ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
       .parquet(s"$root/in"), root)
   }
+
+  /** d57 + s22 (stream ≡ batch) PMI-collocation oracle: exact bigram/
+    * margin counts, pinned-order ln, ROUND(,4), min support 10. */
+  private val pmiOracleSql: String =
+    """WITH tk AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), big AS (
+        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2
+        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
+        |  WHERE len(t) >= 2
+        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big),
+        |p12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
+        |p1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
+        |p2 AS (SELECT w2, COUNT(*) AS n2 FROM big GROUP BY 1)
+        |SELECT p12.w1, p12.w2, CAST(p12.n12 AS BIGINT) AS n12,
+        |  ROUND(ln(CAST(p12.n12 AS DOUBLE) * nn.n /
+        |    (CAST(p1.n1 AS DOUBLE) * p2.n2)), 4) AS pmi
+        |FROM p12 JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN nn
+        |WHERE p12.n12 >= 10
+        |ORDER BY 1, 2""".stripMargin
 
   /** q78: one SQL text, two engines — correlated EXISTS / NOT EXISTS /
     * scalar subqueries; Spark runs it via spark.sql, DuckDB as the
@@ -5156,24 +5244,31 @@ object SparkEntry {
     // the batch formulation, so the streamed corpus shares d40's oracle
     // verbatim.
     "s16_stream_span_dedup" -> spanDedupOracleSql,
-    "d57_pmi_collocations" ->
-      """WITH tk AS (
-        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+    "d58_keyness_g2" ->
+      """WITH tok AS (
+        |  SELECT source,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
         |  FROM documents
-        |), big AS (
-        |  SELECT t[i.i] AS w1, t[i.i + 1] AS w2
-        |  FROM tk, LATERAL (SELECT unnest(range(1, len(t))) AS i) i
-        |  WHERE len(t) >= 2
-        |), nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big),
-        |p12 AS (SELECT w1, w2, COUNT(*) AS n12 FROM big GROUP BY 1, 2),
-        |p1 AS (SELECT w1, COUNT(*) AS n1 FROM big GROUP BY 1),
-        |p2 AS (SELECT w2, COUNT(*) AS n2 FROM big GROUP BY 1)
-        |SELECT p12.w1, p12.w2, CAST(p12.n12 AS BIGINT) AS n12,
-        |  ROUND(ln(CAST(p12.n12 AS DOUBLE) * nn.n /
-        |    (CAST(p1.n1 AS DOUBLE) * p2.n2)), 4) AS pmi
-        |FROM p12 JOIN p1 USING (w1) JOIN p2 USING (w2) CROSS JOIN nn
-        |WHERE p12.n12 >= 10
+        |), c AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS a FROM tok GROUP BY 1, 2
+        |), ctt AS (SELECT w, CAST(SUM(a) AS BIGINT) AS ct FROM c GROUP BY 1),
+        |rt AS (SELECT source, CAST(SUM(a) AS BIGINT) AS ns FROM c GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(a) AS BIGINT) AS n FROM c)
+        |SELECT c.source, c.w, c.a, CAST(ctt.ct - c.a AS BIGINT) AS b,
+        |  ROUND((
+        |    CAST(c.a AS DOUBLE) * ln(CAST(c.a AS DOUBLE) * CAST(nn.n AS DOUBLE) /
+        |      (CAST(rt.ns AS DOUBLE) * ctt.ct)) +
+        |    CASE WHEN ctt.ct - c.a > 0 THEN
+        |      CAST(ctt.ct - c.a AS DOUBLE) * ln(CAST(ctt.ct - c.a AS DOUBLE) * CAST(nn.n AS DOUBLE) /
+        |        (CAST(nn.n - rt.ns AS DOUBLE) * ctt.ct))
+        |    ELSE 0.0 END) * 2, 4) AS g2
+        |FROM c JOIN ctt USING (w) JOIN rt USING (source) CROSS JOIN nn
+        |WHERE ctt.ct >= 50
         |ORDER BY 1, 2""".stripMargin,
+    "d57_pmi_collocations" -> pmiOracleSql,
+    // s22: the streamed bigram-count state DERIVES the margins, so the
+    // converged scores equal batch d57 — shared oracle VERBATIM.
+    "s22_stream_pmi" -> pmiOracleSql,
     "d52_jsonl_roundtrip" -> corpusChecksumOracleSql,
     "d54_orc_roundtrip" -> corpusChecksumOracleSql,
     "d55_jaro_winkler" ->
