@@ -2862,6 +2862,25 @@ object SparkEntry {
       graft.ops.Graph.stronglyConnectedComponents(cycle.unionByName(bridge))
         .orderBy("v")
     }),
+    "q79_subtree_rollup" -> ((s, d) => {
+      // hierarchical (recursive) aggregation — the org-chart/BOM rollup
+      // (ops/Hierarchy.subtreeSum): per node, the sum of values over its
+      // whole descendant subtree, computed as bounded-round upward
+      // accumulation (mass moves one edge per round and co-located mass
+      // SUMS, so rounds = tree depth, moving set <= one row per node).
+      // The planted forest is the binary tree parent(k) = k/2 over part
+      // keys 1..n with value = key, whose subtree sums the oracle states
+      // in CLOSED FORM (descendants of v at depth j are the consecutive
+      // range [v·2^j, v·2^j + 2^j - 1] ∩ [1, n] — arithmetic-series
+      // sums, no recursion).
+      val keys = t(s, d, "part")
+        .select((col("p_partkey") + 1).cast("long").as("v")) // 1-based
+      val edges = keys.filter(col("v") >= 2)
+        .select(col("v").as("child"), expr("v div 2").as("parent"))
+      graft.ops.Hierarchy.subtreeSum(
+          edges, keys.withColumn("value", col("v")))
+        .orderBy("v")
+    }),
     "q78_sql_subqueries" -> ((s, d) => {
       // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
       // NOT EXISTS and two correlated scalar subqueries in one
@@ -5818,6 +5837,23 @@ object SparkEntry {
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
     "q78_sql_subqueries" -> sqlSubqueriesSql,
+    // q79: the binary forest parent(k) = k/2 has closed-form subtree
+    // sums — descendants of v at depth j are the consecutive range
+    // [v·2^j, v·2^j + 2^j − 1] ∩ [1, n], so each level contributes one
+    // arithmetic-series sum. The generic engine must recover them by
+    // upward accumulation.
+    "q79_subtree_rollup" ->
+      """WITH k AS (SELECT p_partkey + 1 AS v FROM part),
+        |nn AS (SELECT MAX(v) AS n FROM k)
+        |SELECT k.v,
+        |  CAST(SUM(CASE WHEN k.v * (1 << j.j) <= nn.n THEN
+        |    ((k.v * (1 << j.j)) +
+        |     LEAST(k.v * (1 << j.j) + (1 << j.j) - 1, nn.n)) *
+        |    (LEAST(k.v * (1 << j.j) + (1 << j.j) - 1, nn.n)
+        |     - k.v * (1 << j.j) + 1) // 2
+        |  ELSE 0 END) AS BIGINT) AS subtree_sum
+        |FROM k CROSS JOIN nn, LATERAL (SELECT unnest(range(0, 40)) AS j) j
+        |GROUP BY k.v ORDER BY k.v""".stripMargin,
     "q77_window_family" ->
       """SELECT o_custkey, o_orderkey,
         |  percent_rank() OVER w AS pr,

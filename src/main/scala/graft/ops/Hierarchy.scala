@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/**
+ * Hierarchical (recursive) aggregation over a parent forest — the
+ * org-chart / BOM / category-tree rollup a relational engine usually
+ * needs a recursive CTE for, expressed as bounded-round upward
+ * accumulation.
+ *
+ * The shape that scales: per round, every node's PENDING mass moves one
+ * edge toward the root and co-located mass SUMS — so the moving set
+ * never exceeds one row per live node regardless of fan-in, each round
+ * is one equi-join on the edge list plus one keyed agg (map-side
+ * combinable, AQE-splittable), and the round count is the forest DEPTH,
+ * not the node count. `localCheckpoint` per round truncates the
+ * iterative lineage ([[ConnectedComponents]]' lesson); the convergence
+ * probe is an `isEmpty` LIMIT-1 probe, never a count.
+ */
+object Hierarchy {
+
+  /**
+   * Per-node SUBTREE SUM: for every node, the sum of `value` over its
+   * full descendant subtree, itself included. `edges` is the child →
+   * parent list (columns `child`, `parent`; a root simply never appears
+   * as a child — no sentinel rows); `values` has (v, value) and defines
+   * the node set.
+   *
+   * Round r delivers every node's value to its distance-r ancestor:
+   * `pending_0 = values`; each round `result += pending` (delivered at
+   * the current holder) and `pending' = Σ_children pending` re-keyed to
+   * the parent; mass at a root drains (no parent edge). `maxDepth`
+   * bounds the rounds and loud-fails if pending mass survives it —
+   * surviving mass means the "forest" has a cycle or exceeds the stated
+   * depth, both caller contract violations.
+   *
+   * @return (v, subtree_sum) — one row per node in `values`
+   */
+  def subtreeSum(edges: DataFrame, values: DataFrame,
+                 maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("child").cast("long").as("child"),
+        col("parent").cast("long").as("parent"))
+      .filter(col("child") =!= col("parent")).distinct().localCheckpoint()
+    var pending = values.select(col("v").cast("long").as("v"),
+      col("value").cast("long").as("m")).localCheckpoint()
+    var result = pending
+    var round = 0
+    var drained = pending.isEmpty
+    while (!drained && round < maxDepth) {
+      round += 1
+      // move one edge up: children's pending sums at their parent
+      pending = pending
+        .join(e.withColumnRenamed("child", "v"), "v")
+        .groupBy(col("parent").as("v"))
+        .agg(sum(col("m")).as("m"))
+        .select(col("v"), col("m"))
+        .localCheckpoint()
+      drained = pending.isEmpty
+      // plain union of already-checkpointed rounds: lineage stays one
+      // shallow union tree and the single final agg pays one shuffle for
+      // all D delivery sets together
+      if (!drained) result = result.unionByName(pending)
+    }
+    require(drained,
+      s"subtreeSum: pending mass after $maxDepth rounds — the parent " +
+        "relation has a cycle or is deeper than maxDepth")
+    result.groupBy("v").agg(sum(col("m")).as("subtree_sum"))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HierarchySpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("subtreeSum: hand-computed forest with two roots and uneven depth") {
+    //        1            10
+    //       / \            |
+    //      2   3          11
+    //     / \
+    //    4   5
+    //    |
+    //    6
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (5L, 2L), (6L, 4L),
+      (11L, 10L)).toDF("child", "parent")
+    val values = Seq(1L, 2L, 3L, 4L, 5L, 6L, 10L, 11L)
+      .toDF("v").withColumn("value", $"v" * 10)
+    val got = Hierarchy.subtreeSum(edges, values)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(
+      1L -> 210L, // 10+20+30+40+50+60
+      2L -> 170L, 3L -> 30L, 4L -> 100L, 5L -> 50L, 6L -> 60L,
+      10L -> 210L, 11L -> 110L), s"got $got")
+  }
+
+  test("subtreeSum: matches brute-force descendant sums on a pseudo-random forest") {
+    val rnd = new scala.util.Random(17)
+    // node k's parent is a random smaller id (acyclic by construction)
+    val parents = (2L to 120L).map(k => k -> (rnd.nextInt((k - 1).toInt) + 1).toLong)
+    val edges = parents.toDF("child", "parent")
+    val values = (1L to 120L).toDF("v").withColumn("value", $"v" * $"v")
+    val got = Hierarchy.subtreeSum(edges, values)
+      .as[(Long, Long)].collect().toMap
+    // brute force: walk each node's ancestor chain, adding its value
+    val pMap = parents.toMap
+    val expect = scala.collection.mutable.Map.empty[Long, Long]
+      .withDefaultValue(0L)
+    (1L to 120L).foreach { k =>
+      var cur = Option(k)
+      while (cur.isDefined) {
+        expect(cur.get) += k * k
+        cur = pMap.get(cur.get)
+      }
+    }
+    assert(got == expect.toMap, s"diff: ${got.toSet diff expect.toSet}")
+  }
+
+  test("subtreeSum: a cycle loud-fails instead of looping or silently dropping mass") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
+    val values = Seq(1L, 2L, 3L).toDF("v").withColumn("value", lit(1L))
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.subtreeSum(edges, values, maxDepth = 8)
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+}
