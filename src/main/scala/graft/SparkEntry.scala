@@ -2881,6 +2881,19 @@ object SparkEntry {
           edges, keys.withColumn("value", col("v")))
         .orderBy("v")
     }),
+    "q80_node_depth" -> ((s, d) => {
+      // downward hierarchical propagation (Hierarchy.depthAndRoot): per
+      // node, its root and depth — inherited-attribute resolution over
+      // the same planted binary forest as q79. The oracle states depth
+      // in closed form: depth(v) = number of powers of two <= v, minus
+      // one (Σ_j [v >= 2^j]).
+      val keys = t(s, d, "part")
+        .select((col("p_partkey") + 1).cast("long").as("v"))
+      val edges = keys.filter(col("v") >= 2)
+        .select(col("v").as("child"), expr("v div 2").as("parent"))
+      graft.ops.Hierarchy.depthAndRoot(edges, keys)
+        .orderBy("v")
+    }),
     "q78_sql_subqueries" -> ((s, d) => {
       // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
       // NOT EXISTS and two correlated scalar subqueries in one
@@ -5842,6 +5855,12 @@ object SparkEntry {
     // [v·2^j, v·2^j + 2^j − 1] ∩ [1, n], so each level contributes one
     // arithmetic-series sum. The generic engine must recover them by
     // upward accumulation.
+    "q80_node_depth" ->
+      """WITH k AS (SELECT p_partkey + 1 AS v FROM part)
+        |SELECT k.v, CAST(1 AS BIGINT) AS root,
+        |  CAST(SUM(CASE WHEN k.v >= (1 << j.j) THEN 1 ELSE 0 END) AS BIGINT) AS depth
+        |FROM k, LATERAL (SELECT unnest(range(1, 40)) AS j) j
+        |GROUP BY k.v ORDER BY k.v""".stripMargin,
     "q79_subtree_rollup" ->
       """WITH k AS (SELECT p_partkey + 1 AS v FROM part),
         |nn AS (SELECT MAX(v) AS n FROM k)

@@ -67,4 +67,51 @@ object Hierarchy {
         "relation has a cycle or is deeper than maxDepth")
     result.groupBy("v").agg(sum(col("m")).as("subtree_sum"))
   }
+
+  /**
+   * Per-node (root, depth) — the DOWNWARD complement of [[subtreeSum]]
+   * (inherited attributes / path length): roots (nodes of `nodes` that
+   * never appear as a child) resolve at depth 0, and each round the
+   * resolved frontier's children resolve one level deeper with the same
+   * root. Rounds = forest depth; per round one edge equi-join, frontier
+   * ≤ one row per node at its level. Loud-fails on a cycle or depth
+   * past `maxDepth` (unresolvable frontier).
+   *
+   * @return (v, root, depth) — one row per node in `nodes`
+   */
+  def depthAndRoot(edges: DataFrame, nodes: DataFrame,
+                   maxDepth: Int = 64): DataFrame = {
+    val e = edges.select(col("child").cast("long").as("child"),
+        col("parent").cast("long").as("parent"))
+      .filter(col("child") =!= col("parent")).distinct().localCheckpoint()
+    val n = nodes.select(col("v").cast("long").as("v")).distinct()
+    var frontier = n
+      .join(e.select(col("child").as("v")), Seq("v"), "left_anti")
+      .select(col("v"), col("v").as("root"), lit(0L).as("depth"))
+      .localCheckpoint()
+    var result = frontier
+    var round = 0
+    var done = frontier.isEmpty
+    while (!done && round < maxDepth) {
+      round += 1
+      frontier = e
+        .join(frontier.select(col("v").as("parent"), col("root"),
+          col("depth")), "parent")
+        .select(col("child").as("v"), col("root"),
+          (col("depth") + 1).as("depth"))
+        .localCheckpoint()
+      done = frontier.isEmpty
+      if (!done) result = result.unionByName(frontier)
+    }
+    require(done,
+      s"depthAndRoot: unresolved frontier after $maxDepth rounds — the " +
+        "parent relation has a cycle or is deeper than maxDepth")
+    // a cycle with NO root above it never enters the frontier at all
+    // (the loop exits immediately on an empty root set) — completeness
+    // must be checked explicitly or cyclic nodes silently vanish
+    require(n.join(result.select("v"), Seq("v"), "left_anti").isEmpty,
+      "depthAndRoot: nodes unreachable from any root — the parent " +
+        "relation has a cycle")
+    result
+  }
 }

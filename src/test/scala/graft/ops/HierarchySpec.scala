@@ -49,6 +49,24 @@ class HierarchySpec extends SparkSpec {
     assert(got == expect.toMap, s"diff: ${got.toSet diff expect.toSet}")
   }
 
+  test("depthAndRoot: two-root forest resolves roots and depths; cycle loud-fails") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (6L, 4L), (11L, 10L))
+      .toDF("child", "parent")
+    val nodes = Seq(1L, 2L, 3L, 4L, 6L, 10L, 11L).toDF("v")
+    val got = Hierarchy.depthAndRoot(edges, nodes)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      1L -> ((1L, 0L)), 2L -> ((1L, 1L)), 3L -> ((1L, 1L)),
+      4L -> ((1L, 2L)), 6L -> ((1L, 3L)),
+      10L -> ((10L, 0L)), 11L -> ((10L, 1L))), s"got $got")
+    val e = intercept[IllegalArgumentException] {
+      Hierarchy.depthAndRoot(
+        Seq((1L, 2L), (2L, 1L), (3L, 1L)).toDF("child", "parent"),
+        Seq(1L, 2L, 3L).toDF("v"), maxDepth = 8)
+    }
+    assert(e.getMessage.contains("cycle"), e.getMessage)
+  }
+
   test("subtreeSum: a cycle loud-fails instead of looping or silently dropping mass") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
     val values = Seq(1L, 2L, 3L).toDF("v").withColumn("value", lit(1L))
