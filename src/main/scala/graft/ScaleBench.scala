@@ -577,6 +577,37 @@ object ScaleBench {
       println(f"""{"metric":"scale_scc","vertices":$nv,"sccs":${(nScc + 7) / 8},"mislabelled":$bad,"sec":$secs18%.2f,"verts_per_sec":${(nv / secs18).toLong}}""")
     }
 
+    if (sel("hierarchy")) {
+      // subtree rollup at scale (q79's operator): the parent(k) = k/2
+      // forest over 2M nodes is ~21 levels deep, so the upward
+      // accumulation runs ~21 bounded rounds with the moving set
+      // shrinking geometrically. Planted check: total delivered mass =
+      // Σ_v value(v)·(depth(v)+1), computable in closed form per node.
+      val nH = math.min(nTiles * 2, 2000000L)
+      val hNodes = spark.range(1, nH + 1).select(col("id").as("v"))
+        .withColumn("value", col("v"))
+        .repartition(cpus.toInt * 4)
+      val hEdges = hNodes.filter(col("v") >= 2)
+        .select(col("v").as("child"), expr("v div 2").as("parent"))
+      val tH = System.nanoTime()
+      val rolled = graft.ops.Hierarchy.subtreeSum(hEdges, hNodes)
+      val total = rolled.agg(sum(col("subtree_sum"))).head().getLong(0)
+      val secsH = (System.nanoTime() - tH) / 1e9
+      // each node's value is delivered once per ancestor incl. itself:
+      // Σ_v v·(floor(log2 v) + 1), exact integer fold on the driver side
+      var expectTotal = 0L
+      var lo = 1L; var depth = 0L
+      while (lo <= nH) {
+        val hi = math.min(lo * 2 - 1, nH)
+        // Σ of consecutive range lo..hi times (depth+1)
+        expectTotal += (lo + hi) * (hi - lo + 1) / 2 * (depth + 1)
+        lo *= 2; depth += 1
+      }
+      require(total == expectTotal,
+        s"hierarchy planted check failed: $total vs $expectTotal")
+      println(f"""{"metric":"scale_hierarchy","nodes":$nH,"depth":${depth},"total_mass":$total,"sec":$secsH%.2f,"nodes_per_sec":${(nH / secsH).toLong}}""")
+    }
+
     if (sel("entropy_vocab")) {
       // unigramEntropy at a 10^7-distinct-token vocabulary — the workload
       // that OOM'd the pre-round-8 single whole-vocab collect_list fold.
