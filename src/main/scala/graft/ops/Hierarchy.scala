@@ -65,7 +65,12 @@ object Hierarchy {
     require(drained,
       s"subtreeSum: pending mass after $maxDepth rounds — the parent " +
         "relation has a cycle or is deeper than maxDepth")
+    // one row per node of `values`, even when an edge names a parent
+    // outside the node set (its delivered mass is an ancestor outside
+    // the caller's universe, not a phantom output row)
     result.groupBy("v").agg(sum(col("m")).as("subtree_sum"))
+      .join(values.select(col("v").cast("long").as("v")).distinct(),
+        Seq("v"), "left_semi")
   }
 
   /**

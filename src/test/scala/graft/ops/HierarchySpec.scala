@@ -67,6 +67,17 @@ class HierarchySpec extends SparkSpec {
     assert(e.getMessage.contains("cycle"), e.getMessage)
   }
 
+  test("subtreeSum: an edge to a parent outside the node set yields no phantom output row") {
+    // parent 99 is not in `values`: node 2's mass still flows through it
+    // (to nothing — 99 has no outgoing edge), but the OUTPUT must stay
+    // one row per declared node
+    val edges = Seq((2L, 99L)).toDF("child", "parent")
+    val values = Seq(2L, 3L).toDF("v").withColumn("value", $"v")
+    val got = Hierarchy.subtreeSum(edges, values)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(2L -> 2L, 3L -> 3L), s"got $got")
+  }
+
   test("subtreeSum: a cycle loud-fails instead of looping or silently dropping mass") {
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L)).toDF("child", "parent")
     val values = Seq(1L, 2L, 3L).toDF("v").withColumn("value", lit(1L))
