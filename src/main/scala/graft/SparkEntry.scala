@@ -985,13 +985,31 @@ object SparkEntry {
       graft.llm.Multimodal.sampleDecodedFrames(media, every = 2)
         .orderBy("media_id", "frame_idx")
     }),
+    "m07_png_decode" -> ((s, d) => {
+      // REAL PNG decode (Multimodal.decodePng): payloads are genuine PNG
+      // files — zlib-deflated IDAT, CRC-checked chunks, every scanline
+      // filter type (syntheticPng filters row y with type y%5, even ids
+      // RGB / odd ids RGBA) — and the oracle replays the DECODED channel
+      // sums from the closed-form pixel formula, so an inflate, filter-
+      // reversal, CRC or alpha-handling bug breaks the hash. This is the
+      // crawl-shaped image path: PPM (m01) never arrives over the wire.
+      import s.implicits._
+      val png = udf((id: Long) => graft.llm.Multimodal.syntheticPng(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", png(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
       // recomputes the decoded pixels' exact per-channel sums from the
       // synthetic formula, so a decode regression (header parse, raster
-      // offset, channel order) breaks the hash. Audio/video stay opaque
-      // stub bytes (no codec in this build) with the same plumbing.
+      // offset, channel order) breaks the hash. Audio/video rows carry
+      // REAL WAV/Y4M payloads that extractFeatures genuinely decodes
+      // (decodeWav/decodeY4m); their decoded VALUES are pinned by
+      // m04/m05/m06 — this gate pins the shared plumbing (ids, metadata,
+      // feature dim) plus the image channel sums.
       val media = graft.llm.Multimodal.syntheticMedia(
         t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
       val feats = graft.llm.Multimodal.extractFeatures(media, dim = 16)
@@ -1879,13 +1897,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
     "s22_stream_pmi" -> ((s, d) => {
-      // STREAMING PMI: the (w1, w2) bigram counts run as a complete-mode
-      // stateful aggregation over the documents stream (the s17 heavy-
-      // hitter pattern); N and the margins n1/n2 all DERIVE from the
-      // final pair-count state, so the converged collocation scores
-      // equal batch d57 exactly — shared oracle verbatim. In production
-      // the per-batch emission of the same scores is the collocation
-      // drift signal.
+      // STREAMING PMI: the (w1, w2) bigram counts run as an UPDATE-mode
+      // stateful aggregation over the documents stream; each microbatch
+      // emits only the pairs it touched (the production drift signal),
+      // and the converged counts are read ONCE from the checkpoint's
+      // state store at the end (Streaming.runAvailableNowUpdateFinalState
+      // — Spark's statestore data source). Emission is therefore bounded
+      // by batch content, not vocabulary; the state itself is still
+      // O(distinct pairs), so batch d57 remains the 100 TB scale path and
+      // this stream is the incremental monitor. N and the margins n1/n2
+      // DERIVE from the final pair-count state, so the converged
+      // collocation scores equal batch d57 exactly — shared oracle
+      // verbatim.
       import org.apache.spark.sql.types._
       val ss = graft.streaming.Streaming.statefulSession(s)
       val schema = StructType(Seq(
@@ -1901,8 +1924,11 @@ object SparkEntry {
             element_at(toks, i + 1).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-      val st = graft.streaming.Streaming.runAvailableNow(
-          counts, s"s22_pmi_${System.nanoTime()}", outputMode = "complete")
+      val ckpt = java.nio.file.Files.createTempDirectory("s22ck").toString
+      val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
+          counts, s"s22_pmi_${System.nanoTime()}", ckpt)
+        .select(col("key.w1").as("w1"), col("key.w2").as("w2"),
+          col("value.count").as("n12"))
         .localCheckpoint()
       val n = st.agg(sum(col("n12"))).head().getLong(0)
       val c1 = st.groupBy("w1").agg(sum(col("n12")).as("n1"))
@@ -2844,11 +2870,15 @@ object SparkEntry {
       // strongly connected components (Graph.stronglyConnectedComponents,
       // coloring/FW-BW-MIN) over a PLANTED digraph from part keys: each
       // block of 8 consecutive keys forms a directed cycle (one SCC; the
-      // tail block wraps early), plus a single forward bridge
-      // blockEnd -> blockEnd+1 between consecutive blocks — the bridges
-      // chain the condensation without merging anything, so the generic
-      // engine must recover component = block start, which the oracle
-      // states in closed form.
+      // tail block wraps early), plus STAR forward bridges 0 -> blockStart
+      // (the ScaleBench scc shape) — bridges merge nothing, so the engine
+      // must recover component = block start, which the oracle states in
+      // closed form. Star (not chained) bridges keep the condensation at
+      // depth 2: the coloring SCC's outer rounds track condensation
+      // depth, so the distributed path (forced at scale when part exceeds
+      // localThreshold) settles in ~2 outer rounds instead of the ~n/8 a
+      // chained condensation would need — the planted shape itself must
+      // be 100 TB-safe, not just the algorithm.
       // part keys are 0-based (0..n-1)
       val n = t(s, d, "part").count()
       val v = t(s, d, "part")
@@ -2857,8 +2887,8 @@ object SparkEntry {
       val bEnd = least(bStart + 7, lit(n - 1))
       val cycle = v.select(col("v").as("src"),
         when(col("v") === bEnd, bStart).otherwise(col("v") + 1).as("dst"))
-      val bridge = v.filter(col("v") === bEnd && col("v") < n - 1)
-        .select(col("v").as("src"), (col("v") + 1).as("dst"))
+      val bridge = v.filter(col("v") % 8 === 0 && col("v") > 0)
+        .select(lit(0L).as("src"), col("v").as("dst"))
       graft.ops.Graph.stronglyConnectedComponents(cycle.unionByName(bridge))
         .orderBy("v")
     }),
@@ -4282,6 +4312,26 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(range(fr.h)) AS y) y,
         |  LATERAL (SELECT unnest(range(fr.w)) AS x) x
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // m07: the decoded-PNG channel sums replay in closed form from
+    // syntheticPng's pixel formula (identical to m01's PPM formula; the
+    // alpha channel of odd ids is dropped by decode, so the sums are
+    // color-type-independent) — the Spark side must reach the same longs
+    // through a REAL inflate + filter reversal.
+    "m07_png_decode" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    8 + p_partkey % 9 AS w, 5 + p_partkey % 6 AS h
+        |  FROM part WHERE p_partkey <= 300
+        |)
+        |SELECT i.media_id,
+        |  CAST(MAX(i.w) AS INT) AS width, CAST(MAX(i.h) AS INT) AS height,
+        |  CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |FROM img i,
+        |  LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |  LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |GROUP BY i.media_id ORDER BY i.media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,
@@ -5886,7 +5936,7 @@ object SparkEntry {
         |ORDER BY o_custkey, o_orderkey""".stripMargin,
     // q76: the planted block-cycle digraph's SCCs are known in closed
     // form — each 8-key block is one cycle (one SCC labelled by its
-    // min = block start); the chained forward bridges merge nothing.
+    // min = block start); the star forward bridges merge nothing.
     "q76_scc" ->
       """SELECT p_partkey AS v,
         |  (p_partkey // 8) * 8 AS component

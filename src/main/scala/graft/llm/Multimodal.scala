@@ -17,11 +17,14 @@ import org.apache.spark.sql.types._
  * (the canonical WAV container is a ~40-line header walk), feeding
  * [[audioStats]] exact per-channel sample sums, and uncompressed
  * YUV4MPEG2 video via [[decodeY4m]] → [[videoStats]] exact per-plane
- * frame sums. COMPRESSED formats (png/jpeg/mp3/mp4 …) fall back to
- * [[decodeStub]] — codec libraries are not available in this build
- * environment — with the Spark-side plumbing (schema, batch shape,
- * partition-level processing) identical either way: swapping the stub
- * for a real codec (javacv / ImageIO) changes no plan shape.
+ * frame sums. PNG — the compressed format a crawl actually contains —
+ * decodes for real too ([[decodePng]]: pure `java.util.zip` inflate +
+ * the five scanline filter reversals). Remaining COMPRESSED formats
+ * (jpeg/mp3/mp4 …) fall back to [[decodeStub]] — their codecs are not
+ * feasible without libraries in this build environment — with the
+ * Spark-side plumbing (schema, batch shape, partition-level processing)
+ * identical either way: swapping the stub for a real codec
+ * (javacv / ImageIO) changes no plan shape.
  */
 object Multimodal {
 
@@ -97,6 +100,131 @@ object Multimodal {
     Some((w, h, java.util.Arrays.copyOfRange(payload, i, i + n.toInt)))
   }
 
+  /**
+   * Minimal pure-JVM PNG decoder — the format a real crawl actually
+   * contains (PPM never arrives over the wire). Pure `java.util.zip`:
+   * signature check, chunk walk (IHDR/IDAT+/IEND, CRC-verified), zlib
+   * inflate of the concatenated IDAT stream, then per-scanline reversal
+   * of the five PNG filter types (None/Sub/Up/Average/Paeth — the part a
+   * codec library would otherwise own). Supports what the spec calls the
+   * common cases: bit depth 8, color types 0 (grayscale, expanded to
+   * RGB), 2 (truecolor) and 6 (truecolor+alpha, alpha dropped), no
+   * interlacing. Returns `(width, height, rgb bytes row-major)` — the
+   * same contract as [[decodePpm]], so everything downstream
+   * (features/stats/resize) is codec-agnostic — or None for anything
+   * else (the caller falls back to [[decodeStub]]).
+   */
+  def decodePng(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+    if (payload == null || payload.length < 45 ||
+        !payload.take(8).sameElements(sig)) return None
+    def be32(o: Int): Int =
+      ((payload(o) & 0xFF) << 24) | ((payload(o + 1) & 0xFF) << 16) |
+        ((payload(o + 2) & 0xFF) << 8) | (payload(o + 3) & 0xFF)
+    var o = 8
+    var w = -1; var h = -1; var colorType = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && o + 12 <= payload.length) {
+      val len = be32(o)
+      if (len < 0 || o + 12L + len > payload.length) return None
+      val ctype = new String(payload, o + 4, 4, "US-ASCII")
+      val crc = new java.util.zip.CRC32()
+      crc.update(payload, o + 4, 4 + len)
+      if (crc.getValue.toInt != be32(o + 8 + len)) return None
+      ctype match {
+        case "IHDR" =>
+          if (len != 13) return None
+          w = be32(o + 8); h = be32(o + 12)
+          val depth = payload(o + 16)
+          colorType = payload(o + 17) & 0xFF
+          val (compression, filterMethod, interlace) =
+            (payload(o + 18), payload(o + 19), payload(o + 20))
+          if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
+              depth != 8 || compression != 0 || filterMethod != 0 ||
+              interlace != 0 ||
+              (colorType != 0 && colorType != 2 && colorType != 6)) return None
+        case "IDAT" => idat.write(payload, o + 8, len)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks (tEXt, pHYs, …): ignored
+      }
+      o += 12 + len
+    }
+    if (!sawEnd || w <= 0 || idat.size() == 0) return None
+    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    val stride = w * bpp
+    val raw = new Array[Byte]((1 + stride) * h)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    try {
+      var filled = 0
+      while (filled < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, filled, raw.length - filled)
+        if (n == 0 && inf.needsInput()) return None // truncated stream
+        filled += n
+      }
+      if (filled != raw.length) return None
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    // reverse the per-scanline filters in place over a previous-row buffer
+    val prior = new Array[Byte](stride) // zero-filled: spec's virtual row -1
+    val cur = new Array[Byte](stride)
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val rowOff = y * (1 + stride)
+      val ft = raw(rowOff) & 0xFF
+      if (ft > 4) return None
+      var x = 0
+      while (x < stride) {
+        val rv = raw(rowOff + 1 + x) & 0xFF
+        val left = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+        val above = prior(x) & 0xFF
+        val upLeft = if (x >= bpp) prior(x - bpp) & 0xFF else 0
+        val recon = ft match {
+          case 0 => rv
+          case 1 => rv + left
+          case 2 => rv + above
+          case 3 => rv + (left + above) / 2
+          case _ => // Paeth predictor
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) above else upLeft
+            rv + pred
+        }
+        cur(x) = (recon & 0xFF).toByte
+        x += 1
+      }
+      // project the reconstructed scanline to RGB
+      var px = 0
+      while (px < w) {
+        val d = (y * w + px) * 3
+        colorType match {
+          case 0 =>
+            val g = cur(px); rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+          case _ =>
+            val s = px * bpp
+            rgb(d) = cur(s); rgb(d + 1) = cur(s + 1); rgb(d + 2) = cur(s + 2)
+        }
+        px += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
+  /** One decode attempt across the supported image codecs (P6 PPM, then
+    * PNG) — the single entry point the image operators use, so adding a
+    * codec never touches plan-side code. */
+  def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    val ppm = decodePpm(payload)
+    if (ppm.isDefined) ppm else decodePng(payload)
+  }
+
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
     * by a luminance histogram over the remaining `dim - 3` bins,
     * normalized by pixel count. Deterministic integer folds until the
@@ -139,7 +267,7 @@ object Multimodal {
       // pure-JVM decoders)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]]("payload")
-        val feats = decodePpm(payload) match {
+        val feats = decodeImage(payload) match {
           case Some((w, h, rgb)) if dim >= 4 => pixelFeatures(w, h, rgb, dim)
           case _ => decodeWav(payload) match {
             case Some((nc, rate, samples)) if dim >= 4 =>
@@ -368,10 +496,11 @@ object Multimodal {
 
   /** Integer per-channel sums from REAL decoded pixels — the
     * oracle-checkable face of the decode path (exact longs, no float
-    * folds). Non-PPM rows are dropped. */
+    * folds; m01 pins the PPM route, m07 the PNG route through
+    * [[decodeImage]]). Non-image rows are dropped. */
   def imageStats(media: DataFrame): DataFrame = {
     val dec = udf { (payload: Array[Byte]) =>
-      decodePpm(payload).map { case (w, h, rgb) =>
+      decodeImage(payload).map { case (w, h, rgb) =>
         var sr = 0L; var sg = 0L; var sb = 0L
         var p = 0
         while (p + 2 < rgb.length) {
@@ -396,20 +525,23 @@ object Multimodal {
     math.max(((2L * d * maxDim + m) / (2L * m)).toInt, 1)
 
   /**
-   * Image resize with REAL pixels for PPM rows: integer nearest-neighbour
+   * Image resize with REAL pixels for decodable image rows (PPM or PNG
+   * via [[decodeImage]]): integer nearest-neighbour
    * resample — source pixel of output (x', y') is `((x'·w)/w', (y'·h)/h')`
    * with integer division, so the pixel mapping (and therefore the
    * resized image's exact channel sums — the m03 oracle) is replayable by
-   * a second engine — re-encoded as P6. Non-PPM payloads pass through
-   * untouched (no codec for them in this build); metadata dims update for
+   * a second engine — re-encoded as P6 (the pipeline-internal
+   * interchange format; resize is a mid-pipeline stage, so the cheap
+   * uncompressed encode is the right output). Undecodable payloads pass
+   * through untouched; metadata dims update for
    * every row via the same integer rational. Narrow map, no shuffle, one
    * decode+encode per image — the mapInPandas-shaped batch stage of a
-   * real media pipeline with the codec swapped for the pure-JVM PPM one.
+   * real media pipeline with the codec swapped for the pure-JVM ones.
    */
   def resizeImages(media: DataFrame, maxDim: Int): DataFrame = {
     require(maxDim >= 1, s"maxDim=$maxDim must be >= 1")
     val resample = udf { (payload: Array[Byte]) =>
-      decodePpm(payload) match {
+      decodeImage(payload) match {
         case Some((w, h, rgb)) if math.max(w, h) > maxDim =>
           val m = math.max(w, h)
           val w2 = scaleDim(w, m, maxDim)
@@ -503,6 +635,93 @@ object Multimodal {
       y += 1
     }
     header ++ px
+  }
+
+  /** Deterministic PNG image for a key — [[syntheticPpm]]'s pixel formula
+    * `(id·7 + y·11 + x·13 + c·17) % 256` at `(8 + id%9) × (5 + id%6)`
+    * pixels, pushed through a REAL PNG encode: row `y` is filtered with
+    * type `y % 5` (so every decode exercises all five filter reversals),
+    * the filtered scanlines zlib-deflate into one IDAT, and chunks carry
+    * real CRCs. Even ids encode as color type 2 (RGB), odd as type 6
+    * (RGBA, alpha `(id + x + y) % 256` — decode drops it), so both
+    * truecolor layouts are hit. A second engine replays the DECODED
+    * channel sums from the closed-form formula (the m07 oracle) — any
+    * filter/inflate/CRC bug breaks the hash. */
+  def syntheticPng(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (5 + id % 6).toInt
+    val colorType = if (id % 2 == 0) 2 else 6
+    val bpp = if (colorType == 2) 3 else 4
+    val stride = w * bpp
+    // raw scanlines with per-row filter byte y % 5
+    val raw = new Array[Byte]((1 + stride) * h)
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var c = 0
+        while (c < bpp) {
+          cur(x * bpp + c) =
+            (if (c == 3) (id + x + y) % 256
+             else (id * 7 + y * 11 + x * 13 + c * 17) % 256).toByte
+          c += 1
+        }
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val rv = cur(i) & 0xFF
+        val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
+        val above = prior(i) & 0xFF
+        val upLeft = if (i >= bpp) prior(i - bpp) & 0xFF else 0
+        val filtered = ft match {
+          case 0 => rv
+          case 1 => rv - left
+          case 2 => rv - above
+          case 3 => rv - (left + above) / 2
+          case _ =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) above else upLeft
+            rv - pred
+        }
+        raw(y * (1 + stride) + 1 + i) = (filtered & 0xFF).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater() // default = zlib wrapper, as IDAT requires
+    defl.setInput(raw); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zBuf.size() + 128)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'))
+    def writeChunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk("IHDR", ihdr.array())
+    writeChunk("IDAT", zBuf.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
   }
 
   /** Deterministic RIFF/WAVE PCM16LE clip for a key: `1 + id%2` channels

@@ -52,9 +52,14 @@ object TextKernels {
    * DuckDB's `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))),
    * '\s+', ' ', 'g'))` on Latin-script text (the d51 oracle pins it):
    * accents strip as NFD + drop NON_SPACING_MARK + NFC recompose, case
-   * folds via Locale.ROOT, and the whitespace class is ASCII `\s` in both
-   * regex engines. One String round-trip per row (java.text.Normalizer
-   * needs a String); still inside codegen — no UDF boundary.
+   * folds via Locale.ROOT, and the whitespace class is spelled EXPLICITLY
+   * as RE2's `\s` = `[\t\n\f\r ]` — Java's `\s` additionally matches
+   * U+000B (vertical tab), which would make text containing `\x0B`
+   * normalize differently on the two sides of the oracle; the final trim
+   * strips SPACES only (DuckDB `trim` default), not Java trim's ≤U+0020
+   * class, for the same reason. One String round-trip per row
+   * (java.text.Normalizer needs a String); still inside codegen — no UDF
+   * boundary.
    */
   def normalizeText(s: UTF8String): UTF8String = {
     import java.text.Normalizer
@@ -68,7 +73,8 @@ object TextKernels {
     }
     val stripped = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
     val lower = stripped.toLowerCase(java.util.Locale.ROOT)
-    UTF8String.fromString(lower.replaceAll("\\s+", " ").trim)
+    UTF8String.fromString(
+      lower.replaceAll("[ \\t\\n\\f\\r]+", " ").replaceAll("^ +| +$", ""))
   }
 
   /**

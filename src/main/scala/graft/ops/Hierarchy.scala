@@ -117,6 +117,10 @@ object Hierarchy {
     require(n.join(result.select("v"), Seq("v"), "left_anti").isEmpty,
       "depthAndRoot: nodes unreachable from any root — the parent " +
         "relation has a cycle")
-    result
+    // one row per node of `nodes`, even when an edge names a child
+    // outside the node set (frontier expansion walks ALL edges, so such
+    // a child would otherwise surface as a phantom output row — the
+    // same contract gap subtreeSum closes above)
+    result.join(n, Seq("v"), "left_semi")
   }
 }

@@ -114,6 +114,35 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Run a streaming AGGREGATION to completion in UPDATE output mode and
+    * return its FINAL state, read straight from the checkpoint via Spark's
+    * state-store data source (`format("statestore")` — columns
+    * `key.<groupCols>`, `value.<aggBuffers>`).
+    *
+    * This is the bounded-emission twin of complete-mode
+    * [[runAvailableNow]]: complete mode re-emits the ENTIRE state every
+    * microbatch, so sink traffic grows O(|state| x batches) — at corpus
+    * vocabulary scale that is the same unbounded-buffer failure mode the
+    * bucketed JSD/entropy folds exist to avoid. Update mode emits only the
+    * keys each batch touched (the sink output is discarded here; in
+    * production it IS the per-batch drift signal), and the converged
+    * aggregate is read once from the store at the end. State itself is
+    * still O(distinct keys) — callers whose key space grows with corpus
+    * vocabulary must name their batch twin as the scale path. */
+  def runAvailableNowUpdateFinalState(streamed: DataFrame, queryName: String,
+                                      checkpointDir: String): DataFrame = {
+    val spark = streamed.sparkSession
+    val q = streamed.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(queryName)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.read.format("statestore").option("path", checkpointDir).load()
+  }
+
   /**
    * Streaming exact dedup (§2.8 "exactly-once / dedup": the run-log
    * anti-join and row-signature dedup as a stream): first occurrence of each
@@ -309,14 +338,19 @@ object Streaming {
    * `b` re-reads the same immutable pre-`b` version and deterministically
    * overwrites `v=b+1` — which is exactly the transactional-commit shape a
    * lakehouse table format provides, expressed directly on the filesystem.
-   * Old versions are retained as time travel; `retainVersions` > 0 prunes
-   * all but the newest max(retainVersions, 2) after each commit.
+   * Disk is BOUNDED BY DEFAULT: `retainVersions` = 2 keeps only the
+   * newest 2 versions (the replay input + the commit) and prunes the
+   * rest after each commit — at a 4-runs/day production cadence an
+   * unbounded default would grow one full map copy per microbatch
+   * forever. Time travel is the opt-in: `retainVersions` = 0 keeps all
+   * versions; any other value prunes all but the newest
+   * max(retainVersions, 2).
    * Refresh is associative and commutative (count/sum partials), so the
    * microbatch split of the delta cannot change the converged view.
    */
   def ivmRefreshStream(delta: DataFrame, viewDir: String, checkpointDir: String,
                        keys: Seq[String], sumCols: Seq[String], multCol: String,
-                       retainVersions: Int = 0)
+                       retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     delta.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -617,7 +651,7 @@ object Streaming {
   def boilerplateStripStream(docs: DataFrame, stateDir: String,
                              checkpointDir: String, idCol: String = "doc_id",
                              textCol: String = "text", chunkTokens: Int = 5,
-                             retainVersions: Int = 0)
+                             retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -663,12 +697,12 @@ object Streaming {
    *
    * The map is VERSIONED copy-on-write exactly like [[ivmRefreshStream]]:
    * batch `b` reads `mapDir/v=b` (absent ⇒ empty) and overwrites
-   * `mapDir/v=b+1`, making crash replay idempotent. Old versions are
-   * retained as time travel; `retainVersions` > 0 prunes all but the
-   * newest max(retainVersions, 2) after each commit.
+   * `mapDir/v=b+1`, making crash replay idempotent. Disk is bounded by
+   * default (`retainVersions` = 2, the commit + its replay input); time
+   * travel is the opt-in via `retainVersions` = 0 (keep all).
    */
   def incrementalCcStream(edges: DataFrame, mapDir: String,
-                          checkpointDir: String, retainVersions: Int = 0)
+                          checkpointDir: String, retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     edges.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -708,7 +742,7 @@ object Streaming {
    */
   def scd2Stream(changes: DataFrame, dimDir: String, checkpointDir: String,
                  keyCols: Seq[String], payloadCols: Seq[String],
-                 tsCol: String, opCol: String, retainVersions: Int = 0)
+                 tsCol: String, opCol: String, retainVersions: Int = 2)
       : org.apache.spark.sql.streaming.StreamingQuery =
     changes.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -48,6 +48,77 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodePpm(null).isEmpty)
   }
 
+  test("decodePng: round-trips syntheticPng through every filter type and both color types") {
+    // heights >= 5 guarantee rows filtered with all five types (y % 5);
+    // even ids are RGB (type 2), odd RGBA (type 6, alpha dropped)
+    for (id <- 0L to 10L) {
+      val (w, h, rgb) = Multimodal.decodePng(Multimodal.syntheticPng(id)).get
+      assert(w == 8 + id % 9 && h == 5 + id % 6, s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        assert((rgb((y * w + x) * 3 + c) & 0xFF) ==
+          ((id * 7 + y * 11 + x * 13 + c * 17) % 256).toInt,
+          s"id=$id pixel ($x,$y) channel $c (row filter ${y % 5})")
+    }
+  }
+
+  test("decodePng: grayscale expands to RGB; corrupt payloads are rejected") {
+    // hand-build a 2x2 8-bit grayscale (color type 0) PNG: filter 0 rows
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = t.getBytes("US-ASCII")
+      crc.update(tb); crc.update(data)
+      val len = data.length
+      Array((len >>> 24).toByte, (len >>> 16).toByte, (len >>> 8).toByte, len.toByte) ++
+        tb ++ data ++ {
+          val v = crc.getValue.toInt
+          Array((v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+        }
+    }
+    val raw = Array[Byte](0, 10, 20, 0, 30, 40) // 2 rows: filter byte + 2 gray px
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new Array[Byte](64)
+    val zn = defl.deflate(z); defl.end()
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n')
+    val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(zn)) ++
+      chunk("IEND", Array.emptyByteArray)
+    val (w, h, rgb) = Multimodal.decodePng(png).get
+    assert(w == 2 && h == 2)
+    assert(rgb.toSeq == Seq[Byte](10, 10, 10, 20, 20, 20, 30, 30, 30, 40, 40, 40))
+    // corrupt one IDAT byte -> CRC mismatch -> rejected, not mis-decoded
+    val bad = png.clone()
+    bad(sig.length + chunk("IHDR", ihdr).length + 9) =
+      (bad(sig.length + chunk("IHDR", ihdr).length + 9) ^ 0x55).toByte
+    assert(Multimodal.decodePng(bad).isEmpty, "corrupt IDAT must fail the CRC")
+    assert(Multimodal.decodePng(png.dropRight(20)).isEmpty, "truncated stream rejected")
+    assert(Multimodal.decodePng(null).isEmpty)
+    // PPM magic is not PNG
+    assert(Multimodal.decodePng(Multimodal.syntheticPpm(0L)).isEmpty)
+    // and decodeImage routes each format to its decoder
+    assert(Multimodal.decodeImage(Multimodal.syntheticPng(3L)).isDefined)
+    assert(Multimodal.decodeImage(Multimodal.syntheticPpm(3L)).isDefined)
+  }
+
+  test("extractFeatures and resizeImages treat PNG rows as real images") {
+    // a PNG row must produce pixelFeatures (not stub noise), equal to the
+    // PPM-encoded features of the same raster
+    val pngMedia = Seq(4L).toDF("k")
+    val withPng = Multimodal.syntheticMedia(pngMedia, "k")
+      .withColumn("payload", udf((id: Long) => Multimodal.syntheticPng(id)).apply($"media_id"))
+    val feats = Multimodal.extractFeatures(withPng, dim = 8)
+      .select("features").as[Seq[Float]].head()
+    val (w, h, rgb) = Multimodal.decodePng(Multimodal.syntheticPng(4L)).get
+    assert(feats == Multimodal.pixelFeatures(w, h, rgb, 8).toSeq)
+    // resize decodes the PNG and re-encodes P6 at the capped dims
+    val resized = Multimodal.resizeImages(withPng, maxDim = 4)
+      .select("payload").as[Array[Byte]].head()
+    val (rw, rh, _) = Multimodal.decodePpm(resized).get
+    assert(math.max(rw, rh) == 4, s"resized to ${rw}x$rh")
+  }
+
   test("extractFeatures decodes PPM image rows to real pixel features") {
     // ids 0 and 3 are images (real P6 payloads); their features must equal
     // a direct pixelFeatures computation over the decoded raster

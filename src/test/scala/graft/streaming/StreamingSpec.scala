@@ -584,34 +584,48 @@ class StreamingSpec extends SparkSpec {
     assert(late == batch)
   }
 
-  test("versioned-map retention prunes old versions but never the replay input") {
+  test("versioned-map retention: DEFAULT bounds disk; time travel is the opt-in") {
     val root = java.nio.file.Files.createTempDirectory("graft-retain").toString
     val schema = StructType(Seq(
       StructField("id_a", LongType), StructField("id_b", LongType)))
 
-    def runDrop(): Unit = {
+    def runDrop(dir: String, retain: Option[Int]): Unit = {
       val stream = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(s"$root/edges")
-      Streaming.incrementalCcStream(stream, s"$root/map", s"$root/ckpt",
-          retainVersions = 2)
-        .awaitTermination()
+      val q = retain match {
+        case Some(r) => Streaming.incrementalCcStream(stream, s"$root/$dir",
+          s"$root/ckpt-$dir", retainVersions = r)
+        case None => Streaming.incrementalCcStream(stream, s"$root/$dir",
+          s"$root/ckpt-$dir") // DEFAULT path under test
+      }
+      q.awaitTermination()
     }
 
-    // 4 single-file drops -> batches 0..3 -> versions v=1..v=4
-    for (b <- 0 until 4) {
+    def versions(dir: String): Seq[Long] = new java.io.File(s"$root/$dir")
+      .listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong).sorted.toSeq
+
+    // 6 single-file drops = 3x the default retention window of 2 —
+    // batches 0..5 -> versions v=1..v=6. Both maps consume the same
+    // drop directory via separate checkpoints.
+    for (b <- 0 until 6) {
       Seq((b * 10L, b * 10L + 1L)).toDF("id_a", "id_b")
         .coalesce(1).write.mode("append").parquet(s"$root/edges")
-      runDrop()
+      runDrop("map", None)          // default: bounded
+      runDrop("tt", Some(0))        // opt-in: keep-all time travel
     }
-    val versions = new java.io.File(s"$root/map").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("v="))
-      .map(_.getName.stripPrefix("v=").toLong).sorted
-    assert(versions.toSeq == Seq(3L, 4L),
-      s"retainVersions=2 must keep the newest 2 (incl. the replay input), got ${versions.toSeq}")
-    // the surviving latest map is complete: all 4 drops' components
+    // DEFAULT: disk stays bounded at 2 versions (the commit + its replay
+    // input) no matter how many microbatches ran
+    assert(versions("map") == Seq(5L, 6L),
+      s"default retention must keep exactly the newest 2, got ${versions("map")}")
+    // OPT-IN (retainVersions = 0): every version survives as time travel
+    assert(versions("tt") == (1L to 6L),
+      s"retainVersions=0 must keep all versions, got ${versions("tt")}")
+    // the surviving latest map is complete: all 6 drops' components
     val m = Streaming.latestIvmView(spark, s"$root/map")
       .as[(Long, Long)].collect().toMap
-    assert(m == (0 until 4).flatMap(b =>
+    assert(m == (0 until 6).flatMap(b =>
       Seq(b * 10L -> b * 10L, b * 10L + 1L -> b * 10L)).toMap)
   }
 
