@@ -44,13 +44,19 @@ object Bench {
     // reps default 3: per-query median of 3 back-to-back runs. Override
     // with SPARK_GRAFT_BENCH_REPS=1 for a quick single-pass smoke.
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt)
+    // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr (profiling runs)
+    val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     // (name, median, firstRun)
     val results = selected.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val times = (1 to reps).map { rep =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-        catch { case _: Throwable => -1.0 }
+        val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case _: Throwable => -1.0 }
+        if (verbose) System.err.println(
+          String.format(java.util.Locale.ROOT, "[bench] %s rep %d: %.3f s",
+            name, Int.box(rep), Double.box(t)))
+        t
       }
       // a crashed query must not silently shape the totals: -1.0 in the map
       if (times.exists(_ < 0)) { failed += name; (name, -1.0, -1.0) }

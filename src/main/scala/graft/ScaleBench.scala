@@ -171,6 +171,55 @@ object ScaleBench {
       println(f"""{"metric":"scale_minhash_lsh_pairs","docs":$nLshDocs,"pairs":$nPairs,"sec":$secs5%.2f,"docs_per_sec":${(nLshDocs / secs5).toLong}}""")
     }
 
+    if (sel("lsh_skew_cap")) {
+      // SKEW TRIGGER for the LSH bucket cap (Dedup.minhashLsh
+      // maxBucketSize): 30% of the corpus is one byte-identical
+      // boilerplate clique — the "empty page served 120k times" crawl
+      // pathology. Every clique doc lands in the SAME bucket in every
+      // band, so without the cap the clique alone would contribute
+      // ~(0.3n)²/2 candidate pairs (7e9 at n=400k — the run would not
+      // finish). The section proves three things: the planted bucket
+      // actually exceeds the cap (the skew is real), the capped run
+      // emits ZERO clique pairs (the cap engaged — dropped, by the
+      // documented contract that mass-identical cliques belong to exact
+      // dedup), and recall over planted HONEST near-dup twins in small
+      // buckets stays ≥ 0.95 (no collateral damage).
+      val n = math.min(nTiles, 400000L)
+      val clique = n * 3 / 10
+      val boiler = (0 until 40).map(j => s"boiler$j").mkString(" ")
+      // twins (2k, 2k+1): 40 shared salted words, the last word differs →
+      // shingle jaccard ≈ 0.76, est ≥ 0.5 with ≥1 band collision w.p. ~0.998
+      val docs = spark.range(n).select(col("id"),
+        when(col("id") < clique, lit(boiler))
+          .otherwise(concat(
+            concat_ws(" ", (0 until 39).map(j =>
+              concat(lit(s"w$j"), (((col("id") - clique) / 2).cast("long") * 31 + j)
+                .cast("long").*(2654435761L).cast("string"))): _*),
+            lit(" tail"), col("id").cast("string")))
+          .as("text"))
+        .repartition(cpus.toInt * 4)
+      val cap = 1000
+      val maxBucket = graft.llm.Dedup.bandedSignatures(docs, "id")
+        .groupBy("band", "bucket").agg(count(lit(1)).as("c"))
+        .agg(max("c")).head().getLong(0)
+      require(maxBucket > cap,
+        s"planted skew check failed: max bucket $maxBucket <= cap $cap")
+      val t5b = System.nanoTime()
+      val pairs = graft.llm.Dedup.minhashLsh(docs, "id", minEstJaccard = 0.5,
+        maxBucketSize = cap).localCheckpoint(false)
+      val cliquePairs = pairs.filter(col("id_a") < clique).count()
+      val planted = spark.range(clique, n, 2)
+        .select(col("id").as("id_a"), (col("id") + 1).as("id_b"))
+      val found = planted.join(pairs, Seq("id_a", "id_b"), "left_semi").count()
+      val nPlanted = (n - clique) / 2
+      val secs5b = (System.nanoTime() - t5b) / 1e9
+      val recall = found.toDouble / nPlanted
+      require(cliquePairs == 0,
+        s"cap did not engage: $cliquePairs pairs from the pathological clique")
+      require(recall >= 0.95, f"twin recall $recall%.4f below the 0.95 floor")
+      println(f"""{"metric":"scale_lsh_skew_cap","docs":$n,"clique":$clique,"max_bucket":$maxBucket,"clique_pairs":$cliquePairs,"planted":$nPlanted,"found":$found,"recall":$recall%.4f,"sec":$secs5b%.2f}""")
+    }
+
     if (sel("connected_components")) {
       // Connected components (d20's algorithm) on a graph engineered to be
       // hard both ways: a sparse random-ish graph (giant component — many

@@ -2935,6 +2935,33 @@ object SparkEntry {
       t(s, d, "orders").createOrReplaceTempView("orders")
       s.sql(sqlSubqueriesSql)
     }),
+    "q81_sql_3way_topk" -> ((s, d) => {
+      // TPC-H Q3's shape as ONE shared SQL text both engines run: 3-way
+      // customer⋈orders⋈lineitem join under selective filters, grouped
+      // revenue, top-k. q78 proved the decorrelation surface; this
+      // proves join ordering + selectivity on the classic warehouse
+      // shape. PlanSpec guards the plan: customer broadcasts (dimension
+      // side), the top-k plans as TakeOrderedAndProject — not a global
+      // sort — and the mktsegment filter reaches the parquet scan.
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sql3WayTopkSql)
+    }),
+    "q82_sql_4way_exists" -> ((s, d) => {
+      // TPC-H Q21's shape as ONE shared SQL text: a 4-way join
+      // (supplier⋈lineitem⋈orders⋈nation) with a correlated EXISTS
+      // (another supplier in the same order) AND a correlated NOT EXISTS
+      // (…but none of the others flagged 'R') — the hardest decorrelation
+      // compose of the q78 family over a real multi-join. Catalyst plans
+      // the EXISTS as a left-semi and the NOT EXISTS as a left-anti join,
+      // both shuffled on l_orderkey; nation broadcasts.
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(sql4WayExistsSql)
+    }),
     "q77_window_family" -> ((s, d) => {
       // the rest of the §2.5 window-function family in one gate:
       // percent_rank / cume_dist (exact single-divide rationals —
@@ -3619,6 +3646,46 @@ object SparkEntry {
       |    WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
       |      AND o.o_totalprice < 10000)
       |ORDER BY c.c_custkey""".stripMargin
+
+  /** q81: one SQL text, two engines — TPC-H Q3's 3-way join + grouped
+    * revenue + top-k. ROUND(,2) on the double sum is the q03-proven
+    * cross-engine contract; the (revenue DESC, l_orderkey) sort makes
+    * the LIMIT cutoff deterministic under ties. */
+  private val sql3WayTopkSql: String =
+    """SELECT l.l_orderkey,
+      |  ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+      |  CAST(o.o_orderdate AS DATE) AS o_date
+      |FROM customer c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      |WHERE c.c_mktsegment = 'BUILDING'
+      |  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l.l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l.l_orderkey, o.o_orderdate
+      |ORDER BY revenue DESC, l.l_orderkey
+      |LIMIT 50""".stripMargin
+
+  /** q82: one SQL text, two engines — TPC-H Q21's 4-way join with
+    * correlated EXISTS + NOT EXISTS ("an order this supplier flagged 'R'
+    * where other suppliers participated but none of THEM flagged 'R'"). */
+  private val sql4WayExistsSql: String =
+    """SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier s
+      |JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+      |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE o.o_orderstatus = 'F'
+      |  AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |  AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
+      |GROUP BY s.s_name
+      |ORDER BY numwait DESC, s.s_name""".stripMargin
 
   /** d52 + d54 shared corpus-checksum oracle: counts, exact char sums and
     * DISTINCT text md5s per (lang, source) — any corruption in a
@@ -5900,6 +5967,8 @@ object SparkEntry {
     "q62_label_prop" -> labelPropOracleSql,
     "q63_sssp" -> ssspOracleSql,
     "q78_sql_subqueries" -> sqlSubqueriesSql,
+    "q81_sql_3way_topk" -> sql3WayTopkSql,
+    "q82_sql_4way_exists" -> sql4WayExistsSql,
     // q79: the binary forest parent(k) = k/2 has closed-form subtree
     // sums — descendants of v at depth j are the consecutive range
     // [v·2^j, v·2^j + 2^j − 1] ∩ [1, n], so each level contributes one

@@ -407,12 +407,24 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // SPARK_GRAFT_PHASE_TIMING=1: per-phase wall times to stderr —
+        // the profiling hook PERF.md's s06 numbers come from
+        val timing = sys.env.contains("SPARK_GRAFT_PHASE_TIMING")
+        var tMark = System.nanoTime()
+        def phase(label: String): Unit = if (timing) {
+          val now = System.nanoTime()
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[phase] neardup batch %d %s: %.3f s",
+            Long.box(batchId), label, Double.box((now - tMark) / 1e9)))
+          tMark = now
+        }
         // the batch feeds three passes (index check, self-pairs, signature
         // append); localCheckpoint bounds it to one source read, and ONE
         // signature build serves both the index probe and the index append
         val b = batch.localCheckpoint()
         val spark = b.sparkSession
         val sigs = Dedup.bandedSignatures(b, idCol, textCol).localCheckpoint()
+        phase("signatures")
         val fresh =
           if (!Dedup.signatureIndexExists(indexDir)) b
           else {
@@ -436,12 +448,15 @@ object Streaming {
         val keep = graft.ops.ConnectedComponents
           .keepRepresentatives(fresh, idCol, selfPairs)
           .localCheckpoint()
+        phase("probe+selfpairs+cluster")
         sink(keep, batchId)
+        phase("sink")
         Dedup.writeSignatureIndex(
           sigs.join(keep.select(col(idCol).as("id")), Seq("id"), "left_semi"),
           indexDir, batchId)
         // bound the small-files growth from one-file-per-batch appends
         Dedup.compactSignatureIndex(spark, indexDir, compactAfterFiles)
+        phase("index append+compact")
         ()
       }
       .start()

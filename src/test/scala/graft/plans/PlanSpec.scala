@@ -38,6 +38,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q81: 3-way top-k broadcasts the dimension side, pushes the segment filter, plans top-k") {
+    val p = formatted("q81_sql_3way_topk")
+    // customer (the selective dimension side) must broadcast
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the segment filter reaches the customer parquet scan
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    // ORDER BY + LIMIT plans as top-k, not a global sort
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // no decorrelation/join fallback to a nested loop
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q82: EXISTS/NOT EXISTS over the 4-way join decorrelate to semi/anti equi-joins") {
+    val p = formatted("q82_sql_4way_exists")
+    assert(p.contains("LeftSemi"), "EXISTS must plan as a left-semi join:\n" + p)
+    assert(p.contains("LeftAnti"), "NOT EXISTS must plan as a left-anti join:\n" + p)
+    // all four base joins + both subquery joins are equi-joins — a
+    // nested-loop anywhere means decorrelation failed and the plan is
+    // O(n^2) at scale
+    assert(!p.contains("NestedLoop"), p)
+    // nation (4-row dimension) broadcasts
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = formatted("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
