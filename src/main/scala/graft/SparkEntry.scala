@@ -2924,6 +2924,46 @@ object SparkEntry {
       graft.ops.Hierarchy.depthAndRoot(edges, keys)
         .orderBy("v")
     }),
+    "q83_grouping_sets" -> ((s, d) => {
+      // multi-granularity aggregation in ONE pass — GROUPING SETS with
+      // GROUPING() markers as one shared SQL text both engines run
+      // (detail, per-nation subtotal, grand total). Catalyst plans this
+      // as a single Expand + aggregate (one scan, one shuffle — not
+      // three scans unioned), the §2.4 rollup surface a warehouse runs
+      // constantly. COALESCE names the subtotal rows so no NULLs reach
+      // the hash gate.
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      s.sql(sqlGroupingSetsSql)
+    }),
+    "q84_kcore" -> ((s, d) => {
+      // k-core decomposition (Graph.kCoreness, distributed peeling) over
+      // a PLANTED graph with closed-form coreness: each full block of 8
+      // part keys carries an m-clique (m = 3 + block%6) on its first m
+      // positions plus a path chaining the remaining positions off the
+      // clique's last member. Clique members peel together in phase m
+      // (coreness m−1); path vertices cascade out in phase 2 (coreness
+      // 1) — the generic peeling engine must recover the closed form
+      // CASE pos < m THEN m−1 ELSE 1 the oracle states. Partial tail
+      // blocks are excluded so the closed form stays total.
+      val n = t(s, d, "part").count()
+      val full = (n / 8) * 8
+      val vv = t(s, d, "part")
+        .select(col("p_partkey").cast("long").as("v"))
+        .filter(col("v") < full)
+        .select(col("v"), expr("v div 8").as("b"), (col("v") % 8).as("p"),
+          expr("3 + (v div 8) % 6").as("m"))
+      val cl = vv.filter(col("p") < col("m"))
+      val cliqueEdges = cl.select(col("b"), col("p").as("p1"), col("v").as("src"))
+        .join(cl.select(col("b"), col("p").as("p2"), col("v").as("dst")), Seq("b"))
+        .filter(col("p1") < col("p2"))
+        .select("src", "dst")
+      val pathEdges = vv.filter(col("p") >= col("m") - 1 && col("p") < 7)
+        .select(col("v").as("src"), (col("v") + 1).as("dst"))
+      graft.ops.Graph.kCoreness(cliqueEdges.unionByName(pathEdges))
+        .orderBy("v")
+    }),
     "q78_sql_subqueries" -> ((s, d) => {
       // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
       // NOT EXISTS and two correlated scalar subqueries in one
@@ -3686,6 +3726,22 @@ object SparkEntry {
       |  AND n.n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3')
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
+
+  /** q83: one SQL text, two engines — GROUPING SETS at three
+    * granularities with GROUPING() markers; COALESCE names subtotal rows
+    * ('ALL') so the hash gate sees no NULL grouping keys. */
+  private val sqlGroupingSetsSql: String =
+    """SELECT COALESCE(n.n_name, 'ALL') AS nation,
+      |  COALESCE(o.o_orderstatus, 'ALL') AS status,
+      |  CAST(GROUPING(n.n_name) AS INT) * 2 +
+      |    CAST(GROUPING(o.o_orderstatus) AS INT) AS gid,
+      |  CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  ROUND(SUM(o.o_totalprice), 2) AS total
+      |FROM orders o
+      |JOIN customer c ON c.c_custkey = o.o_custkey
+      |JOIN nation n ON n.n_nationkey = c.c_nationkey
+      |GROUP BY GROUPING SETS ((n.n_name, o.o_orderstatus), (n.n_name), ())
+      |ORDER BY gid, nation, status""".stripMargin
 
   /** d52 + d54 shared corpus-checksum oracle: counts, exact char sums and
     * DISTINCT text md5s per (lang, source) — any corruption in a
@@ -5969,6 +6025,16 @@ object SparkEntry {
     "q78_sql_subqueries" -> sqlSubqueriesSql,
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
+    "q83_grouping_sets" -> sqlGroupingSetsSql,
+    // q84: the planted block-clique+path graph's coreness is known in
+    // closed form — clique position => m-1, path position => 1.
+    "q84_kcore" ->
+      """SELECT p_partkey AS v,
+        |  CAST(CASE WHEN p_partkey % 8 < 3 + (p_partkey // 8) % 6
+        |       THEN 2 + (p_partkey // 8) % 6 ELSE 1 END AS BIGINT) AS coreness
+        |FROM part
+        |WHERE p_partkey < (SELECT (COUNT(*) // 8) * 8 FROM part)
+        |ORDER BY v""".stripMargin,
     // q79: the binary forest parent(k) = k/2 has closed-form subtree
     // sums — descendants of v at depth j are the consecutive range
     // [v·2^j, v·2^j + 2^j − 1] ∩ [1, n], so each level contributes one

@@ -631,4 +631,69 @@ object Graph {
     }
     comp.toSeq.toDF("v", "component")
   }
+
+  /**
+   * K-core decomposition: per-vertex CORENESS — the largest k such that
+   * the vertex survives in the k-core (the maximal subgraph where every
+   * vertex keeps degree ≥ k). The standard web/link-graph quality signal
+   * for a crawl pipeline: low-coreness vertices are fringe/orphan pages,
+   * a high-coreness set is the densely interlinked hub mass (and the
+   * cheap dense-subgraph proxy for link-spam farms).
+   *
+   * Distributed PEELING over the undirected edge list ([[canonicalEdges]]
+   * normalization): for k = 1, 2, … cascade-delete every vertex whose
+   * CURRENT degree is < k until fixpoint; a vertex deleted during phase k
+   * has coreness k−1. Per round: one degree aggregation (map-side
+   * combinable) + two anti-joins to drop peeled endpoints — all
+   * equi-shuffles on vertex keys, AQE-splittable, no all-pairs anywhere.
+   * `localCheckpoint` truncates the iterative lineage per round (the
+   * CC/PageRank contract). Round count = Σ_k (cascade depth of phase k),
+   * bounded by `maxRounds` with a LOUD fail: a long path peels O(length/2)
+   * rounds from both ends — the same diameter caveat SCC documents — while
+   * real web graphs cascade shallowly per phase. Integer-only state, so
+   * the result is engine-portable with no fold-order contract.
+   *
+   * @return (v, coreness) — one row per vertex appearing in `edges`
+   */
+  def kCoreness(edges: DataFrame, maxK: Int = 128,
+                maxRounds: Int = 512): DataFrame = {
+    val spark = edges.sparkSession
+    var e = canonicalEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))).localCheckpoint()
+    var remaining = e.select(col("src").as("v"))
+      .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
+    // accumulate per-phase peels as already-checkpointed slices; one final
+    // union keeps the plan a shallow union tree (the subtreeSum pattern)
+    val peels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var k = 1
+    var rounds = 0
+    while (!remaining.isEmpty) {
+      rounds += 1
+      require(rounds <= maxRounds,
+        s"kCoreness: $maxRounds peel rounds exhausted at k=$k — " +
+          "pathologically deep cascade (long-path graph) or maxRounds too small")
+      val deg = e.select(col("src").as("v"))
+        .union(e.select(col("dst").as("v")))
+        .groupBy("v").agg(count(lit(1)).as("__deg"))
+      val peel = remaining.join(deg, Seq("v"), "left")
+        .filter(coalesce(col("__deg"), lit(0L)) < k)
+        .select("v").localCheckpoint()
+      if (peel.isEmpty) {
+        k += 1
+        require(k <= maxK,
+          s"kCoreness: coreness exceeds maxK=$maxK — raise the bound")
+      } else {
+        peels += peel.withColumn("coreness", lit((k - 1).toLong))
+        remaining = remaining.join(peel, Seq("v"), "left_anti").localCheckpoint()
+        e = e
+          .join(peel.select(col("v").as("src")), Seq("src"), "left_anti")
+          .join(peel.select(col("v").as("dst")), Seq("dst"), "left_anti")
+          .localCheckpoint()
+      }
+    }
+    if (peels.isEmpty)
+      spark.range(0).select(col("id").as("v"), col("id").as("coreness"))
+    else peels.reduce(_ unionByName _)
+  }
 }

@@ -21,6 +21,51 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("kCoreness: cliques, bridge, cascading path, brute-force cross-check") {
+    // K4 (1-4) -- bridge -- K3 (5-7), with a path 7-8-9-10 hanging off K3
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L), // K4
+      (4L, 5L),                                                  // bridge
+      (5L, 6L), (5L, 7L), (6L, 7L),                              // K3
+      (7L, 8L), (8L, 9L), (9L, 10L))                             // path
+    val got = Graph.kCoreness(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    // the bridge raises degree but NOT coreness; the path cascades out at
+    // phase 2 from the far end
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L,
+      5L -> 2L, 6L -> 2L, 7L -> 2L, 8L -> 1L, 9L -> 1L, 10L -> 1L), got)
+
+    // brute-force cross-check on a pseudo-random sparse graph: coreness(v)
+    // = max k with v in the iteratively-trimmed k-core
+    val rnd = (0 until 120).map { i =>
+      val a = (i * 37 + 11) % 30; val b = (i * i * 13 + 7) % 30
+      (a.toLong, b.toLong)
+    }.filter(p => p._1 != p._2)
+    def bruteCore(es: Set[(Long, Long)]): Map[Long, Long] = {
+      val adj0 = es.flatMap(p => Seq(p, p.swap)).groupBy(_._1)
+        .map { case (v, ps) => v -> ps.map(_._2) }
+      val core = scala.collection.mutable.Map.empty[Long, Long]
+      var alive = adj0.keySet
+      var k = 1L
+      while (alive.nonEmpty) {
+        var changed = true
+        while (changed) {
+          val drop = alive.filter(v => adj0(v).count(alive) < k)
+          changed = drop.nonEmpty
+          drop.foreach { v => core(v) = k - 1 }
+          alive = alive -- drop
+        }
+        k += 1
+      }
+      core.toMap
+    }
+    val canonical = rnd.map(p => (math.min(p._1, p._2), math.max(p._1, p._2))).toSet
+    val expected = bruteCore(canonical)
+    val got2 = Graph.kCoreness(rnd.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    assert(got2 == expected, s"diff: ${got2.toSet diff expected.toSet}")
+  }
+
   test("triangleCount: known small graphs") {
     // one triangle
     assert(count(Seq((1L, 2L), (2L, 3L), (1L, 3L))) == 1L)

@@ -62,6 +62,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q83: grouping sets plan as ONE Expand + aggregate, not three unioned scans") {
+    val p = formatted("q83_grouping_sets")
+    assert(p.contains("Expand"), "grouping sets must plan via Expand:\n" + p)
+    assert(!p.contains("Union"), "multi-granularity agg must not re-scan per set:\n" + p)
+    // orders is scanned exactly once
+    assert("orders\\.parquet".r.findAllIn(p).size <= 2, // scan node + its detail line
+      "orders scanned more than once:\n" + p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = formatted("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
