@@ -626,6 +626,35 @@ object ScaleBench {
       println(f"""{"metric":"scale_scc","vertices":$nv,"sccs":${(nScc + 7) / 8},"mislabelled":$bad,"sec":$secs18%.2f,"verts_per_sec":${(nv / secs18).toLong}}""")
     }
 
+    if (sel("kcore")) {
+      // k-core peeling at scale, planted q84 shape: per 8-vertex block an
+      // m-clique (m = 3 + block%6) + a ≤5-vertex path hanging off it, so
+      // the cascade depth per phase is bounded (the documented long-path
+      // caveat does NOT apply to this shape) and coreness is known in
+      // closed form for an exact planted check at 2M vertices.
+      val nK = math.min(nTiles * 2, 2000000L)
+      val full = (nK / 8) * 8
+      val vvK = spark.range(full).select(col("id").as("v"),
+          expr("id div 8").as("b"), (col("id") % 8).as("p"),
+          expr("3 + (id div 8) % 6").as("m"))
+        .repartition(cpus.toInt * 4)
+      val clK = vvK.filter(col("p") < col("m"))
+      val cliqueE = clK.select(col("b"), col("p").as("p1"), col("v").as("src"))
+        .join(clK.select(col("b"), col("p").as("p2"), col("v").as("dst")), Seq("b"))
+        .filter(col("p1") < col("p2")).select("src", "dst")
+      val pathE = vvK.filter(col("p") >= col("m") - 1 && col("p") < 7)
+        .select(col("v").as("src"), (col("v") + 1).as("dst"))
+      val t19 = System.nanoTime()
+      val core = graft.ops.Graph.kCoreness(cliqueE.unionByName(pathE))
+      val badK = core.filter(col("coreness") =!=
+        expr("CASE WHEN v % 8 < 3 + (v div 8) % 6 THEN 2 + (v div 8) % 6 ELSE 1 END")).count()
+      val nvK = core.count()
+      val secs19 = (System.nanoTime() - t19) / 1e9
+      require(badK == 0, s"kcore planted check failed: $badK mislabelled vertices")
+      require(nvK == full, s"kcore emitted $nvK of $full vertices")
+      println(f"""{"metric":"scale_kcore","vertices":$full,"bad":$badK,"sec":$secs19%.2f,"vertices_per_sec":${(full / secs19).toLong}}""")
+    }
+
     if (sel("hierarchy")) {
       // subtree rollup at scale (q79's operator): the parent(k) = k/2
       // forest over 2M nodes is ~21 levels deep, so the upward

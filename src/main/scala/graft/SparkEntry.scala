@@ -1000,6 +1000,28 @@ object SparkEntry {
         .withColumn("payload", png(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m08_png_resize" -> ((s, d) => {
+      // PNG decode → nearest-neighbour resize → re-encode → decode,
+      // end-to-end (decodePng + resizeImages + imageStats): the oracle
+      // replays the RESIZED channel sums by composing the closed-form
+      // pixel formula with the integer resample mapping sx = (x'·w)/w2,
+      // sy = (y'·h)/h2 — so the whole codec chain (inflate, filter
+      // reversal, resample arithmetic, P6 re-encode) must agree with
+      // exact integer arithmetic in a second engine.
+      import s.implicits._
+      val png = udf((id: Long) => graft.llm.Multimodal.syntheticPng(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", png(col("media_id")))
+        .withColumn("meta", struct(
+          lit("image").as("media_type"), lit("png").as("format"),
+          (col("media_id") % 9 + 8).cast("int").as("width"),
+          (col("media_id") % 6 + 5).cast("int").as("height"),
+          lit(null).cast("long").as("duration_ms")))
+      graft.llm.Multimodal.imageStats(
+          graft.llm.Multimodal.resizeImages(media, maxDim = 6))
+        .orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -4455,6 +4477,30 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(range(i.h)) AS y) y,
         |  LATERAL (SELECT unnest(range(i.w)) AS x) x
         |GROUP BY i.media_id ORDER BY i.media_id""".stripMargin,
+    // m08: resized-PNG channel sums — compose the m07 pixel formula with
+    // the integer nearest-neighbour mapping (round-half-up dims via the
+    // (2·d·maxDim + m) / (2m) rational, source pixel (x'·w)//w2); all
+    // divisions are positive-integer floor divisions in both engines.
+    "m08_png_resize" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    8 + p_partkey % 9 AS w, 5 + p_partkey % 6 AS h
+        |  FROM part WHERE p_partkey <= 300
+        |), d2 AS (
+        |  SELECT media_id, w, h,
+        |    GREATEST((2 * w * 6 + GREATEST(w, h)) // (2 * GREATEST(w, h)), 1) AS w2,
+        |    GREATEST((2 * h * 6 + GREATEST(w, h)) // (2 * GREATEST(w, h)), 1) AS h2
+        |  FROM img
+        |)
+        |SELECT d.media_id,
+        |  CAST(MAX(d.w2) AS INT) AS width, CAST(MAX(d.h2) AS INT) AS height,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((d.media_id * 7 + ((y.y * d.h) // d.h2) * 11 + ((x.x * d.w) // d.w2) * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |FROM d2 d,
+        |  LATERAL (SELECT unnest(range(d.h2)) AS y) y,
+        |  LATERAL (SELECT unnest(range(d.w2)) AS x) x
+        |GROUP BY d.media_id ORDER BY d.media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,
