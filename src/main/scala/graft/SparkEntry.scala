@@ -687,6 +687,20 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v08_mmr_rerank" -> ((s, d) => {
+      // MMR diversified re-rank (Similarity.mmrRerank): greedy
+      // λ·relevance − (1−λ)·max-sim-to-picked over each query's top-8
+      // candidate pool, k = 3 picks. The oracle unrolls the 3 greedy
+      // steps in SQL over the identical fold-order cosines (λ = 0.5 is
+      // dyadic, every score op IEEE exactly-rounded), so a divergent
+      // pick order anywhere breaks the hash — only ids and pick ranks
+      // are emitted.
+      val emb = t(s, d, "embeddings")
+      val cands = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 10), k = 8)
+      Similarity.mmrRerank(cands, emb, k = 3, lambda = 0.5)
+        .orderBy("query_id", "pick")
+    }),
     "v02_ann_lsh" -> ((s, d) => {
       // LSH parameters sized to the corpus (500-2k vectors -> 2^5 buckets)
       // with Hamming-1 multiprobe: measured recall is 1.0 at every SF, so
@@ -4543,6 +4557,66 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // v08: the 3 greedy MMR steps unrolled — p1 = argmax rel, then each
+    // step scores 0.5·rel − 0.5·max(sim to picked) over the survivors
+    // (identical fold-order cosines, dyadic λ ⇒ every score op IEEE
+    // exactly-rounded) with min-id tie-break. Only ids/picks survive.
+    "v08_mmr_rerank" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), topn AS (
+        |  SELECT query_id, neighbor_id, cosine FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM scored) WHERE rn <= 8
+        |), sim AS (
+        |  SELECT a.query_id, a.neighbor_id AS ca, b.neighbor_id AS cb,
+        |    list_reduce(list_apply(list_zip(ea.embedding, eb.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(ea.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a2, b2) -> a2 + b2))
+        |       * sqrt(list_reduce(list_apply(eb.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a2, b2) -> a2 + b2))) AS s
+        |  FROM topn a JOIN topn b ON a.query_id = b.query_id AND a.neighbor_id <> b.neighbor_id
+        |  JOIN embeddings ea ON ea.vec_id = a.neighbor_id
+        |  JOIN embeddings eb ON eb.vec_id = b.neighbor_id
+        |), p1 AS (
+        |  SELECT query_id, neighbor_id AS s1 FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+        |    FROM topn) WHERE rn = 1
+        |), c2 AS (
+        |  SELECT t.query_id, t.neighbor_id, 0.5 * t.cosine - 0.5 * s.s AS score
+        |  FROM topn t
+        |  JOIN p1 ON p1.query_id = t.query_id AND t.neighbor_id <> p1.s1
+        |  JOIN sim s ON s.query_id = t.query_id AND s.ca = t.neighbor_id AND s.cb = p1.s1
+        |), p2 AS (
+        |  SELECT query_id, neighbor_id AS s2 FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM c2) WHERE rn = 1
+        |), c3 AS (
+        |  SELECT t.query_id, t.neighbor_id,
+        |    0.5 * t.cosine - 0.5 * GREATEST(sa.s, sb.s) AS score
+        |  FROM topn t
+        |  JOIN p1 ON p1.query_id = t.query_id
+        |  JOIN p2 ON p2.query_id = t.query_id
+        |  JOIN sim sa ON sa.query_id = t.query_id AND sa.ca = t.neighbor_id AND sa.cb = p1.s1
+        |  JOIN sim sb ON sb.query_id = t.query_id AND sb.ca = t.neighbor_id AND sb.cb = p2.s2
+        |  WHERE t.neighbor_id <> p1.s1 AND t.neighbor_id <> p2.s2
+        |), p3 AS (
+        |  SELECT query_id, neighbor_id AS s3 FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn
+        |    FROM c3) WHERE rn = 1
+        |)
+        |SELECT query_id, 1 AS pick, s1 AS neighbor_id FROM p1
+        |UNION ALL SELECT query_id, 2, s2 FROM p2
+        |UNION ALL SELECT query_id, 3, s3 FROM p3
+        |ORDER BY query_id, pick""".stripMargin,
     "v01_ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -345,4 +345,84 @@ object Similarity {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /**
+   * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+   * SIGIR'98) over each query's candidate set: greedily pick `k` of the
+   * candidates maximizing `λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)` —
+   * the diversified-retrieval selection a RAG context builder or
+   * eval-set sampler runs AFTER ANN, so near-identical candidates don't
+   * all make the window.
+   *
+   * Scale shape: `candidates` is output-bound (top-N per query from
+   * [[bruteForceTopK]] / [[lshBucketedTopK]] / IVF), so the
+   * candidate-pair sim matrix is ≤ N²/2 narrow rows per query via one
+   * equi-join on query_id, and the greedy selection is per-query local
+   * work over ≤ N rows (`cogroup` of rel and sim streams) — distributed
+   * across queries, no global state, vectors never cross an exchange
+   * after the sim join. Doubles stay ENGINE-PORTABLE: rel/sim use the
+   * shared fold-order dot ([[dotFast]], the v01 contract) and a dyadic
+   * `lambda` (0.5 default) keeps every score op exactly-rounded, so an
+   * external oracle replays the same picks bit-for-bit; ties break by
+   * ascending candidate id. Only ids and ranks are emitted.
+   *
+   * @param candidates (query_id, neighbor_id, cosine) — the relevance-
+   *                   ranked candidate pool per query
+   * @return (query_id, pick, neighbor_id), pick = 1-based selection order
+   */
+  def mmrRerank(candidates: DataFrame, embeddings: DataFrame, k: Int,
+                lambda: Double = 0.5, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__v"), normFast(col(vecCol)).as("__n"))
+    val cand = candidates.join(emb, Seq("neighbor_id"))
+    val aSide = cand.select(col("query_id"), col("neighbor_id").as("id_a"),
+      col("__v").as("va"), col("__n").as("na"))
+    val bSide = cand.select(col("query_id"), col("neighbor_id").as("id_b"),
+      col("__v").as("vb"), col("__n").as("nb"))
+    val pairSims = aSide.join(bSide, Seq("query_id"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("query_id"), col("id_a"), col("id_b"),
+        cosineFromParts(dotFast(col("va"), col("vb")),
+          col("na"), col("nb")).as("sim"))
+      .filter(col("sim").isNotNull)
+    val relByQ = candidates.select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"), col("cosine").cast("double"))
+      .as[(Long, Long, Double)].groupByKey(_._1)
+    val simByQ = pairSims.select(col("query_id").cast("long"),
+        col("id_a").cast("long"), col("id_b").cast("long"),
+        col("sim").cast("double"))
+      .as[(Long, Long, Long, Double)].groupByKey(_._1)
+    relByQ.cogroup(simByQ) { (q, rels, sims) =>
+      // ascending-id candidate order makes the strict `>` comparison a
+      // deterministic min-id tie-break (ORDER BY score DESC, id)
+      val rel = rels.map(r => r._2 -> r._3).toArray.sortBy(_._1)
+      val simMap = sims.map(s => (s._2, s._3) -> s._4).toMap
+      def simOf(x: Long, y: Long): Double =
+        if (x < y) simMap.getOrElse((x, y), 0.0)
+        else simMap.getOrElse((y, x), 0.0)
+      val picked = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Int, Long)]
+      var r = 1
+      while (r <= k && picked.length < rel.length) {
+        var bestId = -1L
+        var bestScore = Double.NegativeInfinity
+        rel.foreach { case (c, relC) =>
+          if (!picked.contains(c)) {
+            val div =
+              if (picked.isEmpty) 0.0
+              else picked.iterator.map(s => simOf(c, s)).max
+            val score = lambda * relC - (1 - lambda) * div
+            if (score > bestScore) { bestScore = score; bestId = c }
+          }
+        }
+        picked += bestId
+        out += ((q, r, bestId))
+        r += 1
+      }
+      out.iterator
+    }.toDF("query_id", "pick", "neighbor_id")
+  }
 }

@@ -27,6 +27,31 @@ class SimilaritySpec extends SparkSpec {
     assert(nn == 1L)
   }
 
+  test("mmrRerank: diversity flips the second pick away from a near-duplicate") {
+    // query 0 at e1; candidates: 1 ≈ e1 (rel ≈ .995), 2 = copy of 1
+    // (rel ≈ .995 but sim(1,2) = 1), 3 off-axis (rel .8, sim(1,3) ≈ .74).
+    // Pure relevance picks (1, 2, 3); MMR at λ=0.5 must pick 3 second:
+    // score(2|{1}) = .5·.995 − .5·1 ≈ −.003 < score(3|{1}) = .5·.8 −
+    // .5·.74 ≈ +.03
+    val df = Seq(
+      (0L, vec(1, 0, 0)),
+      (1L, vec(1, 0.1, 0)),
+      (2L, vec(1, 0.1, 0)),
+      (3L, vec(0.8, -0.6, 0))).toDF("vec_id", "embedding")
+    val cands = Similarity.bruteForceTopK(df, df.filter($"vec_id" === 0), k = 3)
+    val picks = Similarity.mmrRerank(cands, df, k = 3)
+      .orderBy("pick").select("neighbor_id").as[Long].collect().toSeq
+    assert(picks == Seq(1L, 3L, 2L), s"got $picks")
+    // λ=1 degenerates to pure relevance order (min-id tie-break on the copy)
+    val pure = Similarity.mmrRerank(cands, df, k = 3, lambda = 1.0)
+      .orderBy("pick").select("neighbor_id").as[Long].collect().toSeq
+    assert(pure == Seq(1L, 2L, 3L), s"got $pure")
+    // k capped by the candidate pool
+    val few = Similarity.mmrRerank(cands, df, k = 10)
+      .select("pick").as[Int].collect().toSeq.sorted
+    assert(few == Seq(1, 2, 3))
+  }
+
   test("hard-negative mining: same-label candidates excluded, nearest other-label wins") {
     val rng = new scala.util.Random(2)
     val base = (1 to 40).map(i =>
