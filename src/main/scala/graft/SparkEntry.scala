@@ -1550,6 +1550,59 @@ object SparkEntry {
           n = 3, hashGrams = false)
         .orderBy(col("doc_id"))
     }),
+    "d59_fuzzy_decontam" -> ((s, d) => {
+      // FUZZY decontamination (Decontamination.fuzzyContamination): every
+      // ~7th doc plays the eval set; training docs whose md5-minhash
+      // signatures agree with an eval doc's on >= 4 of 8 functions (est
+      // Jaccard >= 0.5) are flagged as paraphrased leakage — the
+      // near-match complement of d22's exact n-gram screen. Broadcast
+      // eval signatures, narrow corpus shingle pass, (k, sig) equi-join —
+      // the oracle replays the exact pair set via the d19 portable-
+      // signature contract.
+      val docs = t(s, d, "documents")
+      Decontamination.fuzzyContamination(
+          docs.filter(col("doc_id") % 7 =!= 3),
+          docs.filter(col("doc_id") % 7 === 3))
+        .orderBy(col("doc_id"), col("eval_id"))
+    }),
+    "s23_stream_fuzzy_decontam" -> ((s, d) => {
+      // STREAMING fuzzy decontamination: the eval-set signatures are
+      // STATIC (checkpointed once, broadcast into every batch's screen)
+      // while training documents arrive in 3 microbatches; each batch is
+      // screened independently — the per-doc screen is batching-
+      // insensitive — and flagged pairs land under out/batch=<id>
+      // (mode overwrite ⇒ crash-replay idempotent, the s16 contract).
+      // Converged union ≡ batch d59, shared oracle verbatim. This is the
+      // ingest-time shape: eval sets change rarely, the corpus streams.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val docs = t(ss, d, "documents")
+      val evalDocs = docs.filter(col("doc_id") % 7 === 3).localCheckpoint()
+      val train = docs.filter(col("doc_id") % 7 =!= 3)
+      val root = java.nio.file.Files.createTempDirectory("s23").toString
+      (0 until 3).foreach { b =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          train.filter(col("doc_id") % 3 === b), s"$root/in", b)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      stream.writeStream
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          graft.llm.Decontamination.fuzzyContamination(batch, evalDocs)
+            .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
+          ()
+        }
+        .start().awaitTermination()
+      ss.read.parquet(s"$root/out")
+        .select(col("doc_id"), col("eval_id"), col("n_matching"))
+        .orderBy("doc_id", "eval_id")
+    }),
     "d23_pii_redact" -> ((s, d) => {
       // PII scrub: deterministic synthetic PII (emails/IPv4/phones keyed on
       // doc_id mods so the per-row counts VARY) appended to the corpus
@@ -3723,6 +3776,27 @@ object SparkEntry {
       |      AND o.o_totalprice < 10000)
       |ORDER BY c.c_custkey""".stripMargin
 
+  /** d59 + s23 (stream ≡ batch) fuzzy-decontamination oracle: the d19
+    * portable md5-minhash contract over a train×eval split. */
+  private val fuzzyDecontamOracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+      |  FROM documents
+      |), g AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS grams
+      |  FROM tk WHERE len(t) > 1
+      |), banded AS (
+      |  SELECT doc_id, k,
+      |    list_min(list_transform(grams, x -> md5(CAST(k AS VARCHAR) || '|' || x))) AS sig
+      |  FROM g, (SELECT unnest(range(0, 8)) AS k)
+      |)
+      |SELECT tr.doc_id, ev.doc_id AS eval_id, CAST(COUNT(*) AS BIGINT) AS n_matching
+      |FROM banded tr JOIN banded ev ON tr.k = ev.k AND tr.sig = ev.sig
+      |WHERE tr.doc_id % 7 <> 3 AND ev.doc_id % 7 = 3
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 4
+      |ORDER BY 1, 2""".stripMargin
+
   /** q81: one SQL text, two engines — TPC-H Q3's 3-way join + grouped
     * revenue + top-k. ROUND(,2) on the double sum is the q03-proven
     * cross-engine contract; the (revenue DESC, l_orderkey) sort makes
@@ -5161,6 +5235,14 @@ object SparkEntry {
         |FROM banded a JOIN banded b ON a.k = b.k AND a.sig = b.sig AND a.doc_id < b.doc_id
         |GROUP BY 1, 2 HAVING COUNT(*) >= 4
         |ORDER BY id_a, id_b""".stripMargin,
+    // d59: the d19 portable-signature contract over a train×eval split —
+    // n_matching stays BIGINT (DuckDB COUNT) matching Spark's count
+    "d59_fuzzy_decontam" -> fuzzyDecontamOracleSql,
+    // s23 screens the same training corpus one microbatch at a time
+    // against the static broadcast eval signatures; the screen is per-doc
+    // independent (batching-insensitive), so the converged union shares
+    // d59's oracle verbatim.
+    "s23_stream_fuzzy_decontam" -> fuzzyDecontamOracleSql,
     // closure by recursive CTE: tiny here, but the point of the Spark side
     // (large-star/small-star) is exactly that closure-by-joins does NOT
     // scale — the oracle pins the semantics, the operator owns the scale

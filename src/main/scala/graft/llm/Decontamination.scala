@@ -92,4 +92,53 @@ object Decontamination {
     // that makes decontamination cheap (contamination is rare)
     corpus.join(broadcast(dirty), Seq(idCol), "left_anti")
   }
+
+  /**
+   * FUZZY decontamination: training documents whose minhash-estimated
+   * Jaccard against an eval document crosses `minMatching / numFuncs` —
+   * the near-match complement of [[contaminationStats]]'s exact n-gram
+   * collision, catching PARAPHRASED/reformatted eval leakage (whitespace
+   * tweaks, re-punctuation, light edits) that exact 13-gram matching
+   * misses entirely.
+   *
+   * Signatures are the ENGINE-PORTABLE md5-over-word-2-gram minima (the
+   * d19 contract: per function k, sig = min over grams of
+   * md5("k|" ++ gram), min by hex-string order), so an external oracle
+   * replays the flagged pair set bit-for-bit. The fast production
+   * variant of the same screen is [[Dedup.minhashLshAgainstIndex]] with
+   * the eval set as the persisted index (xxhash64 signatures, banded
+   * buckets) — use that at 100 TB; this formulation proves the
+   * algorithm. Scale shape here: the eval side is small (eval sets are
+   * thousands of docs) → its banded signatures BROADCAST; the corpus is
+   * shingled in one narrow pass and the (k, sig) equi-join touches only
+   * colliding signatures — no corpus self-join anywhere.
+   *
+   * @return (idCol, eval_id, n_matching) — one row per (train doc, eval
+   *         doc) pair with `n_matching >= minMatching` of the `numFuncs`
+   *         signature functions agreeing
+   */
+  def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
+                         idCol: String = "doc_id", textCol: String = "text",
+                         numFuncs: Int = 8, minMatching: Int = 4): DataFrame = {
+    require(minMatching >= 1 && minMatching <= numFuncs,
+      s"minMatching=$minMatching must be in [1, numFuncs=$numFuncs]")
+    def banded(df: DataFrame, outId: String): DataFrame = {
+      val toks = TextAnalysis.tokens(col(textCol))
+      val grams = array_distinct(zip_with(
+        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+        (a, b) => concat_ws(" ", a, b)))
+      val sigs = (0 until numFuncs).map { k =>
+        array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
+      }
+      df.filter(size(toks) > 1)
+        .select(col(idCol).as(outId), grams.as("__grams"))
+        .select(col(outId), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
+    }
+    val ev = broadcast(banded(benchmark, "eval_id"))
+    banded(corpus, idCol)
+      .join(ev, Seq("k", "sig"))
+      .groupBy(col(idCol), col("eval_id"))
+      .agg(count(lit(1)).as("n_matching"))
+      .filter(col("n_matching") >= minMatching)
+  }
 }
