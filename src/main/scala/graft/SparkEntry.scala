@@ -3053,6 +3053,24 @@ object SparkEntry {
       graft.ops.Graph.kCoreness(cliqueEdges.unionByName(pathEdges))
         .orderBy("v")
     }),
+    "q85_gapfill_interpolate" -> ((s, d) => {
+      // time-series gap fill + linear interpolation (ops/GapFill): daily
+      // high-value sums per event_type are sparse (~30% missing days);
+      // the series densifies to each type's full day range and interior
+      // gaps interpolate between observed neighbours. Inputs are rounded
+      // BEFORE interpolation (the q01 double-sum contract), and the
+      // interpolation expression is one fixed IEEE op tree, so the
+      // filled doubles replay bit-for-bit in the oracle's window twin.
+      val daily = t(s, d, "events")
+        .filter(col("value") > 190)
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), lit("2024-01-01")).as("day"))
+        .agg(round(sum(col("value")), 2).as("v"))
+      graft.ops.GapFill.fillInterpolate(daily, Seq("event_type"), "day", "v")
+        .select(col("event_type"), col("day").cast("int").as("day"),
+          round(col("v"), 4).as("v"), col("filled"))
+        .orderBy("event_type", "day")
+    }),
     "q78_sql_subqueries" -> ((s, d) => {
       // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
       // NOT EXISTS and two correlated scalar subqueries in one
@@ -6228,6 +6246,40 @@ object SparkEntry {
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q83_grouping_sets" -> sqlGroupingSetsSql,
+    // q85: spine + two IGNORE NULLS neighbour windows + the same fixed
+    // interpolation tree over the same ROUND(,2)-pinned daily sums
+    "q85_gapfill_interpolate" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |    date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS day,
+        |    ROUND(SUM(value), 2) AS v
+        |  FROM events WHERE value > 190 GROUP BY 1, 2
+        |), spine AS (
+        |  SELECT event_type, unnest(range(lo, hi + 1)) AS day
+        |  FROM (SELECT event_type, MIN(day) AS lo, MAX(day) AS hi
+        |        FROM daily GROUP BY 1)
+        |), j AS (
+        |  SELECT s.event_type, s.day, d.v
+        |  FROM spine s LEFT JOIN daily d
+        |    ON d.event_type = s.event_type AND d.day = s.day
+        |), w AS (
+        |  SELECT event_type, day, v,
+        |    LAST_VALUE(v IGNORE NULLS) OVER pw AS pv,
+        |    LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER pw AS pb,
+        |    FIRST_VALUE(v IGNORE NULLS) OVER nw AS nv,
+        |    FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER nw AS nb
+        |  FROM j
+        |  WINDOW pw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |  nw AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_type, CAST(day AS INT) AS day,
+        |  ROUND(CASE WHEN v IS NOT NULL THEN v
+        |    ELSE pv + (nv - pv) * CAST(day - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE)
+        |  END, 4) AS v,
+        |  v IS NULL AS filled
+        |FROM w ORDER BY event_type, day""".stripMargin,
     // q84: the planted block-clique+path graph's coreness is known in
     // closed form — clique position => m-1, path position => 1.
     "q84_kcore" ->

@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Time-series gap filling: densify a per-key bucketed series to its full
+ * bucket range and LINEARLY INTERPOLATE the missing interior buckets —
+ * the resample/`interpolate` step every metrics warehouse and
+ * feature-engineering pipeline runs on sparse series (sensor dropouts,
+ * days with no events) before window features are computed over them.
+ */
+object GapFill {
+
+  /**
+   * Fill each key's series to the dense bucket spine [min, max] and
+   * interpolate missing values between their observed neighbours:
+   * `v = pv + (nv − pv) · (b − pb) / (nb − pb)` (pv/nv = previous/next
+   * observed value, pb/nb their buckets). Spine edges are always observed
+   * (the spine is per-key min..max), so every gap is interior and the
+   * interpolation is total.
+   *
+   * Scale shape: the spine is one per-key min/max aggregate + a narrow
+   * `sequence` explode (no join against a global calendar), and both
+   * neighbour passes are two frames over ONE key-partitioned sort — a
+   * single shuffle on the keys, reused by both windows and the output
+   * order. Engine-portable by construction: the interpolation expression
+   * is one fixed tree of IEEE ops over already-rounded inputs, so an
+   * external oracle replays filled values bit-for-bit (q85).
+   *
+   * @param series one row per (keyCols, bucketCol) observation;
+   *               bucketCol integral (day index, hour index, …)
+   * @return (keyCols*, bucketCol, valueCol, filled) — dense; `filled`
+   *         marks interpolated rows
+   */
+  def fillInterpolate(series: DataFrame, keyCols: Seq[String],
+                      bucketCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "gap fill needs at least one key column")
+    val keys = keyCols.map(col)
+    val spine = series.groupBy(keys: _*)
+      .agg(min(col(bucketCol)).as("__lo"), max(col(bucketCol)).as("__hi"))
+      .select(keys :+ explode(sequence(col("__lo"), col("__hi"))).as(bucketCol): _*)
+    val joined = spine.join(
+      series.select(keys :+ col(bucketCol) :+ col(valueCol).as("__v"): _*),
+      keyCols :+ bucketCol, "left")
+    val ord = Window.partitionBy(keys: _*).orderBy(col(bucketCol))
+    val wPrev = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wNext = ord.rowsBetween(0, Window.unboundedFollowing)
+    joined
+      .withColumn("__pv", last(col("__v"), ignoreNulls = true).over(wPrev))
+      .withColumn("__pb",
+        last(when(col("__v").isNotNull, col(bucketCol)), ignoreNulls = true).over(wPrev))
+      .withColumn("__nv", first(col("__v"), ignoreNulls = true).over(wNext))
+      .withColumn("__nb",
+        first(when(col("__v").isNotNull, col(bucketCol)), ignoreNulls = true).over(wNext))
+      .withColumn("filled", col("__v").isNull)
+      .withColumn(valueCol,
+        when(col("__v").isNotNull, col("__v"))
+          .otherwise(col("__pv") + (col("__nv") - col("__pv")) *
+            (col(bucketCol) - col("__pb")).cast("double") /
+            (col("__nb") - col("__pb")).cast("double")))
+      .select(keys ++ Seq(col(bucketCol), col(valueCol), col("filled")): _*)
+  }
+}
