@@ -1603,6 +1603,31 @@ object SparkEntry {
         .select(col("doc_id"), col("eval_id"), col("n_matching"))
         .orderBy("doc_id", "eval_id")
     }),
+    "d60_url_canonical" -> ((s, d) => {
+      // URL canonicalization + fetch dedup (llm/Urls): deterministic
+      // MESSY synthetic URLs per doc (mixed-case scheme/host, default
+      // vs real ports, trailing slashes, utm_* tracking params,
+      // unordered query params, fragments — the d23 synthetic-PII
+      // pattern) canonicalize and dedup to (canonical_url, n_variants,
+      // keep_id). Pure built-in column ops — the oracle replays every
+      // normalization byte-for-byte, so a regex or sort divergence
+      // breaks the hash.
+      val id = col("doc_id")
+      val urls = t(s, d, "documents").select(id,
+        concat(
+          when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+          when(id % 3 === 0, concat(lit("WWW.SITE"), id % 50, lit(".COM")))
+            .otherwise(concat(lit("www.site"), id % 50, lit(".com"))),
+          when(id % 4 === 0, ":80")
+            .when(id % 4 === 1, ":8080").otherwise(""),
+          lit("/a/b"), id % 7,
+          when(id % 5 === 0, "/").otherwise(""),
+          when(id % 3 === 0, "?utm_source=x&b=2&a=1")
+            .when(id % 3 === 1, "?a=1&b=2").otherwise(""),
+          when(id % 6 === 0, "#sec").otherwise("")).as("url"))
+      graft.llm.Urls.dedupByCanonicalUrl(urls, "url", "doc_id")
+        .orderBy("canonical_url")
+    }),
     "d23_pii_redact" -> ((s, d) => {
       // PII scrub: deterministic synthetic PII (emails/IPv4/phones keyed on
       // doc_id mods so the per-row counts VARY) appended to the corpus
@@ -5256,6 +5281,40 @@ object SparkEntry {
     // d59: the d19 portable-signature contract over a train×eval split —
     // n_matching stays BIGINT (DuckDB COUNT) matching Spark's count
     "d59_fuzzy_decontam" -> fuzzyDecontamOracleSql,
+    // d60: the same synthetic messy-URL generator + the same
+    // normalization chain (fragment strip, lower scheme/host, default-
+    // port strip, trailing-slash collapse, utm filter, param sort) in
+    // DuckDB string/list primitives
+    "d60_url_canonical" ->
+      """WITH urls AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.SITE' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+        |          ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com' END) ||
+        |    (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+        |    '/a/b' || CAST(doc_id % 7 AS VARCHAR) ||
+        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+        |          WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents
+        |), parts AS (
+        |  SELECT doc_id, url,
+        |    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+([^?]*)', 1), '/+$', '') AS p0,
+        |    COALESCE(array_to_string(list_sort(list_filter(string_split(
+        |      regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '&'),
+        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS sq
+        |  FROM urls
+        |), canon AS (
+        |  SELECT doc_id,
+        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '') ||
+        |    (CASE WHEN p0 = '' THEN '/' ELSE p0 END) ||
+        |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
+        |  FROM parts
+        |)
+        |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(doc_id) AS keep_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
     // s23 screens the same training corpus one microbatch at a time
     // against the static broadcast eval signatures; the screen is per-doc
     // independent (batching-insensitive), so the converged union shares
