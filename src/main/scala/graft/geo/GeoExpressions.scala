@@ -295,17 +295,24 @@ object GeoExpressions {
 
 /**
  * SparkSessionExtensions installer:
- * `SparkSession.builder().withExtensions(new GraftExtensions)` — injects the
- * ST function family into every session built with it.
+ * `SparkSession.builder().withExtensions(new GraftExtensions)` — or
+ * `--conf spark.sql.extensions=graft.geo.GraftExtensions` on
+ * spark-submit — injects EVERYTHING the library adds to a session into
+ * every session on the cluster: the ST_ geometry family, the native
+ * text kernels (ws_token_count/simhash64/winnow_keys/normalize_text/
+ * jaro_winkler), and the broadcast spatial-join planner strategy. This
+ * is the one hook a cluster operator configures (README "Deploying on a
+ * real cluster"); nothing else needs per-session registration calls.
  */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
-    GeoExpressions.registry.foreach { case (name, builder) =>
-      e.injectFunction((
-        org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.geo.GeoExpressions", name),
-        builder))
-    }
+    (GeoExpressions.registry ++ graft.llm.TextExpressions.registry)
+      .foreach { case (name, builder) =>
+        e.injectFunction((
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft.geo.GeoExpressions", name),
+          builder))
+      }
     e.injectPlannerStrategy(_ => graft.plans.SpatialJoinStrategy)
   }
 }

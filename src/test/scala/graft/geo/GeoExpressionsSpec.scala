@@ -57,11 +57,16 @@ class GeoExpressionsSpec extends SparkSpec {
     assert(r.isNullAt(0))
   }
 
-  test("GraftExtensions wires every ST function into SparkSessionExtensions") {
+  test("GraftExtensions wires the ST AND text families into SparkSessionExtensions") {
     // a fresh session can't be built here (shared local context), but the
     // installer's injections must all be well-formed
     val e = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(e) // throws on malformed identifiers/builders
     assert(GeoExpressions.registry.size == 25)
+    // the text kernels ride the same installer — a spark-submit user gets
+    // them with no per-session register() call (README deploy recipe)
+    assert(graft.llm.TextExpressions.registry.map(_._1).toSet ==
+      Set("ws_token_count", "normalize_text", "jaro_winkler", "simhash64",
+        "winnow_keys"))
   }
 }
