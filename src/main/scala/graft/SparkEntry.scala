@@ -1628,6 +1628,51 @@ object SparkEntry {
       graft.llm.Urls.dedupByCanonicalUrl(urls, "url", "doc_id")
         .orderBy("canonical_url")
     }),
+    "s24_stream_url_dedup" -> ((s, d) => {
+      // STREAMING fetch-level URL dedup: the d60 canonicalization as a
+      // narrow projection ON the stream + a stateful min(doc_id)
+      // aggregation per canonical key, update mode, converged state read
+      // once from the checkpoint (the s22 statestore pattern) — the
+      // ingest-time shape: fetches arrive continuously, each batch emits
+      // only the keys it touched, and the final keep set is DETERMINISTIC
+      // under any batch split (min is order-free — a stateful
+      // dropDuplicates would pick arbitrarily within a batch). Kept set
+      // equals batch d60's keep_id column; the oracle replays exactly
+      // that projection.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val id = col("doc_id")
+      val urls = t(ss, d, "documents").select(id,
+        concat(
+          when(id % 2 === 0, "HTTP").otherwise("https"), lit("://"),
+          when(id % 3 === 0, concat(lit("WWW.SITE"), id % 50, lit(".COM")))
+            .otherwise(concat(lit("www.site"), id % 50, lit(".com"))),
+          when(id % 4 === 0, ":80")
+            .when(id % 4 === 1, ":8080").otherwise(""),
+          lit("/a/b"), id % 7,
+          when(id % 5 === 0, "/").otherwise(""),
+          when(id % 3 === 0, "?utm_source=x&b=2&a=1")
+            .when(id % 3 === 1, "?a=1&b=2").otherwise(""),
+          when(id % 6 === 0, "#sec").otherwise("")).as("url"))
+      val root = java.nio.file.Files.createTempDirectory("s24").toString
+      (0 until 3).foreach { b =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          urls.filter(id >= b * 200 && (id < (b + 1) * 200 || b == 2)),
+          s"$root/in", b)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("url", StringType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("canonical_url", graft.llm.Urls.canonicalizeUrl(col("url")))
+      val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
+        stream.groupBy("canonical_url").agg(min(col("doc_id")).as("keep_id")),
+        s"s24_url_${System.nanoTime()}",
+        java.nio.file.Files.createTempDirectory("s24ck").toString)
+      st.select(col("key.canonical_url").as("canonical_url"),
+          col("value.min").as("keep_id"))
+        .orderBy("canonical_url")
+    }),
     "d23_pii_redact" -> ((s, d) => {
       // PII scrub: deterministic synthetic PII (emails/IPv4/phones keyed on
       // doc_id mods so the per-row counts VARY) appended to the corpus
@@ -3840,6 +3885,40 @@ object SparkEntry {
       |GROUP BY 1, 2 HAVING COUNT(*) >= 4
       |ORDER BY 1, 2""".stripMargin
 
+  /** d60 + s24 shared URL-canonicalization CTEs: the synthetic messy-URL
+    * generator + the full normalization chain (fragment strip, lower
+    * scheme/host, default-port strip, trailing-slash collapse, utm_*
+    * filter, param sort) in DuckDB string/list primitives. Both oracles
+    * append their own final projection over `canon`. */
+  private val urlCanonCteSql: String =
+    """WITH urls AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.SITE' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
+      |          ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com' END) ||
+      |    (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
+      |    '/a/b' || CAST(doc_id % 7 AS VARCHAR) ||
+      |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
+      |          WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
+      |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents
+      |), parts AS (
+      |  SELECT doc_id, url,
+      |    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+([^?]*)', 1), '/+$', '') AS p0,
+      |    COALESCE(array_to_string(list_sort(list_filter(string_split(
+      |      regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '&'),
+      |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS sq
+      |  FROM urls
+      |), canon AS (
+      |  SELECT doc_id,
+      |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
+      |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '') ||
+      |    (CASE WHEN p0 = '' THEN '/' ELSE p0 END) ||
+      |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
+      |  FROM parts
+      |)""".stripMargin
+
   /** q81: one SQL text, two engines — TPC-H Q3's 3-way join + grouped
     * revenue + top-k. ROUND(,2) on the double sum is the q03-proven
     * cross-engine contract; the (revenue DESC, l_orderkey) sort makes
@@ -5285,36 +5364,17 @@ object SparkEntry {
     // normalization chain (fragment strip, lower scheme/host, default-
     // port strip, trailing-slash collapse, utm filter, param sort) in
     // DuckDB string/list primitives
-    "d60_url_canonical" ->
-      """WITH urls AS (
-        |  SELECT doc_id,
-        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.SITE' || CAST(doc_id % 50 AS VARCHAR) || '.COM'
-        |          ELSE 'www.site' || CAST(doc_id % 50 AS VARCHAR) || '.com' END) ||
-        |    (CASE WHEN doc_id % 4 = 0 THEN ':80' WHEN doc_id % 4 = 1 THEN ':8080' ELSE '' END) ||
-        |    '/a/b' || CAST(doc_id % 7 AS VARCHAR) ||
-        |    (CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 3 = 0 THEN '?utm_source=x&b=2&a=1'
-        |          WHEN doc_id % 3 = 1 THEN '?a=1&b=2' ELSE '' END) ||
-        |    (CASE WHEN doc_id % 6 = 0 THEN '#sec' ELSE '' END) AS url
-        |  FROM documents
-        |), parts AS (
-        |  SELECT doc_id, url,
-        |    regexp_replace(regexp_extract(regexp_replace(url, '#.*$', ''), '^[A-Za-z]+://[^/?#]+([^?]*)', 1), '/+$', '') AS p0,
-        |    COALESCE(array_to_string(list_sort(list_filter(string_split(
-        |      regexp_extract(regexp_replace(url, '#.*$', ''), '\?(.*)$', 1), '&'),
-        |      p -> NOT starts_with(p, 'utm_') AND p <> '')), '&'), '') AS sq
-        |  FROM urls
-        |), canon AS (
-        |  SELECT doc_id,
-        |    lower(regexp_extract(url, '^([A-Za-z]+)://', 1)) || '://' ||
-        |    regexp_replace(lower(regexp_extract(url, '^[A-Za-z]+://([^/?#]+)', 1)), ':(80|443)$', '') ||
-        |    (CASE WHEN p0 = '' THEN '/' ELSE p0 END) ||
-        |    (CASE WHEN sq = '' THEN '' ELSE '?' || sq END) AS canonical_url
-        |  FROM parts
-        |)
+    "d60_url_canonical" -> (urlCanonCteSql +
+      """
         |SELECT canonical_url, CAST(COUNT(*) AS BIGINT) AS n_variants, MIN(doc_id) AS keep_id
-        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin,
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
+    // s24: the same canonicalization streamed with a stateful min(doc_id)
+    // per canonical key — min is batching-order-free, so the converged
+    // state equals the batch keep set (d60's projection minus the counts)
+    "s24_stream_url_dedup" -> (urlCanonCteSql +
+      """
+        |SELECT canonical_url, MIN(doc_id) AS keep_id
+        |FROM canon GROUP BY 1 ORDER BY 1""".stripMargin),
     // s23 screens the same training corpus one microbatch at a time
     // against the static broadcast eval signatures; the screen is per-doc
     // independent (batching-insensitive), so the converged union shares
