@@ -220,6 +220,43 @@ object ScaleBench {
       println(f"""{"metric":"scale_lsh_skew_cap","docs":$n,"clique":$clique,"max_bucket":$maxBucket,"clique_pairs":$cliquePairs,"planted":$nPlanted,"found":$found,"recall":$recall%.4f,"sec":$secs5b%.2f}""")
     }
 
+    if (sel("fuzzy_decontam")) {
+      // fuzzy decontamination at scale: 500k training docs screened
+      // against a 2k-doc eval set whose members are PARAPHRASED copies
+      // (last word changed) of known training docs — the d59 shape at
+      // 100x the bench corpus. The properties under test: the eval
+      // signature side broadcasts (no corpus self-join anywhere), cost is
+      // one narrow shingle pass over the corpus + an output-bound
+      // (k, sig) join, and every planted leak is found (exact check).
+      val nDocs = math.min(nTiles, 500000L)
+      val nEval = 2000L
+      def corpusText(base: org.apache.spark.sql.Column) =
+        concat_ws(" ", (0 until 30).map(j =>
+          concat(lit(s"w$j"), (base * 31 + j) * 2654435761L cast "string")): _*)
+      val train = spark.range(nDocs).select(col("id"),
+        corpusText(col("id")).as("text")).repartition(cpus.toInt * 4)
+      // eval doc e paraphrases train doc e*17 (never shares text verbatim:
+      // the last word is replaced) — fuzzy must still flag it
+      val eval_ = spark.range(nEval).select(
+        (col("id") + nDocs).as("id"),
+        concat(
+          concat_ws(" ", (0 until 29).map(j =>
+            concat(lit(s"w$j"), ((col("id") * 17) % nDocs * 31 + j) * 2654435761L cast "string")): _*),
+          lit(" paraphrased")).as("text"))
+      val t20 = System.nanoTime()
+      val flagged = graft.llm.Decontamination.fuzzyContamination(
+        train, eval_, idCol = "id")
+      val hits = flagged.select(col("id"),
+          ((col("eval_id") - nDocs) * 17 % nDocs).as("expect"))
+        .localCheckpoint(false)
+      val nFlagged = hits.count()
+      val planted = hits.filter(col("id") === col("expect")).count()
+      val secs20 = (System.nanoTime() - t20) / 1e9
+      require(planted == nEval,
+        s"fuzzy decontam missed planted leaks: $planted of $nEval found")
+      println(f"""{"metric":"scale_fuzzy_decontam","docs":$nDocs,"eval":$nEval,"flagged":$nFlagged,"planted_found":$planted,"sec":$secs20%.2f,"docs_per_sec":${(nDocs / secs20).toLong}}""")
+    }
+
     if (sel("connected_components")) {
       // Connected components (d20's algorithm) on a graph engineered to be
       // hard both ways: a sparse random-ish graph (giant component — many
