@@ -701,6 +701,47 @@ object SparkEntry {
       Similarity.mmrRerank(cands, emb, k = 3, lambda = 0.5)
         .orderBy("query_id", "pick")
     }),
+    "v09_stream_vector_ingest" -> ((s, d) => {
+      // STREAMING VECTOR INGEST (Streaming.vectorIngestStream): the
+      // embeddings corpus arrives in 3 microbatches, each assigning
+      // cells against the STATIC coarse quantizer (broadcast centroids,
+      // narrow) and appending to the cell-partitioned index; probing
+      // the converged read-back must hit v03's recall constants against
+      // the exact top-k (same centroids/parameterization — a dropped or
+      // duplicated batch shifts recall or the completeness flag and
+      // flips the pinned booleans). index_complete pins |index| = |corpus|.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val emb = t(ss, d, "embeddings").localCheckpoint()
+      val centroids = Similarity.ivfIndex(emb, dim = 64, k = 16)
+      val root = java.nio.file.Files.createTempDirectory("v09").toString
+      (0 until 3).foreach { b =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          emb.filter(col("vec_id") % 3 === b), s"$root/in", b)
+      }
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)),
+        StructField("label", IntegerType)))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+      graft.streaming.Streaming.vectorIngestStream(
+          stream, s"$root/index", s"$root/ckpt", centroids)
+        .awaitTermination()
+      val assigned = ss.read.parquet(s"$root/index")
+        .select(col("vec_id"), col("embedding"), col("cell"))
+      val qs = emb.filter(col("vec_id") < 10)
+      val exact = Similarity.bruteForceTopK(emb, qs, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      Similarity.ivfTopKAssigned(assigned, qs, centroids, k = 5, nprobe = 8)
+        .select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(countDistinct(col("query_id")).as("n_queries_found"),
+          least(count(lit(1)), lit(35L)).as("n_matches_floored"),
+          (count(lit(1)) >= 35).as("recall_ok"))
+        .crossJoin(assigned.agg(
+          (count(lit(1)) === emb.count()).as("index_complete")))
+    }),
     "v02_ann_lsh" -> ((s, d) => {
       // LSH parameters sized to the corpus (500-2k vectors -> 2^5 buckets)
       // with Hamming-1 multiprobe: measured recall is 1.0 at every SF, so
@@ -5279,6 +5320,10 @@ object SparkEntry {
     // code path (bruteForceTopK) these gates measure recall against.
     "v03_ann_ivf" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(35 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok",
+    // v09: v03's recall constants over the STREAMED index probe, plus the
+    // completeness flag (|streamed index| = |corpus|)
+    "v09_stream_vector_ingest" ->
+      "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(35 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok, TRUE AS index_complete",
     "v04_ann_pq" ->
       "SELECT CAST(10 AS BIGINT) AS n_queries_found, CAST(40 AS BIGINT) AS n_matches_floored, TRUE AS recall_ok",
     "v05_ann_opq" ->

@@ -397,6 +397,39 @@ object Streaming {
     spark.read.parquet(s"$viewDir/v=$latest")
   }
 
+  /**
+   * Streaming VECTOR ingest into a persisted IVF index: embedding rows
+   * arrive in microbatches, each batch assigns every vector to its
+   * nearest coarse-quantizer cell (broadcast centroids, narrow — no
+   * shuffle) and lands under `indexDir/batch=<id>/cell=<c>`. Crash
+   * replay is idempotent (mode overwrite on the batch dir — the
+   * s16/s23 contract), and because cell assignment is per-row the
+   * converged index is BATCHING-INSENSITIVE: reading `indexDir` back
+   * and probing it ([[graft.llm.Similarity.ivfTopKAssigned]]) equals
+   * the one-shot batch assignment with the same centroids (the v09
+   * gate). Cell stays a partition column, so probes prune to their
+   * `nprobe` cells at the parquet scan. Centroids are the STATIC side
+   * (train once, [[graft.llm.Similarity.saveIvfModel]]); re-training
+   * is an offline rebuild, as in any production ANN service.
+   */
+  def vectorIngestStream(vecs: DataFrame, indexDir: String,
+                         checkpointDir: String,
+                         centroids: Array[Array[Double]],
+                         idCol: String = "vec_id",
+                         vecCol: String = "embedding")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.assignCells(
+            batch.select(col(idCol), col(vecCol)), centroids, vecCol)
+          .write.mode("overwrite").partitionBy("cell")
+          .parquet(s"$indexDir/batch=$batchId")
+        ()
+      }
+      .start()
+
   def nearDupIngestStream(docs: DataFrame, indexDir: String, checkpointDir: String,
                           idCol: String = "doc_id", textCol: String = "text",
                           minEstJaccard: Double = 0.5,
