@@ -1545,6 +1545,33 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).cast("long").as("bin_tokens"))
         .orderBy(col("lang"), col("bin_id"))
     }),
+    "d61_training_mix" -> ((s, d) => {
+      // the END-TO-END TRAINING-MIX builder — the artifact a pretraining
+      // data pipeline actually ships, composed from gated stages:
+      // temperature mixture weights per lang (d14's ordered fold) →
+      // integer per-lang doc quotas floor(weight·400) (bit-identical
+      // weights ⇒ identical floors) → deterministic md5-rank quota
+      // sample per lang (d15's mechanism, exact sizes) → token-budget
+      // greedy packing of the sampled docs (d12's keyed running sum).
+      // One composed SQL replay gates the whole chain — a drift in ANY
+      // stage (fold order, rank tie, bin boundary) breaks the hash.
+      val docs = t(s, d, "documents")
+        .withColumn("n_tokens", size(TextAnalysis.tokens(col("text"))))
+      val quotas = Sampling.mixtureWeights(docs, "lang")
+        .select(col("lang"), floor(col("weight") * 400).cast("int").as("quota"))
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val sampled = docs.join(broadcast(quotas), Seq("lang"))
+        .withColumn("__rank", row_number().over(w))
+        .filter(col("__rank") <= col("quota")).drop("__rank")
+      Sampling.seqPack(sampled, Seq("lang"), "doc_id", "n_tokens",
+          capacity = 512L)
+        .groupBy(col("lang"), col("bin_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("long").as("bin_tokens"))
+        .join(broadcast(quotas), Seq("lang"))
+        .orderBy("lang", "bin_id")
+    }),
     "d13_repetition" -> ((s, d) => {
       // Gopher-style repetition quality signals: duplicate-word /
       // duplicate-2-gram ratios (narrow array math) + top-token frequency
@@ -5465,6 +5492,37 @@ object SparkEntry {
         |SELECT lang, CAST(bin_id AS BIGINT) AS bin_id, COUNT(*) AS n_docs,
         | CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
         |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // d61: the composed mix-builder replay — d14's ordered-fold weights,
+    // floor quotas, d15's md5 rank, d12's packing window, one statement
+    "d61_training_mix" ->
+      """WITH c AS (
+        |  SELECT lang, COUNT(*) AS n_rows FROM documents GROUP BY lang
+        |), dn AS (
+        |  SELECT list_reduce(list(sqrt(CAST(n_rows AS DOUBLE)) ORDER BY lang),
+        |    (a, b) -> a + b) AS denom FROM c
+        |), q AS (
+        |  SELECT lang,
+        |    CAST(FLOOR((sqrt(CAST(n_rows AS DOUBLE)) / denom) * 400) AS INT) AS quota
+        |  FROM c, dn
+        |), r AS (
+        |  SELECT d0.lang, d0.doc_id, d0.n_tokens
+        |  FROM (SELECT lang, doc_id,
+        |          len(regexp_split_to_array(trim(lower(text)), '\s+')) AS n_tokens,
+        |          ROW_NUMBER() OVER (PARTITION BY lang
+        |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |        FROM documents) d0
+        |  JOIN q ON q.lang = d0.lang AND d0.rnk <= q.quota
+        |), b AS (
+        |  SELECT lang, doc_id, n_tokens,
+        |    COALESCE(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 512 AS bin_id
+        |  FROM r
+        |)
+        |SELECT b.lang, CAST(bin_id AS BIGINT) AS bin_id,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+        |  MAX(q.quota) AS quota
+        |FROM b JOIN q ON q.lang = b.lang
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d13_repetition" ->
       """WITH tk AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
