@@ -71,6 +71,41 @@ class PlanSpec extends SparkSpec {
       "orders scanned more than once:\n" + p)
   }
 
+  test("d60: URL canonicalization is a narrow codegen projection — one shuffle total") {
+    val p = formatted("d60_url_canonical")
+    // the whole normalization chain must stay inside the scan->project
+    // pipeline: the ONLY exchanges are the canonical-key aggregation and
+    // the output sort
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 2, s"expected <=2 Exchange, found $exchanges:\n$p")
+    // no UDF boundary anywhere — regexp/filter/sort_array are built-ins
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "canonicalization fell out of codegen:\n" + p)
+  }
+
+  test("d59: the eval signature side broadcasts — no corpus-corpus sort-merge join") {
+    val p = formatted("d59_fuzzy_decontam")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the (k, sig) probe must broadcast the small eval side:\n" + p)
+  }
+
+  test("q85: the neighbour windows stack over ONE key-partitioned sort") {
+    val p = formatted("q85_gapfill_interpolate")
+    // observed plan: daily-agg Exchange + spine-agg Exchange (spine side
+    // then BROADCASTS into the dense join) + one output-sort Exchange =
+    // 3. The window nodes (two frames split into <=3 nodes by Spark)
+    // stack directly over a single Sort with NO exchange between them —
+    // any re-partitioning between windows pushes the count past 4 and
+    // fails here
+    val exchanges = exchangeCount(p)
+    assert(exchanges <= 4, s"expected <=4 Exchange, found $exchanges:\n$p")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows <= 3, s"window pass split into $windows nodes:\n$p")
+    // the spine side must broadcast (per-key min/max rows are tiny)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q01: aggregation is partial (map-side combine) before the shuffle") {
     val p = formatted("q01_pricing_summary")
     assert(p.contains("HashAggregate"), p)
