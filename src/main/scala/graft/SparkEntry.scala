@@ -1077,6 +1077,21 @@ object SparkEntry {
           graft.llm.Multimodal.resizeImages(media, maxDim = 6))
         .orderBy("media_id")
     }),
+    "m09_gif_decode" -> ((s, d) => {
+      // REAL GIF decode (Multimodal.decodeGif): payloads are genuine
+      // GIF89a files — 256-entry palette, variable-width LZW with live
+      // dictionary growth and the 512-entry code-width escalation on the
+      // larger ids, LSB-first bit packing, sub-block chains — and the
+      // oracle composes the pixel-index formula with the palette formula
+      // in closed form, so an LZW width/dictionary bug, palette misread
+      // or sub-block walk error breaks the hash.
+      import s.implicits._
+      val gif = udf((id: Long) => graft.llm.Multimodal.syntheticGif(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", gif(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m01_media_features" -> ((s, d) => {
       // multimodal decode + feature extraction: image rows are REAL P6
       // PPM payloads decoded by the pure-JVM decoder — the oracle
@@ -4779,6 +4794,26 @@ object SparkEntry {
         |  LATERAL (SELECT unnest(range(d.h2)) AS y) y,
         |  LATERAL (SELECT unnest(range(d.w2)) AS x) x
         |GROUP BY d.media_id ORDER BY d.media_id""".stripMargin,
+    // m09: decoded-GIF channel sums — the pixel-index formula composed
+    // with the palette formula, all integer mod arithmetic
+    "m09_gif_decode" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    24 + (p_partkey % 9) * 2 AS w, 20 + (p_partkey % 7) * 2 AS h
+        |  FROM part WHERE p_partkey <= 300
+        |), px AS (
+        |  SELECT i.media_id, i.w, i.h,
+        |    (i.media_id * 7 + y.y * 11 + x.x * 13) % 256 AS idx
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((idx * 3 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((idx * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((idx * 7 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,

@@ -217,12 +217,186 @@ object Multimodal {
     Some((w, h, rgb))
   }
 
-  /** One decode attempt across the supported image codecs (P6 PPM, then
-    * PNG) — the single entry point the image operators use, so adding a
-    * codec never touches plan-side code. */
+  /**
+   * Minimal pure-JVM GIF decoder (GIF87a/GIF89a) — with PNG, the other
+   * image format a crawl actually contains. Full container walk: logical
+   * screen descriptor, global/local color table, extension blocks
+   * skipped via their sub-block chains, then the first image descriptor's
+   * LZW-compressed index stream decoded with the REAL variable-width GIF
+   * LZW (clear/end codes, dictionary growth, code width escalation to 12
+   * bits, LSB-first bit packing) and mapped through the palette to RGB.
+   * Returns the [[decodePpm]]/[[decodePng]] contract
+   * `(width, height, rgb row-major)`; None for anything malformed,
+   * interlaced, or paletteless.
+   */
+  def decodeGif(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 14) return None
+    val magic = new String(payload, 0, 6, "US-ASCII")
+    if (magic != "GIF87a" && magic != "GIF89a") return None
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    val sw = le16(6); val sh = le16(8)
+    if (sw <= 0 || sh <= 0 || sw > (1 << 14) || sh > (1 << 14)) return None
+    val packed = payload(10) & 0xFF
+    var pos = 13
+    var palette: Array[Byte] = null
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 7) + 1)
+      if (pos + 3 * n > payload.length) return None
+      palette = java.util.Arrays.copyOfRange(payload, pos, pos + 3 * n)
+      pos += 3 * n
+    }
+    while (pos < payload.length) {
+      (payload(pos) & 0xFF) match {
+        case 0x3B => return None // trailer before any image
+        case 0x21 => // extension: label + sub-block chain
+          pos += 2
+          while (pos < payload.length && payload(pos) != 0)
+            pos += 1 + (payload(pos) & 0xFF)
+          pos += 1
+        case 0x2C =>
+          if (pos + 10 > payload.length) return None
+          val iw = le16(pos + 5); val ih = le16(pos + 7)
+          val ipacked = payload(pos + 9) & 0xFF
+          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+          pos += 10
+          if ((ipacked & 0x80) != 0) { // local color table wins
+            val n = 1 << ((ipacked & 7) + 1)
+            if (pos + 3 * n > payload.length) return None
+            palette = java.util.Arrays.copyOfRange(payload, pos, pos + 3 * n)
+            pos += 3 * n
+          }
+          if (palette == null || pos >= payload.length) return None
+          val minCode = payload(pos) & 0xFF
+          pos += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the data sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (pos < payload.length && payload(pos) != 0) {
+            val len = payload(pos) & 0xFF
+            if (pos + 1 + len > payload.length) return None
+            data.write(payload, pos + 1, len)
+            pos += 1 + len
+          }
+          val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
+            .getOrElse(return None)
+          val nPal = palette.length / 3
+          val rgb = new Array[Byte](iw * ih * 3)
+          var i = 0
+          while (i < iw * ih) {
+            val idx = indices(i) & 0xFF
+            if (idx >= nPal) return None
+            rgb(i * 3) = palette(idx * 3)
+            rgb(i * 3 + 1) = palette(idx * 3 + 1)
+            rgb(i * 3 + 2) = palette(idx * 3 + 2)
+            i += 1
+          }
+          return Some((iw, ih, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** GIF-variant LZW decode: variable code width from `minCode`+1 to 12
+    * bits, LSB-first packing, clear/end control codes, dictionary growth
+    * one entry behind the encoder. Returns exactly `expected` indices or
+    * None. */
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+                        expected: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val end = clear + 1
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    // dictionary as (prefix code, appended byte); roots are implicit
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var dictSize = end + 1
+    var width = minCode + 1
+    var bitPos = 0
+    def readCode(): Int = {
+      if (bitPos + width > data.length * 8) return -1
+      var v = 0
+      var i = 0
+      while (i < width) {
+        val b = bitPos + i
+        if ((data(b >> 3) >> (b & 7) & 1) != 0) v |= 1 << i
+        i += 1
+      }
+      bitPos += width
+      v
+    }
+    def expand(code: Int, buf: Array[Byte]): Int = { // returns length
+      var c = code
+      var n = 0
+      while (c >= clear + 2) { buf(n) = suffix(c); n += 1; c = prefix(c) }
+      buf(n) = c.toByte
+      n + 1
+    }
+    def emitReversed(buf: Array[Byte], n: Int): Boolean = {
+      if (outLen + n > expected) return false
+      var i = n - 1
+      while (i >= 0) { out(outLen) = buf(i); outLen += 1; i -= 1 }
+      true
+    }
+    val buf = new Array[Byte](4096)
+    var prev = -1
+    var done = false
+    while (!done) {
+      val code = readCode()
+      if (code < 0) return None
+      if (code == clear) {
+        dictSize = end + 1; width = minCode + 1; prev = -1
+      } else if (code == end) {
+        done = true
+      } else if (prev < 0) {
+        if (code >= clear) return None
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else {
+        if (code > dictSize || (code >= dictSize && prev < 0)) return None
+        val n =
+          if (code < dictSize) expand(code, buf)
+          else { // the KwKwK case: code == dictSize
+            val pn = expand(prev, buf)
+            // sequence = prev ++ first(prev): shift by storing first char
+            // at position... expand gives reversed; first char of prev is
+            // buf(pn-1); new reversed sequence = firstChar :: reversedPrev
+            System.arraycopy(buf, 0, buf, 0, pn) // no-op, clarity
+            val first = buf(pn - 1)
+            // reversed(prev ++ first) = first +: reversed(prev)... build:
+            var i = pn
+            while (i > 0) { buf(i) = buf(i - 1); i -= 1 }
+            // now buf(1..pn) = reversedPrev; put first at buf(0)
+            buf(0) = first
+            pn + 1
+          }
+        if (!emitReversed(buf, n)) return None
+        if (dictSize < 4096) {
+          prefix(dictSize) = prev
+          suffix(dictSize) = buf(n - 1) // first char of current sequence
+          dictSize += 1
+          if (dictSize == (1 << width) && width < 12) width += 1
+        }
+        prev = code
+      }
+      if (outLen == expected && !done) {
+        // tolerate a missing explicit end code only if the stream is done
+        val c2 = readCode()
+        if (c2 != end && c2 != -1) return None
+        done = true
+      }
+    }
+    if (outLen == expected) Some(out) else None
+  }
+
+  /** One decode attempt across the supported image codecs (P6 PPM, PNG,
+    * then GIF) — the single entry point the image operators use, so
+    * adding a codec never touches plan-side code. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val ppm = decodePpm(payload)
-    if (ppm.isDefined) ppm else decodePng(payload)
+    if (ppm.isDefined) return ppm
+    val png = decodePng(payload)
+    if (png.isDefined) png else decodeGif(payload)
   }
 
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
@@ -721,6 +895,93 @@ object Multimodal {
     writeChunk("IHDR", ihdr.array())
     writeChunk("IDAT", zBuf.toByteArray)
     writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic GIF89a image for a key, through a REAL LZW encode:
+    * `(24 + (id%9)·2) × (20 + (id%7)·2)` pixels over a 256-entry global
+    * palette `palette[i] = ((i·3 + id) % 256, (i·5 + 2id) % 256,
+    * (i·7 + 3id) % 256)`, pixel index `(id·7 + y·11 + x·13) % 256` — so
+    * the DECODED channel sums are closed-form (the m09 oracle composes
+    * index formula with palette formula). The encoder builds a live LZW
+    * dictionary with variable code width (9 bits growing past the
+    * 512-entry boundary on the larger ids — the escalation path a
+    * clear-code-spam encoder would never exercise), LSB-first packing,
+    * 255-byte sub-blocks. */
+  def syntheticGif(id: Long): Array[Byte] = {
+    val w = (24 + (id % 9) * 2).toInt
+    val h = (20 + (id % 7) * 2).toInt
+    val out = new java.io.ByteArrayOutputStream(w * h + 1024)
+    out.write("GIF89a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xFF); out.write((v >> 8) & 0xFF) }
+    le16(w); le16(h)
+    out.write(0xF7) // GCT present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) {
+      out.write(((i * 3 + id) % 256).toInt)
+      out.write(((i * 5 + 2 * id) % 256).toInt)
+      out.write(((i * 7 + 3 * id) % 256).toInt)
+      i += 1
+    }
+    out.write(0x2C) // image descriptor: full frame, no LCT, no interlace
+    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    val minCode = 8
+    out.write(minCode)
+    // pixel index stream
+    val px = new Array[Int](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { px(y * w + x) = ((id * 7 + y * 11 + x * 13) % 256).toInt; x += 1 }
+      y += 1
+    }
+    // LZW encode with the width rule mirroring the decoder's one-behind
+    // dictionary: bump width when nextCode == (1 << width) + 1
+    val clear = 1 << minCode
+    val end = clear + 1
+    val bits = new java.io.ByteArrayOutputStream(w * h)
+    var acc = 0L; var nAcc = 0
+    var width = minCode + 1
+    def emit(code: Int): Unit = {
+      acc |= code.toLong << nAcc
+      nAcc += width
+      while (nAcc >= 8) { bits.write((acc & 0xFF).toInt); acc >>>= 8; nAcc -= 8 }
+    }
+    emit(clear)
+    val dict = new java.util.HashMap[Long, Integer]()
+    var nextCode = end + 1
+    var cur = px(0)
+    i = 1
+    while (i < px.length) {
+      val key = cur.toLong << 12 | px(i)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        dict.put(key, Integer.valueOf(nextCode))
+        nextCode += 1
+        if (nextCode == (1 << width) + 1 && width < 12) width += 1
+        if (nextCode == 4096) { // reset well before the ceiling
+          emit(clear); dict.clear(); nextCode = end + 1; width = minCode + 1
+        }
+        cur = px(i)
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(end)
+    if (nAcc > 0) bits.write((acc & 0xFF).toInt)
+    // 255-byte sub-blocks + terminator + trailer
+    val z = bits.toByteArray
+    var off = 0
+    while (off < z.length) {
+      val n = math.min(255, z.length - off)
+      out.write(n); out.write(z, off, n)
+      off += n
+    }
+    out.write(0)
+    out.write(0x3B)
     out.toByteArray
   }
 

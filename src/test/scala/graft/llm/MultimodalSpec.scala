@@ -102,6 +102,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Multimodal.syntheticPpm(3L)).isDefined)
   }
 
+  test("decodeGif: LZW round-trip incl. the code-width escalation; malformed rejected") {
+    for (id <- 0L to 12L) {
+      val (w, h, rgb) = Multimodal.decodeGif(Multimodal.syntheticGif(id)).get
+      assert(w == 24 + (id % 9) * 2 && h == 20 + (id % 7) * 2, s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((id * 7 + y * 11 + x * 13) % 256).toInt
+        val d = (y * w + x) * 3
+        assert((rgb(d) & 0xFF) == ((idx * 3 + id) % 256).toInt &&
+          (rgb(d + 1) & 0xFF) == ((idx * 5 + 2 * id) % 256).toInt &&
+          (rgb(d + 2) & 0xFF) == ((idx * 7 + 3 * id) % 256).toInt,
+          s"id=$id pixel ($x,$y)")
+      }
+    }
+    // id=8 is the largest frame (40x20 = 800 px) — its LZW dictionary
+    // provably crosses the 512-entry boundary, so the 9->10-bit width
+    // escalation was exercised by the round-trip above
+    assert(24 + (8 % 9) * 2 == 40)
+    // malformed payloads are rejected, not mis-decoded
+    val good = Multimodal.syntheticGif(3L)
+    assert(Multimodal.decodeGif(good.dropRight(30)).isEmpty, "truncated rejected")
+    assert(Multimodal.decodeGif("GIF00a".getBytes("US-ASCII") ++ good.drop(6)).isEmpty)
+    assert(Multimodal.decodeGif(null).isEmpty)
+    assert(Multimodal.decodeGif(Multimodal.syntheticPng(3L)).isEmpty)
+    // decodeImage routes GIF through the shared image contract
+    assert(Multimodal.decodeImage(good).isDefined)
+  }
+
   test("extractFeatures and resizeImages treat PNG rows as real images") {
     // a PNG row must produce pixelFeatures (not stub noise), equal to the
     // PPM-encoded features of the same raster
