@@ -17,10 +17,12 @@ import org.apache.spark.sql.types._
  * (the canonical WAV container is a ~40-line header walk), feeding
  * [[audioStats]] exact per-channel sample sums, and uncompressed
  * YUV4MPEG2 video via [[decodeY4m]] → [[videoStats]] exact per-plane
- * frame sums. PNG — the compressed format a crawl actually contains —
- * decodes for real too ([[decodePng]]: pure `java.util.zip` inflate +
- * the five scanline filter reversals). Remaining COMPRESSED formats
- * (jpeg/mp3/mp4 …) fall back to [[decodeStub]] — their codecs are not
+ * frame sums. The compressed formats a crawl actually contains decode
+ * for real too: PNG ([[decodePng]]: pure `java.util.zip` inflate + the
+ * five scanline filter reversals) and GIF ([[decodeGif]]: full
+ * container walk + variable-width LZW with dictionary growth and code-
+ * width escalation). Remaining COMPRESSED formats (jpeg/mp3/mp4 …)
+ * fall back to [[decodeStub]] — their codecs are not
  * feasible without libraries in this build environment — with the
  * Spark-side plumbing (schema, batch shape, partition-level processing)
  * identical either way: swapping the stub for a real codec
