@@ -701,6 +701,20 @@ object SparkEntry {
       Similarity.mmrRerank(cands, emb, k = 3, lambda = 0.5)
         .orderBy("query_id", "pick")
     }),
+    "v10_range_search" -> ((s, d) => {
+      // RANGE (radius) search (Similarity.rangeSearch): ALL neighbours
+      // with cosine >= tau rather than a fixed k — the answer-set size
+      // varies per query. Same full-recall LSH parameterization as v02,
+      // so the hash gate against the EXACT brute-force SQL oracle pins
+      // recall = 1.0 AND the boundary behavior: tau = 0.25 is dyadic and
+      // both engines fold the cosine in the same left-to-right double
+      // order, so every >= decision is bit-identical at the threshold.
+      val emb = t(s, d, "embeddings")
+      Similarity.rangeSearch(emb, emb.filter(col("vec_id") < 10),
+          tau = 0.25, dim = 64, bits = 5, tables = 12, multiprobe = true)
+        .select(col("query_id"), col("neighbor_id"))
+        .orderBy(col("query_id"), col("neighbor_id"))
+    }),
     "v09_stream_vector_ingest" -> ((s, d) => {
       // STREAMING VECTOR INGEST (Streaming.vectorIngestStream): the
       // embeddings corpus arrives in 3 microbatches, each assigning
@@ -1090,6 +1104,20 @@ object SparkEntry {
       val media = t(s, d, "part").filter(col("p_partkey") <= 300)
         .select(col("p_partkey").cast("long").as("media_id"))
         .withColumn("payload", gif(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
+    "m10_bmp_decode" -> ((s, d) => {
+      // REAL BMP decode (Multimodal.decodeBmp): payloads are genuine
+      // 24-bit BITMAPINFOHEADER files — BGR byte order, 4-byte row
+      // padding, and BOTH raster directions (even ids bottom-up, odd ids
+      // top-down via negative biHeight) — and the oracle recomputes the
+      // decoded pixels' exact channel sums in closed form, so a flipped
+      // raster, BGR/RGB swap, stride, or data-offset bug breaks the hash.
+      import s.implicits._
+      val bmp = udf((id: Long) => graft.llm.Multimodal.syntheticBmp(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", bmp(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
     "m01_media_features" -> ((s, d) => {
@@ -3262,6 +3290,29 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q86_sql_setops" -> ((s, d) => {
+      // the SQL set-operation surface as ONE shared text both engines
+      // run: INTERSECT and EXCEPT (set semantics — Catalyst plans both as
+      // left-semi/left-anti over distinct inputs) plus INTERSECT ALL (bag
+      // semantics: min multiplicity per value, planned via a row_number
+      // rewrite) — three tagged branches UNION ALL'd so one hash pins all
+      // three operators' exact contents, duplicates included.
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlSetOpsSql)
+    }),
+    "q87_sql_lateral" -> ((s, d) => {
+      // the LATERAL join surface as ONE shared SQL text: a correlated
+      // subquery in FROM computing each customer's top-3 orders by price
+      // (ORDER BY … LIMIT inside the lateral — the per-key-top-k idiom a
+      // warehouse user writes instead of a window function). Catalyst
+      // decorrelates it to a window-ranked join; DuckDB executes the
+      // lateral directly — same rows either way.
+      t(s, d, "customer").createOrReplaceTempView("customer")
+      t(s, d, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlLateralSql)
+    }),
     "q77_window_family" -> ((s, d) => {
       // the rest of the §2.5 window-function family in one gate:
       // percent_rank / cume_dist (exact single-divide rationals —
@@ -4019,6 +4070,40 @@ object SparkEntry {
       |GROUP BY l.l_orderkey, o.o_orderdate
       |ORDER BY revenue DESC, l.l_orderkey
       |LIMIT 50""".stripMargin
+
+  /** q86: one SQL text, two engines — the set-operation surface
+    * (INTERSECT / EXCEPT set semantics + INTERSECT ALL bag semantics),
+    * tagged branches so one hash pins all three operators. */
+  private val sqlSetOpsSql: String =
+    """SELECT 'both_status' AS tag, k FROM (
+      |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'O'
+      |  INTERSECT
+      |  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') t1
+      |UNION ALL
+      |SELECT 'never_ordered' AS tag, k FROM (
+      |  SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+      |  EXCEPT
+      |  SELECT o_custkey FROM orders) t2
+      |UNION ALL
+      |SELECT 'bag_overlap' AS tag, k FROM (
+      |  SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+      |  INTERSECT ALL
+      |  SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A') t3
+      |ORDER BY tag, k""".stripMargin
+
+  /** q87: one SQL text, two engines — a correlated LATERAL subquery with
+    * ORDER BY + LIMIT (per-customer top-3 orders by price; ties broken by
+    * orderkey so the pick set is deterministic). */
+  private val sqlLateralSql: String =
+    """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+      |FROM customer c,
+      |  LATERAL (
+      |    SELECT o_orderkey, o_totalprice FROM orders o
+      |    WHERE o.o_custkey = c.c_custkey
+      |    ORDER BY o_totalprice DESC, o_orderkey
+      |    LIMIT 3) t
+      |WHERE c.c_mktsegment = 'MACHINERY'
+      |ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""".stripMargin
 
   /** q82: one SQL text, two engines — TPC-H Q21's 4-way join with
     * correlated EXISTS + NOT EXISTS ("an order this supplier flagged 'R'
@@ -4814,6 +4899,27 @@ object SparkEntry {
         |  CAST(SUM((idx * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((idx * 7 + 3 * media_id) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m10: decoded-BMP channel sums — the raw pixel formula in closed form
+    // (no palette indirection; the BMP layer contributes raster order,
+    // BGR→RGB conversion, and row padding, all of which cancel out only
+    // if the decode is exactly right)
+    "m10_bmp_decode" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    5 + p_partkey % 8 AS w, 4 + p_partkey % 6 AS h
+        |  FROM part WHERE p_partkey <= 300
+        |), px AS (
+        |  SELECT i.media_id, i.w, i.h, y.y AS y, x.x AS x
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((media_id * 7 + y * 11 + x * 13) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((media_id * 7 + y * 11 + x * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((media_id * 7 + y * 11 + x * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m01_media_features" ->
       """WITH m AS (
         |  SELECT p_partkey AS media_id,
@@ -4856,6 +4962,22 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 3
         |ORDER BY query_id, rank""".stripMargin,
+    // v10: EXACT brute-force range query — every pair with cosine >= 0.25
+    // (dyadic threshold; the same sequential-fold cosine as v01, so the
+    // boundary decision is bit-identical). The LSH path must reach
+    // recall 1.0 to match this oracle.
+    "v10_range_search" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |)
+        |SELECT query_id, neighbor_id FROM scored WHERE cosine >= 0.25
+        |ORDER BY query_id, neighbor_id""".stripMargin,
     // v08: the 3 greedy MMR steps unrolled — p1 = argmax rel, then each
     // step scores 0.5·rel − 0.5·max(sim to picked) over the survivors
     // (identical fold-order cosines, dyadic λ ⇒ every score op IEEE
@@ -6502,6 +6624,8 @@ object SparkEntry {
     "q78_sql_subqueries" -> sqlSubqueriesSql,
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
+    "q86_sql_setops" -> sqlSetOpsSql,
+    "q87_sql_lateral" -> sqlLateralSql,
     "q83_grouping_sets" -> sqlGroupingSetsSql,
     // q85: spine + two IGNORE NULLS neighbour windows + the same fixed
     // interpolation tree over the same ROUND(,2)-pinned daily sums

@@ -299,6 +299,53 @@ object Multimodal {
     None
   }
 
+  /**
+   * Pure-JVM BMP decode: Windows BITMAPINFOHEADER (or larger V4/V5
+   * headers — same leading 40-byte layout), 24-bit uncompressed BI_RGB,
+   * the uncompressed interchange flavor crawls actually carry. Handles
+   * BOTH raster orders — positive biHeight = bottom-up (the common
+   * case), negative = top-down — and the 4-byte row padding, converting
+   * the file's BGR byte order to the [[decodePpm]]/[[decodePng]] packed
+   * RGB contract `(width, height, rgb row-major)`. Palettized /
+   * RLE-compressed / 16- and 32-bit variants return None (malformed or
+   * unsupported input must never throw on an executor).
+   */
+  def decodeBmp(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 54) return None
+    if (payload(0) != 'B' || payload(1) != 'M') return None
+    def le32(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8) |
+      ((payload(o + 2) & 0xFF) << 16) | ((payload(o + 3) & 0xFF) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
+    val dataOff = le32(10)
+    if (le32(14) < 40) return None // BITMAPCOREHEADER: unsupported
+    val w = le32(18)
+    val hRaw = le32(22)
+    val topDown = hRaw < 0
+    val h = math.abs(hRaw)
+    if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+    if (le16(26) != 1) return None  // planes
+    if (le16(28) != 24) return None // only 24 bpp
+    if (le32(30) != 0) return None  // BI_RGB (uncompressed) only
+    val stride = (w * 3 + 3) & ~3
+    if (dataOff < 54 || dataOff.toLong + stride.toLong * h > payload.length) return None
+    val rgb = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val srcRow = dataOff + (if (topDown) y else h - 1 - y) * stride
+      var x = 0
+      while (x < w) {
+        val sp = srcRow + x * 3
+        val dp = (y * w + x) * 3
+        rgb(dp) = payload(sp + 2)     // file stores BGR
+        rgb(dp + 1) = payload(sp + 1)
+        rgb(dp + 2) = payload(sp)
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, rgb))
+  }
+
   /** GIF-variant LZW decode: variable code width from `minCode`+1 to 12
     * bits, LSB-first packing, clear/end control codes, dictionary growth
     * one entry behind the encoder. Returns exactly `expected` indices or
@@ -392,13 +439,16 @@ object Multimodal {
   }
 
   /** One decode attempt across the supported image codecs (P6 PPM, PNG,
-    * then GIF) — the single entry point the image operators use, so
-    * adding a codec never touches plan-side code. */
+    * BMP, then GIF) — the single entry point the image operators use, so
+    * adding a codec never touches plan-side code. Each decoder rejects
+    * on its magic bytes in O(1), so the chain costs one real parse. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val ppm = decodePpm(payload)
     if (ppm.isDefined) return ppm
     val png = decodePng(payload)
-    if (png.isDefined) png else decodeGif(payload)
+    if (png.isDefined) return png
+    val bmp = decodeBmp(payload)
+    if (bmp.isDefined) bmp else decodeGif(payload)
   }
 
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
@@ -985,6 +1035,45 @@ object Multimodal {
     out.write(0)
     out.write(0x3B)
     out.toByteArray
+  }
+
+  /** Deterministic 24-bit BMP for a key — the PPM pixel formula
+    * `(id·7 + y·11 + x·13 + c·17) % 256` at `(5 + id%8) × (4 + id%6)`
+    * pixels through a REAL BMP encode: BITMAPINFOHEADER, BGR byte order,
+    * rows padded to 4 bytes, and BOTH raster orders exercised (even ids
+    * bottom-up via positive biHeight, odd ids top-down via negative), so
+    * a flipped-raster, channel-order, or padding bug breaks the m10
+    * hash. */
+  def syntheticBmp(id: Long): Array[Byte] = {
+    val w = (5 + id % 8).toInt
+    val h = (4 + id % 6).toInt
+    val topDown = id % 2 == 1
+    val stride = (w * 3 + 3) & ~3
+    val dataSize = stride * h
+    val out = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+    out.putShort(0).putShort(0).putInt(54)                        // data offset
+    out.putInt(40).putInt(w).putInt(if (topDown) -h else h)       // DIB header
+    out.putShort(1).putShort(24).putInt(0).putInt(dataSize)       // planes/bpp/BI_RGB
+    out.putInt(2835).putInt(2835).putInt(0).putInt(0)             // 72 dpi, no palette
+    var fy = 0
+    while (fy < h) {
+      val y = if (topDown) fy else h - 1 - fy
+      var x = 0
+      while (x < w) {
+        var c = 2 // file order is BGR
+        while (c >= 0) {
+          out.put(((id * 7 + y * 11 + x * 13 + c * 17) % 256).toByte)
+          c -= 1
+        }
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < stride) { out.put(0.toByte); pad += 1 }
+      fy += 1
+    }
+    out.array()
   }
 
   /** Deterministic RIFF/WAVE PCM16LE clip for a key: `1 + id%2` channels

@@ -313,6 +313,20 @@ object Similarity {
   def lshBucketedTopK(corpus: DataFrame, queries: DataFrame, k: Int, dim: Int,
                       bits: Int = 12, tables: Int = 4, multiprobe: Boolean = false,
                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val cand = lshCandidates(corpus, queries, dim, bits, tables, multiprobe,
+      idCol, vecCol)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** The shared LSH-bucketed candidate stage of [[lshBucketedTopK]] and
+    * [[rangeSearch]]: deduped same-bucket pairs with exact cosines. */
+  private def lshCandidates(corpus: DataFrame, queries: DataFrame, dim: Int,
+                            bits: Int, tables: Int, multiprobe: Boolean,
+                            idCol: String, vecCol: String): DataFrame = {
     // norms once per row (computed before the bucket explode, so each input
     // row folds once however many tables replicate it)
     val withBuckets = (df: DataFrame, side: String) => df.select(
@@ -328,10 +342,10 @@ object Similarity {
         (0 until bits).map(i => col("bucket").bitwiseXOR(lit(1L << i))): _*)))
     // primitive dot per candidate (≤ tables-way duplicate pairs score
     // redundantly at ~1 µs each — cheaper than a dedup-then-join-back);
-    // narrow BEFORE the pair dedup + top-k window, so the only exchanges
-    // carrying data after the bucket join see (query_id, neighbor_id,
-    // cosine) rows, never vectors
-    val cand = c.join(q, Seq("table", "bucket"))
+    // narrow BEFORE the pair dedup + downstream window/filter, so the only
+    // exchanges carrying data after the bucket join see (query_id,
+    // neighbor_id, cosine) rows, never vectors
+    c.join(q, Seq("table", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("cosine", cosineFromParts(
         dotFast(col("__queryv"), col("__neighborv")),
@@ -339,12 +353,28 @@ object Similarity {
       .filter(col("cosine").isNotNull)
       .select("query_id", "neighbor_id", "cosine")
       .dropDuplicates("query_id", "neighbor_id")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "neighbor_id", "cosine", "rank")
   }
+
+  /**
+   * Radius (range) search: ALL corpus neighbours with `cosine >= tau` of
+   * each query — the retrieval companion of top-k. Dedup sweeps and
+   * recall-bounded RAG filters want "everything at least this similar",
+   * not a fixed k: the answer-set size varies per query (possibly empty),
+   * which a top-k can only bracket. Candidates come from the same
+   * LSH-bucketed stage as [[lshBucketedTopK]] — bucketed, never
+   * all-pairs — with the recall knobs (bits / tables / multiprobe)
+   * shared; at 100 TB the output is bounded by the bucket structure, not
+   * the corpus square. The threshold comparison is engine-portable: the
+   * cosine folds in the shared left-to-right double order (the v01
+   * contract), so `>= tau` flips identically in an external oracle even
+   * exactly at the boundary. Emits order-free (query_id, neighbor_id,
+   * cosine); downstream ranks if it needs ranks.
+   */
+  def rangeSearch(corpus: DataFrame, queries: DataFrame, tau: Double, dim: Int,
+                  bits: Int = 12, tables: Int = 4, multiprobe: Boolean = false,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    lshCandidates(corpus, queries, dim, bits, tables, multiprobe, idCol, vecCol)
+      .filter(col("cosine") >= tau)
 
   /**
    * Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,

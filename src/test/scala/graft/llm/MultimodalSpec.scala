@@ -129,6 +129,29 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(good).isDefined)
   }
 
+  test("decodeBmp: both raster orders, BGR→RGB, row padding; malformed rejected") {
+    for (id <- 0L to 11L) { // covers every (w, h, topDown) combination once
+      val (w, h, rgb) = Multimodal.decodeBmp(Multimodal.syntheticBmp(id)).get
+      assert(w == 5 + (id % 8) && h == 4 + (id % 6), s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val want = ((id * 7 + y * 11 + x * 13 + c * 17) % 256).toInt
+        assert((rgb((y * w + x) * 3 + c) & 0xFF) == want, s"id=$id px ($x,$y,$c)")
+      }
+    }
+    val good = Multimodal.syntheticBmp(2L) // bottom-up; 3L is top-down
+    assert(Multimodal.decodeBmp(Multimodal.syntheticBmp(3L)).isDefined)
+    assert(Multimodal.decodeBmp(good.dropRight(8)).isEmpty, "truncated rejected")
+    assert(Multimodal.decodeBmp(null).isEmpty)
+    assert(Multimodal.decodeBmp(Multimodal.syntheticPng(3L)).isEmpty)
+    // a 32-bpp claim over the same bytes must be rejected, not mis-strided
+    val bad32 = good.clone(); bad32(28) = 32.toByte
+    assert(Multimodal.decodeBmp(bad32).isEmpty, "non-24-bpp rejected")
+    val badComp = good.clone(); badComp(30) = 1.toByte // BI_RLE8
+    assert(Multimodal.decodeBmp(badComp).isEmpty, "compressed rejected")
+    // decodeImage routes BMP through the shared image contract
+    assert(Multimodal.decodeImage(good).isDefined)
+  }
+
   test("extractFeatures and resizeImages treat PNG rows as real images") {
     // a PNG row must produce pixelFeatures (not stub noise), equal to the
     // PPM-encoded features of the same raster

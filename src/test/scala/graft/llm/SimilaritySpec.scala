@@ -52,6 +52,26 @@ class SimilaritySpec extends SparkSpec {
     assert(few == Seq(1, 2, 3))
   }
 
+  test("rangeSearch: equals the brute-force radius set at full-recall LSH params") {
+    val rng = new scala.util.Random(7)
+    val base = (1 to 60).map(i => (i.toLong, Seq.fill(16)(rng.nextGaussian().toFloat)))
+    val df = base.toDF("vec_id", "embedding")
+    val qs = df.filter($"vec_id" <= 5)
+    val tau = 0.125 // dyadic, like the v10 gate
+    // oracle: brute-force cosine over all pairs, thresholded
+    val brute = Similarity.bruteForceTopK(df, qs, k = 60)
+      .filter($"cosine" >= tau)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = Similarity.rangeSearch(df, qs, tau = tau, dim = 16,
+        bits = 4, tables = 12, multiprobe = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(got == brute, s"range set mismatch: missing=${brute -- got} extra=${got -- brute}")
+    // a query with an empty radius set simply emits nothing (no null rows)
+    val none = Similarity.rangeSearch(df, qs, tau = 1.5, dim = 16,
+      bits = 4, tables = 12, multiprobe = true)
+    assert(none.count() == 0)
+  }
+
   test("hard-negative mining: same-label candidates excluded, nearest other-label wins") {
     val rng = new scala.util.Random(2)
     val base = (1 to 40).map(i =>
