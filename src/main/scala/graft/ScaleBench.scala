@@ -307,6 +307,39 @@ object ScaleBench {
       println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
     }
 
+    if (sel("range_search")) {
+      // Radius search at corpus scale (v10's operator): 1M 64-dim vectors
+      // with 1000 planted near-identical twins (one dim +0.001 ⇒ cosine ≈
+      // 0.99999 to their base), tau = 0.99. Distinct xxhash64-mixed bases
+      // have cosine ~N(0, 1/64) — 8σ below the threshold — so the exact
+      // answer set IS the planted mapping: recall AND precision are
+      // asserted row-for-row, not sampled. The LSH candidate stage keeps
+      // the cost bucket-keyed, never all-pairs.
+      val nRs = math.min(nTiles, 1000000L)
+      val nRsBase = nRs - 1000
+      val rsVecs = spark.range(nRs).select(col("id"),
+          when(col("id") >= nRsBase, col("id") - nRsBase)
+            .otherwise(col("id")).as("b"))
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(dimV - 1)), j =>
+            (pmod(xxhash64(col("b"), j), lit(1000L)).cast("double") / 500.0 - 1.0 +
+              when(col("id") >= nRsBase && j === lit(0), lit(0.001))
+                .otherwise(lit(0.0))).cast("float")).as("embedding"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val rsQueries = rsVecs.filter(col("vec_id") < 100)
+      val tRs = System.nanoTime()
+      val gotRs = graft.llm.Similarity.rangeSearch(rsVecs, rsQueries,
+          tau = 0.99, dim = dimV, bits = 24, tables = 8)
+        .select(col("query_id"), col("neighbor_id")).collect()
+      val secsRs = (System.nanoTime() - tRs) / 1e9
+      val rsExact = gotRs.length == 100 &&
+        gotRs.forall(r => r.getLong(1) == r.getLong(0) + nRsBase)
+      require(rsExact, s"range_search planted-set mismatch: ${gotRs.length} rows, " +
+        gotRs.take(5).mkString(","))
+      println(f"""{"metric":"scale_range_search","corpus":$nRs,"queries":100,"tau":0.99,"rows":${gotRs.length},"planted_exact":$rsExact,"sec":$secsRs%.2f}""")
+    }
+
     if (sel("semantic_dedup")) {
       // Semantic dedup at corpus scale (the d26/d27 semantics on 1M vectors,
       // 20% planted near-dups): sign-LSH candidates (no k-means training —

@@ -71,6 +71,29 @@ class PlanSpec extends SparkSpec {
       "orders scanned more than once:\n" + p)
   }
 
+  test("q86: set ops plan as semi/anti hash joins; INTERSECT ALL replicates rows, no nested loop") {
+    val p = formatted("q86_sql_setops")
+    assert(p.contains("LeftSemi"), "INTERSECT must plan as a left-semi join:\n" + p)
+    assert(p.contains("LeftAnti"), "EXCEPT must plan as a left-anti join:\n" + p)
+    // INTERSECT ALL rewrites to a counted union + ReplicateRows generate —
+    // one pass over each input, never a join per duplicate
+    assert(p.contains("ReplicateRows") || p.contains("Generate"),
+      "INTERSECT ALL must use the replicate-rows rewrite:\n" + p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("q87: the LATERAL top-3 decorrelates to a ranked equi-join — no per-row subquery") {
+    val p = formatted("q87_sql_lateral")
+    // the ORDER BY + LIMIT inside the lateral becomes a window rank (or
+    // per-key limit) over ONE scan of orders, joined back on custkey
+    assert(p.contains("Window") || p.contains("Limit"),
+      "lateral LIMIT must decorrelate to a ranked/limited join:\n" + p)
+    assert(!p.contains("NestedLoop"),
+      "a nested-loop means decorrelation failed (O(customers × orders) at scale):\n" + p)
+    // the segment filter reaches the customer parquet scan
+    assert(p.contains("EqualTo(c_mktsegment,MACHINERY)"), p)
+  }
+
   test("d60: URL canonicalization is a narrow codegen projection — one shuffle total") {
     val p = formatted("d60_url_canonical")
     // the whole normalization chain must stay inside the scan->project
