@@ -977,6 +977,22 @@ object SparkEntry {
           round(col("total"), 2).as("total"))
         .orderBy("day", "event_type")
     }),
+    "s25_stream_ohlc" -> ((s, d) => {
+      // STREAMING OHLC resample: q89's bars as a watermarked
+      // tumbling-window agg. min_by/max_by picks merge incrementally
+      // (one (ts, value) champion per partial), so state is one O(1)
+      // tuple per open bar — bounded by bars, not ticks — and the
+      // watermark finalizes them. Shares q89's oracle: the stream must
+      // converge to the batch bars bit-for-bit.
+      val stream = eventsStream(statefulEventsSession(s), d)
+      val bars = graft.streaming.Streaming.ohlcBarsStream(
+        stream, Seq("event_type"))
+      graft.streaming.Streaming.runAvailableNow(
+          bars, s"s25_ohlc_${System.nanoTime()}")
+        .select(col("event_type"), col("bar_ts"), col("open"), col("high"),
+          col("low"), col("close"), col("volume"))
+        .orderBy("event_type", "bar_ts")
+    }),
     "s02_stream_dedup" -> ((s, d) => {
       // §2.8 exactly-once dedup as a stream: first-seen (user_id, event_type)
       // pairs against checkpointed state — must converge to batch DISTINCT
@@ -3251,6 +3267,33 @@ object SparkEntry {
         .select(col("event_type"), col("day").cast("int").as("day"),
           round(col("v"), 4).as("v"), col("filled"))
         .orderBy("event_type", "day")
+    }),
+    "q88_unpivot" -> ((s, d) => {
+      // UNPIVOT (wide→long melt, the inverse reshape of q34's pivot):
+      // a per-returnflag metric table (3 BIGINT metric columns — count,
+      // integral quantity sum, distinct parts) melts to (flag, metric,
+      // value) rows via Dataset.unpivot. All metrics are exact integers,
+      // so the oracle (a UNION ALL unroll — the engine-neutral spelling)
+      // hashes bit-for-bit.
+      val agg = t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"),
+          countDistinct(col("l_partkey")).as("distinct_parts"))
+      agg.unpivot(Array(col("l_returnflag")),
+          Array(col("n_items"), col("sum_qty"), col("distinct_parts")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }),
+    "q89_ohlc_resample" -> ((s, d) => {
+      // OHLC time-bar resample (ops/GapFill.ohlcBars): hourly
+      // open/high/low/close/volume bars per event_type over the raw tick
+      // stream — picks and extremes only (min_by/max_by/min/max/count),
+      // never a float fold, so the bars replay bit-for-bit in the
+      // arg_min/arg_max oracle. One partial-aggregated shuffle.
+      graft.ops.GapFill.ohlcBars(t(s, d, "events"),
+          Seq("event_type"), "ts", "value", "hour")
+        .orderBy("event_type", "bar_ts")
     }),
     "q78_sql_subqueries" -> ((s, d) => {
       // the spark.sql(...) surface with CORRELATED subqueries — EXISTS,
@@ -6629,6 +6672,40 @@ object SparkEntry {
     "q83_grouping_sets" -> sqlGroupingSetsSql,
     // q85: spine + two IGNORE NULLS neighbour windows + the same fixed
     // interpolation tree over the same ROUND(,2)-pinned daily sums
+    // q88: the melt unrolled as UNION ALL — the engine-neutral spelling
+    // (DuckDB's UNPIVOT statement syntax differs from Spark's; the
+    // CONTENT is what the gate pins). All-integer metrics.
+    "q88_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |    CAST(COUNT(*) AS BIGINT) AS n_items,
+        |    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |    CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS distinct_parts
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, 'n_items' AS metric, n_items AS value FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty FROM agg
+        |UNION ALL
+        |SELECT l_returnflag, 'distinct_parts' AS metric, distinct_parts FROM agg
+        |ORDER BY l_returnflag, metric""".stripMargin,
+    // q89: OHLC bars — open/close via arg_min/arg_max on ts (unique
+    // within (event_type, hour) at every SF, verified), high/low/count
+    // order-free; no float folds anywhere, so doubles match exactly.
+    "q89_ohlc_resample" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |  arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |  arg_max(value, ts) AS close, CAST(COUNT(*) AS BIGINT) AS volume
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, bar_ts""".stripMargin,
+    // s25: the streaming twin shares q89's exact-bars oracle (stream must
+    // converge to batch)
+    "s25_stream_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts) AS bar_ts,
+        |  arg_min(value, ts) AS open, MAX(value) AS high, MIN(value) AS low,
+        |  arg_max(value, ts) AS close, CAST(COUNT(*) AS BIGINT) AS volume
+        |FROM events GROUP BY event_type, date_trunc('hour', ts)
+        |ORDER BY event_type, bar_ts""".stripMargin,
     "q85_gapfill_interpolate" ->
       """WITH daily AS (
         |  SELECT event_type,

@@ -62,4 +62,32 @@ object GapFill {
             (col("__nb") - col("__pb")).cast("double")))
       .select(keys ++ Seq(col(bucketCol), col(valueCol), col("filled")): _*)
   }
+
+  /**
+   * OHLC bar resample: downsample a (key, ts, value) tick series to
+   * fixed-width time bars with open/high/low/close/volume per (key, bar)
+   * — the canonical time-series downsampling (financial bars, sensor
+   * rollups, metrics pre-aggregation before retention windows expire the
+   * raw ticks). ONE map-side-combinable aggregate: open/close are
+   * `min_by`/`max_by` picks on the timestamp, high/low plain extremes,
+   * volume a count — every output is a PICK or an order-free extreme of
+   * already-rounded doubles, never a float fold, so an external engine
+   * replays bars bit-for-bit (the q89 gate). Pick determinism requires
+   * `tsCol` unique within (key, bar) — true of event streams with
+   * microsecond stamps; with ties, open/close become engine-dependent.
+   *
+   * Scale shape: one shuffle on (key, bar) with partial aggregation —
+   * grouped-count cost at 100 TB; no window, no sort, no second scan.
+   */
+  def ohlcBars(ticks: DataFrame, keyCols: Seq[String], tsCol: String,
+               valueCol: String, barWidth: String = "hour"): DataFrame = {
+    val keys = keyCols.map(col)
+    ticks.groupBy(keys :+ date_trunc(barWidth, col(tsCol)).as("bar_ts"): _*)
+      .agg(
+        min_by(col(valueCol), col(tsCol)).as("open"),
+        max(col(valueCol)).as("high"),
+        min(col(valueCol)).as("low"),
+        max_by(col(valueCol), col(tsCol)).as("close"),
+        count(lit(1)).as("volume"))
+  }
 }

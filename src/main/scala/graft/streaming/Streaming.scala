@@ -80,6 +80,28 @@ object Streaming {
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
   /**
+   * Streaming OHLC bars: [[graft.ops.GapFill.ohlcBars]]'s semantics as a
+   * watermarked tumbling-window aggregate. `min_by`/`max_by` picks on the
+   * event time are incrementally mergeable (each partial keeps one
+   * (ts, value) champion), so state per (key, bar) is O(1) regardless of
+   * tick volume and the watermark evicts finalized bars. Converges to
+   * the batch bars exactly — s25 shares q89's oracle.
+   */
+  def ohlcBarsStream(events: DataFrame, keyCols: Seq[String],
+                     barLen: String = "1 hour",
+                     watermark: String = "1 day"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), barLen).as("w") +: keyCols.map(col): _*)
+      .agg(min_by(col("value"), col("ts")).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), col("ts")).as("close"),
+        count(lit(1)).as("volume"))
+      .select(keyCols.map(col) ++ Seq(col("w.start").as("bar_ts"),
+        col("open"), col("high"), col("low"), col("close"), col("volume")): _*)
+
+  /**
    * Watermarked SESSION-window aggregation: per-key dynamic-gap sessions
    * (`session_window` — the native stateful sessionization operator; windows
    * merge while events arrive within `gap` of the session end). Watermark
