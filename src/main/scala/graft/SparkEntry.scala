@@ -1999,6 +1999,21 @@ object SparkEntry {
           sum(length(col("tok"))).as("n_chars"))
         .orderBy("source")
     }),
+    "d62_wordpiece" -> ((s, d) => {
+      // WordPiece tokenization (llm/WordPiece) against a FIXED shipped
+      // vocab — greedy longest-match-first with ## continuations and
+      // whole-word [UNK] on dead ends (no backtracking). BPE (d28)
+      // LEARNS merges; this APPLIES a published vocab — the tokenize-
+      // against-a-checkpoint shape. The vocab plants every branch:
+      // longest-match preference, two-piece words, a mid-word dead-end
+      // (sort), a no-first-piece word (dup). The oracle replays the
+      // greedy walk as 4 unrolled LATERAL rounds (the d28 fixed-unroll
+      // contract), so a match-order or continuation-prefix bug anywhere
+      // breaks the hash.
+      graft.llm.WordPiece.pieceCounts(
+          t(s, d, "documents"), "text", wordpieceVocab)
+        .orderBy("piece")
+    }),
     "d28_bpe_merges" -> ((s, d) => {
       // distributed BPE merge learning, oracle-checked END TO END: six
       // training rounds (pair-count aggregate over the cached word-freq
@@ -4468,6 +4483,81 @@ object SparkEntry {
     sb.toString
   }
 
+  /** d62's shipped WordPiece vocab — plants every contract branch over
+    * the 31-word corpus: longest-match preference ('custom' beats
+    * 'cust', 'wind' beats 'win'), ten two-piece words, a dead-end
+    * ('sor' matches but '##t' is absent, so `sort` → [UNK] with NO
+    * backtracking) and a no-first-piece word (`dup` → [UNK]). */
+  private val wordpieceVocab: Seq[String] = Seq(
+    // full words
+    "a", "the", "join", "data", "key", "row", "agg", "big", "hash",
+    "scan", "slow", "fast", "merge", "order", "part", "query", "group",
+    "line", "spark",
+    // first pieces
+    "bat", "custom", "cust", "wind", "win", "vec", "str", "tab", "col",
+    "fil", "val", "sm", "sor",
+    // continuations
+    "##ch", "##er", "##ow", "##tor", "##eam", "##le", "##umn", "##ter",
+    "##ue", "##all")
+
+  /** d62's oracle: the greedy longest-match walk unrolled as `rounds`
+    * LATERAL steps (the d28 fixed-unroll contract — rounds must be ≥ the
+    * max pieces per word; a word needing more flags [UNK] on the oracle
+    * side only and LOUDLY fails the hash). Each step picks the longest
+    * vocab body matching at the current offset; a NULL pick with
+    * characters left (or characters left after the last round) marks the
+    * word [UNK], exactly like the no-backtrack Spark kernel. */
+  private def wordpieceOracleSql(rounds: Int): String = {
+    val vocabValues = wordpieceVocab.map { p =>
+      val cont = p.startsWith("##")
+      val body = if (cont) p.substring(2) else p
+      s"('$p', '$body', ${body.length}, ${if (cont) "TRUE" else "FALSE"})"
+    }.mkString(",\n    ")
+    val steps = (2 to rounds).map { k =>
+      s"""r$k AS (
+         |  SELECT r.*, v.piece AS p$k, r.e${k - 1} + COALESCE(v.blen, 0) AS e$k
+         |  FROM r${k - 1} r LEFT JOIN LATERAL (
+         |    SELECT piece, blen FROM vocab
+         |    WHERE cont AND r.p${k - 1} IS NOT NULL AND r.e${k - 1} < length(r.word)
+         |      AND substr(r.word, r.e${k - 1} + 1, blen) = body
+         |    ORDER BY blen DESC LIMIT 1) v ON TRUE
+         |)""".stripMargin
+    }.mkString(", ")
+    val unkClauses = ("p1 IS NULL" +:
+      (2 to rounds).map(k =>
+        s"(p${k - 1} IS NOT NULL AND e${k - 1} < length(word) AND p$k IS NULL)") :+
+      s"(p$rounds IS NOT NULL AND e$rounds < length(word))").mkString("\n     OR ")
+    val pieceBranches = (1 to rounds).map(k =>
+      s"  UNION ALL SELECT p$k AS piece, cnt FROM flagged WHERE NOT unk AND p$k IS NOT NULL")
+      .mkString("\n")
+    s"""WITH vocab(piece, body, blen, cont) AS (VALUES
+       |    $vocabValues),
+       |words AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |        FROM documents)
+       |  WHERE length(w) > 0 GROUP BY 1
+       |),
+       |r1 AS (
+       |  SELECT w.word, w.cnt, v.piece AS p1, COALESCE(v.blen, 0) AS e1
+       |  FROM words w LEFT JOIN LATERAL (
+       |    SELECT piece, blen FROM vocab
+       |    WHERE NOT cont AND substr(w.word, 1, blen) = body
+       |    ORDER BY blen DESC LIMIT 1) v ON TRUE
+       |), $steps,
+       |flagged AS (
+       |  SELECT *,
+       |    ($unkClauses) AS unk
+       |  FROM r$rounds
+       |),
+       |pieces AS (
+       |  SELECT '[UNK]' AS piece, cnt FROM flagged WHERE unk
+       |$pieceBranches
+       |)
+       |SELECT piece, CAST(SUM(cnt) AS BIGINT) AS n FROM pieces
+       |GROUP BY piece ORDER BY piece""".stripMargin
+  }
+
   private def bpeOracleSql(numMerges: Int): String =
     bpeRoundsCte(numMerges) + "\n" + (1 to numMerges)
       .map(m => s"SELECT merge_rank, lft, rgt, pair_freq FROM b$m")
@@ -5970,6 +6060,7 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
         |  TRUE AS subset_ok, TRUE AS recall_ok
         |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
+    "d62_wordpiece" -> wordpieceOracleSql(4),
     "d28_bpe_merges" -> bpeOracleSql(6),
     "d35_bpe_encode" -> bpeEncodeOracleSql(6),
     // identical multiplicative-hash uniform and A-ES ranking; only the
