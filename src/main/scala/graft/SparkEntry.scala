@@ -1122,6 +1122,23 @@ object SparkEntry {
         .withColumn("payload", gif(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m11_jpeg_decode" -> ((s, d) => {
+      // REAL baseline JPEG decode (Multimodal.decodeJpeg): payloads are
+      // genuine entropy-coded JPEG streams — canonical huffman tables,
+      // differential DC, byte stuffing, dequant, exact IDCT, and CCIR-601
+      // YCbCr→RGB on the odd (color) ids. Blocks are planted DC-only
+      // constants, so the decoded channel sums are closed-form: the
+      // oracle composes the block formula with the SAME color-conversion
+      // expression (portable: one fixed IEEE op tree + positive-ties
+      // ROUND). A huffman, EXTEND, dequant, IDCT-scale, or conversion
+      // bug anywhere breaks the hash.
+      import s.implicits._
+      val jpg = udf((id: Long) => graft.llm.Multimodal.syntheticJpeg(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", jpg(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m10_bmp_decode" -> ((s, d) => {
       // REAL BMP decode (Multimodal.decodeBmp): payloads are genuine
       // 24-bit BITMAPINFOHEADER files — BGR byte order, 4-byte row
@@ -5031,6 +5048,39 @@ object SparkEntry {
         |  CAST(SUM((idx * 3 + media_id) % 256) AS BIGINT) AS sum_r,
         |  CAST(SUM((idx * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
         |  CAST(SUM((idx * 7 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m11: decoded-JPEG channel sums — per-block planted constants
+    // (DC-only blocks decode exactly), grayscale on even ids, CCIR-601
+    // conversion on odd ids replayed with the decoder's own op order
+    // (positive values ⇒ ROUND ties agree across engines)
+    "m11_jpeg_decode" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    2 + p_partkey % 3 AS wb, 2 + p_partkey % 2 AS hb
+        |  FROM part WHERE p_partkey <= 300
+        |), blk AS (
+        |  SELECT i.media_id, i.wb, i.hb,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 17) % 61) - 30) AS c1,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 34) % 61) - 30) AS c2
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.hb)) AS by) by,
+        |    LATERAL (SELECT unnest(range(i.wb)) AS bx) bx
+        |), px AS (
+        |  SELECT media_id, wb, hb,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.402 * (c2 - 128)) AS INT))) END AS r,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)) AS INT))) END AS g,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.772 * (c1 - 128)) AS INT))) END AS b
+        |  FROM blk
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(wb) * 8 AS INT) AS width, CAST(MAX(hb) * 8 AS INT) AS height,
+        |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     // m10: decoded-BMP channel sums — the raw pixel formula in closed form
     // (no palette indirection; the BMP layer contributes raster order,

@@ -19,9 +19,12 @@ import org.apache.spark.sql.types._
  * YUV4MPEG2 video via [[decodeY4m]] → [[videoStats]] exact per-plane
  * frame sums. The compressed formats a crawl actually contains decode
  * for real too: PNG ([[decodePng]]: pure `java.util.zip` inflate + the
- * five scanline filter reversals) and GIF ([[decodeGif]]: full
- * container walk + variable-width LZW with dictionary growth and code-
- * width escalation). Remaining COMPRESSED formats (jpeg/mp3/mp4 …)
+ * five scanline filter reversals), GIF ([[decodeGif]]: full container
+ * walk + variable-width LZW with dictionary growth and code-width
+ * escalation), BMP ([[decodeBmp]]) and baseline JPEG ([[decodeJpeg]]:
+ * canonical huffman entropy decode, dequant, exact IDCT, YCbCr→RGB —
+ * non-subsampled baseline scans; progressive/subsampled reject).
+ * Remaining COMPRESSED formats (mp3/mp4 video/audio codecs …)
  * fall back to [[decodeStub]] — their codecs are not
  * feasible without libraries in this build environment — with the
  * Spark-side plumbing (schema, batch shape, partition-level processing)
@@ -346,6 +349,293 @@ object Multimodal {
     Some((w, h, rgb))
   }
 
+  // ---------------------------------------------------------------------
+  // Baseline JPEG (ITU-T T.81): the dominant compressed image format of a
+  // real crawl. Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3
+  // components WITHOUT chroma subsampling (all H=V=1), standard or custom
+  // huffman/quant tables, byte stuffing. Rejected (None, never throw):
+  // progressive/extended SOFs, subsampled chroma, restart intervals,
+  // arithmetic coding. That covers the synthetic gate corpus and the
+  // common screenshot/thumbnail class; subsampled photos would need the
+  // upsampler, a documented extension point.
+  // ---------------------------------------------------------------------
+
+  /** jpeg_natural_order: zigzag scan position → natural block index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10,
+    17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** cos((2x+1)·u·π/16) · (u == 0 ? 1/√2 : 1) — the separable IDCT basis. */
+  private val JpegCos: Array[Array[Double]] = Array.tabulate(8, 8) { (x, u) =>
+    math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+      (if (u == 0) 1.0 / math.sqrt(2.0) else 1.0)
+  }
+
+  /** Canonical JPEG huffman table (T.81 F.2.2.3 decode). `counts(l-1)` =
+    * number of codes of length l (1..16); `symbols` in canonical order. */
+  private final class JpegHuff(counts: Array[Int], symbols: Array[Int]) {
+    private val minCode = new Array[Int](17)
+    private val maxCode = new Array[Int](17) // -1 ⇒ no codes of this length
+    private val valPtr = new Array[Int](17)
+    locally {
+      var code = 0; var k = 0; var l = 1
+      while (l <= 16) {
+        if (counts(l - 1) > 0) {
+          valPtr(l) = k; minCode(l) = code
+          code += counts(l - 1); k += counts(l - 1)
+          maxCode(l) = code - 1
+        } else maxCode(l) = -1
+        code <<= 1
+        l += 1
+      }
+    }
+    def decode(br: JpegBits): Int = {
+      var code = br.bit()
+      var l = 1
+      while (maxCode(l) < 0 || code > maxCode(l)) {
+        l += 1
+        if (l > 16) throw new IllegalArgumentException("bad huffman code")
+        code = (code << 1) | br.bit()
+      }
+      symbols(valPtr(l) + code - minCode(l))
+    }
+  }
+
+  /** MSB-first bit reader over entropy-coded data with 0xFF00 byte
+    * stuffing; any marker byte mid-stream ends the data (throws — decode
+    * wraps in a catch-all). */
+  private final class JpegBits(data: Array[Byte], var pos: Int) {
+    private var acc = 0
+    private var nBits = 0
+    def bit(): Int = {
+      if (nBits == 0) {
+        if (pos >= data.length) throw new IllegalArgumentException("eof")
+        var b = data(pos) & 0xFF; pos += 1
+        if (b == 0xFF) {
+          if (pos >= data.length || (data(pos) & 0xFF) != 0x00)
+            throw new IllegalArgumentException("marker in entropy data")
+          pos += 1
+        }
+        acc = b; nBits = 8
+      }
+      nBits -= 1
+      (acc >> nBits) & 1
+    }
+    def bits(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | bit(); i += 1 }
+      v
+    }
+  }
+
+  /** T.81 EXTEND: map the `t`-bit magnitude field to its signed value. */
+  private def jpegExtend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
+  /**
+   * Pure-JVM baseline JPEG decode to the shared
+   * `(width, height, packed RGB)` contract. Full entropy pipeline:
+   * canonical huffman DC/AC decode with the T.81 EXTEND rule, dequant in
+   * zigzag order, exact double-precision IDCT per block, level shift +
+   * clamp, and CCIR-601 YCbCr→RGB for 3-component scans. None for
+   * anything malformed or outside the supported envelope (progressive,
+   * subsampled, restart-interval, arithmetic) — a decoder on an executor
+   * must reject, never throw.
+   */
+  def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload == null || payload.length < 4) return None
+    if ((payload(0) & 0xFF) != 0xFF || (payload(1) & 0xFF) != 0xD8) return None
+    try {
+      val quant = new Array[Array[Int]](4)
+      val dcTabs = new Array[JpegHuff](4)
+      val acTabs = new Array[JpegHuff](4)
+      var w = 0; var h = 0
+      var compTq: Array[Int] = null // per-component quant table id
+      var pos = 2
+      while (pos + 4 <= payload.length) {
+        if ((payload(pos) & 0xFF) != 0xFF) return None
+        val marker = payload(pos + 1) & 0xFF
+        if (marker == 0xD9) return None // EOI before any SOS produced pixels
+        val len = ((payload(pos + 2) & 0xFF) << 8) | (payload(pos + 3) & 0xFF)
+        val segEnd = pos + 2 + len
+        if (len < 2 || segEnd > payload.length) return None
+        marker match {
+          case 0xDB => // DQT: one or more tables in the segment
+            var p = pos + 4
+            while (p < segEnd) {
+              val pqTq = payload(p) & 0xFF
+              if ((pqTq >> 4) != 0) return None // 16-bit tables unsupported
+              val tq = pqTq & 15
+              if (p + 65 > segEnd) return None
+              quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xFF)
+              p += 65
+            }
+          case 0xC0 => // SOF0 baseline
+            if (payload(pos + 4) != 8) return None // precision
+            h = ((payload(pos + 5) & 0xFF) << 8) | (payload(pos + 6) & 0xFF)
+            w = ((payload(pos + 7) & 0xFF) << 8) | (payload(pos + 8) & 0xFF)
+            val nf = payload(pos + 9) & 0xFF
+            if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
+            if (nf != 1 && nf != 3) return None
+            compTq = new Array[Int](nf)
+            var c = 0
+            while (c < nf) {
+              val hv = payload(pos + 11 + 3 * c) & 0xFF
+              if (hv != 0x11) return None // subsampling unsupported
+              compTq(c) = payload(pos + 12 + 3 * c) & 0xFF
+              c += 1
+            }
+          case 0xC4 => // DHT: one or more tables
+            var p = pos + 4
+            while (p < segEnd) {
+              val tcTh = payload(p) & 0xFF
+              val counts = Array.tabulate(16)(i => payload(p + 1 + i) & 0xFF)
+              val n = counts.sum
+              if (p + 17 + n > segEnd) return None
+              val syms = Array.tabulate(n)(i => payload(p + 17 + i) & 0xFF)
+              val tab = new JpegHuff(counts, syms)
+              if ((tcTh >> 4) == 0) dcTabs(tcTh & 15) = tab
+              else acTabs(tcTh & 15) = tab
+              p += 17 + n
+            }
+          case 0xDA => // SOS: decode the (single, non-interleaved-free) scan
+            if (compTq == null) return None
+            val ns = payload(pos + 4) & 0xFF
+            if (ns != compTq.length) return None
+            val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+            var c = 0
+            while (c < ns) {
+              val tdTa = payload(pos + 6 + 2 * c) & 0xFF
+              dcSel(c) = tdTa >> 4; acSel(c) = tdTa & 15
+              c += 1
+            }
+            return jpegScan(payload, segEnd, w, h, compTq, quant,
+              dcSel.map(dcTabs), acSel.map(acTabs))
+          case 0xDD => return None // DRI / restart markers unsupported
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
+            return None // progressive / extended / arithmetic SOFs
+          case _ => () // APPn, COM: skip
+        }
+        pos = segEnd
+      }
+      None
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Entropy-decode every MCU of a non-subsampled scan, IDCT each block,
+    * and assemble RGB (grayscale replicates; 3 components convert via
+    * CCIR-601 with `Math.round` — half-up, matching the oracle's ROUND
+    * for the in-gamut positive values). */
+  private def jpegScan(payload: Array[Byte], dataStart: Int, w: Int, h: Int,
+                       compTq: Array[Int], quant: Array[Array[Int]],
+                       dcTab: Array[JpegHuff], acTab: Array[JpegHuff])
+      : Option[(Int, Int, Array[Byte])] = {
+    val nc = compTq.length
+    var c = 0
+    while (c < nc) {
+      if (quant(compTq(c)) == null || dcTab(c) == null || acTab(c) == null)
+        return None
+      c += 1
+    }
+    val bx = (w + 7) / 8; val by = (h + 7) / 8
+    val planeW = bx * 8; val planeH = by * 8
+    val planes = Array.fill(nc)(new Array[Int](planeW * planeH))
+    val dcPred = new Array[Int](nc)
+    val br = new JpegBits(payload, dataStart)
+    val coef = new Array[Int](64)
+    val blockOut = new Array[Int](64)
+    var yB = 0
+    while (yB < by) {
+      var xB = 0
+      while (xB < bx) {
+        var ci = 0
+        while (ci < nc) {
+          java.util.Arrays.fill(coef, 0)
+          val q = quant(compTq(ci))
+          val t = dcTab(ci).decode(br)
+          if (t > 11) return None
+          dcPred(ci) += jpegExtend(br.bits(t), t)
+          coef(0) = dcPred(ci) * q(0)
+          var k = 1
+          while (k < 64) {
+            val rs = acTab(ci).decode(br)
+            val r = rs >> 4; val s2 = rs & 15
+            if (s2 == 0) { if (r == 15) k += 16 else k = 64 } // ZRL / EOB
+            else {
+              k += r
+              if (k > 63) return None
+              coef(JpegZigzag(k)) = jpegExtend(br.bits(s2), s2) * q(k)
+              k += 1
+            }
+          }
+          // exact separable-basis IDCT (double precision, fixed op order)
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var s = 0.0
+              var v = 0
+              while (v < 64) {
+                if (coef(v) != 0) s += coef(v) * JpegCos(x)(v & 7) * JpegCos(y)(v >> 3)
+                v += 1
+              }
+              val px = Math.round(s / 4.0 + 128.0).toInt
+              blockOut(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+              x += 1
+            }
+            y += 1
+          }
+          val plane = planes(ci)
+          var r2 = 0
+          while (r2 < 8) {
+            var c2 = 0
+            while (c2 < 8) {
+              plane((yB * 8 + r2) * planeW + xB * 8 + c2) = blockOut(r2 * 8 + c2)
+              c2 += 1
+            }
+            r2 += 1
+          }
+          ci += 1
+        }
+        xB += 1
+      }
+      yB += 1
+    }
+    def clamp(d: Double): Byte = {
+      val v = Math.round(d).toInt
+      (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+    }
+    val rgb = new Array[Byte](w * h * 3)
+    var yy = 0
+    while (yy < h) {
+      var xx = 0
+      while (xx < w) {
+        val p = yy * planeW + xx
+        val d = (yy * w + xx) * 3
+        if (nc == 1) {
+          val g = planes(0)(p).toByte
+          rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+        } else {
+          val yv = planes(0)(p).toDouble
+          val cb = planes(1)(p) - 128.0
+          val cr = planes(2)(p) - 128.0
+          rgb(d) = clamp(yv + 1.402 * cr)
+          rgb(d + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
+          rgb(d + 2) = clamp(yv + 1.772 * cb)
+        }
+        xx += 1
+      }
+      yy += 1
+    }
+    Some((w, h, rgb))
+  }
+
   /** GIF-variant LZW decode: variable code width from `minCode`+1 to 12
     * bits, LSB-first packing, clear/end control codes, dictionary growth
     * one entry behind the encoder. Returns exactly `expected` indices or
@@ -448,7 +738,9 @@ object Multimodal {
     val png = decodePng(payload)
     if (png.isDefined) return png
     val bmp = decodeBmp(payload)
-    if (bmp.isDefined) bmp else decodeGif(payload)
+    if (bmp.isDefined) return bmp
+    val gif = decodeGif(payload)
+    if (gif.isDefined) gif else decodeJpeg(payload)
   }
 
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
@@ -1074,6 +1366,92 @@ object Multimodal {
       fy += 1
     }
     out.array()
+  }
+
+  /** Deterministic baseline JPEG for a key, through a REAL entropy
+    * encode (canonical huffman bit stream, byte stuffing, differential
+    * DC). Every 8×8 block is a planted CONSTANT — per-component value
+    * `128 + 2·(((id·7 + bx·11 + by·13 + c·17) mod 61) − 30)` — so only
+    * the DC coefficient is nonzero and the decoded block is exactly that
+    * constant (quant 16 with even offsets makes DC·q/8 integral; the
+    * IDCT's ~1e-14 float residue dies in the rounding). Even ids encode
+    * grayscale, odd ids 3-component 4:4:4 YCbCr, so both assembly paths
+    * and the color conversion run. The decoded channel sums are
+    * closed-form — the m11 oracle composes the block formula with the
+    * same CCIR-601 expression the decoder applies. Dimensions
+    * `8·(2 + id%3) × 8·(2 + id%2)` blocks; custom minimal huffman tables
+    * (DC categories 0–7, AC = EOB only) keep the stream tiny while the
+    * decoder still walks real canonical tables. */
+  def syntheticJpeg(id: Long): Array[Byte] = {
+    val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
+    val w = wb * 8; val h = hb * 8
+    val nc = if (id % 2 == 0) 1 else 3
+    val out = new java.io.ByteArrayOutputStream(256 + wb * hb * nc * 2)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def marker(m: Int): Unit = { b(0xFF); b(m) }
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    marker(0xD8) // SOI
+    marker(0xDB); be16(2 + 65); b(0x00) // DQT table 0, 8-bit
+    (0 until 64).foreach(_ => b(16))
+    marker(0xC0); be16(8 + 3 * nc); b(8); be16(h); be16(w); b(nc) // SOF0
+    (0 until nc).foreach { c => b(c + 1); b(0x11); b(0) }
+    // DHT: minimal canonical tables. DC: categories 0..6 at length 3,
+    // category 7 at length 4. AC: the single EOB symbol at length 1.
+    val dcBits = Array(0, 0, 7, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xC4); be16(2 + 17 + 8 + 17 + 1)
+    b(0x00); dcBits.foreach(b); (0 to 7).foreach(b)
+    b(0x10); acBits.foreach(b); b(0x00)
+    marker(0xDA); be16(6 + 2 * nc); b(nc) // SOS
+    (0 until nc).foreach { c => b(c + 1); b(0x00) }
+    b(0); b(63); b(0)
+    // entropy-coded data: per MCU (raster blocks), per component, a DC
+    // diff + EOB. MSB-first bit packing with 0xFF00 stuffing.
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    // canonical codes from dcBits: length 3 → 000..110 (cats 0..6),
+    // length 4 → 1110 (cat 7); AC EOB = the single length-1 code '0'
+    def putDcCat(t: Int): Unit =
+      if (t <= 6) putBits(t, 3) else putBits(0xE, 4)
+    val dcPred = new Array[Int](nc)
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        var c = 0
+        while (c < nc) {
+          val v = 128 + 2 * (((id * 7 + bx * 11 + by * 13 + c * 17) % 61).toInt - 30)
+          val dc = (v - 128) / 2 // × quant 16 / 8 = (v − 128) exactly
+          val diff = dc - dcPred(c)
+          dcPred(c) = dc
+          val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putDcCat(t)
+          if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+          putBits(0, 1) // EOB: all 63 AC coefficients zero
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    if (nAcc > 0) { // pad the final byte with 1-bits per T.81
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      out.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) out.write(0x00)
+    }
+    marker(0xD9) // EOI
+    out.toByteArray
   }
 
   /** Deterministic RIFF/WAVE PCM16LE clip for a key: `1 + id%2` channels

@@ -152,6 +152,44 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(good).isDefined)
   }
 
+  test("decodeJpeg: full entropy round-trip, grayscale + 4:4:4 color; malformed rejected") {
+    for (id <- 0L to 11L) { // covers every (wb, hb, nc) combination
+      val (w, h, rgb) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id)).get
+      assert(w == (2 + id % 3) * 8 && h == (2 + id % 2) * 8, s"id=$id dims")
+      def c(bx: Long, by: Long, comp: Long): Int =
+        128 + 2 * (((id * 7 + bx * 11 + by * 13 + comp * 17) % 61).toInt - 30)
+      for (y <- 0 until h; x <- 0 until w) {
+        val bx = x / 8; val by = y / 8
+        val d = (y * w + x) * 3
+        val (er, eg, eb) =
+          if (id % 2 == 0) { val g = c(bx, by, 0); (g, g, g) }
+          else {
+            val yv = c(bx, by, 0).toDouble
+            val cb = c(bx, by, 1) - 128.0
+            val cr = c(bx, by, 2) - 128.0
+            def cl(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+            (cl(yv + 1.402 * cr),
+             cl(yv - 0.344136 * cb - 0.714136 * cr),
+             cl(yv + 1.772 * cb))
+          }
+        assert((rgb(d) & 0xFF) == er && (rgb(d + 1) & 0xFF) == eg &&
+          (rgb(d + 2) & 0xFF) == eb, s"id=$id px ($x,$y)")
+      }
+    }
+    val good = Multimodal.syntheticJpeg(3L)
+    assert(Multimodal.decodeJpeg(good.dropRight(6)).isEmpty, "truncated rejected")
+    assert(Multimodal.decodeJpeg(null).isEmpty)
+    assert(Multimodal.decodeJpeg(Multimodal.syntheticPng(3L)).isEmpty)
+    // a progressive SOF marker over the same stream must be rejected
+    val prog = good.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xFF) == 0xFF && (prog(i + 1) & 0xFF) == 0xC0).get
+    prog(sofAt + 1) = 0xC2.toByte
+    assert(Multimodal.decodeJpeg(prog).isEmpty, "progressive rejected")
+    // decodeImage routes JPEG through the shared image contract
+    assert(Multimodal.decodeImage(good).isDefined)
+  }
+
   test("extractFeatures and resizeImages treat PNG rows as real images") {
     // a PNG row must produce pixelFeatures (not stub noise), equal to the
     // PPM-encoded features of the same raster
