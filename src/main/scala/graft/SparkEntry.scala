@@ -2016,6 +2016,17 @@ object SparkEntry {
           sum(length(col("tok"))).as("n_chars"))
         .orderBy("source")
     }),
+    "d63_gopher_rules" -> ((s, d) => {
+      // Gopher-style composite quality DECISIONS (TextAnalysis
+      // .gopherRules): d02 scores signals, this ships accept/reject with
+      // a first-failed-rule reason — word-count range, mean word length,
+      // distinct-stopword floor, single-word repetition cap. Every
+      // comparison is integer cross-multiplication, so the gate carries
+      // no float contract at all. Thresholds sized to the corpus so all
+      // reasons occur.
+      graft.llm.TextAnalysis.gopherRules(t(s, d, "documents"))
+        .orderBy("doc_id")
+    }),
     "d62_wordpiece" -> ((s, d) => {
       // WordPiece tokenization (llm/WordPiece) against a FIXED shipped
       // vocab — greedy longest-match-first with ## continuations and
@@ -6110,6 +6121,37 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
         |  TRUE AS subset_ok, TRUE AS recall_ok
         |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
+    // d63: all-integer rule chain — cross-multiplied thresholds, fixed
+    // first-failure order, no float contract anywhere
+    "d63_gopher_rules" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |    CAST(SUM(length(w) * cnt) AS BIGINT) AS n_wchars,
+        |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM tok GROUP BY 1
+        |), ruled AS (
+        |  SELECT doc_id, n_words, top_cnt, n_stop,
+        |    CASE WHEN n_words < 25 THEN 'too_short'
+        |         WHEN n_words > 70 THEN 'too_long'
+        |         WHEN n_wchars < 3 * n_words THEN 'word_len'
+        |         WHEN n_wchars > 7 * n_words THEN 'word_len'
+        |         WHEN n_stop < 2 THEN 'stopwords'
+        |         WHEN top_cnt * 8 > n_words THEN 'repetition'
+        |         ELSE 'ok' END AS reason
+        |  FROM agg
+        |)
+        |SELECT doc_id, n_words, top_cnt, n_stop, reason,
+        |  reason = 'ok' AS accepted
+        |FROM ruled ORDER BY doc_id""".stripMargin,
     "d62_wordpiece" -> wordpieceOracleSql(4),
     "d28_bpe_merges" -> bpeOracleSql(6),
     "d35_bpe_encode" -> bpeEncodeOracleSql(6),

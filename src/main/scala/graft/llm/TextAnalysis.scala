@@ -421,4 +421,52 @@ object TextAnalysis {
         (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
         round(col("__h"), 4).as("entropy"))
   }
+
+  /**
+   * Gopher-style composite quality rules (Rae et al. 2021 §A1.1 shape):
+   * the ship-a-decision layer on top of [[qualityMetrics]]'s raw signals.
+   * A document is accepted iff it passes EVERY rule; `reason` names the
+   * FIRST failed rule (fixed evaluation order — the triage label a
+   * curation dashboard groups by): word count in [minWords, maxWords],
+   * mean word length in [minMeanLen, maxMeanLen], ≥ 2 distinct stopwords,
+   * and no single word above 1/8 of the tokens (the repetition screen).
+   *
+   * Every comparison is INTEGER arithmetic — mean length and the
+   * repetition fraction test as cross-multiplications (`n_wchars <
+   * minMeanLen·n_words`, `top_cnt·8 > n_words`) — so the decision
+   * replays in any engine with no float contract at all (the d63 gate).
+   *
+   * Scale shape: explode → (doc, word) count → per-doc aggregate; both
+   * aggs are map-side combinable and nothing wider than (id, word,
+   * count) crosses an exchange. Word-character totals come from
+   * `Σ len(word)·count` inside the second agg, so the raw text is read
+   * exactly once.
+   */
+  def gopherRules(docs: DataFrame, idCol: String = "doc_id",
+                  textCol: String = "text",
+                  stopwords: Seq[String] = Seq("the", "a", "of", "and", "to"),
+                  minWords: Int = 25, maxWords: Int = 70,
+                  minMeanLen: Int = 3, maxMeanLen: Int = 7): DataFrame = {
+    val tok = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col(idCol), col("w")).agg(count(lit(1)).as("cnt"))
+    tok.groupBy(col(idCol)).agg(
+        sum(col("cnt")).as("n_words"),
+        max(col("cnt")).as("top_cnt"),
+        sum(length(col("w")) * col("cnt")).as("n_wchars"),
+        sum(when(col("w").isin(stopwords.map(lit): _*), 1L).otherwise(0L))
+          .as("n_stop"))
+      .withColumn("reason",
+        when(col("n_words") < minWords, "too_short")
+          .when(col("n_words") > maxWords, "too_long")
+          .when(col("n_wchars") < col("n_words") * minMeanLen, "word_len")
+          .when(col("n_wchars") > col("n_words") * maxMeanLen, "word_len")
+          .when(col("n_stop") < 2, "stopwords")
+          .when(col("top_cnt") * 8 > col("n_words"), "repetition")
+          .otherwise("ok"))
+      .withColumn("accepted", col("reason") === "ok")
+      .select(col(idCol), col("n_words"), col("top_cnt"), col("n_stop"),
+        col("reason"), col("accepted"))
+  }
 }

@@ -281,4 +281,30 @@ class TextAnalysisSpec extends SparkSpec {
     assert(twoLevel == single,
       s"two-level fold must agree with the single fold at 4 dp: $twoLevel vs $single")
   }
+  test("gopherRules: every reason fires, first-failure order, integer thresholds") {
+    import spark.implicits._
+    val mk = (id: Long, words: Seq[String]) => (id, words.mkString(" "))
+    val docs = Seq(
+      mk(1L, Seq.fill(30)("word") ++ Seq("the", "a")),            // repetition (32×8 > 32? 30·8>32 ✓)
+      mk(2L, Seq("the", "a", "cat")),                             // too_short
+      mk(3L, Seq.fill(40)("x" * 9) ++ Seq("the", "a")),           // word_len (mean > 7)
+      mk(4L, (1 to 30).map(i => f"word$i%02d") :+ "the"),         // stopwords (only 1 distinct)
+      mk(5L, Seq.fill(80)("word") ++ Seq("the", "a")),            // too_long
+      // accepted: 28 distinct 4-char words + the + a + of, top_cnt 1, 8*1 <= 31
+      mk(6L, (1 to 28).map(i => f"w$i%03d") ++ Seq("the", "a", "of"))
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs)
+      .select("doc_id", "reason", "accepted")
+      .as[(Long, String, Boolean)].collect()
+      .map { case (k, v, a) => k -> ((v, a)) }.toMap
+    assert(got(1L) == ("repetition", false), got.toString)
+    assert(got(2L) == ("too_short", false))
+    assert(got(3L) == ("word_len", false))
+    assert(got(4L) == ("stopwords", false))
+    assert(got(5L) == ("too_long", false))
+    assert(got(6L) == ("ok", true))
+    // first-failure order: doc 2 is ALSO stopword-poor and repetitious,
+    // but too_short is checked first
+  }
+
 }
