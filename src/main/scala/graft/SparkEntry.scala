@@ -1139,6 +1139,22 @@ object SparkEntry {
         .withColumn("payload", jpg(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m12_jpeg_420" -> ((s, d) => {
+      // 4:2:0-SUBSAMPLED baseline JPEG decode — the form real photos
+      // take: Y at 2×2 sampling factors (four blocks per MCU in the
+      // T.81 interleave order), chroma at 1×1, box-upsampled back to
+      // full resolution. Blocks are planted DC-only constants (Y per
+      // Y-block, chroma per MCU), so the oracle composes both sampling
+      // grids through the CCIR-601 conversion in closed form — an MCU
+      // block-order, upsampler-geometry, or DC-prediction bug breaks
+      // the hash.
+      import s.implicits._
+      val jpg = udf((id: Long) => graft.llm.Multimodal.syntheticJpeg420(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", jpg(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m10_bmp_decode" -> ((s, d) => {
       // REAL BMP decode (Multimodal.decodeBmp): payloads are genuine
       // 24-bit BITMAPINFOHEADER files — BGR byte order, 4-byte row
@@ -5089,6 +5105,34 @@ object SparkEntry {
         |)
         |SELECT media_id,
         |  CAST(MAX(wb) * 8 AS INT) AS width, CAST(MAX(hb) * 8 AS INT) AS height,
+        |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m12: 4:2:0 sums — Y constant per 8×8 Y-block, chroma constant per
+    // 16×16 MCU (bx // 2 = the chroma grid), composed through CCIR-601
+    "m12_jpeg_420" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    1 + p_partkey % 3 AS mx, 1 + p_partkey % 2 AS my
+        |  FROM part WHERE p_partkey <= 300
+        |), yblk AS (
+        |  SELECT i.media_id, i.mx, i.my,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS yv,
+        |    128 + 2 * (((i.media_id * 7 + (bx.bx // 2) * 11 + (by.by // 2) * 13 + 17) % 61) - 30) AS cb,
+        |    128 + 2 * (((i.media_id * 7 + (bx.bx // 2) * 11 + (by.by // 2) * 13 + 34) % 61) - 30) AS cr
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(2 * i.my)) AS by) by,
+        |    LATERAL (SELECT unnest(range(2 * i.mx)) AS bx) bx
+        |), px AS (
+        |  SELECT media_id, mx, my,
+        |    GREATEST(0, LEAST(255, CAST(ROUND(yv + 1.402 * (cr - 128)) AS INT))) AS r,
+        |    GREATEST(0, LEAST(255, CAST(ROUND(yv - 0.344136 * (cb - 128) - 0.714136 * (cr - 128)) AS INT))) AS g,
+        |    GREATEST(0, LEAST(255, CAST(ROUND(yv + 1.772 * (cb - 128)) AS INT))) AS b
+        |  FROM yblk
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(mx) * 16 AS INT) AS width, CAST(MAX(my) * 16 AS INT) AS height,
         |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
         |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
         |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b

@@ -352,12 +352,10 @@ object Multimodal {
   // ---------------------------------------------------------------------
   // Baseline JPEG (ITU-T T.81): the dominant compressed image format of a
   // real crawl. Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3
-  // components WITHOUT chroma subsampling (all H=V=1), standard or custom
-  // huffman/quant tables, byte stuffing. Rejected (None, never throw):
-  // progressive/extended SOFs, subsampled chroma, restart intervals,
-  // arithmetic coding. That covers the synthetic gate corpus and the
-  // common screenshot/thumbnail class; subsampled photos would need the
-  // upsampler, a documented extension point.
+  // components with sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 —
+  // box chroma upsampling), standard or custom huffman/quant tables,
+  // byte stuffing. Rejected (None, never throw): progressive/extended
+  // SOFs, restart intervals, arithmetic coding, factors > 2.
   // ---------------------------------------------------------------------
 
   /** jpeg_natural_order: zigzag scan position → natural block index. */
@@ -442,11 +440,13 @@ object Multimodal {
    * Pure-JVM baseline JPEG decode to the shared
    * `(width, height, packed RGB)` contract. Full entropy pipeline:
    * canonical huffman DC/AC decode with the T.81 EXTEND rule, dequant in
-   * zigzag order, exact double-precision IDCT per block, level shift +
+   * zigzag order, exact double-precision IDCT per block, MCU-interleaved
+   * sampling factors up to 2×2 (4:4:4, 4:2:2 and 4:2:0 — the forms a
+   * crawl actually contains) with box chroma upsampling, level shift +
    * clamp, and CCIR-601 YCbCr→RGB for 3-component scans. None for
    * anything malformed or outside the supported envelope (progressive,
-   * subsampled, restart-interval, arithmetic) — a decoder on an executor
-   * must reject, never throw.
+   * restart-interval, arithmetic, factors > 2) — a decoder on an
+   * executor must reject, never throw.
    */
   def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 4) return None
@@ -457,6 +457,8 @@ object Multimodal {
       val acTabs = new Array[JpegHuff](4)
       var w = 0; var h = 0
       var compTq: Array[Int] = null // per-component quant table id
+      var compH: Array[Int] = null  // per-component sampling factors
+      var compV: Array[Int] = null
       var pos = 2
       while (pos + 4 <= payload.length) {
         if ((payload(pos) & 0xFF) != 0xFF) return None
@@ -484,10 +486,16 @@ object Multimodal {
             if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
             if (nf != 1 && nf != 3) return None
             compTq = new Array[Int](nf)
+            compH = new Array[Int](nf); compV = new Array[Int](nf)
             var c = 0
             while (c < nf) {
               val hv = payload(pos + 11 + 3 * c) & 0xFF
-              if (hv != 0x11) return None // subsampling unsupported
+              compH(c) = hv >> 4; compV(c) = hv & 15
+              // sampling factors 1 or 2 cover 4:4:4 / 4:2:2 / 4:2:0, the
+              // forms a crawl contains; others reject
+              if (compH(c) < 1 || compH(c) > 2 || compV(c) < 1 || compV(c) > 2)
+                return None
+              if (nf == 1 && hv != 0x11) return None
               compTq(c) = payload(pos + 12 + 3 * c) & 0xFF
               c += 1
             }
@@ -515,8 +523,8 @@ object Multimodal {
               dcSel(c) = tdTa >> 4; acSel(c) = tdTa & 15
               c += 1
             }
-            return jpegScan(payload, segEnd, w, h, compTq, quant,
-              dcSel.map(dcTabs), acSel.map(acTabs))
+            return jpegScan(payload, segEnd, w, h, compTq, compH, compV,
+              quant, dcSel.map(dcTabs), acSel.map(acTabs))
           case 0xDD => return None // DRI / restart markers unsupported
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
             return None // progressive / extended / arithmetic SOFs
@@ -528,103 +536,125 @@ object Multimodal {
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 
-  /** Entropy-decode every MCU of a non-subsampled scan, IDCT each block,
-    * and assemble RGB (grayscale replicates; 3 components convert via
-    * CCIR-601 with `Math.round` — half-up, matching the oracle's ROUND
-    * for the in-gamut positive values). */
+  /** Entropy-decode every MCU of an interleaved baseline scan (per MCU,
+    * per component, v×h blocks in raster order — T.81 A.2.3), IDCT each
+    * block, box-upsample subsampled chroma (nearest sample: each chroma
+    * value covers hmax/h × vmax/v pixels — exact for the planted-constant
+    * gate, standard fast path for real photos), and assemble RGB.
+    * Grayscale replicates; 3 components convert via CCIR-601 with
+    * `Math.round` — half-up, matching the oracle's ROUND for the
+    * in-gamut positive values. */
   private def jpegScan(payload: Array[Byte], dataStart: Int, w: Int, h: Int,
-                       compTq: Array[Int], quant: Array[Array[Int]],
+                       compTq: Array[Int], compH: Array[Int], compV: Array[Int],
+                       quant: Array[Array[Int]],
                        dcTab: Array[JpegHuff], acTab: Array[JpegHuff])
       : Option[(Int, Int, Array[Byte])] = {
     val nc = compTq.length
+    var hMax = 1; var vMax = 1
     var c = 0
     while (c < nc) {
       if (quant(compTq(c)) == null || dcTab(c) == null || acTab(c) == null)
         return None
+      hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
       c += 1
     }
-    val bx = (w + 7) / 8; val by = (h + 7) / 8
-    val planeW = bx * 8; val planeH = by * 8
-    val planes = Array.fill(nc)(new Array[Int](planeW * planeH))
+    val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+    val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+    val planeW = Array.tabulate(nc)(ci => mcusX * compH(ci) * 8)
+    val planeH = Array.tabulate(nc)(ci => mcusY * compV(ci) * 8)
+    val planes = Array.tabulate(nc)(ci => new Array[Int](planeW(ci) * planeH(ci)))
     val dcPred = new Array[Int](nc)
     val br = new JpegBits(payload, dataStart)
     val coef = new Array[Int](64)
     val blockOut = new Array[Int](64)
-    var yB = 0
-    while (yB < by) {
-      var xB = 0
-      while (xB < bx) {
+    var mY = 0
+    while (mY < mcusY) {
+      var mX = 0
+      while (mX < mcusX) {
         var ci = 0
         while (ci < nc) {
-          java.util.Arrays.fill(coef, 0)
-          val q = quant(compTq(ci))
-          val t = dcTab(ci).decode(br)
-          if (t > 11) return None
-          dcPred(ci) += jpegExtend(br.bits(t), t)
-          coef(0) = dcPred(ci) * q(0)
-          var k = 1
-          while (k < 64) {
-            val rs = acTab(ci).decode(br)
-            val r = rs >> 4; val s2 = rs & 15
-            if (s2 == 0) { if (r == 15) k += 16 else k = 64 } // ZRL / EOB
-            else {
-              k += r
-              if (k > 63) return None
-              coef(JpegZigzag(k)) = jpegExtend(br.bits(s2), s2) * q(k)
-              k += 1
-            }
-          }
-          // exact separable-basis IDCT (double precision, fixed op order)
-          var y = 0
-          while (y < 8) {
-            var x = 0
-            while (x < 8) {
-              var s = 0.0
-              var v = 0
-              while (v < 64) {
-                if (coef(v) != 0) s += coef(v) * JpegCos(x)(v & 7) * JpegCos(y)(v >> 3)
-                v += 1
+          var vb = 0
+          while (vb < compV(ci)) {
+            var hb = 0
+            while (hb < compH(ci)) {
+              java.util.Arrays.fill(coef, 0)
+              val q = quant(compTq(ci))
+              val t = dcTab(ci).decode(br)
+              if (t > 11) return None
+              dcPred(ci) += jpegExtend(br.bits(t), t)
+              coef(0) = dcPred(ci) * q(0)
+              var k = 1
+              while (k < 64) {
+                val rs = acTab(ci).decode(br)
+                val r = rs >> 4; val s2 = rs & 15
+                if (s2 == 0) { if (r == 15) k += 16 else k = 64 } // ZRL / EOB
+                else {
+                  k += r
+                  if (k > 63) return None
+                  coef(JpegZigzag(k)) = jpegExtend(br.bits(s2), s2) * q(k)
+                  k += 1
+                }
               }
-              val px = Math.round(s / 4.0 + 128.0).toInt
-              blockOut(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-              x += 1
+              // exact separable-basis IDCT (double precision, fixed op order)
+              var y = 0
+              while (y < 8) {
+                var x = 0
+                while (x < 8) {
+                  var s = 0.0
+                  var v = 0
+                  while (v < 64) {
+                    if (coef(v) != 0)
+                      s += coef(v) * JpegCos(x)(v & 7) * JpegCos(y)(v >> 3)
+                    v += 1
+                  }
+                  val px = Math.round(s / 4.0 + 128.0).toInt
+                  blockOut(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+                  x += 1
+                }
+                y += 1
+              }
+              val plane = planes(ci)
+              val x0 = (mX * compH(ci) + hb) * 8
+              val y0 = (mY * compV(ci) + vb) * 8
+              var r2 = 0
+              while (r2 < 8) {
+                var c2 = 0
+                while (c2 < 8) {
+                  plane((y0 + r2) * planeW(ci) + x0 + c2) = blockOut(r2 * 8 + c2)
+                  c2 += 1
+                }
+                r2 += 1
+              }
+              hb += 1
             }
-            y += 1
-          }
-          val plane = planes(ci)
-          var r2 = 0
-          while (r2 < 8) {
-            var c2 = 0
-            while (c2 < 8) {
-              plane((yB * 8 + r2) * planeW + xB * 8 + c2) = blockOut(r2 * 8 + c2)
-              c2 += 1
-            }
-            r2 += 1
+            vb += 1
           }
           ci += 1
         }
-        xB += 1
+        mX += 1
       }
-      yB += 1
+      mY += 1
     }
     def clamp(d: Double): Byte = {
       val v = Math.round(d).toInt
       (if (v < 0) 0 else if (v > 255) 255 else v).toByte
     }
+    // per-component sample lookup with box upsampling to full resolution
+    @inline def sample(ci: Int, x: Int, y: Int): Int =
+      planes(ci)((y * compV(ci) / vMax) * planeW(ci) + x * compH(ci) / hMax)
     val rgb = new Array[Byte](w * h * 3)
     var yy = 0
     while (yy < h) {
       var xx = 0
       while (xx < w) {
-        val p = yy * planeW + xx
         val d = (yy * w + xx) * 3
         if (nc == 1) {
-          val g = planes(0)(p).toByte
+          val g = sample(0, xx, yy).toByte
           rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
         } else {
-          val yv = planes(0)(p).toDouble
-          val cb = planes(1)(p) - 128.0
-          val cr = planes(2)(p) - 128.0
+          val yv = sample(0, xx, yy).toDouble
+          val cb = sample(1, xx, yy) - 128.0
+          val cr = sample(2, xx, yy) - 128.0
           rgb(d) = clamp(yv + 1.402 * cr)
           rgb(d + 1) = clamp(yv - 0.344136 * cb - 0.714136 * cr)
           rgb(d + 2) = clamp(yv + 1.772 * cb)
@@ -1451,6 +1481,94 @@ object Multimodal {
       if ((acc & 0xFF) == 0xFF) out.write(0x00)
     }
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic 4:2:0-subsampled baseline JPEG for a key — the form
+    * real photos take. Y carries sampling factors 2×2 (four blocks per
+    * MCU), Cb/Cr 1×1 (one block each, covering 16×16 pixels), so the
+    * entropy stream exercises the interleaved MCU block order AND the
+    * chroma upsampler. Per-component planted constants: Y per Y-block
+    * `(bx, by)`, chroma per MCU `(mx, my)` — all DC-only, so decoded
+    * pixels are closed-form (the m12 oracle composes them through the
+    * CCIR-601 expression). Dimensions `16·(1 + id%3) × 16·(1 + id%2)`
+    * (whole MCUs — edge cropping is m11's PPM-family concern). */
+  def syntheticJpeg420(id: Long): Array[Byte] = {
+    val mx = (1 + id % 3).toInt; val my = (1 + id % 2).toInt
+    val w = mx * 16; val h = my * 16
+    val out = new java.io.ByteArrayOutputStream(256 + mx * my * 12)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def marker(m: Int): Unit = { b(0xFF); b(m) }
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    marker(0xD8)
+    marker(0xDB); be16(2 + 65); b(0x00)
+    (0 until 64).foreach(_ => b(16))
+    marker(0xC0); be16(8 + 9); b(8); be16(h); be16(w); b(3)
+    b(1); b(0x22); b(0) // Y: 2×2
+    b(2); b(0x11); b(0) // Cb: 1×1
+    b(3); b(0x11); b(0) // Cr: 1×1
+    val dcBits = Array(0, 0, 7, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xC4); be16(2 + 17 + 8 + 17 + 1)
+    b(0x00); dcBits.foreach(b); (0 to 7).foreach(b)
+    b(0x10); acBits.foreach(b); b(0x00)
+    marker(0xDA); be16(6 + 6); b(3)
+    (1 to 3).foreach { c => b(c); b(0x00) }
+    b(0); b(63); b(0)
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def putDc(diff: Int): Unit = {
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+      if (t <= 6) putBits(t, 3) else putBits(0xE, 4)
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      putBits(0, 1) // EOB
+    }
+    def const(i: Long, j: Long, comp: Long): Int =
+      128 + 2 * (((id * 7 + i * 11 + j * 13 + comp * 17) % 61).toInt - 30)
+    val dcPred = new Array[Int](3)
+    var mY = 0
+    while (mY < my) {
+      var mX = 0
+      while (mX < mx) {
+        // Y: four blocks, raster (vb, hb) order per T.81 A.2.3
+        var vb = 0
+        while (vb < 2) {
+          var hb = 0
+          while (hb < 2) {
+            val dc = (const(mX * 2 + hb, mY * 2 + vb, 0) - 128) / 2
+            putDc(dc - dcPred(0)); dcPred(0) = dc
+            hb += 1
+          }
+          vb += 1
+        }
+        // Cb, Cr: one block each per MCU
+        var c = 1
+        while (c <= 2) {
+          val dc = (const(mX, mY, c) - 128) / 2
+          putDc(dc - dcPred(c)); dcPred(c) = dc
+          c += 1
+        }
+        mX += 1
+      }
+      mY += 1
+    }
+    if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      out.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) out.write(0x00)
+    }
+    marker(0xD9)
     out.toByteArray
   }
 

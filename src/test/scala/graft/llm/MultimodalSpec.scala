@@ -190,6 +190,31 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(good).isDefined)
   }
 
+  test("decodeJpeg 4:2:0: MCU block order + chroma upsampling round-trip") {
+    for (id <- 0L to 5L) { // every (mx, my) combination
+      val (w, h, rgb) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg420(id)).get
+      assert(w == (1 + id % 3) * 16 && h == (1 + id % 2) * 16, s"id=$id dims")
+      def c(i: Long, j: Long, comp: Long): Int =
+        128 + 2 * (((id * 7 + i * 11 + j * 13 + comp * 17) % 61).toInt - 30)
+      def cl(v: Double) = math.min(255, math.max(0, Math.round(v).toInt))
+      for (y <- 0 until h; x <- 0 until w) {
+        val yv = c(x / 8, y / 8, 0).toDouble   // Y grid: per 8×8 block
+        val cb = c(x / 16, y / 16, 1) - 128.0  // chroma grid: per MCU
+        val cr = c(x / 16, y / 16, 2) - 128.0
+        val d = (y * w + x) * 3
+        assert((rgb(d) & 0xFF) == cl(yv + 1.402 * cr) &&
+          (rgb(d + 1) & 0xFF) == cl(yv - 0.344136 * cb - 0.714136 * cr) &&
+          (rgb(d + 2) & 0xFF) == cl(yv + 1.772 * cb), s"id=$id px ($x,$y)")
+      }
+    }
+    // a 3×1 sampling factor must reject (only 1 and 2 supported)
+    val bad = Multimodal.syntheticJpeg420(1L).clone()
+    val sofAt = (0 until bad.length - 1).find(i =>
+      (bad(i) & 0xFF) == 0xFF && (bad(i + 1) & 0xFF) == 0xC0).get
+    bad(sofAt + 2 + 9) = 0x31.toByte // Y component H=3, V=1
+    assert(Multimodal.decodeJpeg(bad).isEmpty, "factor 3 rejected")
+  }
+
   test("extractFeatures and resizeImages treat PNG rows as real images") {
     // a PNG row must produce pixelFeatures (not stub noise), equal to the
     // PPM-encoded features of the same raster
