@@ -354,8 +354,9 @@ object Multimodal {
   // real crawl. Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3
   // components with sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 —
   // box chroma upsampling), standard or custom huffman/quant tables,
-  // byte stuffing. Rejected (None, never throw): progressive/extended
-  // SOFs, restart intervals, arithmetic coding, factors > 2.
+  // byte stuffing, restart intervals (DRI/RSTn with DC-prediction
+  // reset). Rejected (None, never throw): progressive/extended SOFs,
+  // arithmetic coding, factors > 2.
   // ---------------------------------------------------------------------
 
   /** jpeg_natural_order: zigzag scan position → natural block index. */
@@ -430,6 +431,15 @@ object Multimodal {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
+    /** Byte-align and consume one RSTn marker (T.81 restart): discard the
+      * partial byte, expect 0xFFD0–0xFFD7. Throws on anything else. */
+    def restart(): Unit = {
+      nBits = 0
+      if (pos + 2 > data.length || (data(pos) & 0xFF) != 0xFF ||
+          (data(pos + 1) & 0xF8) != 0xD0)
+        throw new IllegalArgumentException("missing restart marker")
+      pos += 2
+    }
   }
 
   /** T.81 EXTEND: map the `t`-bit magnitude field to its signed value. */
@@ -443,10 +453,11 @@ object Multimodal {
    * zigzag order, exact double-precision IDCT per block, MCU-interleaved
    * sampling factors up to 2×2 (4:4:4, 4:2:2 and 4:2:0 — the forms a
    * crawl actually contains) with box chroma upsampling, level shift +
-   * clamp, and CCIR-601 YCbCr→RGB for 3-component scans. None for
+   * clamp, CCIR-601 YCbCr→RGB for 3-component scans, and DRI/RSTn
+   * restart intervals (byte-align + DC-prediction reset). None for
    * anything malformed or outside the supported envelope (progressive,
-   * restart-interval, arithmetic, factors > 2) — a decoder on an
-   * executor must reject, never throw.
+   * arithmetic, factors > 2) — a decoder on an executor must reject,
+   * never throw.
    */
   def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 4) return None
@@ -459,6 +470,7 @@ object Multimodal {
       var compTq: Array[Int] = null // per-component quant table id
       var compH: Array[Int] = null  // per-component sampling factors
       var compV: Array[Int] = null
+      var restartInterval = 0
       var pos = 2
       while (pos + 4 <= payload.length) {
         if ((payload(pos) & 0xFF) != 0xFF) return None
@@ -524,8 +536,11 @@ object Multimodal {
               c += 1
             }
             return jpegScan(payload, segEnd, w, h, compTq, compH, compV,
-              quant, dcSel.map(dcTabs), acSel.map(acTabs))
-          case 0xDD => return None // DRI / restart markers unsupported
+              quant, dcSel.map(dcTabs), acSel.map(acTabs), restartInterval)
+          case 0xDD => // DRI: restart every Ri MCUs (0 disables)
+            if (len != 4) return None
+            restartInterval = ((payload(pos + 4) & 0xFF) << 8) |
+              (payload(pos + 5) & 0xFF)
           case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
             return None // progressive / extended / arithmetic SOFs
           case _ => () // APPn, COM: skip
@@ -547,7 +562,8 @@ object Multimodal {
   private def jpegScan(payload: Array[Byte], dataStart: Int, w: Int, h: Int,
                        compTq: Array[Int], compH: Array[Int], compV: Array[Int],
                        quant: Array[Array[Int]],
-                       dcTab: Array[JpegHuff], acTab: Array[JpegHuff])
+                       dcTab: Array[JpegHuff], acTab: Array[JpegHuff],
+                       restartInterval: Int)
       : Option[(Int, Int, Array[Byte])] = {
     val nc = compTq.length
     var hMax = 1; var vMax = 1
@@ -567,10 +583,17 @@ object Multimodal {
     val br = new JpegBits(payload, dataStart)
     val coef = new Array[Int](64)
     val blockOut = new Array[Int](64)
+    var mcuCount = 0
     var mY = 0
     while (mY < mcusY) {
       var mX = 0
       while (mX < mcusX) {
+        if (restartInterval > 0 && mcuCount > 0 && mcuCount % restartInterval == 0) {
+          // T.81 restart: byte-align, consume RSTn, reset DC prediction
+          br.restart()
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        mcuCount += 1
         var ci = 0
         while (ci < nc) {
           var vb = 0
@@ -1412,7 +1435,7 @@ object Multimodal {
     * `8·(2 + id%3) × 8·(2 + id%2)` blocks; custom minimal huffman tables
     * (DC categories 0–7, AC = EOB only) keep the stream tiny while the
     * decoder still walks real canonical tables. */
-  def syntheticJpeg(id: Long): Array[Byte] = {
+  def syntheticJpeg(id: Long, restartEvery: Int = 0): Array[Byte] = {
     val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
     val w = wb * 8; val h = hb * 8
     val nc = if (id % 2 == 0) 1 else 3
@@ -1423,6 +1446,7 @@ object Multimodal {
     marker(0xD8) // SOI
     marker(0xDB); be16(2 + 65); b(0x00) // DQT table 0, 8-bit
     (0 until 64).foreach(_ => b(16))
+    if (restartEvery > 0) { marker(0xDD); be16(4); be16(restartEvery) } // DRI
     marker(0xC0); be16(8 + 3 * nc); b(8); be16(h); be16(w); b(nc) // SOF0
     (0 until nc).foreach { c => b(c + 1); b(0x11); b(0) }
     // DHT: minimal canonical tables. DC: categories 0..6 at length 3,
@@ -1454,11 +1478,27 @@ object Multimodal {
     // length 4 → 1110 (cat 7); AC EOB = the single length-1 code '0'
     def putDcCat(t: Int): Unit =
       if (t <= 6) putBits(t, 3) else putBits(0xE, 4)
+    // flush the partial byte with 1-padding (T.81 byte alignment)
+    def flushBits(): Unit = if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      out.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) out.write(0x00)
+      acc = 0; nAcc = 0
+    }
     val dcPred = new Array[Int](nc)
+    var mcuCount = 0
+    var rstN = 0
     var by = 0
     while (by < hb) {
       var bx = 0
       while (bx < wb) {
+        if (restartEvery > 0 && mcuCount > 0 && mcuCount % restartEvery == 0) {
+          flushBits()
+          out.write(0xFF); out.write(0xD0 + rstN)
+          rstN = (rstN + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        mcuCount += 1
         var c = 0
         while (c < nc) {
           val v = 128 + 2 * (((id * 7 + bx * 11 + by * 13 + c * 17) % 61).toInt - 30)

@@ -190,6 +190,33 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(good).isDefined)
   }
 
+  test("decodeJpeg: DRI/RSTn restart intervals decode identically; missing RST rejected") {
+    for (id <- 0L to 5L; every <- Seq(1, 2, 3)) {
+      val (pw, ph, prgb) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id)).get
+      val (rw, rh, rrgb) =
+        Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id, restartEvery = every)).get
+      assert(rw == pw && rh == ph && java.util.Arrays.equals(rrgb, prgb),
+        s"id=$id every=$every: restart decode diverged")
+    }
+    // DRI declared but the RST markers stripped → the aligned read must
+    // reject, not silently misparse the next MCU's bits
+    val withRst = Multimodal.syntheticJpeg(4L, restartEvery = 1)
+    val stripped = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var i = 0
+    var inEntropy = false
+    while (i < withRst.length) {
+      val isRst = i + 1 < withRst.length && (withRst(i) & 0xFF) == 0xFF &&
+        (withRst(i + 1) & 0xF8) == 0xD0 && (withRst(i + 1) & 0xFF) != 0xD8
+      if (inEntropy && isRst) i += 2
+      else {
+        if ((withRst(i) & 0xFF) == 0xFF && i + 1 < withRst.length &&
+            (withRst(i + 1) & 0xFF) == 0xDA) inEntropy = true
+        stripped += withRst(i); i += 1
+      }
+    }
+    assert(Multimodal.decodeJpeg(stripped.toArray).isEmpty, "missing RST must reject")
+  }
+
   test("decodeJpeg 4:2:0: MCU block order + chroma upsampling round-trip") {
     for (id <- 0L to 5L) { // every (mx, my) combination
       val (w, h, rgb) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg420(id)).get
