@@ -1285,6 +1285,34 @@ object SparkEntry {
           s"s05_ij_${System.nanoTime()}", outputMode = "append")
         .orderBy("p_event_id", "e_event_id")
     }),
+    "s26_stream_interval_join_outer" -> ((s, d) => {
+      // LEFT-OUTER stream-stream interval join: s05's pair set PLUS a
+      // null-extended row per matchless purchase, emitted only once the
+      // watermark proves no match can arrive (availableNow's no-data
+      // flush batch). Both engines restrict to purchases the FINAL
+      // watermark (max ts − 1 day) provably finalized — window + 1h
+      // margin — so the stream output is deterministic and must equal
+      // the batch LEFT JOIN exactly; nulls surface as −1 (the
+      // COALESCE-before-hash contract).
+      val ss = statefulEventsSession(s)
+      def stream() = eventsStream(ss, d)
+      val purchases = stream().filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_event_id"), col("ts").as("pts"))
+      val others = stream()
+        .select(col("user_id"), col("event_id").as("e_event_id"), col("ts").as("ets"))
+      val joined = graft.streaming.Streaming.intervalJoinOuter(
+        purchases, others, Seq("user_id"), "pts", "ets", windowUs = 7200000000L)
+      val out = graft.streaming.Streaming.runAvailableNow(
+        joined.select(col("p_event_id"), col("pts"), col("e_event_id")),
+        s"s26_ijo_${System.nanoTime()}", outputMode = "append")
+      val maxUs = t(ss, d, "events")
+        .agg(max(unix_micros(col("ts")))).head().getLong(0)
+      val cutoff = maxUs - 86400000000L - 7200000000L - 3600000000L
+      out.filter(unix_micros(col("pts")) <= cutoff)
+        .select(col("p_event_id"),
+          coalesce(col("e_event_id"), lit(-1L)).as("e_event_id"))
+        .orderBy("p_event_id", "e_event_id")
+    }),
     "s06_stream_neardup_ingest" -> ((s, d) => {
       // STREAMING NEAR-DUP INGEST (Streaming.nearDupIngestStream): documents
       // stream through a per-microbatch LSH check against the persisted
@@ -5533,6 +5561,21 @@ object SparkEntry {
         | AND epoch_us(e.ts) > epoch_us(p.ts)
         | AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
         |WHERE p.event_type = 'purchase'
+        |ORDER BY p_event_id, e_event_id""".stripMargin,
+    // s26: the LEFT JOIN twin over the watermark-finalized prefix
+    // (max ts − 1 day − window − 1 h margin); unmatched rows as −1
+    "s26_stream_interval_join_outer" ->
+      """WITH mx AS (SELECT MAX(epoch_us(ts)) AS m FROM events)
+        |SELECT p.event_id AS p_event_id,
+        |  COALESCE(e.event_id, -1) AS e_event_id
+        |FROM events p
+        |LEFT JOIN events e
+        | ON e.user_id = p.user_id
+        | AND epoch_us(e.ts) > epoch_us(p.ts)
+        | AND epoch_us(e.ts) <= epoch_us(p.ts) + 7200000000
+        |CROSS JOIN mx
+        |WHERE p.event_type = 'purchase'
+        |  AND epoch_us(p.ts) <= mx.m - 86400000000 - 7200000000 - 3600000000
         |ORDER BY p_event_id, e_event_id""".stripMargin,
     // g11: every overlay step's decision is analytic on the constructed
     // boxes (see the query comment), so DuckDB derives the admin id

@@ -242,6 +242,31 @@ object Streaming {
     keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
   }
 
+  /**
+   * LEFT-OUTER stream-stream interval join: [[intervalJoin]]'s pair set
+   * PLUS a null-extended row for every left event with NO right match in
+   * its window. The null extension is WATERMARK-DRIVEN state semantics —
+   * an unmatched left row emits only once the watermark passes
+   * `leftTs + window`, proving no future right row can match; until
+   * then it sits in the state store. Consumers must therefore treat the
+   * output as eventually-complete: rows younger than the final watermark
+   * never flush (the s26 gate restricts itself — and its batch oracle —
+   * to the provably-finalized prefix). Same O(in-flight window) state
+   * bound and column contract as the inner form.
+   */
+  def intervalJoinOuter(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                        leftTs: String, rightTs: String, windowUs: Long,
+                        watermark: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val keyEq = keyCols.map(k => l(k) === r(k)).reduce(_ && _)
+    val range = r(rightTs) > l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $windowUs MICROSECONDS")
+    val joined = l.join(r, keyEq && range, "leftOuter")
+    keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
+  }
+
   /** One (storm, forecast) observation on the stream. */
   case class StormForecast(storm: String, forecastTime: Long)
 
