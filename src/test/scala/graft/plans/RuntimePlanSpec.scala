@@ -1,0 +1,76 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/**
+ * Runtime plan-adaptation guards — the two Spark mechanisms the 100 TB
+ * design leans on that [[PlanSpec]]'s static checks can't see, because
+ * both fire at EXECUTION time: dynamic partition pruning (a selective
+ * dim filter prunes fact partitions the scan never reads) and AQE skew-
+ * join splitting (a hot key's oversized shuffle partition splits into
+ * parallel sub-joins instead of one straggler task). Unlike PlanSpec,
+ * these tests execute jobs.
+ */
+class RuntimePlanSpec extends SparkSpec {
+
+  test("dynamic partition pruning: a selective dim filter prunes fact partitions at runtime") {
+    val dir = java.nio.file.Files.createTempDirectory("dpp").toString
+    // fact partitioned by the join key: 8 hive-style partitions on disk
+    spark.range(80000)
+      .select((col("id") % 8).as("rk"), col("id").as("v"))
+      .write.partitionBy("rk").parquet(s"$dir/fact")
+    val fact = spark.read.parquet(s"$dir/fact")
+    val dim = spark.range(8)
+      .select(col("id").as("rk"), concat(lit("r"), col("id")).as("name"))
+    val q = fact.join(dim.filter(col("name") === "r3"), Seq("rk"))
+    val plan = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      "fact scan must carry a dynamic pruning partition filter:\n" + plan)
+    // correctness of the pruned read: exactly one of 8 partitions survives
+    assert(q.count() == 10000)
+  }
+
+  test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
+    val c = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> c.getOption(k)).toMap
+    try {
+      c.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      c.set("spark.sql.adaptive.enabled", "true")
+      c.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // thresholds sized to the test corpus: the hot key's partition is
+      // ~8 MB, every other partition a few KB
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "65536")
+      c.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      c.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16384")
+      c.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val left = spark.range(200000).select(
+        when(col("id") < 140000, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"),
+        lit("x" * 50).as("pad")) // width so the hot partition crosses the threshold
+      val right = spark.range(1000).select(col("id").as("k"), lit(1).as("w"))
+      val q = left.join(right, Seq("k"))
+      // only the hot key matches (non-hot left keys are >= 140000, right
+      // keys < 1000): 140000 rows, all through the skewed partition.
+      // collect() on q ITSELF (count() would spawn a separate plan) so
+      // this queryExecution finalizes and its adaptive plan is
+      // inspectable. ~10 MB driver-side, test-only.
+      assert(q.collect().length == 140000)
+      val finalPlan = q.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        "AQE must mark the skewed join side (skew=true):\n" + finalPlan.take(4000))
+    } finally saved.foreach {
+      case (k, Some(v)) => c.set(k, v)
+      case (k, None) => c.unset(k)
+    }
+  }
+}
