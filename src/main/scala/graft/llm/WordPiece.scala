@@ -35,7 +35,12 @@ object WordPiece {
       var hit: String = null
       while (hit == null && end > pos) {
         val cand = (if (pos == 0) "" else "##") + word.substring(pos, end)
-        if (vocab.contains(cand)) hit = cand else end -= 1
+        // a word that literally starts with "##" must not alias a
+        // continuation piece into first position — first pieces and
+        // continuations are disjoint namespaces by the vocab convention
+        if (vocab.contains(cand) && !(pos == 0 && cand.startsWith("##")))
+          hit = cand
+        else end -= 1
       }
       if (hit == null) return None
       out += hit

@@ -19,6 +19,9 @@ class WordPieceSpec extends SparkSpec {
     assert(WordPiece.segment("breakx", vocab).isEmpty)
     // no first piece at all
     assert(WordPiece.segment("zzz", vocab).isEmpty)
+    // a word literally starting with "##" must not alias a continuation
+    // piece into first position — [UNK], not Seq("##able")
+    assert(WordPiece.segment("##able", vocab).isEmpty)
     // greedy traps itself: 'break' eats the prefix of 'breakreak' leaving
     // 'reak' (only '##reak' exists — matches) — but for 'breakb' the tail
     // 'b' has no continuation form, so greedy dead-ends with NO backtrack
