@@ -1155,6 +1155,34 @@ object SparkEntry {
         .withColumn("payload", jpg(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m14_wav_codecs" -> ((s, d) => {
+      // non-PCM16 WAV decode (Multimodal.decodeWav): G.711 µ-law and
+      // A-law telephony bytes expand through the real ITU tables, IEEE
+      // float32 scales to PCM16 with dyadic planted values (decode
+      // recovers the integer exactly) — all three re-expressed by the
+      // oracle in closed integer form, so an expansion, sign, or scale
+      // bug in any branch breaks the hash.
+      import s.implicits._
+      val wav = udf((id: Long) => graft.llm.Multimodal.syntheticWavExt(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", wav(col("media_id")))
+      graft.llm.Multimodal.audioStats(media).orderBy("media_id")
+    }),
+    "m13_png_palette" -> ((s, d) => {
+      // PALETTE PNG decode (color type 3 — the indexed form web graphics
+      // ship): real PLTE chunk, 1-byte-per-pixel scanlines through all
+      // five filter reversals, palette lookup to RGB. The oracle
+      // composes the pixel-index formula with the palette formula in
+      // closed form, so a PLTE misread, filter-over-indices bug, or
+      // lookup error breaks the hash.
+      import s.implicits._
+      val png = udf((id: Long) => graft.llm.Multimodal.syntheticPngPalette(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", png(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m10_bmp_decode" -> ((s, d) => {
       // REAL BMP decode (Multimodal.decodeBmp): payloads are genuine
       // 24-bit BITMAPINFOHEADER files — BGR byte order, 4-byte row
@@ -5164,6 +5192,61 @@ object SparkEntry {
         |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
         |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
         |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m14: decoded-PCM16 sums for the non-PCM16 WAV encodings — the ITU
+    // G.711 expansions and the dyadic float scaling in closed integer
+    // form (u = ~byte, a = byte⊕0x55; magnitudes via the segment shift)
+    "m14_wav_codecs" ->
+      """WITH clip AS (
+        |  SELECT p_partkey AS media_id,
+        |    80 + p_partkey % 40 AS frames, p_partkey % 3 AS enc
+        |  FROM part WHERE p_partkey <= 300
+        |), smp AS (
+        |  SELECT c.media_id, c.enc,
+        |    255 - ((c.media_id * 31 + i.i * 7) % 256) AS u,
+        |    xor((c.media_id * 31 + i.i * 7) % 256, 85) AS a,
+        |    (c.media_id * 31 + i.i * 7) % 4096 - 2048 AS k
+        |  FROM clip c, LATERAL (SELECT unnest(range(c.frames)) AS i) i
+        |), mag AS (
+        |  SELECT media_id, enc, u, a, k,
+        |    ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) AS um,
+        |    CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+        |         WHEN ((a // 16) % 8) = 1 THEN (a % 16) * 16 + 264
+        |         ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END AS am
+        |  FROM smp
+        |), dec AS (
+        |  SELECT media_id,
+        |    CASE WHEN enc = 2 THEN k
+        |         WHEN enc = 0 THEN CASE WHEN u >= 128 THEN 132 - um ELSE um - 132 END
+        |         ELSE CASE WHEN a >= 128 THEN am ELSE -am END END AS s
+        |  FROM mag
+        |)
+        |SELECT c.media_id,
+        |  CAST(1 AS INT) AS channels, CAST(8000 AS INT) AS sample_rate,
+        |  CAST(c.frames AS INT) AS n_frames,
+        |  CAST(c.frames // 8 AS BIGINT) AS duration_ms,
+        |  CAST(SUM(d.s) AS BIGINT) AS sum_ch0, CAST(0 AS BIGINT) AS sum_rest
+        |FROM clip c JOIN dec d USING (media_id)
+        |GROUP BY c.media_id, c.frames ORDER BY c.media_id""".stripMargin,
+    // m13: palette-PNG sums — pixel-index ∘ palette formulas in closed
+    // form (the m09 composition over the PNG container)
+    "m13_png_palette" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    8 + p_partkey % 9 AS w, 5 + p_partkey % 6 AS h
+        |  FROM part WHERE p_partkey <= 300
+        |), px AS (
+        |  SELECT i.media_id, i.w, i.h,
+        |    (i.media_id * 7 + y.y * 11 + x.x * 13) % 256 AS idx
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |  CAST(SUM((idx * 3 + media_id) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((idx * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((idx * 7 + 3 * media_id) % 256) AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     // m10: decoded-BMP channel sums — the raw pixel formula in closed form
     // (no palette indirection; the BMP layer contributes raster order,

@@ -113,7 +113,8 @@ object Multimodal {
    * of the five PNG filter types (None/Sub/Up/Average/Paeth — the part a
    * codec library would otherwise own). Supports what the spec calls the
    * common cases: bit depth 8, color types 0 (grayscale, expanded to
-   * RGB), 2 (truecolor) and 6 (truecolor+alpha, alpha dropped), no
+   * RGB), 2 (truecolor), 3 (palette via PLTE — the indexed form web
+   * graphics ship) and 6 (truecolor+alpha, alpha dropped), no
    * interlacing. Returns `(width, height, rgb bytes row-major)` — the
    * same contract as [[decodePpm]], so everything downstream
    * (features/stats/resize) is codec-agnostic — or None for anything
@@ -128,6 +129,7 @@ object Multimodal {
         ((payload(o + 2) & 0xFF) << 8) | (payload(o + 3) & 0xFF)
     var o = 8
     var w = -1; var h = -1; var colorType = -1
+    var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (!sawEnd && o + 12 <= payload.length) {
@@ -148,7 +150,11 @@ object Multimodal {
           if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
               depth != 8 || compression != 0 || filterMethod != 0 ||
               interlace != 0 ||
-              (colorType != 0 && colorType != 2 && colorType != 6)) return None
+              (colorType != 0 && colorType != 2 && colorType != 3 &&
+                colorType != 6)) return None
+        case "PLTE" =>
+          if (len % 3 != 0 || len == 0 || len > 768) return None
+          plte = java.util.Arrays.copyOfRange(payload, o + 8, o + 8 + len)
         case "IDAT" => idat.write(payload, o + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks (tEXt, pHYs, …): ignored
@@ -156,7 +162,8 @@ object Multimodal {
       o += 12 + len
     }
     if (!sawEnd || w <= 0 || idat.size() == 0) return None
-    val bpp = colorType match { case 0 => 1; case 2 => 3; case _ => 4 }
+    if (colorType == 3 && plte == null) return None // palette image needs PLTE
+    val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
     val stride = w * bpp
     val raw = new Array[Byte]((1 + stride) * h)
     val inf = new java.util.zip.Inflater()
@@ -210,6 +217,11 @@ object Multimodal {
         colorType match {
           case 0 =>
             val g = cur(px); rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+          case 3 =>
+            val idx = cur(px) & 0xFF
+            if (idx * 3 + 2 >= plte.length) return None
+            rgb(d) = plte(idx * 3); rgb(d + 1) = plte(idx * 3 + 1)
+            rgb(d + 2) = plte(idx * 3 + 2)
           case _ =>
             val s = px * bpp
             rgb(d) = cur(s); rgb(d + 1) = cur(s + 1); rgb(d + 2) = cur(s + 2)
@@ -930,30 +942,59 @@ object Multimodal {
     def le32(o: Int): Long = (payload(o) & 0xFFL) | ((payload(o + 1) & 0xFFL) << 8) |
       ((payload(o + 2) & 0xFFL) << 16) | ((payload(o + 3) & 0xFFL) << 24)
     if (tag(0) != "RIFF" || tag(8) != "WAVE") return None
-    var nc = -1; var rate = -1
-    var samples: Array[Short] = null
+    var nc = -1; var rate = -1; var fmt = -1; var bits = -1
+    var dataOff = -1; var dataLen = 0
     var o = 12
     while (o + 8 <= payload.length) {
       val id = tag(o)
       val size = le32(o + 4)
       if (o + 8 + size > payload.length) return None
       if (id == "fmt ") {
-        if (size < 16 || le16(o + 8) != 1 || le16(o + 22) != 16) return None
+        if (size < 16) return None
+        fmt = le16(o + 8)
         nc = le16(o + 10)
         rate = le32(o + 12).toInt
+        bits = le16(o + 22)
         if (nc <= 0 || rate <= 0) return None
       } else if (id == "data") {
-        val n = (size / 2).toInt
-        samples = new Array[Short](n)
-        var i = 0
-        while (i < n) {
-          samples(i) = le16(o + 8 + 2 * i).toShort
-          i += 1
-        }
+        dataOff = o + 8; dataLen = size.toInt
       }
       o += 8 + size.toInt + (size.toInt & 1) // RIFF chunks are word-aligned
     }
-    if (nc <= 0 || samples == null || samples.length % nc != 0) None
+    if (nc <= 0 || dataOff < 0) return None
+    // every encoding decodes to linear PCM16 — the single contract the
+    // stats/features layer consumes
+    val samples: Array[Short] = (fmt, bits) match {
+      case (1, 16) => // integer PCM16LE
+        val n = dataLen / 2
+        Array.tabulate(n)(i => le16(dataOff + 2 * i).toShort)
+      case (3, 32) => // IEEE float32: scale by 2^15, round, clamp
+        val n = dataLen / 4
+        Array.tabulate(n) { i =>
+          val f = java.lang.Float.intBitsToFloat(le32(dataOff + 4 * i).toInt)
+          val v = Math.round(f * 32768.0)
+          (if (v < -32768) -32768 else if (v > 32767) 32767 else v.toInt).toShort
+        }
+      case (6, 8) => // ITU G.711 A-law
+        Array.tabulate(dataLen) { i =>
+          val a = (payload(dataOff + i) & 0xFF) ^ 0x55
+          var t = (a & 0x0F) << 4
+          val seg = (a & 0x70) >> 4
+          if (seg == 1) t += 0x108
+          else if (seg > 1) { t += 0x108; t <<= seg - 1 }
+          else t += 8
+          (if ((a & 0x80) != 0) t else -t).toShort
+        }
+      case (7, 8) => // ITU G.711 µ-law
+        Array.tabulate(dataLen) { i =>
+          val u = ~payload(dataOff + i) & 0xFF
+          var t = ((u & 0x0F) << 3) + 0x84
+          t <<= (u & 0x70) >> 4
+          (if ((u & 0x80) != 0) 0x84 - t else t - 0x84).toShort
+        }
+      case _ => return None
+    }
+    if (samples.length % nc != 0) None
     else Some((nc, rate, samples))
   }
 
@@ -1290,6 +1331,91 @@ object Multimodal {
       .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
       .put(0.toByte).put(0.toByte).put(0.toByte)
     writeChunk("IHDR", ihdr.array())
+    writeChunk("IDAT", zBuf.toByteArray)
+    writeChunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Deterministic PALETTE PNG (color type 3) for a key — the indexed
+    * form web graphics actually ship. 256-entry PLTE with the m09
+    * palette formulas `((i·3 + id) % 256, (i·5 + 2id) % 256,
+    * (i·7 + 3id) % 256)`, pixel index `(id·7 + y·11 + x·13) % 256`,
+    * row filters cycling `y % 5` over the 1-byte-per-pixel scanlines,
+    * real CRCs and zlib IDAT — so the m13 oracle composes index ∘
+    * palette in closed form and a PLTE/lookup/filter bug breaks the
+    * hash. Dims `(8 + id%9) × (5 + id%6)`. */
+  def syntheticPngPalette(id: Long): Array[Byte] = {
+    val w = (8 + id % 9).toInt
+    val h = (5 + id % 6).toInt
+    val stride = w // one palette index per pixel
+    val raw = new Array[Byte]((1 + stride) * h)
+    val prior = new Array[Byte](stride)
+    val cur = new Array[Byte](stride)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        cur(x) = ((id * 7 + y * 11 + x * 13) % 256).toByte
+        x += 1
+      }
+      val ft = y % 5
+      raw(y * (1 + stride)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val rv = cur(i) & 0xFF
+        val left = if (i >= 1) cur(i - 1) & 0xFF else 0
+        val above = prior(i) & 0xFF
+        val upLeft = if (i >= 1) prior(i - 1) & 0xFF else 0
+        val filtered = ft match {
+          case 0 => rv
+          case 1 => rv - left
+          case 2 => rv - above
+          case 3 => rv - (left + above) / 2
+          case _ =>
+            val p = left + above - upLeft
+            val pa = math.abs(p - left); val pb = math.abs(p - above)
+            val pc = math.abs(p - upLeft)
+            val pred = if (pa <= pb && pa <= pc) left
+                       else if (pb <= pc) above else upLeft
+            rv - pred
+        }
+        raw(y * (1 + stride) + 1 + i) = (filtered & 0xFF).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+    val tmp = new Array[Byte](4096)
+    while (!defl.finished()) zBuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zBuf.size() + 900)
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', '\r', '\n', 0x1A, '\n'))
+    def writeChunk(ctype: String, data: Array[Byte]): Unit = {
+      def be32(v: Int): Array[Byte] = Array(
+        (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+      out.write(be32(data.length))
+      val tb = ctype.getBytes("US-ASCII")
+      out.write(tb); out.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(data)
+      out.write(be32(crc.getValue.toInt))
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(3.toByte) // palette
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    writeChunk("IHDR", ihdr.array())
+    val plte = new Array[Byte](768)
+    var i = 0
+    while (i < 256) {
+      plte(i * 3) = ((i * 3 + id) % 256).toByte
+      plte(i * 3 + 1) = ((i * 5 + 2 * id) % 256).toByte
+      plte(i * 3 + 2) = ((i * 7 + 3 * id) % 256).toByte
+      i += 1
+    }
+    writeChunk("PLTE", plte)
     writeChunk("IDAT", zBuf.toByteArray)
     writeChunk("IEND", Array.emptyByteArray)
     out.toByteArray
@@ -1637,6 +1763,40 @@ object Multimodal {
         buf.putShort((((id * 31 + i * 7 + ch * 13) % 4096) - 2048).toShort)
         ch += 1
       }
+      i += 1
+    }
+    buf.array()
+  }
+
+  /** Deterministic non-PCM16 WAV for a key — the OTHER real WAV
+    * encodings: `id % 3` picks 0 → G.711 µ-law, 1 → G.711 A-law (the
+    * 8-bit telephony codecs; expansion is closed-form integer math) or
+    * 2 → IEEE float32 with dyadic samples `k · 2⁻¹⁵` (decode recovers
+    * `k` exactly — no float contract survives into the hash). Mono
+    * 8 kHz, `80 + id%40` frames; law bytes `(id·31 + i·7) % 256`, float
+    * `k = (id·31 + i·7) % 4096 − 2048`. The m14 oracle replays the
+    * decoded PCM16 sums in closed form, so an expansion-table, sign, or
+    * scale bug breaks the hash. */
+  def syntheticWavExt(id: Long): Array[Byte] = {
+    val frames = (80 + id % 40).toInt
+    val enc = (id % 3).toInt
+    val fmt = enc match { case 0 => 7; case 1 => 6; case _ => 3 }
+    val bytesPer = if (enc == 2) 4 else 1
+    val dataBytes = frames * bytesPer
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmt.toShort).putShort(1).putInt(8000).putInt(8000 * bytesPer)
+      .putShort(bytesPer.toShort).putShort((bytesPer * 8).toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < frames) {
+      if (enc == 2) {
+        val k = ((id * 31 + i * 7) % 4096 - 2048).toInt
+        buf.putFloat(k / 32768.0f)
+      } else buf.put(((id * 31 + i * 7) % 256).toByte)
       i += 1
     }
     buf.array()

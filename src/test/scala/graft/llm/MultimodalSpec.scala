@@ -102,6 +102,35 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Multimodal.syntheticPpm(3L)).isDefined)
   }
 
+  test("decodePng: palette (type 3) round-trips through PLTE lookup; missing PLTE rejected") {
+    for (id <- 0L to 10L) {
+      val (w, h, rgb) = Multimodal.decodePng(Multimodal.syntheticPngPalette(id)).get
+      assert(w == 8 + (id % 9) && h == 5 + (id % 6), s"id=$id dims")
+      for (y <- 0 until h; x <- 0 until w) {
+        val idx = ((id * 7 + y * 11 + x * 13) % 256).toInt
+        val d = (y * w + x) * 3
+        assert((rgb(d) & 0xFF) == ((idx * 3 + id) % 256).toInt &&
+          (rgb(d + 1) & 0xFF) == ((idx * 5 + 2 * id) % 256).toInt &&
+          (rgb(d + 2) & 0xFF) == ((idx * 7 + 3 * id) % 256).toInt,
+          s"id=$id px ($x,$y)")
+      }
+    }
+    // a type-3 stream whose PLTE chunk is stripped must reject
+    val good = Multimodal.syntheticPngPalette(4L)
+    val noPlte = new java.io.ByteArrayOutputStream()
+    var o = 8
+    noPlte.write(good, 0, 8)
+    while (o + 12 <= good.length) {
+      val len = ((good(o) & 0xFF) << 24) | ((good(o + 1) & 0xFF) << 16) |
+        ((good(o + 2) & 0xFF) << 8) | (good(o + 3) & 0xFF)
+      val ctype = new String(good, o + 4, 4, "US-ASCII")
+      if (ctype != "PLTE") noPlte.write(good, o, 12 + len)
+      o += 12 + len
+    }
+    assert(Multimodal.decodePng(noPlte.toByteArray).isEmpty, "PLTE-less type 3 rejected")
+    assert(Multimodal.decodeImage(good).isDefined)
+  }
+
   test("decodeGif: LZW round-trip incl. the code-width escalation; malformed rejected") {
     for (id <- 0L to 12L) {
       val (w, h, rgb) = Multimodal.decodeGif(Multimodal.syntheticGif(id)).get
@@ -327,6 +356,41 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeWav(Array.fill[Byte](64)(1)).isEmpty)
     assert(Multimodal.decodeWav(
       Multimodal.syntheticWav(id).take(50)).isEmpty)
+  }
+
+  test("decodeWav: G.711 µ-law/A-law expansion and float32 scaling, known values") {
+    // hand-computed ITU G.711 reference points
+    //   µ-law 0xFF → ~0xFF = 0x00 → t = (0<<3)+0x84 = 132, shift 0 → 132-132 = 0
+    //   µ-law 0x7F → ~0x7F = 0x80 → sign set, t = 132 → 132-132... sign: 0x84-132 = 0
+    //   µ-law 0x00 → ~0x00 = 0xFF → sign, e=7, t=(15·8+132)·128 = 32256 → 132-32256 = -32124
+    //   A-law 0xD5 → ⊕0x55 = 0x80 → sign set, seg 0 → 0·16+8 = +8
+    //   A-law 0x55 → ⊕0x55 = 0x00 → seg 0 → -(8) = -8
+    //   A-law 0x2A → ⊕0x55 = 0x7F → seg 7, t = (15·16+264)·64 = 32256 → -32256
+    def law(fmt: Int, bytes: Array[Int]): Array[Short] = {
+      val buf = java.nio.ByteBuffer.allocate(44 + bytes.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes).putInt(36 + bytes.length).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(fmt.toShort).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+        .put("data".getBytes).putInt(bytes.length)
+      bytes.foreach(b => buf.put(b.toByte))
+      Multimodal.decodeWav(buf.array()).get._3
+    }
+    assert(law(7, Array(0xFF, 0x7F, 0x00)).toSeq == Seq[Short](0, 0, -32124))
+    assert(law(6, Array(0xD5, 0x55, 0x2A)).toSeq == Seq[Short](8, -8, -32256))
+    // float32: dyadic k/2^15 recovers k; out-of-range clamps
+    for (id <- 0L to 5L) {
+      val (nc, rate, samples) = Multimodal.decodeWav(Multimodal.syntheticWavExt(id)).get
+      assert(nc == 1 && rate == 8000 && samples.length == 80 + id % 40)
+      if (id % 3 == 2) {
+        for (i <- samples.indices)
+          assert(samples(i) == ((id * 31 + i * 7) % 4096 - 2048).toInt, s"id=$id i=$i")
+      }
+    }
+    // unsupported format/bits combination rejects
+    val bad = Multimodal.syntheticWavExt(0L).clone()
+    bad(20) = 2 // format 2 (ADPCM) unsupported
+    assert(Multimodal.decodeWav(bad).isEmpty)
   }
 
   test("audioStats: exact channel sums over the synthetic media table") {
