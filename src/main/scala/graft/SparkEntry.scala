@@ -3448,6 +3448,18 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q90_recursive_cte" -> ((s, d) => {
+      // WITH RECURSIVE as ONE shared SQL text (Spark 4's recursive CTE
+      // — the iterative-fixpoint SQL surface): walk the implicit binary
+      // tree parent(k) = ⌊k/2⌋ from root 1 over supplier and aggregate
+      // per depth. Integer-only outputs; the FLOOR(x / 2.0) spelling is
+      // the engine-neutral integer halving (bare `/` is float division
+      // in DuckDB, `div` isn't Spark-portable). The iterative Graph/
+      // Hierarchy operators remain the 100 TB scale path — this gates
+      // the declarative surface over the same semantics.
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      s.sql(sqlRecursiveCteSql)
+    }),
     "q86_sql_setops" -> ((s, d) => {
       // the SQL set-operation surface as ONE shared text both engines
       // run: INTERSECT and EXCEPT (set semantics — Catalyst plans both as
@@ -4228,6 +4240,22 @@ object SparkEntry {
       |GROUP BY l.l_orderkey, o.o_orderdate
       |ORDER BY revenue DESC, l.l_orderkey
       |LIMIT 50""".stripMargin
+
+  /** q90: one SQL text, two engines — recursive CTE (binary-tree walk
+    * with per-depth aggregation; terminates when no supplier joins the
+    * frontier). */
+  private val sqlRecursiveCteSql: String =
+    """WITH RECURSIVE d(node, depth) AS (
+      |  SELECT CAST(1 AS BIGINT) AS node, 0 AS depth
+      |  UNION ALL
+      |  SELECT s.s_suppkey, p.depth + 1
+      |  FROM supplier s JOIN d p
+      |    ON CAST(FLOOR(s.s_suppkey / 2.0) AS BIGINT) = p.node
+      |  WHERE s.s_suppkey > 1
+      |)
+      |SELECT depth, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(node) AS BIGINT) AS sum_keys
+      |FROM d GROUP BY depth ORDER BY depth""".stripMargin
 
   /** q86: one SQL text, two engines — the set-operation surface
     * (INTERSECT / EXCEPT set semantics + INTERSECT ALL bag semantics),
@@ -7021,6 +7049,7 @@ object SparkEntry {
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q86_sql_setops" -> sqlSetOpsSql,
+    "q90_recursive_cte" -> sqlRecursiveCteSql,
     "q87_sql_lateral" -> sqlLateralSql,
     "q83_grouping_sets" -> sqlGroupingSetsSql,
     // q85: spine + two IGNORE NULLS neighbour windows + the same fixed
