@@ -243,8 +243,9 @@ object Multimodal {
    * LZW (clear/end codes, dictionary growth, code width escalation to 12
    * bits, LSB-first bit packing) and mapped through the palette to RGB.
    * Returns the [[decodePpm]]/[[decodePng]] contract
-   * `(width, height, rgb row-major)`; None for anything malformed,
-   * interlaced, or paletteless.
+   * `(width, height, rgb row-major)`, de-interlacing the 4-pass row
+   * order when the image descriptor sets the interlace flag; None for
+   * anything malformed or paletteless.
    */
   def decodeGif(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 14) return None
@@ -274,7 +275,7 @@ object Multimodal {
           if (pos + 10 > payload.length) return None
           val iw = le16(pos + 5); val ih = le16(pos + 7)
           val ipacked = payload(pos + 9) & 0xFF
-          if ((ipacked & 0x40) != 0) return None // interlaced: unsupported
+          val interlaced = (ipacked & 0x40) != 0
           pos += 10
           if ((ipacked & 0x80) != 0) { // local color table wins
             val n = 1 << ((ipacked & 7) + 1)
@@ -296,16 +297,31 @@ object Multimodal {
           }
           val indices = lzwDecode(data.toByteArray, minCode, iw * ih)
             .getOrElse(return None)
+          // interlaced streams carry rows in the GIF 4-pass order
+          // (0,8,16…; 4,12…; 2,6…; 1,3,5…) — map stream row → raster row
+          val rowOf: Int => Int =
+            if (!interlaced) identity
+            else {
+              val order = (0 until ih by 8) ++ (4 until ih by 8) ++
+                (2 until ih by 4) ++ (1 until ih by 2)
+              order.toArray.apply _
+            }
           val nPal = palette.length / 3
           val rgb = new Array[Byte](iw * ih * 3)
-          var i = 0
-          while (i < iw * ih) {
-            val idx = indices(i) & 0xFF
-            if (idx >= nPal) return None
-            rgb(i * 3) = palette(idx * 3)
-            rgb(i * 3 + 1) = palette(idx * 3 + 1)
-            rgb(i * 3 + 2) = palette(idx * 3 + 2)
-            i += 1
+          var sr = 0
+          while (sr < ih) {
+            val y = rowOf(sr)
+            var x = 0
+            while (x < iw) {
+              val idx = indices(sr * iw + x) & 0xFF
+              if (idx >= nPal) return None
+              val d = (y * iw + x) * 3
+              rgb(d) = palette(idx * 3)
+              rgb(d + 1) = palette(idx * 3 + 1)
+              rgb(d + 2) = palette(idx * 3 + 2)
+              x += 1
+            }
+            sr += 1
           }
           return Some((iw, ih, rgb))
         case _ => return None
@@ -1431,7 +1447,7 @@ object Multimodal {
     * 512-entry boundary on the larger ids — the escalation path a
     * clear-code-spam encoder would never exercise), LSB-first packing,
     * 255-byte sub-blocks. */
-  def syntheticGif(id: Long): Array[Byte] = {
+  def syntheticGif(id: Long, interlaced: Boolean = false): Array[Byte] = {
     val w = (24 + (id % 9) * 2).toInt
     val h = (20 + (id % 7) * 2).toInt
     val out = new java.io.ByteArrayOutputStream(w * h + 1024)
@@ -1447,17 +1463,24 @@ object Multimodal {
       out.write(((i * 7 + 3 * id) % 256).toInt)
       i += 1
     }
-    out.write(0x2C) // image descriptor: full frame, no LCT, no interlace
-    le16(0); le16(0); le16(w); le16(h); out.write(0)
+    out.write(0x2C) // image descriptor: full frame, no LCT
+    le16(0); le16(0); le16(w); le16(h)
+    out.write(if (interlaced) 0x40 else 0)
     val minCode = 8
     out.write(minCode)
-    // pixel index stream
+    // pixel index stream — interlaced variants emit rows in the GIF
+    // 4-pass order
+    val rowOrder: Array[Int] =
+      if (!interlaced) (0 until h).toArray
+      else ((0 until h by 8) ++ (4 until h by 8) ++
+        (2 until h by 4) ++ (1 until h by 2)).toArray
     val px = new Array[Int](w * h)
-    var y = 0
-    while (y < h) {
+    var sr = 0
+    while (sr < h) {
+      val y = rowOrder(sr)
       var x = 0
-      while (x < w) { px(y * w + x) = ((id * 7 + y * 11 + x * 13) % 256).toInt; x += 1 }
-      y += 1
+      while (x < w) { px(sr * w + x) = ((id * 7 + y * 11 + x * 13) % 256).toInt; x += 1 }
+      sr += 1
     }
     // LZW encode with the width rule mirroring the decoder's one-behind
     // dictionary: bump width when nextCode == (1 << width) + 1

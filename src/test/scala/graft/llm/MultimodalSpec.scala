@@ -148,6 +148,14 @@ class MultimodalSpec extends SparkSpec {
     // provably crosses the 512-entry boundary, so the 9->10-bit width
     // escalation was exercised by the round-trip above
     assert(24 + (8 % 9) * 2 == 40)
+    // interlaced streams de-interlace to the identical raster
+    for (id <- 0L to 8L) {
+      val (pw, ph, prgb) = Multimodal.decodeGif(Multimodal.syntheticGif(id)).get
+      val (iw2, ih2, irgb) =
+        Multimodal.decodeGif(Multimodal.syntheticGif(id, interlaced = true)).get
+      assert(iw2 == pw && ih2 == ph && java.util.Arrays.equals(irgb, prgb),
+        s"id=$id: interlaced decode diverged")
+    }
     // malformed payloads are rejected, not mis-decoded
     val good = Multimodal.syntheticGif(3L)
     assert(Multimodal.decodeGif(good.dropRight(30)).isEmpty, "truncated rejected")
