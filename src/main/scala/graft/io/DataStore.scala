@@ -156,5 +156,25 @@ class DataStore(root: String) {
     written.sorted
   }
 
+  /**
+   * INSERT OVERWRITE with DYNAMIC partition semantics: only the
+   * partitions PRESENT IN `df` are replaced; every other existing
+   * partition survives untouched (static overwrite would drop the whole
+   * table). The `partitionOverwriteMode` option is per-write, so the
+   * session default stays whatever the operator configured. At
+   * warehouse scale this is the idempotent daily-refresh primitive:
+   * re-running one day's job rewrites that day's partitions only, and a
+   * crash mid-write never touches the other days.
+   */
+  def overwriteDynamicPartitions(df: DataFrame, relDir: String,
+                                 partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "dynamic overwrite needs partition columns")
+    df.write
+      .option("partitionOverwriteMode", "dynamic")
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path(relDir))
+  }
+
   private def col(name: String) = org.apache.spark.sql.functions.col(name)
 }

@@ -30,6 +30,27 @@ class IoSpec extends SparkSpec {
       again.select("school_id_giga").collect().toSet)
   }
 
+  test("overwriteDynamicPartitions: only the written partitions are replaced") {
+    val store = new DataStore(s"$tmp/dynover")
+    val day = (d: String, vs: Seq[Int]) => vs.map(v => (d, v)).toDF("day", "v")
+    store.overwriteDynamicPartitions(
+      day("d1", Seq(1, 2)).union(day("d2", Seq(3))), "t", Seq("day"))
+    // refresh d2 with different rows and add d3 — d1 must survive untouched
+    store.overwriteDynamicPartitions(
+      day("d2", Seq(30, 31)).union(day("d3", Seq(4))), "t", Seq("day"))
+    val got = store.readParquet(spark, "t")
+      .select("day", "v").as[(String, Int)].collect().toSet
+    assert(got == Set(("d1", 1), ("d1", 2), ("d2", 30), ("d2", 31), ("d3", 4)),
+      got.toString)
+    // contrast pinned: a STATIC overwrite of the same frame drops d1
+    day("d2", Seq(99)).write.mode("overwrite").partitionBy("day")
+      .parquet(store.path("t_static"))
+    day("d3", Seq(98)).write.mode("overwrite").partitionBy("day")
+      .parquet(store.path("t_static"))
+    assert(store.readParquet(spark, "t_static")
+      .select("day").distinct().as[String].collect().toSeq == Seq("d3"))
+  }
+
   test("custom point override: missing required column fails loud") {
     val csv = s"$tmp/XYZ_bad.csv"
     java.nio.file.Files.writeString(java.nio.file.Paths.get(csv),
