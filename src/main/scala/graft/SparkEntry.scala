@@ -3400,6 +3400,16 @@ object SparkEntry {
           "metric", "value")
         .orderBy("l_returnflag", "metric")
     }),
+    "q91_ewma" -> ((s, d) => {
+      // EWMA smoothing per user (ops/GapFill.ewma): e ← e/2 + x/2 over
+      // the (ts, event_id) order, seeded with the first value. α = 0.5
+      // is dyadic and the fold order is pinned, so the final smoothed
+      // double replays bit-for-bit in the oracle's list_reduce (the
+      // shared ordered-fold contract).
+      graft.ops.GapFill.ewma(t(s, d, "events"), Seq("user_id"),
+          "ts", "event_id", "value", alpha = 0.5)
+        .orderBy("user_id")
+    }),
     "q89_ohlc_resample" -> ((s, d) => {
       // OHLC time-bar resample (ops/GapFill.ohlcBars): hourly
       // open/high/low/close/volume bars per event_type over the raw tick
@@ -7071,6 +7081,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT l_returnflag, 'distinct_parts' AS metric, distinct_parts FROM agg
         |ORDER BY l_returnflag, metric""".stripMargin,
+    // q91: the same pinned-order fold — DuckDB list_reduce seeds with
+    // the first element exactly like the null-init Spark fold, and each
+    // step is the identical e*0.5 + x*0.5 op tree
+    "q91_ewma" ->
+      """SELECT user_id,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (e, x) -> e * 0.5 + x * 0.5) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
     // q89: OHLC bars — open/close via arg_min/arg_max on ts (unique
     // within (event_type, hour) at every SF, verified), high/low/count
     // order-free; no float folds anywhere, so doubles match exactly.

@@ -64,6 +64,34 @@ object GapFill {
   }
 
   /**
+   * Exponentially-weighted moving average per key: fold the series in
+   * (tsCol, tieCol) order through `e ← e·(1−α) + x·α`, seeded with the
+   * first value — the standard smoothing a metrics/feature pipeline
+   * applies before thresholding (EWMA control charts, de-noised
+   * features). Engine-portable by construction: the fold order is
+   * pinned and each step is ONE fixed IEEE op tree over already-rounded
+   * inputs, so with a dyadic α (0.5, 0.25 — the x·α product is exact)
+   * an external oracle replays the final smoothed value bit-for-bit
+   * (the q91 gate).
+   *
+   * Scale shape: one groupBy collecting each key's series into a sorted
+   * array — state is O(per-key series length), the right trade for
+   * bounded per-entity histories (a user's events, a sensor's day); for
+   * unbounded series use the windowed operators instead. One shuffle.
+   */
+  def ewma(series: DataFrame, keyCols: Seq[String], tsCol: String,
+           tieCol: String, valueCol: String, alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    series.groupBy(keyCols.map(col): _*)
+      .agg(aggregate(
+        sort_array(collect_list(struct(col(tsCol), col(tieCol),
+          col(valueCol).as("v")))),
+        lit(null).cast("double"),
+        (e, x) => when(e.isNull, x.getField("v"))
+          .otherwise(e * (1 - alpha) + x.getField("v") * alpha)).as("ewma"))
+  }
+
+  /**
    * OHLC bar resample: downsample a (key, ts, value) tick series to
    * fixed-width time bars with open/high/low/close/volume per (key, bar)
    * — the canonical time-series downsampling (financial bars, sensor
