@@ -129,6 +129,7 @@ object Multimodal {
         ((payload(o + 2) & 0xFF) << 8) | (payload(o + 3) & 0xFF)
     var o = 8
     var w = -1; var h = -1; var colorType = -1
+    var interlaced = false
     var plte: Array[Byte] = null
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
@@ -145,11 +146,11 @@ object Multimodal {
           w = be32(o + 8); h = be32(o + 12)
           val depth = payload(o + 16)
           colorType = payload(o + 17) & 0xFF
-          val (compression, filterMethod, interlace) =
-            (payload(o + 18), payload(o + 19), payload(o + 20))
+          val (compression, filterMethod) = (payload(o + 18), payload(o + 19))
+          interlaced = payload(o + 20) == 1
           if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14) ||
               depth != 8 || compression != 0 || filterMethod != 0 ||
-              interlace != 0 ||
+              (payload(o + 20) != 0 && !interlaced) ||
               (colorType != 0 && colorType != 2 && colorType != 3 &&
                 colorType != 6)) return None
         case "PLTE" =>
@@ -164,8 +165,20 @@ object Multimodal {
     if (!sawEnd || w <= 0 || idat.size() == 0) return None
     if (colorType == 3 && plte == null) return None // palette image needs PLTE
     val bpp = colorType match { case 0 | 3 => 1; case 2 => 3; case _ => 4 }
-    val stride = w * bpp
-    val raw = new Array[Byte]((1 + stride) * h)
+    // sub-images to unfilter: the whole raster, or the 7 Adam7 passes
+    // (xStart, yStart, xStep, yStep); empty passes carry no scanlines
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val passDims = passes.map { case (x0, y0, dx, dy) =>
+      (math.max(0, (w - x0 + dx - 1) / dx), math.max(0, (h - y0 + dy - 1) / dy))
+    }
+    val rawLen = passDims.map { case (pw, ph) =>
+      if (pw == 0 || ph == 0) 0L else (1L + pw.toLong * bpp) * ph
+    }.sum
+    if (rawLen > Int.MaxValue) return None
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     try {
@@ -179,57 +192,68 @@ object Multimodal {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // reverse the per-scanline filters in place over a previous-row buffer
-    val prior = new Array[Byte](stride) // zero-filled: spec's virtual row -1
-    val cur = new Array[Byte](stride)
     val rgb = new Array[Byte](w * h * 3)
-    var y = 0
-    while (y < h) {
-      val rowOff = y * (1 + stride)
-      val ft = raw(rowOff) & 0xFF
-      if (ft > 4) return None
-      var x = 0
-      while (x < stride) {
-        val rv = raw(rowOff + 1 + x) & 0xFF
-        val left = if (x >= bpp) cur(x - bpp) & 0xFF else 0
-        val above = prior(x) & 0xFF
-        val upLeft = if (x >= bpp) prior(x - bpp) & 0xFF else 0
-        val recon = ft match {
-          case 0 => rv
-          case 1 => rv + left
-          case 2 => rv + above
-          case 3 => rv + (left + above) / 2
-          case _ => // Paeth predictor
-            val p = left + above - upLeft
-            val pa = math.abs(p - left); val pb = math.abs(p - above)
-            val pc = math.abs(p - upLeft)
-            val pred = if (pa <= pb && pa <= pc) left
-                       else if (pb <= pc) above else upLeft
-            rv + pred
+    var rawOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (x0, y0, dx, dy) = passes(pi)
+      val (pw, ph) = passDims(pi)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        // reverse this pass's per-scanline filters over its OWN prior row
+        val prior = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        var y = 0
+        while (y < ph) {
+          val rowOff = rawOff + y * (1 + stride)
+          val ft = raw(rowOff) & 0xFF
+          if (ft > 4) return None
+          var x = 0
+          while (x < stride) {
+            val rv = raw(rowOff + 1 + x) & 0xFF
+            val left = if (x >= bpp) cur(x - bpp) & 0xFF else 0
+            val above = prior(x) & 0xFF
+            val upLeft = if (x >= bpp) prior(x - bpp) & 0xFF else 0
+            val recon = ft match {
+              case 0 => rv
+              case 1 => rv + left
+              case 2 => rv + above
+              case 3 => rv + (left + above) / 2
+              case _ => // Paeth predictor
+                val p = left + above - upLeft
+                val pa = math.abs(p - left); val pb = math.abs(p - above)
+                val pc = math.abs(p - upLeft)
+                val pred = if (pa <= pb && pa <= pc) left
+                           else if (pb <= pc) above else upLeft
+                rv + pred
+            }
+            cur(x) = (recon & 0xFF).toByte
+            x += 1
+          }
+          // scatter the reconstructed scanline to its raster positions
+          var px = 0
+          while (px < pw) {
+            val d = ((y0 + y * dy) * w + x0 + px * dx) * 3
+            colorType match {
+              case 0 =>
+                val g = cur(px); rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
+              case 3 =>
+                val idx = cur(px) & 0xFF
+                if (idx * 3 + 2 >= plte.length) return None
+                rgb(d) = plte(idx * 3); rgb(d + 1) = plte(idx * 3 + 1)
+                rgb(d + 2) = plte(idx * 3 + 2)
+              case _ =>
+                val s = px * bpp
+                rgb(d) = cur(s); rgb(d + 1) = cur(s + 1); rgb(d + 2) = cur(s + 2)
+            }
+            px += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, stride)
+          y += 1
         }
-        cur(x) = (recon & 0xFF).toByte
-        x += 1
+        rawOff += (1 + stride) * ph
       }
-      // project the reconstructed scanline to RGB
-      var px = 0
-      while (px < w) {
-        val d = (y * w + px) * 3
-        colorType match {
-          case 0 =>
-            val g = cur(px); rgb(d) = g; rgb(d + 1) = g; rgb(d + 2) = g
-          case 3 =>
-            val idx = cur(px) & 0xFF
-            if (idx * 3 + 2 >= plte.length) return None
-            rgb(d) = plte(idx * 3); rgb(d + 1) = plte(idx * 3 + 1)
-            rgb(d + 2) = plte(idx * 3 + 2)
-          case _ =>
-            val s = px * bpp
-            rgb(d) = cur(s); rgb(d + 1) = cur(s + 1); rgb(d + 2) = cur(s + 2)
-        }
-        px += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
+      pi += 1
     }
     Some((w, h, rgb))
   }
@@ -1275,56 +1299,71 @@ object Multimodal {
     * truecolor layouts are hit. A second engine replays the DECODED
     * channel sums from the closed-form formula (the m07 oracle) — any
     * filter/inflate/CRC bug breaks the hash. */
-  def syntheticPng(id: Long): Array[Byte] = {
+  def syntheticPng(id: Long, interlaced: Boolean = false): Array[Byte] = {
     val w = (8 + id % 9).toInt
     val h = (5 + id % 6).toInt
     val colorType = if (id % 2 == 0) 2 else 6
     val bpp = if (colorType == 2) 3 else 4
-    val stride = w * bpp
-    // raw scanlines with per-row filter byte y % 5
-    val raw = new Array[Byte]((1 + stride) * h)
-    val prior = new Array[Byte](stride)
-    val cur = new Array[Byte](stride)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        var c = 0
-        while (c < bpp) {
-          cur(x * bpp + c) =
-            (if (c == 3) (id + x + y) % 256
-             else (id * 7 + y * 11 + x * 13 + c * 17) % 256).toByte
-          c += 1
+    def pixel(x: Int, y: Int, c: Int): Byte =
+      (if (c == 3) (id + x + y) % 256
+       else (id * 7 + y * 11 + x * 13 + c * 17) % 256).toByte
+    // scanlines per sub-image (whole raster, or the 7 Adam7 passes),
+    // each pass filtered against its OWN virtual prior row
+    val passes: Seq[(Int, Int, Int, Int)] =
+      if (!interlaced) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val rawBuf = new java.io.ByteArrayOutputStream()
+    var globalRow = 0
+    passes.foreach { case (x0, y0, dx, dy) =>
+      val pw = math.max(0, (w - x0 + dx - 1) / dx)
+      val ph = math.max(0, (h - y0 + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        val stride = pw * bpp
+        val prior = new Array[Byte](stride)
+        val cur = new Array[Byte](stride)
+        var y = 0
+        while (y < ph) {
+          var i = 0
+          while (i < pw) {
+            var c = 0
+            while (c < bpp) {
+              cur(i * bpp + c) = pixel(x0 + i * dx, y0 + y * dy, c)
+              c += 1
+            }
+            i += 1
+          }
+          val ft = globalRow % 5 // cycle all five filters across the stream
+          globalRow += 1
+          rawBuf.write(ft)
+          var j = 0
+          while (j < stride) {
+            val rv = cur(j) & 0xFF
+            val left = if (j >= bpp) cur(j - bpp) & 0xFF else 0
+            val above = prior(j) & 0xFF
+            val upLeft = if (j >= bpp) prior(j - bpp) & 0xFF else 0
+            val filtered = ft match {
+              case 0 => rv
+              case 1 => rv - left
+              case 2 => rv - above
+              case 3 => rv - (left + above) / 2
+              case _ =>
+                val p = left + above - upLeft
+                val pa = math.abs(p - left); val pb = math.abs(p - above)
+                val pc = math.abs(p - upLeft)
+                val pred = if (pa <= pb && pa <= pc) left
+                           else if (pb <= pc) above else upLeft
+                rv - pred
+            }
+            rawBuf.write(filtered & 0xFF)
+            j += 1
+          }
+          System.arraycopy(cur, 0, prior, 0, stride)
+          y += 1
         }
-        x += 1
       }
-      val ft = y % 5
-      raw(y * (1 + stride)) = ft.toByte
-      var i = 0
-      while (i < stride) {
-        val rv = cur(i) & 0xFF
-        val left = if (i >= bpp) cur(i - bpp) & 0xFF else 0
-        val above = prior(i) & 0xFF
-        val upLeft = if (i >= bpp) prior(i - bpp) & 0xFF else 0
-        val filtered = ft match {
-          case 0 => rv
-          case 1 => rv - left
-          case 2 => rv - above
-          case 3 => rv - (left + above) / 2
-          case _ =>
-            val p = left + above - upLeft
-            val pa = math.abs(p - left); val pb = math.abs(p - above)
-            val pc = math.abs(p - upLeft)
-            val pred = if (pa <= pb && pa <= pc) left
-                       else if (pb <= pc) above else upLeft
-            rv - pred
-        }
-        raw(y * (1 + stride) + 1 + i) = (filtered & 0xFF).toByte
-        i += 1
-      }
-      System.arraycopy(cur, 0, prior, 0, stride)
-      y += 1
     }
+    val raw = rawBuf.toByteArray
     val defl = new java.util.zip.Deflater() // default = zlib wrapper, as IDAT requires
     defl.setInput(raw); defl.finish()
     val zBuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
@@ -1345,7 +1384,7 @@ object Multimodal {
     }
     val ihdr = java.nio.ByteBuffer.allocate(13)
       .putInt(w).putInt(h).put(8.toByte).put(colorType.toByte)
-      .put(0.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).put(0.toByte).put(if (interlaced) 1.toByte else 0.toByte)
     writeChunk("IHDR", ihdr.array())
     writeChunk("IDAT", zBuf.toByteArray)
     writeChunk("IEND", Array.emptyByteArray)

@@ -102,6 +102,19 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeImage(Multimodal.syntheticPpm(3L)).isDefined)
   }
 
+  test("decodePng: Adam7 interlaced streams decode to the identical raster") {
+    for (id <- 0L to 10L) { // both color types, every dims combination
+      val (pw, ph, prgb) = Multimodal.decodePng(Multimodal.syntheticPng(id)).get
+      val (iw, ih, irgb) =
+        Multimodal.decodePng(Multimodal.syntheticPng(id, interlaced = true)).get
+      assert(iw == pw && ih == ph && java.util.Arrays.equals(irgb, prgb),
+        s"id=$id: interlaced decode diverged")
+    }
+    // the smallest synthetic (8×5) exercises single-row and zero-row
+    // passes (yStart 4 at step 8 → one row; higher starts → empty), so
+    // the empty-pass skip is covered by the loop above
+  }
+
   test("decodePng: palette (type 3) round-trips through PLTE lookup; missing PLTE rejected") {
     for (id <- 0L to 10L) {
       val (w, h, rgb) = Multimodal.decodePng(Multimodal.syntheticPngPalette(id)).get
