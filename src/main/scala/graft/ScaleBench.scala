@@ -793,6 +793,37 @@ object ScaleBench {
         .agg(count(lit(1)).as("n")).agg(max(col("n"))).head().getLong(0)
       println(f"""{"metric":"scale_entropy_vocab","vocab":$nVocab,"sources":4,"max_bucket_rows":$maxBucket,"sec":$secs17%.2f,"tokens_per_sec":${(nVocab / secs17).toLong}}""")
     }
+    if (sel("wordpiece")) {
+      // WordPiece at corpus scale: 10M tokens drawn (xxhash64-mixed) from
+      // 400 two-piece words over a 40-piece vocab. The operator's claim
+      // is corpus-size INDEPENDENCE of the string work — segmentation
+      // runs once per DISTINCT word (400), never per token — so the cost
+      // here is the token-count aggregate, not the greedy matcher. The
+      // planted structure is exact: every word is exactly two vocab
+      // pieces, so Σ piece counts = 2 · tokens, the piece vocabulary
+      // closes at 40, and zero [UNK] may appear.
+      val nTok = math.max(nTiles * 10, 10000000L)
+      val first = (0 until 20).map(i => s"a${('a' + i).toChar}")
+      val cont = (0 until 20).map(i => s"b${('a' + i).toChar}")
+      val vocab = first ++ cont.map("##" + _)
+      val wordArr = for (f <- first; c <- cont) yield f + c
+      val docs = spark.range(nTok / 100).select(col("id").as("doc_id"),
+          concat_ws(" ", (0 until 100).map(j =>
+            element_at(lit(wordArr.toArray),
+              (pmod(xxhash64(col("id"), lit(j)), lit(400)) + 1).cast("int"))): _*)
+            .as("text"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val t18 = System.nanoTime()
+      val pieces = graft.llm.WordPiece.pieceCounts(docs, "text", vocab)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val secs18 = (System.nanoTime() - t18) / 1e9
+      require(!pieces.contains("[UNK]"), "planted words must all segment")
+      require(pieces.size == 40, s"piece vocabulary must close at 40: ${pieces.size}")
+      require(pieces.values.sum == 2L * nTok,
+        s"piece mass ${pieces.values.sum} != 2 x $nTok tokens")
+      println(f"""{"metric":"scale_wordpiece","tokens":$nTok,"distinct_words":400,"pieces":${pieces.size},"sec":$secs18%.2f,"tokens_per_sec":${(nTok / secs18).toLong}}""")
+    }
     spark.stop()
   }
 }
