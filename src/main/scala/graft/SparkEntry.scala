@@ -1313,6 +1313,29 @@ object SparkEntry {
           s"s05_ij_${System.nanoTime()}", outputMode = "append")
         .orderBy("p_event_id", "e_event_id")
     }),
+    "s27_stream_ewma" -> ((s, d) => {
+      // STREAMING EWMA: q91's pinned-order fold as custom keyed state —
+      // O(1) state per key (last position + running e), per-batch event
+      // ordering enforced (out-of-order folds loud-fail, the
+      // transitionStream contract), Update-mode emission. The max-n_seen
+      // row per key is the live value; the converged fold must equal
+      // the batch operator bit-for-bit (shares q91's oracle).
+      val ss = statefulEventsSession(s)
+      import ss.implicits._
+      val ev = eventsStream(ss, d)
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          col("event_id"), col("value"))
+        .as[graft.streaming.Streaming.EwmaEvent]
+      val out = graft.streaming.Streaming.runAvailableNow(
+        graft.streaming.Streaming.ewmaStream(ev, alpha = 0.5),
+        s"s27_ewma_${System.nanoTime()}", outputMode = "update")
+      out.withColumn("__rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+            .orderBy(col("n_seen").desc)))
+        .filter(col("__rk") === 1)
+        .select(col("user_id"), col("ewma"))
+        .orderBy("user_id")
+    }),
     "s26_stream_interval_join_outer" -> ((s, d) => {
       // LEFT-OUTER stream-stream interval join: s05's pair set PLUS a
       // null-extended row per matchless purchase, emitted only once the
@@ -7085,6 +7108,12 @@ object SparkEntry {
     // the first element exactly like the null-init Spark fold, and each
     // step is the identical e*0.5 + x*0.5 op tree
     "q91_ewma" ->
+      """SELECT user_id,
+        |  list_reduce(list(value ORDER BY ts, event_id),
+        |    (e, x) -> e * 0.5 + x * 0.5) AS ewma
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+    // s27: the streaming twin shares q91's fold oracle (stream ≡ batch)
+    "s27_stream_ewma" ->
       """SELECT user_id,
         |  list_reduce(list(value ORDER BY ts, event_id),
         |    (e, x) -> e * 0.5 + x * 0.5) AS ewma

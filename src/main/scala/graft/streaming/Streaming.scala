@@ -267,6 +267,55 @@ object Streaming {
     keyCols.foldLeft(joined)((d, k) => d.drop(r(k)))
   }
 
+  /** One tick for the streaming EWMA fold. */
+  case class EwmaEvent(user_id: Long, us: Long, event_id: Long, value: Double)
+  /** Streaming-EWMA state: last fold position + running value + count. */
+  case class EwmaState(us: Long, eventId: Long, e: Double, n: Long)
+
+  /**
+   * Streaming EWMA ([[graft.ops.GapFill.ewma]]'s pinned-order fold as
+   * CUSTOM KEYED STATE): per key the state carries only (last position,
+   * running e, count) — O(1) regardless of stream length, unlike the
+   * batch operator's per-key array. Each microbatch sorts its own rows
+   * into (us, event_id) order and folds from the carried value (seeding
+   * on first sight); a batch carrying an event OLDER than the state
+   * loud-fails rather than folding out of order (the [[transitionStream]]
+   * cross-batch contract — event-time-ordered replay is the source's
+   * job). Update-mode emission: one (key, n_seen, ewma) row per touched
+   * key per batch; the max-n_seen row per key is the live value, and the
+   * converged fold is bit-identical to the batch operator (s27 shares
+   * q91's oracle).
+   */
+  def ewmaStream(events: org.apache.spark.sql.Dataset[EwmaEvent],
+                 alpha: Double): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(alpha > 0 && alpha <= 1, s"alpha=$alpha out of (0, 1]")
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, batch: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val sorted = batch.toArray.sortBy(e => (e.us, e.event_id))
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            var st = state.getOption.orNull
+            sorted.foreach { ev =>
+              if (st == null) st = EwmaState(ev.us, ev.event_id, ev.value, 1L)
+              else {
+                require(st.us < ev.us ||
+                  (st.us == ev.us && st.eventId <= ev.event_id),
+                  s"out-of-order batch for key $uid: state at (${st.us},${st.eventId}) " +
+                    s"saw (${ev.us},${ev.event_id})")
+                st = EwmaState(ev.us, ev.event_id,
+                  st.e * (1 - alpha) + ev.value * alpha, st.n + 1)
+              }
+            }
+            state.update(st)
+            Iterator((uid, st.n, st.e))
+          }
+      }.toDF("user_id", "n_seen", "ewma")
+  }
+
   /** One (storm, forecast) observation on the stream. */
   case class StormForecast(storm: String, forecastTime: Long)
 

@@ -785,4 +785,52 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
     assert(streamed == batch)
   }
+  test("ewmaStream: state carries the fold across batches; out-of-order loud-fails") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream-ewma").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-stream-ewma-ck").toString
+    val schema = StructType(Seq(
+      StructField("user_id", LongType), StructField("us", LongType),
+      StructField("event_id", LongType), StructField("value", DoubleType)))
+    def drop(rows: Seq[(Long, Long, Long, Double)], n: Int): Unit = {
+      val staging = java.nio.file.Files.createTempDirectory("graft-ewma-st").toString
+      rows.toDF("user_id", "us", "event_id", "value")
+        .coalesce(1).write.mode("overwrite").parquet(staging)
+      val part = new java.io.File(staging).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(dir, s"drop$n.parquet"))
+    }
+    def run(): Map[Long, (Long, Double)] = {
+      val ev = Streaming.availableNowFileStream(spark, dir, schema)
+        .as[Streaming.EwmaEvent]
+      val sink = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Double)]()
+      val q = Streaming.ewmaStream(ev, alpha = 0.5).writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => sink.add((r.getLong(0), r.getLong(1), r.getDouble(2))))
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      sink.toArray.map(_.asInstanceOf[(Long, Long, Double)])
+        .groupBy(_._1).map { case (k, vs) =>
+          val last = vs.maxBy(_._2); k -> ((last._2, last._3)) }
+    }
+    // batch 1 (shuffled in-batch order): user 1 folds 1 then 3 -> 2.0
+    drop(Seq((1L, 2L, 11L, 3.0), (1L, 1L, 10L, 1.0), (2L, 1L, 12L, 7.0)), 1)
+    val r1 = run()
+    assert(r1(1L) == ((2L, 2.0)) && r1(2L) == ((1L, 7.0)), r1.toString)
+    // batch 2 continues FROM THE CARRIED e: user 1 folds 5 -> 2*.5+5*.5 = 3.5
+    drop(Seq((1L, 3L, 13L, 5.0)), 2)
+    val r2 = run()
+    assert(r2(1L) == ((3L, 3.5)), r2.toString)
+    // batch 3 is older than the state -> the fold must loud-fail, not reorder
+    drop(Seq((1L, 1L, 9L, 100.0)), 3)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run()
+    }
+    assert(e.getMessage != null)
+  }
+
 }
