@@ -1139,6 +1139,22 @@ object SparkEntry {
         .withColumn("payload", jpg(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m15_jpeg_progressive" -> ((s, d) => {
+      // PROGRESSIVE JPEG (SOF2) decode: real multi-scan streams — DC
+      // successive approximation (first pass at Al=1 + a refinement scan
+      // carrying the dropped low bit), per-component AC band scans with
+      // genuine EOB-run coding, interleaved (color) AND non-interleaved
+      // (grayscale) DC orders, coefficients accumulated across scans and
+      // finalized at EOI. Same planted raster as m11, so the oracle is
+      // shared — a scan-sequencing, approximation-shift, EOB-run, or
+      // finalize bug breaks the hash.
+      import s.implicits._
+      val jpg = udf((id: Long) => graft.llm.Multimodal.syntheticJpegProgressive(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", jpg(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m12_jpeg_420" -> ((s, d) => {
       // 4:2:0-SUBSAMPLED baseline JPEG decode — the form real photos
       // take: Y at 2×2 sampling factors (four blocks per MCU in the
@@ -5197,6 +5213,36 @@ object SparkEntry {
     // (DC-only blocks decode exactly), grayscale on even ids, CCIR-601
     // conversion on odd ids replayed with the decoder's own op order
     // (positive values ⇒ ROUND ties agree across engines)
+    // m15: progressive shares m11's closed form (same planted raster)
+    "m15_jpeg_progressive" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    2 + p_partkey % 3 AS wb, 2 + p_partkey % 2 AS hb
+        |  FROM part WHERE p_partkey <= 300
+        |), blk AS (
+        |  SELECT i.media_id, i.wb, i.hb,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 17) % 61) - 30) AS c1,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 34) % 61) - 30) AS c2
+        |  FROM img i,
+        |    LATERAL (SELECT unnest(range(i.hb)) AS by) by,
+        |    LATERAL (SELECT unnest(range(i.wb)) AS bx) bx
+        |), px AS (
+        |  SELECT media_id, wb, hb,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.402 * (c2 - 128)) AS INT))) END AS r,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)) AS INT))) END AS g,
+        |    CASE WHEN media_id % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.772 * (c1 - 128)) AS INT))) END AS b
+        |  FROM blk
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(wb) * 8 AS INT) AS width, CAST(MAX(hb) * 8 AS INT) AS height,
+        |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
     "m11_jpeg_decode" ->
       """WITH img AS (
         |  SELECT p_partkey AS media_id,

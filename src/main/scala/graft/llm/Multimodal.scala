@@ -520,14 +520,25 @@ object Multimodal {
       val acTabs = new Array[JpegHuff](4)
       var w = 0; var h = 0
       var compTq: Array[Int] = null // per-component quant table id
+      var compId: Array[Int] = null // per-component SOF identifier
       var compH: Array[Int] = null  // per-component sampling factors
       var compV: Array[Int] = null
       var restartInterval = 0
+      var progressive = false
+      // progressive state: per component, per padded-grid block, 64 RAW
+      // (pre-dequant) coefficients accumulated across scans
+      var coefs: Array[Array[Array[Int]]] = null
+      var gridW: Array[Int] = null; var gridH: Array[Int] = null
       var pos = 2
-      while (pos + 4 <= payload.length) {
+      while (pos + 2 <= payload.length) {
         if ((payload(pos) & 0xFF) != 0xFF) return None
         val marker = payload(pos + 1) & 0xFF
-        if (marker == 0xD9) return None // EOI before any SOS produced pixels
+        if (marker == 0xD9) { // EOI (2 bytes): progressive finalizes here
+          if (!progressive || coefs == null) return None
+          return jpegFinishProgressive(w, h, compTq, compH, compV,
+            quant, coefs, gridW, gridH)
+        }
+        if (pos + 4 > payload.length) return None
         val len = ((payload(pos + 2) & 0xFF) << 8) | (payload(pos + 3) & 0xFF)
         val segEnd = pos + 2 + len
         if (len < 2 || segEnd > payload.length) return None
@@ -542,7 +553,8 @@ object Multimodal {
               quant(tq) = Array.tabulate(64)(i => payload(p + 1 + i) & 0xFF)
               p += 65
             }
-          case 0xC0 => // SOF0 baseline
+          case 0xC0 | 0xC2 => // SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             if (payload(pos + 4) != 8) return None // precision
             h = ((payload(pos + 5) & 0xFF) << 8) | (payload(pos + 6) & 0xFF)
             w = ((payload(pos + 7) & 0xFF) << 8) | (payload(pos + 8) & 0xFF)
@@ -550,9 +562,11 @@ object Multimodal {
             if (w <= 0 || h <= 0 || w > (1 << 14) || h > (1 << 14)) return None
             if (nf != 1 && nf != 3) return None
             compTq = new Array[Int](nf)
+            compId = new Array[Int](nf)
             compH = new Array[Int](nf); compV = new Array[Int](nf)
             var c = 0
             while (c < nf) {
+              compId(c) = payload(pos + 10 + 3 * c) & 0xFF
               val hv = payload(pos + 11 + 3 * c) & 0xFF
               compH(c) = hv >> 4; compV(c) = hv & 15
               // sampling factors 1 or 2 cover 4:4:4 / 4:2:2 / 4:2:0, the
@@ -576,28 +590,64 @@ object Multimodal {
               else acTabs(tcTh & 15) = tab
               p += 17 + n
             }
-          case 0xDA => // SOS: decode the (single, non-interleaved-free) scan
+          case 0xDA => // SOS
             if (compTq == null) return None
             val ns = payload(pos + 4) & 0xFF
-            if (ns != compTq.length) return None
-            val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+            if (!progressive) {
+              if (ns != compTq.length) return None
+              val dcSel = new Array[Int](ns); val acSel = new Array[Int](ns)
+              var c = 0
+              while (c < ns) {
+                val tdTa = payload(pos + 6 + 2 * c) & 0xFF
+                dcSel(c) = tdTa >> 4; acSel(c) = tdTa & 15
+                c += 1
+              }
+              return jpegScan(payload, segEnd, w, h, compTq, compH, compV,
+                quant, dcSel.map(dcTabs), acSel.map(acTabs), restartInterval)
+            }
+            // progressive: one of possibly many scans over the shared
+            // coefficient store; restart intervals unsupported here
+            if (restartInterval != 0) return None
+            if (ns < 1 || ns > compTq.length) return None
+            if (coefs == null) {
+              val hMax = compH.max; val vMax = compV.max
+              val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+              val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+              gridW = Array.tabulate(compTq.length)(c => mcusX * compH(c))
+              gridH = Array.tabulate(compTq.length)(c => mcusY * compV(c))
+              coefs = Array.tabulate(compTq.length)(c =>
+                Array.fill(gridW(c) * gridH(c))(new Array[Int](64)))
+            }
+            val scanComp = new Array[Int](ns)
+            val scanDc = new Array[JpegHuff](ns)
+            val scanAc = new Array[JpegHuff](ns)
             var c = 0
             while (c < ns) {
+              val cs = payload(pos + 5 + 2 * c) & 0xFF
+              val ci = compId.indexOf(cs)
+              if (ci < 0) return None
+              scanComp(c) = ci
               val tdTa = payload(pos + 6 + 2 * c) & 0xFF
-              dcSel(c) = tdTa >> 4; acSel(c) = tdTa & 15
+              scanDc(c) = dcTabs(tdTa >> 4); scanAc(c) = acTabs(tdTa & 15)
               c += 1
             }
-            return jpegScan(payload, segEnd, w, h, compTq, compH, compV,
-              quant, dcSel.map(dcTabs), acSel.map(acTabs), restartInterval)
+            val ss = payload(pos + 5 + 2 * ns) & 0xFF
+            val se = payload(pos + 6 + 2 * ns) & 0xFF
+            val ahAl = payload(pos + 7 + 2 * ns) & 0xFF
+            val newPos = jpegProgressiveScan(payload, segEnd, w, h,
+              compH, compV, scanComp, scanDc, scanAc,
+              ss, se, ahAl >> 4, ahAl & 15, coefs, gridW, gridH)
+              .getOrElse(return None)
+            pos = newPos
           case 0xDD => // DRI: restart every Ri MCUs (0 disables)
             if (len != 4) return None
             restartInterval = ((payload(pos + 4) & 0xFF) << 8) |
               (payload(pos + 5) & 0xFF)
-          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 =>
-            return None // progressive / extended / arithmetic SOFs
+          case m if m >= 0xC1 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xC2 =>
+            return None // extended / arithmetic SOFs
           case _ => () // APPn, COM: skip
         }
-        pos = segEnd
+        if (marker != 0xDA || !progressive) pos = segEnd
       }
       None
     } catch { case scala.util.control.NonFatal(_) => None }
@@ -670,24 +720,7 @@ object Multimodal {
                   k += 1
                 }
               }
-              // exact separable-basis IDCT (double precision, fixed op order)
-              var y = 0
-              while (y < 8) {
-                var x = 0
-                while (x < 8) {
-                  var s = 0.0
-                  var v = 0
-                  while (v < 64) {
-                    if (coef(v) != 0)
-                      s += coef(v) * JpegCos(x)(v & 7) * JpegCos(y)(v >> 3)
-                    v += 1
-                  }
-                  val px = Math.round(s / 4.0 + 128.0).toInt
-                  blockOut(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
-                  x += 1
-                }
-                y += 1
-              }
+              jpegIdctBlock(coef, blockOut)
               val plane = planes(ci)
               val x0 = (mX * compH(ci) + hb) * 8
               val y0 = (mY * compV(ci) + vb) * 8
@@ -710,11 +743,43 @@ object Multimodal {
       }
       mY += 1
     }
+    Some(jpegAssemble(w, h, nc, compH, compV, hMax, vMax, planeW, planes))
+  }
+
+  /** Exact separable-basis IDCT of one dequantized block (double
+    * precision, fixed op order) with level shift + clamp. */
+  private def jpegIdctBlock(coef: Array[Int], blockOut: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0
+        var v = 0
+        while (v < 64) {
+          if (coef(v) != 0)
+            s += coef(v) * JpegCos(x)(v & 7) * JpegCos(y)(v >> 3)
+          v += 1
+        }
+        val px = Math.round(s / 4.0 + 128.0).toInt
+        blockOut(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+        x += 1
+      }
+      y += 1
+    }
+  }
+
+  /** Assemble decoded component planes to packed RGB: box-upsample
+    * subsampled chroma to full resolution, replicate grayscale, CCIR-601
+    * for 3 components (`Math.round` — half-up, matching the oracle's
+    * ROUND for the in-gamut positive values). */
+  private def jpegAssemble(w: Int, h: Int, nc: Int,
+                           compH: Array[Int], compV: Array[Int],
+                           hMax: Int, vMax: Int, planeW: Array[Int],
+                           planes: Array[Array[Int]]): (Int, Int, Array[Byte]) = {
     def clamp(d: Double): Byte = {
       val v = Math.round(d).toInt
       (if (v < 0) 0 else if (v > 255) 255 else v).toByte
     }
-    // per-component sample lookup with box upsampling to full resolution
     @inline def sample(ci: Int, x: Int, y: Int): Int =
       planes(ci)((y * compV(ci) / vMax) * planeW(ci) + x * compH(ci) / hMax)
     val rgb = new Array[Byte](w * h * 3)
@@ -738,7 +803,235 @@ object Multimodal {
       }
       yy += 1
     }
-    Some((w, h, rgb))
+    (w, h, rgb)
+  }
+
+  /**
+   * One progressive scan (T.81 G.1.2) over the shared raw-coefficient
+   * store: a DC scan (interleaved MCU order for multi-component,
+   * component-raster for single) or an AC band scan (single component,
+   * spectral selection Ss..Se) — each as a FIRST pass (Ah = 0, values
+   * shifted left by Al: successive approximation) or a REFINEMENT pass
+   * (Ah > 0, one correction bit per already-nonzero coefficient, new
+   * ±1·2^Al insertions, EOB-runs covering whole bands). Returns the
+   * payload position just after this scan's entropy data.
+   */
+  private def jpegProgressiveScan(payload: Array[Byte], dataStart: Int,
+      w: Int, h: Int, compH: Array[Int], compV: Array[Int],
+      scanComp: Array[Int], scanDc: Array[JpegHuff], scanAc: Array[JpegHuff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      coefs: Array[Array[Array[Int]]], gridW: Array[Int], gridH: Array[Int])
+      : Option[Int] = {
+    val br = new JpegBits(payload, dataStart)
+    val ns = scanComp.length
+    val hMax = compH.max; val vMax = compV.max
+    if (ss == 0) { // DC scan (Se must be 0)
+      if (se != 0) return None
+      if (ns > 1) { // interleaved: must cover all components
+        if (ns != compH.length) return None
+        var sc = 0
+        while (sc < ns) {
+          if (ah == 0 && scanDc(sc) == null) return None
+          sc += 1
+        }
+        val mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+        val mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+        val dcPred = new Array[Int](ns)
+        var mY = 0
+        while (mY < mcusY) {
+          var mX = 0
+          while (mX < mcusX) {
+            sc = 0
+            while (sc < ns) {
+              val ci = scanComp(sc)
+              var vb = 0
+              while (vb < compV(ci)) {
+                var hb = 0
+                while (hb < compH(ci)) {
+                  val block = coefs(ci)(
+                    (mY * compV(ci) + vb) * gridW(ci) + mX * compH(ci) + hb)
+                  if (ah == 0) {
+                    val t = scanDc(sc).decode(br)
+                    if (t > 11) return None
+                    dcPred(sc) += jpegExtend(br.bits(t), t)
+                    block(0) = dcPred(sc) << al
+                  } else if (br.bit() == 1) block(0) |= (1 << al)
+                  hb += 1
+                }
+                vb += 1
+              }
+              sc += 1
+            }
+            mX += 1
+          }
+          mY += 1
+        }
+      } else { // single component, non-interleaved raster
+        val ci = scanComp(0)
+        if (ah == 0 && scanDc(0) == null) return None
+        val (bw, bh) = jpegCompBlocks(w, h, compH(ci), compV(ci), hMax, vMax)
+        var dcPred = 0
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val block = coefs(ci)(by * gridW(ci) + bx)
+            if (ah == 0) {
+              val t = scanDc(0).decode(br)
+              if (t > 11) return None
+              dcPred += jpegExtend(br.bits(t), t)
+              block(0) = dcPred << al
+            } else if (br.bit() == 1) block(0) |= (1 << al)
+            bx += 1
+          }
+          by += 1
+        }
+      }
+      Some(br.pos)
+    } else { // AC band scan: single component only (T.81 G.1.1.1)
+      if (ns != 1 || se < ss || se > 63 || scanAc(0) == null) return None
+      val ci = scanComp(0)
+      val ac = scanAc(0)
+      val (bw, bh) = jpegCompBlocks(w, h, compH(ci), compV(ci), hMax, vMax)
+      val p1 = 1 << al
+      var eobrun = 0
+      var by = 0
+      while (by < bh) {
+        var bx = 0
+        while (bx < bw) {
+          val block = coefs(ci)(by * gridW(ci) + bx)
+          if (ah == 0) { // first pass of this band
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var stop = false
+              while (!stop && k <= se) {
+                val rs = ac.decode(br)
+                val r = rs >> 4; val s2 = rs & 15
+                if (s2 == 0) {
+                  if (r != 15) { // EOBn: run includes this block
+                    eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                    stop = true
+                  } else k += 16 // ZRL
+                } else {
+                  k += r
+                  if (k > se) return None
+                  block(JpegZigzag(k)) = jpegExtend(br.bits(s2), s2) << al
+                  k += 1
+                }
+              }
+            }
+          } else { // refinement pass (the decode_mcu_AC_refine shape)
+            var k = ss
+            if (eobrun == 0) {
+              var stop = false
+              while (!stop && k <= se) {
+                val rs = ac.decode(br)
+                var r = rs >> 4; val s2 = rs & 15
+                var newVal = 0
+                if (s2 == 0) {
+                  if (r != 15) {
+                    eobrun = (1 << r) - 1 + (if (r > 0) br.bits(r) else 0)
+                    stop = true
+                  }
+                  // r == 15 (ZRL): skip 16 zero-history positions below
+                } else {
+                  if (s2 != 1) return None
+                  newVal = if (br.bit() == 1) p1 else -p1
+                }
+                if (!stop) {
+                  var placed = false
+                  while (!placed && k <= se) {
+                    val z = JpegZigzag(k)
+                    if (block(z) != 0) { // correction bit for nonzero history
+                      if (br.bit() == 1 && (block(z) & p1) == 0)
+                        block(z) += (if (block(z) >= 0) p1 else -p1)
+                    } else if (r == 0) {
+                      if (newVal != 0) block(z) = newVal
+                      placed = true
+                    } else r -= 1
+                    k += 1
+                  }
+                  if (!placed && newVal != 0) return None // band overrun
+                }
+              }
+            } else eobrun -= 1
+            // EOB-covered tail: correction bits for the remaining
+            // nonzero-history coefficients of this band
+            while (k <= se) {
+              val z = JpegZigzag(k)
+              if (block(z) != 0) {
+                if (br.bit() == 1 && (block(z) & p1) == 0)
+                  block(z) += (if (block(z) >= 0) p1 else -p1)
+              }
+              k += 1
+            }
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      Some(br.pos)
+    }
+  }
+
+  /** Non-interleaved block grid of one component (T.81 A.2.2: dims from
+    * the component's own sample grid, NOT the padded MCU grid). */
+  private def jpegCompBlocks(w: Int, h: Int, ch: Int, cv: Int,
+                             hMax: Int, vMax: Int): (Int, Int) = {
+    val compW = (w * ch + hMax - 1) / hMax
+    val compHt = (h * cv + vMax - 1) / vMax
+    ((compW + 7) / 8, (compHt + 7) / 8)
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients and
+    * assemble RGB exactly as the baseline path does. */
+  private def jpegFinishProgressive(w: Int, h: Int, compTq: Array[Int],
+      compH: Array[Int], compV: Array[Int], quant: Array[Array[Int]],
+      coefs: Array[Array[Array[Int]]], gridW: Array[Int], gridH: Array[Int])
+      : Option[(Int, Int, Array[Byte])] = {
+    val nc = compTq.length
+    var hMax = 1; var vMax = 1
+    var c = 0
+    while (c < nc) {
+      if (quant(compTq(c)) == null) return None
+      hMax = math.max(hMax, compH(c)); vMax = math.max(vMax, compV(c))
+      c += 1
+    }
+    val planeW = Array.tabulate(nc)(ci => gridW(ci) * 8)
+    val planes = Array.tabulate(nc)(ci => new Array[Int](planeW(ci) * gridH(ci) * 8))
+    val dq = new Array[Int](64)
+    val blockOut = new Array[Int](64)
+    var ci = 0
+    while (ci < nc) {
+      val q = quant(compTq(ci))
+      var b = 0
+      while (b < coefs(ci).length) {
+        val raw = coefs(ci)(b)
+        java.util.Arrays.fill(dq, 0)
+        var k = 0
+        while (k < 64) {
+          val z = JpegZigzag(k)
+          if (raw(z) != 0) dq(z) = raw(z) * q(k)
+          k += 1
+        }
+        jpegIdctBlock(dq, blockOut)
+        val bx = b % gridW(ci); val by = b / gridW(ci)
+        val plane = planes(ci)
+        var r2 = 0
+        while (r2 < 8) {
+          var c2 = 0
+          while (c2 < 8) {
+            plane((by * 8 + r2) * planeW(ci) + bx * 8 + c2) = blockOut(r2 * 8 + c2)
+            c2 += 1
+          }
+          r2 += 1
+        }
+        b += 1
+      }
+      ci += 1
+    }
+    Some(jpegAssemble(w, h, nc, compH, compV, hMax, vMax, planeW, planes))
   }
 
   /** GIF-variant LZW decode: variable code width from `minCode`+1 to 12
@@ -1709,6 +2002,126 @@ object Multimodal {
       if ((acc & 0xFF) == 0xFF) out.write(0x00)
     }
     marker(0xD9) // EOI
+    out.toByteArray
+  }
+
+  /** Deterministic PROGRESSIVE JPEG (SOF2) for a key — [[syntheticJpeg]]'s
+    * planted DC-only raster re-encoded as a real multi-scan progressive
+    * stream: DC first pass at Al = 1 (successive approximation — the
+    * coded diffs are of `dc >> 1`), a DC refinement scan carrying one
+    * low-bit per block, then per-component AC band scans (Ss=1..63) at
+    * Al = 1 and their refinements — all-EOB bands coded as genuine
+    * EOB-runs (EOBn category codes + appended run bits). Even ids are
+    * grayscale (exercising the NON-interleaved single-component DC
+    * raster), odd ids 3-component (the interleaved MCU DC order). Same
+    * dims/constants as the baseline twin, so m15 shares m11's oracle and
+    * the spec can assert progressive ≡ baseline pixel-for-pixel. What
+    * this stream does NOT exercise: AC refinement correction bits over
+    * nonzero history (the planted bands are all-zero) — that path is
+    * implemented per T.81 G.1.2.3 but only structurally driven here. */
+  def syntheticJpegProgressive(id: Long): Array[Byte] = {
+    val wb = (2 + id % 3).toInt; val hb = (2 + id % 2).toInt
+    val w = wb * 8; val h = hb * 8
+    val nc = if (id % 2 == 0) 1 else 3
+    val out = new java.io.ByteArrayOutputStream(512 + wb * hb * nc * 4)
+    def b(v: Int): Unit = out.write(v & 0xFF)
+    def marker(m: Int): Unit = { b(0xFF); b(m) }
+    def be16(v: Int): Unit = { b(v >> 8); b(v) }
+    marker(0xD8)
+    marker(0xDB); be16(2 + 65); b(0x00)
+    (0 until 64).foreach(_ => b(16))
+    marker(0xC2); be16(8 + 3 * nc); b(8); be16(h); be16(w); b(nc) // SOF2
+    (0 until nc).foreach { c => b(c + 1); b(0x11); b(0) }
+    // DC categories 0..7 as in the baseline encoder; AC table = the 15
+    // EOBn symbols (0x00, 0x10, … 0xE0) at canonical length 4
+    val dcBits = Array(0, 0, 7, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    val acBits = Array(0, 0, 0, 15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+    marker(0xC4); be16(2 + 17 + 8 + 17 + 15)
+    b(0x00); dcBits.foreach(b); (0 to 7).foreach(b)
+    b(0x10); acBits.foreach(b); (0 to 14).foreach(r => b(r << 4))
+    var acc = 0; var nAcc = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        acc = (acc << 1) | ((v >> i) & 1); nAcc += 1
+        if (nAcc == 8) {
+          out.write(acc & 0xFF)
+          if ((acc & 0xFF) == 0xFF) out.write(0x00)
+          acc = 0; nAcc = 0
+        }
+        i -= 1
+      }
+    }
+    def flushBits(): Unit = if (nAcc > 0) {
+      acc = (acc << (8 - nAcc)) | ((1 << (8 - nAcc)) - 1)
+      out.write(acc & 0xFF)
+      if ((acc & 0xFF) == 0xFF) out.write(0x00)
+      acc = 0; nAcc = 0
+    }
+    def putDcCat(t: Int): Unit =
+      if (t <= 6) putBits(t, 3) else putBits(0xE, 4)
+    def sos(comps: Seq[Int], ss: Int, se: Int, ah: Int, al: Int): Unit = {
+      marker(0xDA); be16(6 + 2 * comps.length); b(comps.length)
+      comps.foreach { c => b(c + 1); b(0x00) }
+      b(ss); b(se); b((ah << 4) | al)
+    }
+    def dcOf(c: Int, bx: Int, by: Int): Int =
+      (((id * 7 + bx * 11 + by * 13 + c * 17) % 61).toInt - 30)
+    // EOB-run over n all-zero bands: EOBn code (category r in 4 bits)
+    // plus r appended bits of (run − 2^r)
+    def putEobRun(n0: Int): Unit = {
+      var n = n0
+      while (n > 0) {
+        val v = math.min(n, 32767)
+        val r = 31 - Integer.numberOfLeadingZeros(v)
+        putBits(r, 4)
+        if (r > 0) putBits(v - (1 << r), r)
+        n -= v
+      }
+    }
+    // scan 1: DC first pass, Al = 1 (codes diffs of dc >> 1)
+    sos(0 until nc, 0, 0, 0, 1)
+    val dcPred = new Array[Int](nc)
+    var by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        var c = 0
+        while (c < nc) {
+          val v = dcOf(c, bx, by) >> 1
+          val diff = v - dcPred(c)
+          dcPred(c) = v
+          val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+          putDcCat(t)
+          if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+          c += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+    // scan 2: DC refinement, Ah = 1 → Al = 0 (the dropped low bit)
+    sos(0 until nc, 0, 0, 1, 0)
+    by = 0
+    while (by < hb) {
+      var bx = 0
+      while (bx < wb) {
+        var c = 0
+        while (c < nc) { putBits(dcOf(c, bx, by) & 1, 1); c += 1 }
+        bx += 1
+      }
+      by += 1
+    }
+    flushBits()
+    // per-component AC band scans: first pass at Al = 1, then refinement
+    (0 until nc).foreach { c =>
+      sos(Seq(c), 1, 63, 0, 1); putEobRun(wb * hb); flushBits()
+    }
+    (0 until nc).foreach { c =>
+      sos(Seq(c), 1, 63, 1, 0); putEobRun(wb * hb); flushBits()
+    }
+    marker(0xD9)
     out.toByteArray
   }
 

@@ -267,6 +267,18 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(stripped.toArray).isEmpty, "missing RST must reject")
   }
 
+  test("decodeJpeg: progressive (SOF2) multi-scan decode equals the baseline raster") {
+    for (id <- 0L to 11L) {
+      val base = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id))
+      val prog = Multimodal.decodeJpeg(Multimodal.syntheticJpegProgressive(id))
+      assert(prog.isDefined, s"id=$id: progressive decode failed")
+      val (pw, ph, prgb) = base.get
+      val (qw, qh, qrgb) = prog.get
+      assert(qw == pw && qh == ph && java.util.Arrays.equals(qrgb, prgb),
+        s"id=$id: progressive decode diverged from baseline")
+    }
+  }
+
   test("decodeJpeg 4:2:0: MCU block order + chroma upsampling round-trip") {
     for (id <- 0L to 5L) { // every (mx, my) combination
       val (w, h, rgb) = Multimodal.decodeJpeg(Multimodal.syntheticJpeg420(id)).get
