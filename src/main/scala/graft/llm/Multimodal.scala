@@ -21,9 +21,9 @@ import org.apache.spark.sql.types._
  * for real too: PNG ([[decodePng]]: pure `java.util.zip` inflate + the
  * five scanline filter reversals), GIF ([[decodeGif]]: full container
  * walk + variable-width LZW with dictionary growth and code-width
- * escalation), BMP ([[decodeBmp]]) and baseline JPEG ([[decodeJpeg]]:
- * canonical huffman entropy decode, dequant, exact IDCT, YCbCr→RGB —
- * non-subsampled baseline scans; progressive/subsampled reject).
+ * escalation), BMP ([[decodeBmp]]) and JPEG ([[decodeJpeg]]: canonical
+ * huffman entropy decode, dequant, exact IDCT, YCbCr→RGB — baseline
+ * AND progressive (SOF2) scans, 4:4:4/4:2:2/4:2:0, restart markers).
  * Remaining COMPRESSED formats (mp3/mp4 video/audio codecs …)
  * fall back to [[decodeStub]] — their codecs are not
  * feasible without libraries in this build environment — with the
@@ -406,9 +406,11 @@ object Multimodal {
   // real crawl. Supported: baseline DCT (SOF0), 8-bit precision, 1 or 3
   // components with sampling factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0 —
   // box chroma upsampling), standard or custom huffman/quant tables,
-  // byte stuffing, restart intervals (DRI/RSTn with DC-prediction
-  // reset). Rejected (None, never throw): progressive/extended SOFs,
-  // arithmetic coding, factors > 2.
+  // byte stuffing, restart intervals in baseline (DRI/RSTn with
+  // DC-prediction reset), and PROGRESSIVE (SOF2) multi-scan streams —
+  // spectral selection + successive approximation. Rejected (None,
+  // never throw): extended/lossless/arithmetic SOFs, factors > 2,
+  // restart intervals inside progressive scans.
   // ---------------------------------------------------------------------
 
   /** jpeg_natural_order: zigzag scan position → natural block index. */
@@ -505,11 +507,13 @@ object Multimodal {
    * zigzag order, exact double-precision IDCT per block, MCU-interleaved
    * sampling factors up to 2×2 (4:4:4, 4:2:2 and 4:2:0 — the forms a
    * crawl actually contains) with box chroma upsampling, level shift +
-   * clamp, CCIR-601 YCbCr→RGB for 3-component scans, and DRI/RSTn
-   * restart intervals (byte-align + DC-prediction reset). None for
-   * anything malformed or outside the supported envelope (progressive,
-   * arithmetic, factors > 2) — a decoder on an executor must reject,
-   * never throw.
+   * clamp, CCIR-601 YCbCr→RGB for 3-component scans, DRI/RSTn restart
+   * intervals (baseline; byte-align + DC-prediction reset), and
+   * PROGRESSIVE (SOF2) multi-scan streams — spectral selection,
+   * successive approximation, EOB-runs — accumulated in a raw
+   * coefficient store and finalized at EOI. None for anything malformed
+   * or outside the supported envelope (extended/arithmetic SOFs,
+   * factors > 2) — a decoder on an executor must reject, never throw.
    */
   def decodeJpeg(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     if (payload == null || payload.length < 4) return None
