@@ -2127,6 +2127,16 @@ object SparkEntry {
           sum(length(col("tok"))).as("n_chars"))
         .orderBy("source")
     }),
+    "d64_kneser_ney" -> ((s, d) => {
+      // Kneser-Ney smoothed bigram LM (TextAnalysis.kneserNeyBigram):
+      // absolute discount D = 0.75 with CONTINUATION-count backoff —
+      // the standard n-gram smoothing. All inputs are exact integer
+      // counts, D is dyadic, and p_kn is one pinned IEEE op tree, so
+      // the raw doubles hash bit-for-bit (no ROUND anywhere). Min
+      // support 8 bounds the emitted pairs.
+      graft.llm.TextAnalysis.kneserNeyBigram(
+        t(s, d, "documents"), "text", discount = 0.75, minCount = 8)
+    }),
     "d63_gopher_rules" -> ((s, d) => {
       // Gopher-style composite quality DECISIONS (TextAnalysis
       // .gopherRules): d02 scores signals, this ships accept/reject with
@@ -6398,6 +6408,40 @@ object SparkEntry {
         |SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_dropped,
         |  TRUE AS subset_ok, TRUE AS recall_ok
         |FROM (SELECT u FROM reach GROUP BY u HAVING MIN(v) < u)""".stripMargin,
+    // d64: every count exact-integer, the probability ONE pinned op tree
+    // with every literal CAST to DOUBLE (DuckDB parses bare 0.75 as
+    // DECIMAL — different rounding), parenthesization mirrored from the
+    // Spark expression
+    "d64_kneser_ney" ->
+      """WITH tk AS (
+        |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+        |  FROM (
+        |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+        |      generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+        |    FROM documents)
+        |  WHERE length(w) > 0
+        |), big AS (
+        |  SELECT a.w AS w1, b.w AS w2
+        |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+        |), c12 AS (
+        |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2
+        |), types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12),
+        |lft AS (
+        |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+        |    CAST(COUNT(*) AS BIGINT) AS n1fw FROM c12 GROUP BY 1
+        |), rgt AS (
+        |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pw FROM c12 GROUP BY 1
+        |)
+        |SELECT c.w1, c.w2, c.c12, l.c1, l.n1fw, r.n1pw,
+        |  (GREATEST(CAST(c.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / l.c1)
+        |  + ((CAST(0.75 AS DOUBLE) * l.n1fw) / l.c1)
+        |    * (CAST(r.n1pw AS DOUBLE) / ty.t) AS p_kn
+        |FROM c12 c
+        |JOIN lft l ON l.w1 = c.w1
+        |JOIN rgt r ON r.w2 = c.w2
+        |CROSS JOIN types ty
+        |WHERE c.c12 >= 8
+        |ORDER BY c.w1, c.w2""".stripMargin,
     // d63: all-integer rule chain — cross-multiplied thresholds, fixed
     // first-failure order, no float contract anywhere
     "d63_gopher_rules" ->

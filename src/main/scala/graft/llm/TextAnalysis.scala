@@ -423,6 +423,51 @@ object TextAnalysis {
   }
 
   /**
+   * Kneser-Ney smoothed bigram probabilities (Kneser & Ney, ICASSP'95 —
+   * the standard n-gram-LM smoothing): `P(w2|w1) = max(c12 − D, 0)/c1 +
+   * (D·N1+(w1·)/c1) · (N1+(·w2)/|bigram types|)` with absolute discount
+   * D. The backoff weights by CONTINUATION counts, not raw frequency —
+   * the classic insight that a word can be frequent yet follow almost
+   * nothing ("Francisco" after "San").
+   *
+   * Engine-portable: every input is an exact integer count, D is dyadic
+   * (0.75 — the `c − D` subtraction and `D·n` product are exact), and
+   * the probability is ONE fixed IEEE op tree with pinned
+   * parenthesization — so an external oracle replays the raw doubles
+   * bit-for-bit with no ROUND (the d64 gate).
+   *
+   * Scale shape: one bigram explode + token-keyed aggregates (all
+   * map-side combinable) + two equi-joins on token keys — the d57 plan
+   * shape; nothing wider than (w1, w2, count) crosses an exchange.
+   */
+  def kneserNeyBigram(df: DataFrame, textCol: String = "text",
+                      discount: Double = 0.75, minCount: Long = 1): DataFrame = {
+    require(discount > 0 && discount < 1, s"discount=$discount out of (0, 1)")
+    val toks = tokens(col(textCol))
+    val big = df
+      .filter(size(toks) >= 2)
+      .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint()
+    val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
+    val types = c12.count() // |distinct bigram types|
+    val left = c12.groupBy("w1").agg(sum(col("c12")).as("c1"),
+      count(lit(1)).as("n1fw")) // N1+(w1·): distinct continuations of w1
+    val right = c12.groupBy("w2").agg(count(lit(1)).as("n1pw")) // N1+(·w2)
+    c12.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n1fw"), col("n1pw"),
+        ((greatest(col("c12").cast("double") - discount, lit(0.0)) / col("c1")) +
+          ((lit(discount) * col("n1fw")) / col("c1")) *
+            (col("n1pw").cast("double") / lit(types.toDouble))).as("p_kn"))
+      .orderBy("w1", "w2")
+  }
+
+  /**
    * Gopher-style composite quality rules (Rae et al. 2021 §A1.1 shape):
    * the ship-a-decision layer on top of [[qualityMetrics]]'s raw signals.
    * A document is accepted iff it passes EVERY rule; `reason` names the

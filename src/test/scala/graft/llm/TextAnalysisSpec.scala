@@ -307,4 +307,28 @@ class TextAnalysisSpec extends SparkSpec {
     // but too_short is checked first
   }
 
+  test("kneserNeyBigram: hand-computed discount + continuation backoff") {
+    import spark.implicits._
+    // tokens a b a b a c -> bigrams ab, ba, ab, ba, ac
+    // c12: ab=2 ba=2 ac=1; types=3; c1(a)=3 n1fw(a)=2; c1(b)=2 n1fw(b)=1
+    // n1pw: a=1 b=1 c=1
+    val docs = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val got = TextAnalysis.kneserNeyBigram(docs, "text")
+      .select("w1", "w2", "p_kn").as[(String, String, Double)]
+      .collect().map { case (a, b, p) => (a, b) -> p }.toMap
+    val pba = (2.0 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1.0 / 3.0)
+    val pca = (1.0 - 0.75) / 3.0 + ((0.75 * 2) / 3.0) * (1.0 / 3.0)
+    val pab = (2.0 - 0.75) / 2.0 + ((0.75 * 1) / 2.0) * (1.0 / 3.0)
+    assert(got(("a", "b")) == pba, got.toString)
+    assert(got(("a", "c")) == pca)
+    assert(got(("b", "a")) == pab)
+    // probabilities are proper: in (0, 1), and the discounted mass is
+    // strictly below the MLE estimate for seen bigrams
+    assert(got.values.forall(p => p > 0 && p < 1))
+    assert(got(("a", "b")) < 2.0 / 3.0 + 0.26, "backoff mass bounded")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.kneserNeyBigram(docs, "text", discount = 1.5)
+    }
+  }
+
 }
