@@ -2137,7 +2137,8 @@ object Multimodal {
     * `(bx, by)`, chroma per MCU `(mx, my)` — all DC-only, so decoded
     * pixels are closed-form (the m12 oracle composes them through the
     * CCIR-601 expression). Dimensions `16·(1 + id%3) × 16·(1 + id%2)`
-    * (whole MCUs — edge cropping is m11's PPM-family concern). */
+    * (whole MCUs; the non-aligned crop path is pinned by the
+    * patched-SOF crop spec). */
   def syntheticJpeg420(id: Long): Array[Byte] = {
     val mx = (1 + id % 3).toInt; val my = (1 + id % 2).toInt
     val w = mx * 16; val h = my * 16

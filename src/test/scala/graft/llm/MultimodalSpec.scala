@@ -267,6 +267,25 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeJpeg(stripped.toArray).isEmpty, "missing RST must reject")
   }
 
+  test("decodeJpeg: non-multiple-of-8 dims crop the padded block grid") {
+    // patch a 16×16 grayscale stream's SOF dims to 13×11: the MCU count
+    // is unchanged (ceil/8 → 2×2), so the same entropy data decodes and
+    // the assembly must CROP the padded plane, not scale or reject
+    val src = Multimodal.syntheticJpeg(0L) // 16×16, grayscale
+    val (fw, fh, full) = Multimodal.decodeJpeg(src).get
+    assert(fw == 16 && fh == 16)
+    val patched = src.clone()
+    val sofAt = (0 until patched.length - 1).find(i =>
+      (patched(i) & 0xFF) == 0xFF && (patched(i + 1) & 0xFF) == 0xC0).get
+    patched(sofAt + 5) = 0; patched(sofAt + 6) = 11 // height 11
+    patched(sofAt + 7) = 0; patched(sofAt + 8) = 13 // width 13
+    val (cw, ch, crop) = Multimodal.decodeJpeg(patched).get
+    assert(cw == 13 && ch == 11)
+    for (y <- 0 until 11; x <- 0 until 13; c <- 0 until 3)
+      assert(crop((y * 13 + x) * 3 + c) == full((y * 16 + x) * 3 + c),
+        s"crop px ($x,$y,$c) diverged from the full raster")
+  }
+
   test("decodeJpeg: progressive (SOF2) multi-scan decode equals the baseline raster") {
     for (id <- 0L to 11L) {
       val base = Multimodal.decodeJpeg(Multimodal.syntheticJpeg(id))
