@@ -32,6 +32,18 @@ class RuntimePlanSpec extends SparkSpec {
     assert(q.count() == 10000)
   }
 
+  test("d64: Kneser-Ney plans as token-keyed aggs + equi-joins, type count as a literal") {
+    // building the query runs two tiny jobs (bigram checkpoint + type
+    // count) — hence this suite, not the planning-only PlanSpec
+    val q = graft.SparkEntry.queries("d64_kneser_ney")(
+      spark, "/root/testdata/sf0.001")
+    val p = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(!p.contains("NestedLoop") && !p.contains("CartesianProduct"),
+      "the |types| denominator must be a collected literal, never a cross join:\n" + p)
+    assert(p.contains("partial_"), "aggregates must combine map-side:\n" + p)
+  }
+
   test("AQE splits a skewed sort-merge join partition (skew=true in the final plan)") {
     val c = spark.conf
     val saved = Seq(
