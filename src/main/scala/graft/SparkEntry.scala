@@ -1139,6 +1139,30 @@ object SparkEntry {
         .withColumn("payload", jpg(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m16_media_matrix" -> ((s, d) => {
+      // the FULL image-format matrix through ONE decode dispatch: ids
+      // route by modulo to PPM / PNG / palette-PNG / BMP / GIF /
+      // baseline JPEG / 4:2:0 JPEG / progressive JPEG, and
+      // Multimodal.decodeImage must route every payload to the right
+      // codec by magic bytes — a misrouting or over-eager decoder
+      // anywhere in the chain breaks this hash even while every
+      // single-format gate stays green.
+      import s.implicits._
+      val build = udf((id: Long) => ((id % 8).toInt: @unchecked) match {
+        case 0 => graft.llm.Multimodal.syntheticPpm(id)
+        case 1 => graft.llm.Multimodal.syntheticPng(id)
+        case 2 => graft.llm.Multimodal.syntheticPngPalette(id)
+        case 3 => graft.llm.Multimodal.syntheticBmp(id)
+        case 4 => graft.llm.Multimodal.syntheticGif(id)
+        case 5 => graft.llm.Multimodal.syntheticJpeg(id)
+        case 6 => graft.llm.Multimodal.syntheticJpeg420(id)
+        case 7 => graft.llm.Multimodal.syntheticJpegProgressive(id)
+      })
+      val media = t(s, d, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m15_jpeg_progressive" -> ((s, d) => {
       // PROGRESSIVE JPEG (SOF2) decode: real multi-scan streams — DC
       // successive approximation (first pass at Al=1 + a refinement scan
@@ -5223,6 +5247,81 @@ object SparkEntry {
     // (DC-only blocks decode exactly), grayscale on even ids, CCIR-601
     // conversion on odd ids replayed with the decoder's own op order
     // (positive values ⇒ ROUND ties agree across engines)
+    // m16: every format's closed form, routed by media_id % 8 and
+    // UNION ALL'd — the dispatch twin of the per-format oracles
+    "m16_media_matrix" ->
+      """WITH ids AS (
+        |  SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 400
+        |), raw3 AS ( -- ppm(0)/png(1)/bmp(3): the c·17 channel formula
+        |  SELECT media_id,
+        |    CASE media_id % 8 WHEN 0 THEN 4 + media_id % 5
+        |      WHEN 1 THEN 8 + media_id % 9 ELSE 5 + media_id % 8 END AS w,
+        |    CASE media_id % 8 WHEN 0 THEN 3 + media_id % 4
+        |      WHEN 1 THEN 5 + media_id % 6 ELSE 4 + media_id % 6 END AS h
+        |  FROM ids WHERE media_id % 8 IN (0, 1, 3)
+        |), raw3_px AS (
+        |  SELECT i.media_id, CAST(MAX(i.w) AS INT) AS width, CAST(MAX(i.h) AS INT) AS height,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT) AS sum_r,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 17) % 256) AS BIGINT) AS sum_g,
+        |    CAST(SUM((i.media_id * 7 + y.y * 11 + x.x * 13 + 34) % 256) AS BIGINT) AS sum_b
+        |  FROM raw3 i,
+        |    LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |  GROUP BY i.media_id
+        |), idx2 AS ( -- palette-png(2)/gif(4): index ∘ palette composition
+        |  SELECT media_id,
+        |    CASE media_id % 8 WHEN 2 THEN 8 + media_id % 9
+        |      ELSE 24 + (media_id % 9) * 2 END AS w,
+        |    CASE media_id % 8 WHEN 2 THEN 5 + media_id % 6
+        |      ELSE 20 + (media_id % 7) * 2 END AS h
+        |  FROM ids WHERE media_id % 8 IN (2, 4)
+        |), idx2_px AS (
+        |  SELECT media_id, CAST(MAX(w) AS INT) AS width, CAST(MAX(h) AS INT) AS height,
+        |    CAST(SUM((idx * 3 + media_id) % 256) AS BIGINT) AS sum_r,
+        |    CAST(SUM((idx * 5 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+        |    CAST(SUM((idx * 7 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+        |  FROM (
+        |    SELECT i.media_id, i.w, i.h,
+        |      (i.media_id * 7 + y.y * 11 + x.x * 13) % 256 AS idx
+        |    FROM idx2 i,
+        |      LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |      LATERAL (SELECT unnest(range(i.w)) AS x) x)
+        |  GROUP BY media_id
+        |), jflat AS ( -- baseline(5)/progressive(7): DC blocks, always color (odd ids)
+        |  SELECT media_id, 2 + media_id % 3 AS wb, 2 + media_id % 2 AS hb
+        |  FROM ids WHERE media_id % 8 IN (5, 7)
+        |), jflat_blk AS (
+        |  SELECT i.media_id, i.wb, i.hb,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 17) % 61) - 30) AS c1,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13 + 34) % 61) - 30) AS c2
+        |  FROM jflat i,
+        |    LATERAL (SELECT unnest(range(i.hb)) AS by) by,
+        |    LATERAL (SELECT unnest(range(i.wb)) AS bx) bx
+        |), j420b AS ( -- 4:2:0(6): Y per block, chroma per MCU
+        |  SELECT media_id, 1 + media_id % 3 AS mx, 1 + media_id % 2 AS my
+        |  FROM ids WHERE media_id % 8 = 6
+        |), j420_blk AS (
+        |  SELECT i.media_id, 2 * i.mx AS wb, 2 * i.my AS hb,
+        |    128 + 2 * (((i.media_id * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
+        |    128 + 2 * (((i.media_id * 7 + (bx.bx // 2) * 11 + (by.by // 2) * 13 + 17) % 61) - 30) AS c1,
+        |    128 + 2 * (((i.media_id * 7 + (bx.bx // 2) * 11 + (by.by // 2) * 13 + 34) % 61) - 30) AS c2
+        |  FROM j420b i,
+        |    LATERAL (SELECT unnest(range(2 * i.my)) AS by) by,
+        |    LATERAL (SELECT unnest(range(2 * i.mx)) AS bx) bx
+        |), jall AS (
+        |  SELECT * FROM jflat_blk UNION ALL SELECT * FROM j420_blk
+        |), j_px AS (
+        |  SELECT media_id, CAST(MAX(wb) * 8 AS INT) AS width, CAST(MAX(hb) * 8 AS INT) AS height,
+        |    CAST(SUM(GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.402 * (c2 - 128)) AS INT)))) * 64 AS BIGINT) AS sum_r,
+        |    CAST(SUM(GREATEST(0, LEAST(255, CAST(ROUND(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)) AS INT)))) * 64 AS BIGINT) AS sum_g,
+        |    CAST(SUM(GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.772 * (c1 - 128)) AS INT)))) * 64 AS BIGINT) AS sum_b
+        |  FROM jall GROUP BY media_id
+        |)
+        |SELECT * FROM raw3_px
+        |UNION ALL SELECT * FROM idx2_px
+        |UNION ALL SELECT * FROM j_px
+        |ORDER BY media_id""".stripMargin,
     // m15: progressive shares m11's closed form (same planted raster)
     "m15_jpeg_progressive" ->
       """WITH img AS (
