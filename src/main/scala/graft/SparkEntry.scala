@@ -1139,6 +1139,39 @@ object SparkEntry {
         .withColumn("payload", jpg(col("media_id")))
       graft.llm.Multimodal.imageStats(media).orderBy("media_id")
     }),
+    "m17_flac_decode" -> ((s, d) => {
+      // COMPRESSED audio decode (Flac.decodeFlac): payloads are genuine
+      // FLAC streams — STREAMINFO walk, CRC-8/16-verified frames, Rice
+      // residuals (4- AND 5-bit params, partition order 1, the raw-bits
+      // escape code), fixed + LPC predictors, verbatim subframes, and
+      // mid/side stereo decorrelation — and the oracle replays the
+      // DECODED PCM sums from the planted formula, so a bit-reader,
+      // predictor, zigzag, partition, or decorrelation bug anywhere in
+      // the codec breaks the hash. This is the crawl-shaped audio path:
+      // raw PCM WAV (m04) rarely arrives over the wire.
+      import s.implicits._
+      val media = graft.llm.Flac.syntheticFlacTable(
+        t(s, d, "part").filter(col("p_partkey") <= 300), "p_partkey")
+      graft.llm.Multimodal.audioStats(media).orderBy("media_id")
+    }),
+    "m18_audio_matrix" -> ((s, d) => {
+      // the FULL audio-format matrix through ONE decode dispatch (the
+      // audio complement of m16): ids route by modulo to PCM16 WAV /
+      // G.711 A-law WAV / FLAC, and Multimodal.decodeAudio must route
+      // every payload to the right codec by magic bytes — a misrouting
+      // or an over-eager decoder anywhere in the chain breaks this hash
+      // even while every single-format gate stays green.
+      import s.implicits._
+      val build = udf((id: Long) => ((id % 3).toInt: @unchecked) match {
+        case 0 => graft.llm.Multimodal.syntheticWav(id)
+        case 1 => graft.llm.Multimodal.syntheticWavExt(id) // id%3=1 -> A-law
+        case 2 => graft.llm.Flac.syntheticFlac(id)
+      })
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.audioStats(media).orderBy("media_id")
+    }),
     "m16_media_matrix" -> ((s, d) => {
       // the FULL image-format matrix through ONE decode dispatch: ids
       // route by modulo to PPM / PNG / palette-PNG / BMP / GIF /
@@ -5249,6 +5282,97 @@ object SparkEntry {
     // (positive values ⇒ ROUND ties agree across engines)
     // m16: every format's closed form, routed by media_id % 8 and
     // UNION ALL'd — the dispatch twin of the per-format oracles
+    // m17: replay the DECODED FLAC PCM — same planted formula as m04
+    // (1 + id%2 channels, 100 + id%50 frames at 8 kHz, sample
+    // (id·31 + f·7 + ch·13) % 4096 − 2048); FLAC is lossless, so the
+    // decoded sums must equal the formula exactly no matter which
+    // subframe types / partition orders / stereo modes the encoder chose
+    "m17_flac_decode" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 300
+        |), s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 31 + f.f * 7) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 31 + f.f * 7 + c.c * 13) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, CAST(nc AS INT) AS channels,
+        |  CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |  CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
+        |  sum_ch0, sum_rest
+        |FROM s ORDER BY media_id""".stripMargin,
+    // m18: the audio dispatch matrix — three closed forms (PCM16 WAV,
+    // A-law WAV, FLAC) keyed by id%3, UNION ALL'd; a magic-byte
+    // misrouting surfaces as the wrong branch's sums
+    "m18_audio_matrix" ->
+      """WITH w1 AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 0
+        |), w1s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 31 + f.f * 7) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 31 + f.f * 7 + c.c * 13) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM w1 a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |), w1o AS (
+        |  SELECT media_id, CAST(nc AS INT) AS channels,
+        |    CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |    CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, sum_ch0, sum_rest
+        |  FROM w1s
+        |), w2 AS ( -- id%3=1 -> syntheticWavExt enc = 1: G.711 A-law
+        |  SELECT p_partkey AS media_id, 80 + p_partkey % 40 AS frames
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 1
+        |), w2m AS (
+        |  SELECT c.media_id, c.frames,
+        |    xor((c.media_id * 31 + i.i * 7) % 256, 85) AS a
+        |  FROM w2 c, LATERAL (SELECT unnest(range(c.frames)) AS i) i
+        |), w2d AS (
+        |  SELECT media_id, frames, a,
+        |    CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+        |         WHEN ((a // 16) % 8) = 1 THEN (a % 16) * 16 + 264
+        |         ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END AS am
+        |  FROM w2m
+        |), w2o AS (
+        |  SELECT media_id, CAST(1 AS INT) AS channels,
+        |    CAST(8000 AS INT) AS sample_rate, CAST(MAX(frames) AS INT) AS n_frames,
+        |    CAST(MAX(frames) // 8 AS BIGINT) AS duration_ms,
+        |    CAST(SUM(CASE WHEN a >= 128 THEN am ELSE -am END) AS BIGINT) AS sum_ch0,
+        |    CAST(0 AS BIGINT) AS sum_rest
+        |  FROM w2d GROUP BY media_id
+        |), f3 AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 2
+        |), f3s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 31 + f.f * 7) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 31 + f.f * 7 + c.c * 13) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM f3 a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |), f3o AS (
+        |  SELECT media_id, CAST(nc AS INT) AS channels,
+        |    CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |    CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, sum_ch0, sum_rest
+        |  FROM f3s
+        |)
+        |SELECT * FROM w1o UNION ALL SELECT * FROM w2o UNION ALL
+        |SELECT * FROM f3o ORDER BY media_id""".stripMargin,
     "m16_media_matrix" ->
       """WITH ids AS (
         |  SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 400

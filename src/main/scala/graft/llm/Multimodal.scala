@@ -1189,7 +1189,7 @@ object Multimodal {
         val payload = r.getAs[Array[Byte]]("payload")
         val feats = decodeImage(payload) match {
           case Some((w, h, rgb)) if dim >= 4 => pixelFeatures(w, h, rgb, dim)
-          case _ => decodeWav(payload) match {
+          case _ => decodeAudio(payload) match {
             case Some((nc, rate, samples)) if dim >= 4 =>
               audioFeatures(nc, rate, samples, dim)
             case _ => decodeY4m(payload) match {
@@ -1272,6 +1272,17 @@ object Multimodal {
    * that is not well-formed uncompressed PCM16 (the caller then falls
    * back to [[decodeStub]]).
    */
+  /** Audio decode DISPATCH by magic bytes — the audio analogue of
+    * [[decodeImage]]: `fLaC` routes to the compressed-codec path
+    * ([[Flac.decodeFlac]]), everything else to the RIFF/WAVE walk. All
+    * branches share the `(channels, rate, interleaved PCM16)` contract
+    * the stats/features layer consumes. */
+  def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Short])] =
+    if (payload != null && payload.length >= 4 &&
+        payload(0) == 'f' && payload(1) == 'L' &&
+        payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
+    else decodeWav(payload)
+
   def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (payload == null || payload.length < 44) return None
     def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
@@ -1337,13 +1348,14 @@ object Multimodal {
 
   /** Exact integer stats from REAL decoded PCM16 samples — the
     * oracle-checkable face of the audio decode path (the m04 oracle
-    * replays every sum from [[syntheticWav]]'s formula): channel count,
-    * sample rate, frames per channel, integer duration, the sum of
-    * channel 0 and the sum of ALL other channels. Non-WAV rows are
-    * dropped. Narrow map, no shuffle. */
+    * replays every sum from [[syntheticWav]]'s formula, the m17 oracle
+    * from [[Flac.syntheticFlac]]'s): channel count, sample rate, frames
+    * per channel, integer duration, the sum of channel 0 and the sum of
+    * ALL other channels. Decodes via the [[decodeAudio]] dispatch (WAV
+    * or FLAC); non-audio rows are dropped. Narrow map, no shuffle. */
   def audioStats(media: DataFrame): DataFrame = {
     val dec = udf { (payload: Array[Byte]) =>
-      decodeWav(payload).map { case (nc, rate, samples) =>
+      decodeAudio(payload).map { case (nc, rate, samples) =>
         val frames = samples.length / nc
         var s0 = 0L; var sRest = 0L
         var i = 0
