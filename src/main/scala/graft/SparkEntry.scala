@@ -715,6 +715,24 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
+    "v11_ann_sq8" -> ((s, d) => {
+      // SQ8 scalar quantization (Quantization.sq8Train/Encode/TopK):
+      // per-dim [min,max] from ONE aggregate pass, 8-bit codes (4× under
+      // float32 — the memory-bound ANN lever when PQ's locality loss is
+      // unacceptable), asymmetric L2 against dequantized values. Unlike
+      // the lossy-PQ recall gates (v04/v05) this one hash-checks EXACT
+      // ranks end to end: min/max of floats involve no rounding, and
+      // encode floor decisions, dequant, and the distance fold are one
+      // pinned IEEE op tree the oracle replays dimension by dimension.
+      // dist is engine-local (the d25 rule) — ids/ranks only.
+      val emb = t(s, d, "embeddings")
+      val model = graft.llm.Quantization.sq8Train(emb, dim = 64)
+      val enc = graft.llm.Quantization.sq8Encode(emb, model)
+      graft.llm.Quantization.sq8TopK(enc, emb.filter(col("vec_id") < 10),
+          model, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "v09_stream_vector_ingest" -> ((s, d) => {
       // STREAMING VECTOR INGEST (Streaming.vectorIngestStream): the
       // embeddings corpus arrives in 3 microbatches, each assigning
@@ -5727,6 +5745,45 @@ object SparkEntry {
         |UNION ALL SELECT query_id, 2, s2 FROM p2
         |UNION ALL SELECT query_id, 3, s3 FROM p3
         |ORDER BY query_id, pick""".stripMargin,
+    // v11: the SQ8 pipeline replayed exactly — per-dim min/max (no
+    // rounding), the same floor/clamp encode, the same dequant and the
+    // same left-to-right squared-diff fold (list_reduce without init
+    // starts at the first element; 0.0 + e0 = e0 exactly, so the engine's
+    // zero-seeded fold agrees bit for bit)
+    "v11_ann_sq8" ->
+      """WITH dimmm AS (
+        |  SELECT d.d AS d,
+        |    MIN(CAST(e.embedding[d.d + 1] AS DOUBLE)) AS mn,
+        |    MAX(CAST(e.embedding[d.d + 1] AS DOUBLE)) AS mx
+        |  FROM embeddings e, (SELECT unnest(range(64)) AS d) d
+        |  GROUP BY d.d
+        |), mm AS (
+        |  SELECT list(mn ORDER BY d) AS mns, list(mx ORDER BY d) AS mxs
+        |  FROM dimmm
+        |), deq AS (
+        |  SELECT e.vec_id, list_transform(range(64), i ->
+        |    CASE WHEN mm.mxs[i + 1] = mm.mns[i + 1] THEN mm.mns[i + 1]
+        |         ELSE mm.mns[i + 1] +
+        |           LEAST(255, GREATEST(0,
+        |             FLOOR((CAST(e.embedding[i + 1] AS DOUBLE) - mm.mns[i + 1])
+        |               * 255.0 / (mm.mxs[i + 1] - mm.mns[i + 1]))))
+        |           * (mm.mxs[i + 1] - mm.mns[i + 1]) / 255.0 END) AS r
+        |  FROM embeddings e, mm
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_transform(range(64), i ->
+        |      (CAST(q.embedding[i + 1] AS DOUBLE) - c.r[i + 1])
+        |      * (CAST(q.embedding[i + 1] AS DOUBLE) - c.r[i + 1])),
+        |      (a, b) -> a + b) AS dist
+        |  FROM embeddings q, deq c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY dist ASC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "v01_ann_bruteforce" ->
       """WITH scored AS (
         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,

@@ -295,4 +295,98 @@ object Quantization {
       .select(col("neighbor_id"), col("__qd._1").as("query_id"), col("__qd._2").as("adc_dist")),
       k)
   }
+
+  // ------------------------------------------------------- SQ8 (scalar)
+
+  /** Per-dimension `[min, max]` ranges for 8-bit SCALAR quantization (SQ8
+    * — the Faiss `ScalarQuantizer` layout): unlike PQ's learned codebooks,
+    * the "model" is just 2·dim floats from one exact aggregate pass, and
+    * unlike PQ the code→value map is deterministic arithmetic — which is
+    * what makes the v11 gate hash-EXACT instead of a recall property:
+    * min/max of floats involve no rounding, and encode/dequant/distance
+    * are one pinned IEEE op tree both engines replay. */
+  case class Sq8Model(mins: Array[Double], maxs: Array[Double])
+
+  /** One aggregate pass over the corpus: 2·dim scalar min/max aggregates
+    * (map-side combinable, one shuffle of a single row). The model is
+    * 2·dim doubles — a bounded driver-side value like the PQ codebooks. */
+  def sq8Train(corpus: DataFrame, dim: Int,
+               vecCol: String = "embedding"): Sq8Model = {
+    val aggs =
+      (0 until dim).map(i =>
+        min(element_at(col(vecCol), i + 1).cast("double")).as(s"mn$i")) ++
+      (0 until dim).map(i =>
+        max(element_at(col(vecCol), i + 1).cast("double")).as(s"mx$i"))
+    val row = corpus.agg(aggs.head, aggs.tail: _*).head()
+    Sq8Model(Array.tabulate(dim)(row.getDouble),
+      Array.tabulate(dim)(i => row.getDouble(dim + i)))
+  }
+
+  /** Encode to one byte per dimension — `floor((v − min)·255 / span)`,
+    * clamped — a 4× shrink of a float32 corpus (16× vs float32 PQ-style
+    * claims don't apply: SQ8 keeps every dimension). Narrow map. */
+  def sq8Encode(df: DataFrame, model: Sq8Model, idCol: String = "vec_id",
+                vecCol: String = "embedding"): DataFrame = {
+    val mins = model.mins; val maxs = model.maxs
+    val enc = udf { (v: Array[Float]) =>
+      if (v == null || v.length < mins.length) null
+      else {
+        val out = new Array[Byte](mins.length)
+        var i = 0
+        while (i < mins.length) {
+          val span = maxs(i) - mins(i)
+          val c =
+            if (span == 0.0) 0
+            else {
+              val f = math.floor(((v(i).toDouble - mins(i)) * 255.0) / span)
+              if (f < 0) 0 else if (f > 255) 255 else f.toInt
+            }
+          out(i) = c.toByte
+          i += 1
+        }
+        out
+      }: Array[Byte]
+    }
+    df.select(col(idCol), enc(col(vecCol)).as("codes"))
+  }
+
+  /** Exact top-k by asymmetric L2 over SQ8 codes: the query stays float,
+    * each corpus dimension dequantizes to `min + code·span/255` inside the
+    * distance fold — one tight primitive loop per pair (the dotFast
+    * rationale), broadcast queries, narrow scored rows into the top-k
+    * window. Ties break on neighbor_id; `dist` is engine-local (the d25
+    * rule) — callers hash ids/ranks only. */
+  def sq8TopK(encoded: DataFrame, queries: DataFrame, model: Sq8Model,
+              k: Int, idCol: String = "vec_id",
+              vecCol: String = "embedding"): DataFrame = {
+    val mins = model.mins; val maxs = model.maxs
+    val dist = udf { (codes: Array[Byte], q: Array[Float]) =>
+      if (codes == null || q == null || q.length < codes.length) null
+      else {
+        var acc = 0.0; var i = 0
+        while (i < codes.length) {
+          val span = maxs(i) - mins(i)
+          val r = if (span == 0.0) mins(i)
+                  else mins(i) + ((codes(i) & 0xFF).toDouble * span) / 255.0
+          val dq = q(i).toDouble - r
+          acc += dq * dq
+          i += 1
+        }
+        java.lang.Double.valueOf(acc)
+      }: java.lang.Double
+    }
+    val qb = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv")))
+    val scored = encoded.select(col(idCol).as("neighbor_id"), col("codes"))
+      .crossJoin(qb)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("dist", dist(col("codes"), col("__qv")))
+      .filter(col("dist").isNotNull)
+      .select("query_id", "neighbor_id", "dist")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dist").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "dist", "rank")
+  }
 }

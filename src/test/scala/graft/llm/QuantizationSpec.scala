@@ -66,4 +66,45 @@ class QuantizationSpec extends SparkSpec {
     val recall3 = (exact intersect ivfpqRes).size.toDouble / exact.size
     assert(recall3 >= 0.6, s"residual IVF-PQ recall@5 $recall3 (absolute: $recall2)")
   }
+
+  test("SQ8: codes clamp to [0,255], constant dims encode 0, dequant error is bounded by one bin") {
+    val rng = new scala.util.Random(7)
+    val data = (0 until 100).map { i =>
+      // dim 0 constant (span = 0), dim 1..7 random in [-3, 3]
+      (i.toLong, (Seq(1.5f) ++ Seq.fill(7)((rng.nextDouble() * 6 - 3).toFloat)))
+    }
+    val corpus = data.toDF("vec_id", "embedding")
+    val model = Quantization.sq8Train(corpus, dim = 8)
+    assert(model.mins(0) == 1.5 && model.maxs(0) == 1.5)
+    val enc = Quantization.sq8Encode(corpus, model)
+      .select("vec_id", "codes").as[(Long, Array[Byte])].collect().toMap
+    assert(enc.values.forall(_.length == 8))
+    assert(enc.values.forall(_(0) == 0)) // constant dim -> code 0
+    // dequantization error <= one bin width per dim
+    data.foreach { case (id, v) =>
+      val cs = enc(id)
+      (0 until 8).foreach { i =>
+        val span = model.maxs(i) - model.mins(i)
+        val r = if (span == 0.0) model.mins(i)
+                else model.mins(i) + ((cs(i) & 0xFF).toDouble * span) / 255.0
+        assert(math.abs(v(i).toDouble - r) <= span / 255.0 + 1e-12,
+          s"id=$id dim=$i v=${v(i)} r=$r span=$span")
+      }
+    }
+
+    // top-k over codes approximates the exact ranking: the exact nearest
+    // neighbour must appear in the SQ8 top-3 (a bin is span/255, far
+    // below the inter-point distances of this random cloud)
+    val queries = corpus.filter($"vec_id" < 5)
+    val encoded = Quantization.sq8Encode(corpus, model)
+    val got = Quantization.sq8TopK(encoded, queries, model, k = 3)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val vecs = data.toMap.view.mapValues(_.toArray.map(_.toDouble)).toMap
+    (0L until 5L).foreach { q =>
+      val nn = vecs.keys.filter(_ != q).minBy(n =>
+        (vecs(q).zip(vecs(n)).map { case (x, y) => (x - y) * (x - y) }.sum, n))
+      assert(got(q).contains(nn), s"query $q: exact NN $nn not in SQ8 top-3 ${got(q)}")
+    }
+  }
 }
