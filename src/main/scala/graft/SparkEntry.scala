@@ -1343,6 +1343,46 @@ object SparkEntry {
           TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"))
         .orderBy(col("doc_id"))
     }),
+    "s28_stream_quality" -> ((s, d) => {
+      // STREAMING quality-classifier SERVING (the d65 model applied to an
+      // arriving corpus): weights train batch-side on the even-keyed half
+      // and ship to executors as a broadcast map — the standard
+      // model-serving shape (the weight table is df-floored and
+      // integer-valued; at corpus scale it is vocab-bounded, the same
+      // budget a fastText quality model ships) — and the odd-keyed docs
+      // stream through a STATELESS score: append mode, no state store,
+      // tokenization by the SAME Spark expression as the batch path.
+      // Converges to batch scoring exactly — shares d65's oracle.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val docs = t(ss, d, "documents")
+      val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+      val labels = graft.llm.TextAnalysis.gopherRules(trainDocs)
+        .select(col("doc_id"), col("accepted").as("label"))
+      val wts = graft.llm.TextAnalysis
+        .oddsRatioWeights(trainDocs.join(labels, "doc_id"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val bc = ss.sparkContext.broadcast(wts)
+      val score = udf { (ws: Seq[String]) =>
+        if (ws == null) 0L
+        else { var acc = 0L; ws.foreach(w => acc += bc.value.getOrElse(w, 0L)); acc }
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+          ss, d, schema, glob = Some("documents.parquet"))
+        .filter(col("doc_id") % 2 === 1)
+      val scored = stream.select(col("doc_id"),
+          score(array_distinct(filter(
+            graft.llm.TextAnalysis.tokens(col("text")),
+            w => length(w) > 0))).as("score"))
+        .withColumn("predicted", col("score") > 0)
+      graft.streaming.Streaming.runAvailableNow(
+          scored, s"s28_quality_${System.nanoTime()}", outputMode = "append")
+        .orderBy("doc_id")
+    }),
     "s03_stream_corpus_clean" -> ((s, d) => {
       // streaming corpus cleaning: stateless quality/langid stages + text-hash
       // dropDuplicates against checkpointed state; converges to the batch
@@ -2201,6 +2241,25 @@ object SparkEntry {
           countDistinct(col("tok")).as("n_distinct"),
           sum(length(col("tok"))).as("n_chars"))
         .orderBy("source")
+    }),
+    "d65_quality_classifier" -> ((s, d) => {
+      // classifier-based quality filtering TRAINED on weak labels
+      // (TextAnalysis.oddsRatioClassifier — the CCNet/fastText pattern):
+      // gopher rules weak-label the even-keyed half, a smoothed
+      // odds-ratio keyword model learns weights in {−1,0,+1} by integer
+      // cross-multiplication (log-odds > log 2 ⇔ one long inequality),
+      // and the odd-keyed half is scored by summed weights over distinct
+      // tokens. The oracle replays LABEL, TRAIN, and SCORE in closed
+      // SQL — d63 gates the rules, this gates learning from them; no
+      // float contract anywhere.
+      val docs = t(s, d, "documents")
+      val trainDocs = docs.filter(col("doc_id") % 2 === 0)
+      val labels = graft.llm.TextAnalysis.gopherRules(trainDocs)
+        .select(col("doc_id"), col("accepted").as("label"))
+      graft.llm.TextAnalysis.oddsRatioClassifier(
+          trainDocs.join(labels, "doc_id"),
+          docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
     }),
     "d64_kneser_ney" -> ((s, d) => {
       // Kneser-Ney smoothed bigram LM (TextAnalysis.kneserNeyBigram):
@@ -6724,6 +6783,54 @@ object SparkEntry {
         |ORDER BY c.w1, c.w2""".stripMargin,
     // d63: all-integer rule chain — cross-multiplied thresholds, fixed
     // first-failure order, no float contract anywhere
+    // d65: the full weak-label → train → score replay. The lab CTE is
+    // d63's rule chain collapsed to one boolean; weights and scores are
+    // integer-only (cross-multiplied odds, summed {−1,0,+1}).
+    "d65_quality_classifier" ->
+      """WITH tok AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |    CAST(SUM(length(w) * cnt) AS BIGINT) AS n_wchars,
+        |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM tok GROUP BY 1
+        |), tr AS (
+        |  SELECT doc_id,
+        |    (n_words >= 25 AND n_words <= 70 AND n_wchars >= 3 * n_words
+        |     AND n_wchars <= 7 * n_words AND n_stop >= 2
+        |     AND top_cnt * 8 <= n_words) AS label
+        |  FROM agg WHERE doc_id % 2 = 0
+        |), cls AS (
+        |  SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM tr
+        |), dfs AS (
+        |  SELECT t.w,
+        |    CAST(SUM(CASE WHEN tr.label THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+        |    CAST(SUM(CASE WHEN tr.label THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+        |  FROM (SELECT DISTINCT doc_id, w FROM tok) t JOIN tr USING (doc_id)
+        |  GROUP BY t.w
+        |  HAVING CAST(SUM(1) AS BIGINT) >= 5
+        |), wts AS (
+        |  SELECT w,
+        |    CASE WHEN (df_pos + 1) * (n_neg + 2) > 2 * (df_neg + 1) * (n_pos + 2) THEN 1
+        |         WHEN (df_neg + 1) * (n_pos + 2) > 2 * (df_pos + 1) * (n_neg + 2) THEN -1
+        |         ELSE 0 END AS wt
+        |  FROM dfs, cls
+        |), te AS (
+        |  SELECT DISTINCT doc_id, w FROM tok WHERE doc_id % 2 = 1
+        |)
+        |SELECT te.doc_id, CAST(COALESCE(SUM(wts.wt), 0) AS BIGINT) AS score,
+        |  COALESCE(SUM(wts.wt), 0) > 0 AS predicted
+        |FROM te LEFT JOIN wts USING (w)
+        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
     "d63_gopher_rules" ->
       """WITH tok AS (
         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (

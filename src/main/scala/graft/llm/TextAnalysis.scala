@@ -514,4 +514,67 @@ object TextAnalysis {
       .select(col(idCol), col("n_words"), col("top_cnt"), col("n_stop"),
         col("reason"), col("accepted"))
   }
+
+  /**
+   * Classifier-based quality filtering TRAINED on weak labels — the
+   * CCNet/fastText pipeline shape (rule-labeled seed set → learned keyword
+   * weights → scores for the unlabeled rest) with exact integer arithmetic
+   * so train AND score are oracle-checkable end to end:
+   *
+   *  - features: binary token presence (document frequency over the
+   *    labeled set), tokens with df ≥ `minDf`
+   *  - weight(w) ∈ {−1, 0, +1} by smoothed odds ratio decided via integer
+   *    cross-multiplication: +1 iff
+   *    (df_pos+1)·(N_neg+2) > 2·(df_neg+1)·(N_pos+2) (log-odds > log 2),
+   *    −1 for the mirror, else 0 — no float anywhere
+   *  - score(doc) = Σ weight over the doc's DISTINCT tokens;
+   *    `predicted` = score > 0
+   *
+   * Scale shape: two token-keyed map-side-combinable aggregates, the class
+   * totals as a broadcast scalar attach, and one token-keyed equi-join of
+   * test tokens against the weight table. No driver-side state; the weight
+   * table is df-bounded (≤ |vocab| rows).
+   */
+  def oddsRatioClassifier(labeled: DataFrame, test: DataFrame,
+                          labelCol: String = "label", idCol: String = "doc_id",
+                          textCol: String = "text", minDf: Int = 5): DataFrame = {
+    val wts = oddsRatioWeights(labeled, labelCol, idCol, textCol, minDf)
+    val teTok = test
+      .select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    teTok.join(wts, Seq("w"), "left")
+      .groupBy(col(idCol))
+      .agg(coalesce(sum(col("wt")), lit(0L)).as("score"))
+      .withColumn("predicted", col("score") > 0)
+  }
+
+  /** The TRAIN half of [[oddsRatioClassifier]]: the df-floored
+    * `(w, wt ∈ {−1,0,+1})` weight table. Exposed separately so a serving
+    * path (e.g. the s28 streaming scorer) can train once and broadcast
+    * the model — the table is df-bounded and integer-valued. */
+  def oddsRatioWeights(labeled: DataFrame, labelCol: String = "label",
+                       idCol: String = "doc_id", textCol: String = "text",
+                       minDf: Int = 5): DataFrame = {
+    val trTok = labeled
+      .select(col(idCol), col(labelCol).as("__lab"),
+        explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+    val cls = labeled.agg(
+      sum(when(col(labelCol), 1L).otherwise(0L)).as("n_pos"),
+      sum(when(col(labelCol), 0L).otherwise(1L)).as("n_neg"))
+    val dfs = trTok.groupBy("w").agg(
+        sum(when(col("__lab"), 1L).otherwise(0L)).as("df_pos"),
+        sum(when(col("__lab"), 0L).otherwise(1L)).as("df_neg"))
+      .filter(col("df_pos") + col("df_neg") >= minDf)
+    dfs.crossJoin(broadcast(cls))
+      .withColumn("wt",
+        when((col("df_pos") + 1) * (col("n_neg") + 2) >
+             (col("df_neg") + 1) * (col("n_pos") + 2) * 2, 1L)
+          .when((col("df_neg") + 1) * (col("n_pos") + 2) >
+                (col("df_pos") + 1) * (col("n_neg") + 2) * 2, -1L)
+          .otherwise(0L))
+      .select("w", "wt")
+  }
 }

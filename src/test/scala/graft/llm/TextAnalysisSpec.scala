@@ -331,4 +331,33 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("oddsRatioClassifier: planted keyword weights, integer scores, df floor") {
+    import spark.implicits._
+    // 12 labeled docs: "fresh" appears only in positives, "spam" only in
+    // negatives, "filler" in both (balanced -> weight 0); "rare" appears
+    // in 2 docs only (below minDf=4 -> excluded from the model)
+    val labeled = ((0 until 6).map(i => (i.toLong, s"fresh filler x$i", true)) ++
+      (6 until 8).map(i => (i.toLong, s"spam filler rare x$i", true)) ++
+      (8 until 12).map(i => (i.toLong, s"spam filler x$i", false)))
+      .toDF("doc_id", "text", "label")
+    // labels: 0..5 pos via fresh; 6,7 pos; 8..11 neg
+    val test = Seq(
+      (100L, "fresh filler"),   // +1 + 0 = 1 -> predicted
+      (101L, "spam filler"),    // spam: df_pos=2, df_neg=4 -> (5)(10) vs 2(3)(10): 50 < 60 -> -1
+      (102L, "filler"),         // 0
+      (103L, "rare fresh"),     // rare excluded -> +1
+      (104L, "unseen words")    // no model tokens -> 0
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.oddsRatioClassifier(labeled, test, minDf = 4)
+      .select("doc_id", "score", "predicted").as[(Long, Long, Boolean)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // weights: n_pos=8, n_neg=4. fresh: df=(6,0) -> 7*6=42 > 2*1*10=20 -> +1
+    // spam: df=(2,4) -> +1? 3*6=18 > 2*5*10=100? no; -1? 5*10=50 > 2*3*6=36 -> -1
+    // filler: df=(8,4) -> 9*6=54 > 2*5*10=100? no; 5*10=50 > 2*9*6=108? no -> 0
+    assert(got(100L) == ((1L, true)))
+    assert(got(101L) == ((-1L, false)))
+    assert(got(102L) == ((0L, false)))
+    assert(got(103L) == ((1L, true)))
+    assert(got(104L) == ((0L, false)))
+  }
 }
