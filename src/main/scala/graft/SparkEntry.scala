@@ -1374,10 +1374,15 @@ object SparkEntry {
       val stream = graft.streaming.Streaming.availableNowFileStream(
           ss, d, schema, glob = Some("documents.parquet"))
         .filter(col("doc_id") % 2 === 1)
-      val scored = stream.select(col("doc_id"),
-          score(array_distinct(filter(
-            graft.llm.TextAnalysis.tokens(col("text")),
-            w => length(w) > 0))).as("score"))
+      // Docs with no non-empty token never survive d65's explode-based
+      // scoring (the oracle's tok CTE drops them), so the stream must drop
+      // them too rather than emit (doc_id, 0, false).
+      val toks = array_distinct(filter(
+        graft.llm.TextAnalysis.tokens(col("text")), w => length(w) > 0))
+      val scored = stream
+        .withColumn("toks", toks)
+        .filter(size(col("toks")) > 0)
+        .select(col("doc_id"), score(col("toks")).as("score"))
         .withColumn("predicted", col("score") > 0)
       graft.streaming.Streaming.runAvailableNow(
           scored, s"s28_quality_${System.nanoTime()}", outputMode = "append")
@@ -4903,6 +4908,55 @@ object SparkEntry {
       |  CAST(SUM(freq * length(tok)) AS BIGINT) AS n_chars
       |FROM ex GROUP BY source ORDER BY source""".stripMargin
 
+  /** d65's full weak-label → train → score replay in closed SQL; shared
+    * verbatim by s28_stream_quality (streaming serving of the same model
+    * converges to batch scoring exactly). */
+  private val d65OracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+      |    SELECT doc_id,
+      |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+      |    FROM documents)
+      |  WHERE length(w) > 0 GROUP BY 1, 2
+      |), agg AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+      |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+      |    CAST(SUM(length(w) * cnt) AS BIGINT) AS n_wchars,
+      |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+      |  FROM tok GROUP BY 1
+      |), tr AS (
+      |  SELECT doc_id,
+      |    (n_words >= 25 AND n_words <= 70 AND n_wchars >= 3 * n_words
+      |     AND n_wchars <= 7 * n_words AND n_stop >= 2
+      |     AND top_cnt * 8 <= n_words) AS label
+      |  FROM agg WHERE doc_id % 2 = 0
+      |), cls AS (
+      |  SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+      |  FROM tr
+      |), dfs AS (
+      |  SELECT t.w,
+      |    CAST(SUM(CASE WHEN tr.label THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
+      |    CAST(SUM(CASE WHEN tr.label THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
+      |  FROM (SELECT DISTINCT doc_id, w FROM tok) t JOIN tr USING (doc_id)
+      |  GROUP BY t.w
+      |  HAVING CAST(SUM(1) AS BIGINT) >= 5
+      |), wts AS (
+      |  SELECT w,
+      |    CASE WHEN (df_pos + 1) * (n_neg + 2) > 2 * (df_neg + 1) * (n_pos + 2) THEN 1
+      |         WHEN (df_neg + 1) * (n_pos + 2) > 2 * (df_pos + 1) * (n_neg + 2) THEN -1
+      |         ELSE 0 END AS wt
+      |  FROM dfs, cls
+      |), te AS (
+      |  SELECT DISTINCT doc_id, w FROM tok WHERE doc_id % 2 = 1
+      |)
+      |SELECT te.doc_id, CAST(COALESCE(SUM(wts.wt), 0) AS BIGINT) AS score,
+      |  COALESCE(SUM(wts.wt), 0) > 0 AS predicted
+      |FROM te LEFT JOIN wts USING (w)
+      |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty,
@@ -6786,51 +6840,12 @@ object SparkEntry {
     // d65: the full weak-label → train → score replay. The lab CTE is
     // d63's rule chain collapsed to one boolean; weights and scores are
     // integer-only (cross-multiplied odds, summed {−1,0,+1}).
-    "d65_quality_classifier" ->
-      """WITH tok AS (
-        |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
-        |    SELECT doc_id,
-        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        |    FROM documents)
-        |  WHERE length(w) > 0 GROUP BY 1, 2
-        |), agg AS (
-        |  SELECT doc_id,
-        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
-        |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
-        |    CAST(SUM(length(w) * cnt) AS BIGINT) AS n_wchars,
-        |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
-        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-        |  FROM tok GROUP BY 1
-        |), tr AS (
-        |  SELECT doc_id,
-        |    (n_words >= 25 AND n_words <= 70 AND n_wchars >= 3 * n_words
-        |     AND n_wchars <= 7 * n_words AND n_stop >= 2
-        |     AND top_cnt * 8 <= n_words) AS label
-        |  FROM agg WHERE doc_id % 2 = 0
-        |), cls AS (
-        |  SELECT CAST(SUM(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-        |    CAST(SUM(CASE WHEN label THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
-        |  FROM tr
-        |), dfs AS (
-        |  SELECT t.w,
-        |    CAST(SUM(CASE WHEN tr.label THEN 1 ELSE 0 END) AS BIGINT) AS df_pos,
-        |    CAST(SUM(CASE WHEN tr.label THEN 0 ELSE 1 END) AS BIGINT) AS df_neg
-        |  FROM (SELECT DISTINCT doc_id, w FROM tok) t JOIN tr USING (doc_id)
-        |  GROUP BY t.w
-        |  HAVING CAST(SUM(1) AS BIGINT) >= 5
-        |), wts AS (
-        |  SELECT w,
-        |    CASE WHEN (df_pos + 1) * (n_neg + 2) > 2 * (df_neg + 1) * (n_pos + 2) THEN 1
-        |         WHEN (df_neg + 1) * (n_pos + 2) > 2 * (df_pos + 1) * (n_neg + 2) THEN -1
-        |         ELSE 0 END AS wt
-        |  FROM dfs, cls
-        |), te AS (
-        |  SELECT DISTINCT doc_id, w FROM tok WHERE doc_id % 2 = 1
-        |)
-        |SELECT te.doc_id, CAST(COALESCE(SUM(wts.wt), 0) AS BIGINT) AS score,
-        |  COALESCE(SUM(wts.wt), 0) > 0 AS predicted
-        |FROM te LEFT JOIN wts USING (w)
-        |GROUP BY te.doc_id ORDER BY te.doc_id""".stripMargin,
+    "d65_quality_classifier" -> d65OracleSql,
+    // s28 serves the d65 model over a stream of the same odd-keyed docs and
+    // converges to the batch scoring exactly, so it shares d65's oracle —
+    // duplicated under its own key so the gate is hash-checked (the driver
+    // treats a missing key as rows-only).
+    "s28_stream_quality" -> d65OracleSql,
     "d63_gopher_rules" ->
       """WITH tok AS (
         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (

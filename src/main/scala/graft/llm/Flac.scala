@@ -391,7 +391,15 @@ object Flac {
     out.write("fLaC".getBytes("US-ASCII"))
     // STREAMINFO (type 0, last-metadata flag set), 34 bytes
     val si = new Array[Byte](34)
-    val minB = blockSizes.min; val maxB = blockSizes.max
+    // RFC 9639 §8.2: the STREAMINFO min/max block size EXCLUDE the final
+    // (possibly partial) block and min must be >= 16 — so count only the
+    // non-final blocks (all 64 here); a hypothetical single-block stream
+    // clamps to the 16-sample floor.
+    val fullBlocks = blockSizes.dropRight(1)
+    val minB = if (fullBlocks.isEmpty) math.max(16, blockSizes.head)
+               else fullBlocks.min
+    val maxB = if (fullBlocks.isEmpty) math.max(16, blockSizes.head)
+               else fullBlocks.max
     si(0) = (minB >> 8).toByte; si(1) = minB.toByte
     si(2) = (maxB >> 8).toByte; si(3) = maxB.toByte
     // min/max frame size left 0 (unknown) — bytes 4..9

@@ -1263,15 +1263,6 @@ object Multimodal {
     out
   }
 
-  /**
-   * Minimal pure-JVM decoder for RIFF/WAVE PCM16LE, the textbook audio
-   * container: `RIFF <size> WAVE` then a chunk walk — `fmt ` (PCM format
-   * tag 1, channel count, sample rate, 16 bits/sample) and `data`
-   * (interleaved little-endian 16-bit frames). Returns
-   * `(channels, sampleRate, interleaved samples)` or None for anything
-   * that is not well-formed uncompressed PCM16 (the caller then falls
-   * back to [[decodeStub]]).
-   */
   /** Audio decode DISPATCH by magic bytes — the audio analogue of
     * [[decodeImage]]: `fLaC` routes to the compressed-codec path
     * ([[Flac.decodeFlac]]), everything else to the RIFF/WAVE walk. All
@@ -1283,6 +1274,15 @@ object Multimodal {
         payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
     else decodeWav(payload)
 
+  /**
+   * Minimal pure-JVM decoder for RIFF/WAVE PCM16LE, the textbook audio
+   * container: `RIFF <size> WAVE` then a chunk walk — `fmt ` (PCM format
+   * tag 1, channel count, sample rate, 16 bits/sample) and `data`
+   * (interleaved little-endian 16-bit frames). Returns
+   * `(channels, sampleRate, interleaved samples)` or None for anything
+   * that is not a well-formed WAVE container (callers reach this via the
+   * [[decodeAudio]] dispatch, which has already routed FLAC elsewhere).
+   */
   def decodeWav(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
     if (payload == null || payload.length < 44) return None
     def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
