@@ -47,9 +47,25 @@ object Bench {
     // SPARK_GRAFT_BENCH_VERBOSE=1: per-rep times to stderr (profiling runs)
     val verbose = sys.env.contains("SPARK_GRAFT_BENCH_VERBOSE")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // Many operators localCheckpoint intermediates (iterative graph ops
+    // persist one RDD per round); nothing unpersists them once the query's
+    // DataFrame is discarded, and the ContextCleaner only reclaims them on
+    // a GC the large heap rarely triggers. Left alone, ~hundreds of runs
+    // accumulate tens of GiB in the block manager and the whole suite
+    // degrades into eviction/GC thrash (round 10: medians 3x, and the
+    // post-suite "isolated" rerun of d64 SLOWER than its contended run).
+    // Dropping the persisted blocks between runs is safe — each run builds
+    // a fresh plan — and makes every measurement start from the same
+    // block-manager state.
+    def dropPersisted(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
     // (name, median, firstRun)
     val results = selected.map { case (name, fn) =>
       val times = (1 to reps).map { rep =>
+        dropPersisted()
         val t0 = System.nanoTime()
         val t = try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case _: Throwable => -1.0 }
@@ -77,6 +93,7 @@ object Bench {
     val top = results.sortBy(-_._2).take(10).map(r => (r._1, r._2))
     val isolated = top.collect { case (name, v) if v >= 0 =>
       val fn = SparkEntry.queries(name)
+      dropPersisted()
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count(); name -> (System.nanoTime() - t0) / 1e9 }
       catch { case _: Throwable => name -> -1.0 }
