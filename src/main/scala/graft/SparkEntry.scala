@@ -1175,16 +1175,32 @@ object SparkEntry {
     "m18_audio_matrix" -> ((s, d) => {
       // the FULL audio-format matrix through ONE decode dispatch (the
       // audio complement of m16): ids route by modulo to PCM16 WAV /
-      // G.711 A-law WAV / FLAC, and Multimodal.decodeAudio must route
-      // every payload to the right codec by magic bytes — a misrouting
-      // or an over-eager decoder anywhere in the chain breaks this hash
-      // even while every single-format gate stays green.
+      // G.711 A-law WAV / FLAC / AIFF, and Multimodal.decodeAudio must
+      // route every payload to the right codec by magic bytes — a
+      // misrouting or an over-eager decoder anywhere in the chain breaks
+      // this hash even while every single-format gate stays green.
       import s.implicits._
-      val build = udf((id: Long) => ((id % 3).toInt: @unchecked) match {
+      val build = udf((id: Long) => ((id % 4).toInt: @unchecked) match {
         case 0 => graft.llm.Multimodal.syntheticWav(id)
-        case 1 => graft.llm.Multimodal.syntheticWavExt(id) // id%3=1 -> A-law
+        case 1 => graft.llm.Multimodal.syntheticWavExt(id) // codec = id%3
         case 2 => graft.llm.Flac.syntheticFlac(id)
+        case 3 => graft.llm.Multimodal.syntheticAiff(id)
       })
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.audioStats(media).orderBy("media_id")
+    }),
+    "m19_aiff_decode" -> ((s, d) => {
+      // AIFF decode (Multimodal.decodeAiff): payloads are genuine AIFF
+      // files — big-endian IFF chunk walk, COMM's 80-bit EXTENDED-float
+      // sample rate (16 kHz, so the exotic parse is load-bearing), SSND
+      // offset header, PCM16BE frames — and the oracle replays the
+      // DECODED channel sums from the closed-form formula (distinct from
+      // the WAV/FLAC one), so an endianness, chunk-walk, extended-float,
+      // or offset bug breaks the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticAiff(id))
       val media = t(s, d, "part").filter(col("p_partkey") <= 300)
         .select(col("p_partkey").cast("long").as("media_id"))
         .withColumn("payload", build(col("media_id")))
@@ -1386,6 +1402,77 @@ object SparkEntry {
         .withColumn("predicted", col("score") > 0)
       graft.streaming.Streaming.runAvailableNow(
           scored, s"s28_quality_${System.nanoTime()}", outputMode = "append")
+        .orderBy("doc_id")
+    }),
+    "s29_stream_perplexity" -> ((s, d) => {
+      // STREAMING LM-perplexity SERVING (the d66 model applied to an
+      // arriving corpus): the KN bigram table trains batch-side on the
+      // even half and ships as a broadcast map (vocab-bounded — the
+      // budget a KenLM binary occupies); odd docs stream through a
+      // STATELESS scorer (append mode, no state store) whose per-doc
+      // fold replays d66's pinned (w1, w2) order — the UDF compares
+      // UTF-8 bytes, which IS Spark's UTF8String sort order and DuckDB's
+      // binary collation. Converges to batch scoring exactly — shares
+      // d66's oracle.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val docs = t(ss, d, "documents")
+      val model = graft.llm.TextAnalysis.kneserNeyBigram(
+          docs.filter(col("doc_id") % 2 === 0), "text",
+          discount = 0.75, minCount = 2)
+        .select("w1", "w2", "p_kn").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+      val bc = ss.sparkContext.broadcast(model)
+      val scoreFn = udf { (ws: Seq[String]) =>
+        def cmpB(a: String, b: String): Int = {
+          val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+          var j = 0
+          while (j < x.length && j < y.length) {
+            val c = (x(j) & 0xFF) - (y(j) & 0xFF)
+            if (c != 0) return c
+            j += 1
+          }
+          x.length - y.length
+        }
+        val m = bc.value
+        var nBig = 0L; var nOov = 0L
+        val terms = scala.collection.mutable.ArrayBuffer.empty[(String, String, Double)]
+        var i = 0
+        while (i + 1 < ws.length) {
+          nBig += 1
+          m.get((ws(i), ws(i + 1))) match {
+            case Some(p) => terms += ((ws(i), ws(i + 1), -math.log(p)))
+            case None    => nOov += 1
+          }
+          i += 1
+        }
+        val sorted = terms.sortWith { (p, q) =>
+          val c1 = cmpB(p._1, q._1)
+          if (c1 != 0) c1 < 0 else cmpB(p._2, q._2) < 0
+        }
+        var acc = 0.0
+        sorted.foreach(t => acc += t._3)
+        (nBig, nOov, acc)
+      }
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val toks = graft.llm.TextAnalysis.tokens(col("text"))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+          ss, d, schema, glob = Some("documents.parquet"))
+        .filter(col("doc_id") % 2 === 1)
+        .filter(size(toks) >= 2)
+      val scoredPpl = stream
+        .select(col("doc_id"), scoreFn(toks).as("r"))
+        .select(col("doc_id"), col("r._1").as("n_bigrams"),
+          col("r._2").as("n_oov"), col("r._3").as("nll_sum"))
+        .filter(col("n_bigrams") - col("n_oov") > 0)
+        .select(col("doc_id"), col("n_bigrams"), col("n_oov"),
+          round(col("nll_sum") / (col("n_bigrams") - col("n_oov")), 4)
+            .as("avg_nll"))
+      graft.streaming.Streaming.runAvailableNow(
+          scoredPpl, s"s29_ppl_${System.nanoTime()}", outputMode = "append")
         .orderBy("doc_id")
     }),
     "s03_stream_corpus_clean" -> ((s, d) => {
@@ -2264,6 +2351,45 @@ object SparkEntry {
       graft.llm.TextAnalysis.oddsRatioClassifier(
           trainDocs.join(labels, "doc_id"),
           docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
+    "d67_blocklist" -> ((s, d) => {
+      // BLOCKLIST safety screen via the native single-pass Aho-Corasick
+      // automaton (TextExpressions.AhoFirstMatch/AhoMatchCount): first
+      // matching pattern in PRIORITY order + distinct-hit count, one byte
+      // walk per document regardless of list size — K contains() scans
+      // read the text K times and die at a real (1k-phrase) blocklist.
+      // The oracle replays the contract as the equivalent CASE/position
+      // chain, so automaton construction bugs (failure links, suffix
+      // match inheritance, priority ties) break the hash. The list plants
+      // overlapping patterns ("slow fast" vs "fast slow") and one absent
+      // pattern (automaton state that never fires).
+      val docs = t(s, d, "documents")
+      val idx = graft.llm.TextAnalysis.blocklistFirstHit(col("text"), blocklistPats)
+      val patArr = array(blocklistPats.map(lit): _*)
+      docs.select(col("doc_id"),
+          when(idx >= 0, element_at(patArr, idx + 1))
+            .otherwise(lit("clean")).as("first_hit"),
+          coalesce(graft.llm.TextAnalysis
+            .blocklistHitCount(col("text"), blocklistPats).cast("long"),
+            lit(0L)).as("n_hits"))
+        .orderBy("doc_id")
+    }),
+    "d66_lm_perplexity" -> ((s, d) => {
+      // LM-PERPLEXITY quality filtering (the CCNet shape): the d64
+      // Kneser-Ney machinery trained on the even-keyed half, then USED —
+      // odd-keyed docs scored by avg negative log-likelihood over matched
+      // bigrams, with the OOV count as its own coverage signal. d64 gates
+      // the model's numbers; this gates the train→score composition. The
+      // model is vocab-bounded and broadcast; the fold order is pinned
+      // (sorted (w1, w2)) and ROUND(,4) absorbs the ≤1-ulp ln divergence,
+      // the d45/d50 entropy contract.
+      val docs = t(s, d, "documents")
+      val model = graft.llm.TextAnalysis.kneserNeyBigram(
+        docs.filter(col("doc_id") % 2 === 0), "text",
+        discount = 0.75, minCount = 2)
+      graft.llm.TextAnalysis.kneserNeyPerplexity(
+          docs.filter(col("doc_id") % 2 === 1), model)
         .orderBy("doc_id")
     }),
     "d64_kneser_ney" -> ((s, d) => {
@@ -3646,6 +3772,19 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q92_sql_scalar_min" -> ((s, d) => {
+      // TPC-H Q2's shape as ONE shared SQL text: a correlated scalar MIN
+      // subquery over its own 4-way join, gating the 5-way outer join —
+      // the scalar-agg decorrelation surface (q78/q82 covered
+      // EXISTS/IN). Catalyst rewrites the inner MIN as an aggregate
+      // joined back on p_partkey; nation/region/supplier broadcast.
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "region").createOrReplaceTempView("region")
+      s.sql(sqlScalarMinSql)
+    }),
     "q90_recursive_cte" -> ((s, d) => {
       // WITH RECURSIVE as ONE shared SQL text (Spark 4's recursive CTE
       // — the iterative-fixpoint SQL surface): walk the implicit binary
@@ -4511,6 +4650,32 @@ object SparkEntry {
       |GROUP BY s.s_name
       |ORDER BY numwait DESC, s.s_name""".stripMargin
 
+  /** q92: TPC-H Q2's shape as ONE shared SQL text — a correlated SCALAR
+    * aggregate subquery (min price per part over its own 4-way join)
+    * gating a 5-way outer join; lineitem stands in for partsupp (no such
+    * table in the test data) with l_extendedprice as the offer price.
+    * q78 proved decorrelation of EXISTS/IN; this proves the scalar-agg
+    * rewrite (Catalyst plans the inner MIN as an aggregated left join on
+    * p_partkey). DISTINCT collapses tie-duplicate offers so the gate is
+    * a set, not a multiset, of minimal offers. */
+  private val sqlScalarMinSql: String =
+    """SELECT DISTINCT p.p_partkey, p.p_brand, s.s_name, n.n_name,
+      |  l.l_extendedprice AS min_price
+      |FROM part p
+      |JOIN lineitem l ON l.l_partkey = p.p_partkey
+      |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |JOIN region r ON n.n_regionkey = r.r_regionkey
+      |WHERE p.p_size < 15 AND r.r_name = 'EUROPE'
+      |  AND l.l_extendedprice = (
+      |    SELECT MIN(l2.l_extendedprice)
+      |    FROM lineitem l2
+      |    JOIN supplier s2 ON l2.l_suppkey = s2.s_suppkey
+      |    JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+      |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+      |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
+      |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
   /** q83: one SQL text, two engines — GROUPING SETS at three
     * granularities with GROUPING() markers; COALESCE names subtotal rows
     * ('ALL') so the hash gate sees no NULL grouping keys. */
@@ -4907,6 +5072,83 @@ object SparkEntry {
       |  CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct,
       |  CAST(SUM(freq * length(tok)) AS BIGINT) AS n_chars
       |FROM ex GROUP BY source ORDER BY source""".stripMargin
+
+  /** d67's blocklist, priority order; "forbidden phrase" never occurs in
+    * the corpus — it exercises automaton states that never fire. */
+  private val blocklistPats: Seq[String] = Seq(
+    "table table", "slow fast", "fast slow", "spark vector",
+    "data data", "window window", "forbidden phrase")
+
+  /** d67's oracle: the CASE/position chain the automaton must agree with,
+    * generated from the same pattern list so the two can't drift. */
+  private val d67OracleSql: String = {
+    val first = blocklistPats
+      .map(p => s"WHEN position('$p' IN text) > 0 THEN '$p'")
+      .mkString("\n    ")
+    val cnt = blocklistPats
+      .map(p => s"(CASE WHEN position('$p' IN text) > 0 THEN 1 ELSE 0 END)")
+      .mkString("\n    + ")
+    s"""SELECT doc_id,
+       |  CASE $first
+       |    ELSE 'clean' END AS first_hit,
+       |  CAST($cnt AS BIGINT) AS n_hits
+       |FROM documents ORDER BY doc_id""".stripMargin
+  }
+
+  /** d66's full train → score replay in closed SQL: the d64 Kneser-Ney
+    * CTE chain restricted to the even-keyed half (minCount 2), then each
+    * odd-keyed doc's bigrams left-joined to the model and folded in pinned
+    * (w1, w2) order — `list_reduce(list(-ln(p) ORDER BY w1, w2))` is the
+    * exact mirror of the Spark side's sort_array fold. Shared verbatim by
+    * s29_stream_perplexity (streaming serving of the same model). */
+  private val d66OracleSql: String =
+    """WITH tk AS (
+      |  SELECT doc_id, w, row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS p
+      |  FROM (
+      |    SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w,
+      |      generate_subscripts(regexp_split_to_array(trim(lower(text)), '\s+'), 1) AS pos
+      |    FROM documents)
+      |  WHERE length(w) > 0
+      |), big AS (
+      |  SELECT a.doc_id, a.w AS w1, b.w AS w2
+      |  FROM tk a JOIN tk b ON a.doc_id = b.doc_id AND b.p = a.p + 1
+      |), c12 AS (
+      |  SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      |  FROM big WHERE doc_id % 2 = 0 GROUP BY 1, 2
+      |), types AS (SELECT CAST(COUNT(*) AS DOUBLE) AS t FROM c12),
+      |lft AS (
+      |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+      |    CAST(COUNT(*) AS BIGINT) AS n1fw FROM c12 GROUP BY 1
+      |), rgt AS (
+      |  SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1pw FROM c12 GROUP BY 1
+      |), model AS (
+      |  SELECT c.w1, c.w2,
+      |    (GREATEST(CAST(c.c12 AS DOUBLE) - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / l.c1)
+      |    + ((CAST(0.75 AS DOUBLE) * l.n1fw) / l.c1)
+      |      * (CAST(r.n1pw AS DOUBLE) / ty.t) AS p_kn
+      |  FROM c12 c
+      |  JOIN lft l ON l.w1 = c.w1
+      |  JOIN rgt r ON r.w2 = c.w2
+      |  CROSS JOIN types ty
+      |  WHERE c.c12 >= 2
+      |), sc AS (
+      |  SELECT b.doc_id, b.w1, b.w2, m.p_kn
+      |  FROM big b LEFT JOIN model m ON m.w1 = b.w1 AND m.w2 = b.w2
+      |  WHERE b.doc_id % 2 = 1
+      |), cnt AS (
+      |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+      |    CAST(SUM(CASE WHEN p_kn IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+      |  FROM sc GROUP BY 1
+      |), nl AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list(-ln(p_kn) ORDER BY w1, w2)),
+      |      (x, y) -> x + y) AS nll_sum
+      |  FROM sc WHERE p_kn IS NOT NULL GROUP BY 1
+      |)
+      |SELECT c.doc_id, c.n_bigrams, c.n_oov,
+      |  ROUND(n.nll_sum / (c.n_bigrams - c.n_oov), 4) AS avg_nll
+      |FROM cnt c JOIN nl n ON n.doc_id = c.doc_id
+      |ORDER BY c.doc_id""".stripMargin
 
   /** d65's full weak-label → train → score replay in closed SQL; shared
     * verbatim by s28_stream_quality (streaming serving of the same model
@@ -5439,14 +5681,16 @@ object SparkEntry {
         |  CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms,
         |  sum_ch0, sum_rest
         |FROM s ORDER BY media_id""".stripMargin,
-    // m18: the audio dispatch matrix — three closed forms (PCM16 WAV,
-    // A-law WAV, FLAC) keyed by id%3, UNION ALL'd; a magic-byte
-    // misrouting surfaces as the wrong branch's sums
+    // m18: the audio dispatch matrix — four closed forms (PCM16 WAV, the
+    // three wavExt codecs, FLAC, AIFF) keyed by id%4, UNION ALL'd; a
+    // magic-byte misrouting surfaces as the wrong branch's sums. Branch 1
+    // (syntheticWavExt) picks ITS codec by id%3, so that branch replays
+    // m14's µ-law/A-law/float32 forms under the id%4=1 filter.
     "m18_audio_matrix" ->
       """WITH w1 AS (
         |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
         |    100 + p_partkey % 50 AS nf
-        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 0
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 4 = 0
         |), w1s AS (
         |  SELECT a.media_id, a.nc, a.nf,
         |    CAST(SUM(CASE WHEN c.c = 0 THEN
@@ -5462,30 +5706,39 @@ object SparkEntry {
         |    CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
         |    CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, sum_ch0, sum_rest
         |  FROM w1s
-        |), w2 AS ( -- id%3=1 -> syntheticWavExt enc = 1: G.711 A-law
-        |  SELECT p_partkey AS media_id, 80 + p_partkey % 40 AS frames
-        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 1
+        |), w2 AS ( -- id%4=1 -> syntheticWavExt; ITS codec = id%3
+        |  SELECT p_partkey AS media_id,
+        |    80 + p_partkey % 40 AS frames, p_partkey % 3 AS enc
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 4 = 1
         |), w2m AS (
-        |  SELECT c.media_id, c.frames,
-        |    xor((c.media_id * 31 + i.i * 7) % 256, 85) AS a
+        |  SELECT c.media_id, c.enc, c.frames,
+        |    255 - ((c.media_id * 31 + i.i * 7) % 256) AS u,
+        |    xor((c.media_id * 31 + i.i * 7) % 256, 85) AS a,
+        |    (c.media_id * 31 + i.i * 7) % 4096 - 2048 AS k
         |  FROM w2 c, LATERAL (SELECT unnest(range(c.frames)) AS i) i
         |), w2d AS (
-        |  SELECT media_id, frames, a,
-        |    CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
-        |         WHEN ((a // 16) % 8) = 1 THEN (a % 16) * 16 + 264
-        |         ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END AS am
+        |  SELECT media_id, frames,
+        |    CASE WHEN enc = 2 THEN k
+        |         WHEN enc = 0 THEN CASE WHEN u >= 128
+        |           THEN 132 - ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8))
+        |           ELSE ((u % 16) * 8 + 132) * (1 << ((u // 16) % 8)) - 132 END
+        |         ELSE (CASE WHEN a >= 128 THEN 1 ELSE -1 END) *
+        |           (CASE WHEN ((a // 16) % 8) = 0 THEN (a % 16) * 16 + 8
+        |                 WHEN ((a // 16) % 8) = 1 THEN (a % 16) * 16 + 264
+        |                 ELSE ((a % 16) * 16 + 264) * (1 << (((a // 16) % 8) - 1)) END)
+        |    END AS s
         |  FROM w2m
         |), w2o AS (
         |  SELECT media_id, CAST(1 AS INT) AS channels,
         |    CAST(8000 AS INT) AS sample_rate, CAST(MAX(frames) AS INT) AS n_frames,
         |    CAST(MAX(frames) // 8 AS BIGINT) AS duration_ms,
-        |    CAST(SUM(CASE WHEN a >= 128 THEN am ELSE -am END) AS BIGINT) AS sum_ch0,
+        |    CAST(SUM(s) AS BIGINT) AS sum_ch0,
         |    CAST(0 AS BIGINT) AS sum_rest
         |  FROM w2d GROUP BY media_id
         |), f3 AS (
         |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
         |    100 + p_partkey % 50 AS nf
-        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 3 = 2
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 4 = 2
         |), f3s AS (
         |  SELECT a.media_id, a.nc, a.nf,
         |    CAST(SUM(CASE WHEN c.c = 0 THEN
@@ -5501,9 +5754,53 @@ object SparkEntry {
         |    CAST(8000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
         |    CAST(nf * 1000 // 8000 AS BIGINT) AS duration_ms, sum_ch0, sum_rest
         |  FROM f3s
+        |), a4 AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    90 + p_partkey % 40 AS nf
+        |  FROM part WHERE p_partkey <= 300 AND p_partkey % 4 = 3
+        |), a4s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 37 + f.f * 11) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 37 + f.f * 11 + c.c * 17) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM a4 a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |), a4o AS (
+        |  SELECT media_id, CAST(nc AS INT) AS channels,
+        |    CAST(16000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |    CAST(nf * 1000 // 16000 AS BIGINT) AS duration_ms, sum_ch0, sum_rest
+        |  FROM a4s
         |)
         |SELECT * FROM w1o UNION ALL SELECT * FROM w2o UNION ALL
-        |SELECT * FROM f3o ORDER BY media_id""".stripMargin,
+        |SELECT * FROM f3o UNION ALL SELECT * FROM a4o
+        |ORDER BY media_id""".stripMargin,
+    // m19: AIFF decoded-sample sums — the closed-form (37/11/17) formula
+    // over every id, 16 kHz (so the 80-bit extended-float parse is
+    // load-bearing in the duration and rate columns)
+    "m19_aiff_decode" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    90 + p_partkey % 40 AS nf
+        |  FROM part WHERE p_partkey <= 300
+        |), s AS (
+        |  SELECT a.media_id, a.nc, a.nf,
+        |    CAST(SUM(CASE WHEN c.c = 0 THEN
+        |      (a.media_id * 37 + f.f * 11) % 4096 - 2048 END) AS BIGINT) AS sum_ch0,
+        |    CAST(COALESCE(SUM(CASE WHEN c.c > 0 THEN
+        |      (a.media_id * 37 + f.f * 11 + c.c * 17) % 4096 - 2048 END), 0) AS BIGINT) AS sum_rest
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT media_id, CAST(nc AS INT) AS channels,
+        |  CAST(16000 AS INT) AS sample_rate, CAST(nf AS INT) AS n_frames,
+        |  CAST(nf * 1000 // 16000 AS BIGINT) AS duration_ms,
+        |  sum_ch0, sum_rest
+        |FROM s ORDER BY media_id""".stripMargin,
     "m16_media_matrix" ->
       """WITH ids AS (
         |  SELECT p_partkey AS media_id FROM part WHERE p_partkey <= 400
@@ -6846,6 +7143,12 @@ object SparkEntry {
     // duplicated under its own key so the gate is hash-checked (the driver
     // treats a missing key as rows-only).
     "s28_stream_quality" -> d65OracleSql,
+    // d66: KN train (even half) → perplexity score (odd half), the pinned
+    // (w1, w2)-ordered fold; s29 is the streaming serving of the SAME
+    // model and converges exactly, so it shares the SQL under its own key.
+    "d66_lm_perplexity" -> d66OracleSql,
+    "s29_stream_perplexity" -> d66OracleSql,
+    "d67_blocklist" -> d67OracleSql,
     "d63_gopher_rules" ->
       """WITH tok AS (
         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
@@ -7573,6 +7876,7 @@ object SparkEntry {
     "q78_sql_subqueries" -> sqlSubqueriesSql,
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
+    "q92_sql_scalar_min" -> sqlScalarMinSql,
     "q86_sql_setops" -> sqlSetOpsSql,
     "q90_recursive_cte" -> sqlRecursiveCteSql,
     "q87_sql_lateral" -> sqlLateralSql,

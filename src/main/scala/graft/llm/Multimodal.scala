@@ -1265,13 +1265,19 @@ object Multimodal {
 
   /** Audio decode DISPATCH by magic bytes — the audio analogue of
     * [[decodeImage]]: `fLaC` routes to the compressed-codec path
-    * ([[Flac.decodeFlac]]), everything else to the RIFF/WAVE walk. All
+    * ([[Flac.decodeFlac]]), `FORM…AIFF` to the big-endian IFF walk
+    * ([[decodeAiff]]), everything else to the RIFF/WAVE walk. All
     * branches share the `(channels, rate, interleaved PCM16)` contract
     * the stats/features layer consumes. */
   def decodeAudio(payload: Array[Byte]): Option[(Int, Int, Array[Short])] =
-    if (payload != null && payload.length >= 4 &&
-        payload(0) == 'f' && payload(1) == 'L' &&
-        payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
+    if (payload == null || payload.length < 4) None
+    else if (payload(0) == 'f' && payload(1) == 'L' &&
+             payload(2) == 'a' && payload(3) == 'C') Flac.decodeFlac(payload)
+    else if (payload.length >= 12 &&
+             payload(0) == 'F' && payload(1) == 'O' &&
+             payload(2) == 'R' && payload(3) == 'M' &&
+             payload(8) == 'A' && payload(9) == 'I' &&
+             payload(10) == 'F' && payload(11) == 'F') decodeAiff(payload)
     else decodeWav(payload)
 
   /**
@@ -2228,6 +2234,108 @@ object Multimodal {
     }
     marker(0xD9)
     out.toByteArray
+  }
+
+  /**
+   * Minimal pure-JVM decoder for AIFF (Audio Interchange File Format),
+   * the BIG-ENDIAN uncompressed audio container Apple tooling ships:
+   * `FORM <size> AIFF` then an IFF chunk walk — `COMM` (channels,
+   * numSampleFrames, 16 bits/sample, and the sample rate as an 80-bit
+   * IEEE 754 EXTENDED float, the container's one genuinely exotic field)
+   * and `SSND` (offset/blockSize header + interleaved PCM16 big-endian
+   * frames). Odd-sized chunks carry an IFF pad byte. Returns the same
+   * `(channels, sampleRate, interleaved samples)` contract as
+   * [[decodeWav]]; reached via the [[decodeAudio]] magic-byte dispatch.
+   */
+  def decodeAiff(payload: Array[Byte]): Option[(Int, Int, Array[Short])] = {
+    if (payload == null || payload.length < 12) return None
+    def tag(o: Int) = new String(payload, o, 4, "US-ASCII")
+    def be16(o: Int): Int = ((payload(o) & 0xFF) << 8) | (payload(o + 1) & 0xFF)
+    def be32(o: Int): Long = ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
+      ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
+    if (tag(0) != "FORM" || tag(8) != "AIFF") return None
+    var nc = -1; var rate = -1; var bits = -1; var nFrames = -1L
+    var dataOff = -1; var dataLen = 0
+    var o = 12
+    while (o + 8 <= payload.length) {
+      val id = tag(o)
+      val size = be32(o + 4)
+      if (o + 8 + size > payload.length) return None
+      if (id == "COMM") {
+        if (size < 18) return None
+        nc = be16(o + 8)
+        nFrames = be32(o + 10)
+        bits = be16(o + 14)
+        // 80-bit extended: 1 sign + 15 exponent bits, then a 64-bit
+        // mantissa with an EXPLICIT integer bit; value = m·2^(e−16383−63)
+        val exp = be16(o + 16) & 0x7FFF
+        var mant = 0L
+        var k = 0
+        while (k < 8) { mant = (mant << 8) | (payload(o + 18 + k) & 0xFFL); k += 1 }
+        val shift = exp - 16383 - 63
+        rate =
+          if (mant == 0L) 0
+          else if (shift >= 0 && shift < 8) (mant << shift).toInt
+          else if (shift < 0 && shift > -64) (mant >>> -shift).toInt
+          else -1
+        if (nc <= 0 || rate <= 0) return None
+      } else if (id == "SSND") {
+        if (size < 8) return None
+        val off = be32(o + 8).toInt // bytes to skip before the frames
+        dataOff = o + 16 + off
+        dataLen = (size - 8 - off).toInt
+      }
+      o += 8 + size.toInt + (size.toInt & 1) // IFF pad byte on odd sizes
+    }
+    if (nc <= 0 || bits != 16 || dataOff < 0 ||
+        dataOff + dataLen > payload.length) return None
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((payload(dataOff + 2 * i) << 8) |
+        (payload(dataOff + 2 * i + 1) & 0xFF)).toShort
+      i += 1
+    }
+    // trust COMM's frame count when it is tighter than the chunk length
+    val keep = if (nFrames >= 0 && nFrames * nc < n) (nFrames * nc).toInt else n
+    if (samples.length % nc != 0 && keep == n) None
+    else Some((nc, rate, if (keep == n) samples else samples.take(keep)))
+  }
+
+  /** Deterministic AIFF clip for a key: `1 + id%2` channels at 16 kHz
+    * (a rate ≠ the WAV/FLAC 8 kHz, so the 80-bit extended-float parse is
+    * load-bearing), `90 + id%40` frames, sample value
+    * `(id·37 + frame·11 + ch·17) % 4096 − 2048` — a formula DISTINCT
+    * from the WAV/FLAC one, so a dispatch misrouting surfaces as the
+    * wrong branch's sums (the m19 oracle replays these in closed form). */
+  def syntheticAiff(id: Long): Array[Byte] = {
+    val nc = (1 + id % 2).toInt
+    val rate = 16000
+    val frames = (90 + id % 40).toInt
+    val dataBytes = frames * nc * 2
+    val buf = java.nio.ByteBuffer.allocate(12 + 26 + 16 + dataBytes)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    buf.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataBytes)
+      .put("AIFF".getBytes("US-ASCII"))
+    // COMM: nc, numSampleFrames, 16 bits, rate as 80-bit extended
+    buf.put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(nc.toShort).putInt(frames).putShort(16)
+    val bitLen = 64 - java.lang.Long.numberOfLeadingZeros(rate.toLong)
+    buf.putShort((16383 + bitLen - 1).toShort)
+      .putLong(rate.toLong << (64 - bitLen))
+    buf.put("SSND".getBytes("US-ASCII")).putInt(8 + dataBytes)
+      .putInt(0).putInt(0)
+    var i = 0
+    while (i < frames) {
+      var ch = 0
+      while (ch < nc) {
+        buf.putShort((((id * 37 + i * 11 + ch * 17) % 4096) - 2048).toShort)
+        ch += 1
+      }
+      i += 1
+    }
+    buf.array()
   }
 
   /** Deterministic RIFF/WAVE PCM16LE clip for a key: `1 + id%2` channels

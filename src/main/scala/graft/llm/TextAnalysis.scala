@@ -55,6 +55,24 @@ object TextAnalysis {
     call_function("jaro_winkler", a, b)
   }
 
+  /** First-priority blocklist hit over `patterns` (list order = priority)
+    * via the native single-pass [[TextExpressions.AhoFirstMatch]] automaton:
+    * the index of the first pattern contained in `text`, or -1 for clean.
+    * Equivalent to `CASE WHEN contains(p1) ... WHEN contains(pK)` but reads
+    * each document ONCE regardless of pattern count — the only blocklist
+    * shape that survives a 100 TB corpus with a real (1k+ phrase) list. */
+  def blocklistFirstHit(text: Column, patterns: Seq[String]): Column = {
+    TextExpressions.ensureActive()
+    call_function("aho_first", text, lit(patterns.toArray))
+  }
+
+  /** Count of DISTINCT blocklist patterns present in `text`, one automaton
+    * pass — see [[blocklistFirstHit]]. */
+  def blocklistHitCount(text: Column, patterns: Seq[String]): Column = {
+    TextExpressions.ensureActive()
+    call_function("aho_count", text, lit(patterns.toArray))
+  }
+
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
   def bpeishTokenCount(text: Column): Column =
@@ -465,6 +483,56 @@ object TextAnalysis {
           ((lit(discount) * col("n1fw")) / col("c1")) *
             (col("n1pw").cast("double") / lit(types.toDouble))).as("p_kn"))
       .orderBy("w1", "w2")
+  }
+
+  /**
+   * LM-perplexity quality scoring — the CCNet filter shape (Wenzek et al.
+   * 2020): score each document by its average negative log-likelihood
+   * under a [[kneserNeyBigram]] model trained on a held-in corpus; low
+   * avg-NLL ≈ fluent prose, high ≈ gibberish/boilerplate. The pipeline's
+   * actual USE of the d64 LM, not just its training.
+   *
+   * Contract (what the d66 oracle replays): per document, `n_bigrams`
+   * (every consecutive token pair, occurrences counted), `n_oov`
+   * (pairs absent from the model — a coverage signal of its own), and
+   * `avg_nll = ROUND(Σ −ln(p_kn) / n_matched, 4)` over the matched pairs.
+   * The sum folds in sorted (w1, w2) order — one pinned sequence of IEEE
+   * adds an external engine replays (`list_reduce(... ORDER BY w1, w2)`),
+   * with ROUND(,4) absorbing the ≤1-ulp `ln` libm divergence the entropy
+   * gates (d45/d50) established. Documents with no matched bigram are
+   * dropped (no likelihood is defined for them).
+   *
+   * Scale shape: the model is vocab-bounded (the budget a shipped KenLM
+   * binary occupies), so the score join BROADCASTS it; the per-doc fold
+   * buffer is bounded by document length. One narrow explode, zero
+   * all-pairs work — the 100 TB path is explode → broadcast-join → agg.
+   */
+  def kneserNeyPerplexity(docs: DataFrame, model: DataFrame,
+                          idCol: String = "doc_id",
+                          textCol: String = "text"): DataFrame = {
+    val toks = tokens(col(textCol))
+    val big = docs
+      .filter(size(toks) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1), i =>
+        struct(element_at(toks, i).as("w1"),
+          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+    big
+      .join(broadcast(model.select("w1", "w2", "p_kn")), Seq("w1", "w2"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_bigrams"),
+        sum(when(col("p_kn").isNull, 1L).otherwise(0L)).as("n_oov"),
+        // collect_list skips the null (OOV) entries; sort_array pins the
+        // fold order to (w1, w2) — duplicate pairs carry identical terms,
+        // so ties cannot reorder distinct values
+        aggregate(sort_array(collect_list(when(col("p_kn").isNotNull,
+            struct(col("w1"), col("w2"), (-log(col("p_kn"))).as("nll"))))),
+          lit(0.0), (a, x) => a + x.getField("nll")).as("nll_sum"))
+      .withColumn("n_matched", col("n_bigrams") - col("n_oov"))
+      .filter(col("n_matched") > 0)
+      .select(col(idCol), col("n_bigrams"), col("n_oov"),
+        round(col("nll_sum") / col("n_matched"), 4).as("avg_nll"))
   }
 
   /**

@@ -287,6 +287,57 @@ object TextExpressions {
     override def prettyName: String = "winnow_keys"
   }
 
+  /** First-priority blocklist hit via a shared [[AhoCorasick]] automaton —
+    * index into `patterns` (list order = priority) or -1 for clean. The
+    * automaton is built ONCE per plan and embedded in the generated code as
+    * a reference object, so every row costs one byte walk regardless of
+    * pattern count — K separate `contains()` scans read the text K times. */
+  case class AhoFirstMatch(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val ac = new AhoCorasick(patterns)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(s: Any): Any =
+      ac.firstMatch(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ahoAutomaton", ac, "graft.llm.AhoCorasick")
+      defineCodeGen(ctx, ev, c => s"$ref.firstMatch($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): AhoFirstMatch =
+      copy(child = c)
+    override def prettyName: String = "aho_first"
+  }
+
+  /** Count of DISTINCT blocklist patterns present (Σ contains(text, p)) in
+    * one automaton pass — see [[AhoFirstMatch]]. */
+  case class AhoMatchCount(child: Expression, patterns: Seq[String])
+      extends UnaryExpression {
+    @transient private lazy val ac = new AhoCorasick(patterns)
+    override def dataType: DataType = IntegerType
+    override protected def nullSafeEval(s: Any): Any =
+      ac.matchedCount(s.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("ahoAutomaton", ac, "graft.llm.AhoCorasick")
+      defineCodeGen(ctx, ev, c => s"$ref.matchedCount($c)")
+    }
+    override protected def withNewChildInternal(c: Expression): AhoMatchCount =
+      copy(child = c)
+    override def prettyName: String = "aho_count"
+  }
+
+  private def foldableStringArray(e: Expression, name: String): Seq[String] = {
+    require(e.foldable, s"$name must be a literal array of strings")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map(i =>
+          a.getUTF8String(i) match {
+            case null => null
+            case u    => u.toString
+          })
+      case other =>
+        throw new IllegalArgumentException(s"$name: expected array<string>, got $other")
+    }
+  }
+
   private def foldableInt(e: Expression, name: String): Int = {
     require(e.foldable, s"$name must be a literal")
     e.eval() match {
@@ -302,7 +353,11 @@ object TextExpressions {
     "jaro_winkler" -> (es => JaroWinkler(es.head, es(1))),
     "simhash64" -> (es => Simhash64(es.head)),
     "winnow_keys" -> (es => WinnowKeys(es.head,
-      foldableInt(es(1), "winnow_keys k"), foldableInt(es(2), "winnow_keys w"))))
+      foldableInt(es(1), "winnow_keys k"), foldableInt(es(2), "winnow_keys w"))),
+    "aho_first" -> (es => AhoFirstMatch(es.head,
+      foldableStringArray(es(1), "aho_first patterns"))),
+    "aho_count" -> (es => AhoMatchCount(es.head,
+      foldableStringArray(es(1), "aho_count patterns"))))
 
   def register(spark: org.apache.spark.sql.SparkSession): Unit =
     registry.foreach { case (name, builder) =>
