@@ -410,6 +410,50 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.syntheticWav(id).take(50)).isEmpty)
   }
 
+  test("decodeAiff: synthetic round-trip, exact samples, dispatch, malformed fallback") {
+    // stereo clip (odd id): big-endian samples must round-trip exactly
+    val id = 7L
+    val Some((nc, rate, samples)) = Multimodal.decodeAiff(Multimodal.syntheticAiff(id))
+    assert(nc == 2 && rate == 16000, "80-bit extended-float rate parse")
+    val frames = (90 + id % 40).toInt
+    assert(samples.length == frames * nc)
+    for (i <- 0 until frames; ch <- 0 until nc) {
+      val expect = ((id * 37 + i * 11 + ch * 17) % 4096 - 2048).toShort
+      assert(samples(i * nc + ch) == expect,
+        s"frame $i ch $ch: got ${samples(i * nc + ch)}, want $expect")
+    }
+    // mono clip
+    val Some((nc1, r1, s1)) = Multimodal.decodeAiff(Multimodal.syntheticAiff(4L))
+    assert(nc1 == 1 && r1 == 16000 && s1.length == 94)
+    // SSND offset field: frames shifted by a 4-byte offset still decode
+    val base = Multimodal.syntheticAiff(4L)
+    val withOff = {
+      val b = java.nio.ByteBuffer.allocate(base.length + 4)
+        .order(java.nio.ByteOrder.BIG_ENDIAN)
+      b.put(base, 0, 12) // FORM hdr (size fixed below)
+      b.put(base, 12, 26) // COMM unchanged
+      b.put("SSND".getBytes("US-ASCII")).putInt(8 + 4 + 94 * 2)
+        .putInt(4).putInt(0).putInt(0xDEADBEEF) // offset 4 + filler
+      b.put(base, 12 + 26 + 16, 94 * 2)
+      val out = b.array()
+      val newSz = out.length - 8
+      out(4) = (newSz >> 24).toByte; out(5) = (newSz >> 16).toByte
+      out(6) = (newSz >> 8).toByte; out(7) = newSz.toByte
+      out
+    }
+    val Some((_, _, sOff)) = Multimodal.decodeAiff(withOff)
+    assert(sOff.sameElements(s1), "SSND offset must skip the filler bytes")
+    // dispatch: decodeAudio routes AIFF by FORM…AIFF magic, WAV/FLAC intact
+    assert(Multimodal.decodeAudio(Multimodal.syntheticAiff(id)).get._2 == 16000)
+    assert(Multimodal.decodeAudio(Multimodal.syntheticWav(id)).get._2 == 8000)
+    // malformed: junk, truncated, non-AIFF FORM type
+    assert(Multimodal.decodeAiff(Array.fill[Byte](64)(1)).isEmpty)
+    assert(Multimodal.decodeAiff(Multimodal.syntheticAiff(id).take(40)).isEmpty)
+    val notAiff = Multimodal.syntheticAiff(id).clone()
+    notAiff(8) = 'X'.toByte
+    assert(Multimodal.decodeAiff(notAiff).isEmpty)
+  }
+
   test("decodeWav: G.711 µ-law/A-law expansion and float32 scaling, known values") {
     // hand-computed ITU G.711 reference points
     //   µ-law 0xFF → ~0xFF = 0x00 → t = (0<<3)+0x84 = 132, shift 0 → 132-132 = 0

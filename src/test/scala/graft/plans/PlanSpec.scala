@@ -62,6 +62,37 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q92: correlated scalar MIN decorrelates to an aggregated equi-join, dims broadcast") {
+    val p = formatted("q92_sql_scalar_min")
+    // the scalar subquery must rewrite to an aggregate joined on
+    // p_partkey — a nested-loop anywhere means per-part re-execution
+    assert(!p.contains("NestedLoop"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    // the region-name filter reaches the region parquet scan
+    assert(p.contains("EqualTo(r_name,EUROPE)"), p)
+    // the p_size filter reaches the part scan
+    assert(p.contains("LessThan(p_size,15)"), p)
+  }
+
+  test("d66: the perplexity model joins broadcast; folds stay per-doc (one doc_id shuffle)") {
+    val p = formatted("d66_lm_perplexity")
+    // the vocab-bounded KN model must broadcast into the scoring join
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+  }
+
+  test("d67: the blocklist automaton stays inside whole-stage codegen (no UDF boundary)") {
+    val p = formatted("d67_blocklist")
+    assert(p.contains("aho_first"), p)
+    assert(p.contains("aho_count"), p)
+    // both expressions are native Catalyst nodes with doGenCode — a
+    // BatchEvalPython/ScalaUDF wrapper means the automaton fell out of
+    // codegen and pays a per-row boundary
+    assert(!p.contains("ScalaUDF"), p)
+    // one narrow pass: no exchange before the final sort
+    assert(exchangeCount(p) <= 1, p)
+  }
+
   test("q83: grouping sets plan as ONE Expand + aggregate, not three unioned scans") {
     val p = formatted("q83_grouping_sets")
     assert(p.contains("Expand"), "grouping sets must plan via Expand:\n" + p)
