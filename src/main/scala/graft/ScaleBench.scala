@@ -824,6 +824,74 @@ object ScaleBench {
         s"piece mass ${pieces.values.sum} != 2 x $nTok tokens")
       println(f"""{"metric":"scale_wordpiece","tokens":$nTok,"distinct_words":400,"pieces":${pieces.size},"sec":$secs18%.2f,"tokens_per_sec":${(nTok / secs18).toLong}}""")
     }
+    if (sel("blocklist")) {
+      // Aho-Corasick blocklist at corpus scale: nTiles docs (~420 B each)
+      // against a 1000-phrase list in ONE pass — the d67 operator's 100 TB
+      // claim. K contains() scans would read the text 1000x; the automaton
+      // reads it once, so throughput is bytes/sec independent of pattern
+      // count. Planted structure is exact: every 5th doc carries exactly
+      // one phrase, cycling through patterns 0..199 (each hit exactly
+      // nDocs/1000 times when nDocs % 1000 == 0); patterns 200..999 never
+      // occur (dead automaton states walked on every byte).
+      val nDocs = math.max(nTiles, 1000000L)
+      val pats = (0 until 1000).map(i => s"blk$i phrase")
+      val filler = Array.fill(20)("lorem filler tokens alpha beta").mkString(" ")
+      val patArr = lit(pats.toArray)
+      val docs = spark.range(nDocs).select(col("id"),
+          when(col("id") % 5 === 0,
+            concat(lit(filler + " "),
+              element_at(patArr, ((col("id") / 5) % 200 + 1).cast("int")),
+              lit(" " + filler)))
+            .otherwise(lit(filler + " " + filler)).as("text"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val t19 = System.nanoTime()
+      val screened = docs.select(col("id"),
+        graft.llm.TextAnalysis.blocklistFirstHit(col("text"), pats).as("hit"),
+        graft.llm.TextAnalysis.blocklistHitCount(col("text"), pats).as("n"))
+      val agg = screened.agg(
+        sum(when(col("hit") >= 0, 1L).otherwise(0L)),
+        sum(col("n").cast("long")),
+        count_distinct(when(col("hit") >= 0, col("hit")))).head()
+      val secs19 = (System.nanoTime() - t19) / 1e9
+      val expFlag = (nDocs + 4) / 5
+      require(agg.getLong(0) == expFlag,
+        s"flagged ${agg.getLong(0)} != planted $expFlag")
+      require(agg.getLong(1) == expFlag,
+        s"hit mass ${agg.getLong(1)} != $expFlag (each flagged doc plants exactly one)")
+      require(agg.getLong(2) == 200L,
+        s"distinct first-hit patterns ${agg.getLong(2)} != 200 planted")
+      val bytes = nDocs * (2L * filler.length + 14)
+      println(f"""{"metric":"scale_blocklist","docs":$nDocs,"patterns":1000,"flagged":${agg.getLong(0)},"sec":$secs19%.2f,"docs_per_sec":${(nDocs / secs19).toLong},"mb_per_sec":${(bytes / secs19 / 1e6).toLong}}""")
+    }
+    if (sel("perplexity")) {
+      // d66's scale shape: a vocab-bounded KN model (broadcast) scoring
+      // nTiles docs — explode -> broadcast-join -> per-doc fold, zero
+      // wide shuffles of text. The planted corpus draws bigrams from a
+      // closed 200-word vocabulary so the model covers everything:
+      // n_oov must be exactly 0 and every doc must emit a score.
+      val nDocs2 = math.max(nTiles / 2, 500000L)
+      val vocabArr = (0 until 200).map(i => s"v$i").toArray
+      val mk = (0 until 30).map(j =>
+        element_at(lit(vocabArr), (pmod(xxhash64(col("id"), lit(j)), lit(200)) + 1).cast("int")))
+      val docs2 = spark.range(nDocs2)
+        .select(col("id").as("doc_id"), concat_ws(" ", mk: _*).as("text"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val t20 = System.nanoTime()
+      val model = graft.llm.TextAnalysis.kneserNeyBigram(
+        docs2.filter(col("doc_id") % 100 < 10), "text", minCount = 1)
+      val scored = graft.llm.TextAnalysis.kneserNeyPerplexity(docs2, model)
+      val a2 = scored.agg(count(lit(1)), sum(col("n_oov")),
+        min(col("avg_nll")), max(col("avg_nll"))).head()
+      val secs20 = (System.nanoTime() - t20) / 1e9
+      require(a2.getLong(0) == nDocs2, s"scored ${a2.getLong(0)} != $nDocs2 docs")
+      require(a2.getLong(1) == 0L,
+        s"closed-vocab corpus must have zero OOV bigrams, got ${a2.getLong(1)}")
+      require(a2.getDouble(2) > 0 && a2.getDouble(3) < 20,
+        s"avg_nll out of sane range: ${a2.getDouble(2)}..${a2.getDouble(3)}")
+      println(f"""{"metric":"scale_perplexity","docs":$nDocs2,"model_bigrams":"<=40k","sec":$secs20%.2f,"docs_per_sec":${(nDocs2 / secs20).toLong}}""")
+    }
     spark.stop()
   }
 }
