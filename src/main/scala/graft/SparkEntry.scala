@@ -715,6 +715,21 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
+    "v12_ann_bq" -> ((s, d) => {
+      // BINARY quantization (Quantization.bqSignature/bqTopK): sign-bit
+      // signatures packed 32 bits/word, Hamming top-k by xor+popcount —
+      // the 32x-compression extreme of the quantization family (SQ8 4x,
+      // PQ ~32x with codebooks, BQ pure bit ops). EVERYTHING is integer,
+      // so unlike the recall-gated lossy paths (v04/v05) this
+      // hash-checks exact ranks; the oracle replays the packing
+      // word-for-word and popcounts in SQL. rank ties break on
+      // neighbor_id; the query side broadcasts so the candidate pass is
+      // one narrow signature scan.
+      val emb = t(s, d, "embeddings")
+      graft.llm.Quantization.bqTopK(emb, emb.filter(col("vec_id") < 10),
+          dim = 64, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "v11_ann_sq8" -> ((s, d) => {
       // SQ8 scalar quantization (Quantization.sq8Train/Encode/TopK):
       // per-dim [min,max] from ONE aggregate pass, 8-bit codes (4× under
@@ -6160,6 +6175,31 @@ object SparkEntry {
     // same left-to-right squared-diff fold (list_reduce without init
     // starts at the first element; 0.0 + e0 = e0 exactly, so the engine's
     // zero-seeded fold agrees bit for bit)
+    // v12: the sign-bit packing replayed word-for-word (32 bits/word —
+    // DuckDB's << loud-fails on a shift into bit 63), Hamming = Σ
+    // bit_count(xor), exact ranks with id tie-break
+    "v12_ann_bq" ->
+      """WITH sig AS (
+        |  SELECT vec_id, list_transform(range(2), j ->
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32), b ->
+        |      CASE WHEN embedding[j * 32 + b + 1] > 0
+        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
+        |      (a, x) -> a | x)) AS sg
+        |  FROM embeddings
+        |), scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    CAST(bit_count(xor(q.sg[1], c.sg[1]))
+        |       + bit_count(xor(q.sg[2], c.sg[2])) AS BIGINT) AS hamming
+        |  FROM sig q, sig c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id, hamming,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY hamming ASC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, hamming, rank FROM ranked
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v11_ann_sq8" ->
       """WITH dimmm AS (
         |  SELECT d.d AS d,

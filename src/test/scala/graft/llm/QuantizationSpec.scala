@@ -67,6 +67,55 @@ class QuantizationSpec extends SparkSpec {
     assert(recall3 >= 0.6, s"residual IVF-PQ recall@5 $recall3 (absolute: $recall2)")
   }
 
+  test("BQ: packing round-trips bit-exactly and the Hamming shortlist recalls exact cosine") {
+    val rng = new scala.util.Random(17)
+    // clustered, zero-centered data: sign bits carry the cluster identity
+    val centers = Array.fill(4)(Array.fill(64)(rng.nextGaussian()))
+    val data = (0 until 200).map { i =>
+      val c = centers(i % 4)
+      (i.toLong, c.map(v => (v + rng.nextGaussian() * 0.2).toFloat).toSeq)
+    }
+    val corpus = data.toDF("vec_id", "embedding")
+
+    // packing: the column expression must equal a reference Scala packer
+    val got = corpus.select($"vec_id",
+        Quantization.bqSignature($"embedding", 64).as("sig"))
+      .as[(Long, Seq[Long])].collect().toMap
+    data.foreach { case (id, vec) =>
+      val exp = (0 until 2).map { j =>
+        (0 until 32).foldLeft(0L)((acc, b) =>
+          if (vec(j * 32 + b) > 0f) acc | (1L << b) else acc)
+      }
+      assert(got(id) == exp, s"signature mismatch for vec $id")
+    }
+
+    // shortlist recall: Hamming CANNOT rank within a tight cluster (all
+    // members share the sign pattern — distances tie at ~0), so the
+    // honest contract is the shortlist-then-rerank one: a 10x shortlist
+    // (top-50 of 200) must contain the exact cosine top-5. Hamming
+    // separates the 4 clusters (~32 bits apart), so the shortlist is the
+    // query's own 49-member cluster plus change.
+    val queries = corpus.filter($"vec_id" < 10)
+    val short = Quantization.bqTopK(corpus, queries, dim = 64, k = 50)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val exact = Similarity.bruteForceTopK(corpus, queries, k = 5)
+      .select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recall = exact.map { case (q, top5) =>
+      top5.intersect(short.getOrElse(q, Set.empty)).size.toDouble / top5.size
+    }
+    val mean = recall.sum / recall.size
+    assert(mean >= 0.9, s"BQ shortlist recall@5-in-50 too low: $mean")
+    // and the shortlist is cluster-pure: Hamming separates the planted
+    // clusters even though it can't rank inside them
+    val purity = short.map { case (q, ids) =>
+      ids.count(_ % 4 == q % 4).toDouble / ids.size
+    }
+    assert(purity.sum / purity.size >= 0.9,
+      s"BQ shortlist cluster purity too low: ${purity.sum / purity.size}")
+  }
+
   test("SQ8: codes clamp to [0,255], constant dims encode 0, dequant error is bounded by one bin") {
     val rng = new scala.util.Random(7)
     val data = (0 until 100).map { i =>
