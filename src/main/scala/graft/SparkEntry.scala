@@ -999,6 +999,49 @@ object SparkEntry {
           st_y(st_end_point(col("geometry"))).as("y2"))
         .orderBy(col("member"), col("o_orderkey"))
     }),
+    "s30_stream_late_drop" -> ((s, d) => {
+      // WATERMARK LATE-DATA DROP, gated deterministically: the one
+      // streaming semantic the convergence gates (s01/s25/…) can't see,
+      // because a stream that drops nothing also converges. Two runs over
+      // one persistent checkpoint (the watermark reloads from the offset
+      // log — a read-limit split of a single run is NOT contractual):
+      // run 1 sees the pre-cut events minus a planted "late" set
+      // (event_id % 97 == 0); run 2 sees the rest PLUS those late rows,
+      // resuming with watermark = max(run-1 ts) − 1 h, so re-injected
+      // rows from already-finalized day windows are DROPPED and the rest
+      // survive; append mode emits only windows finalized by the final
+      // watermark. Every boundary is microsecond event-time arithmetic,
+      // so the oracle replays watermark progression, the drop rule, and
+      // the emission rule in closed SQL — an off-by-one in ANY of them
+      // breaks the hash.
+      import org.apache.spark.sql.types._
+      val ss = statefulEventsSession(s)
+      val ev = t(ss, d, "events")
+        .select(col("event_id"), col("ts"), col("event_type"))
+      val cut = col("ts") < expr("timestamp'2024-01-16 00:00:00'")
+      val isLate = col("event_id") % 97 === 0
+      val root = java.nio.file.Files.createTempDirectory("s30").toString
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", TimestampType),
+        StructField("event_type", StringType)))
+      def runOnce(): Unit = {
+        val stream = ss.readStream.schema(schema).parquet(s"$root/in")
+        val agg = stream.withWatermark("ts", "1 hour")
+          .groupBy(window(col("ts"), "1 day"), col("event_type"))
+          .agg(count(lit(1)).as("n"))
+          .select(to_date(col("window.start")).as("day"), col("event_type"),
+            col("n"))
+        graft.streaming.Streaming.runAvailableNowToParquet(
+          agg, s"$root/out", s"$root/ckpt")
+      }
+      graft.streaming.Streaming.writeOrderedMicrobatch(
+        ev.filter(cut && !isLate), s"$root/in", 0)
+      runOnce()
+      graft.streaming.Streaming.writeOrderedMicrobatch(
+        ev.filter(!cut || isLate), s"$root/in", 1)
+      runOnce()
+      ss.read.parquet(s"$root/out").orderBy("day", "event_type")
+    }),
     "s01_stream_window" -> ((s, d) => {
       // §2.8: watermarked tumbling-window streaming agg, driven to completion
       // with Trigger.AvailableNow — must converge to the batch answer (the
@@ -5470,6 +5513,27 @@ object SparkEntry {
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
         | COUNT(*) AS n, ROUND(SUM(value),2) AS total
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // s30: watermark progression replayed in closed SQL — w1 = watermark
+    // after batch 0 (max pre-cut non-late ts − 1 h), wf = final watermark
+    // (global max ts − 1 h); batch-1 rows in windows already finalized by
+    // w1 are dropped; append mode emits only windows with end <= wf
+    "s30_stream_late_drop" ->
+      """WITH w1 AS (
+        |  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-16 00:00:00' AND event_id % 97 <> 0
+        |), wf AS (
+        |  SELECT MAX(ts) - INTERVAL 1 HOUR AS wm FROM events
+        |), kept AS (
+        |  SELECT e.ts, e.event_type FROM events e, w1
+        |  WHERE e.ts >= TIMESTAMP '2024-01-16 00:00:00'
+        |     OR e.event_id % 97 <> 0
+        |     OR date_trunc('day', e.ts) + INTERVAL 1 DAY > w1.wm
+        |)
+        |SELECT CAST(date_trunc('day', k.ts) AS DATE) AS day, k.event_type,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM kept k, wf
+        |WHERE date_trunc('day', k.ts) + INTERVAL 1 DAY <= wf.wm
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "m02_frame_sample" ->
       """SELECT p_partkey AS media_id,
         | ((p_partkey % 10000 + 1000) - 1) // 500 + 1 AS n_frames

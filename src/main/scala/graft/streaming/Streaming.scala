@@ -136,6 +136,26 @@ object Streaming {
     spark.table(queryName)
   }
 
+  /** Run a stream to completion into a PARQUET sink with a persistent
+    * checkpoint — the restartable twin of [[runAvailableNow]]: calling it
+    * again after more source files arrive resumes from the checkpoint
+    * (offsets AND the watermark reload from the offset log), so a gate can
+    * pin cross-restart semantics — s30 observes the late-data drop this
+    * way, with one restart per planted microbatch instead of trusting a
+    * read-limit to split one run into batches. */
+  def runAvailableNowToParquet(streamed: DataFrame, sinkDir: String,
+                               checkpointDir: String,
+                               outputMode: String = "append"): Unit = {
+    val q = streamed.writeStream
+      .outputMode(outputMode)
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
   /** Run a streaming AGGREGATION to completion in UPDATE output mode and
     * return its FINAL state, read straight from the checkpoint via Spark's
     * state-store data source (`format("statestore")` — columns
