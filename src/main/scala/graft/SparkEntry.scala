@@ -2411,6 +2411,32 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d68_domain_stats" -> ((s, d) => {
+      // REGISTRABLE-domain (eTLD+1) aggregation under the public-suffix
+      // algorithm (Urls.registrableDomain) — the per-domain key crawl
+      // curation groups by (quotas, per-site dedup, spam screens). The
+      // planted hosts exercise every branch: multi-label suffix beating
+      // its parent ("co.uk"/"gov.uk" over "uk"), deep subdomains, a host
+      // that IS a suffix (null), and an unlisted TLD (null). The oracle
+      // replays the longest-suffix match and label slicing byte-for-byte.
+      val id = col("doc_id")
+      val sfx = Seq("com", "org", "io", "uk", "co.uk", "gov.uk")
+      val k = id % 20
+      val hosts = t(s, d, "documents").select(id,
+        when(id % 31 === 0, lit("co.uk"))
+          .when(id % 29 === 0, concat(lit("site"), k, lit(".xyz")))
+          .when(id % 5 === 0, concat(lit("a.b.site"), k, lit(".co.uk")))
+          .when(id % 5 === 1, concat(lit("www.site"), k, lit(".com")))
+          .when(id % 5 === 2, concat(lit("deep.sub.site"), k, lit(".org")))
+          .when(id % 5 === 3, concat(lit("site"), k, lit(".uk")))
+          .otherwise(concat(lit("sub.site"), k, lit(".gov.uk"))).as("host"))
+      hosts
+        .select(id, graft.llm.Urls.registrableDomain(col("host"), sfx)
+          .as("registrable"))
+        .groupBy(coalesce(col("registrable"), lit("(none)")).as("domain"))
+        .agg(count(lit(1)).as("n_docs"), min(id).as("first_doc"))
+        .orderBy("domain")
+    }),
     "d67_blocklist" -> ((s, d) => {
       // BLOCKLIST safety screen via the native single-pass Aho-Corasick
       // automaton (TextExpressions.AhoFirstMatch/AhoMatchCount): first
@@ -3830,6 +3856,15 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q93_sql_within_group" -> ((s, d) => {
+      // ANSI WITHIN GROUP ordered-set aggregates as ONE shared SQL text:
+      // percentile_disc picks an actual data value (exact on both
+      // engines); percentile_cont interpolates at rank (n−1)·p with
+      // ROUND(,2) absorbing the ≤1-ulp divergence (the q33 operator
+      // exists; THIS gates the ANSI SQL surface itself).
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlWithinGroupSql)
+    }),
     "q92_sql_scalar_min" -> ((s, d) => {
       // TPC-H Q2's shape as ONE shared SQL text: a correlated scalar MIN
       // subquery over its own 4-way join, gating the 5-way outer join —
@@ -4733,6 +4768,17 @@ object SparkEntry {
       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
       |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
       |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  /** q93: ANSI ordered-set aggregates (WITHIN GROUP), one shared text. */
+  private val sqlWithinGroupSql: String =
+    """SELECT l_returnflag,
+      |  percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice) AS med_disc,
+      |  ROUND(percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS q1_cont,
+      |  ROUND(percentile_cont(0.75) WITHIN GROUP (ORDER BY l_extendedprice), 2) AS q3_cont,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM lineitem
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
 
   /** q83: one SQL text, two engines — GROUPING SETS at three
     * granularities with GROUPING() markers; COALESCE names subtotal rows
@@ -7253,6 +7299,41 @@ object SparkEntry {
     "d66_lm_perplexity" -> d66OracleSql,
     "s29_stream_perplexity" -> d66OracleSql,
     "d67_blocklist" -> d67OracleSql,
+    // d68: the public-suffix walk in closed SQL — suffix CASE is
+    // longest-first (co.uk/gov.uk before com/io/org/uk, the Scala sort
+    // order), registrable = the last (|suffix labels| + 1) host labels
+    "d68_domain_stats" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 31 = 0 THEN 'co.uk'
+        |         WHEN doc_id % 29 = 0 THEN 'site' || (doc_id % 20) || '.xyz'
+        |         WHEN doc_id % 5 = 0 THEN 'a.b.site' || (doc_id % 20) || '.co.uk'
+        |         WHEN doc_id % 5 = 1 THEN 'www.site' || (doc_id % 20) || '.com'
+        |         WHEN doc_id % 5 = 2 THEN 'deep.sub.site' || (doc_id % 20) || '.org'
+        |         WHEN doc_id % 5 = 3 THEN 'site' || (doc_id % 20) || '.uk'
+        |         ELSE 'sub.site' || (doc_id % 20) || '.gov.uk' END AS host
+        |  FROM documents
+        |), m AS (
+        |  SELECT doc_id, host,
+        |    CASE WHEN host = 'co.uk' OR host LIKE '%.co.uk' THEN 'co.uk'
+        |         WHEN host = 'gov.uk' OR host LIKE '%.gov.uk' THEN 'gov.uk'
+        |         WHEN host = 'com' OR host LIKE '%.com' THEN 'com'
+        |         WHEN host = 'io' OR host LIKE '%.io' THEN 'io'
+        |         WHEN host = 'org' OR host LIKE '%.org' THEN 'org'
+        |         WHEN host = 'uk' OR host LIKE '%.uk' THEN 'uk'
+        |         END AS sfx
+        |  FROM h
+        |), r AS (
+        |  SELECT doc_id,
+        |    CASE WHEN sfx IS NULL OR host = sfx THEN NULL
+        |         ELSE array_to_string(list_slice(string_split(host, '.'),
+        |           len(string_split(host, '.')) - len(string_split(sfx, '.')),
+        |           len(string_split(host, '.'))), '.') END AS registrable
+        |  FROM m
+        |)
+        |SELECT COALESCE(registrable, '(none)') AS domain,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS first_doc
+        |FROM r GROUP BY 1 ORDER BY 1""".stripMargin,
     "d63_gopher_rules" ->
       """WITH tok AS (
         |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
@@ -7981,6 +8062,7 @@ object SparkEntry {
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q92_sql_scalar_min" -> sqlScalarMinSql,
+    "q93_sql_within_group" -> sqlWithinGroupSql,
     "q86_sql_setops" -> sqlSetOpsSql,
     "q90_recursive_cte" -> sqlRecursiveCteSql,
     "q87_sql_lateral" -> sqlLateralSql,

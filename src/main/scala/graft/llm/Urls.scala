@@ -48,4 +48,32 @@ object Urls {
       .withColumn("canonical_url", canonicalizeUrl(col(urlCol)))
       .groupBy(col("canonical_url"))
       .agg(count(lit(1)).as("n_variants"), min(col(idCol)).as("keep_id"))
+
+  /**
+   * REGISTRABLE domain (eTLD+1) of a hostname under the public-suffix
+   * algorithm (publicsuffix.org: longest matching suffix rule, then one
+   * more label) against a FIXED shipped suffix list — the per-domain key
+   * every crawl-curation stage groups by (domain quotas, per-site dedup,
+   * spam-domain screens). A host that IS a public suffix, or that isn't
+   * under any listed suffix, yields null (not registrable).
+   *
+   * Pure codegen'd column ops (split + a when-chain over the list, most
+   * labels first — "co.uk" must beat "uk"), so extraction runs at scan
+   * speed; ship the full ~9k-rule list the same way, the chain is a
+   * broadcast-size lookup either way. Matching is on lowercase hosts —
+   * canonicalize first (see [[canonicalizeUrl]]).
+   */
+  def registrableDomain(host: Column, suffixes: Seq[String]): Column = {
+    require(suffixes.nonEmpty, "registrableDomain: empty suffix list")
+    // longest (most labels) suffix wins; coalesce keeps the FIRST match
+    val ordered = suffixes.sortBy(s => (-s.count(_ == '.'), s))
+    val matched = ordered.foldLeft(lit(null).cast("string")) { (acc, sfx) =>
+      coalesce(acc, when(host === sfx || host.endsWith("." + sfx), lit(sfx)))
+    }
+    val labels = split(host, "\\.")
+    val nLab = size(labels)
+    val kLab = size(split(matched, "\\."))
+    when(matched.isNull || nLab === kLab, lit(null).cast("string"))
+      .otherwise(concat_ws(".", slice(labels, nLab - kLab, kLab + 1)))
+  }
 }
