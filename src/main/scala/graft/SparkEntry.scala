@@ -999,6 +999,33 @@ object SparkEntry {
           st_y(st_end_point(col("geometry"))).as("y2"))
         .orderBy(col("member"), col("o_orderkey"))
     }),
+    "s31_stream_blocklist" -> ((s, d) => {
+      // STREAMING SERVING of the d67 automaton: the blocklist screen is
+      // per-doc stateless, so the corpus streams through the SAME native
+      // expression in append mode with no state store (the automaton
+      // rides each microbatch's generated-code reference array).
+      // Converges to batch screening exactly — shares d67's oracle.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      graft.geo.GeoFunctions.ensureRegistered(ss)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val idx = graft.llm.TextAnalysis.blocklistFirstHit(col("text"), blocklistPats)
+      val patArr = array(blocklistPats.map(lit): _*)
+      val screened = stream.select(col("doc_id"),
+        when(idx >= 0, element_at(patArr, idx + 1))
+          .otherwise(lit("clean")).as("first_hit"),
+        coalesce(graft.llm.TextAnalysis
+          .blocklistHitCount(col("text"), blocklistPats).cast("long"),
+          lit(0L)).as("n_hits"))
+      graft.streaming.Streaming.runAvailableNow(
+          screened, s"s31_blk_${System.nanoTime()}", outputMode = "append")
+        .orderBy("doc_id")
+    }),
     "s30_stream_late_drop" -> ((s, d) => {
       // WATERMARK LATE-DATA DROP, gated deterministically: the one
       // streaming semantic the convergence gates (s01/s25/…) can't see,
@@ -3855,6 +3882,24 @@ object SparkEntry {
       t(s, d, "orders").createOrReplaceTempView("orders")
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
+    }),
+    "q94_interval_coverage" -> ((s, d) => {
+      // INTERVAL-UNION coverage (ops/Intervals.unionCoverage): total
+      // covered time of overlapping spans per type — the sweep-line
+      // classic, day-SLICED so parallelism is (keys × days), not keys
+      // (a per-key-only window serializes months of one key on one
+      // task). Spans are events extended by 1..7 minutes; everything is
+      // int64 microseconds, so the oracle replays slicing, the prior-end
+      // running max, and the clamped contributions exactly.
+      val iv = t(s, d, "events").select(col("event_type"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) +
+          lit(60000000L) * (col("event_id") % 7 + 1)).as("en"))
+      val counts = iv.groupBy("event_type")
+        .agg(count(lit(1)).as("n_intervals"))
+      graft.ops.Intervals.unionCoverage(iv, Seq("event_type"), "st", "en")
+        .join(broadcast(counts), "event_type")
+        .orderBy("event_type")
     }),
     "q93_sql_within_group" -> ((s, d) => {
       // ANSI WITHIN GROUP ordered-set aggregates as ONE shared SQL text:
@@ -8063,6 +8108,41 @@ object SparkEntry {
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q92_sql_scalar_min" -> sqlScalarMinSql,
     "q93_sql_within_group" -> sqlWithinGroupSql,
+    // s31: per-doc stateless screen — the stream converges to the batch
+    // screen exactly, so it shares d67's oracle under its own key
+    "s31_stream_blocklist" -> d67OracleSql,
+    // q94: the day-sliced sweep in closed SQL — same slicing (floor-div
+    // day index, clamped segments), same prior-end running max, same
+    // int64 contributions
+    "q94_interval_coverage" ->
+      """WITH iv AS (
+        |  SELECT event_type, epoch_us(ts) AS st,
+        |    epoch_us(ts) + 60000000 * (event_id % 7 + 1) AS en
+        |  FROM events
+        |), seg AS (
+        |  SELECT event_type, s.s AS slice,
+        |    GREATEST(st, s.s * 86400000000) AS st2,
+        |    LEAST(en, (s.s + 1) * 86400000000) AS en2
+        |  FROM iv, LATERAL (SELECT unnest(range(st // 86400000000,
+        |    en // 86400000000 + 1)) AS s) s
+        |), sw AS (
+        |  SELECT event_type, st2, en2,
+        |    MAX(en2) OVER (PARTITION BY event_type, slice
+        |      ORDER BY st2, en2
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM seg
+        |), cov AS (
+        |  SELECT event_type,
+        |    GREATEST(en2 - GREATEST(st2, COALESCE(pmax, st2)), 0) AS c
+        |  FROM sw
+        |)
+        |SELECT c.event_type, CAST(SUM(c.c) AS BIGINT) AS covered_us,
+        |  n.n_intervals
+        |FROM cov c
+        |JOIN (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_intervals
+        |      FROM iv GROUP BY 1) n USING (event_type)
+        |GROUP BY c.event_type, n.n_intervals
+        |ORDER BY c.event_type""".stripMargin,
     "q86_sql_setops" -> sqlSetOpsSql,
     "q90_recursive_cte" -> sqlRecursiveCteSql,
     "q87_sql_lateral" -> sqlLateralSql,

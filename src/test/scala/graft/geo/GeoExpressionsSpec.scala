@@ -67,6 +67,6 @@ class GeoExpressionsSpec extends SparkSpec {
     // them with no per-session register() call (README deploy recipe)
     assert(graft.llm.TextExpressions.registry.map(_._1).toSet ==
       Set("ws_token_count", "normalize_text", "jaro_winkler", "simhash64",
-        "winnow_keys"))
+        "winnow_keys", "aho_first", "aho_count"))
   }
 }
