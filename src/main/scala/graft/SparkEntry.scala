@@ -1276,6 +1276,22 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Multimodal.audioStats(media).orderBy("media_id")
     }),
+    "m20_shot_cuts" -> ((s, d) => {
+      // SHOT-CUT detection (Multimodal.videoShotCuts) over decoded
+      // scene-segmented y4m: frames are identical within a planted scene
+      // and jump at boundaries, so the luma-SAD series is 0 inside
+      // scenes and large exactly at cuts. The oracle replays every SAD
+      // from the closed-form pixel formula — a frame-walk, plane-offset,
+      // or off-by-one in the pair indexing breaks the hash, and a
+      // threshold bug flips is_cut booleans.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticY4mScenes(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.videoShotCuts(media)
+        .orderBy("media_id", "frame_idx")
+    }),
     "m19_aiff_decode" -> ((s, d) => {
       // AIFF decode (Multimodal.decodeAiff): payloads are genuine AIFF
       // files — big-endian IFF chunk walk, COMM's 80-bit EXTENDED-float
@@ -5947,6 +5963,29 @@ object SparkEntry {
         |SELECT * FROM w1o UNION ALL SELECT * FROM w2o UNION ALL
         |SELECT * FROM f3o UNION ALL SELECT * FROM a4o
         |ORDER BY media_id""".stripMargin,
+    // m20: consecutive-frame luma SADs from the scene-keyed pixel formula
+    // (plane 0 term), ABS of the %256 wrap per pixel; is_cut compares
+    // against mean-threshold 8 x pixels
+    "m20_shot_cuts" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS media_id,
+        |    6 + (p_partkey % 3) * 2 AS w, 4 + (p_partkey % 2) * 2 AS h,
+        |    12 + p_partkey % 6 AS nf, 3 + p_partkey % 3 AS seg
+        |  FROM part WHERE p_partkey <= 200
+        |), sad AS (
+        |  SELECT v.media_id, CAST(f.f AS INT) AS frame_idx, v.w, v.h,
+        |    CAST(SUM(ABS(
+        |      (v.media_id * 7 + (f.f // v.seg) * 97 + y.y * 11 + x.x * 13) % 256
+        |      - (v.media_id * 7 + ((f.f + 1) // v.seg) * 97 + y.y * 11 + x.x * 13) % 256
+        |    )) AS BIGINT) AS luma_sad
+        |  FROM v,
+        |    LATERAL (SELECT unnest(range(v.nf - 1)) AS f) f,
+        |    LATERAL (SELECT unnest(range(v.h)) AS y) y,
+        |    LATERAL (SELECT unnest(range(v.w)) AS x) x
+        |  GROUP BY 1, 2, 3, 4
+        |)
+        |SELECT media_id, frame_idx, luma_sad, luma_sad > 8 * w * h AS is_cut
+        |FROM sad ORDER BY media_id, frame_idx""".stripMargin,
     // m19: AIFF decoded-sample sums — the closed-form (37/11/17) formula
     // over every id, 16 kHz (so the 80-bit extended-float parse is
     // load-bearing in the duration and rate columns)

@@ -2440,6 +2440,76 @@ object Multimodal {
     buf.toByteArray
   }
 
+  /** Deterministic SCENE-SEGMENTED y4m clip for a key: `6 + (id%3)·2` ×
+    * `4 + (id%2)·2` pixels, `12 + id%6` frames at 25 fps in scenes of
+    * `3 + id%3` frames. Plane values depend on the SCENE index, not the
+    * frame — `(id·7 + (f/seg)·97 + y·11 + x·13 + plane·29) % 256` — so
+    * consecutive frames are IDENTICAL within a scene and jump at every
+    * boundary: the planted ground truth for shot-cut detection (the m20
+    * oracle replays the per-boundary luma SADs in closed form). */
+  def syntheticY4mScenes(id: Long): Array[Byte] = {
+    val w = (6 + (id % 3) * 2).toInt
+    val h = (4 + (id % 2) * 2).toInt
+    val frames = (12 + id % 6).toInt
+    val seg = (3 + id % 3).toInt
+    val header = s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 C420jpeg\n".getBytes("US-ASCII")
+    val frameBytes = w * h + 2 * (w / 2) * (h / 2)
+    val buf = new java.io.ByteArrayOutputStream(
+      header.length + frames * (6 + frameBytes))
+    buf.write(header)
+    var f = 0
+    while (f < frames) {
+      buf.write("FRAME\n".getBytes("US-ASCII"))
+      val scene = f / seg
+      var plane = 0
+      while (plane < 3) {
+        val (pw, ph) = if (plane == 0) (w, h) else (w / 2, h / 2)
+        var y = 0
+        while (y < ph) {
+          var x = 0
+          while (x < pw) {
+            buf.write(((id * 7 + scene * 97 + y * 11 + x * 13 + plane * 29) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        plane += 1
+      }
+      f += 1
+    }
+    buf.toByteArray
+  }
+
+  /**
+   * SHOT-CUT detection over REAL decoded frames — the video-curation
+   * primitive (sample one frame per shot, drop static clips, segment for
+   * captioning): luma sum-of-absolute-differences between consecutive
+   * frames, cut where mean |Δ| exceeds `meanThreshold`. Exact integer
+   * arithmetic on decoded bytes, so the m20 oracle replays every SAD in
+   * closed form. Narrow per-row map (decode + one pass over luma), no
+   * shuffle — frame pairs explode out, nothing wider than
+   * (id, frame, sad) leaves the row.
+   */
+  def videoShotCuts(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
+    val cuts = udf { (payload: Array[Byte]) =>
+      decodeY4m(payload).map { case (w, h, _, _, frames) =>
+        val ySize = w * h
+        (0 until frames.length - 1).map { f =>
+          var sad = 0L
+          var p = 0
+          while (p < ySize) {
+            sad += math.abs((frames(f)(p) & 0xFF) - (frames(f + 1)(p) & 0xFF))
+            p += 1
+          }
+          (f, sad, sad > meanThreshold.toLong * ySize)
+        }
+      }.orNull
+    }
+    media.withColumn("__c", explode(cuts(col("payload"))))
+      .select(col("media_id"), col("__c._1").as("frame_idx"),
+        col("__c._2").as("luma_sad"), col("__c._3").as("is_cut"))
+  }
+
   /** Synthesize a deterministic media table from any keyed table — test/
     * bench input when no real media exists. Image rows carry REAL P6 PPM
     * payloads ([[syntheticPpm]]), audio rows REAL PCM16 WAV payloads
