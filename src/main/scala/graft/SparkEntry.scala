@@ -715,6 +715,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"))
         .orderBy(col("query_id"), col("neighbor_id"))
     }),
+    "v13_ann_filtered" -> ((s, d) => {
+      // FILTERED vector search (the vector-DB feature every RAG stack
+      // leans on): exact cosine top-k restricted to candidates passing a
+      // metadata predicate (label % 3 = 0) — PRE-filtering, the shape
+      // that stays correct when the predicate is selective (post-filter
+      // truncates below k). The label filter is a plain pushed-down
+      // parquet predicate BEFORE any vector work (PlanSpec-guarded), so
+      // at 100 TB the scan prunes to the candidate stripe first. Ranks
+      // only (the d25 engine-local-float rule, as v01).
+      val emb = t(s, d, "embeddings")
+      Similarity.bruteForceTopK(
+          emb.filter(col("label") % 3 === 0),
+          emb.filter(col("vec_id") < 10), k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "v12_ann_bq" -> ((s, d) => {
       // BINARY quantization (Quantization.bqSignature/bqTopK): sign-bit
       // signatures packed 32 bits/word, Hamming top-k by xor+popcount —
@@ -2452,6 +2468,38 @@ object SparkEntry {
       graft.llm.TextAnalysis.oddsRatioClassifier(
           trainDocs.join(labels, "doc_id"),
           docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
+    "d69_readability" -> ((s, d) => {
+      // READABILITY scoring (Flesch reading ease) — the classic
+      // document-difficulty signal quality pipelines bucket by: syllables
+      // approximated as vowel-group runs (the standard heuristic),
+      // sentences as terminal-punctuation runs (floor 1). Counts are
+      // exact integers; the score is ONE pinned IEEE op tree over exact
+      // ratios (the d64 contract) with ROUND(,4), and the oracle replays
+      // the regexes and the tree term for term.
+      val toks = graft.llm.TextAnalysis.tokens(col("text"))
+      val docs = t(s, d, "documents")
+      val tok = docs
+        .select(col("doc_id"), col("text"),
+          explode(toks).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_words"),
+          sum(greatest(lit(1),
+            size(regexp_extract_all(col("w"), lit("[aeiouy]+"), lit(0)))))
+            .as("n_syll"))
+      docs
+        .select(col("doc_id"),
+          greatest(lit(1L),
+            size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0)))
+              .cast("long")).as("n_sent"))
+        .join(tok, "doc_id")
+        .select(col("doc_id"), col("n_words"), col("n_syll"), col("n_sent"),
+          round(lit(206.835)
+            - lit(1.015) * (col("n_words").cast("double") / col("n_sent"))
+            - lit(84.6) * (col("n_syll").cast("double") / col("n_words")), 4)
+            .as("flesch"))
         .orderBy("doc_id")
     }),
     "d68_domain_stats" -> ((s, d) => {
@@ -6369,6 +6417,24 @@ object SparkEntry {
     // same left-to-right squared-diff fold (list_reduce without init
     // starts at the first element; 0.0 + e0 = e0 exactly, so the engine's
     // zero-seeded fold agrees bit for bit)
+    // v13: v01's exact-cosine ranks restricted by the metadata predicate
+    // (pre-filtering) — same sequential-fold cosine, same id tie-break
+    "v13_ann_filtered" ->
+      """WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label % 3 = 0
+        |), ranked AS (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     // v12: the sign-bit packing replayed word-for-word (32 bits/word —
     // DuckDB's << loud-fails on a shift into bit 63), Hamming = Σ
     // bit_count(xor), exact ranks with id tie-break
@@ -7386,6 +7452,30 @@ object SparkEntry {
     // d68: the public-suffix walk in closed SQL — suffix CASE is
     // longest-first (co.uk/gov.uk before com/io/org/uk, the Scala sort
     // order), registrable = the last (|suffix labels| + 1) host labels
+    // d69: same vowel-run / terminal-punctuation regexes, same pinned
+    // (a − b·x) − c·y op tree over exact integer ratios
+    "d69_readability" ->
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), wc AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |    CAST(SUM(GREATEST(1, len(regexp_extract_all(w, '[aeiouy]+')))) AS BIGINT) AS n_syll
+        |  FROM tok WHERE length(w) > 0 GROUP BY 1
+        |), sc AS (
+        |  SELECT doc_id,
+        |    GREATEST(1, len(regexp_extract_all(text, '[.!?]+'))) AS n_sent
+        |  FROM documents
+        |)
+        |SELECT wc.doc_id, wc.n_words, wc.n_syll,
+        |  CAST(sc.n_sent AS BIGINT) AS n_sent,
+        |  ROUND(CAST(206.835 AS DOUBLE)
+        |    - CAST(1.015 AS DOUBLE) * (CAST(wc.n_words AS DOUBLE) / sc.n_sent)
+        |    - CAST(84.6 AS DOUBLE) * (CAST(wc.n_syll AS DOUBLE) / wc.n_words), 4)
+        |    AS flesch
+        |FROM wc JOIN sc USING (doc_id)
+        |ORDER BY wc.doc_id""".stripMargin,
     "d68_domain_stats" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -93,6 +93,15 @@ class PlanSpec extends SparkSpec {
     assert(exchangeCount(p) <= 1, p)
   }
 
+  test("v13: the metadata predicate reaches the parquet scan BEFORE any vector work") {
+    val p = formatted("v13_ann_filtered")
+    // pre-filtering: the candidate stripe prunes at the scan, so the
+    // n x q scoring never sees non-matching vectors
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("IsNotNull(label)") || p.contains("label"), p)
+    assert(!p.contains("NestedLoop") || p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q83: grouping sets plan as ONE Expand + aggregate, not three unioned scans") {
     val p = formatted("q83_grouping_sets")
     assert(p.contains("Expand"), "grouping sets must plan via Expand:\n" + p)
