@@ -2470,6 +2470,23 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d70_warc_ingest" -> ((s, d) => {
+      // CRAWL-ARCHIVE ingestion (io/Warc): concatenated per-record gzip
+      // members — the Common Crawl WARC layout — walked manually (RFC
+      // 1952 header fields, raw Inflater, CRC32+ISIZE verified per
+      // member, loud-fail on corruption), records parsed for
+      // WARC-Target-URI / Content-Length. The oracle recomputes every
+      // record's length and payload byte sum from the planted formula,
+      // so a member-boundary, header-skip, or slicing bug breaks the
+      // hash while a trailer bug loud-fails the whole query.
+      import s.implicits._
+      val build = udf((id: Long) => graft.io.Warc.syntheticWarcGz(id))
+      val archives = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("archive_id"))
+        .withColumn("payload", build(col("archive_id")))
+      graft.io.Warc.warcIngest(archives)
+        .orderBy("archive_id", "record_idx")
+    }),
     "d69_readability" -> ((s, d) => {
       // READABILITY scoring (Flesch reading ease) — the classic
       // document-difficulty signal quality pipelines bucket by: syllables
@@ -7452,6 +7469,26 @@ object SparkEntry {
     // d68: the public-suffix walk in closed SQL — suffix CASE is
     // longest-first (co.uk/gov.uk before com/io/org/uk, the Scala sort
     // order), registrable = the last (|suffix labels| + 1) host labels
+    // d70: the planted WARC formula in closed form — record count
+    // 3 + id%4, body length 40 + (id+r)%30, byte j = (id·13+r·7+j·3)%26
+    // + 'a' (97)
+    "d70_warc_ingest" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS archive_id, 3 + p_partkey % 4 AS n_rec
+        |  FROM part WHERE p_partkey <= 200
+        |), rec AS (
+        |  SELECT a.archive_id, CAST(r.r AS INT) AS record_idx,
+        |    'http://site' || (a.archive_id % 50) || '.com/p' || r.r AS uri,
+        |    40 + (a.archive_id + r.r) % 30 AS len
+        |  FROM a, LATERAL (SELECT unnest(range(a.n_rec)) AS r) r
+        |), sums AS (
+        |  SELECT archive_id, record_idx, uri, CAST(len AS BIGINT) AS n_bytes,
+        |    (SELECT CAST(SUM((archive_id * 13 + record_idx * 7 + j.j * 3) % 26 + 97) AS BIGINT)
+        |     FROM (SELECT unnest(range(len)) AS j) j) AS byte_sum
+        |  FROM rec
+        |)
+        |SELECT archive_id, record_idx, uri, n_bytes, byte_sum
+        |FROM sums ORDER BY archive_id, record_idx""".stripMargin,
     // d69: same vowel-run / terminal-punctuation regexes, same pinned
     // (a − b·x) − c·y op tree over exact integer ratios
     "d69_readability" ->
