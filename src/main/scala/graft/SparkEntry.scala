@@ -1015,6 +1015,33 @@ object SparkEntry {
           st_y(st_end_point(col("geometry"))).as("y2"))
         .orderBy(col("member"), col("o_orderkey"))
     }),
+    "s32_stream_warc" -> ((s, d) => {
+      // STREAMING crawl ingest: WARC archives arrive as a binary-column
+      // stream in two ordered microbatches; the record explode
+      // (Warc.warcIngest) is per-archive stateless, so the converged
+      // output equals batch ingest — shares d70's oracle. This is the
+      // continuous-crawl shape: archives land, records flow, no state.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val build = udf((id: Long) => graft.io.Warc.syntheticWarcGz(id))
+      val archives = t(ss, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("archive_id"))
+        .withColumn("payload", build(col("archive_id")))
+      val root = java.nio.file.Files.createTempDirectory("s32").toString
+      graft.streaming.Streaming.writeOrderedMicrobatch(
+        archives.filter(col("archive_id") % 2 === 0), s"$root/in", 0)
+      graft.streaming.Streaming.writeOrderedMicrobatch(
+        archives.filter(col("archive_id") % 2 === 1), s"$root/in", 1)
+      val schema = StructType(Seq(
+        StructField("archive_id", LongType),
+        StructField("payload", BinaryType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, s"$root/in", schema)
+      val recs = graft.io.Warc.warcIngest(stream)
+      graft.streaming.Streaming.runAvailableNow(
+          recs, s"s32_warc_${System.nanoTime()}", outputMode = "append")
+        .orderBy("archive_id", "record_idx")
+    }),
     "s31_stream_blocklist" -> ((s, d) => {
       // STREAMING SERVING of the d67 automaton: the blocklist screen is
       // per-doc stateless, so the corpus streams through the SAME native
@@ -2468,6 +2495,31 @@ object SparkEntry {
       graft.llm.TextAnalysis.oddsRatioClassifier(
           trainDocs.join(labels, "doc_id"),
           docs.filter(col("doc_id") % 2 === 1))
+        .orderBy("doc_id")
+    }),
+    "d71_html_extract" -> ((s, d) => {
+      // HTML → VISIBLE TEXT (TextAnalysis.htmlToText) — the WARC→WET
+      // step run before any text analysis: drop script/style/comments,
+      // strip tags, decode entities, collapse whitespace; plus the
+      // <title> pull. Deterministic synthetic pages wrap each document's
+      // real text with planted hazards (a style block with braces, a
+      // script, a comment, &amp;/&lt; entities). The oracle replays every
+      // regex stage with the same patterns ('g' flag), so a strip-order
+      // or entity-order bug (e.g. decoding &amp; before &lt;) breaks the
+      // hash.
+      val id = col("doc_id")
+      val html = concat(
+        lit("<html><head><title>Doc "), id, lit("</title>"),
+        lit("<style>p{color:red}</style><script>var x=1;</script></head>"),
+        lit("<body><h1>Head "), id % 7, lit("</h1><p>para one "), id % 5,
+        lit("</p><!-- hidden --><p>"), col("text"),
+        lit("</p><p>two &amp; three &lt;ok&gt;</p></body></html>"))
+      val ext = graft.llm.TextAnalysis.htmlToText(col("html"))
+      t(s, d, "documents").select(id, html.as("html"))
+        .select(id,
+          graft.llm.TextAnalysis.htmlTitle(col("html")).as("title"),
+          md5(ext).as("text_md5"),
+          size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
     "d70_warc_ingest" -> ((s, d) => {
@@ -5325,6 +5377,27 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** d70's planted WARC archive replayed in closed form; shared verbatim
+    * by s32_stream_warc (per-archive stateless explode — the stream
+    * converges to the batch ingest exactly). */
+  private val d70OracleSql: String =
+    """WITH a AS (
+      |  SELECT p_partkey AS archive_id, 3 + p_partkey % 4 AS n_rec
+      |  FROM part WHERE p_partkey <= 200
+      |), rec AS (
+      |  SELECT a.archive_id, CAST(r.r AS INT) AS record_idx,
+      |    'http://site' || (a.archive_id % 50) || '.com/p' || r.r AS uri,
+      |    40 + (a.archive_id + r.r) % 30 AS len
+      |  FROM a, LATERAL (SELECT unnest(range(a.n_rec)) AS r) r
+      |), sums AS (
+      |  SELECT archive_id, record_idx, uri, CAST(len AS BIGINT) AS n_bytes,
+      |    (SELECT CAST(SUM((archive_id * 13 + record_idx * 7 + j.j * 3) % 26 + 97) AS BIGINT)
+      |     FROM (SELECT unnest(range(len)) AS j) j) AS byte_sum
+      |  FROM rec
+      |)
+      |SELECT archive_id, record_idx, uri, n_bytes, byte_sum
+      |FROM sums ORDER BY archive_id, record_idx""".stripMargin
+
   /** d66's full train → score replay in closed SQL: the d64 Kneser-Ney
     * CTE chain restricted to the even-keyed half (minCount 2), then each
     * odd-keyed doc's bigrams left-joined to the model and folded in pinned
@@ -7469,26 +7542,46 @@ object SparkEntry {
     // d68: the public-suffix walk in closed SQL — suffix CASE is
     // longest-first (co.uk/gov.uk before com/io/org/uk, the Scala sort
     // order), registrable = the last (|suffix labels| + 1) host labels
+    // d71: the same page template and the same regex pipeline, each
+    // replace global ('g'); entity order pinned (&amp; last)
+    "d71_html_extract" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |    '<style>p{color:red}</style><script>var x=1;</script></head>' ||
+        |    '<body><h1>Head ' || (doc_id % 7) || '</h1><p>para one ' ||
+        |    (doc_id % 5) || '</p><!-- hidden --><p>' || text ||
+        |    '</p><p>two &amp; three &lt;ok&gt;</p></body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(html,
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |          '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM pg
+        |)
+        |SELECT doc_id, regexp_extract(html, '<title>(.*?)</title>', 1) AS title,
+        |  md5(t) AS text_md5,
+        |  CAST(len(regexp_split_to_array(t, '\s+')) AS BIGINT) AS n_tokens
+        |FROM ex ORDER BY doc_id""".stripMargin,
     // d70: the planted WARC formula in closed form — record count
     // 3 + id%4, body length 40 + (id+r)%30, byte j = (id·13+r·7+j·3)%26
     // + 'a' (97)
-    "d70_warc_ingest" ->
-      """WITH a AS (
-        |  SELECT p_partkey AS archive_id, 3 + p_partkey % 4 AS n_rec
-        |  FROM part WHERE p_partkey <= 200
-        |), rec AS (
-        |  SELECT a.archive_id, CAST(r.r AS INT) AS record_idx,
-        |    'http://site' || (a.archive_id % 50) || '.com/p' || r.r AS uri,
-        |    40 + (a.archive_id + r.r) % 30 AS len
-        |  FROM a, LATERAL (SELECT unnest(range(a.n_rec)) AS r) r
-        |), sums AS (
-        |  SELECT archive_id, record_idx, uri, CAST(len AS BIGINT) AS n_bytes,
-        |    (SELECT CAST(SUM((archive_id * 13 + record_idx * 7 + j.j * 3) % 26 + 97) AS BIGINT)
-        |     FROM (SELECT unnest(range(len)) AS j) j) AS byte_sum
-        |  FROM rec
-        |)
-        |SELECT archive_id, record_idx, uri, n_bytes, byte_sum
-        |FROM sums ORDER BY archive_id, record_idx""".stripMargin,
+    "d70_warc_ingest" -> d70OracleSql,
+    // s32: record explode is per-archive stateless, so the streamed
+    // ingest converges to the batch ingest exactly — shared oracle
+    "s32_stream_warc" -> d70OracleSql,
     // d69: same vowel-run / terminal-punctuation regexes, same pinned
     // (a − b·x) − c·y op tree over exact integer ratios
     "d69_readability" ->

@@ -73,6 +73,33 @@ object TextAnalysis {
     call_function("aho_count", text, lit(patterns.toArray))
   }
 
+  /** `<title>` contents of an HTML document (first match, empty if none). */
+  def htmlTitle(html: Column): Column =
+    regexp_extract(html, "<title>(.*?)</title>", 1)
+
+  /**
+   * VISIBLE text of an HTML document — the WARC→WET step every crawl
+   * corpus runs before any text analysis: drop script/style blocks and
+   * comments (their contents are not prose), strip the remaining tags,
+   * decode the common entities, collapse whitespace. A fixed chain of
+   * codegen'd regex replaces (no UDF, no parser state), portable enough
+   * that the d71 oracle replays each stage with the same patterns.
+   * Entity decode order matters: `&amp;` is rewritten LAST so
+   * `&amp;lt;` stays `&lt;` as text rather than double-decoding.
+   */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?s)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val noTags = regexp_replace(noComment, "<[^>]*>", " ")
+    val ent1 = regexp_replace(noTags, "&lt;", "<")
+    val ent2 = regexp_replace(ent1, "&gt;", ">")
+    val ent3 = regexp_replace(ent2, "&quot;", "\"")
+    val ent4 = regexp_replace(ent3, "&nbsp;", " ")
+    val ent5 = regexp_replace(ent4, "&amp;", "&")
+    trim(regexp_replace(ent5, "\\s+", " "))
+  }
+
   /** BPE-ish token count: word pieces + standalone punctuation, the classic
     * `\w+|[^\w\s]` pre-tokenizer regex. */
   def bpeishTokenCount(text: Column): Column =
