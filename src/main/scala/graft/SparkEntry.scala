@@ -2497,6 +2497,54 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d72_crawl_e2e" -> ((s, d) => {
+      // CRAWL PIPELINE END TO END in one DAG: pack the corpus into WARC
+      // archives (5 docs/record-each per archive, real gzip members) →
+      // ingest (Warc.warcIngestText: member walk + CRC + record parse) →
+      // HTML extract (the d71 regex pipeline over each record's page) →
+      // Gopher quality rules over the EXTRACTED text. The oracle replays
+      // the whole chain: archive/record placement (row_number within
+      // doc_id/5), the page template, every regex stage, and the
+      // integer rule chain — so a bug at ANY stage boundary (bytes →
+      // records → text → decision) breaks one hash.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val packed = docs
+        .groupBy(expr("doc_id div 5").as("archive_id"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("text"))))
+          .as("recs"))
+      val build = udf { (recs: Seq[org.apache.spark.sql.Row]) =>
+        val out = new java.io.ByteArrayOutputStream()
+        recs.foreach { r =>
+          val id = r.getLong(0); val text = r.getString(1)
+          val html = s"<html><head><title>Doc $id</title>" +
+            "<style>p{color:red}</style><script>var x=1;</script></head>" +
+            s"<body><h1>Head ${id % 7}</h1><p>para one ${id % 5}</p>" +
+            s"<!-- hidden --><p>$text</p>" +
+            "<p>two &amp; three &lt;ok&gt;</p></body></html>"
+          val body = html.getBytes("UTF-8")
+          val head = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://docs/$id\r\n" +
+            s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+          val gz = new java.util.zip.GZIPOutputStream(out)
+          gz.write(head); gz.write(body); gz.finish()
+        }
+        out.toByteArray
+      }
+      val archives = packed.select(col("archive_id"),
+        build(col("recs")).as("payload"))
+      val recs = graft.io.Warc.warcIngestText(archives)
+      val extracted = recs.select(col("archive_id"), col("record_idx"),
+        regexp_extract(col("uri"), "/(\\d+)$", 1).cast("long").as("doc_id"),
+        graft.llm.TextAnalysis.htmlToText(col("body")).as("ext"))
+      val ruled = graft.llm.TextAnalysis.gopherRules(
+        extracted.select(col("doc_id"), col("ext").as("text")))
+      extracted
+        .join(ruled.select(col("doc_id"), col("reason"), col("accepted")),
+          "doc_id")
+        .select(col("archive_id"), col("record_idx"), col("doc_id"),
+          md5(col("ext")).as("text_md5"), col("reason"), col("accepted"))
+        .orderBy("doc_id")
+    }),
     "d71_html_extract" -> ((s, d) => {
       // HTML → VISIBLE TEXT (TextAnalysis.htmlToText) — the WARC→WET
       // step run before any text analysis: drop script/style/comments,
@@ -7542,6 +7590,67 @@ object SparkEntry {
     // d68: the public-suffix walk in closed SQL — suffix CASE is
     // longest-first (co.uk/gov.uk before com/io/org/uk, the Scala sort
     // order), registrable = the last (|suffix labels| + 1) host labels
+    // d72: the whole crawl chain replayed — page template (d71's),
+    // extraction regexes, token/rule chain (d63's) over the EXTRACTED
+    // text, and the archive placement (row_number within doc_id//5)
+    "d72_crawl_e2e" ->
+      """WITH pg AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>Doc ' || doc_id || '</title>' ||
+        |    '<style>p{color:red}</style><script>var x=1;</script></head>' ||
+        |    '<body><h1>Head ' || (doc_id % 7) || '</h1><p>para one ' ||
+        |    (doc_id % 5) || '</p><!-- hidden --><p>' || text ||
+        |    '</p><p>two &amp; three &lt;ok&gt;</p></body></html>' AS html
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(
+        |      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |        regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        |          regexp_replace(html,
+        |          '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |          '(?s)<style[^>]*>.*?</style>', ' ', 'g'),
+        |          '(?s)<!--.*?-->', ' ', 'g'),
+        |          '<[^>]*>', ' ', 'g'),
+        |          '&lt;', '<', 'g'),
+        |          '&gt;', '>', 'g'),
+        |          '&quot;', '"', 'g'),
+        |          '&nbsp;', ' ', 'g'),
+        |          '&amp;', '&', 'g'),
+        |      '\s+', ' ', 'g')) AS t
+        |  FROM pg
+        |), tok AS (
+        |  SELECT doc_id, w, COUNT(*) AS cnt FROM (
+        |    SELECT doc_id,
+        |      unnest(regexp_split_to_array(trim(lower(t)), '\s+')) AS w
+        |    FROM ex)
+        |  WHERE length(w) > 0 GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(SUM(cnt) AS BIGINT) AS n_words,
+        |    CAST(MAX(cnt) AS BIGINT) AS top_cnt,
+        |    CAST(SUM(length(w) * cnt) AS BIGINT) AS n_wchars,
+        |    CAST(SUM(CASE WHEN w IN ('the','a','of','and','to')
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+        |  FROM tok GROUP BY 1
+        |), ruled AS (
+        |  SELECT doc_id,
+        |    CASE WHEN n_words < 25 THEN 'too_short'
+        |         WHEN n_words > 70 THEN 'too_long'
+        |         WHEN n_wchars < 3 * n_words THEN 'word_len'
+        |         WHEN n_wchars > 7 * n_words THEN 'word_len'
+        |         WHEN n_stop < 2 THEN 'stopwords'
+        |         WHEN top_cnt * 8 > n_words THEN 'repetition'
+        |         ELSE 'ok' END AS reason
+        |  FROM agg
+        |)
+        |SELECT CAST(e.doc_id // 5 AS BIGINT) AS archive_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY e.doc_id // 5
+        |    ORDER BY e.doc_id) - 1 AS INT) AS record_idx,
+        |  e.doc_id, md5(e.t) AS text_md5, r.reason,
+        |  r.reason = 'ok' AS accepted
+        |FROM ex e JOIN ruled r USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin,
     // d71: the same page template and the same regex pipeline, each
     // replace global ('g'); entity order pinned (&amp; last)
     "d71_html_extract" ->

@@ -112,6 +112,24 @@ object Warc {
         col("__r._3").cast("long").as("n_bytes"), col("__r._4").as("byte_sum"))
   }
 
+  /** [[warcIngest]]'s content-carrying sibling: explode archives into
+    * (record_idx, uri, body) with the payload decoded as UTF-8 text —
+    * the form the downstream extract/quality stages consume (d72). */
+  def warcIngestText(archives: DataFrame, idCol: String = "archive_id",
+                     payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      gzipMembers(payload).zipWithIndex.flatMap { case (m, i) =>
+        parseWarcRecord(m).map { case (uri, body) =>
+          (i, uri, new String(body, "UTF-8"))
+        }
+      }
+    }
+    archives.withColumn("__r", explode(dec(col(payloadCol))))
+      .select(col(idCol),
+        col("__r._1").as("record_idx"), col("__r._2").as("uri"),
+        col("__r._3").as("body"))
+  }
+
   /** Deterministic synthetic WARC archive for a key: `3 + id%4` records,
     * each an independently-gzipped member (real DEFLATE, real CRC32
     * trailers) holding a WARC/1.0 response record for
