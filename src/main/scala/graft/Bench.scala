@@ -8,15 +8,17 @@ import org.apache.spark.sql.SparkSession
   *
   * METHODOLOGY (stated in the JSON itself as `methodology`): the headline
   * `value` is the sum over queries of the per-query MEDIAN of
-  * `SPARK_GRAFT_BENCH_REPS` (default 3) consecutive runs in one warm JVM.
-  * PERF.md has documented 30-73 s run-to-run swings on identical code
-  * since round 4 (cold page cache / JIT / interleaved stream-checkpoint
-  * setup), and round 8's single-run total was 2.25x its own median-of-3 —
-  * a medianed headline measures the plans, not the scheduler. The old
-  * single-pass figure survives as `first_pass` (sum of each query's first
-  * run — the contended cold number), and the 10 slowest queries are
-  * re-run once more in isolation at the end (`isolated`) to separate
-  * suite-order effects from genuine per-query cost.
+  * `SPARK_GRAFT_BENCH_REPS` (default 3) consecutive runs in one warm JVM,
+  * after ONE untimed run at the target SF (the sf0.001 warmup compiles
+  * codegen classes but barely exercises them, so without it the first
+  * measured reps still pay C2 JIT — d34's reps were 7.7/5.3/2.1 s for a
+  * 2 s steady state). PERF.md has documented 30-73 s run-to-run swings on
+  * identical code since round 4, and round 8's single-run total was 2.25x
+  * its own median-of-3 — a medianed, JIT-settled headline measures the
+  * plans, not the scheduler. `first_pass` is the sum of each query's
+  * first MEASURED run, and the 10 slowest queries are re-run once more in
+  * isolation at the end (`isolated`) to separate suite-order effects from
+  * genuine per-query cost.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -57,13 +59,24 @@ object Bench {
     // Dropping the persisted blocks between runs is safe — each run builds
     // a fresh plan — and makes every measurement start from the same
     // block-manager state.
+    // blocking=true: an async unpersist races the NEXT measured run (its
+    // block removals and the run's block registrations interleave in the
+    // block manager) — measured on d34: 6 reps grew 4.4 -> 11.6 s with
+    // async drops and held ~2-4 s with blocking ones
     def dropPersisted(): Unit = {
       spark.sharedState.cacheManager.clearCache()
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
     // (name, median, firstRun)
     val results = selected.map { case (name, fn) =>
+      // one untimed run at the TARGET sf first: the sf0.001 warmup pass
+      // compiles each query's codegen classes but barely exercises them,
+      // so the first 1-2 target-SF runs still pay C2 JIT (measured on
+      // d34: reps 7.7/5.3/2.1 s for a query whose steady state is 2 s —
+      // the median was measuring the JIT, not the plan)
+      dropPersisted()
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = (1 to reps).map { rep =>
         dropPersisted()
         val t0 = System.nanoTime()
@@ -99,9 +112,10 @@ object Bench {
       catch { case _: Throwable => name -> -1.0 }
     }
     val methodology =
-      s"per-query median of $reps consecutive runs, one warm JVM; " +
-        "first_pass = sum of first runs (cold/contended); isolated = " +
-        "post-suite rerun of the 10 slowest"
+      s"per-query median of $reps consecutive runs after one untimed " +
+        "target-SF warm run, one warm JVM, persisted blocks dropped " +
+        "(blocking) between runs; first_pass = sum of first measured " +
+        "runs; isolated = post-suite rerun of the 10 slowest"
     // full detail to a file (sorted by name for stable diffs)
     val detail =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir","reps":$reps,"methodology":"$methodology","first_pass":${fmt(firstPass)},"failed":${jsonArr(failed.toSeq)},"isolated":${json(isolated)},"queries":${json(results.sortBy(_._1).map(r => (r._1, r._2)))},"first_runs":${json(results.sortBy(_._1).map(r => (r._1, r._3)))}}"""
