@@ -2924,11 +2924,14 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
         ss, d, schema, glob = Some("documents.parquet"))
-      val toks = TextAnalysis.tokens(col("text"))
-      val counts = stream.filter(size(toks) >= 2)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
-          struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))).as("b"))
+      // token array as an attribute BEFORE the lambda (the d64 lesson:
+      // an inlined tokens() re-runs the regex split per element_at)
+      val counts = stream
+        .select(TextAnalysis.tokens(col("text")).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+          struct(element_at(col("__ts"), i).as("w1"),
+            element_at(col("__ts"), i + 1).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
       val ckpt = java.nio.file.Files.createTempDirectory("s22ck").toString
@@ -2955,13 +2958,14 @@ object SparkEntry {
       // a pinned operand order, ROUND(,4) — the bigram-LM portability
       // contract. Two token-keyed aggs + two equi-joins, map-side
       // combinable throughout.
-      val toks = TextAnalysis.tokens(col("text"))
+      // token array as an attribute BEFORE the lambda (the d64 lesson)
       val big = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .filter(size(toks) >= 2)
-        .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
-          struct(element_at(toks, i).as("w1"),
-            element_at(toks, i + 1).as("w2")))).as("b"))
+        .select(TextAnalysis.tokens(col("text")).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+          struct(element_at(col("__ts"), i).as("w1"),
+            element_at(col("__ts"), i + 1).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .localCheckpoint()
       val n = big.count()
@@ -3034,16 +3038,17 @@ object SparkEntry {
       // 0.0 = everything seen before. One per-doc distinct explode, one
       // gram-keyed min-agg (map-side combinable), one id-keyed rollup;
       // counts exact, novelty one IEEE divide.
-      val toks = TextAnalysis.tokens(col("text"))
       // spread + materialize ONCE: grams feed both the first-occurrence
       // agg and the join back (the d44 lesson — without this the explode
-      // runs twice, single-threaded off the one-partition parquet)
+      // runs twice, single-threaded off the one-partition parquet); token
+      // array as an attribute BEFORE the lambda (the d64 lesson)
       val grams = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-        .filter(size(toks) >= 2)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
         .select(col("doc_id"), explode(array_distinct(
-          transform(sequence(lit(1), size(toks) - 1), i =>
-            concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+          transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+            concat_ws(" ", element_at(col("__ts"), i), element_at(col("__ts"), i + 1)))))
           .as("gram"))
         .localCheckpoint()
       val fo = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
@@ -3324,12 +3329,14 @@ object SparkEntry {
       // column gets pruned)
       val docs = t(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism)
-      val ts = TextAnalysis.tokens(col("text"))
+      // token array as an attribute BEFORE the lambda (the d64 lesson)
       val grams = docs
-        .filter(size(ts) >= 2)
         .select(col("doc_id"), substring(col("text"), 1, 20).as("bkey"),
-          transform(sequence(lit(1), size(ts) - 1), i =>
-            concat_ws(" ", element_at(ts, i), element_at(ts, i + 1))).as("grams"))
+          TextAnalysis.tokens(col("text")).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(col("doc_id"), col("bkey"),
+          transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+            concat_ws(" ", element_at(col("__ts"), i), element_at(col("__ts"), i + 1))).as("grams"))
       Dedup.sortedNeighborhoodPairs(grams, "doc_id", col("bkey"), "grams",
           window = 4, minJaccard = 0.5)
         .orderBy(col("id_a"), col("id_b"))
@@ -3347,6 +3354,7 @@ object SparkEntry {
       val grams = t(s, d, "documents")
         .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("ts"))
         .filter(size(col("ts")) >= 3)
+        // ts is already an attribute here, so the lambda reads are cheap
         .select(col("doc_id"), transform(sequence(lit(1), size(col("ts")) - 2), i =>
           concat_ws(" ", element_at(col("ts"), i), element_at(col("ts"), i + 1),
             element_at(col("ts"), i + 2))).as("grams"))

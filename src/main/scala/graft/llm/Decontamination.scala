@@ -32,12 +32,15 @@ object Decontamination {
     * collide with any benchmark n-gram). */
   def wordNgrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n-gram size must be >= 1, got $n")
-    val toks = TextAnalysis.tokens(text)
-    array_distinct(
-      when(size(toks) >= n,
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
-      .otherwise(array().cast("array<string>")))
+    // Hoist.once: inlining the token split into the lambda would re-run
+    // it n times per gram position (the d64 lesson)
+    graft.util.Hoist.once(TextAnalysis.tokens(text)) { toks =>
+      array_distinct(
+        when(size(toks) >= n,
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*)))
+        .otherwise(array().cast("array<string>")))
+    }
   }
 
   /** The benchmark's distinct n-gram set: one column `gram` (string, or

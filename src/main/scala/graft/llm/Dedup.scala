@@ -41,13 +41,15 @@ object Dedup {
 
   /** Character shingles (n-grams) of the normalized text, as a distinct array
     * (codegen'd built-ins; substr is 1-based). */
-  def shingles(text: Column, n: Int): Column = {
-    val norm = regexp_replace(lower(text), "\\s+", " ")
-    val cnt = length(norm) - (n - 1)
-    when(cnt > 0,
-      array_distinct(transform(sequence(lit(1), cnt), i => norm.substr(i, lit(n)))))
-      .otherwise(array(norm))
-  }
+  def shingles(text: Column, n: Int): Column =
+    // Hoist.once: the normalization would otherwise re-run per shingle
+    // position inside the transform lambda (interpreted, per element)
+    graft.util.Hoist.once(regexp_replace(lower(text), "\\s+", " ")) { s =>
+      val cnt = length(s) - (n - 1)
+      when(cnt > 0,
+        array_distinct(transform(sequence(lit(1), cnt), i => s.substr(i, lit(n)))))
+        .otherwise(array(s))
+    }
 
   /** MinHash signature computed in ONE pass directly from the text: inline
     * rolling character shingling (no intermediate Spark string arrays — at
@@ -1109,11 +1111,13 @@ object Dedup {
     * analogue for corpora whose documents have no sentence structure. */
   private def tokenChunks(text: Column, c: Int): Column = {
     // null-safe: a null text must still yield its one-chunk empty doc so
-    // the per-doc output contract ("one row per input doc") holds
-    val toks = TextAnalysis.tokens(coalesce(text, lit("")))
-    val nChunks = floor((size(toks) + lit(c - 1)) / lit(c)).cast("int")
-    transform(sequence(lit(0), nChunks - 1),
-      i => concat_ws(" ", slice(toks, i * c + 1, lit(c))))
+    // the per-doc output contract ("one row per input doc") holds.
+    // Hoist.once: an inlined tokens() would re-split per chunk (d64 lesson)
+    graft.util.Hoist.once(TextAnalysis.tokens(coalesce(text, lit("")))) { toks =>
+      val nChunks = floor((size(toks) + lit(c - 1)) / lit(c)).cast("int")
+      transform(sequence(lit(0), nChunks - 1),
+        i => concat_ws(" ", slice(toks, i * c + 1, lit(c))))
+    }
   }
 
   /** Shared explode: one row per (id, chunk_idx, chunk string). */
@@ -1337,10 +1341,13 @@ object Dedup {
     // into the checkpoint (the d34 lesson).
     val grams = docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
-      .filter(size(toks) >= 2)
-      .select(col(groupCol).as("__g"), explode(array_distinct(
-        transform(sequence(lit(1), size(toks) - 1), i =>
-          concat_ws(" ", element_at(toks, i), element_at(toks, i + 1)))))
+      // tokens materialized as an attribute BEFORE the lambda (the d64
+      // lesson: an inlined tokens() re-runs the regex split per element_at)
+      .select(col(groupCol).as("__g"), toks.as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col("__g"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+          concat_ws(" ", element_at(col("__ts"), i), element_at(col("__ts"), i + 1)))))
         .as("__gram"))
       .distinct()
       .localCheckpoint()

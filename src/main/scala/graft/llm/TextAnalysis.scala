@@ -488,12 +488,18 @@ object TextAnalysis {
   def kneserNeyBigram(df: DataFrame, textCol: String = "text",
                       discount: Double = 0.75, minCount: Long = 1): DataFrame = {
     require(discount > 0 && discount < 1, s"discount=$discount out of (0, 1)")
-    val toks = tokens(col(textCol))
+    // materialize the token array in its own projection BEFORE the lambda:
+    // inlining `tokens(text)` into the transform makes every element_at
+    // re-run the regex split (~2 full-text splits PER BIGRAM — measured
+    // 5+ s of the 5.3 s d64 total at sf0.1); CollapseProject keeps a
+    // non-cheap multiply-referenced alias in its own node, so this stays
+    // one split per document
     val big = df
-      .filter(size(toks) >= 2)
-      .select(explode(transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+        struct(element_at(col("__ts"), i).as("w1"),
+          element_at(col("__ts"), i + 1).as("w2")))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       .localCheckpoint()
     val c12 = big.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -537,12 +543,14 @@ object TextAnalysis {
   def kneserNeyPerplexity(docs: DataFrame, model: DataFrame,
                           idCol: String = "doc_id",
                           textCol: String = "text"): DataFrame = {
-    val toks = tokens(col(textCol))
+    // token array materialized before the lambda — see kneserNeyBigram:
+    // an inlined tokens() re-runs the regex split per element_at
     val big = docs
-      .filter(size(toks) >= 2)
-      .select(col(idCol), explode(transform(sequence(lit(1), size(toks) - 1), i =>
-        struct(element_at(toks, i).as("w1"),
-          element_at(toks, i + 1).as("w2")))).as("b"))
+      .select(col(idCol), tokens(col(textCol)).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(col(idCol), explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+        struct(element_at(col("__ts"), i).as("w1"),
+          element_at(col("__ts"), i + 1).as("w2")))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
     big
       .join(broadcast(model.select("w1", "w2", "p_kn")), Seq("w1", "w2"), "left")
