@@ -4072,6 +4072,54 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q96_autocorrelation" -> ((s, d) => {
+      // autocorrelation function (lags 1-3) of each event type's hourly
+      // value series — the time-series seasonality/persistence probe
+      // (Box-Jenkins model identification). Values become exact integer
+      // CENTS, hours become integer epoch buckets, so every sum is a
+      // long and the Pearson r per (type, lag) is ONE pinned IEEE op
+      // tree over exact operands + ROUND(,4) — the d64 portability
+      // contract. ROW-lag over the observed hourly series (gaps skipped,
+      // stated contract; q73 gap-fill is the interpolation op). One
+      // keyed agg + one window + one final agg — all map-side
+      // combinable, series parallelize per type.
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          // div, not /: Spark's / on longs is a fractional Divide; the
+          // epochs are positive so truncating div == DuckDB's floor //
+          expr("unix_micros(ts) div 3600000000L").as("h"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val pairs = (1 to 3).map { l =>
+        hourly.select(col("event_type"), lit(l).as("lag"), col("x"),
+          lag(col("x"), l).over(w).as("y"))
+      }.reduce(_ unionByName _).filter(col("y").isNotNull)
+      val a = pairs.groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+          sum(col("y")).as("sy"), sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"), sum(col("y") * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      a.filter(col("n") >= 8)
+        .select(col("event_type"), col("lag"), col("n"),
+          round((nD * col("sxy") - col("sx").cast("double") * col("sy")) /
+            sqrt((nD * col("sxx") - col("sx").cast("double") * col("sx")) *
+              (nD * col("syy") - col("sy").cast("double") * col("sy"))), 4)
+            .as("acf"))
+        .orderBy("event_type", "lag")
+    }),
+    "q95_link_prediction" -> ((s, d) => {
+      // link prediction (Graph.linkPrediction) on the q46/q50 affine-map
+      // graph: for every non-edge sharing ≥1 neighbor, common-neighbor
+      // count + resource-allocation index (Zhou/Lü/Zhang 2009) in exact
+      // 1e-12 fixed-point — the "suggest missing links" primitive of a
+      // crawl/citation graph. Wedges generate at the CENTER vertex from
+      // its adjacency list (the triangle-count budget Σ deg²), hub
+      // fanout loud-fails, one anti-join screens existing edges; all
+      // integers, so top-50 hash-checks bit-for-bit.
+      graft.ops.Graph.linkPrediction(affinePartGraph(s, d))
+        .orderBy(col("cn").desc, col("ra_e12").desc, col("u"), col("v"))
+        .limit(50)
+    }),
     "q94_interval_coverage" -> ((s, d) => {
       // INTERVAL-UNION coverage (ops/Intervals.unionCoverage): total
       // covered time of overlapping spans per type — the sweep-line
@@ -4609,6 +4657,36 @@ object SparkEntry {
       |  CAST(SUM(iv) AS BIGINT) AS sum_iv
       |FROM survivors GROUP BY event_type, user_bucket
       |ORDER BY event_type, user_bucket""".stripMargin
+
+  /** q95: same affine-map graph as q50, canonicalized undirected; wedges
+    * per center vertex, RA in integer 1e-12 units (// is floor division —
+    * equal to Spark's long `/` truncation for these positive operands). */
+  private val linkPredictionOracleSql: String =
+    """WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+      |raw AS (
+      |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n0.n) + 1 FROM part, n0
+      |), e AS (
+      |  SELECT DISTINCT LEAST(src, dst) AS src, GREATEST(src, dst) AS dst
+      |  FROM raw WHERE src <> dst
+      |), adj AS (
+      |  SELECT src AS w, dst AS v FROM e UNION ALL SELECT dst, src FROM e
+      |), deg AS (SELECT w, COUNT(*) AS deg FROM adj GROUP BY 1),
+      |wed AS (
+      |  SELECT a.v AS u, b.v AS v, a.w AS w
+      |  FROM adj a JOIN adj b ON a.w = b.w AND a.v < b.v
+      |), sc AS (
+      |  SELECT u, v, CAST(COUNT(*) AS BIGINT) AS cn,
+      |    CAST(SUM(1000000000000 // d.deg) AS BIGINT) AS ra_e12
+      |  FROM wed JOIN deg d ON d.w = wed.w GROUP BY 1, 2
+      |)
+      |SELECT sc.u, sc.v, sc.cn, sc.ra_e12 FROM sc
+      |LEFT JOIN e ON e.src = sc.u AND e.dst = sc.v
+      |WHERE e.src IS NULL
+      |ORDER BY sc.cn DESC, sc.ra_e12 DESC, sc.u, sc.v LIMIT 50""".stripMargin
 
   private val pageRankOracleSql: String = {
     val rounds = (1 to 5).map { k =>
@@ -8490,6 +8568,33 @@ object SparkEntry {
     // q94: the day-sliced sweep in closed SQL — same slicing (floor-div
     // day index, clamped segments), same prior-end running max, same
     // int64 contributions
+    "q95_link_prediction" -> linkPredictionOracleSql,
+    "q96_autocorrelation" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT event_type, 1 AS lag, x,
+        |    lag(x, 1) OVER (PARTITION BY event_type ORDER BY h) AS y FROM hourly
+        |  UNION ALL SELECT event_type, 2, x,
+        |    lag(x, 2) OVER (PARTITION BY event_type ORDER BY h) FROM hourly
+        |  UNION ALL SELECT event_type, 3, x,
+        |    lag(x, 3) OVER (PARTITION BY event_type ORDER BY h) FROM hourly
+        |), agg AS (
+        |  SELECT event_type, lag, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+        |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+        |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+        |    CAST(SUM(y * y) AS BIGINT) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT event_type, lag, n,
+        |  ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy) /
+        |    sqrt((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) *
+        |      (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)), 4) AS acf
+        |FROM agg WHERE n >= 8
+        |ORDER BY event_type, lag""".stripMargin,
     "q94_interval_coverage" ->
       """WITH iv AS (
         |  SELECT event_type, epoch_us(ts) AS st,

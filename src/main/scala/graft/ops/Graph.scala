@@ -696,4 +696,53 @@ object Graph {
       spark.range(0).select(col("id").as("v"), col("id").as("coreness"))
     else peels.reduce(_ unionByName _)
   }
+
+  /**
+   * Link prediction over an undirected graph: for every NON-edge pair
+   * (u, v) sharing at least one neighbor, the two classic proximity
+   * scores — common-neighbor count CN(u,v) = |Γ(u) ∩ Γ(v)| and the
+   * resource-allocation index RA(u,v) = Σ_{w ∈ Γ(u)∩Γ(v)} 1/deg(w)
+   * (Zhou, Lü & Zhang, EPJ B 2009 — RA consistently beats Adamic-Adar
+   * on dense graphs). The standard crawl/citation-graph "suggest missing
+   * links / find near-miss duplicates" primitive.
+   *
+   * Engine-portable by construction: CN is an exact count and RA is kept
+   * in FIXED-POINT integer units of 1e-12 (Σ 10^12 div deg(w), integer
+   * division) — no float folds, so the whole result hash-checks.
+   *
+   * Scale shape: wedges are generated per CENTER vertex w from its
+   * adjacency list — one groupBy(w) collecting neighbors (bounded by
+   * max degree), one ordered-pair explode, one count/sum agg on (u, v),
+   * one anti-join against the edge set. Work is Σ_w deg(w)², the
+   * triangle-counting budget; `maxDegree` LOUD-fails on a hub that would
+   * make a single list pathological (salt or sample hubs upstream — a
+   * silent cap would bias the scores).
+   */
+  def linkPrediction(edges: DataFrame, maxDegree: Int = 10000): DataFrame = {
+    val e = canonicalEdges(
+      edges.select(col("src").cast("long").as("src"),
+        col("dst").cast("long").as("dst"))).localCheckpoint()
+    // both directions: Γ(w) per center w
+    val adj = e.select(col("src").as("w"), col("dst").as("v"))
+      .unionByName(e.select(col("dst").as("w"), col("src").as("v")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("__deg"))
+    val hub = deg.filter(col("__deg") > maxDegree).limit(1).collect()
+    require(hub.isEmpty,
+      s"linkPrediction: vertex ${hub.headOption.map(_.get(0)).orNull} has degree " +
+        s"> maxDegree=$maxDegree — wedge fanout would be quadratic in it; " +
+        "salt/sample hub adjacencies upstream or raise the bound")
+    // per-center ordered neighbor pairs, RA contribution in 1e-12 units
+    val wedges = adj.join(deg, "w")
+      .groupBy(col("w"), col("__deg"))
+      .agg(sort_array(collect_list(col("v"))).as("__ns"))
+      .select(expr("1000000000000L div __deg").as("__ra"),
+        explode(expr(
+          "flatten(transform(__ns, a -> transform(filter(__ns, b -> b > a), " +
+            "b -> struct(a, b))))")).as("__p"))
+      .select(col("__p.a").as("u"), col("__p.b").as("v"), col("__ra"))
+    wedges.groupBy("u", "v")
+      .agg(count(lit(1)).as("cn"), sum(col("__ra")).as("ra_e12"))
+      .join(e.select(col("src").as("u"), col("dst").as("v")),
+        Seq("u", "v"), "left_anti")
+  }
 }

@@ -296,6 +296,34 @@ class GraphSpec extends SparkSpec {
     assert(dist == local, s"distributed=$dist local=$local")
   }
 
+  test("linkPrediction: CN and fixed-point RA on a hand-checked graph") {
+    // path 1-2-3 plus triangle 3-4-5 plus pendant 5-6:
+    //   non-edge (1,3): common neighbor {2}, deg(2)=2 -> cn=1, ra=5e11
+    //   non-edge (2,4): {3}, deg(3)=3 -> cn=1, ra=333333333333
+    //   non-edge (2,5): {3}           -> cn=1, ra=333333333333
+    //   non-edge (4,6): {5}, deg(5)=3 -> cn=1, ra=333333333333
+    //   non-edge (3,6): {5}           -> cn=1, ra=333333333333
+    //   non-edge (1,4)/(1,5)/(1,6)/(2,6): no common neighbor -> absent
+    //   edges (4,5),(3,4),(3,5): share a neighbor but are EDGES -> screened
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (3L, 5L), (4L, 5L), (5L, 6L))
+    val got = Graph.linkPrediction(edges.toDF("src", "dst"))
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 1L, 500000000000L),
+      (2L, 4L, 1L, 333333333333L),
+      (2L, 5L, 1L, 333333333333L),
+      (3L, 6L, 1L, 333333333333L),
+      (4L, 6L, 1L, 333333333333L)), s"got $got")
+  }
+
+  test("linkPrediction: hub over maxDegree loud-fails") {
+    val star = (2L to 12L).map(v => (1L, v))
+    val ex = intercept[IllegalArgumentException] {
+      Graph.linkPrediction(star.toDF("src", "dst"), maxDegree = 10).count()
+    }
+    assert(ex.getMessage.contains("maxDegree"))
+  }
+
   test("triangleCount: hub vertex generates no wedges (degree orientation)") {
     // star K1,50 plus one triangle through the hub: the hub's degree is 51,
     // so both hub edges of the triangle orient AWAY from the leaves
