@@ -2497,6 +2497,69 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d74_phrase_search" -> ((s, d) => {
+      // PHRASE SEARCH over a positional inverted index — the d31
+      // inverted index extended with positions, probed by a 3-term
+      // phrase batch: postings join against a broadcast (phrase, word,
+      // offset) dictionary, then the classic positional intersection —
+      // every posting votes for start = pos − offset, and a start with
+      // votes == phrase length is a match (Manning/Raghavan/Schütze's
+      // positional-intersect, re-expressed as one groupBy). One narrow
+      // posexplode + one broadcast join + one (doc, phrase, start) agg;
+      // at 100 TB the postings shuffle is keyed by token and the
+      // phrase dictionary stays broadcast-tiny. Exact integers.
+      val phrases = Seq("slow hash batch", "row column sort",
+        "window fast query")
+      import s.implicits._
+      val ph = phrases.flatMap { p =>
+        p.split(" ").zipWithIndex.map { case (w, i) => (p, w, i) }
+      }.toDF("phrase", "w", "i")
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+      pos.join(broadcast(ph), "w")
+        .select(col("phrase"), col("doc_id"),
+          (col("p") + 1 - col("i")).cast("long").as("start"))
+        .groupBy("phrase", "doc_id", "start").agg(count(lit(1)).as("__k"))
+        .filter(col("__k") === 3)
+        .groupBy("phrase", "doc_id")
+        .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
+        .orderBy("phrase", "doc_id")
+    }),
+    "d73_cusum_changepoint" -> ((s, d) => {
+      // CUSUM changepoint detection (Page 1954) over each source's
+      // doc-length series — the corpus drift monitor: did a source's
+      // content distribution shift mid-crawl? The recursion
+      // S_t = max(0, S_{t-1} + (x_t − mean)) is computed CLOSED-FORM as
+      // S_t = P_t − min(0, min_{j≤t} P_j) with P the prefix sum of
+      // deviations — two running windows, no fold, no UDF. Deviations
+      // are scaled by n (d_t = n·x_t − total) so everything stays exact
+      // long arithmetic; the only float is the final ROUND(peak/n, 4).
+      // Peak doc resolves ties by MIN doc_id (explicit, not arg_max's
+      // unspecified pick). Scale: windows partition per source — series
+      // parallelize across sources; a single 100 TB-scale source would
+      // range-partition on (source, day) the way q94 slices days.
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val tot = docs.groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("total"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val scored = docs.join(broadcast(tot), "source")
+        .withColumn("__d", col("n") * col("n_chars") - col("total"))
+        .withColumn("__p", sum(col("__d")).over(w))
+        .withColumn("__s", col("__p") - least(lit(0L), min(col("__p")).over(w)))
+        .localCheckpoint() // feeds the peak agg AND the tie-resolve join
+      val peak = scored.groupBy(col("source")).agg(max(col("__s")).as("peak"))
+      scored.join(broadcast(peak), Seq("source"))
+        .filter(col("__s") === col("peak"))
+        .groupBy(col("source"), col("n"), col("peak"))
+        .agg(min(col("doc_id")).as("peak_doc"))
+        .withColumnRenamed("n", "n_docs")
+        .select(col("source"), col("n_docs"), col("peak"), col("peak_doc"),
+          round(col("peak").cast("double") / col("n_docs"), 4).as("peak_per_doc"))
+        .orderBy("source")
+    }),
     "d72_crawl_e2e" -> ((s, d) => {
       // CRAWL PIPELINE END TO END in one DAG: pack the corpus into WARC
       // archives (5 docs/record-each per archive, real gzip members) →
@@ -7679,6 +7742,50 @@ object SparkEntry {
     // d72: the whole crawl chain replayed — page template (d71's),
     // extraction regexes, token/rule chain (d63's) over the EXTRACTED
     // text, and the archive placement (row_number within doc_id//5)
+    "d74_phrase_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |  FROM documents
+        |), pw AS (
+        |  SELECT phrase, regexp_split_to_array(phrase, ' ') AS w
+        |  FROM (VALUES ('slow hash batch'), ('row column sort'),
+        |               ('window fast query')) v(phrase)
+        |), m AS (
+        |  SELECT pw.phrase, t.doc_id, g.i
+        |  FROM t CROSS JOIN pw
+        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+        |    1, GREATEST(len(t.a) - 2, 0))) AS i) g
+        |  WHERE t.a[g.i] = pw.w[1] AND t.a[g.i + 1] = pw.w[2]
+        |    AND t.a[g.i + 2] = pw.w[3]
+        |)
+        |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+        |  CAST(MIN(i) AS BIGINT) AS first_pos
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d73_cusum_changepoint" ->
+      """WITH tot AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
+        |    CAST(SUM(n_chars) AS BIGINT) AS total
+        |  FROM documents GROUP BY 1
+        |), pre AS (
+        |  SELECT d.source, d.doc_id, t.n,
+        |    SUM(t.n * d.n_chars - t.total) OVER w AS p
+        |  FROM documents d JOIN tot t USING (source)
+        |  WINDOW w AS (PARTITION BY d.source ORDER BY d.doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), scored AS (
+        |  SELECT source, doc_id, n, p - LEAST(0, MIN(p) OVER w) AS s
+        |  FROM pre
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), peak AS (SELECT source, MAX(s) AS peak FROM scored GROUP BY 1)
+        |SELECT sc.source, ANY_VALUE(sc.n) AS n_docs,
+        |  CAST(p.peak AS BIGINT) AS peak,
+        |  MIN(sc.doc_id) AS peak_doc,
+        |  ROUND(CAST(p.peak AS DOUBLE) / ANY_VALUE(sc.n), 4) AS peak_per_doc
+        |FROM scored sc JOIN peak p USING (source)
+        |WHERE sc.s = p.peak
+        |GROUP BY sc.source, p.peak
+        |ORDER BY sc.source""".stripMargin,
     "d72_crawl_e2e" ->
       """WITH pg AS (
         |  SELECT doc_id,
