@@ -2497,6 +2497,43 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d75_textrank" -> ((s, d) => {
+      // TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
+      // over the word co-occurrence graph — adjacent-token pairs become
+      // undirected edges, 5 ordered-fold power iterations (q50's exact
+      // double contract), top-20 words by rank. The text→graph→rank
+      // COMPOSITION gate: tokenizer, graph construction, dense-id
+      // mapping and the iterative engine all sit under one hash. The
+      // row_number word→id mapping is the GATE path (a global window —
+      // vocab-bounded, single task); at corpus scale the mapping is the
+      // same sorted-dictionary build d77-style dictionary encoding would
+      // ship, and ranks are invariant to the id permutation.
+      val big = t(s, d, "documents")
+        .select(TextAnalysis.tokens(col("text")).as("__ts"))
+        .filter(size(col("__ts")) >= 2)
+        .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+          struct(element_at(col("__ts"), i).as("w1"),
+            element_at(col("__ts"), i + 1).as("w2")))).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .filter(col("w1") =!= col("w2") && length(col("w1")) > 0 &&
+          length(col("w2")) > 0)
+        .distinct()
+        .localCheckpoint() // feeds the id build and both edge attaches
+      val ids = big.select(col("w1").as("w")).unionByName(big.select(col("w2").as("w")))
+        .distinct()
+        .select(col("w"), row_number().over(Window.orderBy("w")).as("v"))
+        .localCheckpoint()
+      val dir = big
+        .join(ids.select(col("w").as("w1"), col("v").as("__va")), "w1")
+        .join(ids.select(col("w").as("w2"), col("v").as("__vb")), "w2")
+        .select(col("__va").as("src"), col("__vb").as("dst"))
+      val e = dir.unionByName(dir.select(col("dst").as("src"), col("src").as("dst")))
+      graft.ops.Graph.pageRank(e, iterations = 5, damping = 0.85,
+          orderedFold = true)
+        .join(ids, "v")
+        .select(col("w").as("word"), col("r"))
+        .orderBy(col("r").desc, col("word")).limit(20)
+    }),
     "d74_phrase_search" -> ((s, d) => {
       // PHRASE SEARCH over a positional inverted index — the d31
       // inverted index extended with positions, probed by a 3-term
@@ -4750,6 +4787,48 @@ object SparkEntry {
       |LEFT JOIN e ON e.src = sc.u AND e.dst = sc.v
       |WHERE e.src IS NULL
       |ORDER BY sc.cn DESC, sc.ra_e12 DESC, sc.u, sc.v LIMIT 50""".stripMargin
+
+  /** d75: q50's unrolled 5-round ordered-fold PageRank replay, over the
+    * word co-occurrence graph instead of the affine-map graph. */
+  private val textRankOracleSql: String = {
+    val rounds = (1 to 5).map { k =>
+      s"""r$k AS (
+         |  SELECT vv.v, (1.0::DOUBLE - 0.85::DOUBLE) / nn.n + 0.85::DOUBLE * COALESCE(s.s, 0.0::DOUBLE) AS r
+         |  FROM v vv CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.dst AS v, list_reduce(list(rp.r / od.od ORDER BY e.src), (x,y) -> x + y) AS s
+         |    FROM e JOIN r${k - 1} rp ON rp.v = e.src JOIN od ON od.src = e.src
+         |    GROUP BY e.dst) s USING (v)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH t AS (
+       |  SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |  FROM documents
+       |), raw AS (
+       |  SELECT a[g.i] AS w1, a[g.i + 1] AS w2
+       |  FROM t CROSS JOIN LATERAL (SELECT unnest(generate_series(
+       |    1, GREATEST(len(a) - 1, 0))) AS i) g
+       |), bg AS (
+       |  SELECT DISTINCT w1, w2 FROM raw
+       |  WHERE w1 <> w2 AND w1 <> '' AND w2 <> ''
+       |), wd AS (
+       |  SELECT DISTINCT w FROM
+       |    (SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg) u
+       |), ids AS (SELECT w, row_number() OVER (ORDER BY w) AS v FROM wd),
+       |e AS (
+       |  SELECT ia.v AS src, ib.v AS dst
+       |  FROM bg JOIN ids ia ON ia.w = bg.w1 JOIN ids ib ON ib.w = bg.w2
+       |  UNION
+       |  SELECT ib.v, ia.v
+       |  FROM bg JOIN ids ia ON ia.w = bg.w1 JOIN ids ib ON ib.w = bg.w2
+       |),
+       |v AS (SELECT DISTINCT v FROM (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+       |nn AS (SELECT COUNT(*) AS n FROM v),
+       |od AS (SELECT src, COUNT(*) AS od FROM e GROUP BY 1),
+       |r0 AS (SELECT v.v, 1.0::DOUBLE / nn.n AS r FROM v, nn),
+       |$rounds
+       |SELECT ids.w AS word, r5.r FROM r5 JOIN ids ON ids.v = r5.v
+       |ORDER BY r5.r DESC, word LIMIT 20""".stripMargin
+  }
 
   private val pageRankOracleSql: String = {
     val rounds = (1 to 5).map { k =>
@@ -7742,6 +7821,7 @@ object SparkEntry {
     // d72: the whole crawl chain replayed — page template (d71's),
     // extraction regexes, token/rule chain (d63's) over the EXTRACTED
     // text, and the archive placement (row_number within doc_id//5)
+    "d75_textrank" -> textRankOracleSql,
     "d74_phrase_search" ->
       """WITH t AS (
         |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
