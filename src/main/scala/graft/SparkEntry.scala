@@ -2545,23 +2545,36 @@ object SparkEntry {
       // posexplode + one broadcast join + one (doc, phrase, start) agg;
       // at 100 TB the postings shuffle is keyed by token and the
       // phrase dictionary stays broadcast-tiny. Exact integers.
-      val phrases = Seq("slow hash batch", "row column sort",
-        "window fast query")
-      import s.implicits._
-      val ph = phrases.flatMap { p =>
-        p.split(" ").zipWithIndex.map { case (w, i) => (p, w, i) }
-      }.toDF("phrase", "w", "i")
-      val pos = t(s, d, "documents")
-        .select(col("doc_id"),
-          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
-      pos.join(broadcast(ph), "w")
-        .select(col("phrase"), col("doc_id"),
-          (col("p") + 1 - col("i")).cast("long").as("start"))
+      val votes = phraseVotes(
+        t(s, d, "documents").select(col("doc_id"), col("text")), s)
         .groupBy("phrase", "doc_id", "start").agg(count(lit(1)).as("__k"))
-        .filter(col("__k") === 3)
-        .groupBy("phrase", "doc_id")
-        .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
-        .orderBy("phrase", "doc_id")
+      phraseMatches(votes.filter(col("__k") === 3))
+    }),
+    "s33_stream_phrase_search" -> ((s, d) => {
+      // STREAMING phrase-index SERVING — d74's positional intersection
+      // applied to an arriving corpus: the broadcast phrase dictionary is
+      // the shipped model, postings explode statelessly per microbatch,
+      // and the (phrase, doc, start) votes accumulate in an update-mode
+      // state store (additive — a doc's postings land in one batch, but
+      // the state contract also covers re-chunked docs). The final state
+      // view must equal d74's one-shot batch intersection — shares d74's
+      // SQL oracle verbatim.
+      import org.apache.spark.sql.types._
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      val stream = graft.streaming.Streaming.availableNowFileStream(
+        ss, d, schema, glob = Some("documents.parquet"))
+      val votes = phraseVotes(stream.select(col("doc_id"), col("text")), ss)
+        .groupBy("phrase", "doc_id", "start").count()
+      val ckpt = java.nio.file.Files.createTempDirectory("s33ck").toString
+      val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
+          votes, s"s33_phrase_${System.nanoTime()}", ckpt)
+        .select(col("key.phrase").as("phrase"), col("key.doc_id").as("doc_id"),
+          col("key.start").as("start"), col("value.count").as("__k"))
+      phraseMatches(st.filter(col("__k") === 3))
     }),
     "d73_cusum_changepoint" -> ((s, d) => {
       // CUSUM changepoint detection (Page 1954) over each source's
@@ -4172,6 +4185,33 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q97_hits" -> ((s, d) => {
+      // HITS hubs & authorities (Kleinberg, JACM'99) on the q50 affine
+      // directed graph — 3 UNNORMALIZED mutual-reinforcement rounds:
+      // a ← Σ_in h, h ← Σ_out a. Dropping the per-round normalization
+      // keeps every score an exact LONG (rankings are invariant — the
+      // norm is a positive scalar per round), so the whole result
+      // hash-checks with no float contract at all. Two equi-join + agg
+      // shuffles per round, map-side combinable, same budget as one
+      // PageRank round; top-20 by authority.
+      val e = affinePartGraph(s, d)
+        .filter(col("src") =!= col("dst")).distinct()
+        .localCheckpoint()
+      var h = e.select(col("src").as("v")).unionByName(e.select(col("dst").as("v")))
+        .distinct().select(col("v"), lit(1L).as("h"))
+      var a: DataFrame = null
+      (1 to 3).foreach { _ =>
+        a = e.join(h.select(col("v").as("src"), col("h")), "src")
+          .groupBy(col("dst").as("v")).agg(sum(col("h")).as("a"))
+        h = e.join(a.select(col("v").as("dst"), col("a")), "dst")
+          .groupBy(col("src").as("v")).agg(sum(col("a")).as("h"))
+          .localCheckpoint()
+      }
+      a.join(h, Seq("v"), "full_outer")
+        .select(col("v"), coalesce(col("a"), lit(0L)).as("auth"),
+          coalesce(col("h"), lit(0L)).as("hub"))
+        .orderBy(col("auth").desc, col("v")).limit(20)
+    }),
     "q96_autocorrelation" -> ((s, d) => {
       // autocorrelation function (lags 1-3) of each event type's hourly
       // value series — the time-series seasonality/persistence probe
@@ -4787,6 +4827,80 @@ object SparkEntry {
       |LEFT JOIN e ON e.src = sc.u AND e.dst = sc.v
       |WHERE e.src IS NULL
       |ORDER BY sc.cn DESC, sc.ra_e12 DESC, sc.u, sc.v LIMIT 50""".stripMargin
+
+  /** d74/s33: the shipped phrase dictionary and the two halves of the
+    * positional intersection — votes (postings joined to the broadcast
+    * (phrase, word, offset) rows, voting for start = pos − offset) and
+    * the match rollup over full-vote starts. Split so the batch gate and
+    * the streaming state-store gate share one implementation. */
+  private val phraseSearchPhrases: Seq[String] =
+    Seq("slow hash batch", "row column sort", "window fast query")
+
+  /** d74 + s33 (stream ≡ batch) oracle: brute-force positional scan. */
+  private val phraseSearchOracleSql: String = {
+    val values = phraseSearchPhrases.map(p => s"('$p')").mkString(", ")
+    s"""WITH t AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS a
+       |  FROM documents
+       |), pw AS (
+       |  SELECT phrase, regexp_split_to_array(phrase, ' ') AS w
+       |  FROM (VALUES $values) v(phrase)
+       |), m AS (
+       |  SELECT pw.phrase, t.doc_id, g.i
+       |  FROM t CROSS JOIN pw
+       |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
+       |    1, GREATEST(len(t.a) - 2, 0))) AS i) g
+       |  WHERE t.a[g.i] = pw.w[1] AND t.a[g.i + 1] = pw.w[2]
+       |    AND t.a[g.i + 2] = pw.w[3]
+       |)
+       |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
+       |  CAST(MIN(i) AS BIGINT) AS first_pos
+       |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  private def phraseVotes(docs: DataFrame, s: SparkSession): DataFrame = {
+    import s.implicits._
+    val ph = phraseSearchPhrases.flatMap { p =>
+      p.split(" ").zipWithIndex.map { case (w, i) => (p, w, i) }
+    }.toDF("phrase", "w", "i")
+    docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+      .join(broadcast(ph), "w")
+      .select(col("phrase"), col("doc_id"),
+        (col("p") + 1 - col("i")).cast("long").as("start"))
+  }
+
+  private def phraseMatches(fullVotes: DataFrame): DataFrame =
+    fullVotes
+      .groupBy("phrase", "doc_id")
+      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
+      .orderBy("phrase", "doc_id")
+
+  /** q97: 3 unrolled unnormalized HITS rounds over the affine directed
+    * graph — all-integer mutual reinforcement, no float contract. */
+  private val hitsOracleSql: String =
+    """WITH n0 AS (SELECT COUNT(*) AS n FROM part),
+      |raw AS (
+      |  SELECT p_partkey AS src, ((p_partkey * 31 + 7) % n0.n) + 1 AS dst FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 17 + 3) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 13 + 11) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 7 + 1) % n0.n) + 1 FROM part, n0
+      |  UNION ALL SELECT p_partkey, ((p_partkey * 41 + 19) % n0.n) + 1 FROM part, n0
+      |), e AS (SELECT DISTINCT src, dst FROM raw WHERE src <> dst),
+      |h0 AS (SELECT DISTINCT v, 1::BIGINT AS h FROM
+      |  (SELECT src AS v FROM e UNION ALL SELECT dst FROM e)),
+      |a1 AS (SELECT e.dst AS v, SUM(h0.h) AS a FROM e JOIN h0 ON h0.v = e.src GROUP BY 1),
+      |h1 AS (SELECT e.src AS v, SUM(a1.a) AS h FROM e JOIN a1 ON a1.v = e.dst GROUP BY 1),
+      |a2 AS (SELECT e.dst AS v, SUM(h1.h) AS a FROM e JOIN h1 ON h1.v = e.src GROUP BY 1),
+      |h2 AS (SELECT e.src AS v, SUM(a2.a) AS h FROM e JOIN a2 ON a2.v = e.dst GROUP BY 1),
+      |a3 AS (SELECT e.dst AS v, SUM(h2.h) AS a FROM e JOIN h2 ON h2.v = e.src GROUP BY 1),
+      |h3 AS (SELECT e.src AS v, SUM(a3.a) AS h FROM e JOIN a3 ON a3.v = e.dst GROUP BY 1)
+      |SELECT COALESCE(a3.v, h3.v) AS v,
+      |  CAST(COALESCE(a3.a, 0) AS BIGINT) AS auth,
+      |  CAST(COALESCE(h3.h, 0) AS BIGINT) AS hub
+      |FROM a3 FULL OUTER JOIN h3 ON a3.v = h3.v
+      |ORDER BY auth DESC, v LIMIT 20""".stripMargin
 
   /** d75: q50's unrolled 5-round ordered-fold PageRank replay, over the
     * word co-occurrence graph instead of the affine-map graph. */
@@ -7822,25 +7936,8 @@ object SparkEntry {
     // extraction regexes, token/rule chain (d63's) over the EXTRACTED
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
-    "d74_phrase_search" ->
-      """WITH t AS (
-        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS a
-        |  FROM documents
-        |), pw AS (
-        |  SELECT phrase, regexp_split_to_array(phrase, ' ') AS w
-        |  FROM (VALUES ('slow hash batch'), ('row column sort'),
-        |               ('window fast query')) v(phrase)
-        |), m AS (
-        |  SELECT pw.phrase, t.doc_id, g.i
-        |  FROM t CROSS JOIN pw
-        |  CROSS JOIN LATERAL (SELECT unnest(generate_series(
-        |    1, GREATEST(len(t.a) - 2, 0))) AS i) g
-        |  WHERE t.a[g.i] = pw.w[1] AND t.a[g.i + 1] = pw.w[2]
-        |    AND t.a[g.i + 2] = pw.w[3]
-        |)
-        |SELECT phrase, doc_id, CAST(COUNT(*) AS BIGINT) AS n_occ,
-        |  CAST(MIN(i) AS BIGINT) AS first_pos
-        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d74_phrase_search" -> phraseSearchOracleSql,
+    "s33_stream_phrase_search" -> phraseSearchOracleSql,
     "d73_cusum_changepoint" ->
       """WITH tot AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,
@@ -8756,6 +8853,7 @@ object SparkEntry {
     // day index, clamped segments), same prior-end running max, same
     // int64 contributions
     "q95_link_prediction" -> linkPredictionOracleSql,
+    "q97_hits" -> hitsOracleSql,
     "q96_autocorrelation" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
