@@ -2497,6 +2497,50 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d77_unigram_tokenize" -> ((s, d) => {
+      // Unigram-LM (SentencePiece) Viterbi segmentation (llm/Unigram)
+      // against a FIXED shipped vocab of integer piece costs — the
+      // global-optimum tokenizer completing the BPE(d28/d35)/WordPiece
+      // (d62) family. The vocab plants the branches greedy matching
+      // gets wrong: "table" → [ta ble] (310) beats the whole-word piece
+      // (340) — WordPiece's longest-match would take it — while
+      // "customer" (360) beats [cust omer] (370); "er" is a shared
+      // suffix across filter/merge/order/query. Optima are verified
+      // UNIQUE over this corpus, so seg/cost/n_pieces hash with no
+      // tie contract; the oracle replays the DP by exhaustive path
+      // enumeration (recursive CTE) + per-word min.
+      val freq = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word").agg(count(lit(1)).as("n_occ"))
+      graft.llm.Unigram.segmentWords(freq, "word", unigramVocab)
+        .select(col("word"), col("n_occ"), col("seg"), col("cost"),
+          col("n_pieces"))
+        .orderBy("word")
+    }),
+    "d76_good_turing" -> ((s, d) => {
+      // Good-Turing frequency smoothing (Good 1953, the Gale & Sampson
+      // presentation): from the unigram count table, the frequency-of-
+      // frequencies N_r and the adjusted count r* = (r+1)·N_{r+1}/N_r —
+      // the LM-smoothing complement to d64's Kneser-Ney (GT reallocates
+      // mass to UNSEEN events; N_1/N is the leave-one-out unseen-mass
+      // estimate). Two keyed aggs (token, then count) + one self-join on
+      // r+1 — everything integer except the final pinned divide +
+      // ROUND(,4); r* is null where N_{r+1} = 0 (the raw estimator's
+      // stated gap — SGT's regression smoothing fills it, out of scope).
+      val uni = t(s, d, "documents")
+        .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("w").agg(count(lit(1)).as("r"))
+      val fof = uni.groupBy("r").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint() // both sides of the r+1 self-join
+      fof.join(fof.select((col("r") - 1).as("r"), col("n_r").as("__nn")),
+          Seq("r"), "left")
+        .select(col("r"), col("n_r"),
+          round((col("r") + 1).cast("double") * col("__nn") / col("n_r"), 4)
+            .as("r_star"))
+        .orderBy("r").limit(30)
+    }),
     "d75_textrank" -> ((s, d) => {
       // TextRank keyword extraction (Mihalcea & Tarau, EMNLP'04): PageRank
       // over the word co-occurrence graph — adjacent-token pairs become
@@ -4827,6 +4871,53 @@ object SparkEntry {
       |LEFT JOIN e ON e.src = sc.u AND e.dst = sc.v
       |WHERE e.src IS NULL
       |ORDER BY sc.cn DESC, sc.ra_e12 DESC, sc.u, sc.v LIMIT 50""".stripMargin
+
+  /** d77: the shipped unigram vocab — 26 single-char fallback pieces
+    * (cost 101 + index, so char segmentations never tie) plus multi-char
+    * pieces planting the greedy-vs-optimal branches. Optima verified
+    * unique over the documents corpus. */
+  private val unigramVocab: Map[String, Long] =
+    (0 until 26).map(i => ('a' + i).toChar.toString -> (101L + i)).toMap ++ Map(
+      "ta" -> 150L, "ble" -> 160L, "table" -> 340L,
+      "cust" -> 180L, "omer" -> 190L, "customer" -> 360L,
+      "str" -> 140L, "eam" -> 145L, "win" -> 130L, "dow" -> 135L,
+      "val" -> 150L, "ue" -> 120L, "filt" -> 170L, "er" -> 90L,
+      "qu" -> 125L, "ow" -> 128L, "col" -> 155L, "umn" -> 165L)
+
+  /** d77 oracle: exhaustive segmentation-path enumeration by recursive
+    * CTE over the same vocab, per-word minimum. Enumeration is exact
+    * because it runs over the DISTINCT word table (31 short words). */
+  private val unigramOracleSql: String = {
+    val values = unigramVocab.toSeq.sortBy(_._1)
+      .map { case (p, c) => s"('$p', $c)" }.mkString(", ")
+    s"""WITH freq AS (
+       |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n_occ FROM (
+       |    SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+       |    FROM documents) WHERE w <> '' GROUP BY 1
+       |), vocab AS (SELECT * FROM (VALUES $values) v(piece, cost)),
+       |paths AS (
+       |  WITH RECURSIVE dp AS (
+       |    SELECT word, 0 AS pos, 0::BIGINT AS cost, '' AS seg,
+       |      0::BIGINT AS n_pieces
+       |    FROM freq
+       |    UNION ALL
+       |    SELECT dp.word, dp.pos + len(v.piece), dp.cost + v.cost,
+       |      CASE WHEN dp.seg = '' THEN v.piece
+       |           ELSE dp.seg || ' ' || v.piece END,
+       |      dp.n_pieces + 1
+       |    FROM dp JOIN vocab v
+       |      ON substr(dp.word, dp.pos + 1, len(v.piece)) = v.piece
+       |    WHERE dp.pos < len(dp.word)
+       |  ) SELECT word, cost, seg, n_pieces FROM dp WHERE pos = len(word)
+       |), best AS (
+       |  SELECT word, cost, seg, n_pieces,
+       |    row_number() OVER (PARTITION BY word ORDER BY cost) AS rn
+       |  FROM paths
+       |)
+       |SELECT f.word, f.n_occ, b.seg, b.cost, b.n_pieces
+       |FROM freq f JOIN best b ON b.word = f.word AND b.rn = 1
+       |ORDER BY f.word""".stripMargin
+  }
 
   /** d74/s33: the shipped phrase dictionary and the two halves of the
     * positional intersection — votes (postings joined to the broadcast
@@ -7936,6 +8027,21 @@ object SparkEntry {
     // extraction regexes, token/rule chain (d63's) over the EXTRACTED
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
+    "d77_unigram_tokenize" -> unigramOracleSql,
+    "d76_good_turing" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), uni AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS r FROM tok
+        |  WHERE w <> '' GROUP BY 1
+        |), fof AS (
+        |  SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM uni GROUP BY 1
+        |)
+        |SELECT f.r, f.n_r,
+        |  ROUND(CAST(f.r + 1 AS DOUBLE) * fn.n_r / f.n_r, 4) AS r_star
+        |FROM fof f LEFT JOIN fof fn ON fn.r = f.r + 1
+        |ORDER BY f.r LIMIT 30""".stripMargin,
     "d74_phrase_search" -> phraseSearchOracleSql,
     "s33_stream_phrase_search" -> phraseSearchOracleSql,
     "d73_cusum_changepoint" ->
