@@ -725,6 +725,63 @@ object ScaleBench {
       println(f"""{"metric":"scale_kcore","vertices":$full,"bad":$badK,"sec":$secs19%.2f,"vertices_per_sec":${(full / secs19).toLong}}""")
     }
 
+    if (sel("link_prediction")) {
+      // q95's operator at 2M vertices, planted star blocks with closed-form
+      // scores: per 5-vertex block a center c and 4 leaves, edges c-leaf
+      // only. Every leaf pair is a predicted non-edge with cn = 1 and
+      // ra_e12 = 10^12 div 4 = 250000000000; there are C(4,2) = 6 per
+      // block and nothing across blocks. Degrees are bounded (4), so the
+      // wedge budget Σ deg² is linear in blocks — the shape that scales.
+      val nLp = math.min(nTiles * 2, 2000000L)
+      val blocks = (nLp / 5)
+      val vLp = spark.range(blocks * 5).select(col("id").as("v"),
+          expr("id div 5").as("b"), (col("id") % 5).as("p"))
+        .repartition(cpus.toInt * 4)
+      val starE = vLp.filter(col("p") > 0)
+        .select((col("b") * 5).as("src"), col("v").as("dst"))
+      val tLp = System.nanoTime()
+      val pred = graft.ops.Graph.linkPrediction(starE)
+      val aggLp = pred.agg(count(lit(1)),
+        sum(when(col("cn") === 1L && col("ra_e12") === 250000000000L, 0L)
+          .otherwise(1L))).head()
+      val secsLp = (System.nanoTime() - tLp) / 1e9
+      require(aggLp.getLong(0) == blocks * 6,
+        s"link_prediction planted check failed: ${aggLp.getLong(0)} pairs vs ${blocks * 6}")
+      require(aggLp.getLong(1) == 0L,
+        s"link_prediction planted check failed: ${aggLp.getLong(1)} rows with wrong scores")
+      println(f"""{"metric":"scale_link_prediction","vertices":${blocks * 5},"pairs":${aggLp.getLong(0)},"sec":$secsLp%.2f,"vertices_per_sec":${(blocks * 5 / secsLp).toLong}}""")
+    }
+
+    if (sel("phrase_search")) {
+      // d74's positional intersection at 1M documents: every 97th doc
+      // carries the planted phrase twice (once mid-doc, once at the end),
+      // everything else is doc-unique filler the dictionary join discards
+      // at the scan. Expected matches and occurrence counts are closed
+      // form, and only planted-token postings survive the broadcast join —
+      // the property that keeps the votes shuffle output-bound at 100 TB.
+      val nPs = math.min(nTiles, 1000000L)
+      val docsPs = spark.range(nPs).select(col("id").as("doc_id"),
+          when(col("id") % 97 === 0, concat(lit("alpha beta gamma pad"),
+            col("id").cast("string"), lit(" mid alpha beta gamma")))
+            .otherwise(concat(lit("pad"), col("id").cast("string"),
+              lit(" filler"), (col("id") % 13).cast("string"))).as("text"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val tPs = System.nanoTime()
+      val hits = graft.llm.PhraseSearch.search(
+        docsPs, "doc_id", "text", Seq("alpha beta gamma"))
+      val aggPs = hits.agg(count(lit(1)),
+        sum(when(col("n_occ") === 2L && col("first_pos") === 1L, 0L)
+          .otherwise(1L))).head()
+      val secsPs = (System.nanoTime() - tPs) / 1e9
+      val expectPs = (nPs + 96) / 97
+      require(aggPs.getLong(0) == expectPs,
+        s"phrase_search planted check failed: ${aggPs.getLong(0)} docs vs $expectPs")
+      require(aggPs.getLong(1) == 0L,
+        s"phrase_search planted check failed: ${aggPs.getLong(1)} wrong rows")
+      println(f"""{"metric":"scale_phrase_search","docs":$nPs,"matched":${aggPs.getLong(0)},"sec":$secsPs%.2f,"docs_per_sec":${(nPs / secsPs).toLong}}""")
+    }
+
     if (sel("hierarchy")) {
       // subtree rollup at scale (q79's operator): the parent(k) = k/2
       // forest over 2M nodes is ~21 levels deep, so the upward

@@ -2589,10 +2589,8 @@ object SparkEntry {
       // posexplode + one broadcast join + one (doc, phrase, start) agg;
       // at 100 TB the postings shuffle is keyed by token and the
       // phrase dictionary stays broadcast-tiny. Exact integers.
-      val votes = phraseVotes(
-        t(s, d, "documents").select(col("doc_id"), col("text")), s)
-        .groupBy("phrase", "doc_id", "start").agg(count(lit(1)).as("__k"))
-      phraseMatches(votes.filter(col("__k") === 3))
+      graft.llm.PhraseSearch.search(
+        t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
     }),
     "s33_stream_phrase_search" -> ((s, d) => {
       // STREAMING phrase-index SERVING — d74's positional intersection
@@ -2611,14 +2609,15 @@ object SparkEntry {
         StructField("n_chars", LongType)))
       val stream = graft.streaming.Streaming.availableNowFileStream(
         ss, d, schema, glob = Some("documents.parquet"))
-      val votes = phraseVotes(stream.select(col("doc_id"), col("text")), ss)
+      val votes = graft.llm.PhraseSearch.votes(
+          stream, "doc_id", "text", phraseSearchPhrases, ss)
         .groupBy("phrase", "doc_id", "start").count()
       val ckpt = java.nio.file.Files.createTempDirectory("s33ck").toString
       val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
           votes, s"s33_phrase_${System.nanoTime()}", ckpt)
         .select(col("key.phrase").as("phrase"), col("key.doc_id").as("doc_id"),
           col("key.start").as("start"), col("value.count").as("__k"))
-      phraseMatches(st.filter(col("__k") === 3))
+      graft.llm.PhraseSearch.matches(st.filter(col("__k") === 3))
     }),
     "d73_cusum_changepoint" -> ((s, d) => {
       // CUSUM changepoint detection (Page 1954) over each source's
@@ -4919,11 +4918,8 @@ object SparkEntry {
        |ORDER BY f.word""".stripMargin
   }
 
-  /** d74/s33: the shipped phrase dictionary and the two halves of the
-    * positional intersection — votes (postings joined to the broadcast
-    * (phrase, word, offset) rows, voting for start = pos − offset) and
-    * the match rollup over full-vote starts. Split so the batch gate and
-    * the streaming state-store gate share one implementation. */
+  /** d74/s33: the shipped phrase dictionary (llm/PhraseSearch carries
+    * the positional intersection both gates share). */
   private val phraseSearchPhrases: Seq[String] =
     Seq("slow hash batch", "row column sort", "window fast query")
 
@@ -4948,25 +4944,6 @@ object SparkEntry {
        |  CAST(MIN(i) AS BIGINT) AS first_pos
        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   }
-
-  private def phraseVotes(docs: DataFrame, s: SparkSession): DataFrame = {
-    import s.implicits._
-    val ph = phraseSearchPhrases.flatMap { p =>
-      p.split(" ").zipWithIndex.map { case (w, i) => (p, w, i) }
-    }.toDF("phrase", "w", "i")
-    docs
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
-      .join(broadcast(ph), "w")
-      .select(col("phrase"), col("doc_id"),
-        (col("p") + 1 - col("i")).cast("long").as("start"))
-  }
-
-  private def phraseMatches(fullVotes: DataFrame): DataFrame =
-    fullVotes
-      .groupBy("phrase", "doc_id")
-      .agg(count(lit(1)).as("n_occ"), min(col("start")).as("first_pos"))
-      .orderBy("phrase", "doc_id")
 
   /** q97: 3 unrolled unnormalized HITS rounds over the affine directed
     * graph — all-integer mutual reinforcement, no float contract. */
