@@ -715,7 +715,8 @@ object ScaleBench {
       val pathE = vvK.filter(col("p") >= col("m") - 1 && col("p") < 7)
         .select(col("v").as("src"), (col("v") + 1).as("dst"))
       val t19 = System.nanoTime()
-      val core = graft.ops.Graph.kCoreness(cliqueE.unionByName(pathE))
+      val core = graft.ops.Graph.kCoreness(cliqueE.unionByName(pathE),
+        localThreshold = 0) // always the distributed peel at scale
       val badK = core.filter(col("coreness") =!=
         expr("CASE WHEN v % 8 < 3 + (v div 8) % 6 THEN 2 + (v div 8) % 6 ELSE 1 END")).count()
       val nvK = core.count()

@@ -656,11 +656,21 @@ object Graph {
    * @return (v, coreness) — one row per vertex appearing in `edges`
    */
   def kCoreness(edges: DataFrame, maxK: Int = 128,
-                maxRounds: Int = 512): DataFrame = {
+                maxRounds: Int = 512, localThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
-    var e = canonicalEdges(
+    val canon = canonicalEdges(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst"))).localCheckpoint()
+        col("dst").cast("long").as("dst")))
+    // iterative peel rounds on a small graph are pure fixed cost (the
+    // pageRank/bfs/SCC lesson): probe the deduped edge count BOUNDED and
+    // peel driver-side when the whole graph is provably a few MB —
+    // coreness is graph-invariant, so the two paths agree exactly
+    // (spec'd); the ScaleBench kcore section drives the distributed path
+    // at 2M vertices with localThreshold = 0.
+    val probe = canon.limit(localThreshold + 1).collect() // bounded by construction
+    if (probe.length <= localThreshold)
+      return kCorenessLocal(spark, probe, maxK)
+    var e = canon.localCheckpoint()
     var remaining = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
     // accumulate per-phase peels as already-checkpointed slices; one final
@@ -695,6 +705,43 @@ object Graph {
     if (peels.isEmpty)
       spark.range(0).select(col("id").as("v"), col("id").as("coreness"))
     else peels.reduce(_ unionByName _)
+  }
+
+  /** Driver peeling twin (Matula & Beck 1983's phase formulation): the
+    * same k = 1, 2, … cascade semantics over a collected adjacency map.
+    * Coreness is graph-invariant, so the result is identical to the
+    * distributed path's by definition, not by matched iteration order. */
+  private def kCorenessLocal(spark: org.apache.spark.sql.SparkSession,
+                             rows: Array[org.apache.spark.sql.Row],
+                             maxK: Int): DataFrame = {
+    import spark.implicits._
+    val adj = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Long]]
+    rows.foreach { r =>
+      val (s, d) = (r.getLong(0), r.getLong(1))
+      adj.getOrElseUpdate(s, scala.collection.mutable.Set.empty) += d
+      adj.getOrElseUpdate(d, scala.collection.mutable.Set.empty) += s
+    }
+    val core = scala.collection.mutable.Map.empty[Long, Long]
+    var k = 1
+    while (adj.nonEmpty) {
+      require(k <= maxK, s"kCoreness: coreness exceeds maxK=$maxK — raise the bound")
+      val queue = scala.collection.mutable.Queue.empty[Long]
+      adj.foreach { case (v, ns) => if (ns.size < k) queue += v }
+      if (queue.isEmpty) k += 1
+      else while (queue.nonEmpty) {
+        val v = queue.dequeue()
+        adj.remove(v).foreach { ns =>
+          core(v) = (k - 1).toLong
+          ns.foreach { u =>
+            adj.get(u).foreach { un =>
+              un -= v
+              if (un.size == k - 1) queue += u // just dropped below k
+            }
+          }
+        }
+      }
+    }
+    core.toSeq.toDF("v", "coreness")
   }
 
   /**

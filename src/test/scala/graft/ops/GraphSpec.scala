@@ -296,6 +296,21 @@ class GraphSpec extends SparkSpec {
     assert(dist == local, s"distributed=$dist local=$local")
   }
 
+  test("kCoreness: driver peel path is identical to the distributed peel") {
+    // K4 + bridge + K3 + path (the hand-checked fixture) — coreness is
+    // graph-invariant, so the two paths must agree exactly
+    val edges = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (5L, 7L), (6L, 7L),
+      (7L, 8L), (8L, 9L), (9L, 10L))
+    val local = Graph.kCoreness(edges.toDF("src", "dst"))
+      .as[(Long, Long)].collect().toMap
+    val dist = Graph.kCoreness(edges.toDF("src", "dst"), localThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, s"local=$local dist=$dist")
+    assert(local(1L) == 3L && local(5L) == 2L && local(10L) == 1L)
+  }
+
   test("linkPrediction: CN and fixed-point RA on a hand-checked graph") {
     // path 1-2-3 plus triangle 3-4-5 plus pendant 5-6:
     //   non-edge (1,3): common neighbor {2}, deg(2)=2 -> cn=1, ra=5e11
