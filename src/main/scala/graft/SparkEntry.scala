@@ -1183,6 +1183,20 @@ object SparkEntry {
           graft.llm.Multimodal.resizeImages(media, maxDim = 4))
         .orderBy("media_id")
     }),
+    "m21_audio_features" -> ((s, d) => {
+      // audio FEATURE extraction over real decoded PCM (Multimodal
+      // .audioFeatures): per-channel zero-crossing count + mean absolute
+      // amplitude — the cheap VAD/energy screens an audio-curation pass
+      // runs corpus-wide. Exact integer ZCR/abs-sum on decoded samples;
+      // the oracle replays both from the synthetic sample formula with a
+      // lag window, so a channel-interleave, sign, or frame-walk bug
+      // breaks the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+        .filter(col("meta.media_type") === "audio")
+      graft.llm.Multimodal.audioFeatures(media)
+        .orderBy("media_id", "channel")
+    }),
     "m04_audio_stats" -> ((s, d) => {
       // multimodal AUDIO decode with real samples: WAV rows parse the
       // RIFF chunk walk and PCM16LE frames in pure JVM
@@ -6294,6 +6308,31 @@ object SparkEntry {
     // (id·31 + frame·7 + ch·13) % 4096 − 2048 — if the engine's RIFF
     // walk, fmt parse, or little-endian sample read is wrong, these
     // exact sums cannot match.
+    // m21: replay ZCR + abs-sum from the synthetic PCM formula with a
+    // lag window over the per-channel sample series.
+    "m21_audio_features" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 1
+        |), samp AS (
+        |  SELECT a.media_id, c.c, f.f,
+        |    (a.media_id * 31 + f.f * 7 + c.c * 13) % 4096 - 2048 AS x,
+        |    a.nf
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(a.nc)) AS c) c,
+        |    LATERAL (SELECT unnest(range(a.nf)) AS f) f
+        |), lagged AS (
+        |  SELECT *, lag(x) OVER (PARTITION BY media_id, c ORDER BY f) AS lx
+        |  FROM samp
+        |)
+        |SELECT media_id, CAST(c AS INT) AS channel,
+        |  CAST(ANY_VALUE(nf) AS BIGINT) AS n_frames,
+        |  CAST(SUM(CASE WHEN lx IS NOT NULL AND (x >= 0) <> (lx >= 0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |  CAST(SUM(ABS(x)) AS BIGINT) AS abs_sum,
+        |  ROUND(CAST(SUM(ABS(x)) AS DOUBLE) / ANY_VALUE(nf), 4) AS mean_abs
+        |FROM lagged GROUP BY 1, 2 ORDER BY media_id, channel""".stripMargin,
     "m04_audio_stats" ->
       """WITH a AS (
         |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,

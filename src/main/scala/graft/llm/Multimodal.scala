@@ -2490,6 +2490,47 @@ object Multimodal {
    * shuffle — frame pairs explode out, nothing wider than
    * (id, frame, sad) leaves the row.
    */
+  /**
+   * Per-channel audio FEATURES over real decoded PCM — the audio-curation
+   * screening primitives: zero-crossing count (the classic cheap
+   * voiced/unvoiced & noisiness signal) and mean absolute amplitude (the
+   * energy gate that drops silent/clipped clips). Exact integer
+   * arithmetic on decoded samples — ZCR counts sign-class transitions
+   * ((x ≥ 0) flips between consecutive frames of one channel), abs_sum
+   * is a long fold — so an external oracle replays both from the
+   * synthetic sample formula (the m21 gate); mean_abs is the one pinned
+   * divide + ROUND(,4). Narrow per-row map + per-channel explode, no
+   * shuffle; at 100 TB this is a full-scan feature pass like langid.
+   */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val feat = udf { (payload: Array[Byte]) =>
+      decodeAudio(payload).map { case (nc, _, samples) =>
+        val frames = samples.length / nc
+        (0 until nc).map { c =>
+          var zcr = 0L
+          var sabs = 0L
+          var prevNonNeg = false
+          var i = 0
+          while (i < frames) {
+            val x = samples(i * nc + c)
+            sabs += math.abs(x.toLong)
+            val nn = x >= 0
+            if (i > 0 && nn != prevNonNeg) zcr += 1
+            prevNonNeg = nn
+            i += 1
+          }
+          (c, frames.toLong, zcr, sabs)
+        }
+      }.orNull
+    }
+    media.withColumn("__f", explode(feat(col("payload"))))
+      .select(col("media_id"), col("__f._1").as("channel"),
+        col("__f._2").as("n_frames"), col("__f._3").as("zero_crossings"),
+        col("__f._4").as("abs_sum"))
+      .withColumn("mean_abs",
+        round(col("abs_sum").cast("double") / col("n_frames"), 4))
+  }
+
   def videoShotCuts(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
     val cuts = udf { (payload: Array[Byte]) =>
       decodeY4m(payload).map { case (w, h, _, _, frames) =>

@@ -504,6 +504,20 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("audioFeatures: ZCR counts sign-class flips, abs-sum exact per channel") {
+    val feats = Multimodal.audioFeatures(media.filter($"meta.media_type" === "audio"))
+      .select($"media_id", $"channel", $"n_frames", $"zero_crossings", $"abs_sum")
+      .as[(Long, Int, Long, Long, Long)].collect()
+    assert(feats.nonEmpty)
+    feats.foreach { case (id, c, nf, zcr, sabs) =>
+      assert(nf == 100 + id % 50)
+      val xs = (0 until nf.toInt).map(i => (id * 31 + i * 7 + c * 13) % 4096 - 2048)
+      val eZcr = xs.sliding(2).count { case Seq(a, b) => (a >= 0) != (b >= 0) }
+      assert(zcr == eZcr && sabs == xs.map(math.abs).sum,
+        s"id=$id ch=$c: ($zcr,$sabs) vs ($eZcr,${xs.map(math.abs).sum})")
+    }
+  }
+
   test("extractFeatures: every modality derives features from REAL decoded media") {
     val feats = Multimodal.extractFeatures(media, dim = 8)
       .select($"media_id", $"features")
