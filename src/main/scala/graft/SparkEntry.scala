@@ -2511,6 +2511,43 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d78_dictionary_encode" -> ((s, d) => {
+      // global DICTIONARY ENCODING round-trip — the columnar-engine
+      // primitive (and the string→int prerequisite every graph/ANN op
+      // on token data needs): sorted term dictionary with dense
+      // row_number ids, corpus re-encoded as (pos, id) postings through
+      // one token-keyed equi-join, then DECODED back through the
+      // dictionary and compared to the normalized original — the
+      // checksum is position-weighted (Σ (pos+1)·id) so a permutation
+      // or off-by-one breaks it, and roundtrip_ok proves the bijection
+      // (w → id → w reconstructs every document verbatim). At 100 TB
+      // the dictionary join shuffles on token (df-bounded skew, the d31
+      // posting shape); the gate's row_number window is vocab-bounded.
+      val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
+      val post = docs
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint() // feeds the dict build AND the encode join
+      val dict = post.select("w").distinct()
+        .select(col("w"), row_number().over(Window.orderBy("w")).as("id"))
+        .localCheckpoint() // encode side + decode side
+      val encp = post.join(dict, "w").select(col("doc_id"), col("p"), col("id"))
+      // decode STRICTLY through the dictionary (id -> w), not the source
+      val rec = encp.join(dict.select(col("id"), col("w").as("__w")), "id")
+      rec.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum((col("p") + 1) * col("id")).as("enc_checksum"),
+          array_join(transform(
+            sort_array(collect_list(struct(col("p"), col("__w")))),
+            x => x.getField("__w")), " ").as("__rt"))
+        .join(docs, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("enc_checksum"),
+          (col("__rt") ===
+            regexp_replace(trim(lower(col("text"))), "\\s+", " "))
+            .as("roundtrip_ok"))
+        .orderBy("doc_id")
+    }),
     "d77_unigram_tokenize" -> ((s, d) => {
       // Unigram-LM (SentencePiece) Viterbi segmentation (llm/Unigram)
       // against a FIXED shipped vocab of integer piece costs — the
@@ -2605,6 +2642,42 @@ object SparkEntry {
       // phrase dictionary stays broadcast-tiny. Exact integers.
       graft.llm.PhraseSearch.search(
         t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
+    }),
+    "s34_stream_cusum" -> ((s, d) => {
+      // STREAMING CUSUM drift monitor (Streaming.cusumStream) — d73
+      // deployed: deviations against a FIXED shipped target (280 chars)
+      // so the statistic is causal, five exact longs of state per
+      // source, the closed form maintained incrementally across 3
+      // range-split microbatches. The final state per source must equal
+      // the batch windows' answer — the oracle replays prefix-sum −
+      // running-min with the same fixed target.
+      import org.apache.spark.sql.types._
+      val docs = t(s, d, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val root = java.nio.file.Files.createTempDirectory("cusumdrops").toString
+      Seq((0, col("doc_id") < 167),
+          (1, col("doc_id") >= 167 && col("doc_id") < 334),
+          (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
+        graft.streaming.Streaming.writeOrderedMicrobatch(
+          docs.filter(cond), s"$root/in", b)
+      }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      import ss.implicits._
+      val schema = StructType(Seq(StructField("source", StringType),
+        StructField("doc_id", LongType), StructField("n_chars", LongType)))
+      val ev = ss.readStream.schema(schema).option("maxFilesPerTrigger", "1")
+        .parquet(s"$root/in")
+        .select(col("source").as("key"), col("doc_id").as("seq"),
+          col("n_chars").as("x"))
+        .as[graft.streaming.Streaming.CusumEvent]
+      val out = graft.streaming.Streaming.runAvailableNow(
+        graft.streaming.Streaming.cusumStream(ev, target = 280L),
+        s"s34_cusum_${System.nanoTime()}", outputMode = "update")
+      val w = Window.partitionBy("key").orderBy(col("n").desc)
+      out.withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+        .select(col("key").as("source"), col("n").as("n_docs"),
+          col("peak"), col("peak_seq").as("peak_doc"))
+        .orderBy("source")
     }),
     "s33_stream_phrase_search" -> ((s, d) => {
       // STREAMING phrase-index SERVING — d74's positional intersection
@@ -8044,6 +8117,30 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    "d78_dictionary_encode" ->
+      """WITH post AS (
+        |  SELECT doc_id, g.i AS p, a[g.i] AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t.a))) AS i) g
+        |  WHERE a[g.i] <> ''
+        |), dict AS (
+        |  SELECT w, row_number() OVER (ORDER BY w) AS id
+        |  FROM (SELECT DISTINCT w FROM post)
+        |), encp AS (SELECT doc_id, p, id FROM post JOIN dict USING (w)),
+        |rec AS (SELECT e.doc_id, e.p, e.id, d2.w FROM encp e JOIN dict d2 USING (id)),
+        |agg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |    CAST(SUM(p * id) AS BIGINT) AS enc_checksum,
+        |    string_agg(w, ' ' ORDER BY p) AS rt
+        |  FROM rec GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.n_tokens, a.enc_checksum,
+        |  (a.rt = regexp_replace(trim(lower(d.text)), '\s+', ' '))
+        |    AS roundtrip_ok
+        |FROM agg a JOIN documents d USING (doc_id)
+        |ORDER BY a.doc_id""".stripMargin,
     "d76_good_turing" ->
       """WITH tok AS (
         |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
@@ -8060,6 +8157,28 @@ object SparkEntry {
         |ORDER BY f.r LIMIT 30""".stripMargin,
     "d74_phrase_search" -> phraseSearchOracleSql,
     "s33_stream_phrase_search" -> phraseSearchOracleSql,
+    "s34_stream_cusum" ->
+      """WITH pre AS (
+        |  SELECT source, doc_id, SUM(n_chars - 280) OVER w AS p
+        |  FROM documents
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), scored AS (
+        |  SELECT source, doc_id, p - LEAST(0, MIN(p) OVER w) AS s
+        |  FROM pre
+        |  WINDOW w AS (PARTITION BY source ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |), peak AS (SELECT source, MAX(s) AS peak FROM scored GROUP BY 1),
+        |counts AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1
+        |)
+        |SELECT sc.source, ANY_VALUE(c.n_docs) AS n_docs,
+        |  CAST(p.peak AS BIGINT) AS peak, MIN(sc.doc_id) AS peak_doc
+        |FROM scored sc JOIN peak p USING (source) JOIN counts c USING (source)
+        |WHERE sc.s = p.peak
+        |GROUP BY sc.source, p.peak
+        |ORDER BY sc.source""".stripMargin,
     "d73_cusum_changepoint" ->
       """WITH tot AS (
         |  SELECT source, CAST(COUNT(*) AS BIGINT) AS n,

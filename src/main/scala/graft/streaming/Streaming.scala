@@ -405,6 +405,52 @@ object Streaming {
       .toDF("user_id", "t1", "t2", "t3")
   }
 
+  /** One CUSUM observation; rows must arrive per key in `seq` order
+    * across batches (range-split drops, as [[writeOrderedMicrobatch]]
+    * produces) and are sorted within each batch. */
+  case class CusumEvent(key: String, seq: Long, x: Long)
+  /** Per-key CUSUM state: prefix sum, min(0, running-min prefix), the
+    * running peak S value, the first seq achieving it, and rows seen. */
+  case class CusumState(psum: Long, pmin: Long, peak: Long, peakSeq: Long,
+                        n: Long)
+
+  /**
+   * Streaming CUSUM drift monitor (Page 1954) as CUSTOM KEYED STATE —
+   * the d73 changepoint detector DEPLOYED: deviations are taken against
+   * a FIXED `target` (the training-corpus mean a monitor ships with, so
+   * the statistic is causal — d73's n-scaled global-mean variant is the
+   * retrospective batch analysis). Per key the state is five longs
+   * maintaining the closed form S_t = P_t − min(0, min_{j≤t} P_j)
+   * incrementally; the peak and its FIRST seq match the batch
+   * formulation's MIN-seq tie rule because strict improvement records
+   * each new maximum once, in order. Update mode emits each touched
+   * key's state per batch; the row with the largest n per key is final.
+   * State is O(keys), exact longs — no float, no growth with stream
+   * length.
+   */
+  def cusumStream(events: org.apache.spark.sql.Dataset[CusumEvent],
+                  target: Long): DataFrame = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState[CusumState, (String, Long, Long, Long)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout()) {
+        (key: String, batch: Iterator[CusumEvent], state: GroupState[CusumState]) =>
+          var st = state.getOption.getOrElse(CusumState(0L, 0L, -1L, -1L, 0L))
+          batch.toArray.sortBy(_.seq).foreach { e =>
+            val psum = st.psum + (e.x - target)
+            val pmin = math.min(st.pmin, psum)
+            val sVal = psum - pmin
+            val (pk, ps) =
+              if (sVal > st.peak) (sVal, e.seq) else (st.peak, st.peakSeq)
+            st = CusumState(psum, pmin, pk, ps, st.n + 1)
+          }
+          state.update(st)
+          Iterator((key, st.n, st.peak, st.peakSeq))
+      }
+      .toDF("key", "n", "peak", "peak_seq")
+  }
+
   /**
    * Streaming NEAR-duplicate ingest — the streaming completion of
    * [[graft.llm.CorpusPipeline.cleanStream]], which deliberately refuses
