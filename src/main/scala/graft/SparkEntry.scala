@@ -1183,6 +1183,18 @@ object SparkEntry {
           graft.llm.Multimodal.resizeImages(media, maxDim = 4))
         .orderBy("media_id")
     }),
+    "m22_image_dhash" -> ((s, d) => {
+      // perceptual dHash over real decoded pixels (Multimodal.imageDHash)
+      // — the image near-dup fingerprint: 9×8 nearest-neighbour grid,
+      // gray = r+g+b, bit = left>right gradient, 64 bits split into two
+      // unsigned halves. The oracle replays every bit from the synthetic
+      // pixel formula through the same grid mapping — a resample-index,
+      // channel-order, or bit-packing bug breaks the hash.
+      val media = graft.llm.Multimodal.syntheticMedia(
+        t(s, d, "part").filter(col("p_partkey") <= 200), "p_partkey")
+        .filter(col("meta.media_type") === "image")
+      graft.llm.Multimodal.imageDHash(media).orderBy("media_id")
+    }),
     "m21_audio_features" -> ((s, d) => {
       // audio FEATURE extraction over real decoded PCM (Multimodal
       // .audioFeatures): per-channel zero-crossing count + mean absolute
@@ -6381,6 +6393,35 @@ object SparkEntry {
     // (id·31 + frame·7 + ch·13) % 4096 − 2048 — if the engine's RIFF
     // walk, fmt parse, or little-endian sample read is wrong, these
     // exact sums cannot match.
+    // m22: replay every dHash bit from the synthetic pixel formula
+    // through the same 9×8 grid mapping; per-channel mod BEFORE the
+    // gray sum, exactly as the decoded bytes come back.
+    "m22_image_dhash" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id, 4 + p_partkey % 5 AS w,
+        |    3 + p_partkey % 4 AS h
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 0
+        |), g AS (
+        |  SELECT media_id, y.y AS y, x.x AS x,
+        |    ((media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13) % 256
+        |     + (media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13 + 17) % 256
+        |     + (media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13 + 34) % 256) AS gr
+        |  FROM img,
+        |    LATERAL (SELECT unnest(range(8)) AS y) y,
+        |    LATERAL (SELECT unnest(range(9)) AS x) x
+        |), bits AS (
+        |  SELECT a.media_id, a.y * 8 + a.x AS idx
+        |  FROM g a JOIN g b ON b.media_id = a.media_id
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND a.gr > b.gr
+        |)
+        |SELECT i.media_id,
+        |  CAST(COALESCE(SUM(CASE WHEN idx >= 32
+        |    THEN (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS dhash_hi,
+        |  CAST(COALESCE(SUM(CASE WHEN idx < 32
+        |    THEN (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS dhash_lo
+        |FROM img i LEFT JOIN bits b USING (media_id)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // m21: replay ZCR + abs-sum from the synthetic PCM formula with a
     // lag window over the per-channel sample series.
     "m21_audio_features" ->

@@ -2502,6 +2502,51 @@ object Multimodal {
    * divide + ROUND(,4). Narrow per-row map + per-channel explode, no
    * shuffle; at 100 TB this is a full-scan feature pass like langid.
    */
+  /**
+   * Perceptual difference hash (dHash, the 8×8 gradient fingerprint) over
+   * REAL decoded pixels — the image near-dup primitive (crop/re-encode/
+   * resize survivors hash close in Hamming space; pair with v12's
+   * Hamming top-k for bucketed image dedup). Resampled on a FIXED 9×8
+   * nearest-neighbour grid (src = (dst·srcDim) div gridDim — the
+   * resizeImages mapping), gray = r+g+b (an exact integer — no luma
+   * weights, no division), bit(x, y) = gray(x, y) > gray(x+1, y). The 64
+   * bits split into two unsigned halves (`dhash_hi` bits 32-63,
+   * `dhash_lo` bits 0-31) so no value ever touches the sign bit —
+   * everything exact, so the m22 oracle replays every bit from the
+   * synthetic pixel formula. Narrow per-row map, no shuffle.
+   */
+  def imageDHash(media: DataFrame): DataFrame = {
+    val hashU = udf { (payload: Array[Byte]) =>
+      decodeImage(payload).map { case (w, h, rgb) =>
+        def gray(gx: Int, gy: Int): Int = {
+          val sx = gx * w / 9
+          val sy = gy * h / 8
+          val p = (sy * w + sx) * 3
+          (rgb(p) & 0xFF) + (rgb(p + 1) & 0xFF) + (rgb(p + 2) & 0xFF)
+        }
+        var hi = 0L
+        var lo = 0L
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) {
+            if (gray(x, y) > gray(x + 1, y)) {
+              val idx = y * 8 + x
+              if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (hi, lo)
+      }.orNull
+    }
+    media.withColumn("__h", hashU(col("payload")))
+      .filter(col("__h").isNotNull)
+      .select(col("media_id"), col("__h._1").as("dhash_hi"),
+        col("__h._2").as("dhash_lo"))
+  }
+
   def audioFeatures(media: DataFrame): DataFrame = {
     val feat = udf { (payload: Array[Byte]) =>
       decodeAudio(payload).map { case (nc, _, samples) =>
