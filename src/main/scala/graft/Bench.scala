@@ -74,8 +74,14 @@ object Bench {
       // compiles each query's codegen classes but barely exercises them,
       // so the first 1-2 target-SF runs still pay C2 JIT (measured on
       // d34: reps 7.7/5.3/2.1 s for a query whose steady state is 2 s —
-      // the median was measuring the JIT, not the plan)
+      // the median was measuring the JIT, not the plan).
+      // One explicit GC per QUERY (outside the measured window): the
+      // ContextCleaner reclaims finished broadcasts/accumulators only on
+      // a GC the large heap rarely runs, and allocation-heavy UDF queries
+      // (d72's per-row gzip) otherwise measure the whole suite's heap
+      // debris — d72 ran 8.6 s late in the full suite vs 1.5 s alone.
       dropPersisted()
+      System.gc()
       try fn(spark, sfDir).count() catch { case _: Throwable => () }
       val times = (1 to reps).map { rep =>
         dropPersisted()

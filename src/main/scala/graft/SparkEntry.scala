@@ -2523,6 +2523,50 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d79_rake_keywords" -> ((s, d) => {
+      // RAKE keyword extraction (Rose et al. 2010) — the stopword-
+      // delimited complement to d75's TextRank: candidate phrases are
+      // maximal stopword-free runs (delimiters: the corpus's function
+      // words 'the'/'a'), each member word accumulates freq and degree
+      // (phrase length per occurrence), word score = deg/freq, phrase
+      // score = position-ordered fold of member scores (the pinned-IEEE
+      // contract), top-20 by score. Gaps-and-islands grouping + three
+      // keyed aggs — all map-side combinable; phrases parallelize per
+      // doc.
+      val stop = Seq("the", "a")
+      val pos = t(s, d, "documents")
+        .select(col("doc_id"),
+          posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .withColumn("__stop", col("w").isInCollection(stop))
+      val wDoc = Window.partitionBy("doc_id").orderBy("p")
+      val phrases = pos
+        .withColumn("__grp",
+          sum(when(col("__stop"), 1L).otherwise(0L)).over(wDoc))
+        .filter(!col("__stop"))
+        .groupBy("doc_id", "__grp")
+        .agg(array_join(transform(
+            sort_array(collect_list(struct(col("p"), col("w")))),
+            x => x.getField("w")), " ").as("phrase"),
+          count(lit(1)).as("len"))
+        .localCheckpoint() // feeds word stats + phrase stats
+      val wstat = phrases
+        .select(col("len"), explode(split(col("phrase"), " ")).as("w"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("len")).as("deg"))
+        .withColumn("wscore", col("deg").cast("double") / col("freq"))
+      val pstat = phrases.groupBy("phrase").agg(count(lit(1)).as("n_occ"))
+      val scored = pstat
+        .select(col("phrase"),
+          posexplode(split(col("phrase"), " ")).as(Seq("wp", "w")))
+        .join(wstat.select("w", "wscore"), "w")
+        .groupBy("phrase")
+        .agg(aggregate(sort_array(collect_list(struct(col("wp"), col("wscore")))),
+          lit(0.0), (a, x) => a + x.getField("wscore")).as("__sc"))
+      pstat.join(scored, "phrase")
+        .orderBy(col("__sc").desc, col("phrase")).limit(20)
+        .select(col("phrase"), col("n_occ"), round(col("__sc"), 4).as("score"))
+    }),
     "d78_dictionary_encode" -> ((s, d) => {
       // global DICTIONARY ENCODING round-trip — the columnar-engine
       // primitive (and the string→int prerequisite every graph/ANN op
@@ -4326,6 +4370,37 @@ object SparkEntry {
       t(s, d, "orders").createOrReplaceTempView("orders")
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
+    }),
+    "q98_theil_sen" -> ((s, d) => {
+      // Theil-Sen robust trend (Theil 1950/Sen 1968): per event type,
+      // the LOWER MEDIAN of all pairwise slopes of the hourly
+      // integer-cent series — the outlier-proof complement to q56's
+      // least-squares trend (one wild hour cannot move it). Each slope
+      // is ONE IEEE divide of exact longs; the median is a structural
+      // rank-pick at (n−1)/2 over the sorted slopes (deterministic —
+      // no averaging, the q55 robust-ops contract). The pair join is
+      // per-type (hour-count bounded, independent of corpus size at
+      // fixed time range); at unbounded series length the estimator has
+      // O(w²) pairs per window — bound the window, not the corpus.
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 3600000000L").as("h"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .localCheckpoint() // both sides of the pair self-join
+      val pairs = hourly.as("a").join(hourly.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.h") < col("b.h"))
+        .select(col("a.event_type").as("event_type"),
+          ((col("b.x") - col("a.x")).cast("double") /
+            (col("b.h") - col("a.h")).cast("double")).as("slope"))
+      val w = Window.partitionBy("event_type").orderBy("slope")
+      pairs
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
+        .filter(col("__rn") === expr("(__n - 1) div 2 + 1")) // lower median
+        .select(col("event_type"), col("__n").as("n_pairs"),
+          round(col("slope"), 4).as("slope_med"))
+        .orderBy("event_type")
     }),
     "q97_hits" -> ((s, d) => {
       // HITS hubs & authorities (Kleinberg, JACM'99) on the q50 affine
@@ -8158,6 +8233,47 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    "d79_rake_keywords" ->
+      """WITH pos AS (
+        |  SELECT doc_id, g.i AS p, a[g.i] AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t.a))) AS i) g
+        |  WHERE a[g.i] <> ''
+        |), grouped AS (
+        |  SELECT doc_id, p, w, w IN ('the', 'a') AS st,
+        |    SUM(CASE WHEN w IN ('the', 'a') THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY doc_id ORDER BY p
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM pos
+        |), phr AS (
+        |  SELECT doc_id, grp, string_agg(w, ' ' ORDER BY p) AS phrase,
+        |    CAST(COUNT(*) AS BIGINT) AS len
+        |  FROM grouped WHERE NOT st GROUP BY 1, 2
+        |), words AS (
+        |  SELECT len, unnest(regexp_split_to_array(phrase, ' ')) AS w FROM phr
+        |), wstat AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS freq,
+        |    CAST(SUM(len) AS BIGINT) AS deg
+        |  FROM words GROUP BY 1
+        |), pstat AS (
+        |  SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occ FROM phr GROUP BY 1
+        |), member AS (
+        |  SELECT ps.phrase, g.i AS wp,
+        |    regexp_split_to_array(ps.phrase, ' ')[g.i] AS w
+        |  FROM pstat ps, LATERAL (SELECT unnest(generate_series(
+        |    1, len(regexp_split_to_array(ps.phrase, ' ')))) AS i) g
+        |), scored AS (
+        |  SELECT m.phrase,
+        |    list_reduce(list(CAST(ws.deg AS DOUBLE) / ws.freq ORDER BY m.wp),
+        |      (x, y) -> x + y) AS sc
+        |  FROM member m JOIN wstat ws ON ws.w = m.w
+        |  GROUP BY 1
+        |)
+        |SELECT ps.phrase, ps.n_occ, ROUND(sc.sc, 4) AS score
+        |FROM pstat ps JOIN scored sc USING (phrase)
+        |ORDER BY sc.sc DESC, ps.phrase LIMIT 20""".stripMargin,
     "d78_dictionary_encode" ->
       """WITH post AS (
         |  SELECT doc_id, g.i AS p, a[g.i] AS w
@@ -9136,6 +9252,25 @@ object SparkEntry {
     // int64 contributions
     "q95_link_prediction" -> linkPredictionOracleSql,
     "q97_hits" -> hitsOracleSql,
+    "q98_theil_sen" ->
+      """WITH hourly AS (
+        |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
+        |    CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), pairs AS (
+        |  SELECT a.event_type,
+        |    CAST(b.x - a.x AS DOUBLE) / CAST(b.h - a.h AS DOUBLE) AS slope
+        |  FROM hourly a JOIN hourly b
+        |    ON a.event_type = b.event_type AND a.h < b.h
+        |), ranked AS (
+        |  SELECT event_type, slope,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY slope) AS rn,
+        |    CAST(COUNT(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+        |  FROM pairs
+        |)
+        |SELECT event_type, n AS n_pairs, ROUND(slope, 4) AS slope_med
+        |FROM ranked WHERE rn = (n - 1) // 2 + 1
+        |ORDER BY event_type""".stripMargin,
     "q96_autocorrelation" ->
       """WITH hourly AS (
         |  SELECT event_type, epoch_us(ts) // 3600000000 AS h,
