@@ -2523,6 +2523,40 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d80_dispersion" -> ((s, d) => {
+      // corpus DISPERSION (Gries' DP, 2008): how evenly a word spreads
+      // across sources — DP = Σ_i |v_i − s_i| / 2 over parts i, where
+      // v_i is the word's occurrence share in part i and s_i the part's
+      // corpus-size share. DP ≈ 0 = evenly dispersed (function words),
+      // DP → 1 = bursty/concentrated — the signal that separates a
+      // corpus-wide term from one source's boilerplate, complementing
+      // d57/d58's keyness. Exact long counts; v_i and s_i are one
+      // correctly-rounded divide each, the part sum folds in SOURCE
+      // order (pinned IEEE), halving is exact, ROUND(,4). Missing
+      // (word, part) cells contribute |0 − s_i| — the top-30 grid is
+      // words × parts, built with a broadcast cross join.
+      val tok = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint() // sizes + per-word + per-(word, part) counts
+      val sizes = tok.groupBy("source").agg(count(lit(1)).as("nt"))
+        .localCheckpoint()
+      val nTotal = sizes.agg(sum(col("nt"))).head().getLong(0) // bounded: parts
+      val top = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(30)
+      val cwi = tok.groupBy("w", "source").agg(count(lit(1)).as("cwi"))
+      top.crossJoin(broadcast(sizes))
+        .join(cwi, Seq("w", "source"), "left")
+        .select(col("w"), col("cw"), col("source"),
+          abs(coalesce(col("cwi"), lit(0L)).cast("double") / col("cw") -
+            col("nt").cast("double") / lit(nTotal.toDouble)).as("term"))
+        .groupBy("w", "cw")
+        .agg(aggregate(sort_array(collect_list(struct(col("source"), col("term")))),
+          lit(0.0), (a, x) => a + x.getField("term")).as("__dp"))
+        .select(col("w"), col("cw").as("freq"),
+          round(col("__dp") / 2, 4).as("dp"))
+        .orderBy(col("freq").desc, col("w"))
+    }),
     "d79_rake_keywords" -> ((s, d) => {
       // RAKE keyword extraction (Rose et al. 2010) — the stopword-
       // delimited complement to d75's TextRank: candidate phrases are
@@ -2698,6 +2732,30 @@ object SparkEntry {
       // phrase dictionary stays broadcast-tiny. Exact integers.
       graft.llm.PhraseSearch.search(
         t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
+    }),
+    "s35_stream_static_join" -> ((s, d) => {
+      // STREAM-STATIC join — the enrichment shape Structured Streaming
+      // runs STATELESS (the static side re-scans per microbatch; no
+      // state store, no watermark): streaming events join the static
+      // customer dimension on user key, rolled up per market segment in
+      // exact integer cents. The update-mode final state must equal the
+      // one-shot batch join — the oracle is the plain SQL join+group.
+      val ss = statefulEventsSession(s)
+      val ev = eventsStream(ss, d)
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("cents"))
+      val dim = t(ss, d, "customer")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val counts = ev.join(dim, "user_id") // stream-static: stateless
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
+      val ckpt = java.nio.file.Files.createTempDirectory("s35ck").toString
+      graft.streaming.Streaming.runAvailableNowUpdateFinalState(
+          counts, s"s35_dim_${System.nanoTime()}", ckpt)
+        // state-store value fields carry the aggregate FUNCTION names
+        .select(col("key.c_mktsegment").as("c_mktsegment"),
+          col("value.count").as("n_events"),
+          col("value.sum").as("sum_cents"))
+        .orderBy("c_mktsegment")
     }),
     "s34_stream_cusum" -> ((s, d) => {
       // STREAMING CUSUM drift monitor (Streaming.cusumStream) — d73
@@ -8233,6 +8291,32 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    "d80_dispersion" ->
+      """WITH tok AS (
+        |  SELECT source, w FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> ''
+        |), sizes AS (
+        |  SELECT source, CAST(COUNT(*) AS BIGINT) AS nt FROM tok GROUP BY 1
+        |), n AS (SELECT CAST(SUM(nt) AS DOUBLE) AS n FROM sizes),
+        |top AS (
+        |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM tok GROUP BY 1
+        |  ORDER BY cw DESC, w LIMIT 30
+        |), cwi AS (
+        |  SELECT w, source, CAST(COUNT(*) AS BIGINT) AS cwi
+        |  FROM tok GROUP BY 1, 2
+        |), grid AS (
+        |  SELECT t.w, t.cw, s.source,
+        |    ABS(CAST(COALESCE(c.cwi, 0) AS DOUBLE) / t.cw
+        |        - CAST(s.nt AS DOUBLE) / n.n) AS term
+        |  FROM top t CROSS JOIN sizes s CROSS JOIN n
+        |  LEFT JOIN cwi c ON c.w = t.w AND c.source = s.source
+        |)
+        |SELECT w, cw AS freq,
+        |  ROUND(list_reduce(list(term ORDER BY source), (x, y) -> x + y) / 2,
+        |    4) AS dp
+        |FROM grid GROUP BY w, cw ORDER BY freq DESC, w""".stripMargin,
     "d79_rake_keywords" ->
       """WITH pos AS (
         |  SELECT doc_id, g.i AS p, a[g.i] AS w
@@ -8314,6 +8398,12 @@ object SparkEntry {
         |ORDER BY f.r LIMIT 30""".stripMargin,
     "d74_phrase_search" -> phraseSearchOracleSql,
     "s33_stream_phrase_search" -> phraseSearchOracleSql,
+    "s35_stream_static_join" ->
+      """SELECT c.c_mktsegment,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+        |FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "s34_stream_cusum" ->
       """WITH pre AS (
         |  SELECT source, doc_id, SUM(n_chars - 280) OVER w AS p
