@@ -518,6 +518,28 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("imageDHash: gradient bits match a hand-computed synthetic image") {
+    val imgs = Multimodal.syntheticMedia(
+      spark.range(1, 200).toDF("k").filter($"k" % 3 === 0), "k")
+    val got = Multimodal.imageDHash(imgs)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (id, hi, lo) =>
+      val w = (4 + id % 5).toInt; val h = (3 + id % 4).toInt
+      def gray(gx: Int, gy: Int): Int = {
+        val sx = gx * w / 9; val sy = gy * h / 8
+        (0 until 3).map(c => ((id * 7 + sy * 11 + sx * 13 + c * 17) % 256).toInt).sum
+      }
+      var eHi = 0L; var eLo = 0L
+      for (y <- 0 until 8; x <- 0 until 8 if gray(x, y) > gray(x + 1, y)) {
+        val idx = y * 8 + x
+        if (idx < 32) eLo |= 1L << idx else eHi |= 1L << (idx - 32)
+      }
+      assert(hi == eHi && lo == eLo, s"id=$id: ($hi,$lo) vs ($eHi,$eLo)")
+      assert(hi >= 0 && lo >= 0, "halves never touch the sign bit")
+    }
+  }
+
   test("extractFeatures: every modality derives features from REAL decoded media") {
     val feats = Multimodal.extractFeatures(media, dim = 8)
       .select($"media_id", $"features")
