@@ -2523,6 +2523,39 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d81_vocab_growth" -> ((s, d) => {
+      // Heaps'-law VOCABULARY GROWTH curve: distinct-word count after
+      // the first k/8 of the token stream (k = 1..8) — the dedup/
+      // diversity planning curve (how fast does new data stop adding new
+      // vocabulary?). Global token positions are assembled WITHOUT a
+      // corpus-length single-task window: per-doc token counts get a
+      // window over the DOC table (corpus-count rows, not token-count —
+      // the d34 offset-table shape), and each token's position is
+      // docOffset + in-doc pos. Then one min-agg per word and one
+      // count-per-checkpoint — all exact integers.
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__ts"))
+        .select(col("doc_id"),
+          posexplode(col("__ts")).as(Seq("p", "w")))
+        .filter(length(col("w")) > 0)
+        .localCheckpoint() // doc counts + position join
+      val counts = docs.groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      val offsets = counts
+        .withColumn("off",
+          coalesce(sum(col("nt")).over(Window.orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val firstPos = docs.join(offsets, "doc_id")
+        .select(col("w"), (col("off") + col("p") + 1).as("gpos"))
+        .groupBy("w").agg(min(col("gpos")).as("fp"))
+        .localCheckpoint() // eight checkpoint scans
+      val nTotal = docs.count()
+      import s.implicits._
+      val ks = (1 to 8).map(k => (k.toLong, nTotal * k / 8)).toDF("k", "n_prefix")
+      firstPos.crossJoin(broadcast(ks))
+        .filter(col("fp") <= col("n_prefix"))
+        .groupBy("k", "n_prefix").agg(count(lit(1)).as("vocab"))
+        .orderBy("k")
+    }),
     "d80_dispersion" -> ((s, d) => {
       // corpus DISPERSION (Gries' DP, 2008): how evenly a word spreads
       // across sources — DP = Σ_i |v_i − s_i| / 2 over parts i, where
@@ -8291,6 +8324,33 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    "d81_vocab_growth" ->
+      """WITH pos AS (
+        |  SELECT doc_id, g.i AS p, a[g.i] AS w
+        |  FROM (SELECT doc_id,
+        |          regexp_split_to_array(trim(lower(text)), '\s+') AS a
+        |        FROM documents) t,
+        |  LATERAL (SELECT unnest(generate_series(1, len(t.a))) AS i) g
+        |  WHERE a[g.i] <> ''
+        |), counts AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nt FROM pos GROUP BY 1
+        |), offs AS (
+        |  SELECT doc_id, COALESCE(SUM(nt) OVER (ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM counts
+        |), fp AS (
+        |  SELECT w, MIN(o.off + p.p) AS fp
+        |  FROM pos p JOIN offs o USING (doc_id) GROUP BY w
+        |), n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM pos),
+        |ks AS (
+        |  SELECT CAST(v.k AS BIGINT) AS k,
+        |    CAST((n.n * v.k) // 8 AS BIGINT) AS n_prefix
+        |  FROM (VALUES (1), (2), (3), (4), (5), (6), (7), (8)) v(k)
+        |  CROSS JOIN n
+        |)
+        |SELECT ks.k, ks.n_prefix, CAST(COUNT(*) AS BIGINT) AS vocab
+        |FROM fp CROSS JOIN ks WHERE fp.fp <= ks.n_prefix
+        |GROUP BY 1, 2 ORDER BY ks.k""".stripMargin,
     "d80_dispersion" ->
       """WITH tok AS (
         |  SELECT source, w FROM (
