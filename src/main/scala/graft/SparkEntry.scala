@@ -1345,6 +1345,22 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Multimodal.audioStats(media).orderBy("media_id")
     }),
+    "m23_keyframes" -> ((s, d) => {
+      // KEYFRAME-per-shot selection (Multimodal.videoKeyframes) — the
+      // curation step after m20's cut detection: one representative
+      // frame (the shot's first) per detected scene with its exact luma
+      // sum, composed in one decode pass. On the scene-segmented
+      // fixture every boundary SAD trips the threshold, so scenes and
+      // keyframe indexes are closed-form (k·seg) and the oracle replays
+      // each keyframe's luma sum from the pixel formula.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticY4mScenes(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.videoKeyframes(media)
+        .orderBy("media_id", "scene")
+    }),
     "m20_shot_cuts" -> ((s, d) => {
       // SHOT-CUT detection (Multimodal.videoShotCuts) over decoded
       // scene-segmented y4m: frames are identical within a planted scene
@@ -6881,6 +6897,26 @@ object SparkEntry {
     // m20: consecutive-frame luma SADs from the scene-keyed pixel formula
     // (plane 0 term), ABS of the %256 wrap per pixel; is_cut compares
     // against mean-threshold 8 x pixels
+    // m23: scenes are planted at every seg frames, so keyframes sit at
+    // k·seg and each keyframe's luma sum replays from the pixel formula.
+    "m23_keyframes" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS media_id,
+        |    6 + (p_partkey % 3) * 2 AS w, 4 + (p_partkey % 2) * 2 AS h,
+        |    12 + p_partkey % 6 AS nf, 3 + p_partkey % 3 AS seg
+        |  FROM part WHERE p_partkey <= 200
+        |), scenes AS (
+        |  SELECT media_id, w, h, s.s AS scene, s.s * seg AS kf
+        |  FROM v, LATERAL (SELECT unnest(range((nf + seg - 1) // seg)) AS s) s
+        |)
+        |SELECT media_id, CAST(scene AS INT) AS scene,
+        |  CAST(kf AS INT) AS keyframe_idx,
+        |  CAST(SUM((media_id * 7 + scene * 97 + y.y * 11 + x.x * 13) % 256)
+        |    AS BIGINT) AS luma_sum
+        |FROM scenes,
+        |  LATERAL (SELECT unnest(range(h)) AS y) y,
+        |  LATERAL (SELECT unnest(range(w)) AS x) x
+        |GROUP BY 1, 2, 3 ORDER BY media_id, scene""".stripMargin,
     "m20_shot_cuts" ->
       """WITH v AS (
         |  SELECT p_partkey AS media_id,

@@ -2576,6 +2576,47 @@ object Multimodal {
         round(col("abs_sum").cast("double") / col("n_frames"), 4))
   }
 
+  /**
+   * KEYFRAME selection over real decoded frames — the video-curation
+   * step AFTER [[videoShotCuts]]: one representative frame per detected
+   * shot (the shot's FIRST frame — deterministic, no quality heuristic),
+   * with its exact luma byte sum (what a captioning/embedding stage
+   * would fingerprint). A shot starts at frame 0 and after every frame
+   * pair whose luma SAD exceeds `meanThreshold`·lumaBytes — the same cut
+   * rule as videoShotCuts, composed in ONE decode pass. Exact integers
+   * throughout; narrow per-row map + explode, no shuffle.
+   */
+  def videoKeyframes(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
+    val kf = udf { (payload: Array[Byte]) =>
+      decodeY4m(payload).map { case (w, h, _, _, frames) =>
+        val ySize = w * h
+        def lumaSum(f: Int): Long = {
+          var s = 0L; var p = 0
+          while (p < ySize) { s += (frames(f)(p) & 0xFF); p += 1 }
+          s
+        }
+        val starts = scala.collection.mutable.ArrayBuffer(0)
+        var f = 0
+        while (f < frames.length - 1) {
+          var sad = 0L
+          var p = 0
+          while (p < ySize) {
+            sad += math.abs((frames(f)(p) & 0xFF) - (frames(f + 1)(p) & 0xFF))
+            p += 1
+          }
+          if (sad > meanThreshold.toLong * ySize) starts += (f + 1)
+          f += 1
+        }
+        starts.toSeq.zipWithIndex.map { case (st, scene) =>
+          (scene, st, lumaSum(st))
+        }
+      }.orNull
+    }
+    media.withColumn("__k", explode(kf(col("payload"))))
+      .select(col("media_id"), col("__k._1").as("scene"),
+        col("__k._2").as("keyframe_idx"), col("__k._3").as("luma_sum"))
+  }
+
   def videoShotCuts(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
     val cuts = udf { (payload: Array[Byte]) =>
       decodeY4m(payload).map { case (w, h, _, _, frames) =>
