@@ -4478,6 +4478,28 @@ object SparkEntry {
       t(s, d, "nation").createOrReplaceTempView("nation")
       s.sql(sql4WayExistsSql)
     }),
+    "q99_asof_forward" -> ((s, d) => {
+      // FORWARD as-of join (pandas merge_asof direction='forward'): the
+      // next purchase at or after each click, per user — q31's mirror,
+      // same union + ONE window pass (no per-key cross product), frame
+      // flipped to [current, following) with first(ignoreNulls). The
+      // pair (q31, q99) gates both merge_asof directions.
+      val ev = t(s, d, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("p_event_id"))
+      Deltas.asofJoin(clicks, purchases, Seq("user_id"),
+          leftTime = "ts", rightTime = "ts",
+          payload = Seq("p_event_id", "ts"), tieBreak = Some("p_event_id"),
+          direction = "forward")
+        .filter(col("asof_p_event_id").isNotNull)
+        .withColumn("__wait_us",
+          unix_micros(col("asof_ts")) - unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"), col("asof_p_event_id"),
+          expr("__wait_us div 60000000").as("wait_min"))
+        .orderBy(col("event_id"))
+    }),
     "q98_theil_sen" -> ((s, d) => {
       // Theil-Sen robust trend (Theil 1950/Sen 1968): per event type,
       // the LOWER MEDIAN of all pairwise slopes of the hourly
@@ -7623,6 +7645,19 @@ object SparkEntry {
         | ROUND(SUM(value),2) AS total
         |FROM t GROUP BY user_id, session_seq
         |ORDER BY user_id, session_start""".stripMargin,
+    "q99_asof_forward" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |), p AS (
+        |  SELECT user_id, ts, event_id AS p_event_id FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT event_id, user_id, asof_p_event_id, wait_min FROM (
+        |  SELECT c.event_id, c.user_id, p.p_event_id AS asof_p_event_id,
+        |    (epoch_us(p.ts) - epoch_us(c.ts)) // 60000000 AS wait_min,
+        |    ROW_NUMBER() OVER (PARTITION BY c.event_id
+        |      ORDER BY p.ts ASC, p.p_event_id DESC) AS rn
+        |  FROM c JOIN p ON p.user_id = c.user_id AND p.ts >= c.ts) t
+        |WHERE rn = 1 ORDER BY event_id""".stripMargin,
     "q31_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'

@@ -74,10 +74,20 @@ object Deltas {
    * Contract: `by` columns must have the same names on both sides; payload
    * columns are returned as `asof_<name>`; left rows with no predecessor get
    * null payloads (left-outer semantics).
+   *
+   * `direction = "forward"` flips to merge_asof's forward semantics — the
+   * EARLIEST right row with `rightTime >= leftTime` (inclusive) — by
+   * mirroring the pass: left rows sort before right rows at equal time and
+   * a `first(_, ignoreNulls)` over [current, following) reads the next
+   * payload. The tie rule stays "greatest `tieBreak` wins" in both
+   * directions.
    */
   def asofJoin(left: DataFrame, right: DataFrame, by: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
-               tieBreak: Option[String] = None): DataFrame = {
+               tieBreak: Option[String] = None,
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"asofJoin direction must be backward|forward, got $direction")
     val rightTypes = right.schema.fields.map(f => f.name -> f.dataType).toMap
     val payloadStruct = struct(payload.map(col): _*)
     val nullPayload = {
@@ -99,14 +109,25 @@ object Deltas {
       leftCols.toIndexedSeq.map(c => if (by.contains(c)) col(c) else lit(null).cast(left.schema(c).dataType).as(c)) ++ Seq(
         col(rightTime).as("__t"), lit(0).as("__src"), payloadStruct.as("__payload"),
         tieBreak.map(col).getOrElse(lit(0)).as("__tie")): _*)
-    // right rows (src 0) sort before left rows (src 1) at equal time, so the
-    // inclusive <= holds; among tied right rows the greatest __tie sorts last
-    // and wins the running last()
-    val w = Window.partitionBy(by.map(col): _*)
-      .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = leftPart.union(rightPart)
-      .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+    // backward: right rows (src 0) sort before left rows (src 1) at equal
+    // time, so the inclusive <= holds; among tied right rows the greatest
+    // __tie sorts last and wins the running last(). forward mirrors it:
+    // left sorts first at equal time (inclusive >=), right ties sort
+    // greatest-first so first() picks the greatest __tie.
+    val carried =
+      if (direction == "backward") {
+        val w = Window.partitionBy(by.map(col): _*)
+          .orderBy(col("__t").asc, col("__src").asc, col("__tie").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        leftPart.union(rightPart)
+          .withColumn("__asof", last(col("__payload"), ignoreNulls = true).over(w))
+      } else {
+        val w = Window.partitionBy(by.map(col): _*)
+          .orderBy(col("__t").asc, col("__src").desc, col("__tie").desc)
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        leftPart.union(rightPart)
+          .withColumn("__asof", first(col("__payload"), ignoreNulls = true).over(w))
+      }
     val out = payload.foldLeft(carried.filter(col("__src") === 1)) { (d, p) =>
       d.withColumn(s"asof_$p", col("__asof").getField(p))
     }

@@ -67,6 +67,37 @@ class TemporalOpsSpec extends SparkSpec {
     assert(e3 == (Some(102L), Some("c")))
   }
 
+  test("asofJoin forward matches brute force; inclusive ties take greatest tieBreak") {
+    val left = eventsDf.select(col("user_id"), col("event_id"), col("ts"))
+    val rrows = Seq((1L, 0L, 100L, "a"), (1L, 300L, 101L, "b"), (1L, 300L, 102L, "c"),
+      (1L, 600L, 103L, "d"), (2L, 999L, 104L, "e"), (4L, 0L, 105L, "x"))
+    val right = rrows.toDF("user_id", "t_us", "rid", "tag")
+      .withColumn("rts", timestamp_micros(col("t_us"))).drop("t_us")
+    val got = Deltas.asofJoin(left, right, Seq("user_id"),
+        leftTime = "ts", rightTime = "rts", payload = Seq("rid", "tag"),
+        tieBreak = Some("rid"), direction = "forward")
+      .select("event_id", "asof_rid", "asof_tag")
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)).map(_.asInstanceOf[Long]),
+        Option(r.getString(2))))).toMap
+    // brute force: min rts >= ts, tie -> max rid; payload fields from SAME row
+    for ((u, t, id, _) <- events) {
+      val cands = rrows.filter(r => r._1 == u && r._2 >= t)
+      val want = if (cands.isEmpty) (None, None) else {
+        val best = cands.minBy(_._2)
+        val tied = cands.filter(_._2 == best._2).maxBy(_._3)
+        (Some(tied._3), Some(tied._4))
+      }
+      assert(got(id) == (want._1, want._2), s"event $id (user $u, t $t)")
+    }
+  }
+
+  test("asofJoin rejects an unknown direction") {
+    intercept[IllegalArgumentException] {
+      Deltas.asofJoin(eventsDf, eventsDf, Seq("user_id"), "ts", "ts",
+        payload = Seq("event_id"), direction = "nearest")
+    }
+  }
+
   test("binned range join = brute-force inequality join, across bin boundaries") {
     val iv = eventsDf.select(col("user_id"), col("event_id").as("iv_id"),
       (col("t_us") + 1).as("lo"), (col("t_us") + 250).as("hi"))
