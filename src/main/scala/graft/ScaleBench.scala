@@ -726,6 +726,44 @@ object ScaleBench {
       println(f"""{"metric":"scale_kcore","vertices":$full,"bad":$badK,"sec":$secs19%.2f,"vertices_per_sec":${(full / secs19).toLong}}""")
     }
 
+    if (sel("unigram")) {
+      // Unigram-LM Viterbi segmentation at 10M words (d77's operator):
+      // the corpus cycles a 6-word working set through the d77-style
+      // vocab, so the expected total cost and piece count are closed
+      // form — the 10M-row distributed result must equal the driver's
+      // 6-word segmentation times the multiplicities. Per-word DP is a
+      // narrow map over a broadcast vocab: throughput scales with cores.
+      val vocabU: Map[String, Long] =
+        (0 until 26).map(i => ('a' + i).toChar.toString -> (101L + i)).toMap ++
+          Map("ta" -> 150L, "ble" -> 160L, "table" -> 340L, "str" -> 140L,
+            "eam" -> 145L, "win" -> 130L, "dow" -> 135L, "er" -> 90L)
+      val wordsU = Seq("table", "stream", "window", "filter", "merge", "batch")
+      val nU = math.min(nTiles * 10, 10000000L)
+      val arrU = array(wordsU.map(lit): _*)
+      val dfU = spark.range(nU)
+        .select(element_at(arrU, (col("id") % wordsU.size).cast("int") + 1)
+          .as("word"))
+        .repartition(cpus.toInt * 4)
+      val tU = System.nanoTime()
+      val segU = graft.llm.Unigram.segmentWords(dfU, "word", vocabU)
+        .agg(sum(col("cost")), sum(col("n_pieces")), count(lit(1))).head()
+      val secsU = (System.nanoTime() - tU) / 1e9
+      // driver twin: segment the 6 distinct words once, scale by counts
+      import spark.implicits._
+      val one = graft.llm.Unigram.segmentWords(
+          wordsU.toDF("word"), "word", vocabU)
+        .select("word", "cost", "n_pieces")
+        .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val perWord = (0 until wordsU.size).map(i => nU / wordsU.size +
+        (if (i < nU % wordsU.size) 1L else 0L))
+      val expCost = wordsU.zipWithIndex.map { case (w, i) => one(w)._1 * perWord(i) }.sum
+      val expPieces = wordsU.zipWithIndex.map { case (w, i) => one(w)._2 * perWord(i) }.sum
+      require(segU.getLong(0) == expCost && segU.getLong(1) == expPieces,
+        s"unigram planted check failed: (${segU.getLong(0)},${segU.getLong(1)}) " +
+          s"vs ($expCost,$expPieces)")
+      println(f"""{"metric":"scale_unigram","words":$nU,"sec":$secsU%.2f,"words_per_sec":${(nU / secsU).toLong}}""")
+    }
+
     if (sel("link_prediction")) {
       // q95's operator at 2M vertices, planted star blocks with closed-form
       // scores: per 5-vertex block a center c and 4 leaves, edges c-leaf

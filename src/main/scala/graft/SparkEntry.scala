@@ -3242,6 +3242,32 @@ object SparkEntry {
           s, s"$root/state", minDocFrequency = 3)
         .orderBy("doc_id")
     }),
+    "d82_csv_gzip_roundtrip" -> ((s, d) => {
+      // gzip-compressed CSV round-trip — the third interchange surface
+      // (d52 JSONL, d54 ORC): the corpus writes as quoted CSV with the
+      // gzip codec and reads back schema-first through the compressed
+      // text path (the splittability trade is the documented cost:
+      // one gzip member = one task — at 100 TB you shard into many
+      // .csv.gz files, which the partitioned write does). Same checksum
+      // gate and shared oracle as d52 — a quoting/escaping/codec bug
+      // anywhere breaks the per-(lang, source) md5-distinct count.
+      import org.apache.spark.sql.types._
+      val root = java.nio.file.Files.createTempDirectory("d82").toString
+      t(s, d, "documents").write.mode("overwrite")
+        .option("header", "true").option("compression", "gzip")
+        .csv(s"$root/csvgz")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("text", StringType),
+        StructField("lang", StringType), StructField("source", StringType),
+        StructField("n_chars", LongType)))
+      s.read.schema(schema).option("header", "true").csv(s"$root/csvgz")
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).as("sum_len"),
+          countDistinct(md5(col("text"))).as("n_distinct"),
+          min(col("doc_id")).as("min_id"), max(col("doc_id")).as("max_id"))
+        .orderBy("lang", "source")
+    }),
     "d52_jsonl_roundtrip" -> ((s, d) => {
       // JSONL io round-trip — the interchange format training pipelines
       // actually move documents in. The corpus writes as JSON Lines and
@@ -8914,6 +8940,7 @@ object SparkEntry {
     "s22_stream_pmi" -> pmiOracleSql,
     "d52_jsonl_roundtrip" -> corpusChecksumOracleSql,
     "d54_orc_roundtrip" -> corpusChecksumOracleSql,
+    "d82_csv_gzip_roundtrip" -> corpusChecksumOracleSql,
     "d55_jaro_winkler" ->
       """WITH fixture(doc_id, key) AS (VALUES
         |  (-1, 'martha'), (-38, 'marhta'), (-2, 'dwayne'), (-39, 'duane'),
