@@ -2782,6 +2782,46 @@ object SparkEntry {
       graft.llm.PhraseSearch.search(
         t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
     }),
+    "s36_stream_image_dedup" -> ((s, d) => {
+      // STREAMING IMAGE DEDUP by perceptual hash — m22 composed with
+      // keyed state: media keys arrive in 3 range batches PLUS a full
+      // REPLAY batch (at-least-once re-delivery), payloads decode and
+      // dHash statelessly per microbatch, and an update-mode
+      // min(media_id) per (dhash_hi, dhash_lo) is the dedup state —
+      // min is idempotent, so the replay batch must change NOTHING.
+      // The synthetic image set collapses 67 payloads to 33 gradient
+      // classes, so the dedup is load-bearing, not vacuous. Final state
+      // must equal the batch group-by — the oracle replays dHash bits
+      // closed-form and takes MIN(media_id) per hash.
+      import org.apache.spark.sql.types._
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .filter(col("p_partkey") % 3 === 0)
+        .select(col("p_partkey").cast("long").as("media_id"))
+      val root = java.nio.file.Files.createTempDirectory("s36drops").toString
+      Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
+          col("media_id") < 132), (2, col("media_id") >= 132))
+        .foreach { case (b, cond) =>
+          graft.streaming.Streaming.writeOrderedMicrobatch(
+            keys.filter(cond), s"$root/in", b)
+        }
+      // batch 3: the FULL key set again — replayed delivery
+      graft.streaming.Streaming.writeOrderedMicrobatch(keys, s"$root/in", 3)
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("media_id", LongType)))
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticPpm(id))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("payload", build(col("media_id")))
+      val hashed = graft.llm.Multimodal.imageDHash(stream)
+        .groupBy("dhash_hi", "dhash_lo").agg(min(col("media_id")).as("m"))
+      val ckpt = java.nio.file.Files.createTempDirectory("s36ck").toString
+      graft.streaming.Streaming.runAvailableNowUpdateFinalState(
+          hashed, s"s36_dhash_${System.nanoTime()}", ckpt)
+        .select(col("key.dhash_hi").as("dhash_hi"),
+          col("key.dhash_lo").as("dhash_lo"),
+          col("value.min").as("first_media_id"))
+        .orderBy("dhash_hi", "dhash_lo")
+    }),
     "s35_stream_static_join" -> ((s, d) => {
       // STREAM-STATIC join — the enrichment shape Structured Streaming
       // runs STATELESS (the static side re-scans per microbatch; no
@@ -6652,6 +6692,37 @@ object SparkEntry {
         |    THEN (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS dhash_lo
         |FROM img i LEFT JOIN bits b USING (media_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s36: m22's closed-form dHash bits, grouped to MIN(media_id) per
+    // hash — the streamed min-state must converge to exactly this.
+    "s36_stream_image_dedup" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id, 4 + p_partkey % 5 AS w,
+        |    3 + p_partkey % 4 AS h
+        |  FROM part WHERE p_partkey <= 200 AND p_partkey % 3 = 0
+        |), g AS (
+        |  SELECT media_id, y.y AS y, x.x AS x,
+        |    ((media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13) % 256
+        |     + (media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13 + 17) % 256
+        |     + (media_id * 7 + ((y.y * h) // 8) * 11 + ((x.x * w) // 9) * 13 + 34) % 256) AS gr
+        |  FROM img,
+        |    LATERAL (SELECT unnest(range(8)) AS y) y,
+        |    LATERAL (SELECT unnest(range(9)) AS x) x
+        |), bits AS (
+        |  SELECT a.media_id, a.y * 8 + a.x AS idx
+        |  FROM g a JOIN g b ON b.media_id = a.media_id
+        |    AND b.y = a.y AND b.x = a.x + 1
+        |  WHERE a.x < 8 AND a.gr > b.gr
+        |), hs AS (
+        |  SELECT i.media_id,
+        |    CAST(COALESCE(SUM(CASE WHEN idx >= 32
+        |      THEN (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS dhash_hi,
+        |    CAST(COALESCE(SUM(CASE WHEN idx < 32
+        |      THEN (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS dhash_lo
+        |  FROM img i LEFT JOIN bits USING (media_id)
+        |  GROUP BY 1
+        |)
+        |SELECT dhash_hi, dhash_lo, MIN(media_id) AS first_media_id
+        |FROM hs GROUP BY 1, 2 ORDER BY dhash_hi, dhash_lo""".stripMargin,
     // m21: replay ZCR + abs-sum from the synthetic PCM formula with a
     // lag window over the per-channel sample series.
     "m21_audio_features" ->
