@@ -2539,6 +2539,28 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d83_lexical_richness" -> ((s, d) => {
+      // per-source LEXICAL RICHNESS: vocabulary size, hapax count (words
+      // seen once — the Good-Turing N_1 mass, localized per source) and
+      // Simpson's diversity D = Σ c·(c−1) / (N·(N−1)) — the repeat-draw
+      // collision probability, a corpus-mixing health check (template
+      // spam drives D up, diverse prose keeps it near uniform). Counts
+      // exact; D is one pinned divide of exact longs + ROUND(,6). Two
+      // keyed aggs, map-side combinable.
+      val uni = t(s, d, "documents")
+        .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) > 0)
+        .groupBy("source", "w").agg(count(lit(1)).as("c"))
+      uni.groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"), count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("hapax"),
+          sum(col("c") * (col("c") - 1)).as("__coll"))
+        .select(col("source"), col("n_tokens"), col("vocab"), col("hapax"),
+          round(col("__coll").cast("double") /
+            (col("n_tokens") * (col("n_tokens") - 1)).cast("double"), 6)
+            .as("simpson_d"))
+        .orderBy("source")
+    }),
     "d81_vocab_growth" -> ((s, d) => {
       // Heaps'-law VOCABULARY GROWTH curve: distinct-word count after
       // the first k/8 of the token stream (k = 1..8) — the dedup/
@@ -8492,6 +8514,23 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    "d83_lexical_richness" ->
+      """WITH uni AS (
+        |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+        |    SELECT source,
+        |      unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |    FROM documents) WHERE w <> '' GROUP BY 1, 2
+        |), agg AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |    CAST(COUNT(*) AS BIGINT) AS vocab,
+        |    CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |    CAST(SUM(c * (c - 1)) AS BIGINT) AS coll
+        |  FROM uni GROUP BY 1
+        |)
+        |SELECT source, n_tokens, vocab, hapax,
+        |  ROUND(CAST(coll AS DOUBLE) /
+        |    CAST(n_tokens * (n_tokens - 1) AS DOUBLE), 6) AS simpson_d
+        |FROM agg ORDER BY source""".stripMargin,
     "d81_vocab_growth" ->
       """WITH pos AS (
         |  SELECT doc_id, g.i AS p, a[g.i] AS w
