@@ -24,9 +24,21 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Stream checkpoints/state stores/microbatch drops and shuffle spills
+    // all land in java.io.tmpdir + spark.local.dir, which default to the
+    // DISK-backed /tmp — the streaming gates' run-to-run swing (s16
+    // 7.7 s contended vs 3.7 s isolated in one full run) is that disk.
+    // Use the tmpfs when present so the bench measures the operators,
+    // not the VM's block device. Opt out with SPARK_GRAFT_TMPDIR.
+    val tmp = sys.env.getOrElse("SPARK_GRAFT_TMPDIR",
+      if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-bench"
+      else System.getProperty("java.io.tmpdir"))
+    new java.io.File(tmp).mkdirs()
+    System.setProperty("java.io.tmpdir", tmp)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", tmp)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
