@@ -2578,10 +2578,10 @@ object SparkEntry {
         .filter(length(col("w")) > 0)
         .localCheckpoint() // doc counts + position join
       val counts = docs.groupBy("doc_id").agg(count(lit(1)).as("nt"))
-      val offsets = counts
-        .withColumn("off",
-          coalesce(sum(col("nt")).over(Window.orderBy("doc_id")
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // exclusive prefix sum WITHOUT a single-task window — at 10⁹ docs
+      // even the doc-count table is too big for one sort task
+      val offsets = graft.ops.GlobalRank.withGlobalPrefixSum(
+        counts, col("nt"), "off", col("doc_id"))
       val firstPos = docs.join(offsets, "doc_id")
         .select(col("w"), (col("off") + col("p") + 1).as("gpos"))
         .groupBy("w").agg(min(col("gpos")).as("fp"))
@@ -2683,15 +2683,16 @@ object SparkEntry {
       // or off-by-one breaks it, and roundtrip_ok proves the bijection
       // (w → id → w reconstructs every document verbatim). At 100 TB
       // the dictionary join shuffles on token (df-bounded skew, the d31
-      // posting shape); the gate's row_number window is vocab-bounded.
+      // posting shape); dictionary ids come from GlobalRank's range-
+      // partitioned offset pattern — no single-task sort at any vocab size.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
       val post = docs
         .select(col("doc_id"),
           posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "w")))
         .filter(length(col("w")) > 0)
         .localCheckpoint() // feeds the dict build AND the encode join
-      val dict = post.select("w").distinct()
-        .select(col("w"), row_number().over(Window.orderBy("w")).as("id"))
+      val dict = graft.ops.GlobalRank
+        .withGlobalRank(post.select("w").distinct(), "id", col("w"))
         .localCheckpoint() // encode side + decode side
       val encp = post.join(dict, "w").select(col("doc_id"), col("p"), col("id"))
       // decode STRICTLY through the dictionary (id -> w), not the source
@@ -2775,9 +2776,9 @@ object SparkEntry {
           length(col("w2")) > 0)
         .distinct()
         .localCheckpoint() // feeds the id build and both edge attaches
-      val ids = big.select(col("w1").as("w")).unionByName(big.select(col("w2").as("w")))
-        .distinct()
-        .select(col("w"), row_number().over(Window.orderBy("w")).as("v"))
+      val ids = graft.ops.GlobalRank.withGlobalRank(
+          big.select(col("w1").as("w")).unionByName(big.select(col("w2").as("w")))
+            .distinct(), "v", col("w"))
         .localCheckpoint()
       val dir = big
         .join(ids.select(col("w").as("w1"), col("v").as("__va")), "w1")
@@ -4597,26 +4598,14 @@ object SparkEntry {
       // rank-pick at (n−1)/2 over the sorted slopes (deterministic —
       // no averaging, the q55 robust-ops contract). The pair join is
       // per-type (hour-count bounded, independent of corpus size at
-      // fixed time range); at unbounded series length the estimator has
-      // O(w²) pairs per window — bound the window, not the corpus.
+      // fixed time range); Robust.theilSen ENFORCES that bound — a
+      // per-type series past maxPoints loud-fails instead of silently
+      // going O(n²) (window the series upstream, not the corpus).
       val hourly = t(s, d, "events")
         .groupBy(col("event_type"),
           expr("unix_micros(ts) div 3600000000L").as("h"))
         .agg(sum(round(col("value") * 100).cast("long")).as("x"))
-        .localCheckpoint() // both sides of the pair self-join
-      val pairs = hourly.as("a").join(hourly.as("b"),
-          col("a.event_type") === col("b.event_type") &&
-            col("a.h") < col("b.h"))
-        .select(col("a.event_type").as("event_type"),
-          ((col("b.x") - col("a.x")).cast("double") /
-            (col("b.h") - col("a.h")).cast("double")).as("slope"))
-      val w = Window.partitionBy("event_type").orderBy("slope")
-      pairs
-        .withColumn("__rn", row_number().over(w))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("event_type")))
-        .filter(col("__rn") === expr("(__n - 1) div 2 + 1")) // lower median
-        .select(col("event_type"), col("__n").as("n_pairs"),
-          round(col("slope"), 4).as("slope_med"))
+      graft.ops.Robust.theilSen(hourly, "event_type", "h", "x", maxPoints = 10000)
         .orderBy("event_type")
     }),
     "q97_hits" -> ((s, d) => {
@@ -5091,7 +5080,8 @@ object SparkEntry {
     "q41_zorder_stats" -> ((s, d) => {
       // Z-order data layout, with its pruning evidence in the hash: Morton-
       // interleave (l_suppkey, l_partkey), bucket the z order into 16
-      // "files" (ntile — the oracle-stable stand-in for the production
+      // "files" (exact ntile semantics via GlobalRank — the oracle-stable
+      // stand-in for the production
       // repartitionByRange in ZOrder.zOrdered), and emit each bucket's
       // per-dimension min/max — the file-stats table a 2-D predicate scan
       // prunes with. Pure integer bit arithmetic, bit-identical in DuckDB.

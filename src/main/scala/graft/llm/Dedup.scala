@@ -742,9 +742,12 @@ object Dedup {
       s"minJaccard=$minJaccard must be in (0, 1]")
     val toks = df.select(col(idCol).as("id"),
       explode(array_distinct(col(tokCol))).as("tok"))
-    val ranked = toks.groupBy("tok").agg(count(lit(1)).as("df"))
-      .select(col("tok"),
-        row_number().over(Window.orderBy(col("df"), col("tok"))).as("rk"))
+    // df-rank WITHOUT a single-task global window: a web-scale vocabulary
+    // is 10⁸–10⁹ distinct tokens, far past what one sort task can hold
+    val ranked = graft.ops.GlobalRank.withGlobalRank(
+        toks.groupBy("tok").agg(count(lit(1)).as("df")),
+        "rk", col("df"), col("tok"))
+      .select(col("tok"), col("rk"))
     val sets = toks.join(broadcast(ranked), "tok")
       .groupBy("id").agg(sort_array(collect_set(col("rk"))).as("rks"))
       .select(col("id"), col("rks"), size(col("rks")).as("m"))
@@ -861,27 +864,15 @@ object Dedup {
     require(window >= 2, s"window=$window must be >= 2")
     require(minJaccard > 0.0 && minJaccard <= 1.0,
       s"minJaccard=$minJaccard must be in (0, 1]")
-    val spark = df.sparkSession
     val base = df.select(col(idCol).as("id"), blockKey.as("__bk"),
       sort_array(array_distinct(col(tokCol))).as("__gs"))
       .withColumn("__m", size(col("__gs")))
-    // capture the range partition id BEFORE any further exchange; the
-    // localCheckpoint both freezes the (sampled) partitioning the offsets
-    // are computed against and stops the gram build re-running per consumer
-    val ranged = base
-      .repartitionByRange(spark.sparkContext.defaultParallelism,
-        col("__bk"), col("id"))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint()
-    // P-row offset table: rows in earlier range partitions precede ALL rows
-    // of later ones, so global pos = partition offset + in-partition rank
-    val offsets = ranged.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
-      .select(col("__pid"),
-        (sum(col("__cnt")).over(Window.orderBy("__pid")) - col("__cnt")).as("__off"))
-    // checkpointed: feeds the slim pair join (twice) and both gram attaches
-    val withPos = ranged.join(broadcast(offsets), "__pid")
-      .withColumn("pos",
-        row_number().over(Window.partitionBy("__pid").orderBy("__bk", "id")) + col("__off"))
+    // global position via ops.GlobalRank (range partitions + broadcast
+    // P-row offset table — the pattern this method originated); the
+    // outer localCheckpoint stops the gram build re-running per consumer:
+    // withPos feeds the slim pair join (twice) and both gram attaches
+    val withPos = graft.ops.GlobalRank
+      .withGlobalRank(base, "pos", col("__bk"), col("id"))
       .localCheckpoint()
     // each row pairs with its window-1 predecessors: explode the offsets on
     // the slim (pos, id) side, equi-join on position — positions are unique,

@@ -1,0 +1,89 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Scale-safe global ordering primitives — the replacement for the
+ * single-task `Window.orderBy(...)` global sort, which serializes the
+ * ENTIRE table through one task (a non-starter when the table is a
+ * web-scale vocabulary of 10⁸–10⁹ distinct tokens or a 10⁹-row document
+ * table).
+ *
+ * The pattern (first proven in [[graft.llm.Dedup.sortedNeighborhoodPairs]]):
+ *   1. `repartitionByRange` on the order columns — range partitions are
+ *      globally ordered, so every row of partition i precedes every row of
+ *      partition i+1;
+ *   2. `localCheckpoint` to FREEZE the (boundary-sampled) partitioning —
+ *      the offset table is computed against these exact partitions, and
+ *      downstream consumers must not re-run the sampling;
+ *   3. a P-row per-partition count → exclusive prefix sum via a window
+ *      over the TINY partition-id table (P rows, not N) → broadcast;
+ *   4. global rank = partition offset + in-partition `row_number`
+ *      (or offset + in-partition running sum, for prefix sums).
+ *
+ * The result is exactly the value the global window would produce —
+ * independent of where the sampled boundaries fall — because the order
+ * columns form a strict total order across rows (callers must guarantee
+ * uniqueness of the order key; ties would make both the global window and
+ * this pattern nondeterministic). Work is two narrow passes plus one range
+ * shuffle, with no task ever holding more than one partition's rows.
+ */
+object GlobalRank {
+
+  /**
+   * Adds `outCol` = 1-based global rank of each row under `orderCols`
+   * (LongType). `orderCols` must be unique per row (strict total order).
+   * The returned frame is localCheckpoint'ed (see class doc, step 2);
+   * callers fanning out to several consumers need no further checkpoint
+   * for correctness, only for cost.
+   */
+  def withGlobalRank(df: DataFrame, outCol: String, orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "withGlobalRank needs at least one order column")
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism, orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .localCheckpoint()
+    ranged.join(broadcast(partitionOffsets(ranged, lit(1L))), "__gr_pid")
+      .withColumn(outCol,
+        row_number().over(
+          Window.partitionBy("__gr_pid").orderBy(orderCols: _*)).cast("long") +
+          col("__gr_off"))
+      .drop("__gr_pid", "__gr_off")
+  }
+
+  /**
+   * Adds `outCol` = EXCLUSIVE global prefix sum of `valueCol` under
+   * `orderCols` (LongType; the first row gets 0) — the distributed
+   * equivalent of `sum(valueCol).over(Window.orderBy(orderCols)
+   * .rowsBetween(unboundedPreceding, -1))`. Same total-order requirement
+   * and checkpoint contract as [[withGlobalRank]].
+   */
+  def withGlobalPrefixSum(df: DataFrame, valueCol: Column, outCol: String,
+                          orderCols: Column*): DataFrame = {
+    require(orderCols.nonEmpty, "withGlobalPrefixSum needs at least one order column")
+    val spark = df.sparkSession
+    val ranged = df
+      .repartitionByRange(spark.sparkContext.defaultParallelism, orderCols: _*)
+      .withColumn("__gr_pid", spark_partition_id())
+      .withColumn("__gr_v", valueCol.cast("long"))
+      .localCheckpoint()
+    ranged.join(broadcast(partitionOffsets(ranged, col("__gr_v"))), "__gr_pid")
+      .withColumn(outCol,
+        coalesce(sum(col("__gr_v")).over(
+          Window.partitionBy("__gr_pid").orderBy(orderCols: _*)
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+          col("__gr_off"))
+      .drop("__gr_pid", "__gr_v", "__gr_off")
+  }
+
+  /** P-row exclusive-offset table: sum of `per` over all EARLIER range
+    * partitions. The window here orders P partition ids, not N rows. */
+  private def partitionOffsets(ranged: DataFrame, per: Column): DataFrame =
+    ranged.groupBy("__gr_pid").agg(sum(per).as("__gr_cnt"))
+      .select(col("__gr_pid"),
+        (coalesce(sum(col("__gr_cnt")).over(Window.orderBy("__gr_pid")), lit(0L)) -
+          col("__gr_cnt")).as("__gr_off"))
+}

@@ -101,4 +101,45 @@ object Robust {
         sum(when(col("__dev") > lit(k) * col("mad"), 1L).otherwise(0L))
           .as("n_outliers"))
   }
+
+  /**
+   * Theil-Sen robust trend (Theil 1950 / Sen 1968) per group: the LOWER
+   * MEDIAN of all pairwise slopes of an integer (h, x) series — the
+   * outlier-proof complement to least squares (one wild point cannot move
+   * it). Each slope is ONE IEEE divide of exact longs; the median is a
+   * structural rank-pick at (n−1)/2 over the per-group slope sort
+   * (deterministic — no averaging), so the result hash-checks across
+   * engines. Returns (groupCol, n_pairs, slope_med rounded to 4).
+   *
+   * The estimator is O(n²) pairs per group BY DEFINITION, so `maxPoints`
+   * LOUD-fails on a group whose point count would make the pair join
+   * pathological (the [[Graph.linkPrediction]] maxDegree contract): window
+   * the series upstream — a silent cap would bias the slope.
+   */
+  def theilSen(points: DataFrame, groupCol: String, hCol: String,
+               xCol: String, maxPoints: Int = 10000): DataFrame = {
+    require(maxPoints >= 2, s"maxPoints=$maxPoints must be >= 2")
+    val series = points.select(col(groupCol), col(hCol).cast("long").as("__h"),
+        col(xCol).cast("long").as("__x"))
+      .localCheckpoint() // bounded probe + both sides of the pair self-join
+    val hot = series.groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPoints).limit(1).collect()
+    require(hot.isEmpty,
+      s"theilSen: group ${hot.headOption.map(_.get(0)).orNull} has more than " +
+        s"maxPoints=$maxPoints points — the pairwise-slope self-join is O(n²) " +
+        "per group; window the series upstream or raise the bound")
+    val pairs = series.as("a").join(series.as("b"),
+        col(s"a.$groupCol") === col(s"b.$groupCol") &&
+          col("a.__h") < col("b.__h"))
+      .select(col(s"a.$groupCol").as(groupCol),
+        ((col("b.__x") - col("a.__x")).cast("double") /
+          (col("b.__h") - col("a.__h")).cast("double")).as("slope"))
+    val w = Window.partitionBy(groupCol).orderBy("slope")
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(groupCol)))
+      .filter(col("__rn") === expr("(__n - 1) div 2 + 1")) // lower median
+      .select(col(groupCol), col("__n").as("n_pairs"),
+        round(col("slope"), 4).as("slope_med"))
+  }
 }

@@ -41,15 +41,31 @@ object ZOrder {
   }
 
   /** The pruning evidence, as a deterministic query: bucket the z-sorted
-    * rows into `nBuckets` equal "files" (ntile over the total z order —
-    * the oracle-stable stand-in for repartitionByRange's sampled bounds)
-    * and report each bucket's per-dimension min/max/count — the file-stats
-    * table a scan would prune with. */
+    * rows into `nBuckets` equal "files" (exact SQL-ntile semantics over
+    * the total z order — the oracle-stable stand-in for
+    * repartitionByRange's sampled bounds) and report each bucket's
+    * per-dimension min/max/count — the file-stats table a scan would
+    * prune with. The global rank comes from [[GlobalRank.withGlobalRank]]
+    * (range partitions + broadcast offsets), NOT a single-task ntile
+    * window, and the bucket id is reconstructed from (rank, N) with the
+    * exact integer ntile rule: the first N mod k buckets hold
+    * ⌈N/k⌉ rows, the rest ⌊N/k⌋ — bit-identical to SQL ntile. */
   def zBucketStats(df: DataFrame, x: Column, y: Column,
                    tieBreak: Seq[Column], nBuckets: Int, bits: Int = 16): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(zValue2(x, y, bits) +: tieBreak: _*)
-    df.withColumn("bucket", ntile(nBuckets).over(w))
+    require(nBuckets >= 1, s"nBuckets=$nBuckets must be positive")
+    val ranked = GlobalRank.withGlobalRank(
+      df.withColumn("__z", zValue2(x, y, bits)),
+      "__r", col("__z") +: tieBreak: _*)
+    // one cheap count over the already-checkpointed ranked frame
+    val n = ranked.count()
+    val (q, rem) = (n / nBuckets, n % nBuckets)
+    val cut = rem * (q + 1) // ranks 1..cut live in the (q+1)-sized buckets
+    val bucket = // `div` = exact integer division (Column./ widens to double)
+      if (q == 0L) col("__r") // fewer rows than buckets: one row per bucket
+      else when(col("__r") <= lit(cut),
+          expr(s"(__r - 1) div ${q + 1}L") + 1)
+        .otherwise(lit(rem) + expr(s"(__r - ${cut}L - 1) div ${q}L") + 1)
+    ranked.withColumn("bucket", bucket.cast("int"))
       .groupBy(col("bucket"))
       .agg(min(x).as("x_min"), max(x).as("x_max"),
         min(y).as("y_min"), max(y).as("y_max"),

@@ -72,4 +72,23 @@ class RobustSpec extends SparkSpec {
     val got = Robust.exactMedian(df, Seq("g"), "x").head().getDouble(1)
     assert(got == 2.0)
   }
+
+  test("theilSen: lower median of pairwise slopes, outlier-proof") {
+    // y = 2h + noise at h=0..4, with one wild point (h=5, x=1000): the
+    // LS slope would explode, Theil-Sen's median slope stays 2
+    val df = Seq(("a", 0L, 0L), ("a", 1L, 2L), ("a", 2L, 4L),
+      ("a", 3L, 6L), ("a", 4L, 8L), ("a", 5L, 1000L)).toDF("g", "h", "x")
+    val r = Robust.theilSen(df, "g", "h", "x").head()
+    assert(r.getAs[Long]("n_pairs") == 15)
+    assert(r.getAs[Double]("slope_med") == 2.0)
+  }
+
+  test("theilSen: a group past maxPoints loud-fails instead of going O(n^2)") {
+    val big = (1 to 50).map(i => ("hot", i.toLong, i.toLong)).toDF("g", "h", "x")
+    val e = intercept[IllegalArgumentException] {
+      Robust.theilSen(big, "g", "h", "x", maxPoints = 10)
+    }
+    assert(e.getMessage.contains("maxPoints"), e.getMessage)
+    assert(e.getMessage.contains("hot"), e.getMessage)
+  }
 }
