@@ -2930,7 +2930,15 @@ object SparkEntry {
           votes, s"s33_phrase_${System.nanoTime()}", ckpt)
         .select(col("key.phrase").as("phrase"), col("key.doc_id").as("doc_id"),
           col("key.start").as("start"), col("value.count").as("__k"))
-      graft.llm.PhraseSearch.matches(st.filter(col("__k") === 3))
+      // full-vote gate joins each phrase's OWN word count (mirrors
+      // PhraseSearch.search) — a hardcoded length would silently break
+      // when a phrase of a different word count joins the list
+      import s.implicits._
+      val lens = phraseSearchPhrases
+        .map(p => (p, graft.llm.PhraseSearch.phraseWords(p).length.toLong))
+        .toDF("phrase", "__len")
+      graft.llm.PhraseSearch.matches(
+        st.join(broadcast(lens), "phrase").filter(col("__k") === col("__len")))
     }),
     "d73_cusum_changepoint" -> ((s, d) => {
       // CUSUM changepoint detection (Page 1954) over each source's
@@ -3323,7 +3331,12 @@ object SparkEntry {
         StructField("doc_id", LongType), StructField("text", StringType),
         StructField("lang", StringType), StructField("source", StringType),
         StructField("n_chars", LongType)))
-      s.read.schema(schema).option("header", "true").csv(s"$root/csvgz")
+      // multiLine: quoted text with an embedded newline must parse back
+      // as one row (without it the roundtrip silently splits such rows);
+      // costs per-file parallelism only inside this read — and a .gz
+      // member is one task anyway
+      s.read.schema(schema).option("header", "true")
+        .option("multiLine", "true").csv(s"$root/csvgz")
         .groupBy(col("lang"), col("source"))
         .agg(count(lit(1)).as("n_docs"),
           sum(length(col("text"))).as("sum_len"),
@@ -5295,9 +5308,13 @@ object SparkEntry {
        |  FROM paths
        |)
        |SELECT f.word, f.n_occ, b.seg, b.cost, b.n_pieces
-       |FROM freq f JOIN best b ON b.word = f.word AND b.rn = 1
+       |FROM freq f LEFT JOIN best b ON b.word = f.word AND b.rn = 1
        |ORDER BY f.word""".stripMargin
   }
+  // ^ LEFT JOIN, matching segmentWords' null contract for unsegmentable
+  // words — an inner join would silently drop them from the oracle while
+  // the engine emits them with null seg/cost (the gate only agreed by
+  // luck of the current corpus being vocab-coverable).
 
   /** d74/s33: the shipped phrase dictionary (llm/PhraseSearch carries
     * the positional intersection both gates share). */

@@ -20,15 +20,22 @@ import org.apache.spark.sql.functions._
  */
 object PhraseSearch {
 
+  /** Phrase words through the SAME normalization TextAnalysis.tokens
+    * applies to postings (lowercase, split on any whitespace run) — an
+    * unnormalized dictionary would silently match nothing. The reported
+    * `phrase` key stays the caller's original string. */
+  def phraseWords(p: String): Array[String] =
+    p.trim.toLowerCase.split("\\s+")
+
   /** One row per posting hit: (phrase, doc, start), start 1-based. */
   def votes(docs: DataFrame, idCol: String, textCol: String,
             phrases: Seq[String], s: SparkSession): DataFrame = {
     require(phrases.nonEmpty, "phrase list must be non-empty")
-    require(phrases.forall(_.trim.split("\\s+").length >= 2),
+    require(phrases.forall(phraseWords(_).length >= 2),
       "phrases must have >= 2 words (single terms are a plain postings probe)")
     import s.implicits._
     val ph = phrases.flatMap { p =>
-      p.split(" ").zipWithIndex.map { case (w, i) => (p, w, i) }
+      phraseWords(p).zipWithIndex.map { case (w, i) => (p, w, i) }
     }.toDF("phrase", "w", "i")
     docs
       .select(col(idCol).as("doc_id"),
@@ -50,7 +57,7 @@ object PhraseSearch {
              phrases: Seq[String]): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
-    val lens = phrases.map(p => (p, p.split(" ").length.toLong))
+    val lens = phrases.map(p => (p, phraseWords(p).length.toLong))
       .toDF("phrase", "__len")
     val full = votes(docs, idCol, textCol, phrases, s)
       .groupBy("phrase", "doc_id", "start").agg(count(lit(1)).as("__k"))

@@ -65,12 +65,12 @@ object Graph {
     // same ascending-src fold order, so the result is bit-identical to the
     // distributed orderedFold path (spec'd). ScaleBench drives the
     // distributed path at 10M edges.
-    val probe = e.limit(localThreshold + 1).collect() // bounded by construction
+    // checkpoint the deduped edges ONCE, BEFORE the probe — the probe and
+    // round 0 then share one dedup pass instead of each replaying it
+    val eCk = e.localCheckpoint()
+    val probe = eCk.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold)
       return pageRankLocal(edges.sparkSession, probe, iterations, damping)
-    // checkpoint the deduped edges + degrees ONCE: every round's eager
-    // localCheckpoint used to replay the distinct and the degree agg
-    val eCk = e.localCheckpoint()
     val verts = eCk.select(col("src").as("v"))
       .union(eCk.select(col("dst").as("v"))).distinct().localCheckpoint()
     val nVerts = verts.count() // driver scalar; verts is materialized
@@ -153,9 +153,12 @@ object Graph {
   def bfsDistances(edges: DataFrame, sources: DataFrame, maxDepth: Int,
                    localThreshold: Int = 200000): DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
+    // one checkpoint serves the probe AND every BFS round's frontier join
+    // (un-checkpointed, the distinct would replay per round and the probe
+    // would add a full extra pass)
     val e = edges.select(col("src").cast("long").as("src"),
         col("dst").cast("long").as("dst"))
-      .filter(col("src") =!= col("dst")).distinct()
+      .filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val src = sources.select(col("v").cast("long").as("v")).distinct()
     val probe = e.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold) {
@@ -225,8 +228,9 @@ object Graph {
   def labelPropagation(edges: DataFrame, rounds: Int,
                        localThreshold: Int = 200000): DataFrame = {
     require(rounds >= 1, s"rounds=$rounds must be >= 1")
+    // one canonicalization pass shared by the probe and the neighbour list
     val canon = canonicalEdges(edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst")))
+      col("dst").cast("long").as("dst"))).localCheckpoint()
     val probe = canon.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold)
       return labelPropagationLocal(edges.sparkSession, probe, rounds)
@@ -306,7 +310,9 @@ object Graph {
       .filter(col("src") =!= col("dst")).groupBy("src", "dst")
       .agg(min(col("w")).as("w")) // parallel edges: keep the cheapest
     val src = sources.select(col("v").cast("long").as("v")).distinct()
-    val probe = e.limit(localThreshold + 1).collect() // bounded by construction
+    // one checkpoint of the min-weight edge set serves probe + all rounds
+    val eCk = e.localCheckpoint()
+    val probe = eCk.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold) {
       val srcProbe = src.limit(localThreshold + 1).collect() // bounded
       require(srcProbe.length <= localThreshold,
@@ -314,7 +320,6 @@ object Graph {
       return shortestPathsLocal(edges.sparkSession, probe,
         srcProbe.map(_.getLong(0)), maxRounds)
     }
-    val eCk = e.localCheckpoint()
     var dist = src.withColumn("dist", lit(0L)).localCheckpoint()
     var fingerprint = (-1L, -1L, -1L)
     var round = 0
@@ -480,7 +485,8 @@ object Graph {
     // output, not vanish with its filtered edge
     val vertsAll = eAll.select(col("src").as("v"))
       .unionByName(eAll.select(col("dst").as("v"))).distinct()
-    val e0 = eAll.filter(col("src") =!= col("dst")).distinct()
+    // checkpointed before the probe: one dedup pass for probe + round 0
+    val e0 = eAll.filter(col("src") =!= col("dst")).distinct().localCheckpoint()
     val probe = e0.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold) {
       val probeV = vertsAll.limit(localThreshold + 1).collect()
@@ -496,7 +502,7 @@ object Graph {
         coalesce(sum(pmod(col(c), lit(P))), lit(0L))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    var e = e0.localCheckpoint()
+    var e = e0 // already checkpointed above
     var verts = vertsAll.localCheckpoint()
     var assigned = verts.limit(0).withColumn("component", lit(0L)).localCheckpoint()
     var outer = 0
@@ -658,9 +664,13 @@ object Graph {
   def kCoreness(edges: DataFrame, maxK: Int = 128,
                 maxRounds: Int = 512, localThreshold: Int = 200000): DataFrame = {
     val spark = edges.sparkSession
+    // ONE checkpoint of the canonical edge set serves both the bounded
+    // probe and (on the distributed path) round 0 of the peel — probing
+    // an un-checkpointed canon would burn a full extra dedup pass, then
+    // recompute it again for the checkpoint below
     val canon = canonicalEdges(
       edges.select(col("src").cast("long").as("src"),
-        col("dst").cast("long").as("dst")))
+        col("dst").cast("long").as("dst"))).localCheckpoint()
     // iterative peel rounds on a small graph are pure fixed cost (the
     // pageRank/bfs/SCC lesson): probe the deduped edge count BOUNDED and
     // peel driver-side when the whole graph is provably a few MB —
@@ -670,7 +680,7 @@ object Graph {
     val probe = canon.limit(localThreshold + 1).collect() // bounded by construction
     if (probe.length <= localThreshold)
       return kCorenessLocal(spark, probe, maxK)
-    var e = canon.localCheckpoint()
+    var e = canon
     var remaining = e.select(col("src").as("v"))
       .union(e.select(col("dst").as("v"))).distinct().localCheckpoint()
     // accumulate per-phase peels as already-checkpointed slices; one final
