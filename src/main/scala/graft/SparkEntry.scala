@@ -2470,16 +2470,22 @@ object SparkEntry {
       // n_exact_dropped is NOT a pinned constant: the DuckDB oracle
       // recomputes it via the d26 recursive-CTE closure.
       val emb = t(s, d, "embeddings")
-      // three count actions below — materialize each dropped-id frame once
-      // (localCheckpoint) instead of re-running the pair pipelines per action
+      // ONE action: both dropped-id pipelines meet in a full-outer join
+      // and all three counts fold out of it — the previous 2-checkpoint +
+      // 3-action staging persisted both frames into the block manager,
+      // which under full-suite memory pressure turned this gate into the
+      // bench's top entry (25.9 s contended vs 3.5 isolated in r11)
       val exact = Dedup.semanticDedupExact(emb, "vec_id", "embedding", 0.40)
-        .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
+        .filter(!col("keep")).select(col("vec_id"), lit(1L).as("__e"))
       val celled = Dedup.semanticDedup(emb, "vec_id", "embedding",
           dim = 64, minCosine = 0.40, nCells = 16, nProbe = 3)
-        .filter(!col("keep")).select(col("vec_id")).localCheckpoint()
-      val nExact = exact.count()
-      val nCelled = celled.count()
-      val nOutside = celled.join(exact, Seq("vec_id"), "left_anti").count()
+        .filter(!col("keep")).select(col("vec_id"), lit(1L).as("__c"))
+      val r = exact.join(celled, Seq("vec_id"), "full_outer")
+        .agg(coalesce(sum(col("__e")), lit(0L)),
+          coalesce(sum(col("__c")), lit(0L)),
+          coalesce(sum(when(col("__e").isNull, 1L)), lit(0L)))
+        .head()
+      val (nExact, nCelled, nOutside) = (r.getLong(0), r.getLong(1), r.getLong(2))
       val ss = s
       import ss.implicits._
       Seq((nExact, nOutside == 0,
