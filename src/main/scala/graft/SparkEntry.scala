@@ -4742,6 +4742,38 @@ object SparkEntry {
       t(s, d, "region").createOrReplaceTempView("region")
       s.sql(sqlScalarMinSql)
     }),
+    "q100_sql_scalar_avg" -> ((s, d) => {
+      // TPC-H Q17's shape as ONE shared SQL text: a correlated scalar
+      // AVERAGE over the LARGE fact gates the fact scan itself —
+      // "lineitems below 20% of their part's average quantity". The
+      // avg is spelled as its exact integer cross-multiplication
+      // (5·n·qty < sum — two correlated scalar aggs over the same
+      // correlated table, no float divide in the predicate), so the
+      // hash carries no float contract. Catalyst must decorrelate BOTH
+      // scalar subqueries to ONE per-part aggregate equi-joined back
+      // (MergeScalarSubqueries + RewriteCorrelatedScalarSubquery) — a
+      // nested-loop re-execution per outer row is the O(n²) failure the
+      // PlanSpec guard pins. q92 covered scalar MIN over a join chain;
+      // this is the scalar-agg-over-the-fact decorrelation q78/q92
+      // didn't reach.
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlScalarAvgSql)
+    }),
+    "q101_sql_nested_in" -> ((s, d) => {
+      // TPC-H Q20's shape as ONE shared SQL text: a nested IN chain —
+      // suppliers IN (lineitems of parts IN (name-filtered part set)
+      // whose quantity clears a correlated per-part MAX threshold).
+      // Three nesting levels: IN → IN + correlated scalar agg. Every
+      // predicate is exact integer arithmetic. Catalyst must plan the
+      // INs as left-semi equi-joins and the scalar MAX as one per-part
+      // aggregate join — PlanSpec-guarded against nested loops.
+      t(s, d, "supplier").createOrReplaceTempView("supplier")
+      t(s, d, "nation").createOrReplaceTempView("nation")
+      t(s, d, "part").createOrReplaceTempView("part")
+      t(s, d, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlNestedInSql)
+    }),
     "q90_recursive_cte" -> ((s, d) => {
       // WITH RECURSIVE as ONE shared SQL text (Spark 4's recursive CTE
       // — the iterative-fixpoint SQL surface): walk the implicit binary
@@ -5808,6 +5840,38 @@ object SparkEntry {
       |    JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
       |    WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE')
       |ORDER BY p.p_partkey, s.s_name""".stripMargin
+
+  /** q100: TPC-H Q17 shape — correlated scalar AVG over the fact, spelled
+    * as its exact integer cross-multiplication (no float in the hash). */
+  private val sqlScalarAvgSql: String =
+    """SELECT p.p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      |  CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+      |FROM lineitem l
+      |JOIN part p ON p.p_partkey = l.l_partkey
+      |WHERE p.p_size < 10
+      |  AND CAST(l.l_quantity AS BIGINT) * 5 *
+      |      (SELECT COUNT(*) FROM lineitem l2
+      |       WHERE l2.l_partkey = p.p_partkey)
+      |    < (SELECT SUM(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |       WHERE l2.l_partkey = p.p_partkey)
+      |GROUP BY p.p_brand
+      |ORDER BY p.p_brand""".stripMargin
+
+  /** q101: TPC-H Q20 shape — nested IN chain with a correlated scalar
+    * MAX threshold at the innermost level; integer-exact throughout. */
+  private val sqlNestedInSql: String =
+    """SELECT s.s_suppkey, s.s_name, n.n_name
+      |FROM supplier s
+      |JOIN nation n ON s.s_nationkey = n.n_nationkey
+      |WHERE n.n_regionkey = 0
+      |  AND s.s_suppkey IN (
+      |    SELECT l.l_suppkey FROM lineitem l
+      |    WHERE l.l_partkey IN (
+      |        SELECT p.p_partkey FROM part p WHERE p.p_name LIKE 'small%')
+      |      AND CAST(l.l_quantity AS BIGINT) * 2 >
+      |          (SELECT MAX(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |           WHERE l2.l_partkey = l.l_partkey))
+      |ORDER BY s.s_suppkey""".stripMargin
 
   /** q93: ANSI ordered-set aggregates (WITHIN GROUP), one shared text. */
   private val sqlWithinGroupSql: String =
@@ -9614,6 +9678,8 @@ object SparkEntry {
     "q81_sql_3way_topk" -> sql3WayTopkSql,
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q92_sql_scalar_min" -> sqlScalarMinSql,
+    "q100_sql_scalar_avg" -> sqlScalarAvgSql,
+    "q101_sql_nested_in" -> sqlNestedInSql,
     "q93_sql_within_group" -> sqlWithinGroupSql,
     // s31: per-doc stateless screen — the stream converges to the batch
     // screen exactly, so it shares d67's oracle under its own key

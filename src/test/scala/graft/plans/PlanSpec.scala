@@ -74,6 +74,29 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LessThan(p_size,15)"), p)
   }
 
+  test("q100: both correlated scalar aggs merge into ONE outer-joined aggregate pass") {
+    val p = formatted("q100_sql_scalar_avg")
+    // decorrelation failure re-executes the fact aggregate per outer row
+    assert(!p.contains("NestedLoop"), p)
+    // MergeScalarSubqueries: the COUNT and SUM subqueries over the same
+    // correlated lineitem slice must share ONE aggregate, joined back as
+    // ONE LeftOuter — two would mean two full fact passes
+    val outers = """Join type: LeftOuter""".r.findAllIn(p).size
+    assert(outers == 1, s"expected 1 merged scalar-subquery join, got $outers:\n$p")
+    // the p_size filter reaches the part scan
+    assert(p.contains("LessThan(p_size,10)"), p)
+  }
+
+  test("q101: the nested IN chain plans as left-semi equi-joins, name filter pushed") {
+    val p = formatted("q101_sql_nested_in")
+    assert(!p.contains("NestedLoop"), p)
+    // outer IN + inner IN both decorrelate to left-semi hash joins
+    val semis = """Join type: LeftSemi""".r.findAllIn(p).size
+    assert(semis >= 2, s"expected >=2 left-semi joins, got $semis:\n$p")
+    // the LIKE 'small%' prefix reaches the part parquet scan
+    assert(p.contains("StringStartsWith(p_name,small)"), p)
+  }
+
   test("d66: the perplexity model joins broadcast; folds stay per-doc (one doc_id shuffle)") {
     val p = formatted("d66_lm_perplexity")
     // the vocab-bounded KN model must broadcast into the scoring join
