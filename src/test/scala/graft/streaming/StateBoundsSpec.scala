@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/**
+ * State-SIZE contracts, read straight from the checkpoint via Spark's
+ * `statestore` data source: the converged store must hold EXACTLY one
+ * row per distinct key for every stateful-aggregation class the board
+ * ships — complete-mode counts (s11/s17), update-mode aggregations
+ * (s22/s24/s36), and dropDuplicates dedup state. These bounds are the
+ * documented scale story ("state is O(distinct keys), emission differs")
+ * — this spec pins them as numbers instead of prose, so a regression
+ * that starts keeping per-ROW state (or leaking versions) fails loudly.
+ */
+class StateBoundsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  /** Three small drops so the stream converges over MULTIPLE microbatches
+    * (per-batch state overwrite, not a single-batch triviality). */
+  private def corpusDir(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-statebounds").toString
+    Seq((1L, "a b a c"), (2L, "b c d")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs")
+    Seq((3L, "a b e"), (4L, "e e f")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/docs")
+    Seq((5L, "a b a c")).toDF("doc_id", "text")
+      .write.mode("append").parquet(s"$dir/docs")
+    s"$dir/docs"
+  }
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType)))
+
+  private def runWithCheckpoint(streamed: DataFrame, mode: String): String = {
+    val ckpt = java.nio.file.Files.createTempDirectory("sbck").toString
+    val q = streamed.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(s"sb_${System.nanoTime()}")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    ckpt
+  }
+
+  private def stateRows(ckpt: String): Long =
+    spark.read.format("statestore").option("path", ckpt).load().count()
+
+  test("complete-mode aggregation state == one row per distinct key (s11/s17 contract)") {
+    val dir = corpusDir()
+    val stream = Streaming.availableNowFileStream(spark, dir, schema)
+    val counts = stream
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n"))
+    val ckpt = runWithCheckpoint(counts, "complete")
+    val distinctKeys = spark.read.parquet(dir)
+      .select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("item"))
+      .select("item").distinct().count()
+    assert(distinctKeys == 6, s"corpus drifted: $distinctKeys") // a..f
+    assert(stateRows(ckpt) == distinctKeys,
+      s"complete-mode state must hold exactly $distinctKeys rows")
+  }
+
+  test("update-mode aggregation state == one row per distinct key (s22/s36 contract)") {
+    val dir = corpusDir()
+    val stream = Streaming.availableNowFileStream(spark, dir, schema)
+    // the s22 bigram shape: pairs of adjacent tokens
+    val counts = stream
+      .select(graft.llm.TextAnalysis.tokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+        struct(element_at(col("__ts"), i).as("w1"),
+          element_at(col("__ts"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
+    val ckpt = runWithCheckpoint(counts, "update")
+    val distinctPairs = spark.read.parquet(dir)
+      .select(graft.llm.TextAnalysis.tokens(col("text")).as("__ts"))
+      .filter(size(col("__ts")) >= 2)
+      .select(explode(transform(sequence(lit(1), size(col("__ts")) - 1), i =>
+        struct(element_at(col("__ts"), i).as("w1"),
+          element_at(col("__ts"), i + 1).as("w2")))).as("b"))
+      .select(col("b.w1"), col("b.w2")).distinct().count()
+    assert(stateRows(ckpt) == distinctPairs,
+      s"update-mode state must hold exactly $distinctPairs rows (one per pair)")
+    // update mode changes EMISSION, not state: the store is identical in
+    // size to the complete-mode store for the same aggregation
+  }
+
+  test("dropDuplicates state == one row per distinct key (s24 url-dedup contract)") {
+    val dir = corpusDir()
+    val stream = Streaming.availableNowFileStream(spark, dir, schema)
+    val deduped = Streaming.dedupedStream(
+      stream.select(explode(graft.llm.TextAnalysis.tokens(col("text"))).as("k")),
+      Seq("k"))
+    val ckpt = runWithCheckpoint(deduped, "append")
+    assert(stateRows(ckpt) == 6,
+      "dedup state must hold exactly one row per distinct key seen")
+  }
+}
