@@ -176,5 +176,45 @@ class DataStore(root: String) {
       .parquet(path(relDir))
   }
 
+  /**
+   * The 100 TB tile-universe layout (SURVEY §4): write tiles hive-
+   * partitioned by the quadkey of their center at `zoom`, so any
+   * envelope-screened read prunes whole partition directories at
+   * PLANNING time — the scan never lists, opens, or row-filters tiles
+   * outside the envelope's quadkey cover. Pick `zoom` so partitions land
+   * in the 100 MB–1 GB range (world tile count is 4^zoom; zoom 7–9 for a
+   * global universe, higher for regional ones).
+   */
+  def writeTilesByQuadkey(tiles: DataFrame, relDir: String,
+                          lonCol: String, latCol: String, zoom: Int): Unit = {
+    require(zoom >= 1 && zoom <= 23, s"zoom=$zoom out of range")
+    import org.apache.spark.sql.functions.lit
+    tiles
+      .withColumn("qk",
+        graft.geo.GeoFunctions.st_quadkey(col(lonCol), col(latCol), lit(zoom)))
+      .repartition(col("qk"))
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("qk")
+      .parquet(path(relDir))
+  }
+
+  /**
+   * Envelope-screened read of a [[writeTilesByQuadkey]] universe: the
+   * envelope's quadkey cover at the layout zoom becomes an `isin`
+   * partition filter — Catalyst resolves it against the directory
+   * listing before any file IO (static partition pruning; pinned by
+   * RuntimePlanSpec). Tiles straddling a cell boundary live in their
+   * CENTER's partition, so callers screening with exact geometry should
+   * expand the envelope by one tile width before covering.
+   */
+  def readTilesForEnvelope(spark: SparkSession, relDir: String,
+                           minLon: Double, minLat: Double,
+                           maxLon: Double, maxLat: Double,
+                           zoom: Int): DataFrame = {
+    val cover = graft.geo.Quadkey.cover(minLon, minLat, maxLon, maxLat, zoom)
+    spark.read.parquet(path(relDir))
+      .filter(col("qk").isin(cover: _*))
+  }
+
   private def col(name: String) = org.apache.spark.sql.functions.col(name)
 }

@@ -85,4 +85,49 @@ class RuntimePlanSpec extends SparkSpec {
       case (k, None) => c.unset(k)
     }
   }
+
+  test("quadkey tile layout: an envelope screen prunes partitions at planning time") {
+    // the SURVEY §4 100 TB tile-universe claim, as numbers: tiles written
+    // hive-partitioned by center quadkey (DataStore.writeTilesByQuadkey),
+    // then an envelope-screened read lists ONLY the covered partitions —
+    // static pruning, before any file IO
+    import org.apache.spark.sql.execution.FileSourceScanLike
+    graft.geo.GeoFunctions.ensureRegistered(spark)
+    val root = java.nio.file.Files.createTempDirectory("qkuniverse").toString
+    val store = new graft.io.DataStore(root)
+    // the g01 grid: 1600 tiles over [0, 1.25)², centers at cell midpoints
+    val tiles = spark.range(1600).select(
+      col("id").cast("string").as("tile_id"),
+      ((col("id") % 40) * lit(0.03125) + lit(0.015625)).as("lon"),
+      ((col("id") / 40) * lit(0.03125) + lit(0.015625)).as("lat"))
+    val zoom = 10 // ~0.35° tiles: the universe spans several partitions
+    store.writeTilesByQuadkey(tiles, "tiles", "lon", "lat", zoom)
+    val universe = spark.read.parquet(store.path("tiles"))
+    val totalParts = universe.select("qk").distinct().count()
+    assert(totalParts >= 9, s"layout too coarse to prove pruning: $totalParts")
+
+    // envelope covering ONE zoom-10 cell's worth of the grid
+    val q = store.readTilesForEnvelope(spark, "tiles",
+      0.05, 0.05, 0.30, 0.30, zoom)
+    val scans = q.queryExecution.executedPlan.collect {
+      case f: FileSourceScanLike => f
+    }
+    assert(scans.length == 1, s"expected one file scan, got ${scans.length}")
+    val readParts = scans.head.selectedPartitions.partitionCount
+    val cover = graft.geo.Quadkey.cover(0.05, 0.05, 0.30, 0.30, zoom).toSet
+    assert(readParts <= cover.size && readParts < totalParts,
+      s"scan read $readParts partitions of $totalParts; cover=${cover.size} — " +
+        "the qk filter did not prune at planning time")
+    // the pruned filter must be a PartitionFilter, not a post-scan one
+    val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("qk"), p)
+    // correctness: pruned read == brute-force center screen over all tiles
+    val expected = universe
+      .filter(col("qk").isin(cover.toSeq: _*))
+      .select("tile_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    val got = q.select("tile_id").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSet
+    assert(got == expected && got.nonEmpty)
+  }
 }
