@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * 10×-scale sweep: time every batch query once at sf0.1 and once at a
+ * synthesized ~sf1.0 (10× sf0.1, ~6M lineitem rows) and print per-query
+ * scaling factors — the one-point complexity probe the sf0.1 bench can't
+ * give (O(n log n) and O(n²) look identical at one SF; they differ by ~10×
+ * at the next decade). Results land in PERF.md's scale-sweep table.
+ *
+ * The 10× data is built by UNIONING 10 key-shifted copies of sf0.1
+ * (shift = copy × 10⁷ on every id column, far above any real key):
+ * foreign keys stay consistent (orders↔lineitem, part/supplier refs),
+ * dimension tables (region/nation) stay fixed, and text/embedding
+ * payloads repeat — which is the REALISTIC shape for a dedup corpus
+ * (duplicates are the workload). Generated under /tmp, never under the
+ * read-only /root/testdata.
+ *
+ * Each query gets a hard wall-clock budget enforced through a job group
+ * cancel: a query that blows the budget at 10× is flagged BUDGET, not
+ * allowed to stall the sweep (the documented-quadratic oracle paths
+ * d26/d27 are the expected members of that club).
+ */
+object ScaleSweep {
+
+  private def shiftCopies(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame =
+    (0 until copies).map { i =>
+      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 10000000L)))
+    }.reduce(_ unionByName _)
+
+  def buildScaled(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
+    val shifts: Map[String, Seq[String]] = Map(
+      "region" -> Nil, "nation" -> Nil,
+      "customer" -> Seq("c_custkey"),
+      "supplier" -> Seq("s_suppkey"),
+      "part" -> Seq("p_partkey"),
+      "orders" -> Seq("o_orderkey", "o_custkey"),
+      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+      "events" -> Seq("event_id", "user_id"),
+      "documents" -> Seq("doc_id"),
+      "embeddings" -> Seq("vec_id"))
+    shifts.foreach { case (table, idCols) =>
+      val src = spark.read.parquet(s"$base/$table.parquet")
+      val scaled = if (idCols.isEmpty) src else shiftCopies(src, idCols, copies)
+      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      System.err.println(s"[sweep] built $table x${if (idCols.isEmpty) 1 else copies}")
+    }
+  }
+
+  /** One timed count() under a cancellable job group; -2 = budget blown. */
+  private def timed(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+                    dir: String, budgetS: Int): Double = {
+    val group = s"sweep_${System.nanoTime()}"
+    spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
+    @volatile var cancelled = false
+    val timer = new java.util.Timer(true)
+    timer.schedule(new java.util.TimerTask {
+      def run(): Unit = { cancelled = true; spark.sparkContext.cancelJobGroup(group) }
+    }, budgetS * 1000L)
+    val t0 = System.nanoTime()
+    try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+    catch { case _: Throwable => if (cancelled) -2.0 else -1.0 }
+    finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val big = sys.env.getOrElse("SPARK_GRAFT_SWEEP_DIR", "/tmp/graft_sf1")
+    val budgetS = sys.env.getOrElse("SPARK_GRAFT_SWEEP_BUDGET_S", "180").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val tmp = if (new java.io.File("/dev/shm").isDirectory) "/dev/shm/graft-sweep"
+      else System.getProperty("java.io.tmpdir")
+    new java.io.File(tmp).mkdirs()
+    System.setProperty("java.io.tmpdir", tmp)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.local.dir", tmp)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.geo.GeoFunctions.ensureRegistered(spark)
+
+    if (!new java.io.File(s"$big/lineitem.parquet").isDirectory)
+      buildScaled(spark, base, big, copies = 10)
+
+    // batch queries only: the s* streams' cost is microbatch fixed overhead
+    // (their scale contracts are the state-size gates in StateBoundsSpec)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("s"))
+      .filter(n => args.isEmpty || args.exists(n.contains))
+    def dropPersisted(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    println("query\tt_sf01_s\tt_sf1_s\tratio")
+    names.foreach { n =>
+      val fn = SparkEntry.queries(n)
+      dropPersisted(); System.gc()
+      timed(spark, fn, base, budgetS) // warm codegen/JIT for this shape
+      dropPersisted()
+      val tSmall = timed(spark, fn, base, budgetS)
+      dropPersisted(); System.gc()
+      val tBig = timed(spark, fn, big, budgetS * 3)
+      val ratio =
+        if (tSmall > 0 && tBig > 0) f"${tBig / tSmall}%.1f"
+        else if (tBig == -2.0) "BUDGET"
+        else "ERR"
+      println(f"$n\t$tSmall%.2f\t$tBig%.2f\t$ratio")
+      System.out.flush()
+    }
+    spark.stop()
+  }
+}
