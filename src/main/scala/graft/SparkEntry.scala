@@ -1361,6 +1361,23 @@ object SparkEntry {
       graft.llm.Multimodal.videoKeyframes(media)
         .orderBy("media_id", "scene")
     }),
+    "m25_mp3_walk" -> ((s, d) => {
+      // MP3 FRAME-HEADER walk (llm/Mp3): payloads are real MPEG-1
+      // Layer III frame chains behind genuine ID3v2 tags (syncsafe
+      // size skip) with ID3v1 trailers the walk must stop at — the
+      // metadata pass crawl-audio filters actually run (rates, channel
+      // layout, frame/sample counts, transport bytes) with NO audio
+      // DSP. The oracle replays every field, including the padding-
+      // dependent per-frame length arithmetic (144·br/sr + pad) and
+      // the constant-fill payload sums, from the closed form — a sync,
+      // bitrate-table, syncsafe-size, or frame-step bug breaks the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Mp3.syntheticMp3(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
+    }),
     "m24_mp4_walk" -> ((s, d) => {
       // ISO-BMFF (MP4) container walk (llm/Mp4): payloads are REAL
       // ftyp+moov+mdat files with full sample tables — stts durations,
@@ -7395,6 +7412,30 @@ object SparkEntry {
         |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
         |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
         |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m25: MP3 frame-header walk — every field from the generator's
+    // closed form, incl. the per-frame padding length arithmetic
+    "m25_mp3_walk" ->
+      """WITH m AS (
+        |  SELECT p_partkey AS media_id,
+        |    CASE p_partkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CASE p_partkey % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS br,
+        |    3 + p_partkey % 4 AS n
+        |  FROM part WHERE p_partkey <= 200
+        |), fr AS (
+        |  SELECT m.media_id, m.sr, m.br, m.n,
+        |    144000 * m.br // m.sr + (m.media_id + f.f) % 2 AS fs,
+        |    (m.media_id * 31 + f.f * 17) % 251 AS v
+        |  FROM m, LATERAL (SELECT unnest(range(m.n)) AS f) f
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(sr) AS INT) AS sample_rate,
+        |  CAST(MAX(br) AS INT) AS bitrate_kbps,
+        |  CAST(media_id % 4 AS INT) AS channel_mode,
+        |  CAST(MAX(n) AS INT) AS n_frames,
+        |  CAST(MAX(n) * 1152 AS BIGINT) AS n_samples,
+        |  CAST(SUM(fs - 4) AS BIGINT) AS payload_bytes,
+        |  CAST(SUM((fs - 4) * v) AS BIGINT) AS payload_sum
+        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin,
     // m14: decoded-PCM16 sums for the non-PCM16 WAV encodings — the ITU
     // G.711 expansions and the dyadic float scaling in closed integer
     // form (u = ~byte, a = byte⊕0x55; magnitudes via the segment shift)
