@@ -56,9 +56,12 @@ object ScaleSweep {
     spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
     @volatile var cancelled = false
     val timer = new java.util.Timer(true)
+    // REPEATING cancel: iterative operators run many jobs per query, and a
+    // one-shot cancel that fires between two jobs kills nothing — the next
+    // round's job starts uncancelled and the query escapes its budget
     timer.schedule(new java.util.TimerTask {
       def run(): Unit = { cancelled = true; spark.sparkContext.cancelJobGroup(group) }
-    }, budgetS * 1000L)
+    }, budgetS * 1000L, 5000L)
     val t0 = System.nanoTime()
     try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
     catch { case _: Throwable => if (cancelled) -2.0 else -1.0 }
