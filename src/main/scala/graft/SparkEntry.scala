@@ -2580,6 +2580,25 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d84_epoch_shuffle" -> ((s, d) => {
+      // REPRODUCIBLE GLOBAL TRAINING-ORDER SHUFFLE: the epoch
+      // permutation a trainer consumes — order docs by md5(epoch:doc_id)
+      // and assign each its global position. Deterministic (same seed →
+      // same order on any cluster), different per epoch, and UNIFORM in
+      // the crypto-hash sense; the position comes from ops/GlobalRank
+      // (range partitions + broadcast offsets), NOT a single-task
+      // ORDER BY — the permutation of a 10⁹-doc corpus is itself a
+      // 10⁹-row sort that must distribute. Two epochs in one gate prove
+      // the permutations differ while each stays a bijection; the
+      // oracle replays positions with the same md5 ordering.
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      Seq(1, 2).map { e =>
+        val hashed = docs.select(col("doc_id"),
+          md5(concat_ws(":", lit(e), col("doc_id"))).as("__h"))
+        graft.ops.GlobalRank.withGlobalRank(hashed, "pos", col("__h"))
+          .select(lit(e).as("epoch"), col("doc_id"), col("pos"))
+      }.reduce(_ unionByName _).orderBy("epoch", "doc_id")
+    }),
     "d83_lexical_richness" -> ((s, d) => {
       // per-source LEXICAL RICHNESS: vocabulary size, hapax count (words
       // seen once — the Good-Turing N_1 mass, localized per source) and
@@ -2845,6 +2864,36 @@ object SparkEntry {
       // phrase dictionary stays broadcast-tiny. Exact integers.
       graft.llm.PhraseSearch.search(
         t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
+    }),
+    "s37_stream_media_ingest" -> ((s, d) => {
+      // STREAMING MEDIA-METADATA INGEST: m24's MP4 container walk run on
+      // an ARRIVING stream — payloads build per row, the box walk +
+      // per-sample MJPEG decode is a STATELESS narrow map (append mode,
+      // no state store, no watermark), split across 3 microbatches so
+      // batch boundaries are load-bearing. The accumulated sink must
+      // equal the one-shot batch result — shares m24's closed-form
+      // oracle verbatim. This is the crawl-ingest shape: media metadata
+      // extracted as files land, no re-scan of the corpus.
+      import org.apache.spark.sql.types._
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+      val root = java.nio.file.Files.createTempDirectory("s37drops").toString
+      Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
+          col("media_id") < 132), (2, col("media_id") >= 132))
+        .foreach { case (b, cond) =>
+          graft.streaming.Streaming.writeOrderedMicrobatch(
+            keys.filter(cond), s"$root/in", b)
+        }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("media_id", LongType)))
+      val build = udf((id: Long) => graft.llm.Mp4.syntheticMp4(id))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("payload", build(col("media_id")))
+      graft.streaming.Streaming.runAvailableNow(
+          graft.llm.Mp4.mp4VideoStats(stream),
+          s"s37_media_${System.nanoTime()}", outputMode = "append")
+        .orderBy("media_id")
     }),
     "s36_stream_image_dedup" -> ((s, d) => {
       // STREAMING IMAGE DEDUP by perceptual hash — m22 composed with
@@ -5389,6 +5438,43 @@ object SparkEntry {
   // the engine emits them with null seg/cost (the gate only agreed by
   // luck of the current corpus being vocab-coverable).
 
+  /** m24 + s37 (stream ≡ batch): the MP4 walk closed form. */
+  private val mp4WalkOracleSql: String =
+    """WITH m AS (
+        |  SELECT p_partkey AS media_id, 2 + p_partkey % 3 AS ns
+        |  FROM part WHERE p_partkey <= 200
+        |), samp AS (
+        |  SELECT m.media_id, m.ns, m.media_id * 101 + k.k AS img
+        |  FROM m, LATERAL (SELECT unnest(range(m.ns)) AS k) k
+        |), blk AS (
+        |  SELECT s.media_id, s.ns, s.img,
+        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
+        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13 + 17) % 61) - 30) AS c1,
+        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13 + 34) % 61) - 30) AS c2
+        |  FROM samp s,
+        |    LATERAL (SELECT unnest(range(2 + s.img % 2)) AS by) by,
+        |    LATERAL (SELECT unnest(range(2 + s.img % 3)) AS bx) bx
+        |), px AS (
+        |  SELECT media_id, ns,
+        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.402 * (c2 - 128)) AS INT))) END AS r,
+        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)) AS INT))) END AS g,
+        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
+        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.772 * (c1 - 128)) AS INT))) END AS b
+        |  FROM blk
+        |)
+        |SELECT media_id, 'isom' AS brand, 'jpeg' AS codec,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST(MAX(ns) AS INT) AS n_samples,
+        |  CAST(MAX(ns) * (100 + media_id % 5) AS BIGINT) AS duration,
+        |  CAST(8 * (2 + (media_id * 101) % 3) AS INT) AS width,
+        |  CAST(8 * (2 + (media_id * 101) % 2) AS INT) AS height,
+        |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
+        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
+        |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
+        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** d74/s33: the shipped phrase dictionary (llm/PhraseSearch carries
     * the positional intersection both gates share). */
   private val phraseSearchPhrases: Seq[String] =
@@ -6826,6 +6912,9 @@ object SparkEntry {
         |    THEN (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS dhash_lo
         |FROM img i LEFT JOIN bits b USING (media_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // s37: the streamed MP4 metadata ingest must equal m24's batch walk
+    // — shares its closed-form oracle verbatim (stream ≡ batch)
+    "s37_stream_media_ingest" -> mp4WalkOracleSql,
     // s36: m22's closed-form dHash bits, grouped to MIN(media_id) per
     // hash — the streamed min-state must converge to exactly this.
     "s36_stream_image_dedup" ->
@@ -7377,41 +7466,7 @@ object SparkEntry {
     // m24: the MP4 container walk — fixed brand/codec/timescale, stts
     // duration closed form, first-sample dims, and channel sums replayed
     // per SAMPLE from the m11 JPEG closed form at img = media_id*101 + k
-    "m24_mp4_walk" ->
-      """WITH m AS (
-        |  SELECT p_partkey AS media_id, 2 + p_partkey % 3 AS ns
-        |  FROM part WHERE p_partkey <= 200
-        |), samp AS (
-        |  SELECT m.media_id, m.ns, m.media_id * 101 + k.k AS img
-        |  FROM m, LATERAL (SELECT unnest(range(m.ns)) AS k) k
-        |), blk AS (
-        |  SELECT s.media_id, s.ns, s.img,
-        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13) % 61) - 30) AS c0,
-        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13 + 17) % 61) - 30) AS c1,
-        |    128 + 2 * (((s.img * 7 + bx.bx * 11 + by.by * 13 + 34) % 61) - 30) AS c2
-        |  FROM samp s,
-        |    LATERAL (SELECT unnest(range(2 + s.img % 2)) AS by) by,
-        |    LATERAL (SELECT unnest(range(2 + s.img % 3)) AS bx) bx
-        |), px AS (
-        |  SELECT media_id, ns,
-        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
-        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.402 * (c2 - 128)) AS INT))) END AS r,
-        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
-        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 - 0.344136 * (c1 - 128) - 0.714136 * (c2 - 128)) AS INT))) END AS g,
-        |    CASE WHEN img % 2 = 0 THEN c0 ELSE
-        |      GREATEST(0, LEAST(255, CAST(ROUND(c0 + 1.772 * (c1 - 128)) AS INT))) END AS b
-        |  FROM blk
-        |)
-        |SELECT media_id, 'isom' AS brand, 'jpeg' AS codec,
-        |  CAST(600 AS BIGINT) AS timescale,
-        |  CAST(MAX(ns) AS INT) AS n_samples,
-        |  CAST(MAX(ns) * (100 + media_id % 5) AS BIGINT) AS duration,
-        |  CAST(8 * (2 + (media_id * 101) % 3) AS INT) AS width,
-        |  CAST(8 * (2 + (media_id * 101) % 2) AS INT) AS height,
-        |  CAST(SUM(r) * 64 AS BIGINT) AS sum_r,
-        |  CAST(SUM(g) * 64 AS BIGINT) AS sum_g,
-        |  CAST(SUM(b) * 64 AS BIGINT) AS sum_b
-        |FROM px GROUP BY media_id ORDER BY media_id""".stripMargin,
+    "m24_mp4_walk" -> mp4WalkOracleSql,
     // m25: MP3 frame-header walk — every field from the generator's
     // closed form, incl. the per-frame padding length arithmetic
     "m25_mp3_walk" ->
@@ -8688,6 +8743,18 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    // d84: the same md5 ordering replayed with a window — the ORACLE may
+    // single-task-sort; the engine's GlobalRank result must equal it
+    "d84_epoch_shuffle" ->
+      """WITH e AS (SELECT unnest([1, 2]) AS epoch),
+        |h AS (
+        |  SELECT e.epoch, d.doc_id,
+        |    md5(CAST(e.epoch AS VARCHAR) || ':' || CAST(d.doc_id AS VARCHAR)) AS hh
+        |  FROM e, documents d
+        |)
+        |SELECT epoch, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY epoch ORDER BY hh) AS BIGINT) AS pos
+        |FROM h ORDER BY epoch, doc_id""".stripMargin,
     "d83_lexical_richness" ->
       """WITH uni AS (
         |  SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c FROM (
