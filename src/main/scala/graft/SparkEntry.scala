@@ -1378,6 +1378,21 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
     }),
+    "m26_mp4_audio_co64" -> ((s, d) => {
+      // the OTHER half of the container story: an MP4 AUDIO trak
+      // (hdlr 'soun', PCM16BE 'twos' sample entries) whose chunk
+      // offsets are written through co64 — the 64-bit table real >4 GB
+      // crawl video carries, so the walk's co64 branch is load-bearing,
+      // not decorative (stco is absent from these files). The oracle
+      // replays codec/timescale/duration and the exact PCM value sum
+      // from the planted closed form.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Mp4.syntheticMp4Audio(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Mp4.mp4AudioStats(media).orderBy("media_id")
+    }),
     "m24_mp4_walk" -> ((s, d) => {
       // ISO-BMFF (MP4) container walk (llm/Mp4): payloads are REAL
       // ftyp+moov+mdat files with full sample tables — stts durations,
@@ -7467,6 +7482,25 @@ object SparkEntry {
     // duration closed form, first-sample dims, and channel sums replayed
     // per SAMPLE from the m11 JPEG closed form at img = media_id*101 + k
     "m24_mp4_walk" -> mp4WalkOracleSql,
+    // m26: the audio-trak + co64 walk — PCM sums from the closed form
+    "m26_mp4_audio_co64" ->
+      """WITH m AS (
+        |  SELECT p_partkey AS media_id, 2 + p_partkey % 3 AS ns
+        |  FROM part WHERE p_partkey <= 200
+        |), pcm AS (
+        |  SELECT m.media_id, m.ns,
+        |    ((m.media_id * 13 + k.k * 7 + j.j) % 401) - 200 AS v
+        |  FROM m,
+        |    LATERAL (SELECT unnest(range(m.ns)) AS k) k,
+        |    LATERAL (SELECT unnest(range(80)) AS j) j
+        |)
+        |SELECT media_id, 'isom' AS brand, 'twos' AS codec,
+        |  CAST(8000 AS BIGINT) AS timescale,
+        |  CAST(MAX(ns) AS INT) AS n_samples,
+        |  CAST(MAX(ns) * 80 AS BIGINT) AS duration,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pcm,
+        |  CAST(SUM(v) AS BIGINT) AS pcm_sum
+        |FROM pcm GROUP BY media_id ORDER BY media_id""".stripMargin,
     // m25: MP3 frame-header walk — every field from the generator's
     // closed form, incl. the per-frame padding length arithmetic
     "m25_mp3_walk" ->

@@ -124,6 +124,80 @@ object Mp4 {
     concat(ftyp, moov, mdat)
   }
 
+  /**
+   * Deterministic PCM-in-MP4 AUDIO for a key: a `soun` trak with a
+   * `twos` (PCM16 big-endian) sample entry, `2 + id % 3` samples of 80
+   * frames each at timescale 8000, chunk offsets written through
+   * **co64** (the 64-bit table files past 4 GB carry — stco is absent,
+   * so the walk's co64 branch is load-bearing), samples again in two
+   * chunks. PCM value j of sample k is `((id·13 + k·7 + j) % 401) −
+   * 200` — closed form for the oracle.
+   */
+  def syntheticMp4Audio(id: Long): Array[Byte] = {
+    val n = (2 + id % 3).toInt
+    val framesPerSample = 80
+    val samples = (0 until n).map { k =>
+      val b = new Array[Byte](framesPerSample * 2)
+      (0 until framesPerSample).foreach { j =>
+        val v = (((id * 13 + k * 7 + j) % 401) - 200).toInt
+        b(2 * j) = ((v >> 8) & 0xFF).toByte; b(2 * j + 1) = (v & 0xFF).toByte
+      }
+      b
+    }.toArray
+    val timescale = 8000L
+    val delta = framesPerSample.toLong
+    val dur = n * delta
+    val chunk1 = math.min(2, n)
+    val chunk2 = n - chunk1
+
+    def buildMoov(off1: Long, off2: Long): Array[Byte] = {
+      val mvhd = box("mvhd", be32(0), be32(0), be32(0), be32(timescale), be32(dur),
+        be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0), matrix,
+        concat((1 to 6).map(_ => be32(0)): _*), be32(2))
+      val tkhd = box("tkhd", be32(7), be32(0), be32(0), be32(1), be32(0), be32(dur),
+        be32(0), be32(0), be16(0), be16(0), be16(0x0100), be16(0), matrix,
+        be32(0), be32(0))
+      val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(timescale), be32(dur),
+        be16(0x55C4), be16(0))
+      val hdlr = box("hdlr", be32(0), be32(0), "soun".getBytes("US-ASCII"),
+        be32(0), be32(0), be32(0), "SoundHandler".getBytes("US-ASCII"), Array(0.toByte))
+      // AudioSampleEntry 'twos': reserved+dref, version/revision/vendor,
+      // channels 1, samplesize 16, compression 0, packet 0, rate 16.16
+      val stsd = box("stsd", be32(0), be32(1),
+        box("twos", new Array[Byte](6), be16(1),
+          be16(0), be16(0), be32(0), be16(1), be16(16), be16(0), be16(0),
+          be32(timescale << 16)))
+      val stts = box("stts", be32(0), be32(1), be32(n), be32(delta))
+      val stsc =
+        if (chunk2 == 0) box("stsc", be32(0), be32(1), be32(1), be32(chunk1), be32(1))
+        else box("stsc", be32(0), be32(2),
+          be32(1), be32(chunk1), be32(1),
+          be32(2), be32(chunk2), be32(1))
+      val stsz = box("stsz", be32(0), be32(0), be32(n),
+        concat(samples.map(s => be32(s.length)): _*))
+      def be64(v: Long): Array[Byte] = concat(be32(v >>> 32), be32(v & 0xFFFFFFFFL))
+      val co64 =
+        if (chunk2 == 0) box("co64", be32(0), be32(1), be64(off1))
+        else box("co64", be32(0), be32(2), be64(off1), be64(off2))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, co64)
+      val smhd = box("smhd", be32(0), be16(0), be16(0))
+      val dinf = box("dinf", box("dref", be32(0), be32(1), box("url ", be32(1))))
+      val minf = box("minf", smhd, dinf, stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), be32(0x200),
+      "isom".getBytes("US-ASCII"), "mp41".getBytes("US-ASCII"))
+    val moovLen = buildMoov(0, 0).length
+    val off1 = ftyp.length + moovLen + 8L
+    val off2 = off1 + samples.take(chunk1).map(_.length.toLong).sum
+    val moov = buildMoov(off1, off2)
+    val mdat = box("mdat", concat(samples.toIndexedSeq: _*))
+    concat(ftyp, moov, mdat)
+  }
+
   // ---------------------------------------------------------------- parse
 
   /** Parsed video track: ftyp major brand, sample-entry fourcc, mdhd
@@ -164,23 +238,39 @@ object Mp4 {
     ((p(o.toInt) & 0xFFL) << 24) | ((p(o.toInt + 1) & 0xFFL) << 16) |
       ((p(o.toInt + 2) & 0xFFL) << 8) | (p(o.toInt + 3) & 0xFFL)
 
-  /** Codec-agnostic video-track walk; None for anything not well-formed
-    * single-video-track ISO-BMFF with 32-bit sample tables. */
-  def parseMp4(payload: Array[Byte]): Option[Mp4Video] = {
+  private def rd64(p: Array[Byte], o: Long): Long = {
+    var v = 0L
+    var j = 0
+    while (j < 8) { v = (v << 8) | (p((o + j).toInt) & 0xFFL); j += 1 }
+    v
+  }
+
+  /** Codec-agnostic VIDEO-track walk (handler `vide`). */
+  def parseMp4(payload: Array[Byte]): Option[Mp4Video] = parseTrack(payload, "vide")
+
+  /** Codec-agnostic AUDIO-track walk (handler `soun`) — same sample-table
+    * machinery, same return shape (durations are in mdhd-timescale
+    * ticks). */
+  def parseMp4Audio(payload: Array[Byte]): Option[Mp4Video] = parseTrack(payload, "soun")
+
+  /** Shared trak walk; None for anything not a well-formed single-track-
+    * of-that-handler ISO-BMFF. Chunk offsets read from `stco` (32-bit)
+    * or `co64` (64-bit — files past 4 GB, the shape real crawl video
+    * actually has; sample extraction still requires in-array offsets). */
+  private def parseTrack(payload: Array[Byte], handler: String): Option[Mp4Video] = {
     if (payload == null || payload.length < 16) return None
     val top = children(payload, 0, payload.length.toLong)
     val (fs, _) = find(top, "ftyp").getOrElse(return None)
     val brand = new String(payload, fs.toInt, 4, "US-ASCII")
     val (ms, me) = find(top, "moov").getOrElse(return None)
     val moov = children(payload, ms, me)
-    // the video trak: hdlr handler_type == 'vide'
     val videoTrak = moov.collect { case ("trak", s, e) => children(payload, s, e) }
       .flatMap { trak =>
         for {
           (mds, mde) <- find(trak, "mdia")
           mdia = children(payload, mds, mde)
           (hs, _) <- find(mdia, "hdlr")
-          if new String(payload, hs.toInt + 8, 4, "US-ASCII") == "vide"
+          if new String(payload, hs.toInt + 8, 4, "US-ASCII") == handler
         } yield mdia
       }.headOption.getOrElse(return None)
     val (mhs, _) = find(videoTrak, "mdhd").getOrElse(return None)
@@ -221,9 +311,14 @@ object Mp4 {
     val stscRows = Array.tabulate(nStsc)(r => (
       rd32(payload, scs + 8 + r * 12L),       // first_chunk (1-based)
       rd32(payload, scs + 12 + r * 12L)))     // samples_per_chunk
-    val (cos, _) = find(tables, "stco").getOrElse(return None)
-    val nChunks = rd32(payload, cos + 4).toInt
-    val chunkOffsets = Array.tabulate(nChunks)(c => rd32(payload, cos + 8 + c * 4L))
+    val chunkOffsets = (find(tables, "stco"), find(tables, "co64")) match {
+      case (Some((cos, _)), _) =>
+        Array.tabulate(rd32(payload, cos + 4).toInt)(c => rd32(payload, cos + 8 + c * 4L))
+      case (None, Some((cos, _))) => // 64-bit offsets: files past 4 GB
+        Array.tabulate(rd32(payload, cos + 4).toInt)(c => rd64(payload, cos + 8 + c * 8L))
+      case _ => return None
+    }
+    val nChunks = chunkOffsets.length
     val offsets = new Array[Long](nSamples)
     var sample = 0
     var chunk = 0
@@ -286,5 +381,36 @@ object Mp4 {
         col("__m._5").as("duration"), col("__m._6").as("width"),
         col("__m._7").as("height"), col("__m._8").as("sum_r"),
         col("__m._9").as("sum_g"), col("__m._10").as("sum_b"))
+  }
+
+  /** Exact integer stats from the AUDIO trak (PCM16BE `twos` samples):
+    * codec, timescale, sample count, stts duration, total PCM frame
+    * count and exact value sum — the oracle-checkable face of the
+    * `soun`-handler + co64 walk (m26). Non-audio MP4 rows drop. */
+  def mp4AudioStats(media: DataFrame): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      parseMp4Audio(payload).flatMap { v =>
+        if (v.codec != "twos" || v.samples.exists(_.length % 2 != 0)) None
+        else {
+          var nPcm = 0L; var sum = 0L
+          v.samples.foreach { s =>
+            var j = 0
+            while (j < s.length) {
+              sum += ((s(j) << 8) | (s(j + 1) & 0xFF)).toShort
+              nPcm += 1; j += 2
+            }
+          }
+          Some((v.brand, v.codec, v.timescale, v.samples.length,
+            v.durations.sum, nPcm, sum))
+        }
+      }.orNull
+    }
+    media.withColumn("__a", dec(col("payload")))
+      .filter(col("__a").isNotNull)
+      .select(col("media_id"),
+        col("__a._1").as("brand"), col("__a._2").as("codec"),
+        col("__a._3").as("timescale"), col("__a._4").as("n_samples"),
+        col("__a._5").as("duration"), col("__a._6").as("n_pcm"),
+        col("__a._7").as("pcm_sum"))
   }
 }

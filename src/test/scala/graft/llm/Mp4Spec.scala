@@ -45,6 +45,32 @@ class Mp4Spec extends SparkSpec {
     assert(Mp4.parseMp4(Multimodal.syntheticPpm(1L)).isEmpty)
   }
 
+  test("audio trak + co64: parse back, PCM sums exact, video walk rejects it") {
+    for (id <- 1L to 9L) {
+      val payload = Mp4.syntheticMp4Audio(id)
+      // the file carries co64 only — no stco anywhere
+      assert(!new String(payload, "ISO-8859-1").contains("stco"), s"id=$id")
+      val v = Mp4.parseMp4Audio(payload).getOrElse(fail(s"id=$id did not parse"))
+      assert(v.codec == "twos" && v.timescale == 8000L)
+      val n = (2 + id % 3).toInt
+      assert(v.samples.length == n && v.durations.sum == n * 80L)
+      val expected = (for (k <- 0 until n; j <- 0 until 80)
+        yield ((id * 13 + k * 7 + j) % 401) - 200).sum
+      var sum = 0L
+      v.samples.foreach { s =>
+        var j = 0
+        while (j < s.length) {
+          sum += ((s(j) << 8) | (s(j + 1) & 0xFF)).toShort; j += 2
+        }
+      }
+      assert(sum == expected, s"id=$id")
+      // handler selection: the video walk must NOT return the audio trak
+      assert(Mp4.parseMp4(payload).isEmpty, s"id=$id video walk matched soun")
+      // and vice versa
+      assert(Mp4.parseMp4Audio(Mp4.syntheticMp4(id)).isEmpty)
+    }
+  }
+
   test("mp4VideoStats: sums equal per-sample decoded image sums") {
     val media = Seq(1L, 2L, 7L).toDF("media_id")
       .withColumn("payload", udf((id: Long) => Mp4.syntheticMp4(id)).apply(col("media_id")))
