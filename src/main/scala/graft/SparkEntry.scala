@@ -2595,6 +2595,22 @@ object SparkEntry {
           docs.filter(col("doc_id") % 2 === 1))
         .orderBy("doc_id")
     }),
+    "d86_hrw_sharding" -> ((s, d) => {
+      // RENDEZVOUS (HRW) SHARDING (Sampling.hrwShard): stable shard
+      // placement for a growing corpus — the gate assigns every doc
+      // under 4 shards AND 5 shards and emits the HRW resize invariant
+      // in the hash: a doc moves iff the NEW shard (id 4) wins its
+      // rendezvous, so `hrw_ok` (¬moved ∨ shard5 = 4) must be true on
+      // every row and ~1/5 of docs move. The oracle replays both
+      // assignments with the same md5 rendezvous (arg_max).
+      val docs = t(s, d, "documents").select(col("doc_id"))
+      val a4 = Sampling.hrwShard(docs, "doc_id", 4, "shard4")
+      val a5 = Sampling.hrwShard(docs, "doc_id", 5, "shard5")
+      a4.join(a5, "doc_id")
+        .withColumn("moved", col("shard4") =!= col("shard5"))
+        .withColumn("hrw_ok", !col("moved") || col("shard5") === 4)
+        .orderBy("doc_id")
+    }),
     "d84_epoch_shuffle" -> ((s, d) => {
       // REPRODUCIBLE GLOBAL TRAINING-ORDER SHUFFLE: the epoch
       // permutation a trainer consumes — order docs by md5(epoch:doc_id)
@@ -8777,6 +8793,24 @@ object SparkEntry {
     // text, and the archive placement (row_number within doc_id//5)
     "d75_textrank" -> textRankOracleSql,
     "d77_unigram_tokenize" -> unigramOracleSql,
+    // d86: both rendezvous assignments replayed with arg_max over the
+    // same md5 weights; hrw_ok pins the minimal-disruption invariant
+    "d86_hrw_sharding" ->
+      """WITH w AS (
+        |  SELECT d.doc_id, s.sh,
+        |    md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(s.sh AS VARCHAR)) AS w
+        |  FROM documents d, (SELECT unnest(range(5)) AS sh) s
+        |), a4 AS (
+        |  SELECT doc_id, CAST(arg_max(sh, w) AS INT) AS shard4
+        |  FROM w WHERE sh < 4 GROUP BY doc_id
+        |), a5 AS (
+        |  SELECT doc_id, CAST(arg_max(sh, w) AS INT) AS shard5
+        |  FROM w GROUP BY doc_id
+        |)
+        |SELECT a4.doc_id, a4.shard4, a5.shard5,
+        |  a4.shard4 != a5.shard5 AS moved,
+        |  (a4.shard4 = a5.shard5) OR (a5.shard5 = 4) AS hrw_ok
+        |FROM a4 JOIN a5 USING (doc_id) ORDER BY a4.doc_id""".stripMargin,
     // d84: the same md5 ordering replayed with a window — the ORACLE may
     // single-task-sort; the engine's GlobalRank result must equal it
     "d84_epoch_shuffle" ->

@@ -242,4 +242,26 @@ object Sampling {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /**
+   * Rendezvous (highest-random-weight, Thaler & Ravishankar 1998) shard
+   * assignment: each key goes to the shard with the maximal
+   * `md5(key:shard)` — deterministic everywhere, uniform, and MINIMALLY
+   * DISRUPTIVE under resizing: growing `n → n+1` moves a key iff the new
+   * shard wins its rendezvous, so exactly ~1/(n+1) of keys move and
+   * every mover lands ON the new shard (the property that makes
+   * re-sharding a 100 TB corpus an incremental copy instead of a full
+   * rewrite; consistent hashing's ring gives the same bound with worse
+   * balance). One narrow explode (n rows per key, n = shard count, tiny)
+   * + one keyed max_by — no shuffle beyond the aggregation.
+   */
+  def hrwShard(df: DataFrame, idCol: String, nShards: Int,
+               outCol: String = "shard"): DataFrame = {
+    require(nShards >= 1, s"nShards=$nShards must be positive")
+    df.select(col(idCol),
+        explode(array((0 until nShards).map(lit(_)): _*)).as("__sh"))
+      .withColumn("__w", md5(concat_ws(":", col(idCol), col("__sh"))))
+      .groupBy(col(idCol))
+      .agg(max_by(col("__sh"), col("__w")).as(outCol))
+  }
 }

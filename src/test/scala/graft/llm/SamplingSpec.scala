@@ -143,4 +143,23 @@ class SamplingSpec extends SparkSpec {
       assert(len > 0 && len <= 64 && start == cid * 48)
     }
   }
+
+  test("hrwShard: deterministic, roughly balanced, minimally disruptive on grow") {
+    import spark.implicits._
+    val keys = (1L to 2000L).toDF("id")
+    val a4 = Sampling.hrwShard(keys, "id", 4, "s4")
+    // deterministic: a second run is identical
+    assert(Sampling.hrwShard(keys, "id", 4, "s4").except(a4).isEmpty)
+    // roughly balanced: every shard holds 25% +/- 10 points
+    val sizes = a4.groupBy("s4").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(sizes.keySet == Set(0, 1, 2, 3))
+    sizes.values.foreach(n => assert(n > 300 && n < 700, sizes.toString))
+    // grow 4 -> 5: every mover lands ON the new shard, ~1/5 move
+    val joined = a4.join(Sampling.hrwShard(keys, "id", 5, "s5"), "id")
+      .select($"s4", $"s5").collect().map(r => (r.getInt(0), r.getInt(1)))
+    val moved = joined.count { case (a, b) => a != b }
+    assert(joined.forall { case (a, b) => a == b || b == 4 })
+    assert(moved > 2000 / 5 - 150 && moved < 2000 / 5 + 150, s"moved=$moved")
+  }
 }
