@@ -1378,6 +1378,33 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
     }),
+    "m27_binaryfile_ingest" -> ((s, d) => {
+      // REAL-FILE media ingest through Spark's `binaryFile` source — the
+      // plumbing every other m-gate's build-UDF stands in for: 60
+      // genuine .mp4 FILES written to disk (distributed foreachPartition,
+      // one file per media id), read back as (path, content) by the
+      // binaryFile data source with a pathGlobFilter, ids recovered from
+      // file names, then the same container walk + MJPEG decode as m24.
+      // Shares m24's closed-form oracle (bound 60) — a file-write, glob,
+      // path-parse, or content-read bug breaks the hash.
+      val root = java.nio.file.Files.createTempDirectory("m27media").toString
+      t(s, d, "part").filter(col("p_partkey") <= 60)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+          it.foreach { r =>
+            val id = r.getLong(0)
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get(root, s"media_$id.mp4"),
+              graft.llm.Mp4.syntheticMp4(id))
+          }
+        }
+      val media = s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.mp4").load(root)
+        .select(regexp_extract(col("path"), "media_(\\d+)\\.mp4$", 1)
+          .cast("long").as("media_id"),
+          col("content").as("payload"))
+      graft.llm.Mp4.mp4VideoStats(media).orderBy("media_id")
+    }),
     "m26_mp4_audio_co64" -> ((s, d) => {
       // the OTHER half of the container story: an MP4 AUDIO trak
       // (hdlr 'soun', PCM16BE 'twos' sample entries) whose chunk
@@ -5470,10 +5497,10 @@ object SparkEntry {
   // luck of the current corpus being vocab-coverable).
 
   /** m24 + s37 (stream ≡ batch): the MP4 walk closed form. */
-  private val mp4WalkOracleSql: String =
-    """WITH m AS (
+  private def mp4WalkOracleSql(bound: Int = 200): String =
+    s"""WITH m AS (
         |  SELECT p_partkey AS media_id, 2 + p_partkey % 3 AS ns
-        |  FROM part WHERE p_partkey <= 200
+        |  FROM part WHERE p_partkey <= $bound
         |), samp AS (
         |  SELECT m.media_id, m.ns, m.media_id * 101 + k.k AS img
         |  FROM m, LATERAL (SELECT unnest(range(m.ns)) AS k) k
@@ -6945,7 +6972,7 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     // s37: the streamed MP4 metadata ingest must equal m24's batch walk
     // — shares its closed-form oracle verbatim (stream ≡ batch)
-    "s37_stream_media_ingest" -> mp4WalkOracleSql,
+    "s37_stream_media_ingest" -> mp4WalkOracleSql(),
     // s36: m22's closed-form dHash bits, grouped to MIN(media_id) per
     // hash — the streamed min-state must converge to exactly this.
     "s36_stream_image_dedup" ->
@@ -7497,7 +7524,10 @@ object SparkEntry {
     // m24: the MP4 container walk — fixed brand/codec/timescale, stts
     // duration closed form, first-sample dims, and channel sums replayed
     // per SAMPLE from the m11 JPEG closed form at img = media_id*101 + k
-    "m24_mp4_walk" -> mp4WalkOracleSql,
+    "m24_mp4_walk" -> mp4WalkOracleSql(),
+    // m27: the binaryFile ingest must reproduce m24's walk over the
+    // 60-file universe — same closed form, path-recovered ids
+    "m27_binaryfile_ingest" -> mp4WalkOracleSql(60),
     // m26: the audio-trak + co64 walk — PCM sums from the closed form
     "m26_mp4_audio_co64" ->
       """WITH m AS (
