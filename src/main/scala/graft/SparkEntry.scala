@@ -4884,6 +4884,37 @@ object SparkEntry {
       t(s, d, "region").createOrReplaceTempView("region")
       s.sql(sqlScalarMinSql)
     }),
+    "q102_seasonal_mase" -> ((s, d) => {
+      // FORECAST-ACCURACY MONITORING: seasonal-naive forecast (x̂_t =
+      // x_{t−7}) vs the naive-1 baseline, scored by MASE (Hyndman &
+      // Koehler 2006) per event type over daily integer-cent totals —
+      // the standard scale-free accuracy ratio a pipeline-health
+      // dashboard tracks. Restricted to days where BOTH lags exist, so
+      // numerator and denominator average over the SAME day set and the
+      // ratio reduces to one divide of exact longs + ROUND(,4). Two
+      // equi-self-joins on (type, day) — no window, no state.
+      val daily = t(s, d, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast("long")).as("x"))
+        .localCheckpoint() // three aliases of one small aggregate
+      val scored = daily.as("a")
+        .join(daily.as("s7"),
+          col("a.event_type") === col("s7.event_type") &&
+            col("a.day") === date_add(col("s7.day"), 7))
+        .join(daily.as("n1"),
+          col("a.event_type") === col("n1.event_type") &&
+            col("a.day") === date_add(col("n1.day"), 1))
+        .select(col("a.event_type").as("event_type"),
+          abs(col("a.x") - col("s7.x")).as("__es"),
+          abs(col("a.x") - col("n1.x")).as("__en"))
+      scored.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("__es")).as("sad_seasonal"),
+          sum(col("__en")).as("sad_naive"))
+        .withColumn("mase",
+          round(col("sad_seasonal").cast("double") / col("sad_naive"), 4))
+        .orderBy("event_type")
+    }),
     "q100_sql_scalar_avg" -> ((s, d) => {
       // TPC-H Q17's shape as ONE shared SQL text: a correlated scalar
       // AVERAGE over the LARGE fact gates the fact scan itself —
@@ -9941,6 +9972,24 @@ object SparkEntry {
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q92_sql_scalar_min" -> sqlScalarMinSql,
     "q100_sql_scalar_avg" -> sqlScalarAvgSql,
+    "q102_seasonal_mase" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT a.event_type, ABS(a.x - s7.x) AS es, ABS(a.x - n1.x) AS en
+        |  FROM daily a
+        |  JOIN daily s7 ON s7.event_type = a.event_type
+        |    AND a.day = s7.day + INTERVAL 7 DAY
+        |  JOIN daily n1 ON n1.event_type = a.event_type
+        |    AND a.day = n1.day + INTERVAL 1 DAY
+        |)
+        |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |  CAST(SUM(es) AS BIGINT) AS sad_seasonal,
+        |  CAST(SUM(en) AS BIGINT) AS sad_naive,
+        |  ROUND(CAST(SUM(es) AS DOUBLE) / CAST(SUM(en) AS DOUBLE), 4) AS mase
+        |FROM scored GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q101_sql_nested_in" -> sqlNestedInSql,
     "q93_sql_within_group" -> sqlWithinGroupSql,
     // s31: per-doc stateless screen — the stream converges to the batch
