@@ -10,13 +10,18 @@ import org.apache.spark.sql.functions._
  * give (O(n log n) and O(n²) look identical at one SF; they differ by ~10×
  * at the next decade). Results land in PERF.md's scale-sweep table.
  *
- * The 10× data is built by UNIONING 10 key-shifted copies of sf0.1
- * (shift = copy × 10⁷ on every id column, far above any real key):
- * foreign keys stay consistent (orders↔lineitem, part/supplier refs),
- * dimension tables (region/nation) stay fixed, and text/embedding
- * payloads repeat — which is the REALISTIC shape for a dedup corpus
- * (duplicates are the workload). Generated under /tmp, never under the
- * read-only /root/testdata.
+ * The 10× data is built by UNIONING 10 key-shifted copies of sf0.1.
+ * Shifts are STRUCTURE-PRESERVING: every id column shifts by copy ×
+ * (max key in its domain + 1), so the scaled key space stays dense and
+ * contiguous (0..10·max) — foreign keys stay consistent
+ * (orders↔lineitem, part/supplier refs) AND arithmetically planted
+ * structures survive (q76's `v div 8` blocks, q79/q80's `v div 2`
+ * binary forest: a copy-k child's parent lands inside copy k−1/k's
+ * range instead of pointing at a key that doesn't exist, which the
+ * first sweep's 10⁷ shift broke). Dimension tables (region/nation)
+ * stay fixed and text/embedding payloads repeat — the REALISTIC shape
+ * for a dedup corpus (duplicates are the workload). Generated under
+ * /tmp, never under the read-only /root/testdata.
  *
  * Each query gets a hard wall-clock budget enforced through a job group
  * cancel: a query that blows the budget at 10× is flagged BUDGET, not
@@ -25,22 +30,38 @@ import org.apache.spark.sql.functions._
  */
 object ScaleSweep {
 
-  private def shiftCopies(df: DataFrame, idCols: Seq[String], copies: Int): DataFrame =
+  private def shiftCopies(df: DataFrame, shifts: Seq[(String, Long)],
+                          copies: Int): DataFrame =
     (0 until copies).map { i =>
-      idCols.foldLeft(df)((d, c) => d.withColumn(c, col(c) + lit(i * 10000000L)))
+      shifts.foldLeft(df) { case (d, (c, stride)) =>
+        d.withColumn(c, col(c) + lit(i * stride))
+      }
     }.reduce(_ unionByName _)
 
   def buildScaled(spark: SparkSession, base: String, out: String, copies: Int): Unit = {
-    val shifts: Map[String, Seq[String]] = Map(
+    // per-DOMAIN stride = max key + 1, read from the domain's base table —
+    // dense contiguous scaled key spaces, FKs shift by their referent's stride
+    def stride(table: String, keyCol: String): Long =
+      spark.read.parquet(s"$base/$table.parquet")
+        .agg(max(col(keyCol))).head().getLong(0) + 1
+    val cust = stride("customer", "c_custkey")
+    val supp = stride("supplier", "s_suppkey")
+    val part = stride("part", "p_partkey")
+    val ord = stride("orders", "o_orderkey")
+    val evt = stride("events", "event_id")
+    val usr = stride("events", "user_id")
+    val doc = stride("documents", "doc_id")
+    val vec = stride("embeddings", "vec_id")
+    val shifts: Map[String, Seq[(String, Long)]] = Map(
       "region" -> Nil, "nation" -> Nil,
-      "customer" -> Seq("c_custkey"),
-      "supplier" -> Seq("s_suppkey"),
-      "part" -> Seq("p_partkey"),
-      "orders" -> Seq("o_orderkey", "o_custkey"),
-      "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
-      "events" -> Seq("event_id", "user_id"),
-      "documents" -> Seq("doc_id"),
-      "embeddings" -> Seq("vec_id"))
+      "customer" -> Seq("c_custkey" -> cust),
+      "supplier" -> Seq("s_suppkey" -> supp),
+      "part" -> Seq("p_partkey" -> part),
+      "orders" -> Seq("o_orderkey" -> ord, "o_custkey" -> cust),
+      "lineitem" -> Seq("l_orderkey" -> ord, "l_partkey" -> part, "l_suppkey" -> supp),
+      "events" -> Seq("event_id" -> evt, "user_id" -> usr),
+      "documents" -> Seq("doc_id" -> doc),
+      "embeddings" -> Seq("vec_id" -> vec))
     shifts.foreach { case (table, idCols) =>
       val src = spark.read.parquet(s"$base/$table.parquet")
       val scaled = if (idCols.isEmpty) src else shiftCopies(src, idCols, copies)

@@ -93,6 +93,32 @@ class StateBoundsSpec extends SparkSpec {
     // size to the complete-mode store for the same aggregation
   }
 
+  test("watermarked session windows: finalized sessions EVICT — state holds open sessions only") {
+    // two sessions per key 30 days apart; the second batch's watermark
+    // (max ts − 1 day) passes the first session's end, so it finalizes
+    // and leaves the store — the bound that keeps session state O(open
+    // sessions), not O(history)
+    val dir = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    def ev(id: Long, ts: String, v: Double) =
+      (id, java.sql.Timestamp.valueOf(ts), "click", v)
+    Seq(ev(1, "2026-07-01 00:00:00", 1.0), ev(2, "2026-07-01 00:30:00", 2.0))
+      .toDF("event_id", "ts", "event_type", "value").write.parquet(s"$dir/b0")
+    Seq(ev(3, "2026-08-01 00:00:00", 3.0))
+      .toDF("event_id", "ts", "event_type", "value")
+      .write.mode("append").parquet(s"$dir/b0")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(s"$dir/b0")
+    val sessions = Streaming.sessionWindowedCounts(
+      stream, Seq("event_type"), gap = "2 hours", watermark = "1 day")
+    val ckpt = runWithCheckpoint(sessions, "append")
+    assert(stateRows(ckpt) == 1,
+      "only the August session may remain in the store — the July session " +
+        "must have finalized and evicted when the watermark passed it")
+  }
+
   test("dropDuplicates state == one row per distinct key (s24 url-dedup contract)") {
     val dir = corpusDir()
     val stream = Streaming.availableNowFileStream(spark, dir, schema)
