@@ -72,7 +72,13 @@ object Mp3 {
     out.toByteArray
   }
 
-  def parseMp3(payload: Array[Byte]): Option[Mp3Info] = {
+  /** Never throws on corrupt bytes (the codec-family contract, fuzz-
+    * gated): structural checks are explicit, NonFatal is the backstop. */
+  def parseMp3(payload: Array[Byte]): Option[Mp3Info] =
+    try parseMp3Impl(payload)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseMp3Impl(payload: Array[Byte]): Option[Mp3Info] = {
     if (payload == null || payload.length < 4) return None
     var i = 0
     // ID3v2: "ID3" + 2 version + 1 flags + 4 syncsafe size bytes

@@ -256,8 +256,16 @@ object Mp4 {
   /** Shared trak walk; None for anything not a well-formed single-track-
     * of-that-handler ISO-BMFF. Chunk offsets read from `stco` (32-bit)
     * or `co64` (64-bit — files past 4 GB, the shape real crawl video
-    * actually has; sample extraction still requires in-array offsets). */
-  private def parseTrack(payload: Array[Byte], handler: String): Option[Mp4Video] = {
+    * actually has; sample extraction still requires in-array offsets).
+    * Structural validation is explicit; the NonFatal catch is the last
+    * line of defense for corrupt size/count fields that steer a table
+    * read past the payload (crawl bytes WILL find such a path — the
+    * codec-family never-throw contract, fuzz-gated). */
+  private def parseTrack(payload: Array[Byte], handler: String): Option[Mp4Video] =
+    try parseTrackImpl(payload, handler)
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def parseTrackImpl(payload: Array[Byte], handler: String): Option[Mp4Video] = {
     if (payload == null || payload.length < 16) return None
     val top = children(payload, 0, payload.length.toLong)
     val (fs, _) = find(top, "ftyp").getOrElse(return None)

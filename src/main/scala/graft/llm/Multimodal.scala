@@ -2281,8 +2281,9 @@ object Multimodal {
         if (nc <= 0 || rate <= 0) return None
       } else if (id == "SSND") {
         if (size < 8) return None
-        val off = be32(o + 8).toInt // bytes to skip before the frames
-        dataOff = o + 16 + off
+        val off = be32(o + 8) // bytes to skip before the frames
+        if (off < 0 || off > size - 8) return None // corrupt offset field
+        dataOff = o + 16 + off.toInt
         dataLen = (size - 8 - off).toInt
       }
       o += 8 + size.toInt + (size.toInt & 1) // IFF pad byte on odd sizes
