@@ -293,37 +293,48 @@ object Mp4 {
     val (sds, _) = find(tables, "stsd").getOrElse(return None)
     if (rd32(payload, sds + 4) < 1) return None
     val codec = new String(payload, sds.toInt + 12, 4, "US-ASCII")
+    // EVERY table count is validated against its own box size BEFORE any
+    // allocation sized by it — a corrupt count field must fail the walk,
+    // not size an ArrayBuffer/Array into an OutOfMemoryError the NonFatal
+    // backstop cannot catch (fuzz-found failure mode)
     // stts → per-sample durations
-    val (tts, _) = find(tables, "stts").getOrElse(return None)
+    val (tts, tte) = find(tables, "stts").getOrElse(return None)
     val nTts = rd32(payload, tts + 4)
+    if (nTts > (tte - tts - 8) / 8) return None // entries must fit the box
     val durations = scala.collection.mutable.ArrayBuffer.empty[Long]
     var i = 0L
     while (i < nTts) {
       val cnt = rd32(payload, tts + 8 + i * 8)
       val delta = rd32(payload, tts + 12 + i * 8)
-      if (cnt > (1 << 22)) return None // malformed-size guard
+      if (cnt > (1 << 22) || durations.length + cnt > (1 << 22)) return None
       var k = 0L
       while (k < cnt) { durations += delta; k += 1 }
       i += 1
     }
     // stsz → sizes
-    val (szs, _) = find(tables, "stsz").getOrElse(return None)
+    val (szs, sze) = find(tables, "stsz").getOrElse(return None)
     val uniform = rd32(payload, szs + 4)
     val nSamples = rd32(payload, szs + 8).toInt
     if (nSamples < 0 || nSamples > (1 << 22)) return None
+    if (uniform == 0 && nSamples > (sze - szs - 12) / 4) return None
     val sizes = Array.tabulate(nSamples)(k =>
       if (uniform != 0) uniform else rd32(payload, szs + 12 + k * 4L))
     // stsc + stco → absolute offsets (expand the sample-to-chunk map)
-    val (scs, _) = find(tables, "stsc").getOrElse(return None)
+    val (scs, sce) = find(tables, "stsc").getOrElse(return None)
     val nStsc = rd32(payload, scs + 4).toInt
+    if (nStsc < 0 || nStsc > (sce - scs - 8) / 12) return None
     val stscRows = Array.tabulate(nStsc)(r => (
       rd32(payload, scs + 8 + r * 12L),       // first_chunk (1-based)
       rd32(payload, scs + 12 + r * 12L)))     // samples_per_chunk
     val chunkOffsets = (find(tables, "stco"), find(tables, "co64")) match {
-      case (Some((cos, _)), _) =>
-        Array.tabulate(rd32(payload, cos + 4).toInt)(c => rd32(payload, cos + 8 + c * 4L))
-      case (None, Some((cos, _))) => // 64-bit offsets: files past 4 GB
-        Array.tabulate(rd32(payload, cos + 4).toInt)(c => rd64(payload, cos + 8 + c * 8L))
+      case (Some((cos, coe)), _) =>
+        val n = rd32(payload, cos + 4).toInt
+        if (n < 0 || n > (coe - cos - 8) / 4) return None
+        Array.tabulate(n)(c => rd32(payload, cos + 8 + c * 4L))
+      case (None, Some((cos, coe))) => // 64-bit offsets: files past 4 GB
+        val n = rd32(payload, cos + 4).toInt
+        if (n < 0 || n > (coe - cos - 8) / 8) return None
+        Array.tabulate(n)(c => rd64(payload, cos + 8 + c * 8L))
       case _ => return None
     }
     val nChunks = chunkOffsets.length
