@@ -731,6 +731,22 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v14_bq_rerank" -> ((s, d) => {
+      // TWO-STAGE retrieval (Quantization.bqRerankTopK): BQ Hamming
+      // shortlist (64 candidates — the only full-corpus pass, over the
+      // 32×-compressed signatures) → exact cosine rerank → top-5. The
+      // oracle replays BOTH stages in SQL (v12's signature packing +
+      // v01's cosine fold restricted to the shortlist), so a shortlist
+      // boundary tie, rerank fold, or stage-composition bug breaks the
+      // hash. The shortlist is LOSSY by design (sign bits discard
+      // magnitude): the gate pins the two-stage contract itself — the
+      // exact-rerank order over whatever stage 1 admits — not recall
+      // against brute force; v04/v05 carry the recall-style gates.
+      val emb = t(s, d, "embeddings")
+      graft.llm.Quantization.bqRerankTopK(emb, emb.filter(col("vec_id") < 10),
+          dim = 64, shortlist = 64, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
     "v12_ann_bq" -> ((s, d) => {
       // BINARY quantization (Quantization.bqSignature/bqTopK): sign-bit
       // signatures packed 32 bits/word, Hamming top-k by xor+popcount —
@@ -7822,6 +7838,44 @@ object SparkEntry {
     // v12: the sign-bit packing replayed word-for-word (32 bits/word —
     // DuckDB's << loud-fails on a shift into bit 63), Hamming = Σ
     // bit_count(xor), exact ranks with id tie-break
+    // v14: stage 1 = v12's BQ hamming shortlist (top-64), stage 2 = v01's
+    // exact cosine fold over ONLY the shortlist, re-ranked
+    "v14_bq_rerank" ->
+      """WITH sig AS (
+        |  SELECT vec_id, list_transform(range(2), j ->
+        |    list_reduce(list_prepend(0::BIGINT, list_transform(range(32), b ->
+        |      CASE WHEN embedding[j * 32 + b + 1] > 0
+        |           THEN (1::BIGINT << b) ELSE 0::BIGINT END)),
+        |      (a, x) -> a | x)) AS sg
+        |  FROM embeddings
+        |), ham AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    bit_count(xor(q.sg[1], c.sg[1]))
+        |      + bit_count(xor(q.sg[2], c.sg[2])) AS hamming
+        |  FROM sig q, sig c
+        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), shortlist AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY hamming ASC, neighbor_id) AS hrk
+        |    FROM ham) WHERE hrk <= 64
+        |), rer AS (
+        |  SELECT s.query_id, s.neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cosine
+        |  FROM shortlist s
+        |  JOIN embeddings q ON q.vec_id = s.query_id
+        |  JOIN embeddings c ON c.vec_id = s.neighbor_id
+        |)
+        |SELECT query_id, neighbor_id, rank FROM (
+        |  SELECT query_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |      ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM rer)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
     "v12_ann_bq" ->
       """WITH sig AS (
         |  SELECT vec_id, list_transform(range(2), j ->

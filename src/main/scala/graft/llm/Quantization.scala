@@ -444,4 +444,36 @@ object Quantization {
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "hamming", "rank")
   }
+
+  /**
+   * TWO-STAGE retrieval — the production ANN serving shape: a cheap BQ
+   * Hamming shortlist over the 32×-compressed signatures (stage 1, the
+   * only pass that touches the whole corpus), then an EXACT cosine
+   * rerank of the `shortlist` candidates (stage 2 — float vectors join
+   * only shortlist×queries rows, output-bound). Same fold order as
+   * [[Similarity.bruteForceTopK]], so the rerank is bit-identical to
+   * the brute-force oracle over the same candidate set; ranks tie-break
+   * on neighbor_id in both stages.
+   */
+  def bqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
+                   shortlist: Int, k: Int,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    require(k >= 1 && shortlist >= k,
+      s"need shortlist=$shortlist >= k=$k >= 1")
+    val cand = bqTopK(corpus, queries, dim, shortlist, idCol, vecCol)
+      .select("query_id", "neighbor_id")
+    val cv = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), Similarity.normFast(col(vecCol)).as("__cn"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).as("__qv"), Similarity.normFast(col(vecCol)).as("__qn")))
+    val scored = cand.join(cv, "neighbor_id").join(qv, "query_id")
+      .withColumn("cosine", Similarity.cosineFromParts(
+        Similarity.dotFast(col("__qv"), col("__cv")), col("__qn"), col("__cn")))
+      .filter(col("cosine").isNotNull)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "rank")
+  }
 }
