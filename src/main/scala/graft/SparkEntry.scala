@@ -2939,6 +2939,32 @@ object SparkEntry {
       graft.llm.PhraseSearch.search(
         t(s, d, "documents"), "doc_id", "text", phraseSearchPhrases)
     }),
+    "s38_stream_mp3_ingest" -> ((s, d) => {
+      // the audio twin of s37: m25's MP3 frame-header walk on an
+      // ARRIVING stream — stateless append-mode metadata extraction
+      // across 3 microbatches, accumulated sink ≡ the one-shot batch
+      // walk (shares m25's closed-form oracle verbatim).
+      import org.apache.spark.sql.types._
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+      val root = java.nio.file.Files.createTempDirectory("s38drops").toString
+      Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
+          col("media_id") < 132), (2, col("media_id") >= 132))
+        .foreach { case (b, cond) =>
+          graft.streaming.Streaming.writeOrderedMicrobatch(
+            keys.filter(cond), s"$root/in", b)
+        }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("media_id", LongType)))
+      val build = udf((id: Long) => graft.llm.Mp3.syntheticMp3(id))
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("payload", build(col("media_id")))
+      graft.streaming.Streaming.runAvailableNow(
+          graft.llm.Mp3.mp3Stats(stream),
+          s"s38_mp3_${System.nanoTime()}", outputMode = "append")
+        .orderBy("media_id")
+    }),
     "s37_stream_media_ingest" -> ((s, d) => {
       // STREAMING MEDIA-METADATA INGEST: m24's MP4 container walk run on
       // an ARRIVING stream — payloads build per row, the box walk +
@@ -5543,6 +5569,30 @@ object SparkEntry {
   // the engine emits them with null seg/cost (the gate only agreed by
   // luck of the current corpus being vocab-coverable).
 
+  /** m25 + s38 (stream ≡ batch): the MP3 walk closed form. */
+  private val mp3WalkOracleSql: String =
+  """WITH m AS (
+        |  SELECT p_partkey AS media_id,
+        |    CASE p_partkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+        |    CASE p_partkey % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS br,
+        |    3 + p_partkey % 4 AS n
+        |  FROM part WHERE p_partkey <= 200
+        |), fr AS (
+        |  SELECT m.media_id, m.sr, m.br, m.n,
+        |    144000 * m.br // m.sr + (m.media_id + f.f) % 2 AS fs,
+        |    (m.media_id * 31 + f.f * 17) % 251 AS v
+        |  FROM m, LATERAL (SELECT unnest(range(m.n)) AS f) f
+        |)
+        |SELECT media_id,
+        |  CAST(MAX(sr) AS INT) AS sample_rate,
+        |  CAST(MAX(br) AS INT) AS bitrate_kbps,
+        |  CAST(media_id % 4 AS INT) AS channel_mode,
+        |  CAST(MAX(n) AS INT) AS n_frames,
+        |  CAST(MAX(n) * 1152 AS BIGINT) AS n_samples,
+        |  CAST(SUM(fs - 4) AS BIGINT) AS payload_bytes,
+        |  CAST(SUM((fs - 4) * v) AS BIGINT) AS payload_sum
+        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin
+
   /** m24 + s37 (stream ≡ batch): the MP4 walk closed form. */
   private def mp4WalkOracleSql(bound: Int = 200): String =
     s"""WITH m AS (
@@ -7594,30 +7644,11 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_pcm,
         |  CAST(SUM(v) AS BIGINT) AS pcm_sum
         |FROM pcm GROUP BY media_id ORDER BY media_id""".stripMargin,
-    // m25: MP3 frame-header walk — every field from the generator's
-    // closed form, incl. the per-frame padding length arithmetic
-    "m25_mp3_walk" ->
-      """WITH m AS (
-        |  SELECT p_partkey AS media_id,
-        |    CASE p_partkey % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
-        |    CASE p_partkey % 3 WHEN 0 THEN 128 WHEN 1 THEN 160 ELSE 192 END AS br,
-        |    3 + p_partkey % 4 AS n
-        |  FROM part WHERE p_partkey <= 200
-        |), fr AS (
-        |  SELECT m.media_id, m.sr, m.br, m.n,
-        |    144000 * m.br // m.sr + (m.media_id + f.f) % 2 AS fs,
-        |    (m.media_id * 31 + f.f * 17) % 251 AS v
-        |  FROM m, LATERAL (SELECT unnest(range(m.n)) AS f) f
-        |)
-        |SELECT media_id,
-        |  CAST(MAX(sr) AS INT) AS sample_rate,
-        |  CAST(MAX(br) AS INT) AS bitrate_kbps,
-        |  CAST(media_id % 4 AS INT) AS channel_mode,
-        |  CAST(MAX(n) AS INT) AS n_frames,
-        |  CAST(MAX(n) * 1152 AS BIGINT) AS n_samples,
-        |  CAST(SUM(fs - 4) AS BIGINT) AS payload_bytes,
-        |  CAST(SUM((fs - 4) * v) AS BIGINT) AS payload_sum
-        |FROM fr GROUP BY media_id ORDER BY media_id""".stripMargin,
+    // m25 + s38 (stream ≡ batch): MP3 frame-header walk — every field
+    // from the generator's closed form, incl. the per-frame padding
+    // length arithmetic
+    "m25_mp3_walk" -> mp3WalkOracleSql,
+    "s38_stream_mp3_ingest" -> mp3WalkOracleSql,
     // m14: decoded-PCM16 sums for the non-PCM16 WAV encodings — the ITU
     // G.711 expansions and the dyadic float scaling in closed integer
     // form (u = ~byte, a = byte⊕0x55; magnitudes via the segment shift)
