@@ -84,8 +84,10 @@ object ScaleSweep {
       def run(): Unit = { cancelled = true; spark.sparkContext.cancelJobGroup(group) }
     }, budgetS * 1000L, 5000L)
     val t0 = System.nanoTime()
+    // NonFatal only: an OutOfMemoryError / StackOverflowError must ABORT
+    // the sweep — a corrupted JVM would silently skew every later timing
     try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
-    catch { case _: Throwable => if (cancelled) -2.0 else -1.0 }
+    catch { case scala.util.control.NonFatal(_) => if (cancelled) -2.0 else -1.0 }
     finally { timer.cancel(); spark.sparkContext.clearJobGroup() }
   }
 

@@ -793,7 +793,7 @@ object SparkEntry {
       val ss = graft.streaming.Streaming.statefulSession(s)
       val emb = t(ss, d, "embeddings").localCheckpoint()
       val centroids = Similarity.ivfIndex(emb, dim = 64, k = 16)
-      val root = java.nio.file.Files.createTempDirectory("v09").toString
+      val root = graft.util.TempDirs.scratch("v09")
       (0 until 3).foreach { b =>
         graft.streaming.Streaming.writeOrderedMicrobatch(
           emb.filter(col("vec_id") % 3 === b), s"$root/in", b)
@@ -1043,7 +1043,7 @@ object SparkEntry {
       val archives = t(ss, d, "part").filter(col("p_partkey") <= 200)
         .select(col("p_partkey").cast("long").as("archive_id"))
         .withColumn("payload", build(col("archive_id")))
-      val root = java.nio.file.Files.createTempDirectory("s32").toString
+      val root = graft.util.TempDirs.scratch("s32")
       graft.streaming.Streaming.writeOrderedMicrobatch(
         archives.filter(col("archive_id") % 2 === 0), s"$root/in", 0)
       graft.streaming.Streaming.writeOrderedMicrobatch(
@@ -1106,7 +1106,7 @@ object SparkEntry {
         .select(col("event_id"), col("ts"), col("event_type"))
       val cut = col("ts") < expr("timestamp'2024-01-16 00:00:00'")
       val isLate = col("event_id") % 97 === 0
-      val root = java.nio.file.Files.createTempDirectory("s30").toString
+      val root = graft.util.TempDirs.scratch("s30")
       val schema = StructType(Seq(
         StructField("event_id", LongType), StructField("ts", TimestampType),
         StructField("event_type", StringType)))
@@ -1403,7 +1403,13 @@ object SparkEntry {
       // file names, then the same container walk + MJPEG decode as m24.
       // Shares m24's closed-form oracle (bound 60) — a file-write, glob,
       // path-parse, or content-read bug breaks the hash.
-      val root = java.nio.file.Files.createTempDirectory("m27media").toString
+      // LOCAL-MODE ASSUMPTION (shared with s37/s38): executors write the
+      // fixture files via foreachPartition and the driver-planned scan
+      // reads them back — valid only when driver and executors share a
+      // filesystem. On a real cluster, stage fixtures through a
+      // distributed writer (e.g. per-row binary output to shared storage).
+      // The dir is registered for deletion at JVM exit (util/TempDirs).
+      val root = graft.util.TempDirs.scratch("m27media")
       t(s, d, "part").filter(col("p_partkey") <= 60)
         .select(col("p_partkey").cast("long").as("media_id"))
         .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
@@ -1876,7 +1882,7 @@ object SparkEntry {
       // pattern; the pair algorithms themselves are d04/d19-gated). The
       // custom-hash pair set has no SQL twin, hence the constant oracle.
       val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-      val root = java.nio.file.Files.createTempDirectory("s06").toString
+      val root = graft.util.TempDirs.scratch("s06")
       docs.write.parquet(s"$root/docs")
       val schema = org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField("doc_id",
@@ -2165,7 +2171,7 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       val edges = minhashSqlPairs(s, d).select(col("id_a"), col("id_b"))
         .unionByName(chain)
-      val root = java.nio.file.Files.createTempDirectory("s18").toString
+      val root = graft.util.TempDirs.scratch("s18")
       edges.repartition(3).write.parquet(s"$root/edges")
       val ss = graft.streaming.Streaming.statefulSession(s)
       val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -2320,7 +2326,7 @@ object SparkEntry {
       val docs = t(ss, d, "documents")
       val evalDocs = docs.filter(col("doc_id") % 7 === 3).localCheckpoint()
       val train = docs.filter(col("doc_id") % 7 =!= 3)
-      val root = java.nio.file.Files.createTempDirectory("s23").toString
+      val root = graft.util.TempDirs.scratch("s23")
       (0 until 3).foreach { b =>
         graft.streaming.Streaming.writeOrderedMicrobatch(
           train.filter(col("doc_id") % 3 === b), s"$root/in", b)
@@ -2395,7 +2401,7 @@ object SparkEntry {
           when(id % 3 === 0, "?utm_source=x&b=2&a=1")
             .when(id % 3 === 1, "?a=1&b=2").otherwise(""),
           when(id % 6 === 0, "#sec").otherwise("")).as("url"))
-      val root = java.nio.file.Files.createTempDirectory("s24").toString
+      val root = graft.util.TempDirs.scratch("s24")
       (0 until 3).foreach { b =>
         graft.streaming.Streaming.writeOrderedMicrobatch(
           urls.filter(id >= b * 200 && (id < (b + 1) * 200 || b == 2)),
@@ -2409,7 +2415,7 @@ object SparkEntry {
       val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
         stream.groupBy("canonical_url").agg(min(col("doc_id")).as("keep_id")),
         s"s24_url_${System.nanoTime()}",
-        java.nio.file.Files.createTempDirectory("s24ck").toString)
+        graft.util.TempDirs.scratch("s24ck"))
       st.select(col("key.canonical_url").as("canonical_url"),
           col("value.min").as("keep_id"))
         .orderBy("canonical_url")
@@ -2947,7 +2953,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
         .select(col("p_partkey").cast("long").as("media_id"))
-      val root = java.nio.file.Files.createTempDirectory("s38drops").toString
+      val root = graft.util.TempDirs.scratch("s38drops")
       Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
           col("media_id") < 132), (2, col("media_id") >= 132))
         .foreach { case (b, cond) =>
@@ -2977,7 +2983,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
         .select(col("p_partkey").cast("long").as("media_id"))
-      val root = java.nio.file.Files.createTempDirectory("s37drops").toString
+      val root = graft.util.TempDirs.scratch("s37drops")
       Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
           col("media_id") < 132), (2, col("media_id") >= 132))
         .foreach { case (b, cond) =>
@@ -3010,7 +3016,7 @@ object SparkEntry {
       val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
         .filter(col("p_partkey") % 3 === 0)
         .select(col("p_partkey").cast("long").as("media_id"))
-      val root = java.nio.file.Files.createTempDirectory("s36drops").toString
+      val root = graft.util.TempDirs.scratch("s36drops")
       Seq((0, col("media_id") < 66), (1, col("media_id") >= 66 &&
           col("media_id") < 132), (2, col("media_id") >= 132))
         .foreach { case (b, cond) =>
@@ -3027,7 +3033,7 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       val hashed = graft.llm.Multimodal.imageDHash(stream)
         .groupBy("dhash_hi", "dhash_lo").agg(min(col("media_id")).as("m"))
-      val ckpt = java.nio.file.Files.createTempDirectory("s36ck").toString
+      val ckpt = graft.util.TempDirs.scratch("s36ck")
       graft.streaming.Streaming.runAvailableNowUpdateFinalState(
           hashed, s"s36_dhash_${System.nanoTime()}", ckpt)
         .select(col("key.dhash_hi").as("dhash_hi"),
@@ -3050,7 +3056,7 @@ object SparkEntry {
       val counts = ev.join(dim, "user_id") // stream-static: stateless
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_events"), sum(col("cents")).as("sum_cents"))
-      val ckpt = java.nio.file.Files.createTempDirectory("s35ck").toString
+      val ckpt = graft.util.TempDirs.scratch("s35ck")
       graft.streaming.Streaming.runAvailableNowUpdateFinalState(
           counts, s"s35_dim_${System.nanoTime()}", ckpt)
         // state-store value fields carry the aggregate FUNCTION names
@@ -3070,7 +3076,7 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val docs = t(s, d, "documents")
         .select(col("source"), col("doc_id"), col("n_chars"))
-      val root = java.nio.file.Files.createTempDirectory("cusumdrops").toString
+      val root = graft.util.TempDirs.scratch("cusumdrops")
       Seq((0, col("doc_id") < 167),
           (1, col("doc_id") >= 167 && col("doc_id") < 334),
           (2, col("doc_id") >= 334)).foreach { case (b, cond) =>
@@ -3115,7 +3121,7 @@ object SparkEntry {
       val votes = graft.llm.PhraseSearch.votes(
           stream, "doc_id", "text", phraseSearchPhrases, ss)
         .groupBy("phrase", "doc_id", "start").count()
-      val ckpt = java.nio.file.Files.createTempDirectory("s33ck").toString
+      val ckpt = graft.util.TempDirs.scratch("s33ck")
       val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
           votes, s"s33_phrase_${System.nanoTime()}", ckpt)
         .select(col("key.phrase").as("phrase"), col("key.doc_id").as("doc_id"),
@@ -3513,7 +3519,7 @@ object SparkEntry {
       // gate and shared oracle as d52 — a quoting/escaping/codec bug
       // anywhere breaks the per-(lang, source) md5-distinct count.
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files.createTempDirectory("d82").toString
+      val root = graft.util.TempDirs.scratch("d82")
       t(s, d, "documents").write.mode("overwrite")
         .option("header", "true").option("compression", "gzip")
         .csv(s"$root/csvgz")
@@ -3545,7 +3551,7 @@ object SparkEntry {
       // writes, partition-parallel: the plumbing is the real multi-TB
       // export path.
       import org.apache.spark.sql.types._
-      val root = java.nio.file.Files.createTempDirectory("d52").toString
+      val root = graft.util.TempDirs.scratch("d52")
       t(s, d, "documents").write.mode("overwrite").json(s"$root/jsonl")
       val schema = StructType(Seq(
         StructField("doc_id", LongType), StructField("text", StringType),
@@ -3564,7 +3570,7 @@ object SparkEntry {
       // ships natively. Same checksum gate (and shared oracle) as d52's
       // JSONL: corruption anywhere in the write/read path breaks the
       // per-(lang, source) md5-distinct count.
-      val root = java.nio.file.Files.createTempDirectory("d54").toString
+      val root = graft.util.TempDirs.scratch("d54")
       t(s, d, "documents").write.mode("overwrite").orc(s"$root/orc")
       s.read.orc(s"$root/orc")
         .groupBy(col("lang"), col("source"))
@@ -3632,7 +3638,7 @@ object SparkEntry {
             element_at(col("__ts"), i + 1).as("w2")))).as("b"))
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
         .groupBy("w1", "w2").agg(count(lit(1)).as("n12"))
-      val ckpt = java.nio.file.Files.createTempDirectory("s22ck").toString
+      val ckpt = graft.util.TempDirs.scratch("s22ck")
       val st = graft.streaming.Streaming.runAvailableNowUpdateFinalState(
           counts, s"s22_pmi_${System.nanoTime()}", ckpt)
         .select(col("key.w1").as("w1"), col("key.w2").as("w2"),
@@ -4175,7 +4181,7 @@ object SparkEntry {
       val cutoff = lit("2024-01-25 00:00:00").cast("timestamp")
       val base = ev.filter(col("ts") < cutoff)
       val keys = Seq("event_type", "user_bucket")
-      val root = java.nio.file.Files.createTempDirectory("s12").toString
+      val root = graft.util.TempDirs.scratch("s12")
       Ivm.materialize(base, keys, Seq("iv"))
         .coalesce(1).write.parquet(s"$root/view/v=0")
       val deletes = base.filter(col("user_bucket") === 3)
@@ -5079,7 +5085,7 @@ object SparkEntry {
       val wDedup = Window.partitionBy("custkey", "ts").orderBy(col("event_id").desc)
       val ch = ev.withColumn("__rn", row_number().over(wDedup))
         .filter(col("__rn") === 1).drop("__rn", "event_id")
-      val root = java.nio.file.Files.createTempDirectory("s19").toString
+      val root = graft.util.TempDirs.scratch("s19")
       base.coalesce(1).write.parquet(s"$root/dim/v=0")
       val cut1 = 1704844800000000L // 2024-01-10 UTC in epoch-us
       val cut2 = 1705708800000000L // 2024-01-20
@@ -5894,7 +5900,7 @@ object SparkEntry {
       : (DataFrame, String) = {
     import org.apache.spark.sql.types._
     val docs = t(s, d, "documents").select(col("doc_id"), col("text"))
-    val root = java.nio.file.Files.createTempDirectory("docdrops").toString
+    val root = graft.util.TempDirs.scratch("docdrops")
     Seq((0, col("doc_id") < 167),
         (1, col("doc_id") >= 167 && col("doc_id") < 334),
         (2, col("doc_id") >= 334)).foreach { case (b, cond) =>

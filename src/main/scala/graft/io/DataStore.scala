@@ -184,14 +184,21 @@ class DataStore(root: String) {
    * outside the envelope's quadkey cover. Pick `zoom` so partitions land
    * in the 100 MB–1 GB range (world tile count is 4^zoom; zoom 7–9 for a
    * global universe, higher for regional ones).
+   *
+   * The partition value is written as `"q" + quadkey`: quadkeys are
+   * all-digit strings, and hive partition-column type inference would
+   * otherwise read `qk` back as a NUMERIC column, stripping the leading
+   * zeros every NW-quadrant tile (lon<0, lat>0) carries. The prefix pins
+   * the column to StringType on every read path; [[readTilesForEnvelope]]
+   * strips it back off before returning rows.
    */
   def writeTilesByQuadkey(tiles: DataFrame, relDir: String,
                           lonCol: String, latCol: String, zoom: Int): Unit = {
     require(zoom >= 1 && zoom <= 23, s"zoom=$zoom out of range")
-    import org.apache.spark.sql.functions.lit
+    import org.apache.spark.sql.functions.{concat, lit}
     tiles
-      .withColumn("qk",
-        graft.geo.GeoFunctions.st_quadkey(col(lonCol), col(latCol), lit(zoom)))
+      .withColumn("qk", concat(lit("q"),
+        graft.geo.GeoFunctions.st_quadkey(col(lonCol), col(latCol), lit(zoom))))
       .repartition(col("qk"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("qk")
@@ -206,14 +213,22 @@ class DataStore(root: String) {
    * RuntimePlanSpec). Tiles straddling a cell boundary live in their
    * CENTER's partition, so callers screening with exact geometry should
    * expand the envelope by one tile width before covering.
+   *
+   * Returns `qk` as the TRUE quadkey (the storage prefix — see
+   * [[writeTilesByQuadkey]] — is stripped after the partition filter, so
+   * e.g. `st_quadkey_polygon(col("qk"))` gets the right tile, leading
+   * zeros intact).
    */
   def readTilesForEnvelope(spark: SparkSession, relDir: String,
                            minLon: Double, minLat: Double,
                            maxLon: Double, maxLat: Double,
                            zoom: Int): DataFrame = {
+    import org.apache.spark.sql.functions.expr
     val cover = graft.geo.Quadkey.cover(minLon, minLat, maxLon, maxLat, zoom)
+      .map("q" + _)
     spark.read.parquet(path(relDir))
       .filter(col("qk").isin(cover: _*))
+      .withColumn("qk", expr("substring(qk, 2)"))
   }
 
   private def col(name: String) = org.apache.spark.sql.functions.col(name)

@@ -748,7 +748,12 @@ object Dedup {
         toks.groupBy("tok").agg(count(lit(1)).as("df")),
         "rk", col("df"), col("tok"))
       .select(col("tok"), col("rk"))
-    val sets = toks.join(broadcast(ranked), "tok")
+    // plain shuffle join on tok — the rank table is one row PER DISTINCT
+    // TOKEN, i.e. vocabulary-sized (10⁸–10⁹ at web scale, the very bound
+    // that forced GlobalRank above), so a broadcast hint here would OOM at
+    // exactly the scale the rank rewrite targets. Skew on tok is df-bounded
+    // and already the d31 posting shape.
+    val sets = toks.join(ranked, "tok")
       .groupBy("id").agg(sort_array(collect_set(col("rk"))).as("rks"))
       .select(col("id"), col("rks"), size(col("rks")).as("m"))
     // prefix length p = m − ⌈t·m⌉ + 1, in EXACT integer arithmetic (a float

@@ -35,9 +35,12 @@ object GlobalRank {
   /**
    * Adds `outCol` = 1-based global rank of each row under `orderCols`
    * (LongType). `orderCols` must be unique per row (strict total order).
-   * The returned frame is localCheckpoint'ed (see class doc, step 2);
-   * callers fanning out to several consumers need no further checkpoint
-   * for correctness, only for cost.
+   * Only the intermediate range-partitioned frame is localCheckpoint'ed
+   * (freezing the partitioning, so ranks are CORRECT for every consumer);
+   * the offset join and per-partition window on top re-execute per
+   * consumer. Callers fanning the result out to several actions should
+   * checkpoint it themselves to avoid paying the window repeatedly (as
+   * `Dedup.sortedNeighborhoodPairs` does).
    */
   def withGlobalRank(df: DataFrame, outCol: String, orderCols: Column*): DataFrame = {
     require(orderCols.nonEmpty, "withGlobalRank needs at least one order column")

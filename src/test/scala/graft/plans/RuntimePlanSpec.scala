@@ -122,12 +122,30 @@ class RuntimePlanSpec extends SparkSpec {
     val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("PartitionFilters") && p.contains("qk"), p)
     // correctness: pruned read == brute-force center screen over all tiles
+    // (the storage layout prefixes qk with "q" to defeat numeric partition
+    // inference, so the brute-force filter screens on the prefixed value)
     val expected = universe
-      .filter(col("qk").isin(cover.toSeq: _*))
+      .filter(col("qk").isin(cover.toSeq.map("q" + _): _*))
       .select("tile_id").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSet
     val got = q.select("tile_id").as[String](org.apache.spark.sql.Encoders.STRING)
       .collect().toSet
     assert(got == expected && got.nonEmpty)
+
+    // the returned qk is the TRUE quadkey: StringType, leading zeros intact.
+    // A NW-quadrant tile (lon<0, lat>0) has a quadkey starting with '0' —
+    // the exact value numeric partition inference used to destroy.
+    val nw = spark.range(1).select(
+      lit("t0").as("tile_id"), lit(-10.0).as("lon"), lit(45.0).as("lat"))
+    store.writeTilesByQuadkey(nw, "tiles_nw", "lon", "lat", zoom)
+    val back = store.readTilesForEnvelope(spark, "tiles_nw",
+      -11.0, 44.0, -9.0, 46.0, zoom)
+    assert(back.schema("qk").dataType ==
+      org.apache.spark.sql.types.StringType)
+    val qks = back.select("qk").as[String](org.apache.spark.sql.Encoders.STRING)
+      .collect().toSeq
+    val want = graft.geo.Quadkey.quadkeyForLonLat(-10.0, 45.0, zoom)
+    assert(qks == Seq(want) && want.startsWith("0"),
+      s"qk read back as $qks, expected $want (leading zero preserved)")
   }
 }
