@@ -65,14 +65,28 @@ object ScaleSweep {
     shifts.foreach { case (table, idCols) =>
       val src = spark.read.parquet(s"$base/$table.parquet")
       val scaled = if (idCols.isEmpty) src else shiftCopies(src, idCols, copies)
-      scaled.write.mode("overwrite").parquet(s"$out/$table.parquet")
+      // testdata-faithful layout: each table is a SINGLE PLAIN FILE named
+      // <table>.parquet, not a Spark output directory — the streaming
+      // gates read tables via file-stream globs (glob matches leaf FILES,
+      // so a directory-style table silently streams zero batches). Batch
+      // scans still parallelize by row group (maxPartitionBytes splits).
+      val stage = s"$out/_stage_$table"
+      scaled.coalesce(1).write.mode("overwrite").parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .find(_.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $stage"))
+      val dest = java.nio.file.Paths.get(out, s"$table.parquet")
+      java.nio.file.Files.deleteIfExists(dest)
+      java.nio.file.Files.move(part.toPath, dest)
+      new java.io.File(stage).listFiles().foreach(_.delete())
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(stage))
       System.err.println(s"[sweep] built $table x${if (idCols.isEmpty) 1 else copies}")
     }
   }
 
   /** One timed count() under a cancellable job group; -2 = budget blown. */
-  private def timed(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
-                    dir: String, budgetS: Int): Double = {
+  private[graft] def timed(spark: SparkSession, fn: (SparkSession, String) => DataFrame,
+                           dir: String, budgetS: Int): Double = {
     val group = s"sweep_${System.nanoTime()}"
     spark.sparkContext.setJobGroup(group, group, interruptOnCancel = true)
     @volatile var cancelled = false
@@ -109,7 +123,7 @@ object ScaleSweep {
     spark.sparkContext.setLogLevel("ERROR")
     graft.geo.GeoFunctions.ensureRegistered(spark)
 
-    if (!new java.io.File(s"$big/lineitem.parquet").isDirectory)
+    if (!new java.io.File(s"$big/lineitem.parquet").exists)
       buildScaled(spark, base, big, copies = 10)
 
     // batch queries only: the s* streams' cost is microbatch fixed overhead

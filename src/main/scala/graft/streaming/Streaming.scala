@@ -25,6 +25,29 @@ import org.apache.spark.sql.types.StructType
 object Streaming {
 
   /**
+   * (label, checkpointDir) for every stream this JVM has run to completion
+   * through the helpers below — the stream scale sweep (StreamSweep) reads
+   * FINAL state-store row counts from these via the `statestore` source, so
+   * the documented per-stream state bounds (O(keys), O(open sessions),
+   * O(in-flight window)) become measured numbers instead of prose. Cleared
+   * by the sweep between queries; append-only otherwise (negligible cost:
+   * two small strings per stream run).
+   */
+  val checkpointLog =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  private[graft] def logCheckpoint(label: String, ckpt: String): Unit =
+    checkpointLog.add((label, ckpt))
+
+  /** Drain-read: snapshot the (label, checkpoint) pairs logged so far. */
+  def loggedCheckpoints(): Seq[(String, String)] = {
+    val it = checkpointLog.iterator()
+    val b = Seq.newBuilder[(String, String)]
+    while (it.hasNext) b += it.next()
+    b.result()
+  }
+
+  /**
    * A sibling session with its own SQL conf (shared SparkContext, shared
    * caches) sized for STATEFUL streaming: each state-store partition pays a
    * fixed checkpoint/commit cost per microbatch, so a small-state stream at
@@ -126,13 +149,18 @@ object Streaming {
   def runAvailableNow(streamed: DataFrame, queryName: String,
                       outputMode: String = "complete"): DataFrame = {
     val spark = streamed.sparkSession
+    // explicit (per-run fresh) checkpoint instead of Spark's hidden temp
+    // one, so the final state store stays readable for the scale sweep
+    val ckpt = graft.util.TempDirs.scratch("graft-ck")
     val q = streamed.writeStream
       .outputMode(outputMode)
       .format("memory")
       .queryName(queryName)
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logCheckpoint(queryName, ckpt)
     spark.table(queryName)
   }
 
@@ -154,6 +182,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logCheckpoint(sinkDir, checkpointDir)
   }
 
   /** Run a streaming AGGREGATION to completion in UPDATE output mode and
@@ -182,6 +211,7 @@ object Streaming {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    logCheckpoint(queryName, checkpointDir)
     spark.read.format("statestore").option("path", checkpointDir).load()
   }
 
