@@ -3243,6 +3243,27 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d87_warc_quarantine" -> ((s, d) => {
+      // UNTRUSTED-BYTES crawl ingest (io/Warc.warcIngestQuarantine): the
+      // d70 archives, but every id % 7 == 0 payload has its gzip magic
+      // byte destroyed — the never-throw walk must yield the clean
+      // archives' records (quarantined = false) and exactly ONE marker
+      // row per corrupt archive (record_idx −1, null fields,
+      // quarantined = true), with no task failure anywhere. The oracle
+      // replays both halves in closed form, so quarantining too much,
+      // too little, or throwing breaks the gate.
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val a = graft.io.Warc.syntheticWarcGz(id)
+        if (id % 7 == 0) a(0) = 0x00.toByte
+        a
+      }
+      val archives = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("archive_id"))
+        .withColumn("payload", build(col("archive_id")))
+      graft.io.Warc.warcIngestQuarantine(archives)
+        .orderBy("archive_id", "record_idx")
+    }),
     "d70_warc_ingest" -> ((s, d) => {
       // CRAWL-ARCHIVE ingestion (io/Warc): concatenated per-record gzip
       // members — the Common Crawl WARC layout — walked manually (RFC
@@ -9274,6 +9295,32 @@ object SparkEntry {
     // 3 + id%4, body length 40 + (id+r)%30, byte j = (id·13+r·7+j·3)%26
     // + 'a' (97)
     "d70_warc_ingest" -> d70OracleSql,
+    // d87: d70's closed form restricted to the clean archives, UNION'd
+    // with one (-1, NULL, NULL, NULL, true) marker per corrupt archive
+    "d87_warc_quarantine" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS archive_id, 3 + p_partkey % 4 AS n_rec
+        |  FROM part WHERE p_partkey <= 200
+        |), rec AS (
+        |  SELECT a.archive_id, CAST(r.r AS INT) AS record_idx,
+        |    'http://site' || (a.archive_id % 50) || '.com/p' || r.r AS uri,
+        |    40 + (a.archive_id + r.r) % 30 AS len
+        |  FROM a, LATERAL (SELECT unnest(range(a.n_rec)) AS r) r
+        |  WHERE a.archive_id % 7 <> 0
+        |), sums AS (
+        |  SELECT archive_id, record_idx, uri, CAST(len AS BIGINT) AS n_bytes,
+        |    (SELECT CAST(SUM((archive_id * 13 + record_idx * 7 + j.j * 3) % 26 + 97) AS BIGINT)
+        |     FROM (SELECT unnest(range(len)) AS j) j) AS byte_sum,
+        |    FALSE AS quarantined
+        |  FROM rec
+        |), bad AS (
+        |  SELECT archive_id, CAST(-1 AS INT) AS record_idx,
+        |    CAST(NULL AS VARCHAR) AS uri, CAST(NULL AS BIGINT) AS n_bytes,
+        |    CAST(NULL AS BIGINT) AS byte_sum, TRUE AS quarantined
+        |  FROM a WHERE archive_id % 7 = 0
+        |)
+        |SELECT * FROM (SELECT * FROM sums UNION ALL SELECT * FROM bad)
+        |ORDER BY archive_id, record_idx""".stripMargin,
     // s32: record explode is per-archive stateless, so the streamed
     // ingest converges to the batch ingest exactly — shared oracle
     "s32_stream_warc" -> d70OracleSql,

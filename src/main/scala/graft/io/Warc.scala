@@ -23,27 +23,27 @@ import org.apache.spark.sql.functions._
  */
 object Warc {
 
-  /** Inflate every gzip member of a concatenated-gzip stream, verifying
-    * each member's CRC32 and ISIZE trailer. Throws on any malformed or
-    * corrupt member — crawl ingest must not silently drop the tail. */
-  def gzipMembers(data: Array[Byte]): Seq[Array[Byte]] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-    var off = 0
-    while (off < data.length) {
-      require(off + 18 <= data.length, s"truncated gzip header at $off")
-      require((data(off) & 0xFF) == 0x1F && (data(off + 1) & 0xFF) == 0x8B,
-        s"bad gzip magic at $off")
-      require(data(off + 2) == 8, s"unsupported gzip method at $off")
-      val flg = data(off + 3)
-      var p = off + 10
-      if ((flg & 4) != 0) { // FEXTRA
-        val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8)
-        p += 2 + xlen
-      }
-      if ((flg & 8) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
-      if ((flg & 16) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
-      if ((flg & 2) != 0) p += 2 // FHCRC
-      val inf = new java.util.zip.Inflater(true)
+  /** Inflate ONE gzip member starting at `off`; returns (member, nextOff).
+    * Throws (descriptive IllegalArgumentException, or an index/inflate
+    * error on adversarial header bytes) on any corruption — both callers
+    * below wrap this with their own failure policy. */
+  private def memberAt(data: Array[Byte], off: Int): (Array[Byte], Int) = {
+    require(off + 18 <= data.length, s"truncated gzip header at $off")
+    require((data(off) & 0xFF) == 0x1F && (data(off + 1) & 0xFF) == 0x8B,
+      s"bad gzip magic at $off")
+    require(data(off + 2) == 8, s"unsupported gzip method at $off")
+    val flg = data(off + 3)
+    var p = off + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      val xlen = (data(p) & 0xFF) | ((data(p + 1) & 0xFF) << 8)
+      p += 2 + xlen
+    }
+    if ((flg & 8) != 0) { while (data(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (data(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    require(p < data.length, s"header ran past end of data at $off")
+    val inf = new java.util.zip.Inflater(true)
+    try {
       inf.setInput(data, p, data.length - p)
       val bos = new java.io.ByteArrayOutputStream()
       val buf = new Array[Byte](8192)
@@ -54,7 +54,6 @@ object Warc {
       }
       val member = bos.toByteArray
       val consumed = (data.length - p) - inf.getRemaining
-      inf.end()
       val t = p + consumed
       require(t + 8 <= data.length, s"truncated gzip trailer at $t")
       def le32(o: Int): Long = (data(o) & 0xFFL) | ((data(o + 1) & 0xFFL) << 8) |
@@ -64,10 +63,49 @@ object Warc {
       require(crc.getValue == le32(t), s"gzip CRC mismatch in member at $off")
       require((member.length & 0xFFFFFFFFL) == le32(t + 4),
         s"gzip ISIZE mismatch in member at $off")
-      out += member
-      off = t + 8
+      (member, t + 8)
+    } finally inf.end()
+  }
+
+  /** Inflate every gzip member of a concatenated-gzip stream, verifying
+    * each member's CRC32 and ISIZE trailer. Throws on any malformed or
+    * corrupt member — the STRICT mode for curated archives, where a
+    * corrupt member must not silently truncate the archive. Crawl-scale
+    * ingest of UNTRUSTED bytes goes through [[gzipMembersSafe]] /
+    * [[warcIngestQuarantine]] instead, where corruption quarantines the
+    * archive rather than killing the task. */
+  def gzipMembers(data: Array[Byte]): Seq[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off < data.length) {
+      val (m, next) = memberAt(data, off)
+      out += m
+      off = next
     }
     out.toSeq
+  }
+
+  /** NEVER-THROW member walk: the members before the first corruption,
+    * plus Some(description) if the walk stopped early. The quarantine
+    * primitive for untrusted crawl bytes — a task must survive ANY byte
+    * pattern (same contract the media codecs carry, fuzz-gated in
+    * WarcFuzzSpec). */
+  def gzipMembersSafe(data: Array[Byte]): (Seq[Array[Byte]], Option[String]) = {
+    if (data == null) return (Nil, Some("null payload"))
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off < data.length) {
+      val step =
+        try Right(memberAt(data, off))
+        catch { case scala.util.control.NonFatal(e) =>
+          Left(s"corrupt gzip member at offset $off: ${e.getMessage}")
+        }
+      step match {
+        case Right((m, next)) => out += m; off = next
+        case Left(err) => return (out.toSeq, Some(err))
+      }
+    }
+    (out.toSeq, None)
   }
 
   /** Parse one WARC record: header block (CRLF lines up to a blank line),
@@ -87,7 +125,9 @@ object Warc {
     val uri = field("WARC-Target-URI").getOrElse(return None)
     val len = field("Content-Length").flatMap(_.toIntOption).getOrElse(return None)
     val start = end + sep.length
-    if (start + len > member.length) return None
+    // long arithmetic: a hostile Content-Length near Int.MaxValue would
+    // overflow `start + len` to negative and sneak past the bounds check
+    if (len < 0 || start.toLong + len.toLong > member.length) return None
     Some((uri, member.slice(start, start + len)))
   }
 
@@ -110,6 +150,36 @@ object Warc {
       .select(col(idCol),
         col("__r._1").as("record_idx"), col("__r._2").as("uri"),
         col("__r._3").cast("long").as("n_bytes"), col("__r._4").as("byte_sum"))
+  }
+
+  /** [[warcIngest]]'s UNTRUSTED-BYTES sibling: the same record explode,
+    * but corruption QUARANTINES instead of killing the task. Every
+    * archive yields the records of its valid member prefix (quarantined
+    * = false); an archive whose walk hit corruption additionally yields
+    * ONE marker row (record_idx = -1, null uri/bytes, quarantined =
+    * true) so downstream can count/route bad archives without a second
+    * pass. At 100 TB some byte pattern WILL hit every branch — this is
+    * the ingest the crawl path should run (d87 gate; fuzz-hardened in
+    * WarcFuzzSpec). */
+  def warcIngestQuarantine(archives: DataFrame, idCol: String = "archive_id",
+                           payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      val (members, err) = gzipMembersSafe(payload)
+      val good = members.zipWithIndex.flatMap { case (m, i) =>
+        parseWarcRecord(m).map { case (uri, body) =>
+          var s = 0L
+          body.foreach(b => s += (b & 0xFF))
+          (i, Option(uri), Option(body.length.toLong), Option(s), false)
+        }
+      }
+      good ++ err.map(_ =>
+        (-1, Option.empty[String], Option.empty[Long], Option.empty[Long], true))
+    }
+    archives.withColumn("__r", explode(dec(col(payloadCol))))
+      .select(col(idCol),
+        col("__r._1").as("record_idx"), col("__r._2").as("uri"),
+        col("__r._3").as("n_bytes"), col("__r._4").as("byte_sum"),
+        col("__r._5").as("quarantined"))
   }
 
   /** [[warcIngest]]'s content-carrying sibling: explode archives into
