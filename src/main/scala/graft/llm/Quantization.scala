@@ -427,9 +427,26 @@ object Quantization {
    * broadcast query side makes the candidate pass one narrow signature
    * scan — the honest BQ serving shape (see [[bqSignature]]); follow
    * with an exact rerank of the shortlist when cosine ranks matter.
+   *
+   * Cost is corpus × |Q|: linear-in-corpus PER QUERY is the documented
+   * BQ design (serving-sized query batches), but a caller passing a
+   * large Q turns the scan quadratic-ish — `maxQueries` LOUD-fails that
+   * instead of silently broadcasting it (the [[graft.ops.Robust.theilSen]]
+   * contract: a silent cap would bias results, an OOM would be worse).
+   * For bulk all-pairs work use the banded paths (Dedup.simhash / v03
+   * IVF cells), not a serving scan.
    */
   def bqTopK(corpus: DataFrame, queries: DataFrame, dim: Int, k: Int,
-             idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+             idCol: String = "vec_id", vecCol: String = "embedding",
+             maxQueries: Int = 4096): DataFrame = {
+    require(maxQueries >= 1, s"maxQueries=$maxQueries must be >= 1")
+    // bounded probe: limit(max+1) caps what the check itself can cost
+    val nQ = queries.select(col(idCol)).limit(maxQueries + 1).count()
+    require(nQ <= maxQueries,
+      s"bqTopK: query set exceeds maxQueries=$maxQueries — the signature " +
+        "scan is corpus x |Q| and the query side is broadcast; batch the " +
+        "queries, raise the bound deliberately, or use the banded " +
+        "near-dup/IVF paths for bulk all-pairs work")
     val sigs = corpus.select(col(idCol).as("neighbor_id"),
       bqSignature(col(vecCol), dim).as("__sig"))
     val qs = broadcast(queries.select(col(idCol).as("query_id"),
@@ -457,10 +474,11 @@ object Quantization {
    */
   def bqRerankTopK(corpus: DataFrame, queries: DataFrame, dim: Int,
                    shortlist: Int, k: Int,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   maxQueries: Int = 4096): DataFrame = {
     require(k >= 1 && shortlist >= k,
       s"need shortlist=$shortlist >= k=$k >= 1")
-    val cand = bqTopK(corpus, queries, dim, shortlist, idCol, vecCol)
+    val cand = bqTopK(corpus, queries, dim, shortlist, idCol, vecCol, maxQueries)
       .select("query_id", "neighbor_id")
     val cv = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("__cv"), Similarity.normFast(col(vecCol)).as("__cn"))

@@ -114,6 +114,22 @@ class QuantizationSpec extends SparkSpec {
     }
     assert(purity.sum / purity.size >= 0.9,
       s"BQ shortlist cluster purity too low: ${purity.sum / purity.size}")
+
+    // the query-side bound: the signature scan is corpus x |Q|, so a
+    // query set past maxQueries must LOUD-fail, not silently broadcast
+    val tooMany = intercept[IllegalArgumentException] {
+      Quantization.bqTopK(corpus, corpus, dim = 64, k = 5, maxQueries = 100)
+        .count()
+    }
+    assert(tooMany.getMessage.contains("maxQueries"), tooMany.getMessage)
+    val rerankTooMany = intercept[IllegalArgumentException] {
+      Quantization.bqRerankTopK(corpus, corpus, dim = 64,
+        shortlist = 20, k = 5, maxQueries = 100).count()
+    }
+    assert(rerankTooMany.getMessage.contains("maxQueries"))
+    // at the bound exactly, the scan runs
+    assert(Quantization.bqTopK(corpus, queries, dim = 64, k = 5,
+      maxQueries = 10).count() > 0)
   }
 
   test("SQ8: codes clamp to [0,255], constant dims encode 0, dequant error is bounded by one bin") {
