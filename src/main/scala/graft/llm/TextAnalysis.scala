@@ -381,11 +381,25 @@ object TextAnalysis {
    * count table is the only data-sized input and it is already the
    * product of one map-side-combinable aggregation.
    *
+   * The grid is QUADRATIC IN GROUPS by definition (drift matrices are
+   * asked for across ~tens of corpus sources, i.e. hundreds of pairs);
+   * `maxGroups` loud-fails a caller feeding thousands of groups — at
+   * that scale restrict to target×source pairs or prune upstream, a
+   * silent cap would drop pairs without saying which.
+   *
    * @param counts columns (groupCol, w, c)
    * @return (g_a, g_b) for g_a < g_b: n_shared (tokens in both), jsd
    */
-  def jensenShannon(counts: DataFrame, groupCol: String = "source"): DataFrame = {
+  def jensenShannon(counts: DataFrame, groupCol: String = "source",
+                    maxGroups: Int = 1000): DataFrame = {
+    require(maxGroups >= 2, s"maxGroups=$maxGroups must be >= 2")
     val c = counts.localCheckpoint()
+    val nGroups = c.select(col(groupCol)).distinct()
+      .limit(maxGroups + 1).count()
+    require(nGroups <= maxGroups,
+      s"jensenShannon: more than maxGroups=$maxGroups distinct $groupCol " +
+        "values — the pair grid is |groups|² x union vocab; restrict to " +
+        "target x source pairs or raise the bound deliberately")
     val totals = c.groupBy(groupCol).agg(sum(col("c")).as("n"))
     val groups = totals.select(col(groupCol).as("g"))
     val pairs = broadcast(groups.crossJoin(groups.select(col("g").as("g2")))

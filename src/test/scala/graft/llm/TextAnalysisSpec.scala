@@ -188,6 +188,11 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(("s1", "s2")) == ((2L, 0.0)))
     assert(out(("s1", "s3")) == ((0L, 0.6931))) // round(ln 2, 4)
     assert(out(("s2", "s3")) == ((0L, 0.6931)))
+    // the pair grid is |groups|²: past maxGroups it must LOUD-fail
+    val e = intercept[IllegalArgumentException] {
+      TextAnalysis.jensenShannon(counts, maxGroups = 2).count()
+    }
+    assert(e.getMessage.contains("maxGroups"), e.getMessage)
   }
 
   test("jensenShannon: hand-computed asymmetric-overlap pair") {
