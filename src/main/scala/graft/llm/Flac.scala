@@ -140,6 +140,13 @@ object Flac {
       }
       if (rate <= 0 || nch <= 0 || nch > 8 || bps <= 0 || bps > 16 ||
           total <= 0 || total > Int.MaxValue / nch) return None
+      // a corrupt STREAMINFO total must not drive the allocation below: a
+      // frame is >= 12 bytes (header 10 + CRC16 2) and encodes <= 65535
+      // samples, so the remaining payload bounds what ANY valid stream
+      // could hold — reject totals past that (OOM-by-corrupt-count class,
+      // found by CodecFuzzSpec), with a hard allocation backstop
+      val maxEncodable = (payload.length - pos).toLong / 12L * 65535L
+      if (total > maxEncodable || total * nch > (1L << 26)) return None
       val n = total.toInt
       val chans = Array.ofDim[Int](nch, n)
       var got = 0

@@ -1131,9 +1131,10 @@ object Multimodal {
   }
 
   /** One decode attempt across the supported image codecs (P6 PPM, PNG,
-    * BMP, then GIF) — the single entry point the image operators use, so
-    * adding a codec never touches plan-side code. Each decoder rejects
-    * on its magic bytes in O(1), so the chain costs one real parse. */
+    * BMP, GIF, lossless WebP, then JPEG) — the single entry point the
+    * image operators use, so adding a codec never touches plan-side code.
+    * Each decoder rejects on its magic bytes in O(1), so the chain costs
+    * one real parse. */
   def decodeImage(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
     val ppm = decodePpm(payload)
     if (ppm.isDefined) return ppm
@@ -1142,7 +1143,9 @@ object Multimodal {
     val bmp = decodeBmp(payload)
     if (bmp.isDefined) return bmp
     val gif = decodeGif(payload)
-    if (gif.isDefined) gif else decodeJpeg(payload)
+    if (gif.isDefined) return gif
+    val webp = Webp.decodeWebp(payload)
+    if (webp.isDefined) webp else decodeJpeg(payload)
   }
 
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed
