@@ -17,9 +17,16 @@ import scala.jdk.CollectionConverters._
  * Spark's native multi-part layout (scales with the data, unlike the
  * reference's single-process writes).
  */
-class DataStore(root: String) {
+class DataStore(root: String,
+                control: Option[ControlBackend] = None) {
 
   def path(parts: String*): String = (Seq(root) ++ parts).mkString("/")
+
+  /** Control-table persistence (registry / run log / completion log):
+    * parquet under the root by default, or any JDBC warehouse via
+    * [[JdbcControlBackend]] — see [[ControlBackend]]. */
+  val controlTables: ControlBackend =
+    control.getOrElse(new ParquetControlBackend(root))
 
   def exists(rel: String): Boolean = Files.exists(Paths.get(path(rel)))
 

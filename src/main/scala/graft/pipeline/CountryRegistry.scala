@@ -47,8 +47,7 @@ object CountryRegistry {
 
   private def readOrEmpty(spark: SparkSession, store: DataStore, rel: String,
                           schema: StructType): DataFrame =
-    if (store.exists(rel)) store.readParquet(spark, rel)
-    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    store.controlTables.read(spark, rel, schema)
 
   def countries(spark: SparkSession, store: DataStore): DataFrame =
     readOrEmpty(spark, store, CountriesRel, countriesSchema)
@@ -56,15 +55,10 @@ object CountryRegistry {
   def zoomLevels(spark: SparkSession, store: DataStore): DataFrame =
     readOrEmpty(spark, store, ZoomLevelsRel, zoomLevelsSchema)
 
-  /** Atomically replace a control table (write tmp, move over). */
-  private def overwrite(store: DataStore, df: DataFrame, rel: String): Unit = {
-    val tmp = rel + ".__tmp__"
-    store.writeParquet(df.coalesce(1), tmp)
-    store.remove(rel)
-    java.nio.file.Files.move(
-      java.nio.file.Paths.get(store.path(tmp)),
-      java.nio.file.Paths.get(store.path(rel)))
-  }
+  /** Atomically replace a control table (backend-dependent: tmp + move on
+    * parquet, transactional overwrite over JDBC — see [[ControlBackend]]). */
+  private def overwrite(store: DataStore, df: DataFrame, rel: String): Unit =
+    store.controlTables.replace(df, rel)
 
   /**
    * Register a country (add_country_to_snowflake, country_utils.py:73-121):

@@ -117,23 +117,36 @@ object Orchestrator {
 
   val CompletionLogRel = "control/pipeline_complete_log"
 
+  val completionLogSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("storm_ids", ArrayType(StringType)),
+      StructField("countries_processed", ArrayType(StringType)),
+      StructField("files_written", IntegerType),
+      StructField("status", StringType),
+      StructField("runtime_seconds", DoubleType),
+      StructField("logged_at", StringType)))
+  }
+
   /**
    * Batch completion signal (signal_pipeline_complete,
    * main_pipeline.py:528-550): one appended row per successful batch — the
-   * downstream materialized-view refresh trigger in the reference. Append-only
-   * parquet; readers take the latest row by `logged_at`.
+   * downstream materialized-view refresh trigger in the reference.
+   * Append-only through the control backend (parquet or JDBC warehouse —
+   * see [[graft.io.ControlBackend]]); readers take the latest row by
+   * `logged_at`.
    */
   def appendCompletionLog(spark: SparkSession, store: DataStore,
                           stormIds: Seq[String], countries: Seq[String],
                           filesWritten: Int, runtimeSeconds: Double): Unit = {
     import spark.implicits._
-    Seq((stormIds, countries, filesWritten, "SUCCESS", runtimeSeconds,
+    val row = Seq((stormIds, countries, filesWritten, "SUCCESS", runtimeSeconds,
       java.time.Instant.now().toString))
       .toDF("storm_ids", "countries_processed", "files_written", "status",
         "runtime_seconds", "logged_at")
-      .coalesce(1).write.mode("append").parquet(store.path(CompletionLogRel))
+    store.controlTables.append(row, CompletionLogRel)
   }
 
   def readCompletionLog(spark: SparkSession, store: DataStore): DataFrame =
-    store.readParquet(spark, CompletionLogRel)
+    store.controlTables.read(spark, CompletionLogRel, completionLogSchema)
 }
