@@ -54,10 +54,19 @@ object Geo {
     factory.createLineString(points.map { case (x, y) => new Coordinate(x, y) }.toArray)
 
   // --- Mollweide (ESRI:54009) equal-area projection ----------------------
-  // Forward projection on the sphere (public formula; R = 6371007.181 m,
-  // the authalic radius used by ESRI:54009 on WGS84).
+  // Forward projection on the sphere (public formula). Radius choice is
+  // the GEOPANDAS-MATCH decision: the reference runs
+  // gdf.to_crs('ESRI:54009').area through pyproj/PROJ, and PROJ evaluates
+  // spherical-only projections (moll included) on a sphere of radius a =
+  // the ellipsoid's SEMIMAJOR axis (6378137.0 for WGS84), ignoring
+  // eccentricity — not the authalic radius (6371007.18) an equal-area
+  // purist would pick. We match PROJ so absolute areas line up (the two
+  // radii differ by 0.11%, i.e. 0.22% in area). Every reference SEMANTIC
+  // built on this area (max-overlap argmax, area>0 flags) is
+  // scale-invariant, so the choice is observable only in raw m² outputs.
+  // GeoSpec pins the closed-form equal-area golden at this radius.
 
-  private val R = 6371007.180918475
+  private val R = 6378137.0
   private val SqRt2 = math.sqrt(2.0)
 
   /** Forward Mollweide: (lonDeg, latDeg) -> (x meters, y meters). */
