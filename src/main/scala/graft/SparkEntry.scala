@@ -676,6 +676,32 @@ object SparkEntry {
         .select(col("query_id"), col("neighbor_id"), col("rank"))
         .orderBy(col("query_id"), col("rank"))
     }),
+    "v15_knn_graph" -> ((s, d) => {
+      // NN-DESCENT k-NN GRAPH (llm/NnDescent, Dong et al. WWW'11): the
+      // whole corpus's 5-NN graph over a PLANTED clustered fixture (20
+      // clusters of dyadic-rational vectors built from part keys — every
+      // coordinate, dot, and norm² is exact in both engines, the v-gate
+      // float contract). On clustered data the parameters (multi-seed
+      // LSH init + per-round seed rotation, 5 refinement rounds) give
+      // EXACT convergence, so the hash pins recall = 1.0 against the
+      // brute-force oracle while the operator never goes all-pairs
+      // (degree-capped neighbor-of-neighbor pairs + capped LSH buckets).
+      // NnDescentSpec separately pins the recall floor on unclustered
+      // data, where exactness is not the contract.
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        Array.tabulate(16) { j =>
+          ((((id % 20) * 37 + j * 13) % 16) +
+            (((id * 31 + j * 17) % 4) * 0.0625)).toFloat
+        }
+      }
+      val vecs = t(s, d, "part").filter(col("p_partkey") <= 400)
+        .select(col("p_partkey").cast("long").as("vec_id"))
+        .withColumn("embedding", build(col("vec_id")))
+      graft.llm.NnDescent.knnGraph(vecs, k = 5, iterations = 5)
+        .select(col("vec_id"), col("neighbor_id"), col("rank"))
+        .orderBy(col("vec_id"), col("rank"))
+    }),
     "v07_hard_negatives" -> ((s, d) => {
       // HARD-NEGATIVE MINING for contrastive training: each query's top-3
       // most-similar vectors whose label DIFFERS (the near-but-wrong
@@ -8053,6 +8079,32 @@ object SparkEntry {
         |)
         |SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    // v15: the exact 5-NN graph of the planted clustered fixture — v01's
+    // cosine fold with queries = corpus over closed-form dyadic vectors;
+    // NN-Descent's parameters give exact convergence on clustered data,
+    // so the hash pins recall = 1.0 (see the gate comment)
+    "v15_knn_graph" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS vec_id,
+        |    list_transform(range(16), j -> CAST(
+        |      ((p_partkey % 20) * 37 + j * 13) % 16 +
+        |      ((p_partkey * 31 + j * 17) % 4) * 0.0625 AS DOUBLE)) AS embedding
+        |  FROM part WHERE p_partkey <= 400
+        |), scored AS (
+        |  SELECT q.vec_id, c.vec_id AS neighbor_id,
+        |    list_reduce(list_apply(list_zip(q.embedding, c.embedding),
+        |      p -> p[1] * p[2]), (acc, x) -> acc + x)
+        |    / (sqrt(list_reduce(list_apply(q.embedding, x -> x * x), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_apply(c.embedding, x -> x * x), (a, b) -> a + b))) AS cosine
+        |  FROM v q, v c
+        |  WHERE c.vec_id <> q.vec_id
+        |), ranked AS (
+        |  SELECT vec_id, neighbor_id,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+        |  FROM scored
+        |)
+        |SELECT vec_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+        |ORDER BY vec_id, rank""".stripMargin,
     // v02's oracle is the SAME exact top-k: the LSH query is parameterized
     // for full recall on this corpus (bits=5, 12 tables, Hamming-1
     // multiprobe), so candidate sets cover the true top-5 and the identical
