@@ -5027,6 +5027,29 @@ object SparkEntry {
           round(col("sad_seasonal").cast("double") / col("sad_naive"), 4))
         .orderBy("event_type")
     }),
+    "q103_sql_volume_shipping" -> ((s, d) => {
+      // TPC-H Q7's join breadth as ONE shared SQL text: six tables, the
+      // symmetric nation-pair OR (which defeats naive single-sided
+      // pushdown — Catalyst must keep it as a post-join filter over two
+      // broadcast nation joins), a fact date range that must reach the
+      // lineitem scan, and a year extract feeding the rollup. The
+      // PlanSpec guard pins: dims broadcast, no nested loop, shipdate
+      // range pushed to the parquet scan.
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(sqlVolumeShippingSql)
+    }),
+    "q104_sql_market_share" -> ((s, d) => {
+      // TPC-H Q8's join breadth: EIGHT tables (nation twice), the
+      // region+type selective dims gating the fact, and the per-year
+      // conditional-share ratio. The join ORDER matters at 100 TB — the
+      // region/part filters must reach their scans and every dim side
+      // must broadcast; a sort-merge or nested-loop anywhere in this
+      // chain is the scale failure the PlanSpec guard pins.
+      Seq("part", "lineitem", "orders", "customer", "nation", "region",
+        "supplier").foreach(n => t(s, d, n).createOrReplaceTempView(n))
+      s.sql(sqlMarketShareSql)
+    }),
     "q100_sql_scalar_avg" -> ((s, d) => {
       // TPC-H Q17's shape as ONE shared SQL text: a correlated scalar
       // AVERAGE over the LARGE fact gates the fact scan itself —
@@ -6218,6 +6241,60 @@ object SparkEntry {
       |          (SELECT MAX(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
       |           WHERE l2.l_partkey = l.l_partkey))
       |ORDER BY s.s_suppkey""".stripMargin
+
+  /** q103: TPC-H Q7 shape — the 6-table "volume shipping" join breadth
+    * (lineitem ⋈ orders ⋈ supplier ⋈ customer ⋈ nation×2) with the
+    * symmetric nation-pair OR and a ship-date range; one shared text. */
+  private val sqlVolumeShippingSql: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_ship,
+      |  ROUND(SUM(volume), 2) AS revenue
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS l_year,
+      |    l.l_extendedprice * (1 - l.l_discount) AS volume
+      |  FROM supplier s
+      |  JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+      |  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |    AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                         AND TIMESTAMP '1997-12-31 00:00:00'
+      |) shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** q104: TPC-H Q8 shape — the 8-table "market share" join breadth
+    * (part ⋈ lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region + the
+    * supplier→nation side), region + type + date-range filters, and the
+    * conditional-share ratio per year; one shared text. */
+  private val sqlMarketShareSql: String =
+    """SELECT o_year,
+      |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  ROUND(SUM(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END)
+      |        / SUM(volume), 4) AS mkt_share
+      |FROM (
+      |  SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS o_year,
+      |    l.l_extendedprice * (1 - l.l_discount) AS volume,
+      |    n2.n_name AS nation
+      |  FROM part p
+      |  JOIN lineitem l ON p.p_partkey = l.l_partkey
+      |  JOIN orders o ON o.o_orderkey = l.l_orderkey
+      |  JOIN customer c ON c.c_custkey = o.o_custkey
+      |  JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+      |  JOIN region r ON n1.n_regionkey = r.r_regionkey
+      |  JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      |  JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+      |  WHERE r.r_name = 'ASIA'
+      |    AND p.p_type = 'PROMO'
+      |    AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+      |                          AND TIMESTAMP '1997-12-31 00:00:00'
+      |) all_nations
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
 
   /** q93: ANSI ordered-set aggregates (WITHIN GROUP), one shared text. */
   private val sqlWithinGroupSql: String =
@@ -10209,6 +10286,8 @@ object SparkEntry {
     "q82_sql_4way_exists" -> sql4WayExistsSql,
     "q92_sql_scalar_min" -> sqlScalarMinSql,
     "q100_sql_scalar_avg" -> sqlScalarAvgSql,
+    "q103_sql_volume_shipping" -> sqlVolumeShippingSql,
+    "q104_sql_market_share" -> sqlMarketShareSql,
     "q102_seasonal_mase" ->
       """WITH daily AS (
         |  SELECT event_type, CAST(ts AS DATE) AS day,

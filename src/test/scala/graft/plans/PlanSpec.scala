@@ -97,6 +97,33 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("StringStartsWith(p_name,small)"), p)
   }
 
+  test("q103: Q7-shape 6-table join — dims broadcast, date range pushed, no nested loop") {
+    val p = formatted("q103_sql_volume_shipping")
+    assert(!p.contains("NestedLoop"), p)
+    // supplier/customer/nation sides all broadcast against the fact
+    val bhj = """BroadcastHashJoin""".r.findAllIn(p).size
+    assert(bhj >= 4, s"expected >=4 broadcast joins in the 6-table chain, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      "a dim join fell back to sort-merge:\n" + p)
+    // the shipdate range reaches the lineitem parquet scan
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    assert(p.contains("LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q104: Q8-shape 8-table join — region/type filters pushed, all dims broadcast") {
+    val p = formatted("q104_sql_market_share")
+    assert(!p.contains("NestedLoop"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "a dim join fell back to sort-merge:\n" + p)
+    val bhj = """BroadcastHashJoin""".r.findAllIn(p).size
+    assert(bhj >= 6, s"expected >=6 broadcast joins in the 8-table chain, got $bhj:\n$p")
+    // the selective dim filters reach their parquet scans
+    assert(p.contains("EqualTo(r_name,ASIA)"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+    // the order-date range reaches the orders scan
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
+  }
+
   test("d66: the perplexity model joins broadcast; folds stay per-doc (one doc_id shuffle)") {
     val p = formatted("d66_lm_perplexity")
     // the vocab-bounded KN model must broadcast into the scoring join
