@@ -307,6 +307,34 @@ object ScaleBench {
       println(f"""{"metric":"scale_ann_lsh","corpus":$nVecs,"queries":100,"dim":$dimV,"bits":16,"tables":4,"rows":$nLsh,"sec":$secs8%.2f}""")
     }
 
+    if (sel("nn_descent")) {
+      // k-NN GRAPH construction at corpus scale (v15's operator): 200k
+      // 64-dim vectors in 2000 planted clusters of 100. Brute-force truth
+      // is 4·10¹⁰ pairs — unattainable, which is the operator's reason to
+      // exist — so quality is judged by construction: a point's true
+      // neighbors are its cluster siblings, and we report the fraction of
+      // graph edges that stay intra-cluster (purity) alongside wall time.
+      // Cost shape: per round, candidates are degree-capped
+      // neighbor-of-neighbor pairs + capped LSH buckets — linear in corpus,
+      // never all-pairs.
+      val nVecs = math.min(nTiles / 5, 200000L)
+      val clusters = 2000
+      val vecs = spark.range(nVecs).select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(dimV - 1)), j =>
+          (sin((col("id") % clusters) * (j + 3) * 0.37) +
+            sin(col("id") * (j + 1) * 0.0001) * 0.05).cast("float")).as("embedding"))
+        .repartition(cpus.toInt * 4)
+        .localCheckpoint(false)
+      val t0nn = System.nanoTime()
+      val g = graft.llm.NnDescent.knnGraph(vecs, k = 5, iterations = 3)
+        .localCheckpoint(false)
+      val rows = g.count()
+      val secsNn = (System.nanoTime() - t0nn) / 1e9
+      val intra = g.filter(col("vec_id") % clusters === col("neighbor_id") % clusters)
+        .count()
+      println(f"""{"metric":"scale_nn_descent","corpus":$nVecs,"clusters":$clusters,"k":5,"iterations":3,"rows":$rows,"intra_cluster":${intra.toDouble / rows}%.4f,"sec":$secsNn%.2f,"edges_per_sec":${(rows / secsNn).toLong}}""")
+    }
+
     if (sel("range_search")) {
       // Radius search at corpus scale (v10's operator): 1M 64-dim vectors
       // with 1000 planted near-identical twins (one dim +0.001 ⇒ cosine ≈

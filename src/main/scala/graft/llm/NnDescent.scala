@@ -37,9 +37,16 @@ object NnDescent {
    * @return (idCol, neighbor_id, cosine, rank) — k rows per input id
    *         (fewer only for ids whose candidates never surfaced them).
    */
+  /**
+   * @param initBits hyperplane count per LSH seed; 0 (the default) sizes
+   *        it to the corpus so expected bucket occupancy ≈ maxPivotDegree
+   *        — a FIXED bit count either leaves buckets so full the degree
+   *        cap excludes most points from init (big corpus) or so empty
+   *        no pairs form (small corpus).
+   */
   def knnGraph(vecs: DataFrame, k: Int, iterations: Int,
                idCol: String = "vec_id", vecCol: String = "embedding",
-               initSeeds: Seq[Long] = Seq(42L, 1042L), initBits: Int = 6,
+               initSeeds: Seq[Long] = Seq(42L, 1042L), initBits: Int = 0,
                maxPivotDegree: Int = 64): DataFrame = {
     require(k >= 1, s"k=$k")
     require(iterations >= 0, s"iterations=$iterations")
@@ -55,6 +62,13 @@ object NnDescent {
       return v.select(col("id").as(idCol), col("id").as("neighbor_id"),
         lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
     val dim = v.select(size(col("__v"))).head().getInt(0)
+    val bits =
+      if (initBits > 0) initBits
+      else {
+        val buckets = math.max(1L, v.count() / maxPivotDegree)
+        math.max(2, math.min(24,
+          64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))))
+      }
 
     def scorePairs(pairs: DataFrame): DataFrame =
       pairs
@@ -88,7 +102,7 @@ object NnDescent {
       * local optimum; deterministic because the seed schedule is). */
     def bucketPairs(seed: Long): DataFrame = {
       val b = v.select(col("id"),
-        Similarity.hyperplaneBucket(col("__v"), dim, initBits, seed).as("__b"))
+        Similarity.hyperplaneBucket(col("__v"), dim, bits, seed).as("__b"))
       // cap order rotates WITH the seed: a fixed order (e.g. by id) would
       // exclude the same members from over-full buckets every round, so
       // those points could never pair up however many rounds run

@@ -34,16 +34,21 @@ class NnDescentSpec extends SparkSpec {
       "NN-Descent at 4 iterations must converge exactly on this corpus")
   }
 
-  test("recall floor at weak settings: one iteration already >= 0.9 here") {
+  test("recall floor at weak settings; three iterations nearly exact") {
     val vecs = fixture(300, seed = 11).localCheckpoint()
-    val approx = asSet(NnDescent.knnGraph(vecs, k = 5, iterations = 1))
     val exact = asSet(Similarity.bruteForceTopK(vecs, vecs, k = 5)
       .withColumnRenamed("query_id", "vec_id"))
-    val recall = exact.map { case (q, t) =>
-      t.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+    def recallAt(iters: Int): Double = {
+      val approx = asSet(NnDescent.knnGraph(vecs, k = 5, iterations = iters))
+      val r = exact.map { case (q, t) =>
+        t.intersect(approx.getOrElse(q, Set.empty)).size.toDouble / t.size
+      }
+      r.sum / r.size
     }
-    val mean = recall.sum / recall.size
-    assert(mean >= 0.9, s"1-iteration recall too low: $mean")
+    val r1 = recallAt(1)
+    assert(r1 >= 0.85, s"1-iteration recall too low: $r1")
+    val r3 = recallAt(3)
+    assert(r3 >= 0.95, s"3-iteration recall too low: $r3")
   }
 
   test("deterministic: two runs produce identical graphs") {
