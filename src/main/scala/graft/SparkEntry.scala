@@ -1420,6 +1420,21 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
     }),
+    "m29_tiff_decode" -> ((s, d) => {
+      // REAL TIFF decode (llm/Tiff, TIFF 6.0): payloads are genuine TIFF
+      // files covering four paths by id%4 — uncompressed RGB (II),
+      // PackBits grayscale (MM), LZW + horizontal predictor (II),
+      // 16-bit-ColorMap palette (MM) — routed through the decodeImage
+      // magic dispatch. The oracle replays the DECODED channel sums per
+      // variant, so an IFD, byte-order, strip, compression, predictor,
+      // or palette bug breaks the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Tiff.syntheticTiff(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.imageStats(media).orderBy("media_id")
+    }),
     "m28_webp_decode" -> ((s, d) => {
       // REAL lossless-WebP (VP8L) decode (llm/Webp, RFC 9649): payloads
       // are genuine VP8L bitstreams covering six encoding paths by
@@ -7772,6 +7787,33 @@ object SparkEntry {
     // m27: the binaryFile ingest must reproduce m24's walk over the
     // 60-file universe — same closed form, path-recovered ids
     "m27_binaryfile_ingest" -> mp4WalkOracleSql(60),
+    // m29: the four TIFF variants' decoded channel sums — gray replicates
+    // across channels, palette composes the index and palette formulas
+    "m29_tiff_decode" ->
+      """WITH img AS (
+        |  SELECT p_partkey AS media_id,
+        |    8 + p_partkey % 9 AS w, 5 + p_partkey % 5 AS h,
+        |    p_partkey % 4 AS v
+        |  FROM part WHERE p_partkey <= 300
+        |)
+        |SELECT i.media_id,
+        |  CAST(MAX(i.w) AS INT) AS width, CAST(MAX(i.h) AS INT) AS height,
+        |  CAST(SUM(CASE
+        |    WHEN i.v = 1 THEN (i.media_id * 7 + y.y * 3 + x.x // 4) % 256
+        |    WHEN i.v = 3 THEN (i.media_id * 5 + ((i.media_id + x.x + 2 * y.y) % 4) * 31) % 256
+        |    ELSE (i.media_id * 7 + y.y * 11 + x.x * 13) % 256 END) AS BIGINT) AS sum_r,
+        |  CAST(SUM(CASE
+        |    WHEN i.v = 1 THEN (i.media_id * 7 + y.y * 3 + x.x // 4) % 256
+        |    WHEN i.v = 3 THEN (i.media_id * 3 + ((i.media_id + x.x + 2 * y.y) % 4) * 47) % 256
+        |    ELSE (i.media_id * 7 + y.y * 11 + x.x * 13 + 17) % 256 END) AS BIGINT) AS sum_g,
+        |  CAST(SUM(CASE
+        |    WHEN i.v = 1 THEN (i.media_id * 7 + y.y * 3 + x.x // 4) % 256
+        |    WHEN i.v = 3 THEN (i.media_id * 11 + ((i.media_id + x.x + 2 * y.y) % 4) * 61) % 256
+        |    ELSE (i.media_id * 7 + y.y * 11 + x.x * 13 + 34) % 256 END) AS BIGINT) AS sum_b
+        |FROM img i,
+        |  LATERAL (SELECT unnest(range(i.h)) AS y) y,
+        |  LATERAL (SELECT unnest(range(i.w)) AS x) x
+        |GROUP BY i.media_id ORDER BY i.media_id""".stripMargin,
     // m28: the six VP8L variants' decoded channel sums, one CASE per
     // variant over the planted closed-form pixels (all integer mod math)
     "m28_webp_decode" ->

@@ -1145,7 +1145,9 @@ object Multimodal {
     val gif = decodeGif(payload)
     if (gif.isDefined) return gif
     val webp = Webp.decodeWebp(payload)
-    if (webp.isDefined) webp else decodeJpeg(payload)
+    if (webp.isDefined) return webp
+    val tiff = Tiff.decodeTiff(payload)
+    if (tiff.isDefined) tiff else decodeJpeg(payload)
   }
 
   /** Features from REAL pixels: 3 channel means (scaled to [0,1]) followed

@@ -20,7 +20,8 @@ class CodecFuzzSpec extends SparkSpec {
     "parseMp4" -> (b => Mp4.parseMp4(b)),
     "parseMp4Audio" -> (b => Mp4.parseMp4Audio(b)),
     "parseMp3" -> (b => Mp3.parseMp3(b)),
-    "decodeWebp" -> (b => Webp.decodeWebp(b)))
+    "decodeWebp" -> (b => Webp.decodeWebp(b)),
+    "decodeTiff" -> (b => Tiff.decodeTiff(b)))
 
   private def fixtures(id: Long): Seq[(String, Array[Byte])] = Seq(
     "ppm" -> Multimodal.syntheticPpm(id),
@@ -36,7 +37,8 @@ class CodecFuzzSpec extends SparkSpec {
     "mp4" -> Mp4.syntheticMp4(id),
     "mp4a" -> Mp4.syntheticMp4Audio(id),
     "mp3" -> Mp3.syntheticMp3(id),
-    "webp" -> Webp.syntheticWebp(id))
+    "webp" -> Webp.syntheticWebp(id),
+    "tiff" -> Tiff.syntheticTiff(id))
 
   test("every decoder survives random byte flips on every format (seeded)") {
     val rnd = new scala.util.Random(42)
