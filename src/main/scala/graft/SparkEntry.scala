@@ -5374,12 +5374,15 @@ object SparkEntry {
       // equi-DEPTH histogram via ntile(10) over the (value, event_id)
       // TOTAL order (the tie-break makes bucket boundaries deterministic,
       // so the bucket stats hash — lo/hi are verbatim source doubles).
-      // An unpartitioned window is a single-task global sort BY DESIGN
-      // here (the semantic under test); at 100 TB equi-depth bounds come
-      // from q33's exact percentiles / q40's approx_percentile instead.
-      val w = Window.orderBy(col("value"), col("event_id"))
-      t(s, d, "events")
-        .select(col("event_id"), col("value"), ntile(10).over(w).as("decile"))
+      // The bucket is a PURE FUNCTION of the global rank, so this runs
+      // through GlobalRank.withGlobalNtile (range partitions + broadcast
+      // offsets + one scalar count) — bit-identical to the window ntile
+      // (GlobalRankSpec pins the equivalence incl. the uneven-bucket
+      // rule) with NO single-task global sort; the board-wide
+      // GlobalWindowGuardSpec exemption is gone.
+      graft.ops.GlobalRank.withGlobalNtile(
+          t(s, d, "events").select(col("event_id"), col("value")),
+          "decile", 10, col("value"), col("event_id"))
         .groupBy("decile")
         .agg(count(lit(1)).as("n"), min(col("value")).as("lo"),
           max(col("value")).as("hi"))

@@ -82,6 +82,34 @@ object GlobalRank {
       .drop("__gr_pid", "__gr_v", "__gr_off")
   }
 
+  /**
+   * Adds `outCol` = the distributed equivalent of
+   * `ntile(buckets).over(Window.orderBy(orderCols))` (IntegerType), exactly
+   * reproducing Spark's ntile semantics: with N rows, the first N % buckets
+   * buckets hold ⌈N/buckets⌉ rows, the rest ⌊N/buckets⌋ — a pure function
+   * of the global rank, so the single-task global sort ntile plans is
+   * replaced by [[withGlobalRank]]'s range partitions + one scalar count.
+   * Same total-order requirement as [[withGlobalRank]]. The result is
+   * localCheckpoint'ed (the scalar N read already forced the rank pass;
+   * checkpointing hands consumers the paid-for rows).
+   */
+  def withGlobalNtile(df: DataFrame, outCol: String, buckets: Int,
+                      orderCols: Column*): DataFrame = {
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    val ranked = withGlobalRank(df, "__gr_r", orderCols: _*).localCheckpoint()
+    val n = ranked.count()
+    if (n == 0) return ranked.withColumn(outCol, lit(1)).drop("__gr_r")
+    val q = n / buckets
+    val r0 = n % buckets
+    val big = q + 1 // rows per bucket in the first r0 buckets
+    val bucket =
+      if (q == 0) col("__gr_r") // more buckets than rows: bucket = rank
+      else when(col("__gr_r") <= lit(r0 * big),
+          (col("__gr_r") - 1) / lit(big) + 1)
+        .otherwise(lit(r0) + (col("__gr_r") - 1 - lit(r0 * big)) / lit(q) + 1)
+    ranked.withColumn(outCol, bucket.cast("int")).drop("__gr_r")
+  }
+
   /** P-row exclusive-offset table: sum of `per` over all EARLIER range
     * partitions. The window here orders P partition ids, not N rows. */
   private def partitionOffsets(ranged: DataFrame, per: Column): DataFrame =

@@ -46,13 +46,12 @@ class GlobalWindowGuardSpec extends SparkSpec {
   }
 
   test("no batch query plans a partition-less Window over an unbounded input") {
-    // q68_ntile is exempt: its single global ntile IS the documented
-    // semantic under test (SparkEntry.scala, q68 comment).
-    val exempt = Set("q68_ntile")
+    // NO exemptions: q68's ntile, the last one, now runs through
+    // GlobalRank.withGlobalNtile (round 13) — the invariant is board-wide.
     // s* queries run Structured Streaming inside their builders (minutes
     // of wall clock); their stateful aggregations never use WindowExec.
     val names = SparkEntry.queries.keys.toSeq.sorted
-      .filterNot(n => n.startsWith("s") || exempt(n))
+      .filterNot(n => n.startsWith("s"))
     val bad = names.flatMap { n =>
       val df = SparkEntry.queries(n)(spark, sf)
       val viol = df.queryExecution.optimizedPlan.collect {
@@ -70,11 +69,9 @@ class GlobalWindowGuardSpec extends SparkSpec {
     // reviewed sites: file -> expected count of NON-COMMENT occurrences.
     //   GlobalRank.scala  — the P-row offset-table window (the pattern itself)
     //   Skyline.scala     — cumulative min over the ≤`buckets`-row summary
-    //   SparkEntry.scala  — q68's documented single-task ntile contract
     val allow = Map(
       "GlobalRank.scala" -> 1,
-      "Skyline.scala" -> 1,
-      "SparkEntry.scala" -> 1)
+      "Skyline.scala" -> 1)
     val found = java.nio.file.Files.walk(root).iterator().asScala
       .filter(_.toString.endsWith(".scala"))
       .flatMap { p =>
@@ -90,5 +87,24 @@ class GlobalWindowGuardSpec extends SparkSpec {
       s"Window.orderBy sites drifted from the allowlist.\n  found=$found\n  allow=$allow\n" +
         "A new partition-less window must be audited for bounded input " +
         "(or replaced with ops.GlobalRank) and added here.")
+  }
+
+  test("withGlobalNtile is bit-identical to the window ntile (uneven, even, tiny)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.{Window => W}
+    import spark.implicits._
+    // (N, buckets): uneven split (23 % 10 = 3 big buckets), exact split,
+    // and more buckets than rows (bucket = rank)
+    Seq((23, 10), (40, 8), (5, 10)).foreach { case (n, b) =>
+      val df = (1 to n).map(i => ((i * 37) % 100 + i / 100.0, i.toLong))
+        .toDF("value", "event_id")
+      val want = df.select($"event_id",
+          ntile(b).over(W.orderBy($"value", $"event_id")).as("t"))
+        .as[(Long, Int)].collect().sorted
+      val got = graft.ops.GlobalRank.withGlobalNtile(df, "t", b,
+          $"value", $"event_id")
+        .select($"event_id", $"t").as[(Long, Int)].collect().sorted
+      assert(got.sameElements(want), s"ntile mismatch at N=$n buckets=$b")
+    }
   }
 }
