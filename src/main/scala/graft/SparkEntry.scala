@@ -3301,6 +3301,33 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d88_geotiff_ingest" -> ((s, d) => {
+      // REAL-BYTES raster ingestion (ops/RasterZonal.rasterCells over
+      // llm/Tiff): payloads are genuine single-band Float32 GeoTIFFs
+      // (SampleFormat 3, ModelTiepoint/ModelPixelScale georeference, the
+      // WorldPop tile shape) exploded into cell-centroid rows — S12's
+      // fetch side on actual raster bytes. Every id % 9 == 0 payload has
+      // its byte order destroyed and must QUARANTINE (one raster_ok=false
+      // marker row), never kill the task. The oracle replays cell counts,
+      // exact value sums, and the dyadic lon/lat extents per raster.
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val a = graft.llm.Tiff.syntheticGeoTiff(id)
+        if (id % 9 == 0) a(0) = 'X'
+        a
+      }
+      val rasters = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("raster_id"))
+        .withColumn("payload", build(col("raster_id")))
+      graft.ops.RasterZonal.rasterCells(rasters)
+        .groupBy("raster_id")
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("raster_ok")).as("ok"),
+          sum(col("value")).cast("long").as("sum_value"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+        .orderBy("raster_id")
+    }),
     "d87_warc_quarantine" -> ((s, d) => {
       // UNTRUSTED-BYTES crawl ingest (io/Warc.warcIngestQuarantine): the
       // d70 archives, but every id % 7 == 0 payload has its gzip magic
@@ -9516,6 +9543,35 @@ object SparkEntry {
     // 3 + id%4, body length 40 + (id+r)%30, byte j = (id·13+r·7+j·3)%26
     // + 'a' (97)
     "d70_warc_ingest" -> d70OracleSql,
+    // d88: the GeoTIFF closed form — 16×10 Float32 band, value
+    // (id·7+y·11+x·13)%256, origin (−72+(id%5)/2, 11−(id%3)/2), pixel
+    // 1/32° — every lon/lat a dyadic rational, corrupt ids one marker row
+    "d88_geotiff_ingest" ->
+      """WITH r AS (
+        |  SELECT p_partkey AS raster_id FROM part WHERE p_partkey <= 200
+        |), good AS (
+        |  SELECT r.raster_id,
+        |    CAST(160 AS BIGINT) AS n_cells, TRUE AS ok,
+        |    (SELECT CAST(SUM((r.raster_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT)
+        |     FROM (SELECT unnest(range(10)) AS y) y,
+        |          (SELECT unnest(range(16)) AS x) x) AS sum_value,
+        |    -72 + (r.raster_id % 5) * 0.5 + 0.015625 AS lon_min,
+        |    -72 + (r.raster_id % 5) * 0.5 + 0.484375 AS lon_max,
+        |    11 - (r.raster_id % 3) * 0.5 - 0.296875 AS lat_min,
+        |    11 - (r.raster_id % 3) * 0.5 - 0.015625 AS lat_max
+        |  FROM r WHERE r.raster_id % 9 <> 0
+        |), bad AS (
+        |  SELECT raster_id, CAST(1 AS BIGINT) AS n_cells, FALSE AS ok,
+        |    CAST(0 AS BIGINT) AS sum_value,
+        |    CAST(0 AS DOUBLE) AS lon_min, CAST(0 AS DOUBLE) AS lon_max,
+        |    CAST(0 AS DOUBLE) AS lat_min, CAST(0 AS DOUBLE) AS lat_max
+        |  FROM r WHERE raster_id % 9 = 0
+        |)
+        |SELECT raster_id, n_cells, ok, sum_value,
+        |  CAST(lon_min AS DOUBLE) AS lon_min, CAST(lon_max AS DOUBLE) AS lon_max,
+        |  CAST(lat_min AS DOUBLE) AS lat_min, CAST(lat_max AS DOUBLE) AS lat_max
+        |FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+        |ORDER BY raster_id""".stripMargin,
     // d87: d70's closed form restricted to the clean archives, UNION'd
     // with one (-1, NULL, NULL, NULL, true) marker per corrupt archive
     "d87_warc_quarantine" ->

@@ -91,6 +91,25 @@ object Geo {
     (x, y)
   }
 
+  /** Inverse Mollweide: (x meters, y meters) -> (lonDeg, latDeg) — the
+    * closed form (no iteration: θ recovers directly from y):
+    * θ = asin(y/(R√2)), φ = asin((2θ + sin 2θ)/π), λ = πx/(2R√2 cos θ).
+    * At the poles (cos θ = 0) longitude is indeterminate; 0 is returned.
+    * Completes the generic to_crs round trip (SURVEY §2.7's last partial);
+    * GeoSpec pins forward∘inverse to sub-centimeter over a world grid. */
+  def mollweideInverse(x: Double, y: Double): (Double, Double) = {
+    val sinTheta = math.max(-1.0, math.min(1.0, y / (R * SqRt2)))
+    val theta = math.asin(sinTheta)
+    val sinLat = math.max(-1.0, math.min(1.0,
+      (2 * theta + math.sin(2 * theta)) / math.Pi))
+    val lat = math.toDegrees(math.asin(sinLat))
+    val cosTheta = math.cos(theta)
+    val lon =
+      if (cosTheta < 1e-12) 0.0
+      else math.toDegrees(math.Pi * x / (2 * R * SqRt2 * cosTheta))
+    (lon, lat)
+  }
+
   private class MollweideTransformer extends GeometryTransformer {
     override def transformCoordinates(cs: CoordinateSequence, parent: Geometry): CoordinateSequence = {
       val out = new Array[Coordinate](cs.size)

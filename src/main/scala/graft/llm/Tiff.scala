@@ -23,12 +23,14 @@ object Tiff {
   // decode
   // ------------------------------------------------------------------
 
-  def decodeTiff(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
-    if (payload == null || payload.length < 8) return None
-    val le =
+  /** Parsed first-IFD view of a TIFF: byte order + tag accessors, shared
+    * by the image decode, the raster decode, and the GeoTIFF georef. */
+  private final class Ifd(payload: Array[Byte]) {
+    if (payload == null || payload.length < 8) bad("too short")
+    val le: Boolean =
       if (payload(0) == 'I' && payload(1) == 'I') true
       else if (payload(0) == 'M' && payload(1) == 'M') false
-      else return None
+      else bad("byte order")
     def u16(o: Int): Int = {
       if (o < 0 || o + 2 > payload.length) bad(s"u16 at $o")
       if (le) (payload(o) & 0xFF) | ((payload(o + 1) & 0xFF) << 8)
@@ -41,22 +43,25 @@ object Tiff {
       else ((payload(o) & 0xFFL) << 24) | ((payload(o + 1) & 0xFFL) << 16) |
         ((payload(o + 2) & 0xFFL) << 8) | (payload(o + 3) & 0xFFL)
     }
-    if (u16(2) != 42) return None
-    val ifd = u32(4).toInt
-    val n = u16(ifd)
+    if (u16(2) != 42) bad("magic")
+    private val ifd = u32(4).toInt
+    private val n = u16(ifd)
     if (n <= 0 || n > 512) bad(s"ifd entries $n")
     // tag -> (type, count, valueOffsetFieldPos)
-    var tags = Map.empty[Int, (Int, Long, Int)]
-    var i = 0
-    while (i < n) {
-      val e = ifd + 2 + i * 12
-      tags += u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
-      i += 1
+    private var tags = Map.empty[Int, (Int, Long, Int)]
+    locally {
+      var i = 0
+      while (i < n) {
+        val e = ifd + 2 + i * 12
+        tags += u16(e) -> ((u16(e + 2), u32(e + 4), e + 8))
+        i += 1
+      }
     }
-    def typeSize(t: Int): Int = t match {
-      case 1 | 2 => 1; case 3 => 2; case 4 => 4; case _ => bad(s"type $t")
+    private def typeSize(t: Int): Int = t match {
+      case 1 | 2 => 1; case 3 => 2; case 4 => 4; case 12 => 8
+      case _ => bad(s"type $t")
     }
-    /** tag values as longs (SHORT or LONG arrays, inline or offset). */
+    /** tag values as longs (BYTE/SHORT/LONG arrays, inline or offset). */
     def values(tag: Int): Array[Long] = tags.get(tag) match {
       case None => Array.empty
       case Some((t, cnt, pos)) =>
@@ -71,10 +76,37 @@ object Tiff {
           case _ => bad(s"tag $tag type $t")
         })
     }
+    /** DOUBLE (type 12) tag values — the GeoTIFF georeference tags. */
+    def doubles(tag: Int): Array[Double] = tags.get(tag) match {
+      case None => Array.empty
+      case Some((t, cnt, pos)) =>
+        if (t != 12) bad(s"tag $tag type $t, want DOUBLE")
+        if (cnt < 0 || cnt > 4096) bad(s"tag $tag count $cnt")
+        val base = u32(pos).toInt // 8-byte doubles are never inline
+        Array.tabulate(cnt.toInt) { j =>
+          var bits = 0L
+          var k = 0
+          while (k < 8) {
+            val o = base + j * 8 + (if (le) 7 - k else k)
+            if (o < 0 || o >= payload.length) bad("double oob")
+            bits = (bits << 8) | (payload(o) & 0xFFL)
+            k += 1
+          }
+          java.lang.Double.longBitsToDouble(bits)
+        }
+    }
     def scalar(tag: Int, dflt: Long = -1L): Long = {
       val v = values(tag)
       if (v.isEmpty) dflt else v(0)
     }
+  }
+
+  def decodeTiff(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = try {
+    if (payload == null || payload.length < 8) return None
+    if (!((payload(0) == 'I' && payload(1) == 'I') ||
+        (payload(0) == 'M' && payload(1) == 'M'))) return None
+    val ifd = new Ifd(payload)
+    import ifd.{u32, values, scalar}
     val w = scalar(256).toInt
     val h = scalar(257).toInt
     if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
@@ -155,6 +187,98 @@ object Tiff {
       case _ => bad(s"photometric $photometric spp $spp")
     }
     Some((w, h, rgb))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * SINGLE-BAND RASTER decode — the WorldPop/GHSL shape: one sample per
+   * pixel, either 8-bit unsigned or IEEE Float32 (SampleFormat tag 339 = 3,
+   * the GeoTIFF population-raster encoding), uncompressed or PackBits/LZW.
+   * Returns pixel values row-major as floats; None on anything else.
+   */
+  def decodeRaster(payload: Array[Byte]): Option[(Int, Int, Array[Float])] = try {
+    if (payload == null || payload.length < 8) return None
+    if (!((payload(0) == 'I' && payload(1) == 'I') ||
+        (payload(0) == 'M' && payload(1) == 'M'))) return None
+    val ifd = new Ifd(payload)
+    import ifd.{scalar, values}
+    val w = scalar(256).toInt
+    val h = scalar(257).toInt
+    if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+    if (scalar(277, 1L) != 1L) return None // single band
+    val bps = scalar(258, 8L).toInt
+    val sampleFormat = scalar(339, 1L).toInt
+    val float32 = bps == 32 && sampleFormat == 3
+    if (!float32 && !(bps == 8 && sampleFormat == 1)) return None
+    val compression = scalar(259, 1L).toInt
+    val rowsPerStrip = scalar(278, h.toLong).toInt
+    if (rowsPerStrip <= 0) return None
+    val offsets = values(273)
+    val counts = values(279)
+    if (offsets.isEmpty || offsets.length != counts.length) return None
+    if (scalar(317, 1L) != 1L) return None // no predictor on rasters here
+    val bytesPerPx = bps / 8
+    val rowBytes = w * bytesPerPx
+    val data = new Array[Byte](rowBytes * h)
+    var row = 0
+    var s = 0
+    while (s < offsets.length && row < h) {
+      val off = offsets(s).toInt
+      val len = counts(s).toInt
+      if (off < 0 || len < 0 || off + len > payload.length) bad("strip bounds")
+      val stripRows = math.min(rowsPerStrip, h - row)
+      val want = rowBytes * stripRows
+      val raw = compression match {
+        case 1 =>
+          if (len < want) bad("short uncompressed strip")
+          java.util.Arrays.copyOfRange(payload, off, off + want)
+        case 5 => lzwDecode(payload, off, len, want)
+        case 32773 => packBitsDecode(payload, off, len, want)
+        case _ => bad(s"compression $compression")
+      }
+      System.arraycopy(raw, 0, data, row * rowBytes, want)
+      row += stripRows
+      s += 1
+    }
+    if (row < h) bad("missing strips")
+    val out = new Array[Float](w * h)
+    var p = 0
+    while (p < w * h) {
+      out(p) =
+        if (!float32) (data(p) & 0xFF).toFloat
+        else {
+          val o = p * 4
+          val bits =
+            if (ifd.le) (data(o) & 0xFF) | ((data(o + 1) & 0xFF) << 8) |
+              ((data(o + 2) & 0xFF) << 16) | ((data(o + 3) & 0xFF) << 24)
+            else ((data(o) & 0xFF) << 24) | ((data(o + 1) & 0xFF) << 16) |
+              ((data(o + 2) & 0xFF) << 8) | (data(o + 3) & 0xFF)
+          java.lang.Float.intBitsToFloat(bits)
+        }
+      p += 1
+    }
+    Some((w, h, out))
+  } catch { case scala.util.control.NonFatal(_) => None }
+
+  /**
+   * GeoTIFF georeference of a north-up raster: ModelTiepointTag (33922,
+   * pixel (0,0) ↔ world (lon, lat)) + ModelPixelScaleTag (33550) — the
+   * affine every WorldPop/GHSL tile ships. Returns
+   * (originLon, originLat, pixelWidthDeg, pixelHeightDeg); pixel (x, y)'s
+   * CENTER is (originLon + (x+0.5)·pw, originLat − (y+0.5)·ph).
+   */
+  def geoReference(payload: Array[Byte]): Option[(Double, Double, Double, Double)] = try {
+    if (payload == null || payload.length < 8) return None
+    if (!((payload(0) == 'I' && payload(1) == 'I') ||
+        (payload(0) == 'M' && payload(1) == 'M'))) return None
+    val ifd = new Ifd(payload)
+    val tie = ifd.doubles(33922)
+    val scale = ifd.doubles(33550)
+    if (tie.length < 6 || scale.length < 2) return None
+    // tiepoint: (i, j, k, lon, lat, z) with (i, j) the RASTER point tied
+    // to world (lon, lat); the shipped tiles tie pixel (0, 0)
+    if (tie(0) != 0.0 || tie(1) != 0.0) return None
+    if (!(scale(0) > 0 && scale(1) > 0)) return None
+    Some((tie(3), tie(4), scale(0), scale(1)))
   } catch { case scala.util.control.NonFatal(_) => None }
 
   /** PackBits (TIFF 6.0 §9): n>=0 copy n+1 literals; -127<=n<0 repeat next
@@ -317,6 +441,63 @@ object Tiff {
         out.write(raw, start, lit)
         i += lit
       }
+    }
+    out.toByteArray
+  }
+
+  /**
+   * Deterministic single-band Float32 GeoTIFF for a key — the
+   * WorldPop-raster shape: little-endian, uncompressed, one strip,
+   * SampleFormat 3, ModelTiepoint tying pixel (0,0) to a closed-form
+   * origin and ModelPixelScale of exactly 1/32° (dyadic, so every pixel
+   * CENTER is a dyadic rational both engines compute bit-identically).
+   * Dims 16 × 10; value(x, y) = (id·7 + y·11 + x·13) % 256 as float;
+   * origin lon = −72 + (id%5)·(1/2), lat = 11 − (id%3)·(1/2).
+   */
+  def syntheticGeoTiff(id: Long): Array[Byte] = {
+    val w = 16; val h = 10
+    val out = new java.io.ByteArrayOutputStream()
+    def w16(x: Int): Unit = { out.write(x & 0xFF); out.write((x >> 8) & 0xFF) }
+    def w32(x: Long): Unit = { out.write((x & 0xFF).toInt); out.write(((x >> 8) & 0xFF).toInt)
+      out.write(((x >> 16) & 0xFF).toInt); out.write(((x >> 24) & 0xFF).toInt) }
+    def w64d(d: Double): Unit = {
+      val b = java.lang.Double.doubleToLongBits(d)
+      (0 until 8).foreach(k => out.write(((b >> (8 * k)) & 0xFF).toInt))
+    }
+    val nEntries = 12
+    val ifdOff = 8
+    val afterIfd = ifdOff + 2 + nEntries * 12 + 4
+    val tieOff = afterIfd            // 6 doubles
+    val scaleOff = tieOff + 48       // 3 doubles
+    val stripOff = scaleOff + 24
+    out.write('I'); out.write('I'); w16(42); w32(ifdOff)
+    w16(nEntries)
+    def entry(tag: Int, typ: Int, count: Long, value: Long): Unit = {
+      w16(tag); w16(typ); w32(count)
+      if (typ == 3 && count == 1) { w16(value.toInt); w16(0) } else w32(value)
+    }
+    entry(256, 3, 1, w)
+    entry(257, 3, 1, h)
+    entry(258, 3, 1, 32)
+    entry(259, 3, 1, 1)            // uncompressed
+    entry(262, 3, 1, 1)            // black-is-zero
+    entry(273, 4, 1, stripOff)
+    entry(277, 3, 1, 1)
+    entry(278, 3, 1, h)
+    entry(279, 4, 1, w * h * 4)
+    entry(339, 3, 1, 3)            // SampleFormat: IEEE float
+    entry(33550, 12, 3, scaleOff)  // ModelPixelScale
+    entry(33922, 12, 6, tieOff)    // ModelTiepoint
+    w32(0)
+    val lon0 = -72.0 + (id % 5) * 0.5
+    val lat0 = 11.0 - (id % 3) * 0.5
+    // tiepoint (0,0,0) -> (lon0, lat0, 0)
+    Seq(0.0, 0.0, 0.0, lon0, lat0, 0.0).foreach(w64d)
+    Seq(0.03125, 0.03125, 0.0).foreach(w64d)
+    for (y <- 0 until h; x <- 0 until w) {
+      val bits = java.lang.Float.floatToIntBits(
+        ((id * 7 + y * 11 + x * 13) % 256).toFloat)
+      w32(bits.toLong & 0xFFFFFFFFL)
     }
     out.toByteArray
   }

@@ -42,6 +42,43 @@ object RasterZonal {
   private def withTile(cells: DataFrame, lon: String, lat: String, zoom: Int): DataFrame =
     cells.withColumn("tile_id", st_quadkey(col(lon), col(lat), lit(zoom)))
 
+  /**
+   * REAL-BYTES raster ingestion: explode GeoTIFF payload rows into the
+   * (lon, lat, value) cell-centroid rows every zonal operator below
+   * consumes — the fetch side of S12 on actual raster bytes instead of
+   * pre-aggregated tile inputs. Decode is `llm/Tiff.decodeRaster`
+   * (single-band Float32/uint8) + `geoReference` (ModelTiepoint/
+   * ModelPixelScale north-up affine); pixel (x, y) lands at its CENTER.
+   * Undecodable or un-georeferenced payloads QUARANTINE as zero rows with
+   * `raster_ok = false` markers — a corrupt tile never kills the task
+   * (the io/Warc d87 contract). One narrow per-row flatMap; at a 100 m
+   * global raster the unit of parallelism is the raster tile file,
+   * exactly how WorldPop/GHSL ship.
+   */
+  def rasterCells(rasters: DataFrame, idCol: String = "raster_id",
+                  payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      (graft.llm.Tiff.decodeRaster(payload), graft.llm.Tiff.geoReference(payload)) match {
+        case (Some((w, h, px)), Some((lon0, lat0, pw, ph))) =>
+          val out = new Array[(Double, Double, Double, Boolean)](w * h)
+          var i = 0
+          while (i < w * h) {
+            val x = i % w
+            val y = i / w
+            out(i) = (lon0 + (x + 0.5) * pw, lat0 - (y + 0.5) * ph,
+              px(i).toDouble, true)
+            i += 1
+          }
+          out.toSeq
+        case _ => Seq((0.0, 0.0, 0.0, false))
+      }
+    }
+    rasters.withColumn("__c", explode(dec(col(payloadCol))))
+      .select(col(idCol),
+        col("__c._1").as("lon"), col("__c._2").as("lat"),
+        col("__c._3").as("value"), col("__c._4").as("raster_ok"))
+  }
+
   /** Sum of a cell value per tile (map_built_s / map_wp_pop total). */
   def zonalSum(cells: DataFrame, lon: String, lat: String, value: String,
                zoom: Int, out: String): DataFrame =

@@ -209,6 +209,21 @@ class GeoSpec extends SparkSpec {
       }
   }
 
+  test("golden: Mollweide inverse round-trips the forward to sub-centimeter") {
+    for (li <- 0 to 10; pi <- 0 to 10) {
+      val lon = -175.0 + li * 35.0
+      val lat = -85.0 + pi * 17.0
+      val (x, y) = Geo.mollweideForward(lon, lat)
+      val (lon2, lat2) = Geo.mollweideInverse(x, y)
+      // 1e-9 degrees ≈ 0.1 mm — the Newton solve is the only inexactness
+      assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+        s"round trip ($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+    // poles: longitude is indeterminate; latitude must still recover
+    val (_, yN) = Geo.mollweideForward(60.0, 90.0)
+    assert(math.abs(Geo.mollweideInverse(0.0, yN)._2 - 90.0) < 1e-7)
+  }
+
   test("golden: haversine matches closed-form great-circle arcs") {
     // meridian and equator arcs have exact closed forms on the sphere the
     // engine documents (IUGG mean radius 6371008.8 m)

@@ -67,4 +67,38 @@ class RasterZonalSpec extends SparkSpec {
     assert(t0.isNullAt(t0.fieldIndex("rwi")))       // absent layer: data unavailable
     assert(t0.isNullAt(t0.fieldIndex("smod_class")))// tile missing from a value layer
   }
+
+  test("rasterCells: real GeoTIFF bytes -> cells -> zonalSum == direct cells") {
+    // the full S12 fetch path on actual raster bytes: decode + georef
+    // produce exactly the cell-centroid rows zonalSum has always consumed
+    val rasters = Seq(2L, 7L, 11L).map(id =>
+      (id, graft.llm.Tiff.syntheticGeoTiff(id))).toDF("raster_id", "payload")
+    val fromBytes = RasterZonal.rasterCells(rasters)
+      .filter($"raster_ok").select($"lon", $"lat", $"value")
+    val direct = Seq(2L, 7L, 11L).flatMap { id =>
+      val lon0 = -72.0 + (id % 5) * 0.5
+      val lat0 = 11.0 - (id % 3) * 0.5
+      for (y <- 0 until 10; x <- 0 until 16) yield
+        (lon0 + (x + 0.5) * 0.03125, lat0 - (y + 0.5) * 0.03125,
+          ((id * 7 + y * 11 + x * 13) % 256).toDouble)
+    }.toDF("lon", "lat", "value")
+    val a = RasterZonal.zonalSum(fromBytes, "lon", "lat", "value", 8, "s")
+      .as[(String, Double)].collect().toMap
+    val b = RasterZonal.zonalSum(direct, "lon", "lat", "value", 8, "s")
+      .as[(String, Double)].collect().toMap
+    assert(a == b && a.nonEmpty && a.size > 1,
+      s"zonal sums from real bytes diverge (tiles=${a.size})")
+  }
+
+  test("rasterCells: corrupt payloads quarantine, never throw") {
+    val bad = graft.llm.Tiff.syntheticGeoTiff(3L)
+    bad(0) = 'X'
+    val truncated = java.util.Arrays.copyOf(graft.llm.Tiff.syntheticGeoTiff(4L), 60)
+    val rasters = Seq((1L, graft.llm.Tiff.syntheticGeoTiff(1L)),
+      (2L, bad), (3L, truncated), (4L, Array.emptyByteArray))
+      .toDF("raster_id", "payload")
+    val out = RasterZonal.rasterCells(rasters)
+    assert(out.filter($"raster_ok").count() == 160)
+    assert(out.filter(!$"raster_ok").count() == 3) // one marker per bad raster
+  }
 }
