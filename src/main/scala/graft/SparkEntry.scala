@@ -3029,6 +3029,48 @@ object SparkEntry {
           s"s38_mp3_${System.nanoTime()}", outputMode = "append")
         .orderBy("media_id")
     }),
+    "s39_stream_raster_ingest" -> ((s, d) => {
+      // STREAMING RASTER INGEST: d88's real-bytes GeoTIFF path on an
+      // ARRIVING stream — tiles land, cells explode, per-raster stats
+      // accumulate; the quarantine rows flow the same way (a corrupt
+      // tile mid-stream must mark, never kill the query). Stateless
+      // narrow map + per-batch grouped APPEND via the per-raster
+      // aggregation done batch-side on the converged sink: here the
+      // stream emits CELLS (append mode) and the final aggregation runs
+      // on the accumulated table — shares d88's oracle verbatim
+      // (stream ≡ batch). The WorldPop-refresh shape: zonal inputs
+      // update as raster tiles arrive.
+      import org.apache.spark.sql.types._
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("raster_id"))
+      val root = graft.util.TempDirs.scratch("s39drops")
+      Seq((0, col("raster_id") < 66), (1, col("raster_id") >= 66 &&
+          col("raster_id") < 132), (2, col("raster_id") >= 132))
+        .foreach { case (b, cond) =>
+          graft.streaming.Streaming.writeOrderedMicrobatch(
+            keys.filter(cond), s"$root/in", b)
+        }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("raster_id", LongType)))
+      val build = udf { (id: Long) =>
+        val a = graft.llm.Tiff.syntheticGeoTiff(id)
+        if (id % 9 == 0) a(0) = 'X'
+        a
+      }
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("payload", build(col("raster_id")))
+      graft.streaming.Streaming.runAvailableNow(
+          graft.ops.RasterZonal.rasterCells(stream),
+          s"s39_raster_${System.nanoTime()}", outputMode = "append")
+        .groupBy("raster_id")
+        .agg(count(lit(1)).as("n_cells"),
+          min(col("raster_ok")).as("ok"),
+          sum(col("value")).cast("long").as("sum_value"),
+          min(col("lon")).as("lon_min"), max(col("lon")).as("lon_max"),
+          min(col("lat")).as("lat_min"), max(col("lat")).as("lat_max"))
+        .orderBy("raster_id")
+    }),
     "s37_stream_media_ingest" -> ((s, d) => {
       // STREAMING MEDIA-METADATA INGEST: m24's MP4 container walk run on
       // an ARRIVING stream — payloads build per row, the box walk +
@@ -6771,6 +6813,35 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** d88's planted GeoTIFF rasters replayed in closed form; shared
+    * verbatim by s39_stream_raster_ingest (stream ≡ batch). */
+  private val d88OracleSql: String =
+    """WITH r AS (
+        |  SELECT p_partkey AS raster_id FROM part WHERE p_partkey <= 200
+        |), good AS (
+        |  SELECT r.raster_id,
+        |    CAST(160 AS BIGINT) AS n_cells, TRUE AS ok,
+        |    (SELECT CAST(SUM((r.raster_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT)
+        |     FROM (SELECT unnest(range(10)) AS y) y,
+        |          (SELECT unnest(range(16)) AS x) x) AS sum_value,
+        |    -72 + (r.raster_id % 5) * 0.5 + 0.015625 AS lon_min,
+        |    -72 + (r.raster_id % 5) * 0.5 + 0.484375 AS lon_max,
+        |    11 - (r.raster_id % 3) * 0.5 - 0.296875 AS lat_min,
+        |    11 - (r.raster_id % 3) * 0.5 - 0.015625 AS lat_max
+        |  FROM r WHERE r.raster_id % 9 <> 0
+        |), bad AS (
+        |  SELECT raster_id, CAST(1 AS BIGINT) AS n_cells, FALSE AS ok,
+        |    CAST(0 AS BIGINT) AS sum_value,
+        |    CAST(0 AS DOUBLE) AS lon_min, CAST(0 AS DOUBLE) AS lon_max,
+        |    CAST(0 AS DOUBLE) AS lat_min, CAST(0 AS DOUBLE) AS lat_max
+        |  FROM r WHERE raster_id % 9 = 0
+        |)
+        |SELECT raster_id, n_cells, ok, sum_value,
+        |  CAST(lon_min AS DOUBLE) AS lon_min, CAST(lon_max AS DOUBLE) AS lon_max,
+        |  CAST(lat_min AS DOUBLE) AS lat_min, CAST(lat_max AS DOUBLE) AS lat_max
+        |FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
+        |ORDER BY raster_id""".stripMargin
+
   /** d70's planted WARC archive replayed in closed form; shared verbatim
     * by s32_stream_warc (per-archive stateless explode — the stream
     * converges to the batch ingest exactly). */
@@ -9546,32 +9617,8 @@ object SparkEntry {
     // d88: the GeoTIFF closed form — 16×10 Float32 band, value
     // (id·7+y·11+x·13)%256, origin (−72+(id%5)/2, 11−(id%3)/2), pixel
     // 1/32° — every lon/lat a dyadic rational, corrupt ids one marker row
-    "d88_geotiff_ingest" ->
-      """WITH r AS (
-        |  SELECT p_partkey AS raster_id FROM part WHERE p_partkey <= 200
-        |), good AS (
-        |  SELECT r.raster_id,
-        |    CAST(160 AS BIGINT) AS n_cells, TRUE AS ok,
-        |    (SELECT CAST(SUM((r.raster_id * 7 + y.y * 11 + x.x * 13) % 256) AS BIGINT)
-        |     FROM (SELECT unnest(range(10)) AS y) y,
-        |          (SELECT unnest(range(16)) AS x) x) AS sum_value,
-        |    -72 + (r.raster_id % 5) * 0.5 + 0.015625 AS lon_min,
-        |    -72 + (r.raster_id % 5) * 0.5 + 0.484375 AS lon_max,
-        |    11 - (r.raster_id % 3) * 0.5 - 0.296875 AS lat_min,
-        |    11 - (r.raster_id % 3) * 0.5 - 0.015625 AS lat_max
-        |  FROM r WHERE r.raster_id % 9 <> 0
-        |), bad AS (
-        |  SELECT raster_id, CAST(1 AS BIGINT) AS n_cells, FALSE AS ok,
-        |    CAST(0 AS BIGINT) AS sum_value,
-        |    CAST(0 AS DOUBLE) AS lon_min, CAST(0 AS DOUBLE) AS lon_max,
-        |    CAST(0 AS DOUBLE) AS lat_min, CAST(0 AS DOUBLE) AS lat_max
-        |  FROM r WHERE raster_id % 9 = 0
-        |)
-        |SELECT raster_id, n_cells, ok, sum_value,
-        |  CAST(lon_min AS DOUBLE) AS lon_min, CAST(lon_max AS DOUBLE) AS lon_max,
-        |  CAST(lat_min AS DOUBLE) AS lat_min, CAST(lat_max AS DOUBLE) AS lat_max
-        |FROM (SELECT * FROM good UNION ALL SELECT * FROM bad)
-        |ORDER BY raster_id""".stripMargin,
+    "d88_geotiff_ingest" -> d88OracleSql,
+    "s39_stream_raster_ingest" -> d88OracleSql,
     // d87: d70's closed form restricted to the clean archives, UNION'd
     // with one (-1, NULL, NULL, NULL, true) marker per corrupt archive
     "d87_warc_quarantine" ->
