@@ -1420,6 +1420,23 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
     }),
+    "m30_audio_fingerprint" -> ((s, d) => {
+      // AUDIO near-dup FINGERPRINT (Multimodal.audioFingerprint): real
+      // WAV payloads decode, channels mix per frame (integer sum), 33
+      // contiguous windows take Σ mix² energies, and the 32
+      // adjacent-delta sign bits pack into one long — the audio face of
+      // the image-dHash/text-simhash family. Every step is exact
+      // integer math, so the oracle replays the PACKED BITS themselves
+      // (window assignment, energy sums, the lead-comparison, the
+      // shift-or fold) — a mixing, windowing, or bit-order bug breaks
+      // the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticWav(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.audioFingerprints(media).orderBy("media_id")
+    }),
     "m29_tiff_decode" -> ((s, d) => {
       // REAL TIFF decode (llm/Tiff, TIFF 6.0): payloads are genuine TIFF
       // files covering four paths by id%4 — uncompressed RGB (II),
@@ -7888,6 +7905,33 @@ object SparkEntry {
     // m27: the binaryFile ingest must reproduce m24's walk over the
     // 60-file universe — same closed form, path-recovered ids
     "m27_binaryfile_ingest" -> mp4WalkOracleSql(60),
+    // m30: the fingerprint bits replayed from the planted PCM formula —
+    // mixed sample, window w = (f·33) div nf, energies, lead-compare,
+    // Σ (bit << w) — all exact integers
+    "m30_audio_fingerprint" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS media_id, 1 + p_partkey % 2 AS nc,
+        |    100 + p_partkey % 50 AS nf
+        |  FROM part WHERE p_partkey <= 200
+        |), e AS (
+        |  SELECT a.media_id, a.nf, (f.f * 33) // a.nf AS w,
+        |    SUM(POW(
+        |      ((a.media_id * 31 + f.f * 7) % 4096 - 2048) +
+        |      CASE WHEN a.nc = 2
+        |        THEN (a.media_id * 31 + f.f * 7 + 13) % 4096 - 2048
+        |        ELSE 0 END, 2)) AS energy
+        |  FROM a, LATERAL (SELECT unnest(range(a.nf)) AS f) f
+        |  GROUP BY 1, 2, 3
+        |), bits AS (
+        |  SELECT media_id, nf, w,
+        |    CASE WHEN LEAD(energy) OVER (PARTITION BY media_id ORDER BY w)
+        |              > energy
+        |      THEN CAST(1 AS BIGINT) << w ELSE 0 END AS bit
+        |  FROM e
+        |)
+        |SELECT media_id, CAST(MAX(nf) AS INT) AS n_frames,
+        |  CAST(SUM(bit) AS BIGINT) AS fingerprint
+        |FROM bits GROUP BY media_id ORDER BY media_id""".stripMargin,
     // m29: the four TIFF variants' decoded channel sums — gray replicates
     // across channels, palette composes the index and palette formulas
     "m29_tiff_decode" ->

@@ -1386,6 +1386,54 @@ object Multimodal {
   }
 
   /**
+   * Audio near-dup FINGERPRINT — the audio face of the perceptual-hash
+   * family (text simhash64, image dHash): mix channels per frame
+   * (integer SUM, no division — exact), split the track into `windows`
+   * contiguous windows by `w = (f·W) div nf`, take each window's energy
+   * Σ mix², and emit one sign bit per adjacent-window energy DELTA
+   * (the Haitsma-Kalker robust-hash shape on one band). All integer
+   * arithmetic, so an external engine replays the exact bits; near-dup
+   * audio then dedups via Hamming distance on the packed long exactly
+   * like image dHash (m22's path).
+   */
+  def audioFingerprint(nc: Int, samples: Array[Short],
+                       windows: Int = 33): Option[(Int, Long)] = {
+    if (nc <= 0 || windows < 2 || windows > 64) return None
+    val nf = samples.length / nc
+    if (nf < windows) return None // too short for a stable fingerprint
+    val energies = new Array[Long](windows)
+    var f = 0
+    while (f < nf) {
+      var mix = 0L
+      var c = 0
+      while (c < nc) { mix += samples(f * nc + c); c += 1 }
+      energies(((f.toLong * windows) / nf).toInt) += mix * mix
+      f += 1
+    }
+    var fp = 0L
+    var w = 0
+    while (w < windows - 1) {
+      if (energies(w + 1) > energies(w)) fp |= (1L << w)
+      w += 1
+    }
+    Some((nf, fp))
+  }
+
+  /** [[audioFingerprint]] over media rows via the [[decodeAudio]]
+    * dispatch; non-audio / too-short rows are dropped. Narrow map. */
+  def audioFingerprints(media: DataFrame, windows: Int = 33): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      decodeAudio(payload).flatMap { case (nc, _, samples) =>
+        audioFingerprint(nc, samples, windows)
+      }.orNull
+    }
+    media.withColumn("__f", dec(col("payload")))
+      .filter(col("__f").isNotNull)
+      .select(col("media_id"),
+        col("__f._1").as("n_frames"), col("__f._2").as("fingerprint"))
+  }
+
+  /**
    * Minimal pure-JVM decoder for YUV4MPEG2 (.y4m), the textbook
    * UNCOMPRESSED video format: an ASCII header line
    * `YUV4MPEG2 W<w> H<h> F<num>:<den> …`, then per frame `FRAME…\n`

@@ -624,4 +624,28 @@ class MultimodalSpec extends SparkSpec {
     assert(perVideo.nonEmpty)
     perVideo.foreach { case (_, n, dur) => assert(n == (dur - 1) / 1000 + 1) }
   }
+
+  test("audioFingerprint: robust to small perturbation, separates different tracks") {
+    val rng = new scala.util.Random(5)
+    val base = Array.tabulate(4000)(i =>
+      (math.sin(i * 0.05) * 8000 + math.sin(i * 0.013) * 4000).toShort)
+    val Some((nf, fp)) = Multimodal.audioFingerprint(1, base)
+    assert(nf == 4000)
+    // identical input → identical fingerprint (determinism)
+    assert(Multimodal.audioFingerprint(1, base).get._2 == fp)
+    // mild noise (±2% of peak) → small Hamming distance
+    val noisy = base.map(s => (s + rng.nextInt(321) - 160).toShort)
+    val fpN = Multimodal.audioFingerprint(1, noisy).get._2
+    assert(java.lang.Long.bitCount(fp ^ fpN) <= 6,
+      s"noise flipped ${java.lang.Long.bitCount(fp ^ fpN)} bits")
+    // a different track → far fingerprint
+    val other = Array.tabulate(4000)(i =>
+      (math.sin(i * 0.021 + 1.0) * 9000).toShort)
+    val fpO = Multimodal.audioFingerprint(1, other).get._2
+    assert(java.lang.Long.bitCount(fp ^ fpO) >= 8,
+      s"different tracks collide: ${java.lang.Long.bitCount(fp ^ fpO)} bits apart")
+    // too short for the window count → dropped, never garbage
+    assert(Multimodal.audioFingerprint(1, base.take(20)).isEmpty)
+    assert(Multimodal.audioFingerprint(0, base).isEmpty)
+  }
 }
