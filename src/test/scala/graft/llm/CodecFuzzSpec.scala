@@ -82,4 +82,32 @@ class CodecFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("image decoders are MUTUALLY EXCLUSIVE: None on every other image format") {
+    // stronger than never-throw: a decoder accepting a foreign format
+    // would make decodeImage's dispatch ORDER load-bearing — magic-byte
+    // routing must be unambiguous, not first-match-lucky
+    val imageDecoders: Seq[(String, Array[Byte] => Option[_])] = Seq(
+      "ppm" -> (b => Multimodal.decodePpm(b)),
+      "png" -> (b => Multimodal.decodePng(b)),
+      "bmp" -> (b => Multimodal.decodeBmp(b)),
+      "gif" -> (b => Multimodal.decodeGif(b)),
+      "jpeg" -> (b => Multimodal.decodeJpeg(b)),
+      "webp" -> (b => Webp.decodeWebp(b)),
+      "tiff" -> (b => Tiff.decodeTiff(b)))
+    val imageFixtures: Seq[(String, Long => Array[Byte])] = Seq(
+      "ppm" -> Multimodal.syntheticPpm,
+      "png" -> (id => Multimodal.syntheticPng(id)),
+      "bmp" -> Multimodal.syntheticBmp,
+      "gif" -> (id => Multimodal.syntheticGif(id)),
+      "jpeg" -> (id => Multimodal.syntheticJpeg(id)),
+      "webp" -> Webp.syntheticWebp,
+      "tiff" -> Tiff.syntheticTiff)
+    for (id <- 1L to 4L; (fmt, make) <- imageFixtures;
+         (dn, dec) <- imageDecoders) {
+      val got = dec(make(id))
+      if (dn == fmt) assert(got.isDefined, s"$dn rejected its own $fmt (id=$id)")
+      else assert(got.isEmpty, s"$dn ACCEPTED a $fmt payload (id=$id)")
+    }
+  }
 }
