@@ -3360,6 +3360,32 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d89_pdf_extract" -> ((s, d) => {
+      // PDF TEXT EXTRACTION (llm/Pdf, ISO 32000-1): payloads are
+      // spec-valid single-page PDFs — FlateDecoded content streams,
+      // xref, trailer — whose show operators ROTATE by id%3 (Tj + T*,
+      // kerned TJ arrays, ' next-line) while extracting the IDENTICAL
+      // closed-form text; every id % 9 == 0 payload has its magic
+      // destroyed and must quarantine (ok=false, null text), never kill
+      // the task. The oracle rebuilds the exact text with string_agg, so
+      // an inflate, string-escape, operator-dispatch, or line-break bug
+      // breaks the hash.
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val a = graft.llm.Pdf.syntheticPdf(id)
+        if (id % 9 == 0) a(0) = 'X'
+        a
+      }
+      val extract = udf((p: Array[Byte]) => graft.llm.Pdf.extractPdfText(p).orNull)
+      t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("doc_id"))
+        .withColumn("text", extract(build(col("doc_id"))))
+        .select(col("doc_id"), col("text").isNotNull.as("ok"),
+          when(col("text").isNotNull, length(col("text")).cast("long"))
+            .as("n_chars"),
+          col("text"))
+        .orderBy("doc_id")
+    }),
     "d88_geotiff_ingest" -> ((s, d) => {
       // REAL-BYTES raster ingestion (ops/RasterZonal.rasterCells over
       // llm/Tiff): payloads are genuine single-band Float32 GeoTIFFs
@@ -9662,6 +9688,31 @@ object SparkEntry {
     // (id·7+y·11+x·13)%256, origin (−72+(id%5)/2, 11−(id%3)/2), pixel
     // 1/32° — every lon/lat a dyadic rational, corrupt ids one marker row
     "d88_geotiff_ingest" -> d88OracleSql,
+    // d89: the extracted text rebuilt verbatim — words via string_agg in
+    // k order, lines joined with chr(10) in j order, corrupt ids null
+    "d89_pdf_extract" ->
+      """WITH docs AS (
+        |  SELECT p_partkey AS doc_id, 3 + p_partkey % 4 AS n_lines
+        |  FROM part WHERE p_partkey <= 200
+        |), lines AS (
+        |  SELECT d.doc_id, j.j,
+        |    string_agg('w' || CAST((d.doc_id * 7 + j.j * 11 + k.k * 13) % 100 AS VARCHAR),
+        |      ' ' ORDER BY k.k) AS line
+        |  FROM docs d,
+        |    LATERAL (SELECT unnest(range(d.n_lines)) AS j) j,
+        |    LATERAL (SELECT unnest(range(4 + (d.doc_id + j.j) % 3)) AS k) k
+        |  GROUP BY 1, 2
+        |), texts AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY j) AS text
+        |  FROM lines GROUP BY 1
+        |)
+        |SELECT d.doc_id,
+        |  d.doc_id % 9 <> 0 AS ok,
+        |  CASE WHEN d.doc_id % 9 = 0 THEN NULL
+        |    ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 9 = 0 THEN NULL ELSE t.text END AS text
+        |FROM docs d LEFT JOIN texts t USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     "s39_stream_raster_ingest" -> d88OracleSql,
     // d87: d70's closed form restricted to the clean archives, UNION'd
     // with one (-1, NULL, NULL, NULL, true) marker per corrupt archive
