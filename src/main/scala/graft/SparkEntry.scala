@@ -1420,6 +1420,23 @@ object SparkEntry {
         .withColumn("payload", build(col("media_id")))
       graft.llm.Mp3.mp3Stats(media).orderBy("media_id")
     }),
+    "m31_video_fingerprint" -> ((s, d) => {
+      // VIDEO near-dup FINGERPRINT (Multimodal.videoFingerprints): real
+      // scene-segmented Y4M clips decode, shots detect by luma SAD, and
+      // each keyframe's LUMA plane hashes on the fixed 9×8 dHash grid —
+      // one (scene, dhash_hi, dhash_lo) row per shot, the video face of
+      // the image-dHash/audio-fingerprint family. Every bit is exact
+      // integer math over the planted scene formula, so the oracle
+      // replays the full hash sequence — a cut-detection, grid-resample,
+      // or bit-order bug breaks the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.llm.Multimodal.syntheticY4mScenes(id))
+      val media = t(s, d, "part").filter(col("p_partkey") <= 200)
+        .select(col("p_partkey").cast("long").as("media_id"))
+        .withColumn("payload", build(col("media_id")))
+      graft.llm.Multimodal.videoFingerprints(media)
+        .orderBy("media_id", "scene")
+    }),
     "m30_audio_fingerprint" -> ((s, d) => {
       // AUDIO near-dup FINGERPRINT (Multimodal.audioFingerprint): real
       // WAV payloads decode, channels mix per frame (integer sum), 33
@@ -7931,6 +7948,39 @@ object SparkEntry {
     // m27: the binaryFile ingest must reproduce m24's walk over the
     // 60-file universe — same closed form, path-recovered ids
     "m27_binaryfile_ingest" -> mp4WalkOracleSql(60),
+    // m31: the keyframe dHash sequence replayed from the planted scene
+    // formula — scenes are frames/seg (every boundary cuts), the grid
+    // resample is (g·dim) div 9/8, bits are plain comparisons
+    "m31_video_fingerprint" ->
+      """WITH v AS (
+        |  SELECT p_partkey AS media_id,
+        |    6 + (p_partkey % 3) * 2 AS w, 4 + (p_partkey % 2) * 2 AS h,
+        |    12 + p_partkey % 6 AS nf, 3 + p_partkey % 3 AS seg
+        |  FROM part WHERE p_partkey <= 200
+        |), scenes AS (
+        |  SELECT v.media_id, v.w, v.h, CAST(s.s AS INT) AS scene
+        |  FROM v, LATERAL (SELECT unnest(range((v.nf + v.seg - 1) // v.seg)) AS s) s
+        |), g AS (
+        |  SELECT media_id, scene, y.y AS gy, x.x AS gx,
+        |    (media_id * 7 + scene * 97 + ((y.y * h) // 8) * 11
+        |      + ((x.x * w) // 9) * 13) % 256 AS l
+        |  FROM scenes,
+        |    LATERAL (SELECT unnest(range(8)) AS y) y,
+        |    LATERAL (SELECT unnest(range(9)) AS x) x
+        |), bits AS (
+        |  SELECT a.media_id, a.scene, a.gy * 8 + a.gx AS idx
+        |  FROM g a JOIN g b ON b.media_id = a.media_id AND b.scene = a.scene
+        |    AND b.gy = a.gy AND b.gx = a.gx + 1
+        |  WHERE a.gx < 8 AND a.l > b.l
+        |)
+        |SELECT s.media_id, s.scene,
+        |  CAST(COALESCE(SUM(CASE WHEN idx >= 32
+        |    THEN (CAST(1 AS BIGINT) << (idx - 32)) END), 0) AS BIGINT) AS dhash_hi,
+        |  CAST(COALESCE(SUM(CASE WHEN idx < 32
+        |    THEN (CAST(1 AS BIGINT) << idx) END), 0) AS BIGINT) AS dhash_lo
+        |FROM scenes s LEFT JOIN bits b ON b.media_id = s.media_id AND b.scene = s.scene
+        |GROUP BY s.media_id, s.scene
+        |ORDER BY s.media_id, s.scene""".stripMargin,
     // m30: the fingerprint bits replayed from the planted PCM formula —
     // mixed sample, window w = (f·33) div nf, energies, lead-compare,
     // Σ (bit << w) — all exact integers

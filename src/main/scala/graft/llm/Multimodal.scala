@@ -2671,6 +2671,60 @@ object Multimodal {
         col("__k._2").as("keyframe_idx"), col("__k._3").as("luma_sum"))
   }
 
+  /**
+   * VIDEO near-dup FINGERPRINT — the video face of the perceptual-hash
+   * family: one dHash per detected shot's keyframe, computed over the
+   * LUMA plane on the same fixed 9×8 nearest-neighbour grid as
+   * [[imageDHash]] (bit(x,y) = luma(x,y) > luma(x+1,y); hi/lo unsigned
+   * halves). Two videos near-dup when their scene-hash SEQUENCES match
+   * under Hamming tolerance — re-encoded/rescaled copies keep the same
+   * cut structure and close hashes, so dedup is a join on (scene,
+   * dhash-bucket). All exact integers; the m31 oracle replays every bit
+   * from the planted scene formula. Narrow per-row map + explode.
+   */
+  def videoFingerprints(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
+    val fp = udf { (payload: Array[Byte]) =>
+      decodeY4m(payload).map { case (w, h, _, _, frames) =>
+        val ySize = w * h
+        val starts = scala.collection.mutable.ArrayBuffer(0)
+        var f = 0
+        while (f < frames.length - 1) {
+          var sad = 0L
+          var p = 0
+          while (p < ySize) {
+            sad += math.abs((frames(f)(p) & 0xFF) - (frames(f + 1)(p) & 0xFF))
+            p += 1
+          }
+          if (sad > meanThreshold.toLong * ySize) starts += (f + 1)
+          f += 1
+        }
+        starts.toSeq.zipWithIndex.map { case (st, scene) =>
+          val luma = frames(st)
+          def gray(gx: Int, gy: Int): Int =
+            luma((gy * h / 8) * w + gx * w / 9) & 0xFF
+          var hi = 0L
+          var lo = 0L
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              if (gray(x, y) > gray(x + 1, y)) {
+                val idx = y * 8 + x
+                if (idx < 32) lo |= 1L << idx else hi |= 1L << (idx - 32)
+              }
+              x += 1
+            }
+            y += 1
+          }
+          (scene, hi, lo)
+        }
+      }.orNull
+    }
+    media.withColumn("__v", explode(fp(col("payload"))))
+      .select(col("media_id"), col("__v._1").as("scene"),
+        col("__v._2").as("dhash_hi"), col("__v._3").as("dhash_lo"))
+  }
+
   def videoShotCuts(media: DataFrame, meanThreshold: Int = 8): DataFrame = {
     val cuts = udf { (payload: Array[Byte]) =>
       decodeY4m(payload).map { case (w, h, _, _, frames) =>
