@@ -3377,6 +3377,34 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d90_crawl_multiformat" -> ((s, d) => {
+      // MULTI-FORMAT CRAWL COMPOSITION — the realistic ingest chain this
+      // round's pieces exist for: WARC archives (gzip member walk)
+      // carrying a REAL HTML page and a REAL FlateDecoded PDF per
+      // archive, bodies kept as BYTES (warcIngestRaw — UTF-8 decoding
+      // would corrupt the PDF before routing), content-SNIFFED by magic
+      // prefix, and routed to htmlToText or Pdf.extractPdfText. The
+      // oracle replays both extracted texts verbatim, so a member-walk,
+      // sniff, tag-strip, inflate, or operator bug anywhere in the chain
+      // breaks the hash.
+      import s.implicits._
+      val build = udf((id: Long) => graft.io.Warc.syntheticCrawlWarc(id))
+      val archives = t(s, d, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as("archive_id"))
+        .withColumn("payload", build(col("archive_id")))
+      val pdfText = udf((b: Array[Byte]) =>
+        graft.llm.Pdf.extractPdfText(b).orNull)
+      graft.io.Warc.warcIngestRaw(archives)
+        .withColumn("kind",
+          when(expr("startswith(cast(body as string), '%PDF-')"), lit("pdf"))
+            .otherwise(lit("html")))
+        .withColumn("text",
+          when(col("kind") === "pdf", pdfText(col("body")))
+            .otherwise(graft.llm.TextAnalysis.htmlToText(
+              col("body").cast("string"))))
+        .select(col("archive_id"), col("record_idx"), col("kind"), col("text"))
+        .orderBy("archive_id", "record_idx")
+    }),
     "d89_pdf_extract" -> ((s, d) => {
       // PDF TEXT EXTRACTION (llm/Pdf, ISO 32000-1): payloads are
       // spec-valid single-page PDFs — FlateDecoded content streams,
@@ -9738,6 +9766,33 @@ object SparkEntry {
     // (id·7+y·11+x·13)%256, origin (−72+(id%5)/2, 11−(id%3)/2), pixel
     // 1/32° — every lon/lat a dyadic rational, corrupt ids one marker row
     "d88_geotiff_ingest" -> d88OracleSql,
+    // d90: both routed extractions rebuilt verbatim — the HTML title +
+    // word list (tag strip ≡ the d71 contract) and the d89 PDF text
+    "d90_crawl_multiformat" ->
+      """WITH a AS (
+        |  SELECT p_partkey AS archive_id FROM part WHERE p_partkey <= 150
+        |), html AS (
+        |  SELECT archive_id, CAST(0 AS INT) AS record_idx, 'html' AS kind,
+        |    'T' || archive_id || ' ' ||
+        |    (SELECT string_agg('h' || CAST((a.archive_id * 3 + k.k * 7) % 50 AS VARCHAR),
+        |       ' ' ORDER BY k.k)
+        |     FROM (SELECT unnest(range(5)) AS k) k) AS text
+        |  FROM a
+        |), pdflines AS (
+        |  SELECT a.archive_id, j.j,
+        |    string_agg('w' || CAST((a.archive_id * 7 + j.j * 11 + k.k * 13) % 100 AS VARCHAR),
+        |      ' ' ORDER BY k.k) AS line
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(3 + a.archive_id % 4)) AS j) j,
+        |    LATERAL (SELECT unnest(range(4 + (a.archive_id + j.j) % 3)) AS k) k
+        |  GROUP BY 1, 2
+        |), pdf AS (
+        |  SELECT archive_id, CAST(1 AS INT) AS record_idx, 'pdf' AS kind,
+        |    string_agg(line, chr(10) ORDER BY j) AS text
+        |  FROM pdflines GROUP BY archive_id
+        |)
+        |SELECT * FROM (SELECT * FROM html UNION ALL SELECT * FROM pdf)
+        |ORDER BY archive_id, record_idx""".stripMargin,
     // d89: the extracted text rebuilt verbatim — words via string_agg in
     // k order, lines joined with chr(10) in j order, corrupt ids null
     "d89_pdf_extract" ->

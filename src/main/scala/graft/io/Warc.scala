@@ -182,6 +182,26 @@ object Warc {
         col("__r._5").as("quarantined"))
   }
 
+  /** [[warcIngest]]'s BYTES-preserving sibling: explode archives into
+    * (record_idx, uri, body BINARY) — the form multi-format crawl
+    * routing needs (PDF/image records are not UTF-8; decoding them as
+    * text corrupts the bytes before a sniffer can route them). Corrupt
+    * archives quarantine like [[warcIngestQuarantine]]: the valid member
+    * prefix yields records, nothing throws. */
+  def warcIngestRaw(archives: DataFrame, idCol: String = "archive_id",
+                    payloadCol: String = "payload"): DataFrame = {
+    val dec = udf { (payload: Array[Byte]) =>
+      val (members, _) = gzipMembersSafe(payload)
+      members.zipWithIndex.flatMap { case (m, i) =>
+        parseWarcRecord(m).map { case (uri, body) => (i, uri, body) }
+      }
+    }
+    archives.withColumn("__r", explode(dec(col(payloadCol))))
+      .select(col(idCol),
+        col("__r._1").as("record_idx"), col("__r._2").as("uri"),
+        col("__r._3").as("body"))
+  }
+
   /** [[warcIngest]]'s content-carrying sibling: explode archives into
     * (record_idx, uri, body) with the payload decoded as UTF-8 text —
     * the form the downstream extract/quality stages consume (d72). */
@@ -198,6 +218,35 @@ object Warc {
       .select(col(idCol),
         col("__r._1").as("record_idx"), col("__r._2").as("uri"),
         col("__r._3").as("body"))
+  }
+
+  /**
+   * Deterministic MULTI-FORMAT crawl archive for a key — the realistic
+   * Common Crawl shape: TWO records per archive, record 0 a real HTML
+   * page (title `T<id>`, five body words `h<(id·3+k·7)%50>`, plus a
+   * script block the extractor must drop), record 1 a real PDF
+   * ([[graft.llm.Pdf.syntheticPdf]] — FlateDecoded content stream). Both
+   * closed-form, so the d90 oracle replays the EXTRACTED text of each
+   * record after the content-sniff routing.
+   */
+  def syntheticCrawlWarc(id: Long): Array[Byte] = {
+    val words = (0 until 5).map(k => s"h${(id * 3 + k * 7) % 50}").mkString(" ")
+    val html = (s"<html><head><title>T$id</title></head>" +
+      s"<body><p>$words</p><script>var x=1;</script></body></html>")
+      .getBytes("US-ASCII")
+    val pdf = graft.llm.Pdf.syntheticPdf(id)
+    val out = new java.io.ByteArrayOutputStream()
+    Seq(("text/html", html), ("application/pdf", pdf)).zipWithIndex.foreach {
+      case ((ctype, body), r) =>
+        val head = (s"WARC/1.0\r\n" +
+          s"WARC-Type: response\r\n" +
+          s"WARC-Target-URI: http://site${id % 50}.com/doc$r\r\n" +
+          s"Content-Type: $ctype\r\n" +
+          s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
+        val gz = new java.util.zip.GZIPOutputStream(out)
+        gz.write(head); gz.write(body); gz.finish()
+    }
+    out.toByteArray
   }
 
   /** Deterministic synthetic WARC archive for a key: `3 + id%4` records,
