@@ -3063,6 +3063,44 @@ object SparkEntry {
           s"s38_mp3_${System.nanoTime()}", outputMode = "append")
         .orderBy("media_id")
     }),
+    "s40_stream_crawl_multiformat" -> ((s, d) => {
+      // STREAMING multi-format crawl ingest: d90's chain (WARC walk →
+      // bytes-preserving explode → content sniff → HTML/PDF extraction)
+      // on ARRIVING archives — stateless narrow maps in append mode, 3
+      // microbatches, converged sink ≡ the batch chain (shares d90's
+      // oracle verbatim). The Common-Crawl-refresh shape: text extracts
+      // as archives land, no re-scan.
+      import org.apache.spark.sql.types._
+      val keys = t(s, d, "part").filter(col("p_partkey") <= 150)
+        .select(col("p_partkey").cast("long").as("archive_id"))
+      val root = graft.util.TempDirs.scratch("s40drops")
+      Seq((0, col("archive_id") < 50), (1, col("archive_id") >= 50 &&
+          col("archive_id") < 100), (2, col("archive_id") >= 100))
+        .foreach { case (b, cond) =>
+          graft.streaming.Streaming.writeOrderedMicrobatch(
+            keys.filter(cond), s"$root/in", b)
+        }
+      val ss = graft.streaming.Streaming.statefulSession(s)
+      val schema = StructType(Seq(StructField("archive_id", LongType)))
+      val build = udf((id: Long) => graft.io.Warc.syntheticCrawlWarc(id))
+      val pdfText = udf((b: Array[Byte]) =>
+        graft.llm.Pdf.extractPdfText(b).orNull)
+      val stream = ss.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$root/in")
+        .withColumn("payload", build(col("archive_id")))
+      val extracted = graft.io.Warc.warcIngestRaw(stream)
+        .withColumn("kind",
+          when(expr("startswith(cast(body as string), '%PDF-')"), lit("pdf"))
+            .otherwise(lit("html")))
+        .withColumn("text",
+          when(col("kind") === "pdf", pdfText(col("body")))
+            .otherwise(graft.llm.TextAnalysis.htmlToText(
+              col("body").cast("string"))))
+        .select(col("archive_id"), col("record_idx"), col("kind"), col("text"))
+      graft.streaming.Streaming.runAvailableNow(
+          extracted, s"s40_crawl_${System.nanoTime()}", outputMode = "append")
+        .orderBy("archive_id", "record_idx")
+    }),
     "s39_stream_raster_ingest" -> ((s, d) => {
       // STREAMING RASTER INGEST: d88's real-bytes GeoTIFF path on an
       // ARRIVING stream — tiles land, cells explode, per-raster stats
@@ -6901,6 +6939,34 @@ object SparkEntry {
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 
+  /** d90's multi-format crawl chain replayed in closed form; shared
+    * verbatim by s40_stream_crawl_multiformat (stream ≡ batch). */
+  private val d90OracleSql: String =
+    """WITH a AS (
+        |  SELECT p_partkey AS archive_id FROM part WHERE p_partkey <= 150
+        |), html AS (
+        |  SELECT archive_id, CAST(0 AS INT) AS record_idx, 'html' AS kind,
+        |    'T' || archive_id || ' ' ||
+        |    (SELECT string_agg('h' || CAST((a.archive_id * 3 + k.k * 7) % 50 AS VARCHAR),
+        |       ' ' ORDER BY k.k)
+        |     FROM (SELECT unnest(range(5)) AS k) k) AS text
+        |  FROM a
+        |), pdflines AS (
+        |  SELECT a.archive_id, j.j,
+        |    string_agg('w' || CAST((a.archive_id * 7 + j.j * 11 + k.k * 13) % 100 AS VARCHAR),
+        |      ' ' ORDER BY k.k) AS line
+        |  FROM a,
+        |    LATERAL (SELECT unnest(range(3 + a.archive_id % 4)) AS j) j,
+        |    LATERAL (SELECT unnest(range(4 + (a.archive_id + j.j) % 3)) AS k) k
+        |  GROUP BY 1, 2
+        |), pdf AS (
+        |  SELECT archive_id, CAST(1 AS INT) AS record_idx, 'pdf' AS kind,
+        |    string_agg(line, chr(10) ORDER BY j) AS text
+        |  FROM pdflines GROUP BY archive_id
+        |)
+        |SELECT * FROM (SELECT * FROM html UNION ALL SELECT * FROM pdf)
+        |ORDER BY archive_id, record_idx""".stripMargin
+
   /** d88's planted GeoTIFF rasters replayed in closed form; shared
     * verbatim by s39_stream_raster_ingest (stream ≡ batch). */
   private val d88OracleSql: String =
@@ -9768,31 +9834,8 @@ object SparkEntry {
     "d88_geotiff_ingest" -> d88OracleSql,
     // d90: both routed extractions rebuilt verbatim — the HTML title +
     // word list (tag strip ≡ the d71 contract) and the d89 PDF text
-    "d90_crawl_multiformat" ->
-      """WITH a AS (
-        |  SELECT p_partkey AS archive_id FROM part WHERE p_partkey <= 150
-        |), html AS (
-        |  SELECT archive_id, CAST(0 AS INT) AS record_idx, 'html' AS kind,
-        |    'T' || archive_id || ' ' ||
-        |    (SELECT string_agg('h' || CAST((a.archive_id * 3 + k.k * 7) % 50 AS VARCHAR),
-        |       ' ' ORDER BY k.k)
-        |     FROM (SELECT unnest(range(5)) AS k) k) AS text
-        |  FROM a
-        |), pdflines AS (
-        |  SELECT a.archive_id, j.j,
-        |    string_agg('w' || CAST((a.archive_id * 7 + j.j * 11 + k.k * 13) % 100 AS VARCHAR),
-        |      ' ' ORDER BY k.k) AS line
-        |  FROM a,
-        |    LATERAL (SELECT unnest(range(3 + a.archive_id % 4)) AS j) j,
-        |    LATERAL (SELECT unnest(range(4 + (a.archive_id + j.j) % 3)) AS k) k
-        |  GROUP BY 1, 2
-        |), pdf AS (
-        |  SELECT archive_id, CAST(1 AS INT) AS record_idx, 'pdf' AS kind,
-        |    string_agg(line, chr(10) ORDER BY j) AS text
-        |  FROM pdflines GROUP BY archive_id
-        |)
-        |SELECT * FROM (SELECT * FROM html UNION ALL SELECT * FROM pdf)
-        |ORDER BY archive_id, record_idx""".stripMargin,
+    "d90_crawl_multiformat" -> d90OracleSql,
+    "s40_stream_crawl_multiformat" -> d90OracleSql,
     // d89: the extracted text rebuilt verbatim — words via string_agg in
     // k order, lines joined with chr(10) in j order, corrupt ids null
     "d89_pdf_extract" ->
