@@ -3415,6 +3415,34 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d91_charset_detect" -> ((s, d) => {
+      // CHARSET DETECTION + DECODE (llm/CharsetDetect): the SAME text —
+      // "café w<id%97> n<id%7>", with a real multi-byte é — planted in
+      // four wire encodings by id%4 (UTF-8 bare, UTF-8 BOM, UTF-16LE
+      // BOM, Latin-1 single-byte é) must detect and decode back to ONE
+      // string: BOM handling, strict RFC 3629 validation (the Latin-1 é
+      // is an invalid UTF-8 lead and must fall through), and BOM
+      // stripping all sit in the hash. The oracle carries the expected
+      // label per variant and rebuilds the text verbatim.
+      import s.implicits._
+      val build = udf { (id: Long) =>
+        val text = s"café w${id % 97} n${id % 7}"
+        (id % 4) match {
+          case 0 => text.getBytes("UTF-8")
+          case 1 => Array[Byte](0xEF.toByte, 0xBB.toByte, 0xBF.toByte) ++
+            text.getBytes("UTF-8")
+          case 2 => Array[Byte](0xFF.toByte, 0xFE.toByte) ++
+            text.getBytes("UTF-16LE")
+          case _ => text.getBytes("ISO-8859-1")
+        }
+      }
+      val docs = t(s, d, "part").filter(col("p_partkey") <= 300)
+        .select(col("p_partkey").cast("long").as("doc_id"))
+        .withColumn("raw", build(col("doc_id")))
+      graft.llm.CharsetDetect.withDecodedText(docs)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .orderBy("doc_id")
+    }),
     "d90_crawl_multiformat" -> ((s, d) => {
       // MULTI-FORMAT CRAWL COMPOSITION — the realistic ingest chain this
       // round's pieces exist for: WARC archives (gzip member walk)
@@ -9835,6 +9863,16 @@ object SparkEntry {
     // d90: both routed extractions rebuilt verbatim — the HTML title +
     // word list (tag strip ≡ the d71 contract) and the d89 PDF text
     "d90_crawl_multiformat" -> d90OracleSql,
+    // d91: label by wire variant, text rebuilt verbatim (é is literal
+    // UTF-8 in this SQL text — both engines read it identically)
+    "d91_charset_detect" ->
+      """SELECT p_partkey AS doc_id,
+        |  CASE p_partkey % 4 WHEN 2 THEN 'utf-16le'
+        |    WHEN 3 THEN 'latin-1' ELSE 'utf-8' END AS charset,
+        |  'café w' || (p_partkey % 97) || ' n' || (p_partkey % 7) AS text,
+        |  CAST(length('café w' || (p_partkey % 97) || ' n' || (p_partkey % 7)) AS BIGINT) AS n_chars
+        |FROM part WHERE p_partkey <= 300
+        |ORDER BY doc_id""".stripMargin,
     "s40_stream_crawl_multiformat" -> d90OracleSql,
     // d89: the extracted text rebuilt verbatim — words via string_agg in
     // k order, lines joined with chr(10) in j order, corrupt ids null
