@@ -3415,6 +3415,26 @@ object SparkEntry {
           size(split(ext, "\\s+")).cast("long").as("n_tokens"))
         .orderBy("doc_id")
     }),
+    "d92_linear_quality" -> ((s, d) => {
+      // MODEL-BASED quality filtering (TextAnalysis.linearQualityScore):
+      // the fastText-style hashed-linear scorer over the REAL documents
+      // corpus — tokens hash to md5-prefix buckets, a broadcast 4096-row
+      // weight table (planted closed form: ascii-mix of the bucket's hex
+      // chars, integers in [-200, 200]) supplies the model, doc score =
+      // exact bag-of-words sum, keep = score > 0. The oracle rebuilds
+      // the weight table AND every score, so a tokenize, hash-bucket,
+      // join-miss, or bag-semantics bug breaks the hash.
+      val weights = s.range(4096)
+        .select(format_string("%03x", col("id")).as("bucket"))
+        .select(col("bucket"),
+          ((ascii(substring(col("bucket"), 1, 1)) * 7 +
+            ascii(substring(col("bucket"), 2, 1)) * 11 +
+            ascii(substring(col("bucket"), 3, 1)) * 13) % 401 - 200)
+            .cast("long").as("weight"))
+      graft.llm.TextAnalysis.linearQualityScore(
+          t(s, d, "documents").select(col("doc_id"), col("text")), weights)
+        .orderBy("doc_id")
+    }),
     "d91_charset_detect" -> ((s, d) => {
       // CHARSET DETECTION + DECODE (llm/CharsetDetect): the SAME text —
       // "café w<id%97> n<id%7>", with a real multi-byte é — planted in
@@ -9863,6 +9883,27 @@ object SparkEntry {
     // d90: both routed extractions rebuilt verbatim — the HTML title +
     // word list (tag strip ≡ the d71 contract) and the d89 PDF text
     "d90_crawl_multiformat" -> d90OracleSql,
+    // d92: the weight table and every doc's bag-of-words score rebuilt —
+    // printf('%03x') buckets, ascii-mix weights, md5-prefix feature hash
+    "d92_linear_quality" ->
+      """WITH wt AS (
+        |  SELECT printf('%03x', i.i) AS bucket,
+        |    (ascii(substr(printf('%03x', i.i), 1, 1)) * 7 +
+        |     ascii(substr(printf('%03x', i.i), 2, 1)) * 11 +
+        |     ascii(substr(printf('%03x', i.i), 3, 1)) * 13) % 401 - 200 AS weight
+        |  FROM (SELECT unnest(range(4096)) AS i) i
+        |), tk AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, substr(md5(w), 1, 3) AS bucket
+        |  FROM tk WHERE length(w) > 0
+        |)
+        |SELECT b.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(COALESCE(wt.weight, 0)) AS BIGINT) AS score,
+        |  SUM(COALESCE(wt.weight, 0)) > 0 AS keep
+        |FROM b LEFT JOIN wt USING (bucket)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     // d91: label by wire variant, text rebuilt verbatim (é is literal
     // UTF-8 in this SQL text — both engines read it identically)
     "d91_charset_detect" ->

@@ -73,6 +73,36 @@ object TextAnalysis {
     call_function("aho_count", text, lit(patterns.toArray))
   }
 
+  /**
+   * HASHED-LINEAR quality scorer — the fastText-style MODEL-BASED filter
+   * modern corpora gate on (heuristics pass first, a learned linear model
+   * over hashed bag-of-words features decides the rest): tokens hash to
+   * the md5-prefix buckets ([[jensenShannon]]'s portable bucket key), a
+   * BROADCAST (bucket, weight) table supplies the learned weights, and a
+   * document's score is the bag-semantics sum (duplicate tokens count).
+   * Unseen buckets contribute 0. Plan: one narrow explode + one broadcast
+   * join + one doc-keyed aggregation — a full-scan feature pass like
+   * langid, no shuffle wider than doc_id. Integer weights keep the score
+   * exact (the d92 oracle replays it verbatim).
+   *
+   * @param weights (bucket: 3-hex-char string, weight: integer) — at most
+   *                4096 rows, broadcast by construction
+   * @return (idCol, n_tokens, score, keep = score > 0)
+   */
+  def linearQualityScore(df: DataFrame, weights: DataFrame,
+                         idCol: String = "doc_id",
+                         textCol: String = "text"): DataFrame = {
+    df.select(col(idCol), explode(tokens(col(textCol))).as("w"))
+      .filter(length(col("w")) > 0)
+      .withColumn("bucket", substring(md5(col("w").cast("binary")), 1, 3))
+      .join(broadcast(weights.select(col("bucket"), col("weight"))),
+        Seq("bucket"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(coalesce(col("weight"), lit(0L))).cast("long").as("score"))
+      .withColumn("keep", col("score") > 0)
+  }
+
   /** `<title>` contents of an HTML document (first match, empty if none). */
   def htmlTitle(html: Column): Column =
     regexp_extract(html, "<title>(.*?)</title>", 1)
