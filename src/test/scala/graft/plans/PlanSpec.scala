@@ -124,6 +124,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("GreaterThanOrEqual(o_orderdate"), p)
   }
 
+  test("d92: the weight table broadcasts into the feature join; one doc_id shuffle") {
+    val p = formatted("d92_linear_quality")
+    // a 4096-row model must BROADCAST — shuffling the exploded token
+    // stream against it would move the corpus to move the model
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("NestedLoop"), p)
+    // exactly one aggregation exchange (by doc_id); the explode + join
+    // stay map-side
+    assert(exchangeCount(p) <= 3, s"too many exchanges:\n$p")
+  }
+
   test("d66: the perplexity model joins broadcast; folds stay per-doc (one doc_id shuffle)") {
     val p = formatted("d66_lm_perplexity")
     // the vocab-bounded KN model must broadcast into the scoring join
