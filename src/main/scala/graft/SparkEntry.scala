@@ -3371,7 +3371,12 @@ object SparkEntry {
             s"WARC-Target-URI: http://docs/$id\r\n" +
             s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
           val gz = new java.util.zip.GZIPOutputStream(out)
-          gz.write(head); gz.write(body); gz.finish()
+          // close(), not finish(): close ends the native Deflater NOW
+          // (finish leaves ~112 KB of zlib state to the finalizer —
+          // 50k leaked deflaters per pass measurably GC-throttled the
+          // whole bench suite); BAOS.close() is a no-op so the member
+          // bytes are identical
+          gz.write(head); gz.write(body); gz.close()
         }
         out.toByteArray
       }

@@ -244,7 +244,11 @@ object Warc {
           s"Content-Type: $ctype\r\n" +
           s"Content-Length: ${body.length}\r\n\r\n").getBytes("US-ASCII")
         val gz = new java.util.zip.GZIPOutputStream(out)
-        gz.write(head); gz.write(body); gz.finish()
+        // close(), not finish(): ends the native Deflater deterministically
+        // (finish leaves the zlib state to the finalizer; at crawl scale
+        // that is GBs of native memory waiting on GC). BAOS.close() is a
+        // no-op, so concatenated members keep appending to `out`.
+        gz.write(head); gz.write(body); gz.close()
     }
     out.toByteArray
   }
@@ -272,7 +276,9 @@ object Warc {
         s"WARC-Target-URI: http://site${id % 50}.com/p$r\r\n" +
         s"Content-Length: $len\r\n\r\n").getBytes("US-ASCII")
       val gz = new java.util.zip.GZIPOutputStream(out)
-      gz.write(head); gz.write(body); gz.finish()
+      // close(), not finish(): see syntheticCrawlWarc — ends the Deflater
+      // without waiting for a finalizer; BAOS keeps accepting members.
+      gz.write(head); gz.write(body); gz.close()
       r += 1
     }
     out.toByteArray
