@@ -1992,8 +1992,17 @@ object SparkEntry {
       val batch = graft.ops.ConnectedComponents.keepRepresentatives(
           docs, "doc_id", graft.llm.Dedup.minhashLsh(docs, "doc_id"))
         .select(col("doc_id"))
-      val equal = streamed.exceptAll(batch).isEmpty &&
-        batch.exceptAll(streamed).isEmpty
+      // multiset equality in ONE action (the d27 lesson): two
+      // exceptAll().isEmpty actions re-ran the whole batch-formulation
+      // subtree (minhashLsh + CC) twice; per-key count compare over a
+      // full outer join is the same boolean — ids are longs, so
+      // multiset equality ⇔ equal per-id multiplicities — at one pass
+      val equal = streamed.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_s"))
+        .join(batch.groupBy("doc_id").agg(count(lit(1)).as("n_b")),
+          Seq("doc_id"), "full_outer")
+        .filter(coalesce(col("n_s"), lit(0L)) =!= coalesce(col("n_b"), lit(0L)))
+        .limit(1).count() == 0
       import s.implicits._
       Seq(equal).toDF("stream_matches_batch")
     }),
@@ -2416,7 +2425,11 @@ object SparkEntry {
       import org.apache.spark.sql.types._
       val ss = graft.streaming.Streaming.statefulSession(s)
       val docs = t(ss, d, "documents")
-      val evalDocs = docs.filter(col("doc_id") % 7 === 3).localCheckpoint()
+      // sign the static eval set ONCE (checkpointed (eval_id, k, sig)
+      // rows) — each microbatch used to re-tokenize/re-md5 the eval docs
+      // before broadcasting, one redundant job per batch
+      val evalSigs = graft.llm.Decontamination.bandedPortableSignatures(
+        docs.filter(col("doc_id") % 7 === 3), "eval_id").localCheckpoint()
       val train = docs.filter(col("doc_id") % 7 =!= 3)
       val root = graft.util.TempDirs.scratch("s23")
       (0 until 3).foreach { b =>
@@ -2433,7 +2446,8 @@ object SparkEntry {
         .option("checkpointLocation", s"$root/ckpt")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          graft.llm.Decontamination.fuzzyContamination(batch, evalDocs)
+          graft.llm.Decontamination.fuzzyContaminationAgainstSigs(
+              batch, evalSigs)
             .write.mode("overwrite").parquet(s"$root/out/batch=$bid")
           ()
         }

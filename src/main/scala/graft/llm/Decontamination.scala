@@ -122,24 +122,45 @@ object Decontamination {
    */
   def fuzzyContamination(corpus: DataFrame, benchmark: DataFrame,
                          idCol: String = "doc_id", textCol: String = "text",
-                         numFuncs: Int = 8, minMatching: Int = 4): DataFrame = {
+                         numFuncs: Int = 8, minMatching: Int = 4): DataFrame =
+    fuzzyContaminationAgainstSigs(corpus,
+      bandedPortableSignatures(benchmark, "eval_id", idCol, textCol, numFuncs),
+      idCol, textCol, numFuncs, minMatching)
+
+  /** The portable (k, sig) banding of [[fuzzyContamination]], exposed so a
+    * STATIC eval set is signed ONCE (checkpoint the result) instead of
+    * per screening call — the streaming-ingest shape, where the eval set
+    * changes rarely and every microbatch otherwise re-signs and
+    * re-broadcasts it (s23 measured one extra job per batch on exactly
+    * that). */
+  def bandedPortableSignatures(df: DataFrame, outId: String,
+                               idCol: String = "doc_id",
+                               textCol: String = "text",
+                               numFuncs: Int = 8): DataFrame = {
+    val toks = TextAnalysis.tokens(col(textCol))
+    val grams = array_distinct(zip_with(
+      slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
+      (a, b) => concat_ws(" ", a, b)))
+    val sigs = (0 until numFuncs).map { k =>
+      array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
+    }
+    df.filter(size(toks) > 1)
+      .select(col(idCol).as(outId), grams.as("__grams"))
+      .select(col(outId), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
+  }
+
+  /** [[fuzzyContamination]] against ALREADY-SIGNED eval rows
+    * (`(eval_id, k, sig)` from [[bandedPortableSignatures]]) — identical
+    * output, one corpus pass, eval side broadcast as given. */
+  def fuzzyContaminationAgainstSigs(corpus: DataFrame, evalSigs: DataFrame,
+                                    idCol: String = "doc_id",
+                                    textCol: String = "text",
+                                    numFuncs: Int = 8,
+                                    minMatching: Int = 4): DataFrame = {
     require(minMatching >= 1 && minMatching <= numFuncs,
       s"minMatching=$minMatching must be in [1, numFuncs=$numFuncs]")
-    def banded(df: DataFrame, outId: String): DataFrame = {
-      val toks = TextAnalysis.tokens(col(textCol))
-      val grams = array_distinct(zip_with(
-        slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
-        (a, b) => concat_ws(" ", a, b)))
-      val sigs = (0 until numFuncs).map { k =>
-        array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
-      }
-      df.filter(size(toks) > 1)
-        .select(col(idCol).as(outId), grams.as("__grams"))
-        .select(col(outId), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
-    }
-    val ev = broadcast(banded(benchmark, "eval_id"))
-    banded(corpus, idCol)
-      .join(ev, Seq("k", "sig"))
+    bandedPortableSignatures(corpus, idCol, idCol, textCol, numFuncs)
+      .join(broadcast(evalSigs), Seq("k", "sig"))
       .groupBy(col(idCol), col("eval_id"))
       .agg(count(lit(1)).as("n_matching"))
       .filter(col("n_matching") >= minMatching)

@@ -293,6 +293,13 @@ object Dedup {
   def writeSignatureIndex(sigs: DataFrame, dir: String, batchId: Long = -1L): Unit =
     sigs.withColumn("batch", lit(batchId))
       .withColumn("pfx", indexPrefix(col("bucket")))
+      // cluster by pfx before the dynamic-partition write: without it every
+      // upstream task writes one file into EVERY pfx=N dir it touches
+      // (tasks × 64 tiny files per append — measured 1.6 s of the s06
+      // batch on pure file creation); clustered, an append lands ~one file
+      // per touched prefix, which is also the documented index layout the
+      // compactor assumes
+      .repartition(col("pfx"))
       .write.mode("append").partitionBy("pfx").parquet(dir)
 
   /** Read a bucketed signature index restricted to the given prefixes —
@@ -753,9 +760,16 @@ object Dedup {
     // that forced GlobalRank above), so a broadcast hint here would OOM at
     // exactly the scale the rank rewrite targets. Skew on tok is df-bounded
     // and already the d31 posting shape.
+    // sets feeds THREE consumers (the prefix explode plus both attach
+    // joins of the verify step); without a checkpoint the whole
+    // toks→rank→collect_set chain re-executed once per consumer — 4
+    // materializations of the same corpus pass in one d32 plan (measured:
+    // the verify join job alone was 2.4 s of a 4.6 s query). Lazy
+    // localCheckpoint: first action materializes, the rest reuse.
     val sets = toks.join(ranked, "tok")
       .groupBy("id").agg(sort_array(collect_set(col("rk"))).as("rks"))
       .select(col("id"), col("rks"), size(col("rks")).as("m"))
+      .localCheckpoint(false)
     // prefix length p = m − ⌈t·m⌉ + 1, in EXACT integer arithmetic (a float
     // ceil of t·m can overshoot by one and silently break losslessness)
     val num = math.round(minJaccard * 1000000)
@@ -774,6 +788,12 @@ object Dedup {
                 " setSimilarityJoinCounted to drop with an audited count",
               col("rk"), col("__n"), lit(maxBucketSize))))
           .otherwise(lit(true))).drop("__n")
+          // capped feeds both sides of the candidate self-join; the
+          // counted branch below always checkpointed (its accumulator
+          // forces it) — the lossless branch paid the prefix window
+          // TWICE instead. Lazy checkpoint: same raise_error semantics,
+          // evaluated once.
+          .localCheckpoint(false)
       case Some(acc) =>
         // bounded-drop: count every dropped prefix entry (non-codegen UDF,
         // but it only runs on the already-shuffled window output). The
