@@ -38,6 +38,15 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalesce floor (r13, guide §2.2/§2.5): Spark's 1m default is
+      // tuned for byte-bound stages; the LLM text kernels are CPU-dense
+      // but byte-light (5k docs ≈ 1.5 MB), so the 1m floor coalesces
+      // their post-shuffle stages to ONE task and serializes the kernel.
+      // At production scale the parallelismFirst target
+      // (total/defaultParallelism) dwarfs any floor, so this value only
+      // matters in the small-input regime. Env-parameterised.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
       .config("spark.local.dir", tmp)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

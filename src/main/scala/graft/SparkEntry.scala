@@ -181,15 +181,26 @@ object SparkEntry {
     * string order) on the doc_id%2=0 subset — shared by d19 (pair output)
     * and d20 (cluster formation over the same pairs). */
   private def minhashSqlPairs(s: SparkSession, d: String): DataFrame = {
-    val toks = TextAnalysis.tokens(col("text"))
+    val toks = col("__toks")
     val grams = array_distinct(zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat_ws(" ", a, b)))
     val sigs = (0 until 8).map { k =>
       array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
     }
-    val banded = t(s, d, "documents")
-      .filter(expr("doc_id % 2 = 0") && size(toks) > 1) // algorithm-proof
+    // STAGED columns (r13 optimization): the original formulation inlined
+    // tokens(text) into both the size filter and the four slice/size
+    // references of the gram build, so the split+lower+trim pass ran ~5x
+    // per doc; materializing __toks once per row computes it once. Same
+    // values, same filter semantics — the oracle SQL is untouched.
+    // Spread.ifNarrow parallelizes the interpreted md5 transform passes
+    // (the dominant per-row cost) across cores when the input is a single
+    // unsplittable file; a no-op at scale.
+    val banded = graft.util.Spread.ifNarrow(
+        t(s, d, "documents").filter(expr("doc_id % 2 = 0"))
+          .select(col("doc_id"), col("text")))
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("__toks"))
+      .filter(size(toks) > 1) // algorithm-proof
       // variant on a keyed subset (d08-style); d04 is the full fast path
       .select(col("doc_id"), grams.as("__grams"))
       .select(col("doc_id"), posexplode(array(sigs: _*)).as(Seq("k", "sig")))

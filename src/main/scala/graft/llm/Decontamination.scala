@@ -137,15 +137,21 @@ object Decontamination {
                                idCol: String = "doc_id",
                                textCol: String = "text",
                                numFuncs: Int = 8): DataFrame = {
-    val toks = TextAnalysis.tokens(col(textCol))
+    // staged __toks (r13): inlining tokens(text) into the size filter and
+    // the four slice/size references re-ran the split pass ~5x per doc
+    // (the minhashSqlPairs lesson); Spread parallelizes the md5 transform
+    // passes when the input is one unsplittable file (no-op at scale)
+    val toks = col("__toks")
     val grams = array_distinct(zip_with(
       slice(toks, lit(1), size(toks) - 1), slice(toks, lit(2), size(toks) - 1),
       (a, b) => concat_ws(" ", a, b)))
     val sigs = (0 until numFuncs).map { k =>
       array_min(transform(col("__grams"), g => md5(concat(lit(s"$k|"), g))))
     }
-    df.filter(size(toks) > 1)
-      .select(col(idCol).as(outId), grams.as("__grams"))
+    graft.util.Spread.ifNarrow(df.select(col(idCol).as(outId), col(textCol)))
+      .select(col(outId), TextAnalysis.tokens(col(textCol)).as("__toks"))
+      .filter(size(toks) > 1)
+      .select(col(outId), grams.as("__grams"))
       .select(col(outId), posexplode(array(sigs: _*)).as(Seq("k", "sig")))
   }
 

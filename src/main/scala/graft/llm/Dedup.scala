@@ -127,7 +127,7 @@ object Dedup {
                        bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = graft.util.Spread.ifNarrow(df).select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     sigs.select(col("id"), col("sig"),
       posexplode(array((0 until bands).map { b =>
@@ -180,7 +180,7 @@ object Dedup {
     // the cache build), so everything that shuffles or materializes below is
     // sig-free (id, band, bucket) at ~24 bytes/row, and the fat signature
     // rows are joined back only for the output-bound candidate pairs.
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = graft.util.Spread.ifNarrow(df).select(col(idCol).as("id"),
       minhashSignature(col(textCol), shingleSize, numHashes).as("sig"))
     val banded = sigs.select(col("id"),
       posexplode(array((0 until bands).map { b =>
@@ -440,7 +440,8 @@ object Dedup {
     // distribute 64 bits as evenly as possible across the chunks
     val widths = Array.tabulate(nChunks)(i => 64 / nChunks + (if (i < 64 % nChunks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _).init
-    val sigs = df.select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
+    val sigs = graft.util.Spread.ifNarrow(df)
+      .select(col(idCol).as("id"), simhash64(col(textCol)).as("sig"))
     val chunked = sigs.select(col("id"), col("sig"),
       posexplode(array((0 until nChunks).map { c =>
         // arithmetic shiftright may sign-extend; the width mask strips it
@@ -515,7 +516,8 @@ object Dedup {
             when(call_function("shiftright", c, k * 16)
               .bitwiseAND(lit(0xFFFFL)) * 2 > t, lit("1")).otherwise(lit("0"))))), "")
       })
-    val sigs = df.select(col(idCol).as("id"), sig.as("sig"))
+    val sigs = graft.util.Spread.ifNarrow(df)
+      .select(col(idCol).as("id"), sig.as("sig"))
     // Pack the bit string into two 32-bit halves so the per-pair Hamming
     // verify is bit_count(xor) — codegen'd integer work — instead of a
     // 64-iteration interpreted substr fold. Halves (not one 64-bit conv)

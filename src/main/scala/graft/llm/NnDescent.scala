@@ -62,13 +62,24 @@ object NnDescent {
       return v.select(col("id").as(idCol), col("id").as("neighbor_id"),
         lit(0.0).as("cosine"), lit(1).as("rank")).limit(0)
     val dim = v.select(size(col("__v"))).head().getInt(0)
+    val n = v.count()
     val bits =
       if (initBits > 0) initBits
       else {
-        val buckets = math.max(1L, v.count() / maxPivotDegree)
+        val buckets = math.max(1L, n / maxPivotDegree)
         math.max(2, math.min(24,
           64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, buckets - 1))))
       }
+    // Shuffle width derived from the CORPUS SIZE, not the session default
+    // (guide §2: scale-adaptive partitioning): the refinement loop runs
+    // ~6 keyed stages per round on frames of O(n·k) narrow rows, so at
+    // small n a session-wide width just multiplies task overhead across
+    // every round, while at large n this caps at the core count. Each
+    // explicit repartition below provides the clustering its whole stage
+    // chain needs (hash on a SUBSET of the downstream keys), so the
+    // dedup/window/self-join stack reuses ONE exchange per round.
+    val par = math.max(1, math.min(
+      v.sparkSession.sparkContext.defaultParallelism, (n / 4096L).toInt + 1))
 
     def scorePairs(pairs: DataFrame): DataFrame =
       pairs
@@ -90,7 +101,8 @@ object NnDescent {
       // same (id, nbr) scored twice carries the identical cosine (same
       // commutative fold), so dropDuplicates is value-safe
       val w = Window.partitionBy("id").orderBy(col("cosine").desc, col("nbr"))
-      directed.dropDuplicates("id", "nbr")
+      directed.repartition(par, col("id"))
+        .dropDuplicates("id", "nbr")
         .withColumn("__rk", row_number().over(w))
         .filter(col("__rk") <= k)
         .drop("__rk")
@@ -108,7 +120,8 @@ object NnDescent {
       // those points could never pair up however many rounds run
       val wB = Window.partitionBy("__b")
         .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
-      val capped = b.withColumn("__i", row_number().over(wB))
+      val capped = b.repartition(par, col("__b"))
+        .withColumn("__i", row_number().over(wB))
         .filter(col("__i") <= maxPivotDegree)
         .drop("__i")
       capped.as("a").join(capped.as("b"), Seq("__b"))
@@ -125,6 +138,7 @@ object NnDescent {
     while (it < iterations) {
       val adj = knn.select(col("id"), col("nbr"))
         .unionByName(knn.select(col("nbr").as("id"), col("id").as("nbr")))
+        .repartition(par, col("id"))
         .distinct()
       val wA = Window.partitionBy("id").orderBy(col("nbr"))
       val capped = adj.withColumn("__i", row_number().over(wA))
@@ -134,6 +148,7 @@ object NnDescent {
         .filter(col("a.nbr") < col("b.nbr"))
         .select(col("a.nbr").as("id_a"), col("b.nbr").as("id_b"))
         .unionByName(bucketPairs(initSeeds.head + 7919L * (it + 1)))
+        .repartition(par, col("id_a"))
         .distinct()
       knn = topK(knn.unionByName(bothDirections(scorePairs(cands))))
         .localCheckpoint()

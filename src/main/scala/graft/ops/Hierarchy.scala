@@ -38,10 +38,23 @@ object Hierarchy {
    * @return (v, subtree_sum) — one row per node in `values`
    */
   def subtreeSum(edges: DataFrame, values: DataFrame,
-                 maxDepth: Int = 64): DataFrame = {
+                 maxDepth: Int = 64,
+                 localThreshold: Int = 200000): DataFrame = {
     val e = edges.select(col("child").cast("long").as("child"),
         col("parent").cast("long").as("parent"))
       .filter(col("child") =!= col("parent")).distinct().localCheckpoint()
+    // small forests take the bounded-probe driver path (bfsDistances /
+    // adaptive-CC house pattern — the d20 lesson: depth-many distributed
+    // rounds on a few-MB forest are pure fixed cost); identical integer
+    // results by construction, spec-pinned
+    val eProbe = e.limit(localThreshold + 1).collect()
+    if (eProbe.length <= localThreshold) {
+      val vProbe = values.select(col("v").cast("long").as("v"),
+        col("value").cast("long").as("m")).limit(localThreshold + 1).collect()
+      if (vProbe.length <= localThreshold)
+        return subtreeSumLocal(edges.sparkSession,
+          eProbe.map(r => (r.getLong(0), r.getLong(1))), vProbe, maxDepth)
+    }
     var pending = values.select(col("v").cast("long").as("v"),
       col("value").cast("long").as("m")).localCheckpoint()
     var result = pending
@@ -73,6 +86,55 @@ object Hierarchy {
         Seq("v"), "left_semi")
   }
 
+  /** Driver twin of the distributed upward accumulation — identical
+    * semantics row for row: per-round mass moves to EVERY parent edge
+    * (DAG fan-out multiplies), null masses ride along and a node whose
+    * every contribution is null sums to null (SQL SUM), delivery at
+    * ancestors outside the node set is accumulated but filtered from the
+    * output, maxDepth loud-fails on undrained mass. */
+  private def subtreeSumLocal(spark: org.apache.spark.sql.SparkSession,
+                              edges: Array[(Long, Long)],
+                              values: Array[org.apache.spark.sql.Row],
+                              maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val parentsOf = edges.groupBy(_._1).map { case (c, es) => c -> es.map(_._2) }
+    // (sum, sawNonNull) per node — SQL SUM semantics: nulls contribute
+    // nothing, an all-null (or never-delivered) node yields null
+    val delivered = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    var pending = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+    def add(m: scala.collection.mutable.Map[Long, (Long, Boolean)],
+            v: Long, s: Long, nn: Boolean): Unit = {
+      val (s0, nn0) = m.getOrElse(v, (0L, false))
+      m(v) = (s0 + s, nn0 || nn)
+    }
+    values.foreach { r =>
+      val v = r.getLong(0)
+      if (r.isNullAt(1)) add(pending, v, 0L, nn = false)
+      else add(pending, v, r.getLong(1), nn = true)
+    }
+    pending.foreach { case (v, (s, nn)) => add(delivered, v, s, nn) }
+    var round = 0
+    while (pending.nonEmpty && round < maxDepth) {
+      round += 1
+      val next = scala.collection.mutable.Map.empty[Long, (Long, Boolean)]
+      pending.foreach { case (v, (s, nn)) =>
+        parentsOf.getOrElse(v, Array.empty[Long]).foreach { p =>
+          add(next, p, s, nn)
+          add(delivered, p, s, nn)
+        }
+      }
+      pending = next
+    }
+    require(pending.isEmpty,
+      s"subtreeSum: pending mass after $maxDepth rounds — the parent " +
+        "relation has a cycle or is deeper than maxDepth")
+    val nodeSet = values.map(_.getLong(0)).toSet
+    delivered.iterator.filter { case (v, _) => nodeSet.contains(v) }
+      .map { case (v, (s, nn)) =>
+        (v, if (nn) java.lang.Long.valueOf(s) else null: java.lang.Long)
+      }.toSeq.toDF("v", "subtree_sum")
+  }
+
   /**
    * Per-node (root, depth) — the DOWNWARD complement of [[subtreeSum]]
    * (inherited attributes / path length): roots (nodes of `nodes` that
@@ -85,11 +147,21 @@ object Hierarchy {
    * @return (v, root, depth) — one row per node in `nodes`
    */
   def depthAndRoot(edges: DataFrame, nodes: DataFrame,
-                   maxDepth: Int = 64): DataFrame = {
+                   maxDepth: Int = 64,
+                   localThreshold: Int = 200000): DataFrame = {
     val e = edges.select(col("child").cast("long").as("child"),
         col("parent").cast("long").as("parent"))
       .filter(col("child") =!= col("parent")).distinct().localCheckpoint()
     val n = nodes.select(col("v").cast("long").as("v")).distinct()
+    // bounded-probe driver path, same contract as subtreeSum's
+    val eProbe = e.limit(localThreshold + 1).collect()
+    if (eProbe.length <= localThreshold) {
+      val nProbe = n.limit(localThreshold + 1).collect()
+      if (nProbe.length <= localThreshold)
+        return depthAndRootLocal(edges.sparkSession,
+          eProbe.map(r => (r.getLong(0), r.getLong(1))),
+          nProbe.map(_.getLong(0)), maxDepth)
+    }
     var frontier = n
       .join(e.select(col("child").as("v")), Seq("v"), "left_anti")
       .select(col("v"), col("v").as("root"), lit(0L).as("depth"))
@@ -122,5 +194,42 @@ object Hierarchy {
     // a child would otherwise surface as a phantom output row — the
     // same contract gap subtreeSum closes above)
     result.join(n, Seq("v"), "left_semi")
+  }
+
+  /** Driver twin of the distributed downward resolution — identical row
+    * multiset: frontier rows are raw join results (a child with several
+    * resolved parents yields several rows, exactly like the distributed
+    * join), expansion walks edges whose child is outside the node set too
+    * (filtered only at the end), the same maxDepth and unreachable-node
+    * loud-fails apply. */
+  private def depthAndRootLocal(spark: org.apache.spark.sql.SparkSession,
+                                edges: Array[(Long, Long)],
+                                nodes: Array[Long],
+                                maxDepth: Int): DataFrame = {
+    import spark.implicits._
+    val childrenOf = edges.groupBy(_._2).map { case (p, es) => p -> es.map(_._1) }
+    val childSet = edges.map(_._1).toSet
+    val nodeSet = nodes.toSet
+    var frontier: Seq[(Long, Long, Long)] =
+      nodes.filterNot(childSet.contains).map(v => (v, v, 0L)).toSeq
+    val result = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    result ++= frontier
+    var round = 0
+    while (frontier.nonEmpty && round < maxDepth) {
+      round += 1
+      frontier = frontier.flatMap { case (v, root, depth) =>
+        childrenOf.getOrElse(v, Array.empty[Long])
+          .map(c => (c, root, depth + 1))
+      }
+      result ++= frontier
+    }
+    require(frontier.isEmpty,
+      s"depthAndRoot: unresolved frontier after $maxDepth rounds — the " +
+        "parent relation has a cycle or is deeper than maxDepth")
+    require(nodeSet.subsetOf(result.iterator.map(_._1).toSet),
+      "depthAndRoot: nodes unreachable from any root — the parent " +
+        "relation has a cycle")
+    result.filter { case (v, _, _) => nodeSet.contains(v) }
+      .toSeq.toDF("v", "root", "depth")
   }
 }

@@ -86,4 +86,38 @@ class HierarchySpec extends SparkSpec {
     }
     assert(e.getMessage.contains("cycle"), e.getMessage)
   }
+
+  // r13: the bounded-probe driver path (localThreshold) must be row-for-row
+  // interchangeable with the distributed rounds — localThreshold = 0 forces
+  // the distributed path on the same input, including DAG fan-out (a child
+  // with TWO parents) and an all-null mass node (SQL SUM null semantics).
+  test("subtreeSum: driver path ≡ distributed path, incl. DAG fan-out and null mass") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (4L, 3L), (5L, 4L))
+      .toDF("child", "parent")
+    val values = Seq((1L, Some(10L)), (2L, Some(20L)), (3L, Some(30L)),
+        (4L, None: Option[Long]), (5L, Some(50L)))
+      .toDF("v", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getLong(1))).sortBy(_._1).toSeq
+    val local = canon(Hierarchy.subtreeSum(edges, values))
+    val dist = canon(Hierarchy.subtreeSum(edges, values, localThreshold = 0))
+    assert(local == dist, s"local=$local dist=$dist")
+    // DAG fan-out: node 5's mass reaches 1 via BOTH parents of 4
+    assert(local.toMap.apply(1L) == 10L + 20L + 30L + 2 * 50L)
+  }
+
+  test("depthAndRoot: driver path ≡ distributed path, incl. multi-parent rows") {
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 2L), (4L, 3L), (11L, 10L))
+      .toDF("child", "parent")
+    val nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L).toDF("v")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .sorted.toSeq
+    val local = canon(Hierarchy.depthAndRoot(edges, nodes))
+    val dist = canon(Hierarchy.depthAndRoot(edges, nodes, localThreshold = 0))
+    assert(local == dist, s"local=$local dist=$dist")
+    // node 4 has two resolved parents -> TWO rows, one per path
+    assert(local.count(_._1 == 4L) == 2)
+  }
 }
