@@ -46,7 +46,7 @@ object Bench {
       // (total/defaultParallelism) dwarfs any floor, so this value only
       // matters in the small-input regime. Env-parameterised.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.local.dir", tmp)
       .config("spark.ui.enabled", "false")
       .getOrCreate()

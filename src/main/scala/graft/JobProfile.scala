@@ -21,7 +21,7 @@ object JobProfile {
       .config("spark.sql.shuffle.partitions", cpus)
       // match Bench's AQE coalesce floor (see Bench.scala)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

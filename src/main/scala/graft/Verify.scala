@@ -18,7 +18,7 @@ object Verify {
       // match Bench's AQE coalesce floor (see Bench.scala) so correctness
       // runs execute the same plans the bench measures
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "16k"))
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PART", "64k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -1138,10 +1138,14 @@ object Dedup {
     }
   }
 
-  /** Shared explode: one row per (id, chunk_idx, chunk string). */
+  /** Shared explode: one row per (id, chunk_idx, chunk string). Spread
+    * first (r13): the tokenize+chunk pass is the expensive part and a
+    * single-file / single-partition-batch input would run it on one core
+    * (no-op at scale; PlanSpec pins the unspread narrow shape). */
   private def explodedChunks(docs: DataFrame, idCol: String, textCol: String,
                              chunkTokens: Int): DataFrame =
-    docs.select(col(idCol).as("__id"),
+    graft.util.Spread.ifNarrow(docs.select(col(idCol).as("__id"), col(textCol)))
+      .select(col("__id"),
         posexplode(tokenChunks(col(textCol), chunkTokens)).as(Seq("__idx", "__chunk")))
 
   /** Chunk frame with keep decisions: a chunk occurrence is kept iff its
